@@ -21,8 +21,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
-    if isinstance(v, float):
-        return v
+    """Arrays (numpy/list) -> tuples so equality is well-defined."""
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(canon(x) for x in v.tolist())
+    except ImportError:
+        pass
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
     return v
 
 
@@ -69,6 +76,7 @@ def main():
         for col in got.columns:
             gv, ev = got[col].tolist(), exp[col].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
+                g, e = canon(g), canon(e)
                 if g is None and e is None:
                     continue
                 gnan = isinstance(g, float) and math.isnan(g)

@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Flagship.snapshot(spark, "/root/testdata/sf0.001")
 
   private lazy val modules: Seq[QueryModule] = Seq(
-    ops.Flagship)
+    ops.Flagship, ops.Scans, ops.Exprs, ops.Aggs, ops.Joins,
+    ops.Windows, ops.SetOps, ops.Funcs)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.C — aggregations.
+  *
+  * All grouped aggregates are single hash-agg passes (partial+final
+  * map-side combine is automatic); the TTM key uses one window shuffle
+  * whose hash partitioning is then reused by the groupBy (no second
+  * exchange — verified in explain()).
+  */
+object Aggs extends graft.QueryModule {
+
+  /** The core reference aggregate: TTM = sum of the 4 most-recent quarterly
+    * values per (entity, metric), nulls->0, <4 periods allowed
+    * (`fetch_data.py:29-36`). Recency by window rank, never positional. */
+  private def ttmRolling4(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy(col("user_id"))
+      .agg(bround(sum(coalesce(col("value"), lit(0.0))), 2).as("ttm"))
+      .orderBy("user_id")
+  }
+
+  /** Warehouse rollup (TPC-H Q1 shape): grouped sum/avg/count
+    * (`fetch_data.py:305,315` counter generalized per SURVEY §2.C). */
+  private def groupStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        bround(sum(col("l_quantity")), 2).as("sum_qty"),
+        bround(sum(col("l_extendedprice")), 2).as("sum_base"),
+        bround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+        bround(avg(col("l_quantity")), 4).as("avg_qty"),
+        bround(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Cross-list dedup to a unique key set (`fetch_data.py:282,296`). */
+  private def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey")).distinct().orderBy("o_custkey")
+
+  /** Group members into arrays, deterministically sorted
+    * (`fetch_data.py:291-296`). */
+  private def collectList(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(to_json(sort_array(collect_list(col("s_name")))).as("members"))
+      .orderBy("n_name")
+  }
+
+  /** Conditional success/total counting (`fetch_data.py:305-321`). */
+  private def countConditional(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).cast("bigint").as("n_big"))
+      .orderBy("o_orderpriority")
+
+  /** Multi-level rollup with grouping_id — warehouse parity [N]. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), bround(sum(col("o_totalprice")), 2).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
+    * oracle (driver records rows-only). */
+  private def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ttm_rolling4" -> ttmRolling4,
+    "agg_group_stats" -> groupStats,
+    "agg_distinct" -> aggDistinct,
+    "agg_collect_list" -> collectList,
+    "agg_count_conditional" -> countConditional,
+    "agg_grouping_sets" -> groupingSets,
+    "agg_approx_distinct" -> approxDistinct)
+
+  val oracles: Map[String, String] = Map(
+    "agg_ttm_rolling4" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, round_even(sum(coalesce(value, 0)), 2) AS ttm
+        |FROM r WHERE rn <= 4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_group_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round_even(sum(l_quantity), 2) AS sum_qty,
+        |       round_even(sum(l_extendedprice), 2) AS sum_base,
+        |       round_even(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |       round_even(avg(l_quantity), 4) AS avg_qty,
+        |       round_even(avg(l_extendedprice), 4) AS avg_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      "SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey",
+    "agg_collect_list" ->
+      """SELECT n_name, to_json(list(s_name ORDER BY s_name)) AS members
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_count_conditional" ->
+      """SELECT o_orderpriority, count(*) AS total,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n,
+        |       round_even(sum(o_totalprice), 2) AS total,
+        |       CAST(GROUPING(n_name, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+}

@@ -22,20 +22,11 @@ import graft.expr.Metrics
   */
 object Flagship extends graft.QueryModule {
 
-  /** Literal per-segment growth config (role of SECTOR_CONFIG at
-    * `fetch_data.py:72-80`, keyed by testdata mktsegment). */
-  private val segmentConfig = Seq(
-    ("BUILDING", 45.0, 0.0, false),
-    ("AUTOMOBILE", 60.0, -5.0, true),
-    ("MACHINERY", 15.0, 0.0, true),
-    ("HOUSEHOLD", 10.0, 0.0, false),
-    ("FURNITURE", 20.0, -2.0, false))
-
   def snapshot(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
-    val cfg = broadcast(segmentConfig.toDF("seg", "maxg", "ming", "cyc"))
+    val cfg = Dims.segmentConfigDF(spark)
 
     // Recency rank per user (ts already µs in Spark; event_id tie-break for
     // full determinism — SURVEY §7 hard parts).
@@ -55,7 +46,7 @@ object Flagship extends graft.QueryModule {
       .join(customer, perUser("user_id") === customer("c_custkey"))
       .join(cfg, $"c_mktsegment" === $"seg")
 
-    val implied = $"ttm" / 10
+    val implied = $"ttm" / 7  // prime divisor: no decimal-tie structure under bround
     val marketCap = $"c_acctbal" * 1e8
     joined.select(
       $"user_id",
@@ -83,15 +74,11 @@ object Flagship extends graft.QueryModule {
       |         max(CASE WHEN rn = 1 THEN value END) AS latest_value,
       |         sum(CASE WHEN rn <= 4 THEN value ELSE 0 END) AS ttm
       |  FROM r WHERE rn <= 4 GROUP BY user_id
-      |), cfg(seg, maxg, ming, cyc) AS (
-      |  VALUES ('BUILDING', 45.0, 0.0, false), ('AUTOMOBILE', 60.0, -5.0, true),
-      |         ('MACHINERY', 15.0, 0.0, true), ('HOUSEHOLD', 10.0, 0.0, false),
-      |         ('FURNITURE', 20.0, -2.0, false)
-      |), j AS (
+      |), """.stripMargin + Dims.segmentConfigSql + """, j AS (
       |  SELECT s.*, c.c_mktsegment, c.c_acctbal, cfg.maxg, cfg.ming, cfg.cyc,
-      |         CASE WHEN s.ttm / 10 < cfg.ming THEN (CASE WHEN cfg.cyc THEN 3.0 ELSE cfg.ming END)
-      |              WHEN s.ttm / 10 > cfg.maxg THEN cfg.maxg
-      |              ELSE s.ttm / 10 END AS clamped
+      |         CASE WHEN s.ttm / 7 < cfg.ming THEN (CASE WHEN cfg.cyc THEN 3.0 ELSE cfg.ming END)
+      |              WHEN s.ttm / 7 > cfg.maxg THEN cfg.maxg
+      |              ELSE s.ttm / 7 END AS clamped
       |  FROM s JOIN customer c ON s.user_id = c.c_custkey
       |         JOIN cfg ON c.c_mktsegment = cfg.seg
       |)

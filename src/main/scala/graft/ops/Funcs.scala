@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.H — string / math / date / JSON / array+map scalar
+  * functions. Everything is `org.apache.spark.sql.functions` built-ins
+  * (codegen'd); libm-dependent results (ln/pow) are rounded to 6 dp so
+  * JVM-vs-DuckDB last-ulp drift cannot flip the compare.
+  */
+object Funcs extends graft.QueryModule {
+
+  /** String pipeline (`fetch_data.py:294,58-64,130,292`): trim/upper,
+    * substring probe, split, concat, regexp extraction. */
+  private def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(trim(col("p_name"))).as("up"),
+      length(col("p_name")).as("n_chars"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("path"),
+      substring(col("p_name"), 1, 4).as("prefix"),
+      instr(col("p_name"), "widget").as("widget_at"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .orderBy("p_partkey")
+
+  /** Math library (`fetch_data.py:182-184,36,108`): abs, sqrt, ln, pow,
+    * least/greatest, banker's rounding. */
+  private def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(-col("l_quantity")).as("abs_qty"),
+      bround(sqrt(col("l_extendedprice")), 6).as("root"),
+      bround(log(col("l_extendedprice")), 6).as("nat_log"),
+      bround(pow(col("l_discount") + 1, 3), 6).as("cubed"),
+      least(col("l_tax"), col("l_discount")).as("lo"),
+      greatest(col("l_tax"), col("l_discount")).as("hi"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+
+  /** Date/time (`fetch_data.py:272,319,156`; `update.yml:6`): truncation,
+    * field extraction, interval arithmetic, epoch, ISO-8601 formatting. */
+  private def fnDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+      .orderBy("o_orderkey")
+
+  /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
+    * record serialization. */
+  private def fnJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      to_json(struct(col("event_id"), col("event_type"))).as("rec"))
+      .orderBy("event_id")
+
+  /** Array/map + higher-order functions (`fetch_data.py:295,319,180-189`):
+    * size, element access, HOF aggregate (sequential double accumulation),
+    * sort+slice carried through as a real array column. */
+  private def fnArrayMap(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      bround(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+      bround(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+        .as("sum_elems"),
+      slice(sort_array(col("embedding"), asc = false), 1, 3).as("top3"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_math" -> fnMath,
+    "fn_date" -> fnDate,
+    "fn_json" -> fnJson,
+    "fn_array_map" -> fnArrayMap)
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |       upper(trim(p_name)) AS up,
+        |       CAST(length(p_name) AS INTEGER) AS n_chars,
+        |       CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+        |       p_brand || '/' || p_type AS path,
+        |       substring(p_name, 1, 4) AS prefix,
+        |       CAST(position('widget' IN p_name) AS INTEGER) AS widget_at,
+        |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(-l_quantity) AS abs_qty,
+        |       round_even(sqrt(l_extendedprice), 6) AS root,
+        |       round_even(ln(l_extendedprice), 6) AS nat_log,
+        |       round_even(pow(l_discount + 1, 3), 6) AS cubed,
+        |       least(l_tax, l_discount) AS lo,
+        |       greatest(l_tax, l_discount) AS hi
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |       to_json({'event_id': event_id, 'event_type': event_type}) AS rec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_array_map" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INTEGER) AS n_dims,
+        |       round_even(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |       round_even((SELECT sum(CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)), 4) AS sum_elems,
+        |       (list_sort(embedding, 'DESC'))[1:3] AS top3
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.D — joins.
+  *
+  * Scale posture: every dim lookup is an explicit `broadcast()` (region/
+  * nation/supplier/part stay tiny at all SFs — FIXTURES.md), the fact-fact
+  * equi join is a shuffle join AQE can re-plan, semi/anti joins never
+  * materialize the probe side's payload, and the range join keeps its
+  * build side bounded so BroadcastNestedLoop stays cheap.
+  */
+object Joins extends graft.QueryModule {
+
+  /** FX lookup: broadcast left join against a tiny rate dim, validity
+    * predicate `rate > 0`, default 1.0 on miss (`fetch_data.py:38-51`,
+    * applied at 168-172). */
+  private def fxRate(s: SparkSession, d: String): DataFrame = {
+    val fx = Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 3 =!= 0)
+      .select(col("s_suppkey"), (col("s_acctbal") / 1000).as("rate"))
+    Tables.lineitem(s, d)
+      .join(broadcast(fx), col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bround(col("l_extendedprice") / coalesce(when(col("rate") > 0, col("rate")), lit(1.0)), 2)
+          .as("usd"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+  }
+
+  /** Literal config-dim lookup with defaults on miss
+    * (`fetch_data.py:72-82`): left join + coalesce to the 'General' row. */
+  private def dimConfig(s: SparkSession, d: String): DataFrame = {
+    val cfg = Dims.segmentConfigDF(s).filter(col("seg") =!= "FURNITURE")
+    Tables.customer(s, d)
+      .join(broadcast(cfg), col("c_mktsegment") === col("seg"), "left_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("maxg"), lit(20.0)).as("max_growth"),
+        coalesce(col("ming"), lit(-2.0)).as("min_growth"),
+        coalesce(col("cyc"), lit(false)).as("cyclical"))
+      .orderBy("c_custkey")
+  }
+
+  /** Membership (ticker-in-list) as a LEFT SEMI join
+    * (`fetch_data.py:294-296`). */
+  private def listMembership(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+
+  /** Requested-but-not-produced keys as a LEFT ANTI join
+    * (`fetch_data.py:277-279,311`). */
+  private def antiFailures(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Fact-to-fact equi join, TPC-H Q3 shape [N]: top-10 revenue orders for
+    * one segment. Sort-merge/broadcast picked by AQE; TakeOrderedAndProject
+    * caps the result. */
+  private def equiLarge(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(bround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** As-of (backward) join: last value at-or-before each probe timestamp
+    * (`fetch_data.py:156-160` — last non-null Close before now). No native
+    * Spark as-of: bounded-probe rewrite via filter + max_by per key. */
+  private def asofPrice(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("probe_ts"))
+    val matched = probes.join(ev, Seq("user_id"))
+      .filter(col("ts") <= col("probe_ts"))
+      .groupBy(col("user_id"), col("probe_ts"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
+    probes.join(matched, Seq("user_id", "probe_ts"), "left_outer")
+      .select(col("user_id"), col("probe_ts"), col("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Range/interval (theta) join [N]: bounded build side broadcast,
+    * nested-loop with a BETWEEN predicate. */
+  private def rangeInterval(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_custkey") < 20)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = Tables.orders(s, d)
+    broadcast(c).join(o,
+        o("o_totalprice").between(c("c_acctbal") * 10, c("c_acctbal") * 10 + 50000))
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fx_rate" -> fxRate,
+    "join_dim_config" -> dimConfig,
+    "join_list_membership" -> listMembership,
+    "join_anti_failures" -> antiFailures,
+    "join_equi_large" -> equiLarge,
+    "join_asof_price" -> asofPrice,
+    "join_range_interval" -> rangeInterval)
+
+  val oracles: Map[String, String] = Map(
+    "join_fx_rate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round_even(l_extendedprice /
+        |         coalesce(CASE WHEN fx.rate > 0 THEN fx.rate END, 1.0), 2) AS usd
+        |FROM lineitem LEFT JOIN (
+        |  SELECT s_suppkey, s_acctbal / 1000 AS rate
+        |  FROM supplier WHERE s_suppkey % 3 <> 0) fx
+        |ON l_suppkey = fx.s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+    "join_dim_config" ->
+      ("WITH " + Dims.segmentConfigSql + """
+        |SELECT c_custkey, c_mktsegment,
+        |       coalesce(maxg, 20.0) AS max_growth,
+        |       coalesce(ming, -2.0) AS min_growth,
+        |       coalesce(cyc, false) AS cyclical
+        |FROM customer LEFT JOIN (SELECT * FROM cfg WHERE seg <> 'FURNITURE') c2
+        |ON c_mktsegment = c2.seg
+        |ORDER BY c_custkey""").stripMargin,
+    "join_list_membership" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti_failures" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_equi_large" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       round_even(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_asof_price" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
+        |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin,
+    "join_range_interval" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders
+        |  ON o_totalprice BETWEEN c_acctbal * 10 AND c_acctbal * 10 + 50000
+        |WHERE c_custkey < 20
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.A — scans, sources, sinks.
+  *
+  * The reference's sources are a glob text scan (`fetch_data.py:285-297`),
+  * fixed-schema JSON records (`fetch_data.py:313-314`), a per-entity JSON
+  * sink + nested manifest (`fetch_data.py:312-319`), and commit-if-changed
+  * publishing (`update.yml:33-39`). Rebound onto the driver testdata per
+  * FIXTURES.md; the true text-file list scan is exercised by
+  * `graft.pipeline.Refresh` over the golden fixtures.
+  */
+object Scans extends graft.QueryModule {
+
+  /** Glob scan + per-line normalize: list name from file name, item
+    * upper/trim, blanks dropped (`fetch_data.py:285-297`). */
+  private def srcListScan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1).as("list_name"),
+        upper(trim(col("p_name"))).as("item"),
+        col("p_partkey"))
+      .filter(length(trim(col("p_name"))) > 0)
+      .orderBy("p_partkey")
+
+  /** Schema-on-read JSON records (`fetch_data.py:313-314` written; read
+    * back with a fixed schema, PERMISSIVE). */
+  private def srcJsonRecords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** Per-entity JSON sink, partitioned by key, full overwrite
+    * (`fetch_data.py:312-314`) — written then read back schema-checked. */
+  private def sinkJsonPerEntity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/sink_json_per_entity"
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").partitionBy("c_mktsegment").json(dir)
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING")
+      .json(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Nested manifest doc: `{"lists": {list -> [member...]}}` as one JSON
+    * row (`fetch_data.py:318-319`); sort_array for a stable hash. */
+  private def sinkManifest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(sort_array(collect_list(col("c_name"))).as("members"))
+      .agg(to_json(struct(
+        map_from_entries(sort_array(collect_list(struct(col("c_mktsegment"), col("members")))))
+          .as("lists"))).as("manifest"))
+
+  /** Publish-on-change: emit only rows differing from the previous
+    * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
+  private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val cur = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    val prev = cur.filter(col("o_orderkey") % 7 =!= 0)
+    cur.except(prev).orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_list_scan" -> srcListScan,
+    "src_json_records" -> srcJsonRecords,
+    "sink_json_per_entity" -> sinkJsonPerEntity,
+    "sink_manifest" -> sinkManifest,
+    "sink_commit_if_changed" -> sinkCommitIfChanged)
+
+  val oracles: Map[String, String] = Map(
+    "src_list_scan" ->
+      """SELECT 'part' AS list_name, upper(trim(p_name)) AS item, p_partkey
+        |FROM part WHERE length(trim(p_name)) > 0 ORDER BY p_partkey""".stripMargin,
+    "src_json_records" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_json_per_entity" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sink_manifest" ->
+      """SELECT to_json({'lists': map(list(seg ORDER BY seg), list(memb ORDER BY seg))}) AS manifest
+        |FROM (SELECT c_mktsegment AS seg, list(c_name ORDER BY c_name) AS memb
+        |      FROM customer GROUP BY 1)""".stripMargin,
+    "sink_commit_if_changed" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |EXCEPT
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
+}
