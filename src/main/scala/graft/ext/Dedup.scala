@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.K — deduplication operators for LLM training-data
+  * pipelines: exact (hash-groupBy), word-set Jaccard (oracle-checked),
+  * MinHash-LSH banding (deterministic seeded hashes, candidate-verify),
+  * and SimHash (64-bit, banded hamming pairs).
+  *
+  * Scale posture: every stage is a pure DataFrame plan — shingle explode →
+  * hash-agg signatures → band-bucket equi-join (shuffle on band hash, so
+  * candidate generation is O(collisions), never O(n²)) → exact verify only
+  * on candidates. At 100 TB the band join is the only wide stage and it
+  * partitions by band hash; no driver-side state.
+  */
+object Dedup extends graft.QueryModule {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Distinct words per doc as (doc_id, w) rows. */
+  private def wordRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** Exact dedup by key (hash-groupBy form of `dropDuplicates`): one
+    * surviving id + duplicate count per (lang, source, n_chars) bucket. */
+  private def exact(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("lang"), col("source"), col("n_chars"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("lang", "source", "n_chars")
+
+  /** Exact n-gram (word-set) Jaccard near-dup pairs — the oracle-checked
+    * ground truth the MinHash variant approximates. Bounded probe set. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val w = wordRows(docs(s, d).filter(col("doc_id") < 150))
+    val cnt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = w.as("a").join(w.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** MinHash signature columns: min over word hashes for 16 seeded
+    * xxhash64 permutations. */
+  private def minhashSig(w: DataFrame): DataFrame =
+    w.groupBy(col("doc_id")).agg(
+      min(xxhash64(col("w"), lit(0))).as("mh0"),
+      (1 until NumHashes).map(k => min(xxhash64(col("w"), lit(k))).as(s"mh$k")): _*)
+
+  /** MinHash+LSH near-dup detection: seeded signatures → band buckets →
+    * bucket equi-join candidates → exact Jaccard verify (>= 0.8).
+    * Deterministic but not SQL-mirrorable (xxhash64) — rows-only check. */
+  private def minhash(s: SparkSession, d: String): DataFrame = {
+    val w = wordRows(docs(s, d))
+    val sig = minhashSig(w)
+    val bandStructs = (0 until NumBands).map { b =>
+      val cols = (0 until NumHashes / NumBands).map(r => col(s"mh${b * (NumHashes / NumBands) + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val cnt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(w.as("sa"), col("i") === col("sa.doc_id"))
+      .join(w.as("sb"), col("j") === col("sb.doc_id") && col("sa.w") === col("sb.w"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("na"), col("i") === col("na.doc_id"))
+      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  /** 64-bit SimHash per doc from word hashes (sign-of-weighted-bit-sums),
+    * banded into 4×16-bit buckets; near-dup pairs at hamming <= 12.
+    * Rows-only check (hash-defined, no SQL mirror). */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val withSig = docs(s, d)
+      .withColumn("words", array_distinct(split(col("text"), " ")))
+      .withColumn("bitsum", expr(
+        """aggregate(words, array_repeat(0L, 64), (acc, w) ->
+          |  zip_with(acc,
+          |           transform(sequence(0, 63), i ->
+          |             IF((shiftright(xxhash64(w), i) & 1) = 1, 1L, -1L)),
+          |           (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          |  acc + IF(element_at(bitsum, i + 1) > 0, shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val bands = withSig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * 16}) & 65535").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("simhash"), col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("i", "j")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash" -> minhash,
+    "dedup_simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, source, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, source, n_chars
+        |ORDER BY lang, source, n_chars""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents WHERE doc_id < 150),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, c * 1.0 / (na.n + nb.n - c) AS jaccard
+        |FROM inter JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |ORDER BY i, j""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A raw media payload: opaque bytes + typed metadata (SURVEY §2.K
+  * `multimodal_cols`). In a real pipeline `data` is an image/audio/video
+  * blob column read from parquet. */
+case class MediaBlob(doc_id: Long, data: Array[Byte])
+
+/** Decoded media features (schema of the decode stage's output batches). */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                     channels: Int, checksum: Long)
+
+/** SURVEY.md §2.K — multimodal columns: opaque binary payloads with typed
+  * metadata carried through relational ops, plus a decode/feature-extract
+  * stage as a partition-wise typed transform.
+  *
+  * The decode itself is a STUB (media codecs are not in this container):
+  * [[Multimodal.decodeStub]] is a deterministic fake with the real
+  * Spark-side plumbing — typed Dataset, mapPartitions batch iteration,
+  * schema, partitioning — all genuine and tested.
+  */
+object Multimodal extends graft.QueryModule {
+
+  private val labelDim = Seq(
+    (0, "photo"), (1, "chart"), (2, "scan"), (3, "render"), (4, "frame"),
+    (5, "crop"), (6, "thumb"), (7, "tile"), (8, "mask"), (9, "page"))
+
+  /** Arrays (list<float>) surviving filter → broadcast join → projection —
+    * the multimodal-metadata path (oracle via DuckDB list functions). */
+  private def mmMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = broadcast(labelDim.toDF("label_id", "label_name"))
+    Tables.embeddings(s, d)
+      .filter(col("label").isin(1, 2, 3))
+      .join(labels, col("label") === col("label_id"))
+      .select(col("vec_id"), col("label_name"),
+        size(col("embedding")).as("n_dims"),
+        slice(col("embedding"), 1, 4).as("head"),
+        sqrt(SimSearch.dot(col("embedding"), col("embedding"))).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** Opaque binary column ops: byte length, content hash, base64 framing
+    * (`BinaryType` end-to-end; text bytes stand in for media bytes). */
+  private def mmBinary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text").cast("binary")).as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("sha"),
+      base64(substring(col("text"), 1, 12).cast("binary")).as("head_b64"))
+      .orderBy("doc_id")
+
+  /** STUB media decoder — deterministic fake standing in for an image/
+    * audio codec (not available in this container). The per-partition
+    * batch shape is what a Pandas-UDF / JNI decoder would use. */
+  def decodeStub(blobs: Iterator[MediaBlob]): Iterator[MediaMeta] =
+    blobs.map { b =>
+      val n = b.data.length
+      // ??? real codec goes here; fake dims/checksum are deterministic
+      MediaMeta(b.doc_id, n, n % 640 + 1, n % 480 + 1, 3,
+        b.data.foldLeft(0L)((acc, byte) => acc + (byte & 0xff)))
+    }
+
+  /** Decode/feature-extract as a partition-wise typed transform over a
+    * binary column (rows-only check: stub output, no SQL mirror). */
+  private def mmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(decodeStub)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_cols" -> mmMeta,
+    "mm_binary" -> mmBinary,
+    "mm_decode" -> mmDecode)
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_cols" ->
+      """WITH labels(label_id, label_name) AS (
+        |  VALUES (1, 'chart'), (2, 'scan'), (3, 'render'))
+        |SELECT vec_id, label_name,
+        |       CAST(len(embedding) AS INTEGER) AS n_dims,
+        |       embedding[1:4] AS head,
+        |       sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+        |             FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS y) u)) AS l2_norm
+        |FROM embeddings JOIN labels ON label = label_id
+        |ORDER BY vec_id""".stripMargin,
+    "mm_binary" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       sha256(text) AS sha,
+        |       to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

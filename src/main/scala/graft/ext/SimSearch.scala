@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.K — similarity search over `embeddings.embedding`
+  * (array<float>, 64-dim).
+  *
+  * Cosine is pure higher-order-function arithmetic (zip_with product,
+  * sequential double-accumulation aggregate) — codegen-friendly, no UDF,
+  * and bit-identical to the oracle's parallel-unnest sum in DuckDB.
+  *
+  * Scale path: brute force is the correctness baseline (fine when one side
+  * is a broadcast probe set); `sim_search_ivf` shows the 100 TB shape —
+  * deterministic random-hyperplane LSH bucketing so the candidate join is
+  * an equi-join on bucket id instead of a cross join.
+  */
+object SimSearch extends graft.QueryModule {
+
+  /** dot(a, b) with exact left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cosine(a, b) = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — shape mirrored
+    * exactly in the oracle SQL so doubles match bitwise. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Near-dup pairs by embedding cosine within a label block (blocked
+    * all-pairs: the equi-join on `label` bounds the quadratic term). */
+  private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("i", "j")
+  }
+
+  /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
+    * broadcast single-row probe, TakeOrderedAndProject for the top-k. */
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** LSH-bucketed approximate NN — the scale path. 4 deterministic
+    * pseudo-random hyperplanes (components derived from xxhash64 of
+    * (plane, dim)), bucket = sign bits (16 buckets); probe joins only its
+    * bucket. Approximate => rows-only check (no oracle). */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // plane p, dim i component: hash-derived value in [-1000, 1000]
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 3), 0L, (acc, p) ->
+        |  acc + IF(
+        |    aggregate(zip_with(embedding,
+        |                       transform(sequence(0, 63), i ->
+        |                         CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
+        |                       (x, w) -> CAST(x AS DOUBLE) * w),
+        |              0D, (s2, v) -> s2 + v) > 0,
+        |    shiftleft(1L, p), 0L))""".stripMargin)
+    val bucketed = e.withColumn("bucket", bucketExpr)
+    val probe = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket").as("probe_bucket"), col("embedding").as("probe"))
+    bucketed.join(broadcast(probe), col("bucket") === col("probe_bucket"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding_cosine" -> embCosinePairs,
+    "sim_search_cosine" -> cosineTopK,
+    "sim_search_ivf" -> ivfTopK)
+
+  private val dotSql =
+    """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+      | FROM (SELECT unnest(%s) AS x, unnest(%s) AS y) u)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
+         |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
+         |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine
+         |FROM s WHERE d / (sqrt(na) * sqrt(nb)) >= 0.45
+         |ORDER BY i, j""".stripMargin,
+    "sim_search_cosine" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")} AS d,
+         |         ${dotSql.format("e.embedding", "e.embedding")} AS na,
+         |         ${dotSql.format("p.pe", "p.pe")} AS np
+         |  FROM embeddings e, p WHERE e.vec_id <> 0)
+         |SELECT vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.K — text analysis for training-data pipelines: token
+  * counting, corpus term frequencies, heuristic language ID, quality
+  * scoring, and content fingerprinting — all native expressions over
+  * `documents.text`.
+  */
+object TextAnalysis extends graft.QueryModule {
+
+  private val stopwords = Seq("the", "a", "of", "and", "or")
+
+  /** Token + distinct-token counts per document (whitespace tokenizer). */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** Corpus term frequency: explode → hash-agg → top-20. The 100 TB shape:
+    * map-side partial counts, one shuffle on the token. */
+  private def termFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+
+  /** Heuristic language ID: vowel-ratio bands (n-gram-statistic stand-in;
+    * the synthetic corpus shares one vocabulary, so the heuristic — not
+    * its accuracy against `lang` — is what's oracle-checked). */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val letters = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val vowels = length(regexp_replace(col("text"), "[^aeiou]", ""))
+    val ratio = vowels.cast("double") / letters.cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), ratio.as("vowel_ratio"),
+      when(ratio > 0.42, "vowel-heavy")
+        .when(ratio > 0.36, "balanced")
+        .otherwise("consonant-heavy").as("pred_class"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: length saturation + stopword ratio + lexical
+    * diversity, weighted. */
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nTokens = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    val diversity = size(array_distinct(words)).cast("double") / nTokens
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (lenScore * 0.3 + (nStop / nTokens) * 0.4 + diversity * 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercased text
+    * (rolling-hash winnowing degenerates to a content hash at doc scope). */
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val normalized = regexp_replace(lower(col("text")), "\\s+", " ")
+    Tables.documents(s, d).select(
+      col("doc_id"), md5(normalized).as("fingerprint"),
+      length(normalized).as("n_norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> tokens,
+    "text_termfreq" -> termFreq,
+    "text_langid" -> langId,
+    "text_quality" -> quality,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_termfreq" ->
+      """SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang,
+        |       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS vowel_ratio,
+        |       CASE WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) > 0.42
+        |            THEN 'vowel-heavy'
+        |            WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) > 0.36
+        |            THEN 'balanced'
+        |            ELSE 'consonant-heavy' END AS pred_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |       least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
+        |       + (CAST(len(list_filter(string_split(text, ' '),
+        |                    x -> x IN ('the', 'a', 'of', 'and', 'or'))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+        |       + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |       CAST(length(regexp_replace(lower(text), '\s+', ' ', 'g')) AS INTEGER) AS n_norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.I — streaming/incremental semantics, batch-mode bindings.
+  *
+  * The exact same transformations run as Structured Streaming jobs in
+  * [[graft.streaming.Streams]] (MemoryStream-tested); here they execute in
+  * batch over `events` so DuckDB can oracle them. `withWatermark` is a
+  * no-op in batch, so plans are literally shared — batch↔stream
+  * equivalence is the test (SURVEY §5.4).
+  */
+object StreamBatch extends graft.QueryModule {
+
+  /** Tumbling 1 h window agg (reference cadence: cron 4×/day,
+    * `update.yml:6`, generalized to event-time windows). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), bround(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  private def tumblingAgg(s: SparkSession, d: String): DataFrame =
+    tumbling(Tables.events(s, d)).orderBy("w_start", "event_type")
+
+  /** Sliding 1 h / 15 min windows — each event lands in 4 windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), bround(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  private def slidingAgg(s: SparkSession, d: String): DataFrame =
+    sliding(Tables.events(s, d)).orderBy("w_start", "event_type")
+
+  /** Gap-based session windows (30 min) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), bround(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").as("s_start"), col("user_id"), col("n"), col("sum_value"))
+
+  private def sessionAgg(s: SparkSession, d: String): DataFrame =
+    sessions(Tables.events(s, d)).orderBy("user_id", "s_start")
+
+  /** Deterministic exactly-once-per-key dedup (batch formulation of
+    * `dropDuplicatesWithinWatermark`): first event per (user, type). */
+  private def dedupStateful(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> tumblingAgg,
+    "stream_sliding_agg" -> slidingAgg,
+    "stream_session_agg" -> sessionAgg,
+    "stream_dedup_stateful" -> dedupStateful)
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', date_trunc('microseconds', ts)) AS w_start,
+        |       event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT date_trunc('microseconds', ts) AS ts, event_type, value FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - (i.i * INTERVAL '15 minutes') AS w_start,
+        |             event_type, value
+        |      FROM e, range(4) i(i))
+        |SELECT w_start, event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS s_start, user_id, count(*) AS n, round_even(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "stream_dedup_stateful" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}
