@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Metrics
+import graft.model.Schemas
+
+/** The reference's EP1 dataflow (`fetch_data.py:301-321`, SURVEY §3)
+  * re-expressed as one declarative Spark job: glob-scan ticker lists →
+  * trim/upper/dedup → join the fetched-snapshot landing zone → per-entity
+  * JSON sink + nested manifest.
+  *
+  * The per-entity network fetch is an ingest-boundary concern
+  * ([[graft.sources.Ingest]]); here the landing zone is a directory of
+  * snapshot JSONs (the golden reference data corpus in tests).
+  *
+  * Scale: the list scan is tiny and broadcast; snapshots scan is the fact
+  * side; the membership join never shuffles the fact side (broadcast hash
+  * join on the normalized ticker).
+  */
+object Refresh {
+
+  /** `load_tickers_from_lists` (`fetch_data.py:281-299`): glob scan,
+    * list name from file basename, strip/upper, drop blanks. */
+  def loadLists(spark: SparkSession, listsDir: String): DataFrame =
+    spark.read.textFile(s"$listsDir/*.txt").toDF("value")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.txt", 1).as("list_name"),
+        upper(trim(col("value"))).as("ticker"))
+      .filter(length(col("ticker")) > 0)
+
+  /** Unique tickers across lists (`fetch_data.py:282,296`). */
+  def uniqueTickers(lists: DataFrame): DataFrame =
+    lists.select(col("ticker")).distinct()
+
+  /** Snapshot landing zone, schema-on-read (`fetch_data.py:313-314`'s
+    * records, read back). */
+  def loadSnapshots(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read.schema(Schemas.snapshot)
+      .option("multiLine", true) // records are pretty-printed (indent=2)
+      .json(s"$dataDir/*.json")
+      .filter(col("ticker").isNotNull)
+
+  /** Manifest doc (`fetch_data.py:318-319`): original (un-normalized)
+    * ticker identity, per-list arrays, single JSON row. */
+  def manifest(lists: DataFrame, asOf: String): DataFrame =
+    lists.groupBy(col("list_name"))
+      .agg(sort_array(collect_list(col("ticker"))).as("members"))
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(col("list_name"), col("members")))))
+          .as("lists"))
+      .withColumn("last_updated", lit(asOf))
+
+  /** Requested-but-failed entities (`fetch_data.py:311-316`): list
+    * tickers with no snapshot, minding the `.`/`-` dual identity
+    * (SURVEY §1 — `BRK.B` in lists, `BRK-B` in data). */
+  def failures(lists: DataFrame, snapshots: DataFrame): DataFrame =
+    uniqueTickers(lists)
+      .withColumn("norm", Metrics.normalizeTicker(col("ticker")))
+      .join(snapshots.select(col("ticker").as("norm")), Seq("norm"), "left_anti")
+      .select(col("ticker"))
+
+  /** Full refresh: per-entity JSON snapshots (partitioned by ticker) +
+    * manifest, overwrite semantics (`fetch_data.py:301-321`). */
+  def run(spark: SparkSession, listsDir: String, dataDir: String,
+          outDir: String, asOf: String): Unit = {
+    val lists = loadLists(spark, listsDir)
+    val snaps = loadSnapshots(spark, dataDir)
+    val members = lists
+      .withColumn("norm", Metrics.normalizeTicker(col("ticker")))
+      .select(col("norm")).distinct()
+    snaps.join(broadcast(members), snaps("ticker") === members("norm"), "left_semi")
+      .write.mode("overwrite").partitionBy("ticker").json(s"$outDir/data")
+    manifest(lists, asOf)
+      .select(to_json(struct(col("lists"), col("last_updated"))).as("value"))
+      .write.mode("overwrite").text(s"$outDir/manifest")
+  }
+}

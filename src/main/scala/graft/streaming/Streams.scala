@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.ops.StreamBatch
+
+/** SURVEY.md §2.I — Structured Streaming jobs.
+  *
+  * The windowed transforms are the SAME functions the batch bindings run
+  * ([[StreamBatch.tumbling]]/[[StreamBatch.sliding]]/[[StreamBatch.sessions]]),
+  * so batch output (DuckDB-oracled) is the stream's expected result —
+  * SURVEY §5.4 batch↔stream equivalence, tested with MemoryStream in
+  * `graft.StreamingSpec`.
+  */
+object Streams {
+
+  /** File-source event stream over a parquet landing dir. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schemas.event).parquet(dir)
+
+  /** Tumbling/sliding/session aggregations — shared with batch. */
+  def tumbling(events: DataFrame): DataFrame = StreamBatch.tumbling(events)
+  def sliding(events: DataFrame): DataFrame = StreamBatch.sliding(events)
+  def sessions(events: DataFrame): DataFrame = StreamBatch.sessions(events)
+
+  /** Exactly-once-per-key within the watermark
+    * (`stream_dedup_stateful`'s streaming form). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Late/out-of-order handling: append-mode tumbling counts where rows
+    * older than the 10-minute watermark are dropped (`stream_late_data`;
+    * unit-tested only — not SQL-expressible). */
+  def lateDataCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** The reference's scheduled-refresh loop (`update.yml:4-7,33-39`:
+    * cron batch + commit-if-changed) as a `Trigger.AvailableNow` streaming
+    * job: drain whatever landed, publish only when content changed
+    * (delta = new EXCEPT previous snapshot), exactly-once via checkpoint.
+    */
+  def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    eventStream(spark, srcDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prev =
+          try spark.read.schema(Schemas.event).parquet(outDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.event) }
+        // commit-if-changed: skip the write when nothing differs
+        if (!batch.exceptAll(prev).isEmpty) {
+          batch.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Refresh
+
+/** Golden replay of the reference corpus (SURVEY §5.2, FIXTURES §2):
+  * fixtures copied from the reference's `lists/` + `data/` outputs. */
+class GoldenReplaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val listsDir = "src/test/resources/golden/lists"
+  private val dataDir = "src/test/resources/golden/data"
+
+  private lazy val lists = Refresh.loadLists(spark, listsDir).cache()
+  private lazy val snaps = Refresh.loadSnapshots(spark, dataDir).cache()
+
+  test("list scan: 5 lists, 203 unique tickers, normalized casing") {
+    assert(lists.select("list_name").distinct().count() == 5)
+    assert(Refresh.uniqueTickers(lists).count() == 203)
+    val bad = lists.filter(col("ticker") =!= upper(trim(col("ticker")))).count()
+    assert(bad == 0)
+    // dotted identity present in list form
+    assert(lists.filter(col("ticker") === "BRK.B").count() >= 1)
+  }
+
+  test("snapshot corpus: 199 records, 22-field schema, domains hold") {
+    assert(snaps.count() == 199)
+    assert(snaps.schema.fields.length == 22)
+    val sectors = snaps.select("sector_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val domain = Set("Semiconductor", "SaaS", "Hardware", "BioTech",
+      "Financial", "Energy/Utility", "REIT", "General")
+    assert(sectors.subsetOf(domain), s"unexpected sectors: ${sectors -- domain}")
+    assert(snaps.filter(col("currency_code") =!= "USD").count() == 0)
+    assert(snaps.filter(
+      !col("last_updated").rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$")).count() == 0)
+    // normalized identity in data files: no dots in tickers
+    assert(snaps.filter(col("ticker").contains(".")).count() == 0)
+  }
+
+  test("manifest round-trip keeps ORIGINAL ticker identity (SURVEY §1)") {
+    val m = Refresh.manifest(lists, "2026-01-01T00:00:00Z").head()
+    val listMap = m.getMap[String, scala.collection.Seq[String]](0)
+    assert(listMap.keySet == Set("hot_stocks", "NASDAQ-100", "Dow_Jones", "Dividend", "BRK"))
+    // hot_stocks carries the dotted form, BRK the dashed — both survive
+    // un-normalized in the manifest (normalization happens only at fetch/
+    // file naming, fetch_data.py:130,312-314)
+    assert(listMap("hot_stocks").contains("BRK.B"))
+    assert(listMap("BRK").contains("BRK-B"))
+    // arrays deterministically sorted
+    assert(listMap("Dow_Jones").toSeq == listMap("Dow_Jones").toSeq.sorted)
+  }
+
+  test("failures = requested minus produced across the dual identity") {
+    // 203 unique raw tickers collapse to 202 normalized (BRK.B == BRK-B);
+    // 199 snapshots exist => exactly 3 true fetch failures
+    val f = Refresh.failures(lists, snaps).collect().map(_.getString(0)).toSet
+    assert(f == Set("ANSS", "TSMC", "REALTY"), s"got $f")
+  }
+
+  test("refresh end-to-end: per-entity JSON sink + manifest") {
+    val out = Files.createTempDirectory("graft_refresh").toString
+    Refresh.run(spark, listsDir, dataDir, out, "2026-01-01T00:00:00Z")
+    val written = spark.read.schema(graft.model.Schemas.snapshot)
+      .json(s"$out/data")
+    assert(written.count() == 199)
+    val manifestJson = spark.read.textFile(s"$out/manifest").collect().mkString
+    assert(manifestJson.contains("\"BRK.B\""))
+    assert(manifestJson.contains("\"last_updated\":\"2026-01-01T00:00:00Z\""))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Event
+import graft.streaming.Streams
+
+/** Structured Streaming behavior (SURVEY §2.I, §5.4): batch↔stream
+  * equivalence for windowed aggs, watermark dedup, late-data drop, and
+  * the AvailableNow scheduled refresh with commit-if-changed. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(id: Long, iso: String, user: Long, typ: String, v: Double): Event =
+    Event(id, Timestamp.valueOf(iso), user, typ, Some(v), "{}")
+
+  test("tumbling agg: stream (complete mode) == batch on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:55:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 11:05:00", 2, "view", 4.0),
+      ev(4, "2024-01-01 12:40:00", 2, "view", 8.0))
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val q = Streams.tumbling(ms.toDF()).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streams.tumbling(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // dup id
+      ev(2, "2024-01-01 10:01:00", 1, "view", 2.0)))
+    val q = Streams.dedupWithinWatermark(ms.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("late data beyond the watermark is dropped from finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Streams.lateDataCounts(ms.toDF()).writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "a", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(3, "2024-01-01 11:30:00", 1, "a", 1.0))) // watermark -> 11:20
+    q.processAllAvailable()
+    ms.addData(Seq(
+      ev(4, "2024-01-01 10:05:00", 1, "a", 1.0), // LATE: before 11:20 watermark
+      ev(5, "2024-01-01 12:30:00", 1, "a", 1.0))) // advances watermark
+    q.processAllAvailable()
+    ms.addData(Seq(ev(6, "2024-01-01 13:30:00", 1, "a", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // the 10:00 window finalized with 2 rows; the late event_id=4 was dropped
+    assert(counts("2024-01-01 10:00:00.0") == 2L)
+  }
+
+  test("scheduledRefresh: AvailableNow drain + commit-if-changed idempotence") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_src").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckp = Files.createTempDirectory("graft_ckp").toString
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:30:00", 2, "view", 2.0))
+    rows.toDF().write.mode("overwrite").parquet(src)
+
+    val q1 = Streams.scheduledRefresh(spark, src, out, ckp)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second run, same checkpoint, no new data: no duplication
+    val q2 = Streams.scheduledRefresh(spark, src, out, ckp)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
