@@ -32,6 +32,7 @@ object Multimodal extends graft.QueryModule {
   /** Arrays (list<float>) surviving filter → broadcast join → projection —
     * the multimodal-metadata path (oracle via DuckDB list functions). */
   private def mmMeta(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     import s.implicits._
     val labels = broadcast(labelDim.toDF("label_id", "label_name"))
     Tables.embeddings(s, d)

@@ -4,13 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** SURVEY.md §2.K — similarity search over `embeddings.embedding`
   * (array<float>, 64-dim).
   *
-  * Cosine is pure higher-order-function arithmetic (zip_with product,
-  * sequential double-accumulation aggregate) — codegen-friendly, no UDF,
-  * and bit-identical to the oracle's parallel-unnest sum in DuckDB.
+  * Cosine/dot are native codegen'd Catalyst expressions
+  * ([[graft.functions.DotProduct]]/[[graft.functions.CosineSimilarity]])
+  * with the same sequential double accumulation as the HOF reference
+  * formulation and the DuckDB oracle's parallel-unnest sum — all three
+  * bit-identical (equivalence-tested in VectorFunctionsSpec).
   *
   * Scale path: brute force is the correctness baseline (fine when one side
   * is a broadcast probe set); `sim_search_ivf` shows the 100 TB shape —
@@ -19,15 +22,22 @@ import graft.Tables
   */
 object SimSearch extends graft.QueryModule {
 
-  /** dot(a, b) with exact left-to-right double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b), HOF formulation — interpreted (ArrayAggregate is
+    * CodegenFallback); kept as the reference implementation that
+    * `graft.functions.DotProduct` is equivalence-tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** cosine(a, b) = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — shape mirrored
-    * exactly in the oracle SQL so doubles match bitwise. */
+  /** dot(a, b): native codegen'd expression, same sequential double
+    * accumulation (bit-identical to dotHof and the DuckDB oracle). */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot_product(a, b)
+
+  /** cosine(a, b) = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) in one native
+    * pass — shape mirrored exactly in the oracle SQL so doubles match
+    * bitwise. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    VectorFunctions.cosine_similarity(a, b)
 
   /** Near-dup pairs by embedding cosine within a label block (blocked
     * all-pairs: the equi-join on `label` bounds the quadratic term).
@@ -35,6 +45,7 @@ object SimSearch extends graft.QueryModule {
     * product per pair instead of three; the cosine formula stays
     * `dot/(sqrt(na)*sqrt(nb))` so doubles still match the oracle bitwise. */
   private def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"), dot(col("embedding"), col("embedding")).as("nsq"))
     val cos = dot(col("a.embedding"), col("b.embedding")) /
@@ -49,6 +60,7 @@ object SimSearch extends graft.QueryModule {
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
     * broadcast single-row probe, TakeOrderedAndProject for the top-k. */
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
     e.filter(col("vec_id") =!= 0)
@@ -63,6 +75,7 @@ object SimSearch extends graft.QueryModule {
     * (plane, dim)), bucket = sign bits (16 buckets); probe joins only its
     * bucket. Approximate => rows-only check (no oracle). */
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     // plane p, dim i component: hash-derived value in [-1000, 1000]
     val bucketExpr = expr(

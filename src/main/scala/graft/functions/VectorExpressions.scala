@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd vector expressions (SURVEY §2.J pref. order (b)):
+  * the HOF formulation (`aggregate(zip_with(...))`) is interpreted
+  * (ArrayAggregate/ZipWith are CodegenFallback), which dominates the
+  * similarity-search hot path; these stay inside whole-stage codegen.
+  *
+  * Accumulation is the same sequential left-to-right double sum as the
+  * HOF version and the DuckDB oracle's parallel-unnest sum, so results
+  * are bit-identical across all three formulations.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+}
+
+/** dot(a, b) over array<float> with double accumulation. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot/(sqrt(|a|²)·sqrt(|b|²)) in ONE pass over both
+  * arrays (the HOF version walks them three times). */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorFold {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+    while (i < n) {
+      val va = x.getFloat(i).toDouble; val vb = y.getFloat(i).toDouble
+      dab += va * vb; daa += va * va; dbb += vb * vb; i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dab = ctx.freshName("dab"); val daa = ctx.freshName("daa")
+      val dbb = ctx.freshName("dbb")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $va = (double) $a.getFloat($i);
+         |  double $vb = (double) $b.getFloat($i);
+         |  $dab += $va * $vb; $daa += $va * $va; $dbb += $vb * $vb;
+         |}
+         |${ev.value} = $dab / (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers + SQL registration.
+  *
+  * Column construction goes through the public `call_function` API over
+  * the registered names (the Column<->Expression bridge is private[sql]
+  * in Spark 4), so callers must [[VectorFunctions.register]] the session
+  * first — every graft query that uses these does so idempotently.
+  */
+object VectorFunctions {
+
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  def cosine_similarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** Idempotent SQL registration (`graft_dot`, `graft_cosine`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.SimSearch
+import graft.functions.VectorFunctions
+
+/** Native codegen'd vector expressions: bit-exact equivalence with the
+  * HOF reference formulation, SQL registration, null behavior. */
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("DotProduct/CosineSimilarity are bit-identical to the HOF formulation") {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(100)
+    val cmp = e.select(
+      SimSearch.dot(col("embedding"), col("embedding")).as("native_dot"),
+      SimSearch.dotHof(col("embedding"), col("embedding")).as("hof_dot"),
+      VectorFunctions.cosine_similarity(col("embedding"), col("embedding")).as("native_cos"),
+      (SimSearch.dotHof(col("embedding"), col("embedding")) /
+        (sqrt(SimSearch.dotHof(col("embedding"), col("embedding"))) *
+          sqrt(SimSearch.dotHof(col("embedding"), col("embedding"))))).as("hof_cos"))
+    val bad = cmp.filter(col("native_dot") =!= col("hof_dot") ||
+      col("native_cos") =!= col("hof_cos")).count()
+    assert(bad == 0)
+    // self-cosine is exactly 1.0 up to fp division
+    val offOne = cmp.filter(abs(col("native_cos") - 1.0) > 1e-12).count()
+    assert(offOne == 0)
+  }
+
+  test("SQL registration: graft_cosine usable from spark.sql") {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, TestSpark.sf0001).limit(5)
+      .createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d, " +
+        "graft_cosine(embedding, embedding) AS c FROM emb_v")
+      .collect()
+    assert(r.length == 5)
+    assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("null input propagates null") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(VectorFunctions.dot_product(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+}
