@@ -78,6 +78,20 @@ object Aggs extends graft.QueryModule {
         grouping_id().cast("int").as("gid"))
       .orderBy(col("gid"), col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** TTM again as the typed `Aggregator` formulation (SURVEY §2.J(2)):
+    * constant-size top-4 buffer, O(1) merge — same oracle as the window
+    * formulation, proving the two agree end-to-end. */
+  private def ttmTyped(s: SparkSession, d: String): DataFrame = {
+    val ttm = udaf(graft.expr.TtmAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Double)]())
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), coalesce(col("value"), lit(0.0)).as("v"))
+      .groupBy(col("user_id"))
+      .agg(bround(ttm(col("tsm"), col("event_id"), col("v")), 2).as("ttm"))
+      .orderBy("user_id")
+  }
+
   /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
     * oracle (driver records rows-only). */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -88,6 +102,7 @@ object Aggs extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ttm_rolling4" -> ttmRolling4,
+    "agg_ttm_typed" -> ttmTyped,
     "agg_group_stats" -> groupStats,
     "agg_distinct" -> aggDistinct,
     "agg_collect_list" -> collectList,
@@ -97,6 +112,14 @@ object Aggs extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "agg_ttm_rolling4" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, round_even(sum(coalesce(value, 0)), 2) AS ttm
+        |FROM r WHERE rn <= 4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_ttm_typed" ->
       """WITH r AS (
         |  SELECT user_id, value,
         |         row_number() OVER (PARTITION BY user_id

@@ -41,6 +41,11 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("GraftExtensions injects the functions into a SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register both builders cleanly
+  }
+
   test("null input propagates null") {
     VectorFunctions.register(spark)
     import spark.implicits._
