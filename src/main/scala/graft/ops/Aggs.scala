@@ -92,6 +92,22 @@ object Aggs extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Skew-safe two-phase aggregation [N]: `event_type` has only 5 values
+    * — at 100 TB a direct groupBy sends 20% of the table to one reducer.
+    * Salt to 16 sub-keys, partial-agg, then final-agg over the tiny
+    * salted result. Result is identical to the direct groupBy (the
+    * oracle computes it directly). */
+  private def saltedSkewAgg(s: SparkSession, d: String): DataFrame = {
+    val partial = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("ps"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast("bigint").as("n"),
+        bround(sum(col("ps")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
     * oracle (driver records rows-only). */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -103,6 +119,7 @@ object Aggs extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ttm_rolling4" -> ttmRolling4,
     "agg_ttm_typed" -> ttmTyped,
+    "agg_salted_skew" -> saltedSkewAgg,
     "agg_group_stats" -> groupStats,
     "agg_distinct" -> aggDistinct,
     "agg_collect_list" -> collectList,
@@ -127,6 +144,9 @@ object Aggs extends graft.QueryModule {
         |  FROM events)
         |SELECT user_id, round_even(sum(coalesce(value, 0)), 2) AS ttm
         |FROM r WHERE rn <= 4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_group_stats" ->
       """SELECT l_returnflag, l_linestatus,
         |       round_even(sum(l_quantity), 2) AS sum_qty,

@@ -60,6 +60,21 @@ object Scans extends graft.QueryModule {
         map_from_entries(sort_array(collect_list(struct(col("c_mktsegment"), col("members")))))
           .as("lists"))).as("manifest"))
 
+  /** Partitioned parquet layout + pruned read-back [N] (the 100 TB at-rest
+    * story, SURVEY §4 partition pruning): write facts partitioned by a
+    * derived date key, then scan exactly one partition — `.explain` shows
+    * PartitionFilters, not a full scan. */
+  private def sinkPartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/orders_partitioned"
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("yr") === 1998)
+      .select(col("o_orderkey"), col("o_totalprice"), col("yr").cast("int").as("yr"))
+      .orderBy("o_orderkey")
+  }
+
   /** Publish-on-change: emit only rows differing from the previous
     * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
   private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -73,6 +88,7 @@ object Scans extends graft.QueryModule {
     "src_json_records" -> srcJsonRecords,
     "sink_json_per_entity" -> sinkJsonPerEntity,
     "sink_manifest" -> sinkManifest,
+    "sink_partitioned_scan" -> sinkPartitionedScan,
     "sink_commit_if_changed" -> sinkCommitIfChanged)
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +105,9 @@ object Scans extends graft.QueryModule {
       """SELECT to_json({'lists': map(list(seg ORDER BY seg), list(memb ORDER BY seg))}) AS manifest
         |FROM (SELECT c_mktsegment AS seg, list(c_name ORDER BY c_name) AS memb
         |      FROM customer GROUP BY 1)""".stripMargin,
+    "sink_partitioned_scan" ->
+      """SELECT o_orderkey, o_totalprice, CAST(1998 AS INTEGER) AS yr
+        |FROM orders WHERE year(o_orderdate) = 1998 ORDER BY o_orderkey""".stripMargin,
     "sink_commit_if_changed" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |EXCEPT
