@@ -41,6 +41,26 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Arbitrary stateful processing (SURVEY §2.I `(flatMap)GroupsWithState`):
+    * running per-user (count, sum) maintained across micro-batches in
+    * keyed state — the custom-state primitive the windowed aggs can't
+    * express. Update-mode output: one row per touched user per batch. */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[graft.model.Event])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[graft.model.Event], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, s0 + batch.flatMap(_.value).sum)
+          state.update(next)
+          (user, next._1, next._2)
+      }
+  }
+
   /** The reference's scheduled-refresh loop (`update.yml:4-7,33-39`:
     * cron batch + commit-if-changed) as a `Trigger.AvailableNow` streaming
     * job: drain whatever landed, publish only when content changed

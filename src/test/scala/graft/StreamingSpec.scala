@@ -77,6 +77,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts("2024-01-01 10:00:00.0") == 2L)
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[graft.model.Event]
+    val q = Streams.runningUserTotals(ms.toDS()).writeStream
+      .format("memory").queryName("state_out").outputMode("update").start()
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "a", 1.0),
+      ev(2, "2024-01-01 10:01:00", 7, "a", 2.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 7, "a", 4.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("state_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch 1 emitted (7, 2, 3.0); batch 2 emitted the accumulated (7, 3, 7.0)
+    assert(rows.contains((7L, 2L, 3.0)))
+    assert(rows.contains((7L, 3L, 7.0)))
+  }
+
   test("scheduledRefresh: AvailableNow drain + commit-if-changed idempotence") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_src").toString
