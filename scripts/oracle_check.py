@@ -70,6 +70,9 @@ def main():
             print(f"FAIL {key}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(exp[c].dtype)]
+        dtw = f" [dtype drift: {dt}]" if dt else ""
         # compare in order (queries impose total ORDER BY)
         bad = None
         approx = 0
@@ -99,7 +102,7 @@ def main():
             n_fail += 1
         else:
             flag = f" ({approx} float-approx!)" if approx else ""
-            print(f"PASS {key}: {len(got)} rows{flag}")
+            print(f"PASS {key}: {len(got)} rows{flag}{dtw}")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
     sys.exit(1 if n_fail else 0)

@@ -57,9 +57,12 @@ object Windows extends graft.QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
       .withColumn("rk", row_number().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .filter(col("rk") <= 3)
-      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"), col("prev_price"))
+      .select(col("o_custkey"), col("rk"), col("drk"), col("quartile"),
+        col("o_orderkey"), col("o_totalprice"), col("prev_price"))
       .orderBy("o_custkey", "rk")
   }
 
@@ -109,9 +112,11 @@ object Windows extends graft.QueryModule {
         |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ttm_asof
         |FROM events ORDER BY event_id""".stripMargin,
     "win_rank_topk" ->
-      """SELECT o_custkey, rk, o_orderkey, o_totalprice, prev_price FROM (
+      """SELECT o_custkey, rk, drk, quartile, o_orderkey, o_totalprice, prev_price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         row_number() OVER w AS rk,
+        |         CAST(row_number() OVER w AS INTEGER) AS rk,
+        |         CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |         lag(o_totalprice, 1) OVER w AS prev_price
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
