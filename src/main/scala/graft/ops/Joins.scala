@@ -89,6 +89,20 @@ object Joins extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** The SAME as-of semantics through the native operator
+    * (`graft.plans.AsOfJoin`: custom LogicalPlan + SparkStrategy +
+    * sort-merge SparkPlan) — one streaming merge pass instead of the
+    * filter+max_by double scan; same oracle as `join_asof_price`. */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("ts"))
+    graft.plans.AsOf.joinBackward(probes, ev, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts").as("probe_ts"), col("last_value"))
+      .orderBy("user_id")
+  }
+
   /** Range/interval (theta) join [N]: bounded build side broadcast,
     * nested-loop with a BETWEEN predicate. */
   private def rangeInterval(s: SparkSession, d: String): DataFrame = {
@@ -108,6 +122,7 @@ object Joins extends graft.QueryModule {
     "join_anti_failures" -> antiFailures,
     "join_equi_large" -> equiLarge,
     "join_asof_price" -> asofPrice,
+    "join_asof_native" -> asofNative,
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +161,18 @@ object Joins extends graft.QueryModule {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_asof_native" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
+        |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin,
     "join_asof_price" ->
       """WITH p AS (
         |  SELECT user_id,

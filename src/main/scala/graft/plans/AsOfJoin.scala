@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native backward as-of join (SURVEY §2.D `join_asof_price`, §4 stretch
+  * goal): for every probe row (key, t), attach the `value` of the most
+  * recent series row with the same key and series-time <= t, by
+  * (series-time, tiebreak) order; null when none exists.
+  *
+  * This is the operator Spark SQL lacks natively (the library also ships
+  * the compositional rewrite — filter + max_by — in `ops.Joins.asofPrice`;
+  * this node replaces that double-scan with ONE streaming merge pass):
+  *
+  *  - logical node [[AsOfJoin]] (built post-analysis from resolved child
+  *    plans, so no resolution rule is needed),
+  *  - physical [[AsOfJoinExec]]: requires both children hash-clustered on
+  *    the key and sorted by (key, time, tiebreak) — EnsureRequirements
+  *    inserts the exchanges/sorts — then merges each co-partition pair in
+  *    one pass, O(|probes| + |series|) per partition, constant memory,
+  *  - [[AsOfJoinStrategy]] registered through the public
+  *    `spark.experimental.extraStrategies` seam (see [[AsOf.joinBackward]]).
+  *
+  * At scale this is the right shape: one shuffle per side on the join key
+  * (AQE-coalescible), no row buffering beyond a single running value per
+  * key, no skew amplification (a hot key still streams linearly).
+  *
+  * Key/time/tiebreak expressions must be of orderable numeric/timestamp
+  * types evaluating to Long; `value` must be Double (the testdata's
+  * shape; generalizing to arbitrary orderable types would swap the
+  * `Long` comparisons for `TypeUtils.getInterpretedOrdering`).
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression, rightValue: Attribute)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output :+ rightValue.withName("last_value").withNullability(true)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression, rightValue: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output :+ rightValue.withName("last_value").withNullability(true)
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    // pin the partition count so both sides stay strictly co-partitioned
+    // (zipPartitions needs equal counts; a pinned requirement also keeps
+    // AQE from coalescing the two shuffles differently)
+    val n = Some(org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions)
+    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n),
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n))
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rVal = BindReferences.bindReference(rightValue.asInstanceOf[Expression], right.output)
+    val outAttrs = output
+    val leftAttrs = left.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val project = UnsafeProjection.create(outAttrs, leftAttrs :+ outAttrs.last)
+      val valueRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      // running match state: the latest series value seen for `curKey`
+      var curKey = 0L
+      var haveKey = false
+      var lastVal: Any = null
+
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow).asInstanceOf[Long]
+        val t = lTime.eval(lRow).asInstanceOf[Long]
+        if (!haveKey || curKey != k) { curKey = k; haveKey = true; lastVal = null }
+        // advance the series: consume every row with (key < k) or
+        // (key == k && time <= t); remember the last value for key k
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rRow = rBuf.head
+          val rk = rKey.eval(rRow).asInstanceOf[Long]
+          if (rk < k) { rBuf.next() }
+          else if (rk == k && rTime.eval(rRow).asInstanceOf[Long] <= t) {
+            lastVal = rVal.eval(rRow)
+            rBuf.next()
+          } else advancing = false
+        }
+        valueRow.update(0, lastVal)
+        project(joined(lRow, valueRow))
+      }
+    }
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, rv) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API for the native as-of join. */
+object AsOf {
+
+  private def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
+  /** Backward as-of join: `probes` gains `last_value` = value of the most
+    * recent `series` row per key at-or-before the probe time.
+    *
+    * @param probes  DataFrame with `key` and `time` columns
+    * @param series  DataFrame with `key`, `time`, `tiebreak`, `value` columns
+    */
+  def joinBackward(probes: DataFrame, series: DataFrame,
+                   key: String, time: String, tiebreak: String,
+                   value: String): DataFrame = {
+    val spark = probes.sparkSession
+    ensureStrategy(spark)
+    val lPlan = probes.queryExecution.analyzed
+    // probes and series often derive from the same scan (self-join shape);
+    // alias every series column so the right side gets fresh exprIds and
+    // the analyzer's relation dedup never rewrites under this node
+    val seriesFresh = series.select(
+      series.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+    val rPlan = seriesFresh.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output}"))
+    GraftSqlBridge.ofRows(spark, AsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, time), attr(rPlan, time),
+      attr(rPlan, tiebreak), attr(rPlan, value)))
+  }
+}
