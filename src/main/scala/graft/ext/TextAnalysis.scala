@@ -60,6 +60,23 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF term weighting: per-(doc, term) frequency × ln(N/df) —
+    * two hash-aggs and a broadcast of the tiny df table; top terms. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        bround(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("w"))
+      .limit(100)
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercased text
     * (rolling-hash winnowing degenerates to a content hash at doc scope). */
   private def fingerprint(s: SparkSession, d: String): DataFrame = {
@@ -74,6 +91,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_tokens" -> tokens,
     "text_termfreq" -> termFreq,
     "text_langid" -> langId,
+    "text_tfidf" -> tfidf,
     "text_quality" -> quality,
     "text_fingerprint" -> fingerprint)
 
@@ -99,6 +117,16 @@ object TextAnalysis extends graft.QueryModule {
         |            THEN 'balanced'
         |            ELSE 'consonant-heavy' END AS pred_class
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1)
+        |SELECT tf.doc_id, tf.w,
+        |       round_even(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.w LIMIT 100""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |       least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3

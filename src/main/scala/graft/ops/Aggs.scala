@@ -108,6 +108,17 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** Exact interpolated percentiles per group [N] (warehouse parity;
+    * `percentile` ≡ DuckDB `quantile_cont`, both (1-g)·a + g·b). */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bround(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        bround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        bround(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+      .orderBy("l_returnflag")
+
   /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
     * oracle (driver records rows-only). */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -120,6 +131,7 @@ object Aggs extends graft.QueryModule {
     "agg_ttm_rolling4" -> ttmRolling4,
     "agg_ttm_typed" -> ttmTyped,
     "agg_salted_skew" -> saltedSkewAgg,
+    "agg_percentile" -> percentiles,
     "agg_group_stats" -> groupStats,
     "agg_distinct" -> aggDistinct,
     "agg_collect_list" -> collectList,
@@ -144,6 +156,12 @@ object Aggs extends graft.QueryModule {
         |  FROM events)
         |SELECT user_id, round_even(sum(coalesce(value, 0)), 2) AS ttm
         |FROM r WHERE rn <= 4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |       round_even(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round_even(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |       round_even(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_salted_skew" ->
       """SELECT event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -89,6 +89,22 @@ object Joins extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Five-table star join (TPC-H Q5 shape) [N]: two broadcast dims +
+    * fact-fact joins + co-located supplier/customer nation predicate —
+    * the full warehouse join topology in one plan. */
+  private def starQ5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(bround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** The SAME as-of semantics through the native operator
     * (`graft.plans.AsOfJoin`: custom LogicalPlan + SparkStrategy +
     * sort-merge SparkPlan) — one streaming merge pass instead of the
@@ -121,6 +137,7 @@ object Joins extends graft.QueryModule {
     "join_list_membership" -> listMembership,
     "join_anti_failures" -> antiFailures,
     "join_equi_large" -> equiLarge,
+    "join_star_q5" -> starQ5,
     "join_asof_price" -> asofPrice,
     "join_asof_native" -> asofNative,
     "join_range_interval" -> rangeInterval)
@@ -161,6 +178,17 @@ object Joins extends graft.QueryModule {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_star_q5" ->
+      """SELECT n_name,
+        |       round_even(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "join_asof_native" ->
       """WITH p AS (
         |  SELECT user_id,
