@@ -96,6 +96,28 @@ object Dedup extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
+  /** The same near-dup problem through MLlib's `MinHashLSH` (HashingTF
+    * term vectors → seeded hash tables → approxSimilarityJoin), as the
+    * library-integration alternative to the hand-rolled signature
+    * pipeline above. Deterministic via setSeed; rows-only check. */
+  private def minhashMllib(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val bounded = docs(s, d).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val featurized = new HashingTF()
+      .setInputCol("words").setOutputCol("features").setNumFeatures(1 << 16)
+      .transform(bounded)
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42)
+      .fit(featurized)
+    model.approxSimilarityJoin(featurized, featurized, 0.2, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("i"), col("datasetB.doc_id").as("j"),
+        bround(lit(1.0) - col("jaccard_dist"), 6).as("similarity"))
+      .filter(col("i") < col("j"))
+      .orderBy("i", "j")
+  }
+
   /** 64-bit SimHash per doc (sign-of-weighted-bit-sums over word hashes).
     * One xxhash64 per word (explode + 64 codegen'd bit-test aggregates —
     * NOT a per-bit rehash), banded into 4×16-bit buckets with a length
@@ -134,6 +156,7 @@ object Dedup extends graft.QueryModule {
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
+    "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash)
 
   val oracles: Map[String, String] = Map(

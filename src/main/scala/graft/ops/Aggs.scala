@@ -108,6 +108,16 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q6 shape [N]: tight filter → single global aggregate. All
+    * three predicates reach the parquet scan as PushedFilters. */
+  private def q6FilteredSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(lit("1997-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp")) &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(bround(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Exact interpolated percentiles per group [N] (warehouse parity;
     * `percentile` ≡ DuckDB `quantile_cont`, both (1-g)·a + g·b). */
   private def percentiles(s: SparkSession, d: String): DataFrame =
@@ -132,6 +142,7 @@ object Aggs extends graft.QueryModule {
     "agg_ttm_typed" -> ttmTyped,
     "agg_salted_skew" -> saltedSkewAgg,
     "agg_percentile" -> percentiles,
+    "agg_q6_filtered_sum" -> q6FilteredSum,
     "agg_group_stats" -> groupStats,
     "agg_distinct" -> aggDistinct,
     "agg_collect_list" -> collectList,
@@ -156,6 +167,12 @@ object Aggs extends graft.QueryModule {
         |  FROM events)
         |SELECT user_id, round_even(sum(coalesce(value, 0)), 2) AS ttm
         |FROM r WHERE rn <= 4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_q6_filtered_sum" ->
+      """SELECT round_even(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |       round_even(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
