@@ -102,7 +102,7 @@ object Dedup extends graft.QueryModule {
     * pipeline above. Deterministic via setSeed; rows-only check. */
   private def minhashMllib(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val bounded = docs(s, d).filter(col("doc_id") < 1000)
+    val bounded = docs(s, d).filter(col("doc_id") < 500)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
     val featurized = new HashingTF()
       .setInputCol("words").setOutputCol("features").setNumFeatures(1 << 16)
