@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+/** Edge cases for the native as-of join that the oracle-checked testdata
+  * query may never hit: probe before any series row (null), key absent
+  * from the series, equal timestamps (tiebreak order), many partitions. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(iso: String) = Timestamp.valueOf(iso)
+
+  test("backward as-of: exact-time match, nulls, missing keys, tiebreaks") {
+    import spark.implicits._
+    val series = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, 11.0),
+      // same timestamp, higher tiebreak must win
+      (1L, ts("2024-01-01 11:00:00"), 3L, 12.0),
+      (2L, ts("2024-01-01 12:00:00"), 4L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 09:59:59")), // before any series row -> null
+      (1L, ts("2024-01-01 10:30:00")), // between rows -> 10.0
+      (1L, ts("2024-01-01 11:00:00")), // exact time -> tiebreak winner 12.0
+      (2L, ts("2024-01-01 12:00:01")), // after last -> 20.0
+      (3L, ts("2024-01-01 12:00:00"))  // key absent from series -> null
+    ).toDF("user_id", "ts")
+
+    val got = AsOf.joinBackward(probes, series, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+
+    assert(got.toSeq == Seq(
+      (1L, None), (1L, Some(10.0)), (1L, Some(12.0)),
+      (2L, Some(20.0)), (3L, None)))
+  }
+
+  test("multi-partition merge: matches the window-rewrite on 2k random rows") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // probes at each user's median-ish event times: every 7th event
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), col("ts"))
+    val native = AsOf.joinBackward(probes, ev, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts"), col("last_value"))
+    val rewrite = probes.as("p").join(ev.as("e"),
+        col("p.user_id") === col("e.user_id") && col("e.ts") <= col("p.ts"), "left_outer")
+      .groupBy(col("p.user_id").as("user_id"), col("p.ts").as("ts"))
+      .agg(max_by(col("e.value"), struct(col("e.ts"), col("e.event_id"))).as("last_value"))
+    val a = native.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.get(2))).toSet
+    val b = rewrite.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.get(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
