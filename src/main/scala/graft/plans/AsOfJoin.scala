@@ -158,7 +158,7 @@ object AsOf {
     // alias every series column so the right side gets fresh exprIds and
     // the analyzer's relation dedup never rewrites under this node
     val seriesFresh = series.select(
-      series.columns.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
+      series.columns.toIndexedSeq.map(c => org.apache.spark.sql.functions.col(c).as(c)): _*)
     val rPlan = seriesFresh.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
