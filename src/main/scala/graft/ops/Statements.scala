@@ -55,10 +55,46 @@ object Statements extends graft.QueryModule {
       .orderBy("ticker")
   }
 
+  /** Long → wide: the pandas statement matrix (metric rows × period
+    * columns, `fetch_data.py:175-177`) recovered via pivot with an
+    * EXPLICIT value list (deterministic columns, no driver-side
+    * distinct scan). */
+  private def pivotWide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(bround(sum(coalesce(col("value"), lit(0.0))), 2))
+      .orderBy("user_id")
+
+  /** Wide → long: melt metric columns into (metric, value) rows — the
+    * inverse reshape back into [[StatementLine]] form. */
+  private def unpivotLong(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stmt_alias_ttm" -> aliasTtm)
+    "stmt_alias_ttm" -> aliasTtm,
+    "stmt_pivot_wide" -> pivotWide,
+    "stmt_unpivot_long" -> unpivotLong)
 
   val oracles: Map[String, String] = Map(
+    "stmt_pivot_wide" ->
+      """SELECT user_id,
+        |       round_even(sum(CASE WHEN event_type = 'click' THEN coalesce(value, 0) END), 2) AS click,
+        |       round_even(sum(CASE WHEN event_type = 'error' THEN coalesce(value, 0) END), 2) AS error,
+        |       round_even(sum(CASE WHEN event_type = 'purchase' THEN coalesce(value, 0) END), 2) AS purchase,
+        |       round_even(sum(CASE WHEN event_type = 'signup' THEN coalesce(value, 0) END), 2) AS signup,
+        |       round_even(sum(CASE WHEN event_type = 'view' THEN coalesce(value, 0) END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stmt_unpivot_long" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "stmt_alias_ttm" ->
       """WITH cand AS (
         |  SELECT CAST(user_id AS VARCHAR) AS ticker, event_type AS metric,
