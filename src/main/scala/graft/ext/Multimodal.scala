@@ -78,10 +78,36 @@ object Multimodal extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** STUB frame sampler — stands in for a video frame extractor: slices
+    * the payload into fixed 64-byte "frames", keeps every 4th, emits one
+    * row per sampled frame with a per-frame checksum. The explode
+    * (one-to-many generator) and per-frame schema are the real plumbing. */
+  def frameSampleStub(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, Int, Long)] =
+    blobs.flatMap { b =>
+      // ??? real demuxer goes here; fixed-size slicing is the fake
+      b.data.grouped(64).zipWithIndex.collect {
+        case (frame, idx) if idx % 4 == 0 =>
+          (b.doc_id, idx, frame.length,
+            frame.foldLeft(0L)((acc, byte) => acc + (byte & 0xff)))
+      }
+    }
+
+  /** Frame sampling over binary payloads (rows-only: stub-defined). */
+  private def mmFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(frameSampleStub)
+      .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_cols" -> mmMeta,
     "mm_binary" -> mmBinary,
-    "mm_decode" -> mmDecode)
+    "mm_decode" -> mmDecode,
+    "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
     "multimodal_cols" ->

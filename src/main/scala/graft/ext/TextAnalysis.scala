@@ -14,12 +14,15 @@ object TextAnalysis extends graft.QueryModule {
 
   private val stopwords = Seq("the", "a", "of", "and", "or")
 
-  /** Token + distinct-token counts per document (whitespace tokenizer). */
+  /** Token counts per document: whitespace tokenizer + a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation). */
   private def tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+      size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_subtokens"))
       .orderBy("doc_id")
 
   /** Corpus term frequency: explode → hash-agg → top-20. The 100 TB shape:
@@ -87,8 +90,20 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Winnowing-style rolling-hash fingerprint: hash every 8-char shingle
+    * (rolling window, stride 1) and keep the minimum — deterministic
+    * content signature robust to local edits. Hash-defined => rows-only. */
+  private def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("""array_min(transform(sequence(0, greatest(length(text) - 8, 0)),
+             |                    i -> xxhash64(substring(text, i + 1, 8))))""".stripMargin)
+        .as("rolling_fp"),
+      length(col("text")).as("n_chars_seen"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> tokens,
+    "text_rolling_fingerprint" -> rollingFingerprint,
     "text_termfreq" -> termFreq,
     "text_langid" -> langId,
     "text_tfidf" -> tfidf,
@@ -99,7 +114,8 @@ object TextAnalysis extends graft.QueryModule {
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_termfreq" ->
       """SELECT w, count(*) AS n FROM (
