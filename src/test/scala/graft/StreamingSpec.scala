@@ -39,6 +39,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == 3)
   }
 
+  test("sliding agg: stream (complete mode) == batch on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:20:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 11:10:00", 2, "view", 4.0))
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val q = Streams.sliding(ms.toDF()).writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streams.sliding(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    // every event lands in exactly 4 sliding windows
+    assert(batch.toSeq.map(_._3).sum == rows.size * 4)
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
