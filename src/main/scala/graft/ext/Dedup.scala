@@ -54,7 +54,7 @@ object Dedup extends graft.QueryModule {
   // this synthetic corpus draws every doc from one small vocabulary, so
   // word-set similarity is pervasive; bound the self-join probe set the
   // same way the oracle-checked ngram query does (explicit, not silent)
-  private val MinhashProbeLimit = 2000
+  private val MinhashProbeLimit = 1000
 
   /** MinHash signature columns: min over word hashes for 16 seeded
     * xxhash64 permutations. */
@@ -90,6 +90,10 @@ object Dedup extends graft.QueryModule {
     cand
       .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
       .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
+      // necessary condition for J >= 0.8: |smaller| / |larger| >= 0.8 —
+      // a cheap size-ratio gate before the O(n) array_intersect
+      .filter(least(size(col("wa")), size(col("wb"))) * 5 >=
+        greatest(size(col("wa")), size(col("wb"))) * 4)
       .select(col("i"), col("j"),
         (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.8)

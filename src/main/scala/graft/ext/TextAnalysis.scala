@@ -92,13 +92,18 @@ object TextAnalysis extends graft.QueryModule {
 
   /** Winnowing-style rolling-hash fingerprint: hash every 8-char shingle
     * (rolling window, stride 1) and keep the minimum — deterministic
-    * content signature robust to local edits. Hash-defined => rows-only. */
+    * content signature robust to local edits. Hash-defined => rows-only.
+    * Shape: explode offsets → codegen'd xxhash64 → hash-agg min (the HOF
+    * `array_min(transform(...))` formulation is interpreter-bound). */
   private def rollingFingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
-      expr("""array_min(transform(sequence(0, greatest(length(text) - 8, 0)),
-             |                    i -> xxhash64(substring(text, i + 1, 8))))""".stripMargin)
-        .as("rolling_fp"),
-      length(col("text")).as("n_chars_seen"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_chars_seen"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 8, lit(0)))).as("i"))
+      .select(col("doc_id"), col("n_chars_seen"),
+        xxhash64(expr("substring(text, i + 1, 8)")).as("h"))
+      .groupBy(col("doc_id"), col("n_chars_seen"))
+      .agg(min(col("h")).as("rolling_fp"))
+      .select(col("doc_id"), col("rolling_fp"), col("n_chars_seen"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -72,7 +72,7 @@ object Flagship extends graft.QueryModule {
       |  SELECT user_id,
       |         max(CASE WHEN rn = 1 THEN event_type END) AS latest_type,
       |         max(CASE WHEN rn = 1 THEN value END) AS latest_value,
-      |         sum(CASE WHEN rn <= 4 THEN value ELSE 0 END) AS ttm
+      |         sum(CASE WHEN rn <= 4 THEN coalesce(value, 0) ELSE 0 END) AS ttm
       |  FROM r WHERE rn <= 4 GROUP BY user_id
       |), """.stripMargin + Dims.segmentConfigSql + """, j AS (
       |  SELECT s.*, c.c_mktsegment, c.c_acctbal, cfg.maxg, cfg.ming, cfg.cyc,

@@ -33,12 +33,15 @@ object Ingest {
 
   /** Sequential fetch loop with a rate limit between entities and
     * skip-and-continue error policy (`fetch_data.py:308-316,277-279`).
+    * The retry backoff is an independent policy knob from the per-entity
+    * rate limit (both default to the reference's 1 s).
     * Returns (successes, failures) — failures feed `join_anti_failures`. */
   def fetchAll[A](ids: Seq[String], fetch: String => A,
                   rateLimitMs: Long = 1000,
+                  backoffMs: Long = 1000,
                   sleep: Long => Unit = Thread.sleep): (Seq[(String, A)], Seq[String]) = {
     val results = ids.map { id =>
-      val r = FetchResult(id, fetchWithRetry(fetch, rateLimitMs, sleep)(id))
+      val r = FetchResult(id, fetchWithRetry(fetch, backoffMs, sleep)(id))
       sleep(rateLimitMs)
       r
     }

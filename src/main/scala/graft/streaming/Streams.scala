@@ -72,13 +72,19 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // only a missing previous snapshot means "start empty"; any other
+        // read failure must surface, not silently duplicate the batch
         val prev =
-          try spark.read.schema(Schemas.event).parquet(outDir)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.event) }
-        // commit-if-changed: skip the write when nothing differs
-        if (!batch.exceptAll(prev).isEmpty) {
-          batch.write.mode("append").parquet(outDir)
+          if (new java.io.File(outDir).listFiles() != null &&
+              new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")))
+            spark.read.schema(Schemas.event).parquet(outDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.event)
+        // commit-if-changed: publish ONLY the rows that differ from the
+        // previous snapshot (re-delivered rows are not re-appended)
+        val delta = batch.exceptAll(prev)
+        if (!delta.isEmpty) {
+          delta.write.mode("append").parquet(outDir)
         }
       }
       .start()

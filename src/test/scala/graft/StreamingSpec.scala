@@ -134,5 +134,15 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = Streams.scheduledRefresh(spark, src, out, ckp)
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == 2)
+
+    // a newly landed file RE-DELIVERS row 1 alongside new row 3: only the
+    // delta (row 3) may be appended, not the whole batch
+    Seq(rows.head, ev(3, "2024-01-01 11:00:00", 3, "purchase", 3.0))
+      .toDF().write.mode("append").parquet(src)
+    val q3 = Streams.scheduledRefresh(spark, src, out, ckp)
+    q3.awaitTermination()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 }
