@@ -75,6 +75,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Bucketed-at-rest layout + co-located join [N] (the 100 TB
+    * co-location story): both fact tables written bucketBy(8) on the
+    * join key, then joined — the sort-merge join reads bucket-aligned
+    * files with NO exchange on either side (verify in explain()). */
+  private def sinkBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File("target/tmp/bucketed").getAbsolutePath
+    Tables.orders(spark, sfDir).write.format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").mode("overwrite")
+      .saveAsTable("graft_bucketed_orders")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty")).write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem_agg").mode("overwrite")
+      .saveAsTable("graft_bucketed_lineitem")
+    // merge hint: at this SF the dim side fits a broadcast, which would
+    // hide the point — a sort-merge join over the aligned buckets runs
+    // with NO exchange and NO sort on either side
+    spark.table("graft_bucketed_orders").hint("merge")
+      .join(spark.table("graft_bucketed_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), bround(col("qty"), 2).as("qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Publish-on-change: emit only rows differing from the previous
     * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
   private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -89,6 +115,7 @@ object Scans extends graft.QueryModule {
     "sink_json_per_entity" -> sinkJsonPerEntity,
     "sink_manifest" -> sinkManifest,
     "sink_partitioned_scan" -> sinkPartitionedScan,
+    "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_commit_if_changed" -> sinkCommitIfChanged)
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +132,12 @@ object Scans extends graft.QueryModule {
       """SELECT to_json({'lists': map(list(seg ORDER BY seg), list(memb ORDER BY seg))}) AS manifest
         |FROM (SELECT c_mktsegment AS seg, list(c_name ORDER BY c_name) AS memb
         |      FROM customer GROUP BY 1)""".stripMargin,
+    "sink_bucketed_join" ->
+      """SELECT o_orderkey, o_totalprice, round_even(qty, 2) AS qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
+        |) la ON o_orderkey = la.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_partitioned_scan" ->
       """SELECT o_orderkey, o_totalprice, CAST(1998 AS INTEGER) AS yr
         |FROM orders WHERE year(o_orderdate) = 1998 ORDER BY o_orderkey""".stripMargin,
