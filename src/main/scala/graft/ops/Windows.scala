@@ -59,10 +59,14 @@ object Windows extends graft.QueryModule {
       .withColumn("rk", row_number().over(w))
       .withColumn("drk", dense_rank().over(w))
       .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", bround(percent_rank().over(w), 6))
+      .withColumn("cume", bround(cume_dist().over(w), 6))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("drk"), col("quartile"),
-        col("o_orderkey"), col("o_totalprice"), col("prev_price"))
+        col("pct_rank"), col("cume"),
+        col("o_orderkey"), col("o_totalprice"), col("prev_price"), col("next_price"))
       .orderBy("o_custkey", "rk")
   }
 
@@ -112,12 +116,16 @@ object Windows extends graft.QueryModule {
         |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ttm_asof
         |FROM events ORDER BY event_id""".stripMargin,
     "win_rank_topk" ->
-      """SELECT o_custkey, rk, drk, quartile, o_orderkey, o_totalprice, prev_price FROM (
+      """SELECT o_custkey, rk, drk, quartile, pct_rank, cume, o_orderkey,
+        |       o_totalprice, prev_price, next_price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER w AS INTEGER) AS rk,
         |         CAST(dense_rank() OVER w AS INTEGER) AS drk,
         |         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-        |         lag(o_totalprice, 1) OVER w AS prev_price
+        |         round_even(percent_rank() OVER w, 6) AS pct_rank,
+        |         round_even(cume_dist() OVER w, 6) AS cume,
+        |         lag(o_totalprice, 1) OVER w AS prev_price,
+        |         lead(o_totalprice, 1) OVER w AS next_price
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,

@@ -61,6 +61,31 @@ object Streams {
       }
   }
 
+  /** `flatMapGroupsWithState` variant: emits a row only when a user's
+    * running total crosses a 100.0 threshold multiple (0..n outputs per
+    * group per batch — the shape mapGroups can't express). */
+  def thresholdAlerts(events: org.apache.spark.sql.Dataset[graft.model.Event])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[graft.model.Event], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val alerts = rows.flatMap { e =>
+            val before = total
+            total += e.value.getOrElse(0.0)
+            // one alert per 100.0 boundary crossed by this event
+            ((before / 100).toLong + 1) to (total / 100).toLong map { k =>
+              (user, k * 100, total)
+            }
+          }.toVector
+          state.update(total)
+          alerts.iterator
+      }
+  }
+
   /** The reference's scheduled-refresh loop (`update.yml:4-7,33-39`:
     * cron batch + commit-if-changed) as a `Trigger.AvailableNow` streaming
     * job: drain whatever landed, publish only when content changed

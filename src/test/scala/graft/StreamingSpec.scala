@@ -116,6 +116,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, 3L, 7.0)))
   }
 
+  test("flatMapGroupsWithState emits one alert per threshold crossing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[graft.model.Event]
+    val q = Streams.thresholdAlerts(ms.toDS()).writeStream
+      .format("memory").queryName("alerts_out").outputMode("append").start()
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "a", 60.0)))  // total 60: none
+    q.processAllAvailable()
+    ms.addData(Seq(ev(2, "2024-01-01 10:01:00", 7, "a", 150.0))) // 210: cross 100, 200
+    q.processAllAvailable()
+    ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 7, "a", 10.0)))  // 220: none
+    q.processAllAvailable(); q.stop()
+    val alerts = spark.table("alerts_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(alerts == Seq((7L, 100L), (7L, 200L)))
+  }
+
   test("scheduledRefresh: AvailableNow drain + commit-if-changed idempotence") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_src").toString
