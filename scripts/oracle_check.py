@@ -73,6 +73,16 @@ def main():
         dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
               if str(got[c].dtype) != str(exp[c].dtype)]
         dtw = f" [dtype drift: {dt}]" if dt else ""
+        # Driver mirror: the driver row-sorts with pandas sort_values over
+        # ALL columns before hashing; array-typed cells crash it with
+        # "unhashable type: numpy.ndarray" (seen in CORRECTNESS_r01).
+        try:
+            got.sort_values(list(got.columns))
+            exp.sort_values(list(exp.columns))
+        except TypeError as e:
+            print(f"FAIL {key}: driver sort_values would crash: {e}")
+            n_fail += 1
+            continue
         # compare in order (queries impose total ORDER BY)
         bad = None
         approx = 0

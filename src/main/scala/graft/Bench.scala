@@ -1,9 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract: ONE JSON line).
+  *
+  * The driver captures only the tail of sbt's stdout (~2 KB) and parses the
+  * JSON line out of it — so the line must stay SHORT. We therefore time a
+  * curated HEADLINE subset (one representative per operator family, biased
+  * toward the heavy ones) and round seconds to 3 dp. `SPARK_GRAFT_FULL=1`
+  * times every declared query instead (local use); `SPARK_GRAFT_ONLY=k1,k2`
+  * times just those keys (local iteration).
+  */
 object Bench {
+
+  /** One representative per SURVEY §2 family; the heavy operators (dedup
+    * family, as-of join, bucketed sink, star join, streams) are all in. */
+  val headline: Seq[String] = Seq(
+    "filter_positive",      // scan+filter pushdown
+    "proj_snapshot",        // wide projection
+    "agg_group_stats",      // hash agg
+    "agg_grouping_sets",    // rollup/cube
+    "agg_salted_skew",      // skew mitigation
+    "agg_ttm_rolling4",     // window-limit + agg
+    "join_star_q5",         // multi-way star join
+    "join_equi_large",      // fact-fact shuffle join
+    "join_asof_native",     // custom AsOfJoinExec
+    "join_range_interval",  // range join
+    "sink_bucketed_join",   // bucketed write + co-located join
+    "sink_partitioned_scan",// partitioned write + pruned read-back
+    "win_rank_topk",        // ranking window
+    "win_rolling_frame",    // rows-frame window
+    "sort_limit",           // TakeOrderedAndProject
+    "setop_except",         // set op
+    "stmt_pivot_wide",      // pivot
+    "sql_correlated_subquery",
+    "expr_fx_normalize",    // expression-heavy projection
+    "fn_math",              // scalar function battery
+    "dedup_exact",
+    "dedup_minhash",        // LSH band join
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_search_cosine",    // brute-force ANN baseline
+    "sim_search_ivf",       // IVF ANN scale path
+    "text_tfidf",           // text analysis
+    "text_fingerprint",
+    "mm_binary",            // multimodal binary ops
+    "stream_sliding_agg",   // streaming (batch-replay) agg
+    "stream_dedup_stateful")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,16 +58,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed loop: JVM/codegen baseline + parquet
-    // footer/file-index reads, so per-query numbers reflect steady state
-    // rather than whichever key happens to run first.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // footer/file-index reads + the noop write path, so per-query numbers
+    // reflect steady state rather than whichever key happens to run first.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try { if (t == "events") graft.Tables.events(spark, sfDir).limit(1).count()
             else spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count() }
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val keys: Seq[String] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(
+          if (sys.env.get("SPARK_GRAFT_FULL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+          else headline.filter(SparkEntry.queries.contains))
+    val results = keys.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of the declared plan; a count()
       // would let Catalyst prune the projections/sorts being measured
@@ -28,10 +81,11 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,7 +40,10 @@ object Multimodal extends graft.QueryModule {
       .join(labels, col("label") === col("label_id"))
       .select(col("vec_id"), col("label_name"),
         size(col("embedding")).as("n_dims"),
-        slice(col("embedding"), 1, 4).as("head"),
+        array_join(
+          transform(slice(col("embedding"), 1, 4),
+            x => floor(x.cast("double") * 1e6).cast("long").cast("string")),
+          ",").as("head"),
         sqrt(SimSearch.dot(col("embedding"), col("embedding"))).as("l2_norm"))
       .orderBy("vec_id")
   }
@@ -115,7 +118,8 @@ object Multimodal extends graft.QueryModule {
         |  VALUES (1, 'chart'), (2, 'scan'), (3, 'render'))
         |SELECT vec_id, label_name,
         |       CAST(len(embedding) AS INTEGER) AS n_dims,
-        |       embedding[1:4] AS head,
+        |       array_to_string(list_transform(embedding[1:4],
+        |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head,
         |       sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
         |             FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS y) u)) AS l2_norm
         |FROM embeddings JOIN labels ON label = label_id

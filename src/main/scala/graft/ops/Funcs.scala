@@ -72,7 +72,10 @@ object Funcs extends graft.QueryModule {
       bround(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
       bround(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
         .as("sum_elems"),
-      slice(sort_array(col("embedding"), asc = false), 1, 3).as("top3"))
+      array_join(
+        transform(slice(sort_array(col("embedding"), asc = false), 1, 3),
+          x => floor(x.cast("double") * 1e6).cast("long").cast("string")),
+        ",").as("top3"))
       .orderBy("vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -122,6 +125,7 @@ object Funcs extends graft.QueryModule {
         |       CAST(len(embedding) AS INTEGER) AS n_dims,
         |       round_even(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
         |       round_even((SELECT sum(CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)), 4) AS sum_elems,
-        |       (list_sort(embedding, 'DESC'))[1:3] AS top3
+        |       array_to_string(list_transform((list_sort(embedding, 'DESC'))[1:3],
+        |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS top3
         |FROM embeddings ORDER BY vec_id""".stripMargin)
 }
