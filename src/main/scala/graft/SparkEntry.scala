@@ -18,8 +18,8 @@ object SparkEntry {
   private lazy val modules: Seq[QueryModule] = Seq(
     ops.Flagship, ops.Scans, ops.Exprs, ops.Aggs, ops.Joins,
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
-    ops.Statements,
-    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal)
+    ops.Statements, ops.TpchDeep,
+    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

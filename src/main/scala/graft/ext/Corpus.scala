@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus preparation operators (SURVEY §2.K extensions): the
+  * operations a large-scale LLM-data pipeline runs between raw crawl and
+  * tokenized shards — sequence packing, stratified sampling, benchmark
+  * decontamination, and duplicate-cluster representative selection.
+  *
+  * Each operator is a reusable `DataFrame => DataFrame` (the library API);
+  * the query keys bind them to the `documents` testdata table. All four
+  * are single-shuffle (or shuffle-free) shapes that hold at 100 TB:
+  * packing and keep-best partition once on a bounded key; sampling and
+  * decontamination are pure map-side filters.
+  */
+object Corpus extends graft.QueryModule {
+
+  /** Greedy sequential sequence packing: concatenate documents in
+    * `orderCol` order within a shard, cut a new pack every `budget`
+    * tokens (doc granularity, +1 EOS token per doc).
+    * `pack_id = floor((cumsum(tokens+1)-1)/budget)`.
+    *
+    * Scale shape: ONE hash exchange on the shard key (a real pipeline
+    * uses a bounded `shard_id`), then a per-partition running sum — no
+    * global coordination, packs are numbered independently per shard. */
+  def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    val nTok = (size(split(col(textCol), " ")) + 1).as("n_tokens_eos")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(orderCol), col(shardCol), nTok)
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens_eos")).over(w) - 1) / budget).cast("long"))
+  }
+
+  /** Per-stratum deterministic downsampling: keep a row iff
+    * `key % rate == 0`, where rate comes from a broadcast per-stratum dim
+    * (strata absent from the dim are kept whole) — the rebalancing step
+    * before training-mix assembly. `doc_id % rate` stands in for a
+    * partition-stable hash so the DuckDB oracle can mirror it exactly.
+    *
+    * Scale shape: broadcast of the tiny rate dim + a map-side filter; no
+    * shuffle at all. At 100 TB the same plan streams through every split. */
+  def sampleStratified(docs: DataFrame, rates: DataFrame, stratumCol: String,
+                       keyCol: String): DataFrame =
+    docs
+      .join(broadcast(rates), docs(stratumCol) === rates("stratum"), "left")
+      .select(col(keyCol), col(stratumCol),
+        coalesce(col("rate"), lit(1L)).as("rate"))
+      .filter(pmod(col(keyCol), col("rate")) === 0)
+
+  /** Benchmark decontamination: count word-3-gram collisions between each
+    * document and the probe set; a collision marks the document
+    * contaminated (it contains evaluation data) so it is dropped before
+    * training.
+    *
+    * Scale shape: the probe set (even a full benchmark suite) is tiny →
+    * literal/broadcast; the 3-gram scan is pure map-side HOF work inside
+    * whole-stage codegen — zero shuffle. For probe sets too large to
+    * inline, the same semantics become: explode doc 3-gram *hashes* →
+    * left-semi hash join against the probe-hash table (one shuffle,
+    * candidate-only traffic). */
+  def decontaminate(docs: DataFrame, keyCol: String, textCol: String,
+                    probes: Seq[String]): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    docs.select(col(keyCol),
+        size(filter(grams, g => g.isInCollection(probes))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Content fingerprint used by [[keepBest]]: md5 over lowercased,
+    * whitespace-collapsed text. */
+  def fingerprintCol(textCol: Column): Column =
+    md5(regexp_replace(lower(textCol), "\\s+", " "))
+
+  /** Duplicate-cluster representative selection ("keep best"): group by
+    * content fingerprint, keep the longest member (ties → lowest key).
+    * This is the step after any dedup pass: exact/minhash clusters exist,
+    * one survivor per cluster continues to training.
+    *
+    * Scale shape: one hash exchange on the fingerprint; the rank-1 filter
+    * is plannable as WindowGroupLimit (map-side top-1 before the
+    * exchange), so shuffled bytes ≈ one candidate row per group member
+    * surviving the partial limit — not the corpus. */
+  def keepBest(docs: DataFrame, keyCol: String, textCol: String,
+               lenCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+      .orderBy(col(lenCol).desc, col(keyCol).asc)
+    docs
+      .select(col(keyCol), col(lenCol), fingerprintCol(col(textCol)).as("fingerprint"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("fingerprint"), col(lenCol), col("group_size"))
+  }
+
+  // ---- query-key bindings over the documents testdata table ----
+
+  /** Benchmark probe 3-grams for the decontamination key (stand-ins for
+    * eval-set shingles; chosen to actually hit the synthetic corpus). */
+  private val probes = Seq("stream table hash", "window fast query", "part filter scan")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d), "lang", "doc_id", "text", 2048)
+        .orderBy("doc_id")),
+    "text_sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      sampleStratified(Tables.documents(s, d),
+        Seq(("en", 3L)).toDF("stratum", "rate"), "lang", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "text_decontaminate" -> ((s, d) =>
+      decontaminate(Tables.documents(s, d), "doc_id", "text", probes)
+        .orderBy("doc_id")),
+    "dedup_keep_best" -> ((s, d) =>
+      keepBest(Tables.documents(s, d), "doc_id", "text", "n_chars")
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "text_pack_sequences" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) + 1 AS INTEGER) AS n_tokens_eos,
+        |       CAST(floor((sum(len(string_split(text, ' ')) + 1) OVER
+        |         (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 2048)
+        |         AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang,
+        |       CAST(CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS BIGINT) AS rate
+        |FROM documents
+        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 3 ELSE 1 END) = 0
+        |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(ws) >= 3
+        |                  THEN list_transform(range(1, len(ws) - 1),
+        |                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |                  ELSE [] END AS grams
+        |      FROM w)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(grams, x -> x IN
+        |         ('stream table hash', 'window fast query', 'part filter scan'))) AS INTEGER) AS n_hits,
+        |       CAST(len(list_filter(grams, x -> x IN
+        |         ('stream table hash', 'window fast query', 'part filter scan'))) AS INTEGER) > 0 AS contaminated
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH fp AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, fingerprint, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY fingerprint
+        |           ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+        |  FROM fp)
+        |SELECT doc_id, fingerprint, n_chars, group_size
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+}

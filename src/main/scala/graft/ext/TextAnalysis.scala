@@ -92,15 +92,17 @@ object TextAnalysis extends graft.QueryModule {
 
   /** Winnowing-style rolling-hash fingerprint: hash every 8-char shingle
     * (rolling window, stride 1) and keep the minimum — deterministic
-    * content signature robust to local edits. Hash-defined => rows-only.
-    * Shape: explode offsets → codegen'd xxhash64 → hash-agg min (the HOF
+    * content signature robust to local edits. Shingle hash is md5 (hex
+    * string; lexicographic min), which both engines implement identically
+    * — so unlike an xxhash64 formulation this IS oracle-checkable.
+    * Shape: explode offsets → codegen'd md5 → hash-agg min (the HOF
     * `array_min(transform(...))` formulation is interpreter-bound). */
   private def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), length(col("text")).as("n_chars_seen"),
         explode(sequence(lit(0), greatest(length(col("text")) - 8, lit(0)))).as("i"))
       .select(col("doc_id"), col("n_chars_seen"),
-        xxhash64(expr("substring(text, i + 1, 8)")).as("h"))
+        md5(expr("substring(text, i + 1, 8)")).as("h"))
       .groupBy(col("doc_id"), col("n_chars_seen"))
       .agg(min(col("h")).as("rolling_fp"))
       .select(col("doc_id"), col("rolling_fp"), col("n_chars_seen"))
@@ -161,5 +163,11 @@ object TextAnalysis extends graft.QueryModule {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
         |       CAST(length(regexp_replace(lower(text), '\s+', ' ', 'g')) AS INTEGER) AS n_norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |       list_min(list_transform(range(0, greatest(length(text) - 8, 0) + 1),
+        |                i -> md5(substr(text, i + 1, 8)))) AS rolling_fp,
+        |       CAST(length(text) AS INTEGER) AS n_chars_seen
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Corpus
+
+/** Synthetic-data edge cases for the corpus-prep operators; the testdata
+  * documents table has no true duplicate groups at sf0.01, so keep-best's
+  * collapse path and packing's budget boundary are exercised here. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("packSequences cuts packs at the token budget, per shard") {
+    import spark.implicits._
+    // token counts incl. EOS: 4, 4, 4 -> cumsum 4, 8, 12 with budget 8:
+    // packs 0, 0, 1; shard b restarts numbering
+    val docs = Seq(
+      (0L, "a", "w w w"), (1L, "a", "w w w"), (2L, "a", "w w w"),
+      (3L, "b", "w w w")
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.packSequences(docs, "lang", "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("packSequences: single doc over budget still gets its own pack") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", (1 to 20).map(_ => "w").mkString(" "))).toDF("doc_id", "lang", "text")
+    val got = Corpus.packSequences(docs, "lang", "doc_id", "text", 8)
+      .select("pack_id").as[Long].collect().toSeq
+    assert(got == Seq(2L)) // cumsum 21 -> floor(20/8) = 2
+  }
+
+  test("sampleStratified keeps key%rate==0 in dimmed strata, all others whole") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, if (i < 6) "en" else "fr", "t"))
+      .toDF("doc_id", "lang", "text")
+    val rates = Seq(("en", 3L)).toDF("stratum", "rate")
+    val got = Corpus.sampleStratified(docs, rates, "lang", "doc_id")
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 3L, 6L, 7L, 8L, 9L))
+  }
+
+  test("decontaminate counts 3-gram hits; short docs are clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the stream table hash is bad"),    // 1 hit
+      (1L, "stream table hash stream table hash"), // 2 overlapping+repeat: grams at i=1..4 -> hits at 1 and 4
+      (2L, "stream table"),                    // <3 words: no grams
+      (3L, "totally clean document here")
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(docs, "doc_id", "text", Seq("stream table hash"))
+      .orderBy("doc_id").select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 1, true), (1L, 2, true), (2L, 0, false), (3L, 0, false)))
+  }
+
+  test("keepBest collapses case/whitespace duplicates to the longest, tie->min key") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello  World", 12), // same fingerprint as 1, 2
+      (1L, "hello world", 11),
+      (2L, "HELLO\tWORLD", 11),
+      (3L, "unique", 6)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Corpus.keepBest(docs, "doc_id", "text", "n_chars")
+      .orderBy("doc_id").select("doc_id", "n_chars", "group_size")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 12, 3L), (3L, 6, 1L)))
+  }
+}
