@@ -123,20 +123,19 @@ object Dedup extends graft.QueryModule {
   }
 
   /** 64-bit SimHash per doc (sign-of-weighted-bit-sums over word hashes).
-    * One xxhash64 per word (explode + 64 codegen'd bit-test aggregates —
-    * NOT a per-bit rehash), banded into 4×16-bit buckets with a length
+    * One xxhash64 per word, folded by the single-pass custom Catalyst
+    * aggregate [[graft.functions.SimHashAgg]] (one 64-int buffer update
+    * per word, map-side partials — replaces 64 separate bit-test
+    * aggregate slots), banded into 4×16-bit buckets with a length
     * block; near-dup pairs at hamming <= 8. Rows-only check. */
   private def simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val wh = docs(s, d)
       .select(col("doc_id"), col("n_chars"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i"))
     val sig = wh.groupBy(col("doc_id"), col("n_chars"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .withColumn("simhash", expr(
-        (0 until 64).map(i => s"IF(b$i > 0, shiftleft(1L, $i), 0L)").mkString(" + ")))
+      .agg(graft.functions.VectorFunctions.simhash(col("h")).as("simhash"))
       .select(col("doc_id"), col("n_chars"), col("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       // length block alongside the 16-bit band: near-dups have near lengths

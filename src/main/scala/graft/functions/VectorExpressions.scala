@@ -103,13 +103,18 @@ object VectorFunctions {
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
   def cosine_similarity(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  def simhash(wordHash: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash", wordHash)
 
-  /** Idempotent SQL registration (`graft_dot`, `graft_cosine`). */
+  /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
+    * aggregate `graft_simhash`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "built-in")
   }
 }
