@@ -86,21 +86,22 @@ object Corpus extends graft.QueryModule {
     * This is the step after any dedup pass: exact/minhash clusters exist,
     * one survivor per cluster continues to training.
     *
-    * Scale shape: one hash exchange on the fingerprint; the rank-1 filter
-    * is plannable as WindowGroupLimit (map-side top-1 before the
-    * exchange), so shuffled bytes ≈ one candidate row per group member
-    * surviving the partial limit — not the corpus. */
+    * Scale shape: a plain hash aggregation — `max(struct(len, -key))`
+    * selects the representative with full map-side partial combine, so
+    * the one exchange carries one candidate row per (partition ×
+    * fingerprint), never whole duplicate groups. (A row_number window
+    * formulation would materialize every group in full: the group-size
+    * count defeats the WindowGroupLimit partial-top-1 optimization.) */
   def keepBest(docs: DataFrame, keyCol: String, textCol: String,
-               lenCol: String): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint"))
-      .orderBy(col(lenCol).desc, col(keyCol).asc)
+               lenCol: String): DataFrame =
     docs
       .select(col(keyCol), col(lenCol), fingerprintCol(col(textCol)).as("fingerprint"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-      .filter(col("rn") === 1)
-      .select(col(keyCol), col("fingerprint"), col(lenCol), col("group_size"))
-  }
+      .groupBy(col("fingerprint"))
+      .agg(
+        max(struct(col(lenCol).as("len"), (-col(keyCol)).as("neg_key"))).as("best"),
+        count(lit(1)).as("group_size"))
+      .select((-col("best.neg_key")).as(keyCol), col("fingerprint"),
+        col("best.len").as(lenCol), col("group_size"))
 
   // ---- query-key bindings over the documents testdata table ----
 
