@@ -31,10 +31,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * (AQE-coalescible), no row buffering beyond a single running value per
   * key, no skew amplification (a hot key still streams linearly).
   *
-  * Key/time/tiebreak expressions must be of orderable numeric/timestamp
-  * types evaluating to Long; `value` must be Double (the testdata's
-  * shape; generalizing to arbitrary orderable types would swap the
-  * `Long` comparisons for `TypeUtils.getInterpretedOrdering`).
+  * Key/time/tiebreak expressions may be ANY orderable type (numeric,
+  * timestamp, string, date, decimal — compared through the type's
+  * interpreted ordering); `value` may be any type. Null semantics follow
+  * SQL join conventions: a null probe key or time matches nothing; null
+  * series keys/times are skipped.
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -91,6 +92,11 @@ case class AsOfJoinExec(
     val outAttrs = output
     val leftAttrs = left.output
 
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outAttrs, leftAttrs :+ outAttrs.last)
       val valueRow = new GenericInternalRow(1)
@@ -98,28 +104,46 @@ case class AsOfJoinExec(
 
       val rBuf = rIter.buffered
       // running match state: the latest series value seen for `curKey`
-      var curKey = 0L
+      var curKey: Any = null
       var haveKey = false
       var lastVal: Any = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (!haveKey || curKey != k) { curKey = k; haveKey = true; lastVal = null }
-        // advance the series: consume every row with (key < k) or
-        // (key == k && time <= t); remember the last value for key k
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rk = rKey.eval(rRow).asInstanceOf[Long]
-          if (rk < k) { rBuf.next() }
-          else if (rk == k && rTime.eval(rRow).asInstanceOf[Long] <= t) {
-            lastVal = rVal.eval(rRow)
-            rBuf.next()
-          } else advancing = false
+        val k = lKey.eval(lRow)
+        val t = lTime.eval(lRow)
+        if (k == null || t == null) {
+          // SQL convention: null probe key/time matches nothing; don't
+          // advance the series (nulls sort first, so later probes of this
+          // key still need its rows)
+          valueRow.update(0, null)
+          project(joined(lRow, valueRow))
+        } else {
+          if (!haveKey || keyOrd.compare(curKey, k) != 0) {
+            curKey = k; haveKey = true; lastVal = null
+          }
+          // advance the series: consume every row with (key < k) or
+          // (key == k && time <= t); remember the last value for key k
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKey.eval(rRow)
+            if (rk == null) { rBuf.next() } // null series keys match nothing
+            else {
+              val cmp = keyOrd.compare(rk, k)
+              if (cmp < 0) { rBuf.next() }
+              else if (cmp == 0) {
+                val rt = rTime.eval(rRow)
+                if (rt == null) { rBuf.next() } // null series time: skip
+                else if (timeOrd.compare(rt, t) <= 0) {
+                  lastVal = rVal.eval(rRow)
+                  rBuf.next()
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          valueRow.update(0, lastVal)
+          project(joined(lRow, valueRow))
         }
-        valueRow.update(0, lastVal)
-        project(joined(lRow, valueRow))
       }
     }
   }

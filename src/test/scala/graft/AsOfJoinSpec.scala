@@ -59,4 +59,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("generalized types: string keys, double times, string values") {
+    import spark.implicits._
+    val series = Seq(
+      ("aapl", 1.0, 1L, "open"), ("aapl", 2.0, 2L, "close"),
+      ("brk-b", 5.0, 3L, "halt")
+    ).toDF("sym", "t", "seq", "state")
+    val probes = Seq(
+      ("aapl", 1.5), ("aapl", 9.9), ("brk-b", 4.9), ("zzz", 1.0)
+    ).toDF("sym", "t")
+    val got = AsOf.joinBackward(probes, series, "sym", "t", "seq", "state")
+      .orderBy("sym", "t")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(2)).map(_.asInstanceOf[String])))
+    assert(got.toSeq == Seq(
+      ("aapl", Some("open")), ("aapl", Some("close")),
+      ("brk-b", None), ("zzz", None)))
+  }
+
+  test("null probe keys/times match nothing; null series rows are skipped") {
+    import spark.implicits._
+    val series = Seq(
+      (Some(1L), Some(10L), 1L, 1.0),  // normal
+      (Some(1L), None, 2L, 2.0),       // null series time: skipped
+      (None, Some(5L), 3L, 3.0)        // null series key: skipped
+    ).toDF("k", "t", "seq", "v")
+    val probes = Seq(
+      (Some(1L), Some(11L)),  // -> 1.0 (null-time series row not matched)
+      (Some(1L), None),       // null probe time -> null
+      (None, Some(11L))       // null probe key -> null
+    ).toDF("k", "t")
+    val got = AsOf.joinBackward(probes, series, "k", "t", "seq", "v")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    assert(got == Set(
+      (Some(1L), Some(11L), Some(1.0)),
+      (Some(1L), None, None),
+      (None, Some(11L), None)))
+  }
 }
