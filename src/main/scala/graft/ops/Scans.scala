@@ -101,6 +101,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** CSV interchange roundtrip [N]: header'd CSV written then read back
+    * under an EXPLICIT schema (inference off — schema drift at 100 TB is
+    * an outage, not a convenience). Doubles survive exactly: the writer
+    * emits shortest-round-trip decimal strings. */
+  private def srcCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/supplier_csv"
+    Tables.supplier(spark, sfDir)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      .option("header", "true").csv(dir)
+      .orderBy("s_suppkey")
+  }
+
+  /** ORC columnar roundtrip [N]: the second columnar at-rest format;
+    * read-back filter + projection push into the ORC scan the same way
+    * they do for parquet (`.explain` shows the pushed predicate). */
+  private def srcOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/part_orc"
+    Tables.part(spark, sfDir).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .filter(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   /** Publish-on-change: emit only rows differing from the previous
     * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
   private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -112,6 +138,8 @@ object Scans extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_list_scan" -> srcListScan,
     "src_json_records" -> srcJsonRecords,
+    "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "src_orc_roundtrip" -> srcOrcRoundtrip,
     "sink_json_per_entity" -> sinkJsonPerEntity,
     "sink_manifest" -> sinkManifest,
     "sink_partitioned_scan" -> sinkPartitionedScan,
@@ -125,6 +153,12 @@ object Scans extends graft.QueryModule {
     "src_json_records" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "src_csv_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part WHERE p_size >= 25 ORDER BY p_partkey""".stripMargin,
     "sink_json_per_entity" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
