@@ -15,6 +15,29 @@ import graft.ops.StreamBatch
   * SURVEY §5.4 batch↔stream equivalence, tested with MemoryStream in
   * `graft.StreamingSpec`.
   */
+/** Spark 4 `StatefulProcessor`: per-user running (count, sum) held in a
+  * typed `ValueState` handle (no TTL — totals are lifetime aggregates). */
+class UserTotalsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, graft.model.Event, (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[graft.model.Event],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    val batch = rows.toSeq
+    val next = (n0 + batch.size, s0 + batch.flatMap(_.value).sum)
+    totals.update(next)
+    Iterator.single((user, next._1, next._2))
+  }
+}
+
 object Streams {
 
   /** File-source event stream over a parquet landing dir. */
@@ -84,6 +107,39 @@ object Streams {
           state.update(total)
           alerts.iterator
       }
+  }
+
+  /** Per-user running totals through Spark 4's `transformWithState`
+    * (the successor of `mapGroupsWithState`: explicit typed state handles
+    * with TTL support, timers, and a RocksDB-backed store). Semantics are
+    * identical to [[runningUserTotals]] — the spec asserts both APIs
+    * agree batch-for-batch. */
+  def runningUserTotalsV2(events: org.apache.spark.sql.Dataset[graft.model.Event])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Watermarked stream-stream interval join: each click pairs with the
+    * same user's views from the preceding 5 minutes. Both sides carry
+    * watermarks so the join state is bounded — rows age out once the
+    * event-time bound passes (the unbounded-state hazard the watermark
+    * exists to prevent). At scale: state is hash-partitioned by user_id;
+    * the interval bound caps per-key state linearly in the window. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    c.join(v, expr(
+      """c_user = v_user AND
+        |v_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
   }
 
   /** The reference's scheduled-refresh loop (`update.yml:4-7,33-39`:

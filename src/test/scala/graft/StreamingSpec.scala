@@ -133,6 +133,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts == Seq((7L, 100L), (7L, 200L)))
   }
 
+  test("transformWithState matches mapGroupsWithState batch-for-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[graft.model.Event]
+      val q = Streams.runningUserTotalsV2(ms.toDS()).writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "a", 1.0),
+        ev(2, "2024-01-01 10:01:00", 7, "a", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 7, "a", 4.0),
+        ev(4, "2024-01-01 10:02:30", 9, "b", 5.0)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // same emissions the mapGroupsWithState form produces on this input
+      assert(rows == Set((7L, 2L, 3.0), (7L, 3L, 7.0), (9L, 1L, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("stream-stream interval join: clicks pair with preceding views only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[graft.model.Event]
+    val views = MemoryStream[graft.model.Event]
+    val q = Streams.clickViewJoin(clicks.toDF(), views.toDF()).writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    views.addData(Seq(
+      ev(100, "2024-01-01 10:00:00", 7, "view", 0.0),  // 3 min before click: joins
+      ev(101, "2024-01-01 09:50:00", 7, "view", 0.0),  // 13 min before: outside interval
+      ev(102, "2024-01-01 10:04:00", 8, "view", 0.0))) // other user
+    clicks.addData(Seq(
+      ev(200, "2024-01-01 10:03:00", 7, "click", 0.0),
+      ev(201, "2024-01-01 10:05:00", 9, "click", 0.0))) // user 9: no views
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((7L, 200L, 100L)))
+  }
+
   test("scheduledRefresh: AvailableNow drain + commit-if-changed idempotence") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_src").toString
