@@ -16,6 +16,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -95,6 +96,10 @@ def main():
                 gnan = isinstance(g, float) and math.isnan(g)
                 enan = isinstance(e, float) and math.isnan(e)
                 if gnan and enan:
+                    continue
+                # pandas NaT (null timestamp): NaT == NaT is False; treat
+                # matched NaTs as equal like the None/None case above
+                if g is pd.NaT and e is pd.NaT:
                     continue
                 if g == e:
                     continue

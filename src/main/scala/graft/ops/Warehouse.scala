@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-operations layer (SURVEY §2 extensions, round 2): the
+  * data-quality expectation checks and slowly-changing-dimension
+  * construction every production warehouse runs around its facts.
+  */
+object Warehouse extends graft.QueryModule {
+
+  /** Declarative data-quality expectations over the star schema — range
+    * checks, null checks, PK uniqueness, FK referential integrity — as
+    * ONE report of violation counts (the dbt-test / Deequ shape).
+    *
+    * Scale shape: all single-table checks for a table fuse into one
+    * conditional-aggregate scan (one pass over lineitem regardless of
+    * how many expectations it carries); the FK check is a left-anti
+    * broadcast join; nothing ever collects row-level violations to the
+    * driver. */
+  private def qualityChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("lineitem_qty_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+        .as("lineitem_disc_range"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L))
+        .as("lineitem_null_price"))
+      .selectExpr("""stack(3,
+        'lineitem_qty_range', lineitem_qty_range,
+        'lineitem_disc_range', lineitem_disc_range,
+        'lineitem_null_price', lineitem_null_price) AS (check_name, n_violations)""")
+    val fk = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_fk_customer").as("check_name"), col("n_violations"))
+    val dup = Tables.orders(s, d)
+      .agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("orders_dup_pk").as("check_name"), col("n_violations"))
+    li.unionByName(fk).unionByName(dup).orderBy("check_name")
+  }
+
+  /** SCD type-2 interval construction: per entity, each observed value
+    * becomes a versioned row with `[valid_from, valid_to)` effectivity,
+    * open-ended (`is_current`) for the latest — the standard dimension-
+    * history merge, built from the event stream.
+    *
+    * Scale shape: one hash exchange on the entity key, one sorted window
+    * pass (lead + row_number share the same window frame, so Catalyst
+    * plans a single Window operator). */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"))
+      // open-ended rows close at the conventional SCD2 sentinel (keeps
+      // the column non-null: range predicates stay sargable and the
+      // oracle compare never sees engine-specific null-timestamp forms)
+      .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w),
+        lit("9999-12-31 00:00:00").cast("timestamp")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+      .orderBy("user_id", "version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_checks" -> qualityChecks,
+    "scd2_intervals" -> scd2Intervals)
+
+  val oracles: Map[String, String] = Map(
+    "quality_checks" ->
+      """SELECT 'lineitem_qty_range' AS check_name,
+        |       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_disc_range',
+        |       CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_null_price',
+        |       CAST(count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'orders_dup_pk', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY check_name""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT user_id, event_id, value,
+        |       date_trunc('microseconds', ts) AS valid_from,
+        |       coalesce(lead(date_trunc('microseconds', ts)) OVER w,
+        |                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |       CAST(row_number() OVER w AS INTEGER) AS version,
+        |       (lead(date_trunc('microseconds', ts)) OVER w IS NULL) AS is_current
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY date_trunc('microseconds', ts), event_id)
+        |ORDER BY user_id, version""".stripMargin)
+}
