@@ -72,14 +72,21 @@ object Bench {
         .getOrElse(
           if (sys.env.get("SPARK_GRAFT_FULL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
           else headline.filter(SparkEntry.queries.contains))
-    val results = keys.map { name =>
+    // two timed runs per query, report the min: first-run planning/codegen
+    // overhead and shared-box noise spikes (one sweep saw a 20x outlier
+    // under external load) would otherwise be indistinguishable from the
+    // operator's real cost
+    def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of the declared plan; a count()
       // would let Catalyst prune the projections/sorts being measured
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = keys.map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
