@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashAgg, SimHashAgg}
 
 /** SparkSessionExtensions entry point (SURVEY §2.J/§4): makes the graft
   * native expressions first-class session functions so a cluster deploy
@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashAgg(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -56,12 +56,13 @@ object Dedup extends graft.QueryModule {
   // same way the oracle-checked ngram query does (explicit, not silent)
   private val MinhashProbeLimit = 1000
 
-  /** MinHash signature columns: min over word hashes for 16 seeded
-    * xxhash64 permutations. */
+  /** MinHash signature: ONE xxhash64 per word + the single-pass custom
+    * aggregate [[graft.functions.MinHashAgg]] (16 derived permutations
+    * via splitmix64 mixing, one 16-long buffer update per word — replaces
+    * 16 independent seeded-hash evaluations feeding 16 agg slots). */
   private def minhashSig(w: DataFrame): DataFrame =
     w.groupBy(col("doc_id")).agg(
-      min(xxhash64(col("w"), lit(0))).as("mh0"),
-      (1 until NumHashes).map(k => min(xxhash64(col("w"), lit(k))).as(s"mh$k")): _*)
+      graft.functions.VectorFunctions.minhash(xxhash64(col("w")), NumHashes).as("sig"))
 
   /** MinHash+LSH near-dup detection: seeded signatures → band buckets →
     * bucket equi-join candidates → exact Jaccard verify (>= 0.8) computed
@@ -69,12 +70,13 @@ object Dedup extends graft.QueryModule {
     * verify stage is a scalar op on the pair, not a re-join over words).
     * Deterministic but not SQL-mirrorable (xxhash64) — rows-only check. */
   private def minhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val bounded = docs(s, d).filter(col("doc_id") < MinhashProbeLimit)
     val w = wordRows(bounded)
     val sig = minhashSig(w)
     val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))

@@ -105,6 +105,9 @@ object VectorFunctions {
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
   def simhash(wordHash: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", wordHash)
+  def minhash(wordHash: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash", wordHash,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -116,5 +119,8 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 }
