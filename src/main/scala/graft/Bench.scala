@@ -35,6 +35,15 @@ object Bench {
     "sql_correlated_subquery",
     "expr_fx_normalize",    // expression-heavy projection
     "fn_math",              // scalar function battery
+    "agg_q1_pricing",       // TPC-H Q1, exact-decimal
+    "join_q10_returns",     // TPC-H Q10
+    "quality_checks",       // fused expectation scan + FK anti-join
+    "scd2_intervals",       // SCD2 window pass
+    "merge_upsert",         // full-outer MERGE shape
+    "text_pack_sequences",  // corpus packing window
+    "text_decontaminate",   // zero-shuffle 3-gram scan
+    "dedup_keep_best",      // map-side representative selection
+    "src_orc_roundtrip",    // ORC write + pushed read
     "dedup_exact",
     "dedup_minhash",        // LSH band join
     "dedup_simhash",

@@ -69,9 +69,38 @@ object Warehouse extends graft.QueryModule {
       .orderBy("user_id", "version")
   }
 
+  /** MERGE INTO (upsert) semantics without a table format: next snapshot
+    * = full-outer join of base vs updates on the key — matched rows take
+    * the update, unmatched-by-update rows survive, update-only rows
+    * insert. Base: customers outside segment 'BUILDING'; updates: a
+    * recomputed balance for every customer with an order. The `action`
+    * column records the MERGE branch each row took.
+    *
+    * Scale shape: one hash exchange per side on the merge key (AQE can
+    * broadcast a small update batch); no driver-side diffing. With a
+    * transactional table format the same plan feeds MERGE INTO directly. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .filter(col("c_mktsegment") =!= "BUILDING")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("balance"))
+    val updates = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).as("new_balance"))
+      .select(col("o_custkey").as("ukey"), col("new_balance"))
+    base.join(updates, col("key") === col("ukey"), "full_outer")
+      .select(
+        coalesce(col("key"), col("ukey")).as("key"),
+        coalesce(col("new_balance"), col("balance")).as("balance"),
+        when(col("key").isNull, "insert")
+          .when(col("ukey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_checks" -> qualityChecks,
-    "scd2_intervals" -> scd2Intervals)
+    "scd2_intervals" -> scd2Intervals,
+    "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
     "quality_checks" ->
@@ -103,5 +132,19 @@ object Warehouse extends graft.QueryModule {
         |FROM events WHERE value IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY date_trunc('microseconds', ts), event_id)
-        |ORDER BY user_id, version""".stripMargin)
+        |ORDER BY user_id, version""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_acctbal AS balance
+        |  FROM customer WHERE c_mktsegment <> 'BUILDING'),
+        |updates AS (
+        |  SELECT o_custkey AS ukey, max(o_totalprice) AS new_balance
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(key, ukey) AS key,
+        |       coalesce(new_balance, balance) AS balance,
+        |       CASE WHEN key IS NULL THEN 'insert'
+        |            WHEN ukey IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM base FULL OUTER JOIN updates ON key = ukey
+        |ORDER BY key""".stripMargin)
 }
