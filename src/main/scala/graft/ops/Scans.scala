@@ -81,7 +81,11 @@ object Scans extends graft.QueryModule {
     * files with NO exchange on either side (verify in explain()). */
   private def sinkBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val base = new java.io.File("target/tmp/bucketed").getAbsolutePath
-    Tables.orders(spark, sfDir).write.format("parquet")
+    // project to the served columns BEFORE the bucketed write: the
+    // at-rest table carries only what downstream reads (half the bytes)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$base/orders").mode("overwrite")
       .saveAsTable("graft_bucketed_orders")
