@@ -11,7 +11,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("pipeline_snapshot", "join_equi_large", "agg_ttm_rolling4",
-        "join_fx_rate", "agg_group_stats", "sim_search_cosine", "sort_limit")
+        "join_fx_rate", "agg_group_stats", "sim_search_cosine", "sort_limit",
+        "agg_q1_pricing", "join_q10_returns", "quality_checks",
+        "scd2_intervals", "merge_upsert", "dedup_keep_best",
+        "text_decontaminate", "sink_bucketed_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
