@@ -37,6 +37,7 @@ object Bench {
     "fn_math",              // scalar function battery
     "agg_q1_pricing",       // TPC-H Q1, exact-decimal
     "join_q10_returns",     // TPC-H Q10
+    "agg_q18_large_orders", // TPC-H Q18 group-having-topk
     "quality_checks",       // fused expectation scan + FK anti-join
     "scd2_intervals",       // SCD2 window pass
     "merge_upsert",         // full-outer MERGE shape

@@ -64,9 +64,31 @@ object TpchDeep extends graft.QueryModule {
       .limit(20)
   }
 
+  /** TPC-H Q18: large-quantity orders (group-HAVING → join-back → top-k).
+    * Plan: ONE aggregation of lineitem produces both the HAVING filter
+    * and the reported quantity (no second scan for the IN-subquery —
+    * Catalyst would also decorrelate it, but expressing the reuse
+    * directly guarantees it); qualifying orders (rare) then join to
+    * orders/customer, top-100 via TakeOrderedAndProject. Quantity sums
+    * are integral doubles — exact at any order. */
+  private def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_q1_pricing" -> q1Pricing,
-    "join_q10_returns" -> q10Returns)
+    "join_q10_returns" -> q10Returns,
+    "agg_q18_large_orders" -> q18LargeOrders)
 
   val oracles: Map[String, String] = Map(
     "agg_q1_pricing" ->
@@ -98,5 +120,14 @@ object TpchDeep extends graft.QueryModule {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "agg_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)
 }
