@@ -66,12 +66,17 @@ object Corpus extends graft.QueryModule {
     * candidate-only traffic). */
   def decontaminate(docs: DataFrame, keyCol: String, textCol: String,
                     probes: Seq[String]): DataFrame = {
-    val ws = split(col(textCol), " ")
+    // materialize the word array as a column FIRST: inside a HOF lambda a
+    // raw split(text) is an expression tree, re-evaluated on every lambda
+    // invocation (one split per gram index — quadratic in doc length);
+    // as a projected attribute it's computed once per row
+    val ws = col("__ws")
     val grams = when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array())
-    docs.select(col(keyCol),
+    docs.select(col(keyCol), split(col(textCol), " ").as("__ws"))
+      .select(col(keyCol),
         size(filter(grams, g => g.isInCollection(probes))).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
