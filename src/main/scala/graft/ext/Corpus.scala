@@ -81,6 +81,32 @@ object Corpus extends graft.QueryModule {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** [[decontaminate]]'s scale path for probe sets too large to inline:
+    * explode each document's 3-grams, hash-join against the probe table,
+    * count hits per doc. One shuffle keyed on the gram; docs with zero
+    * hits come back via the left join's null side. Output is identical
+    * to the HOF variant (asserted in CorpusSpec) — choose by probe-set
+    * size: HOF when the probes fit a literal/broadcast (zero shuffle),
+    * this when they're a table of their own. */
+  def decontaminateLarge(docs: DataFrame, keyCol: String, textCol: String,
+                         probes: DataFrame): DataFrame = {
+    val ws = col("__ws")
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    val hits = docs
+      .select(col(keyCol), split(col(textCol), " ").as("__ws"))
+      .select(col(keyCol), explode(grams).as("gram"))
+      .join(probes.select(col("gram")), Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"))
+    docs.select(col(keyCol))
+      .join(hits, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("n_hits"), lit(0)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Content fingerprint used by [[keepBest]]: md5 over lowercased,
     * whitespace-collapsed text. */
   def fingerprintCol(textCol: Column): Column =

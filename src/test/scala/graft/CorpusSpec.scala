@@ -56,6 +56,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1, true), (1L, 2, true), (2L, 0, false), (3L, 0, false)))
   }
 
+  test("decontaminateLarge (explode+join scale path) equals the HOF variant") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the stream table hash is bad"),
+      (1L, "stream table hash stream table hash"),
+      (2L, "stream table"),
+      (3L, "totally clean document here")
+    ).toDF("doc_id", "text")
+    val probeSeq = Seq("stream table hash")
+    val probes = probeSeq.toDF("gram")
+    val small = Corpus.decontaminate(docs, "doc_id", "text", probeSeq)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val large = Corpus.decontaminateLarge(docs, "doc_id", "text", probes)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(large == small)
+  }
+
   test("keepBest collapses case/whitespace duplicates to the longest, tie->min key") {
     import spark.implicits._
     val docs = Seq(
