@@ -86,23 +86,33 @@ object Bench {
     // overhead and shared-box noise spikes (one sweep saw a 20x outlier
     // under external load) would otherwise be indistinguishable from the
     // operator's real cost
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of the declared plan; a count()
       // would let Catalyst prune the projections/sorts being measured
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        failed += name
+        System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = keys.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val t1 = timeOnce(name)
+      val t2 = timeOnce(name)
+      name -> math.min(t1, t2)
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must not masquerade as a latency number
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed(k)) "null" else r3(v))
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val errs = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,13 +59,16 @@ object Warehouse extends graft.QueryModule {
       .filter(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), col("value"),
         col("ts").as("valid_from"))
-      // open-ended rows close at the conventional SCD2 sentinel (keeps
-      // the column non-null: range predicates stay sargable and the
-      // oracle compare never sees engine-specific null-timestamp forms)
+      // open-ended rows close at a far-future SCD2 sentinel (keeps the
+      // column non-null: range predicates stay sargable and the oracle
+      // compare never sees engine-specific null-timestamp forms). The
+      // sentinel must stay inside pandas datetime64[ns] range (max
+      // 2262-04-11): the conventional 9999-12-31 overflows ns-resolution
+      // consumers even though Spark and DuckDB both handle it.
       .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w),
-        lit("9999-12-31 00:00:00").cast("timestamp")))
+        lit("2200-01-01 00:00:00").cast("timestamp")))
       .withColumn("version", row_number().over(w))
-      .withColumn("is_current", col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+      .withColumn("is_current", col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
       .orderBy("user_id", "version")
   }
 
@@ -126,7 +129,7 @@ object Warehouse extends graft.QueryModule {
       """SELECT user_id, event_id, value,
         |       date_trunc('microseconds', ts) AS valid_from,
         |       coalesce(lead(date_trunc('microseconds', ts)) OVER w,
-        |                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
         |       CAST(row_number() OVER w AS INTEGER) AS version,
         |       (lead(date_trunc('microseconds', ts)) OVER w IS NULL) AS is_current
         |FROM events WHERE value IS NOT NULL
