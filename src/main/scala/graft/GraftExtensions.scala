@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashAgg(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+          graft.functions.VectorFunctions.constIntArg(
+            "graft_minhash", "num_hashes", exprs(1))).toAggregateExpression()))
   }
 }

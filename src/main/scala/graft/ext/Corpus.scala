@@ -98,7 +98,10 @@ object Corpus extends graft.QueryModule {
     val hits = docs
       .select(col(keyCol), split(col(textCol), " ").as("__ws"))
       .select(col(keyCol), explode(grams).as("gram"))
-      .join(probes.select(col("gram")), Seq("gram"))
+      // distinct the probe side: duplicate grams in the probe table would
+      // multiply n_hits and break equivalence with the HOF variant (which
+      // tests set membership, not multiplicity)
+      .join(probes.select(col("gram")).distinct(), Seq("gram"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("int").as("n_hits"))
     docs.select(col(keyCol))

@@ -50,34 +50,99 @@ object Dedup extends graft.QueryModule {
   }
 
   private val NumHashes = 16
-  private val NumBands = 2 // 8 rows per band: fewer, higher-precision buckets
-  // this synthetic corpus draws every doc from one small vocabulary, so
-  // word-set similarity is pervasive; bound the self-join probe set the
-  // same way the oracle-checked ngram query does (explicit, not silent)
-  private val MinhashProbeLimit = 1000
+  // b=4 bands × r=4 rows: P(candidate) = 1-(1-J^r)^b ≈ 0.88 at J=0.8
+  // (the old b=2/r=8 caught only ~0.31 of threshold pairs — precision
+  // without recall). Extra false candidates are cheap: the exact-Jaccard
+  // verify stage rejects them after the size-ratio gate.
+  private val NumBands = 4
 
   /** MinHash signature: ONE xxhash64 per word + the single-pass custom
-    * aggregate [[graft.functions.MinHashAgg]] (16 derived permutations
-    * via splitmix64 mixing, one 16-long buffer update per word — replaces
-    * 16 independent seeded-hash evaluations feeding 16 agg slots). */
-  private def minhashSig(w: DataFrame): DataFrame =
-    w.groupBy(col("doc_id")).agg(
-      graft.functions.VectorFunctions.minhash(xxhash64(col("w")), NumHashes).as("sig"))
+    * aggregate [[graft.functions.MinHashAgg]] (numHashes derived
+    * permutations via splitmix64 mixing, one buffer update per word —
+    * replaces numHashes independent seeded-hash evaluations feeding
+    * separate agg slots). */
+  private def minhashSig(w: DataFrame, keyCol: String, numHashes: Int): DataFrame =
+    w.groupBy(col(keyCol)).agg(
+      graft.functions.VectorFunctions.minhash(xxhash64(col("w")), numHashes).as("sig"))
 
-  /** MinHash+LSH near-dup detection: seeded signatures → band buckets →
-    * bucket equi-join candidates → exact Jaccard verify (>= 0.8) computed
-    * per candidate pair with array_intersect (no shuffle explosion — the
-    * verify stage is a scalar op on the pair, not a re-join over words).
-    * Deterministic but not SQL-mirrorable (xxhash64) — rows-only check. */
-  private def minhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val bounded = docs(s, d).filter(col("doc_id") < MinhashProbeLimit)
-    val w = wordRows(bounded)
-    val sig = minhashSig(w)
-    val rowsPerBand = NumHashes / NumBands
-    val bandStructs = (0 until NumBands).map { b =>
+  /** Reusable MinHash+LSH near-dup pair detection over any (key, text)
+    * DataFrame — the UNBOUNDED scale path: seeded signatures → band
+    * buckets → bucket equi-join candidates (shuffle keyed on (band, hash),
+    * O(collisions) not O(n²)) → exact Jaccard verify computed per
+    * candidate pair with array_intersect (a scalar op on the pair, not a
+    * re-join over words). Requires numHashes % numBands == 0.
+    * Deterministic but not SQL-mirrorable (xxhash64) — the registered
+    * key is rows-only checked; recall vs the oracle-checked ngram ground
+    * truth is asserted in DedupRecallSpec. */
+  def minhashPairs(docs: DataFrame, keyCol: String, textCol: String,
+                   numHashes: Int = NumHashes, numBands: Int = NumBands,
+                   minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be divisible by numBands ($numBands)")
+    val w = docs.select(col(keyCol),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val sig = minhashSig(w, keyCol, numHashes)
+    val rowsPerBand = numHashes / numBands
+    val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("h"))
+    }
+    val bands = sig.select(col(keyCol), explode(array(bandStructs: _*)).as("bh"))
+      .select(col(keyCol), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col(s"x.$keyCol") < col(s"y.$keyCol"))
+      .select(col(s"x.$keyCol").as("i"), col(s"y.$keyCol").as("j"))
+      .distinct()
+    val wordArrs = docs.select(col(keyCol),
+      array_distinct(split(col(textCol), " ")).as("ws"))
+    val inter = size(array_intersect(col("wa"), col("wb")))
+    cand
+      .join(wordArrs.select(col(keyCol).as("i"), col("ws").as("wa")), Seq("i"))
+      .join(wordArrs.select(col(keyCol).as("j"), col("ws").as("wb")), Seq("j"))
+      // necessary condition for J >= t: |smaller| / |larger| >= t — a
+      // cheap size-ratio gate before the O(n) array_intersect. Division
+      // form (not smaller >= larger*t): int/int division rounds to the
+      // same double as the final jaccard compare, so exact-threshold
+      // pairs (e.g. 4-word subset of a 5-word doc at t=0.8) aren't lost
+      // to multiply-rounding.
+      .filter(least(size(col("wa")), size(col("wb"))) /
+        greatest(size(col("wa")), size(col("wb"))) >= minJaccard)
+      .select(col("i"), col("j"),
+        (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("i", "j")
+  }
+
+  /** MinHash+LSH near-dup query key: [[minhashPairs]] over the full
+    * documents table — no probe bound; the LSH banding IS the scale
+    * control. Rows-only check (xxhash64 has no DuckDB mirror); the
+    * md5-signature twin `dedup_minhash_md5` is fully oracle-checked. */
+  private def minhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    minhashPairs(docs(s, d), "doc_id", "text")
+  }
+
+  /** [[minhashPairs]]'s fully oracle-checkable twin: identical LSH shape
+    * (16 signature slots, b=4/r=4 banding, bucket equi-join, exact-Jaccard
+    * verify) but every hash is md5 — the one hash function Spark and
+    * DuckDB share bit-for-bit. Signature slot i is the lexicographic MIN
+    * of `md5("i:" || word)` (a uniform random min over the 128-bit space,
+    * i.e. a true MinHash permutation); band keys are md5 over the
+    * concatenated slot strings. Slower than the xxhash64 path (16 md5
+    * evaluations per word vs one xxhash64 + splitmix64 mixing) — it
+    * exists so the near-dup PAIR SET itself gets a hash_match row, not
+    * just a rows-only count. */
+  private def minhashMd5(s: SparkSession, d: String): DataFrame = {
+    val k = NumHashes; val b = NumBands; val r = k / b
+    val docsDf = docs(s, d)
+    val w = wordRows(docsDf)
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
+    val sig = w.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until b).map { bi =>
+      val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
+      struct(lit(bi).as("band"), md5(concat_ws("|", slots: _*)).as("h"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
@@ -86,20 +151,51 @@ object Dedup extends graft.QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    val wordArrs = bounded.select(col("doc_id"),
+    val wordArrs = docsDf.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     val inter = size(array_intersect(col("wa"), col("wb")))
     cand
       .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
       .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
-      // necessary condition for J >= 0.8: |smaller| / |larger| >= 0.8 —
-      // a cheap size-ratio gate before the O(n) array_intersect
-      .filter(least(size(col("wa")), size(col("wb"))) * 5 >=
-        greatest(size(col("wa")), size(col("wb"))) * 4)
       .select(col("i"), col("j"),
         (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("i", "j")
+  }
+
+  /** Oracle SQL for [[minhashMd5]], generated to mirror the banding
+    * structure exactly (16 min-md5 slots, 4 band keys). */
+  private def minhashMd5Oracle: String = {
+    val k = NumHashes; val b = NumBands; val r = k / b
+    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val bandRows = (0 until b).map { bi =>
+      val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
+      s"SELECT doc_id, $bi AS band, md5($key) AS h FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $slots
+       |  FROM w GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS c
+       |  FROM cand c
+       |  JOIN w a ON a.doc_id = c.i
+       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  GROUP BY 1, 2)
+       |SELECT i, j, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |FROM inter JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+       |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+       |ORDER BY i, j""".stripMargin
   }
 
   /** The same near-dup problem through MLlib's `MinHashLSH` (HashingTF
@@ -157,12 +253,98 @@ object Dedup extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
+  /** [[simhash]]'s fully oracle-checkable twin: a 60-bit SimHash whose
+    * per-word hash is the first 15 hex chars of md5 (60 bits — fits
+    * signed BIGINT in both engines; Spark parses with `conv`, the oracle
+    * with an explicit hex-digit polynomial since DuckDB lacks conv).
+    * Same banding as the 64-bit variant: 4×15-bit bands + n_chars/50
+    * length block, pairs at hamming <= 8. Exists so the near-dup pair
+    * set gets a hash_match row; the xxhash64 variant stays the perf path. */
+  private def simhashMd5(s: SparkSession, d: String): DataFrame = {
+    val Bits = 60
+    val wh = docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until Bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
+    val sums = wh.groupBy(col("doc_id"), col("n_chars"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhashVal = (0 until Bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = sums.select(col("doc_id"), col("n_chars"), simhashVal.as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      (col("n_chars") / 50).cast("int").as("lenb"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("simhash"), col("lenb"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("i", "j")
+  }
+
+  /** Oracle SQL for [[simhashMd5]]: hex-digit polynomial for the 60-bit
+    * word hash, 60 generated bit-sum aggregates, bit reassembly, the same
+    * 4×15-bit band join. Generated, not hand-written, so the bit layout
+    * can't drift from the Spark side. */
+  private def simhashMd5Oracle: String = {
+    val Bits = 60
+    // h = sum_i hexval(md5(w)[i]) * 16^(14-i)  (15 hex chars = 60 bits)
+    val hexPoly = (0 until 15).map { i =>
+      val p = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString("\n           + ")
+    val bitSums = (0 until Bits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val reassemble = (0 until Bits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString("\n           + ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, lenb, $b AS band, (simhash >> ${b * 15}) & 32767 AS h FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |wh AS (
+       |  SELECT doc_id, n_chars,
+       |         $hexPoly AS h
+       |  FROM w),
+       |sums AS (
+       |  SELECT doc_id, n_chars,
+       |         $bitSums
+       |  FROM wh GROUP BY doc_id, n_chars),
+       |sig AS (
+       |  SELECT doc_id,
+       |         CAST(floor(n_chars / 50.0) AS INTEGER) AS lenb,
+       |         $reassemble AS simhash
+       |  FROM sums),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.h = y.h AND x.lenb = y.lenb
+       | AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+       |ORDER BY i, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
+    "dedup_minhash_md5" -> minhashMd5,
     "dedup_minhash_mllib" -> minhashMllib,
-    "dedup_simhash" -> simhash)
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_md5" -> simhashMd5)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -181,5 +363,7 @@ object Dedup extends graft.QueryModule {
         |SELECT i, j, c * 1.0 / (na.n + nb.n - c) AS jaccard
         |FROM inter JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
-        |ORDER BY i, j""".stripMargin)
+        |ORDER BY i, j""".stripMargin,
+    "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_simhash_md5" -> simhashMd5Oracle)
 }

@@ -132,23 +132,27 @@ object Multimodal extends graft.QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The decode/frame stubs are deterministic byte arithmetic, and the
     // stand-in payloads are pure-ASCII text bytes — so ord(char) == byte
-    // and DuckDB can mirror the "codec" exactly.
+    // and DuckDB can mirror the "codec" exactly. PRECONDITION (holds for
+    // the driver's documents generator; re-verify if it changes): no
+    // non-ASCII chars (ord==byte breaks on multibyte) — empty payloads
+    // are handled below via coalesce (DuckDB list_sum([]) is NULL, the
+    // stub's fold is 0).
     "mm_decode" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INTEGER) AS n_bytes,
         |       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
         |       CAST(length(text) % 480 + 1 AS INTEGER) AS height,
         |       3 AS channels,
-        |       CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |            i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
+        |       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+        |            i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id,
         |       CAST(f AS INTEGER) AS frame_idx,
         |       CAST(least(64, length(text) - f * 64) AS INTEGER) AS n_bytes,
-        |       CAST(list_sum(list_transform(
+        |       CAST(coalesce(list_sum(list_transform(
         |              range(f * 64 + 1, f * 64 + least(64, length(text) - f * 64) + 1),
-        |              p -> ord(substr(text, p, 1)))) AS BIGINT) AS checksum
+        |              p -> ord(substr(text, p, 1)))), 0) AS BIGINT) AS checksum
         |FROM documents,
         |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin)

@@ -99,6 +99,25 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
   */
 object VectorFunctions {
 
+  /** Resolve a builder argument that must be a foldable integral literal
+    * (e.g. `graft_minhash(h, 16)`): a column reference or non-integral
+    * type must fail at analysis time with a named error, not surface as a
+    * ClassCastException/NPE from `eval(null)` at plan time. */
+  private[graft] def constIntArg(fn: String, arg: String, e: Expression): Int = {
+    def bad(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be a foldable integer literal, got $what " +
+        s"(${e.sql}). Pass a plain INT constant, e.g. $fn(x, 16).")
+    if (!e.foldable) bad("a non-foldable expression")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => bad("NULL")
+      case other => bad(s"type ${e.dataType.catalogString} value $other")
+    }
+  }
+
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
   def cosine_similarity(a: Column, b: Column): Column =
@@ -121,6 +140,6 @@ object VectorFunctions {
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(), "built-in")
+        constIntArg("graft_minhash", "num_hashes", exprs(1))).toAggregateExpression(), "built-in")
   }
 }

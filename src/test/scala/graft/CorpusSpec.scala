@@ -73,6 +73,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(large == small)
   }
 
+  test("decontaminateLarge is robust to duplicate grams in the probe table") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the stream table hash is bad"),
+      (1L, "stream table hash stream table hash"),
+      (3L, "totally clean document here")
+    ).toDF("doc_id", "text")
+    // a probe TABLE can carry dup shingles (e.g. overlapping eval sets);
+    // membership semantics must not multiply n_hits
+    val dupProbes = Seq("stream table hash", "stream table hash",
+      "stream table hash").toDF("gram")
+    val got = Corpus.decontaminateLarge(docs, "doc_id", "text", dupProbes)
+      .orderBy("doc_id").select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 1, true), (1L, 2, true), (3L, 0, false)))
+  }
+
   test("keepBest collapses case/whitespace duplicates to the longest, tie->min key") {
     import spark.implicits._
     val docs = Seq(

@@ -46,6 +46,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must register both builders cleanly
   }
 
+  test("graft_minhash rejects a non-foldable num_hashes with a named error") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 42L)).toDF("id", "h").createOrReplaceTempView("mh_bad")
+    // column reference instead of a literal: must be an analysis-time
+    // error with a message naming the argument, not a ClassCastException
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(h, id) FROM mh_bad GROUP BY id").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("num_hashes"), s"unhelpful error: $e")
+  }
+
+  test("graft_minhash accepts a BIGINT literal num_hashes") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 42L), (1L, 7L)).toDF("id", "h").createOrReplaceTempView("mh_ok")
+    val r = spark.sql(
+      "SELECT graft_minhash(h, CAST(4 AS BIGINT)) AS sig FROM mh_ok GROUP BY id").head()
+    assert(r.getSeq[Long](0).length == 4)
+  }
+
   test("null input propagates null") {
     VectorFunctions.register(spark)
     import spark.implicits._
