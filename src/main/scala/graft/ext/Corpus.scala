@@ -147,6 +147,15 @@ object Corpus extends graft.QueryModule {
     "text_pack_sequences" -> ((s, d) =>
       packSequences(Tables.documents(s, d), "lang", "doc_id", "text", 2048)
         .orderBy("doc_id")),
+    // the scale-shard demo: a real pipeline packs within a BOUNDED
+    // synthetic shard key (64-way here), not a 4-value lang column whose
+    // cardinality caps window parallelism at 100 TB — same packing
+    // semantics per shard, 64 independent cumsum partitions
+    "text_pack_shards" -> ((s, d) =>
+      packSequences(
+        Tables.documents(s, d).withColumn("shard_id", pmod(col("doc_id"), lit(64L))),
+        "shard_id", "doc_id", "text", 2048)
+        .orderBy("doc_id")),
     "text_sample_stratified" -> ((s, d) => {
       import s.implicits._
       sampleStratified(Tables.documents(s, d),
@@ -166,6 +175,13 @@ object Corpus extends graft.QueryModule {
         |       CAST(len(string_split(text, ' ')) + 1 AS INTEGER) AS n_tokens_eos,
         |       CAST(floor((sum(len(string_split(text, ' ')) + 1) OVER
         |         (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 2048)
+        |         AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pack_shards" ->
+      """SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS shard_id,
+        |       CAST(len(string_split(text, ' ')) + 1 AS INTEGER) AS n_tokens_eos,
+        |       CAST(floor((sum(len(string_split(text, ' ')) + 1) OVER
+        |         (PARTITION BY doc_id % 64 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 2048)
         |         AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_sample_stratified" ->

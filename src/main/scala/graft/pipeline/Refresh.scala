@@ -61,8 +61,29 @@ object Refresh {
       .join(snapshots.select(col("ticker").as("norm")), Seq("norm"), "left_anti")
       .select(col("ticker"))
 
-  /** Full refresh: per-entity JSON snapshots (partitioned by ticker) +
-    * manifest, overwrite semantics (`fetch_data.py:301-321`). */
+  /** The reference's compact manifest file (`fetch_data.py:318-319`):
+    * `json.dump` default separators (`", "` / `": "`), one literal
+    * `_manifest.json`. Driver-side render — the manifest is one tiny row. */
+  def writeManifestFile(manifestDf: DataFrame, path: String): Unit = {
+    val row = manifestDf.head()
+    val listMap = row.getMap[String, scala.collection.Seq[String]](0)
+    val inner = listMap.toSeq.map { case (k, vs) =>
+      "\"" + EntitySink.jsonEscape(k) + "\": " +
+        vs.map(v => "\"" + EntitySink.jsonEscape(v) + "\"").mkString("[", ", ", "]")
+    }.mkString("{", ", ", "}")
+    val json = "{\"lists\": " + inner +
+      ", \"last_updated\": \"" + EntitySink.jsonEscape(row.getString(1)) + "\"}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Full refresh, matching the reference's publishing layout exactly
+    * (`fetch_data.py:301-321`): one literal `data/<TICKER>.json` per
+    * entity (indent=2, [[EntitySink]]) + compact `data/_manifest.json`,
+    * plus a Spark-native newline-JSON manifest dir for downstream jobs. */
   def run(spark: SparkSession, listsDir: String, dataDir: String,
           outDir: String, asOf: String): Unit = {
     val lists = loadLists(spark, listsDir)
@@ -70,10 +91,12 @@ object Refresh {
     val members = lists
       .withColumn("norm", Metrics.normalizeTicker(col("ticker")))
       .select(col("norm")).distinct()
-    snaps.join(broadcast(members), snaps("ticker") === members("norm"), "left_semi")
-      .write.mode("overwrite").partitionBy("ticker").json(s"$outDir/data")
-    manifest(lists, asOf)
-      .select(to_json(struct(col("lists"), col("last_updated"))).as("value"))
+    val kept = snaps.join(broadcast(members),
+      snaps("ticker") === members("norm"), "left_semi")
+    EntitySink.writePerEntity(kept, s"$outDir/data")
+    val m = manifest(lists, asOf)
+    m.select(to_json(struct(col("lists"), col("last_updated"))).as("value"))
       .write.mode("overwrite").text(s"$outDir/manifest")
+    writeManifestFile(m, s"$outDir/data/_manifest.json")
   }
 }

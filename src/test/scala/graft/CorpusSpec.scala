@@ -90,6 +90,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1, true), (1L, 2, true), (3L, 0, false)))
   }
 
+  test("packSequences shards 64-way on a bounded synthetic key") {
+    // scale posture: window-cumsum parallelism is bounded by shard-key
+    // cardinality; the pmod(doc_id, 64) binding must really produce 64
+    // independent partitions, each packed from pack_id 0
+    val packed = SparkEntry.queries("text_pack_shards")(spark, TestSpark.sf001)
+    assert(packed.select("shard_id").distinct().count() == 64)
+    import spark.implicits._
+    val firstPacks = packed.groupBy($"shard_id")
+      .agg(org.apache.spark.sql.functions.min($"pack_id").as("p0"))
+      .filter($"p0" =!= 0L).count()
+    assert(firstPacks == 0, "every shard must start packing at pack_id 0")
+  }
+
   test("keepBest collapses case/whitespace duplicates to the longest, tie->min key") {
     import spark.implicits._
     val docs = Seq(

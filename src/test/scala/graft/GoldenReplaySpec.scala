@@ -65,10 +65,40 @@ class GoldenReplaySpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_refresh").toString
     Refresh.run(spark, listsDir, dataDir, out, "2026-01-01T00:00:00Z")
     val written = spark.read.schema(graft.model.Schemas.snapshot)
-      .json(s"$out/data")
+      .option("multiLine", true)
+      .json(s"$out/data/*.json")
+      .filter(col("ticker").isNotNull) // _manifest.json parses ticker-less
     assert(written.count() == 199)
     val manifestJson = spark.read.textFile(s"$out/manifest").collect().mkString
     assert(manifestJson.contains("\"BRK.B\""))
     assert(manifestJson.contains("\"last_updated\":\"2026-01-01T00:00:00Z\""))
+  }
+
+  test("per-entity sink reproduces the reference files byte-for-byte") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    Refresh.run(spark, listsDir, dataDir, out, "2026-01-01T00:00:00Z")
+    // the consumer's contract (SURVEY §3 EP3): data/<TICKER>.json by name
+    val brkb = java.nio.file.Paths.get(s"$out/data/BRK-B.json")
+    assert(Files.exists(brkb), "literal BRK-B.json missing")
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/data/_manifest.json")))
+    val names = new java.io.File(s"$dataDir").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".json") && n != "_manifest.json")
+    assert(names.length == 199)
+    // json.dump(indent=2) fidelity: every golden file except FISV.json
+    // must round-trip byte-identically (FISV's forward_eps came back from
+    // the upstream API as Python int 0; schema-on-read widens it to
+    // double, so we re-emit 0.0 — numerically equal, one byte apart)
+    val notIdentical = names.filter { n =>
+      !java.util.Arrays.equals(
+        Files.readAllBytes(java.nio.file.Paths.get(s"$dataDir/$n")),
+        Files.readAllBytes(java.nio.file.Paths.get(s"$out/data/$n")))
+    }.toSet
+    assert(notIdentical.subsetOf(Set("FISV.json")), s"byte drift: $notIdentical")
+    // and FISV still parses to the same values
+    val ref = spark.read.schema(graft.model.Schemas.snapshot)
+      .option("multiLine", true).json(s"$dataDir/FISV.json")
+    val got = spark.read.schema(graft.model.Schemas.snapshot)
+      .option("multiLine", true).json(s"$out/data/FISV.json")
+    assert(ref.collect().toSeq == got.collect().toSeq)
   }
 }
