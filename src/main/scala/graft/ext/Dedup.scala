@@ -94,22 +94,37 @@ object Dedup extends graft.QueryModule {
           col(s"x.$keyCol") < col(s"y.$keyCol"))
       .select(col(s"x.$keyCol").as("i"), col(s"y.$keyCol").as("j"))
       .distinct()
-    val wordArrs = docs.select(col(keyCol),
-      array_distinct(split(col(textCol), " ")).as("ws"))
-    val inter = size(array_intersect(col("wa"), col("wb")))
-    cand
-      .join(wordArrs.select(col(keyCol).as("i"), col("ws").as("wa")), Seq("i"))
-      .join(wordArrs.select(col(keyCol).as("j"), col("ws").as("wb")), Seq("j"))
-      // necessary condition for J >= t: |smaller| / |larger| >= t — a
-      // cheap size-ratio gate before the O(n) array_intersect. Division
-      // form (not smaller >= larger*t): int/int division rounds to the
-      // same double as the final jaccard compare, so exact-threshold
-      // pairs (e.g. 4-word subset of a 5-word doc at t=0.8) aren't lost
-      // to multiply-rounding.
-      .filter(least(size(col("wa")), size(col("wb"))) /
-        greatest(size(col("wa")), size(col("wb"))) >= minJaccard)
+    // Verify-stage economics at scale: a degenerate corpus can emit
+    // millions of candidates, and each verify join ships a word array per
+    // side. Three measures keep that cheap: (1) gate on the word COUNTS
+    // first — an 8-byte column join — because J >= t requires
+    // |smaller|/|larger| >= t (division form: int/int rounds to the same
+    // double as the final jaccard compare, so exact-threshold pairs like
+    // a 4-word subset of a 5-word doc at t=0.8 aren't lost to
+    // multiply-rounding); (2) intersect 8-byte xxhash64 word ids, not
+    // strings — ~10× less shuffle per candidate, same jaccard up to
+    // 64-bit hash collisions (~n²/2⁶⁵ — negligible); (3) count the
+    // intersection with the codegen'd sorted-merge
+    // [[graft.functions.SortedIntersectCount]] instead of
+    // `array_intersect` (which hash-sets and materializes the array per
+    // candidate).
+    val hashed = docs.select(col(keyCol),
+        array_distinct(split(col(textCol), " ")).as("ws"))
+      .select(col(keyCol),
+        array_sort(transform(col("ws"), w => xxhash64(w))).as("hs"),
+        size(col("ws")).as("n"))
+    val sizes = hashed.select(col(keyCol), col("n"))
+    val gated = cand
+      .join(sizes.select(col(keyCol).as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col(keyCol).as("j"), col("n").as("nj")), Seq("j"))
+      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= minJaccard)
+    gated
+      .join(hashed.select(col(keyCol).as("i"), col("hs").as("ha")), Seq("i"))
+      .join(hashed.select(col(keyCol).as("j"), col("hs").as("hb")), Seq("j"))
+      .withColumn("inter",
+        graft.functions.VectorFunctions.intersect_count(col("ha"), col("hb")))
       .select(col("i"), col("j"),
-        (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
+        (col("inter") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("i", "j")
   }

@@ -90,6 +90,62 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** Count of common elements between two SORTED array<bigint> columns —
+  * the near-dup verify-stage hot loop. Spark's `array_intersect` builds a
+  * hash set and materializes the intersected array per row; candidate
+  * verification only needs |A ∩ B|, and over pre-sorted arrays a
+  * two-pointer merge is allocation-free and stays inside whole-stage
+  * codegen. Inputs must be ascending-sorted (`array_sort`); set semantics
+  * assume distinct elements (array_distinct upstream).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val va = x.getLong(i); val vb = y.getLong(j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
+         |  if ($va == $vb) { $c++; $i++; $j++; }
+         |  else if ($va < $vb) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers + SQL registration.
   *
   * Column construction goes through the public `call_function` API over
@@ -127,6 +183,8 @@ object VectorFunctions {
   def minhash(wordHash: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash", wordHash,
       org.apache.spark.sql.functions.lit(numHashes))
+  def intersect_count(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_intersect_count", a, b)
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -136,6 +194,8 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",

@@ -69,6 +69,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0).length == 4)
   }
 
+  test("graft_intersect_count: sorted-merge count matches array_intersect size") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap -> 2
+      (Seq.empty[Long], Seq(1L, 2L)),               // empty side -> 0
+      (Seq(4L, 7L), Seq(4L, 7L)),                   // identical -> 2
+      (Seq(-5L, 0L, 8L), Seq(-5L, 8L, 12L))         // negatives sort first -> 2
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.intersect_count(col("a"), col("b")).as("c"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("null input propagates null") {
     VectorFunctions.register(spark)
     import spark.implicits._
