@@ -84,64 +84,75 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
-    val rVal = BindReferences.bindReference(rightValue.asInstanceOf[Expression], right.output)
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+
     val outAttrs = output
     val leftAttrs = left.output
-
-    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(leftTime.dataType)
+    val rightAttrs = right.output
+    val lKey = leftKey; val lTime = leftTime
+    val rKey = rightKey; val rTime = rightTime
+    val rVal = rightValue.asInstanceOf[Expression]
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val valType = rightValue.dataType
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // Codegen inner loop (r3; was interpreted eval + interpreted
+      // orderings): both sides project (key, time) through a generated
+      // UnsafeProjection, and the merge compares those 2-col rows with
+      // GENERATED orderings — `ordKey` over field 0, `ordLex` over
+      // (key, time) lexicographically. The advance condition
+      // "rk < k, or rk == k && rt <= t" is exactly lex((rk,rt),(k,t)) <= 0.
+      val lKT = UnsafeProjection.create(Seq(lKey, lTime), leftAttrs)
+      val rKT = UnsafeProjection.create(Seq(rKey, rTime), rightAttrs)
+      val rValProj = UnsafeProjection.create(Seq(rVal), rightAttrs)
+      val keyRef = BoundReference(0, keyType, nullable = true)
+      val timeRef = BoundReference(1, timeType, nullable = true)
+      val ordKey = GenerateOrdering.generate(Seq(SortOrder(keyRef, Ascending)))
+      val ordLex = GenerateOrdering.generate(
+        Seq(SortOrder(keyRef, Ascending), SortOrder(timeRef, Ascending)))
+
       val project = UnsafeProjection.create(outAttrs, leftAttrs :+ outAttrs.last)
       val valueRow = new GenericInternalRow(1)
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
-      // running match state: the latest series value seen for `curKey`
-      var curKey: Any = null
-      var haveKey = false
+      // running match state: the latest series value seen, tagged with the
+      // (key, time) row it was consumed at — emitted only when its key
+      // equals the probe's key, so values never leak across keys
+      var lastKT: InternalRow = null
       var lastVal: Any = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow)
-        val t = lTime.eval(lRow)
-        if (k == null || t == null) {
+        val kt = lKT(lRow)
+        if (kt.isNullAt(0) || kt.isNullAt(1)) {
           // SQL convention: null probe key/time matches nothing; don't
           // advance the series (nulls sort first, so later probes of this
           // key still need its rows)
           valueRow.update(0, null)
           project(joined(lRow, valueRow))
         } else {
-          if (!haveKey || keyOrd.compare(curKey, k) != 0) {
-            curKey = k; haveKey = true; lastVal = null
-          }
           // advance the series: consume every row with (key < k) or
-          // (key == k && time <= t); remember the last value for key k
+          // (key == k && time <= t); remember the last value seen
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
-            val rk = rKey.eval(rRow)
-            if (rk == null) { rBuf.next() } // null series keys match nothing
-            else {
-              val cmp = keyOrd.compare(rk, k)
-              if (cmp < 0) { rBuf.next() }
-              else if (cmp == 0) {
-                val rt = rTime.eval(rRow)
-                if (rt == null) { rBuf.next() } // null series time: skip
-                else if (timeOrd.compare(rt, t) <= 0) {
-                  lastVal = rVal.eval(rRow)
-                  rBuf.next()
-                } else advancing = false
-              } else advancing = false
-            }
+            val rkt = rKT(rRow)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
+              rBuf.next() // null series key/time matches nothing: skip
+            } else if (ordLex.compare(rkt, kt) <= 0) {
+              // copy the tag row only on a key change (ordKey reads field
+              // 0 alone, so a stale time field in the tag is never read) —
+              // one allocation per distinct series key, not per row
+              if (lastKT == null || ordKey.compare(lastKT, rkt) != 0)
+                lastKT = rkt.copy()
+              lastVal = InternalRow.copyValue(rValProj(rRow).get(0, valType))
+              rBuf.next()
+            } else advancing = false
           }
-          valueRow.update(0, lastVal)
+          valueRow.update(0,
+            if (lastKT != null && ordKey.compare(lastKT, kt) == 0) lastVal else null)
           project(joined(lRow, valueRow))
         }
       }
