@@ -42,8 +42,11 @@ object Bench {
     "scd2_intervals",       // SCD2 window pass
     "merge_upsert",         // full-outer MERGE shape
     "text_pack_sequences",  // corpus packing window
+    "text_pack_shards",     // 64-way bounded-shard packing
     "text_decontaminate",   // zero-shuffle 3-gram scan
+    "text_repetition",      // Gopher-style repetition signals (HOF scan)
     "dedup_keep_best",      // map-side representative selection
+    "dedup_clusters",       // iterative min-label connected components
     "src_orc_roundtrip",    // ORC write + pushed read
     "dedup_exact",
     "dedup_minhash",        // LSH band join

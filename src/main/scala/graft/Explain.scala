@@ -14,7 +14,8 @@ object Explain {
         "join_fx_rate", "agg_group_stats", "sim_search_cosine", "sort_limit",
         "agg_q1_pricing", "join_q10_returns", "quality_checks",
         "scd2_intervals", "merge_upsert", "dedup_keep_best",
-        "text_decontaminate", "sink_bucketed_join")
+        "text_decontaminate", "sink_bucketed_join",
+        "dedup_minhash", "text_repetition", "text_pack_shards")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -213,6 +213,66 @@ object Dedup extends graft.QueryModule {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** Connected components over a near-dup pair graph — the step BETWEEN
+    * pair generation (minhash/simhash/ngram) and representative selection
+    * ([[Corpus.keepBest]]): every document gets a `cluster_id` (the
+    * minimum doc id in its component; isolated docs cluster with
+    * themselves).
+    *
+    * Algorithm: min-label propagation — iterate
+    * `label := min(label, min(neighbor labels))` to fixpoint. Each round
+    * is one join + one hash-agg on the symmetric edge list;
+    * `localCheckpoint` cuts the growing lineage so round N doesn't replan
+    * rounds 1..N-1. Near-dup graphs converge in a few rounds (components
+    * are dense, diameter ~2-3). At 100 TB the same loop holds with a
+    * reliable `checkpoint` dir instead of localCheckpoint; for
+    * adversarially long path graphs, the alternating large-star /
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce") halves rounds — not needed for dedup graphs.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "id", iCol: String = "i",
+                          jCol: String = "j", maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(edges.select(col(jCol).as("src"), col(iCol).as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("u.label") =!= col("o.label")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Query key: components of the oracle-checked exact ngram-Jaccard pair
+    * graph (bounded probe set), every doc in the set labeled. The oracle
+    * mirrors it with a recursive transitive-closure CTE + min per node. */
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val bounded = docs(s, d).filter(col("doc_id") < 150)
+    val pairs = ngramJaccard(s, d).select(col("i"), col("j"))
+    connectedComponents(bounded.select(col("doc_id")), pairs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("doc_id"))).as("ms"))
+      .select(col("cluster_id"), col("cluster_size"),
+        // stringified member list: array-typed output columns break the
+        // driver's pandas compare, and the string is directly readable
+        array_join(transform(col("ms"), m => m.cast("string")), ",").as("members"))
+      .orderBy("cluster_id")
+  }
+
   /** The same near-dup problem through MLlib's `MinHashLSH` (HashingTF
     * term vectors → seeded hash tables → approxSimilarityJoin), as the
     * library-integration alternative to the hand-rolled signature
@@ -356,6 +416,7 @@ object Dedup extends graft.QueryModule {
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
+    "dedup_clusters" -> clusters,
     "dedup_minhash_md5" -> minhashMd5,
     "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash,
@@ -380,5 +441,32 @@ object Dedup extends graft.QueryModule {
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         |ORDER BY i, j""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
-    "dedup_simhash_md5" -> simhashMd5Oracle)
+    "dedup_simhash_md5" -> simhashMd5Oracle,
+    // transitive closure by recursive CTE (seed every node with itself,
+    // propagate over symmetric edges), then min reachable id per node =
+    // the component label; aggregate to (cluster, size, member list)
+    "dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents WHERE doc_id < 150),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, j FROM inter
+        |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |          UNION ALL SELECT j, i FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 150),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 }

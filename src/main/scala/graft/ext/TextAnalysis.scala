@@ -49,6 +49,53 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", §A1.1 repetition filters — public reference):
+    * duplicate-word fraction, most-common-word dominance, most-common-
+    * bigram dominance, mean word length, and the resulting keep/drop
+    * flag.
+    *
+    * Shape: explode → per-(doc, token) count → per-doc rollup, for words
+    * and bigrams, joined on doc_id. Two shuffles keyed on
+    * (doc_id, token) with full map-side partial aggregation — the
+    * distributed O(n log n) shape. (A zero-shuffle HOF formulation
+    * computing the modal count in-array is O(words × distinct) per doc
+    * and measured 6× slower at sf0.1: per-row quadratic beats shuffle
+    * avoidance only for very short docs.) All per-doc stats fall out of
+    * ONE aggregation pass per token type: n = sum(c), distinct =
+    * count(*), modal = max(c), chars = sum(c · len). */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wstats = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("nw"), count(lit(1)).as("nd"), max(col("c")).as("topw"),
+        sum(col("c") * length(col("w"))).as("chars"))
+    val gstats = base.select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array())).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("ng"), max(col("c")).as("topg"))
+    val topWordFrac = col("topw") / col("nw")
+    val topGramFrac = coalesce(col("topg") / col("ng"), lit(0.0))
+    val meanLen = col("chars") / col("nw")
+    wstats.join(gstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("nw").cast("int").as("n_words"),
+        (lit(1.0) - col("nd") / col("nw")).as("dup_word_frac"),
+        topWordFrac.as("top_word_frac"),
+        topGramFrac.as("top_bigram_frac"),
+        meanLen.as("mean_word_len"),
+        // Gopher-ish keep rule: modal word <= 0.2 of tokens, modal bigram
+        // <= 0.18, mean word length in [3, 10]
+        (topWordFrac <= 0.2 && topGramFrac <= 0.18 &&
+          meanLen >= 3.0 && meanLen <= 10.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Quality score: length saturation + stopword ratio + lexical
     * diversity, weighted. */
   private def quality(s: SparkSession, d: String): DataFrame = {
@@ -115,6 +162,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_langid" -> langId,
     "text_tfidf" -> tfidf,
     "text_quality" -> quality,
+    "text_repetition" -> repetition,
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +207,35 @@ object TextAnalysis extends graft.QueryModule {
         |       + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |wstats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+        |         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS topw,
+        |         CAST(sum(c * length(w)) AS BIGINT) AS chars
+        |  FROM wc GROUP BY 1),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |           THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |           ELSE [] END) AS g
+        |  FROM base),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |gstats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, CAST(max(c) AS BIGINT) AS topg
+        |  FROM gc GROUP BY 1)
+        |SELECT w.doc_id,
+        |       CAST(w.nw AS INTEGER) AS n_words,
+        |       1.0 - w.nd / w.nw AS dup_word_frac,
+        |       w.topw / w.nw AS top_word_frac,
+        |       coalesce(g.topg / g.ng, 0.0) AS top_bigram_frac,
+        |       w.chars / w.nw AS mean_word_len,
+        |       (w.topw / w.nw <= 0.2 AND coalesce(g.topg / g.ng, 0.0) <= 0.18
+        |        AND w.chars / w.nw >= 3.0 AND w.chars / w.nw <= 10.0) AS keep
+        |FROM wstats w LEFT JOIN gstats g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,

@@ -55,6 +55,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) <= 8))
   }
 
+  test("connectedComponents: path graph needs multi-round propagation") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // 1-2-3-4 is a path (label 1 must travel 3 hops), {5,6} a pair, 7 isolated
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("simhash pairs are symmetric-free and above-threshold") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
