@@ -168,8 +168,17 @@ object Dedup extends graft.QueryModule {
       .distinct()
     val wordArrs = docsDf.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
+    // same candidate economics as minhashPairs: gate on word counts
+    // (8-byte join) before shipping string arrays — a pure necessary
+    // condition for J >= 0.8, so the oracle (which has no gate) still
+    // matches exactly
+    val sizes = wordArrs.select(col("doc_id"), size(col("ws")).as("n"))
+    val gated = cand
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= 0.8)
     val inter = size(array_intersect(col("wa"), col("wb")))
-    cand
+    gated
       .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
       .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
       .select(col("i"), col("j"),

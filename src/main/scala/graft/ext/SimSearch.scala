@@ -108,10 +108,72 @@ object SimSearch extends graft.QueryModule {
       .limit(10)
   }
 
+  /** IVF with LEARNED centroids — the production ANN shape (FAISS-style
+    * IVF-Flat re-expressed in DataFrames): k-means cells instead of the
+    * data-oblivious hyperplane buckets above.
+    *
+    * Training: `lloydIters` rounds of Lloyd's algorithm, entirely
+    * distributed — assignment is a broadcast join of the K-row centroid
+    * table (argmax affinity via `max_by`), the update step is
+    * posexplode → per-(cell, dim) mean → array reassembly. Deterministic
+    * seeding (vec_id 1..K); float-mean partial-sum order makes centroid
+    * bits partition-dependent in principle, which is why the key is
+    * rows-only checked and guarded by a recall floor instead of a hash.
+    *
+    * Serving: corpus assigned once (one broadcast join, map-side), probe
+    * visits its `nprobe` highest-affinity cells — candidates are an
+    * equi-join on cell id, never a cross join. At 100 TB: centroids are
+    * a K-row broadcast, the cell assignment is a scan, and each query
+    * touches nprobe/K of the corpus. */
+  def ivfKmeansTopK(e: DataFrame, k: Int = 16, lloydIters: Int = 2,
+                    nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    def assign(centroids: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),
+          col("cid"), cosine(col("embedding"), col("cvec")).as("aff"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cell"))
+    var centroids = vecs.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    (1 to lloydIters).foreach { _ =>
+      val assigned = assign(centroids)
+        .join(vecs, Seq("vec_id"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell").as("cid"),
+          transform(col("dims"), x => x.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint() // cut lineage: next round replans from here
+    }
+    val cells = assign(centroids).join(vecs, Seq("vec_id"))
+    val probeVec = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val probeCells = probeVec.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("probe"), cosine(col("probe"), col("cvec")).as("aff"))
+      .orderBy(col("aff").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("probe_cell"), col("probe"))
+    cells.join(broadcast(probeCells), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  private def ivfKmeans(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    ivfKmeansTopK(Tables.embeddings(s, d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_cosine" -> embCosinePairs,
     "sim_search_cosine" -> cosineTopK,
-    "sim_search_ivf" -> ivfTopK)
+    "sim_search_ivf" -> ivfTopK,
+    "sim_search_ivf_kmeans" -> ivfKmeans)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))

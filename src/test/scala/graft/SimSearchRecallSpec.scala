@@ -19,4 +19,15 @@ class SimSearchRecallSpec extends AnyFunSuite {
     info(s"IVF recall@10 = $recall")
     assert(recall >= 0.5, s"recall@10 regressed: $recall")
   }
+
+  test("k-means IVF top-10 recall vs exact top-10 on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("sim_search_ivf_kmeans")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"k-means IVF recall@10 = $recall")
+    assert(recall >= 0.5, s"recall@10 regressed: $recall")
+  }
 }
