@@ -110,6 +110,46 @@ object Corpus extends graft.QueryModule {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** [[decontaminate]]'s THIRD regime — probe sets too large even for the
+    * explode+join path to be cheap: build a Bloom filter over the probe
+    * grams once (`bloom_filter_agg`, a one-row scalar subquery shipped to
+    * every task — the broadcast analog), test each exploded gram map-side
+    * with `might_contain`, and count surviving hits per doc (the only
+    * shuffle carries (doc, partial-count) rows for docs with flagged
+    * grams — on a clean corpus, almost nothing). Bloom semantics: NO
+    * false negatives (every truly contaminated doc is flagged — asserted
+    * in CorpusSpec against the exact variant) and a tunable
+    * false-positive rate (`expectedFpp`), the usual trade at 100 TB. */
+  def decontaminateBloom(docs: DataFrame, keyCol: String, textCol: String,
+                         probes: DataFrame, expectedItems: Long = 10000L,
+                         expectedFpp: Double = 0.001): DataFrame = {
+    val ws = col("__ws")
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    graft.functions.VectorFunctions.register(probes.sparkSession)
+    val numBits =
+      math.ceil(-expectedItems * math.log(expectedFpp) / (math.log(2) * math.log(2))).toLong
+    // might_contain demands a constant/scalar-subquery filter: build the
+    // bits as a one-row aggregate and reference it as a scalar subquery
+    // (evaluated once, shipped to every task — the broadcast analog)
+    val bits = probes.select(col("gram")).distinct()
+      .agg(call_function("graft_bloom_agg", xxhash64(col("gram")),
+        lit(expectedItems), lit(numBits)).as("bits"))
+      .scalar()
+    val hits = docs
+      .select(col(keyCol), split(col(textCol), " ").as("__ws"))
+      .select(col(keyCol), explode(grams).as("gram"))
+      .filter(call_function("graft_bloom_contains", bits, xxhash64(col("gram"))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"))
+    docs.select(col(keyCol))
+      .join(hits, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("n_hits"), lit(0)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Content fingerprint used by [[keepBest]]: md5 over lowercased,
     * whitespace-collapsed text. */
   def fingerprintCol(textCol: Column): Column =

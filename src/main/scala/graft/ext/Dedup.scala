@@ -282,6 +282,26 @@ object Dedup extends graft.QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** The full dedup chain as ONE operator: near-dup pairs →
+    * [[connectedComponents]] → representative per cluster (longest doc,
+    * tie → lowest id — the same rule as [[Corpus.keepBest]], but over
+    * SIMILARITY clusters instead of exact-fingerprint groups). Output is
+    * what a training pipeline actually consumes: one surviving doc per
+    * near-dup cluster. */
+  private def clusterBest(s: SparkSession, d: String): DataFrame = {
+    val bounded = docs(s, d).filter(col("doc_id") < 150)
+    val pairs = ngramJaccard(s, d).select(col("i"), col("j"))
+    val labels = connectedComponents(bounded.select(col("doc_id")), pairs, "doc_id")
+    labels.join(bounded.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("n_chars").as("len"), (-col("doc_id")).as("neg"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.neg")).as("rep_id"),
+        col("best.len").as("rep_chars"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** The same near-dup problem through MLlib's `MinHashLSH` (HashingTF
     * term vectors → seeded hash tables → approxSimilarityJoin), as the
     * library-integration alternative to the hand-rolled signature
@@ -426,6 +446,7 @@ object Dedup extends graft.QueryModule {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
     "dedup_clusters" -> clusters,
+    "dedup_cluster_best" -> clusterBest,
     "dedup_minhash_md5" -> minhashMd5,
     "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash,
@@ -477,5 +498,38 @@ object Dedup extends graft.QueryModule {
         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_cluster_best" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents WHERE doc_id < 150),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, j FROM inter
+        |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |          UNION ALL SELECT j, i FROM pairs),
+        |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 150),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT l.cluster_id, d.doc_id, d.n_chars
+        |  FROM lab l JOIN documents d ON l.id = d.doc_id),
+        |r AS (
+        |  SELECT cluster_id, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cs
+        |  FROM j)
+        |SELECT cluster_id, doc_id AS rep_id,
+        |       CAST(n_chars AS BIGINT) AS rep_chars, CAST(cs AS BIGINT) AS cluster_size
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 }

@@ -110,6 +110,30 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Skip-gram co-occurrence counts (window ±2): the word2vec-style
+    * corpus statistic. Pair generation is map-side HOF work — each doc
+    * emits (w_i, w_{i+1}) and (w_i, w_{i+2}) structs from its own word
+    * array (linear in doc length), so the only shuffle is the final
+    * count keyed on the pair. The positional-self-join formulation (the
+    * oracle mirrors it — provably the same pair multiset) would shuffle
+    * the exploded corpus twice and join; at 100 TB the HOF shape wins
+    * outright because window co-occurrence is local to the document. */
+  private def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ws = col("__ws")
+    val n = size(ws)
+    def shifted(off: Int) = when(n >= off + 1,
+      transform(sequence(lit(1), n - off),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + off).as("w2"))))
+      .otherwise(array())
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(explode(concat(shifted(1), shifted(2))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** TF-IDF term weighting: per-(doc, term) frequency × ln(N/df) —
     * two hash-aggs and a broadcast of the tiny df table; top terms. */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
@@ -163,6 +187,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_tfidf" -> tfidf,
     "text_quality" -> quality,
     "text_repetition" -> repetition,
+    "text_cooccurrence" -> cooccurrence,
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +261,15 @@ object TextAnalysis extends graft.QueryModule {
         |        AND w.chars / w.nw >= 3.0 AND w.chars / w.nw <= 10.0) AS keep
         |FROM wstats w LEFT JOIN gstats g USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // positional self-join formulation — provably the same pair multiset
+    // as the Spark side's per-doc shifted-pair generation
+    "text_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t)
+        |SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n
+        |FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,

@@ -196,6 +196,16 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime join filters but does NOT register them as SQL functions;
+    // surface them for the Bloom decontamination path (probe sets too
+    // large to broadcast exactly).
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.Tables
 import graft.ext.Corpus
 
 /** Synthetic-data edge cases for the corpus-prep operators; the testdata
@@ -88,6 +89,25 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("doc_id").select("doc_id", "n_hits", "contaminated")
       .as[(Long, Int, Boolean)].collect().toSeq
     assert(got == Seq((0L, 1, true), (1L, 2, true), (3L, 0, false)))
+  }
+
+  test("decontaminateBloom: no false negatives vs the exact variant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val probeSeq = Seq("stream table hash", "window fast query", "part filter scan")
+    val exact = Corpus.decontaminate(docs, "doc_id", "text", probeSeq)
+      .filter($"contaminated").select("doc_id")
+      .as[Long].collect().toSet
+    val bloom = Corpus.decontaminateBloom(docs, "doc_id", "text",
+        probeSeq.toDF("gram"))
+      .filter($"contaminated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    // Bloom guarantees: every truly contaminated doc is flagged
+    assert(exact.subsetOf(bloom), s"false negatives: ${exact -- bloom}")
+    // and at fpp=0.001 on this corpus the false-positive overhead is tiny
+    assert(bloom.size <= exact.size + math.max(5, exact.size / 10),
+      s"false-positive blowup: ${bloom.size} vs ${exact.size}")
   }
 
   test("packSequences shards 64-way on a bounded synthetic key") {
