@@ -119,6 +119,19 @@ object Joins extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Forward direction through the same native operator [N]: earliest
+    * event at-or-after (max ts − 2 h) per user — `merge_asof`'s
+    * direction="forward", one streaming merge, peek-not-consume match. */
+  private def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 2 HOUR")).as("ts"))
+    graft.plans.AsOf.joinForward(probes, ev, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts").as("probe_ts"), col("next_value"))
+      .orderBy("user_id")
+  }
+
   /** Range/interval (theta) join [N]: bounded build side broadcast,
     * nested-loop with a BETWEEN predicate. */
   private def rangeInterval(s: SparkSession, d: String): DataFrame = {
@@ -140,6 +153,7 @@ object Joins extends graft.QueryModule {
     "join_star_q5" -> starQ5,
     "join_asof_price" -> asofPrice,
     "join_asof_native" -> asofNative,
+    "join_asof_forward" -> asofForward,
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +214,18 @@ object Joins extends graft.QueryModule {
         |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
         |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
         |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 2 HOUR AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) >= p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) ASC, e.event_id ASC
+        |        LIMIT 1) AS next_value
         |FROM p ORDER BY user_id""".stripMargin,
     "join_asof_price" ->
       """WITH p AS (

@@ -41,10 +41,13 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, rightValue: Attribute)
+    rightTie: Expression, rightValue: Attribute,
+    forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
-    left.output :+ rightValue.withName("last_value").withNullability(true)
+    left.output :+ rightValue
+      .withName(if (forward) "next_value" else "last_value")
+      .withNullability(true)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -54,11 +57,14 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, rightValue: Attribute)
+    rightTie: Expression, rightValue: Attribute,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output :+ rightValue.withName("last_value").withNullability(true)
+    left.output :+ rightValue
+      .withName(if (forward) "next_value" else "last_value")
+      .withNullability(true)
 
   override def requiredChildDistribution: Seq[Distribution] = {
     // pin the partition count so both sides stay strictly co-partitioned
@@ -132,9 +138,29 @@ case class AsOfJoinExec(
           // key still need its rows)
           valueRow.update(0, null)
           project(joined(lRow, valueRow))
+        } else if (forward) {
+          // FORWARD: match = EARLIEST series row with key == k and
+          // time >= t, by (time, tiebreak). Consume rows strictly
+          // before (k, t); the match is then a PEEK at the head (later
+          // probes with larger t may still need it — never consume it)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkt = rKT(rBuf.head)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) rBuf.next()
+            else if (ordLex.compare(rkt, kt) < 0) rBuf.next()
+            else advancing = false
+          }
+          val matched = rBuf.hasNext && {
+            val rkt = rKT(rBuf.head)
+            ordKey.compare(rkt, kt) == 0
+          }
+          valueRow.update(0,
+            if (matched) rValProj(rBuf.head).get(0, valType) else null)
+          project(joined(lRow, valueRow))
         } else {
-          // advance the series: consume every row with (key < k) or
-          // (key == k && time <= t); remember the last value seen
+          // BACKWARD: advance the series, consuming every row with
+          // (key < k) or (key == k && time <= t); remember the last
+          // value seen
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
@@ -162,8 +188,8 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, rv, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -177,15 +203,9 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
 
-  /** Backward as-of join: `probes` gains `last_value` = value of the most
-    * recent `series` row per key at-or-before the probe time.
-    *
-    * @param probes  DataFrame with `key` and `time` columns
-    * @param series  DataFrame with `key`, `time`, `tiebreak`, `value` columns
-    */
-  def joinBackward(probes: DataFrame, series: DataFrame,
-                   key: String, time: String, tiebreak: String,
-                   value: String): DataFrame = {
+  private def build(probes: DataFrame, series: DataFrame,
+                    key: String, time: String, tiebreak: String,
+                    value: String, forward: Boolean): DataFrame = {
     val spark = probes.sparkSession
     ensureStrategy(spark)
     val lPlan = probes.queryExecution.analyzed
@@ -202,6 +222,27 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       attr(lPlan, time), attr(rPlan, time),
-      attr(rPlan, tiebreak), attr(rPlan, value)))
+      attr(rPlan, tiebreak), attr(rPlan, value), forward))
   }
+
+  /** Backward as-of join: `probes` gains `last_value` = value of the most
+    * recent `series` row per key at-or-before the probe time (ties →
+    * LARGEST tiebreak, i.e. max_by (time, tiebreak)).
+    *
+    * @param probes  DataFrame with `key` and `time` columns
+    * @param series  DataFrame with `key`, `time`, `tiebreak`, `value` columns
+    */
+  def joinBackward(probes: DataFrame, series: DataFrame,
+                   key: String, time: String, tiebreak: String,
+                   value: String): DataFrame =
+    build(probes, series, key, time, tiebreak, value, forward = false)
+
+  /** Forward as-of join: `probes` gains `next_value` = value of the
+    * EARLIEST `series` row per key at-or-after the probe time (ties →
+    * SMALLEST tiebreak, i.e. min_by (time, tiebreak)) — the
+    * `merge_asof(direction="forward")` semantics, same one-pass merge. */
+  def joinForward(probes: DataFrame, series: DataFrame,
+                  key: String, time: String, tiebreak: String,
+                  value: String): DataFrame =
+    build(probes, series, key, time, tiebreak, value, forward = true)
 }

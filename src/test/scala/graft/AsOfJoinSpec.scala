@@ -41,6 +41,36 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, Some(20.0)), (3L, None)))
   }
 
+  test("forward as-of: exact match, peek-not-consume, tiebreaks, nulls") {
+    import spark.implicits._
+    val series = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      // same timestamp, LOWER tiebreak must win in forward mode
+      (1L, ts("2024-01-01 11:00:00"), 2L, 11.0),
+      (1L, ts("2024-01-01 11:00:00"), 3L, 12.0),
+      (2L, ts("2024-01-01 12:00:00"), 4L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 09:59:59")), // before any series row -> 10.0
+      // two probes needing the SAME head row: the match must be peeked,
+      // never consumed
+      (1L, ts("2024-01-01 10:30:00")), // -> 11.0 (min tie at 11:00)
+      (1L, ts("2024-01-01 11:00:00")), // exact time -> 11.0
+      (1L, ts("2024-01-01 11:00:01")), // after last of key 1 -> null
+      (2L, ts("2024-01-01 11:00:00")), // -> 20.0
+      (3L, ts("2024-01-01 12:00:00"))  // key absent -> null
+    ).toDF("user_id", "ts")
+
+    val got = AsOf.joinForward(probes, series, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+
+    assert(got.toSeq == Seq(
+      (1L, Some(10.0)), (1L, Some(11.0)), (1L, Some(11.0)), (1L, None),
+      (2L, Some(20.0)), (3L, None)))
+  }
+
   test("multi-partition merge: matches the window-rewrite on 2k random rows") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, TestSpark.sf0001)
