@@ -132,6 +132,18 @@ object Joins extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Nearest-direction as-of [N]: closer of backward/forward matches at
+    * (max ts − 90 min) per user, ties → backward. Two native merges. */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 90 MINUTE")).as("ts"))
+    graft.plans.AsOf.joinNearest(probes, ev, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts").as("probe_ts"), col("nearest_value"))
+      .orderBy("user_id")
+  }
+
   /** Range/interval (theta) join [N]: bounded build side broadcast,
     * nested-loop with a BETWEEN predicate. */
   private def rangeInterval(s: SparkSession, d: String): DataFrame = {
@@ -154,6 +166,7 @@ object Joins extends graft.QueryModule {
     "join_asof_price" -> asofPrice,
     "join_asof_native" -> asofNative,
     "join_asof_forward" -> asofForward,
+    "join_asof_nearest" -> asofNearest,
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
@@ -226,6 +239,23 @@ object Joins extends graft.QueryModule {
         |          AND date_trunc('microseconds', e.ts) >= p.probe_ts
         |        ORDER BY date_trunc('microseconds', e.ts) ASC, e.event_id ASC
         |        LIMIT 1) AS next_value
+        |FROM p ORDER BY user_id""".stripMargin,
+    // nearest = min |Δt|; at equal distance the backward row wins, and
+    // within a side the side's own tiebreak applies (backward: max
+    // event_id; forward: min event_id) — hence the 3-level ORDER BY
+    "join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 90 MINUTE AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |        ORDER BY abs(epoch_us(date_trunc('microseconds', e.ts)) - epoch_us(p.probe_ts)),
+        |                 CASE WHEN date_trunc('microseconds', e.ts) <= p.probe_ts THEN 0 ELSE 1 END,
+        |                 CASE WHEN date_trunc('microseconds', e.ts) <= p.probe_ts
+        |                      THEN -e.event_id ELSE e.event_id END
+        |        LIMIT 1) AS nearest_value
         |FROM p ORDER BY user_id""".stripMargin,
     "join_asof_price" ->
       """WITH p AS (

@@ -245,4 +245,29 @@ object AsOf {
                   key: String, time: String, tiebreak: String,
                   value: String): DataFrame =
     build(probes, series, key, time, tiebreak, value, forward = true)
+
+  /** Nearest as-of join (`merge_asof` direction="nearest"): the closer of
+    * the backward and forward matches by |series.time − probe.time|,
+    * ties → the backward match. Composed from the two native merges by
+    * carrying a (time, value) struct through each, so the distance
+    * compare happens on the probe row with plain column arithmetic
+    * (timestamp differences compare as intervals, numerics as numerics).
+    * Output column: `nearest_value`. */
+  def joinNearest(probes: DataFrame, series: DataFrame,
+                  key: String, time: String, tiebreak: String,
+                  value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val s2 = series.withColumn("__tv",
+      struct(col(time).as("t"), col(value).as("v")))
+    val withB = joinBackward(probes, s2, key, time, tiebreak, "__tv")
+      .withColumnRenamed("last_value", "__b")
+    val withBF = joinForward(withB, s2, key, time, tiebreak, "__tv")
+      .withColumnRenamed("next_value", "__f")
+    val pt = col(time)
+    val nearest = when(col("__b").isNull, col("__f.v"))
+      .when(col("__f").isNull, col("__b.v"))
+      .when(pt - col("__b.t") <= col("__f.t") - pt, col("__b.v"))
+      .otherwise(col("__f.v"))
+    withBF.withColumn("nearest_value", nearest).drop("__b", "__f")
+  }
 }

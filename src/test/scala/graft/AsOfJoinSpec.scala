@@ -71,6 +71,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, Some(20.0)), (3L, None)))
   }
 
+  test("nearest as-of: distance compare, equal-distance tie -> backward") {
+    import spark.implicits._
+    val series = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 2L, 12.0),
+      (2L, ts("2024-01-01 10:00:00"), 3L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // closer to 10:00 -> 10.0
+      (1L, ts("2024-01-01 11:00:00")), // EQUAL distance -> backward 10.0
+      (1L, ts("2024-01-01 11:30:01")), // closer to 12:00 -> 12.0
+      (2L, ts("2024-01-01 09:00:00")), // only a forward match -> 20.0
+      (3L, ts("2024-01-01 09:00:00"))  // no match either way -> null
+    ).toDF("user_id", "ts")
+    val got = AsOf.joinNearest(probes, series, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, Some(10.0)), (1L, Some(10.0)), (1L, Some(12.0)),
+      (2L, Some(20.0)), (3L, None)))
+  }
+
   test("multi-partition merge: matches the window-rewrite on 2k random rows") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, TestSpark.sf0001)
