@@ -87,7 +87,57 @@ object Windows extends graft.QueryModule {
       .select(col("r_name"), col("n_name"), col("n_nationkey"))
       .orderBy(col("r_name").asc, col("n_name").desc)
 
+  /** Distribution windows [N]: percent_rank / cume_dist / ntile over the
+    * per-user event count distribution — rank arithmetic is exact
+    * rationals, so the doubles hash-match the oracle bit-for-bit. */
+  private def distributionRanks(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("n_events"), col("user_id"))
+    counts.select(col("user_id"), col("n_events"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(10).over(w).as("decile"))
+      .orderBy("user_id")
+  }
+
+  /** Sequential conversion funnel over the event stream [N]: first view →
+    * first click within 1 DAY at-or-after it → first purchase within
+    * 1 day at-or-after that (the windowed-funnel semantics analytics
+    * products ship); each stage is one filtered agg joined to the
+    * previous stage's firsts (3 exchanges on user_id, AQE-coalescible —
+    * the windowless shape that holds when one user's history doesn't fit
+    * a partition sort). */
+  private def funnelStages(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts") >= col("fv") &&
+        col("ts") <= col("fv") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts") >= col("fc") &&
+        col("ts") <= col("fc") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        when(col("fp").isNotNull, 3)
+          .when(col("fc").isNotNull, 2)
+          .when(col("fv").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution_ranks" -> distributionRanks,
+    "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
     "win_last_nonnull" -> lastNonNull,
     "win_rolling_frame" -> rollingFrame,
@@ -96,6 +146,41 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_distribution_ranks" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       CAST(ntile(10) OVER w AS INTEGER) AS decile
+        |FROM counts
+        |WINDOW w AS (ORDER BY n_events, user_id)
+        |ORDER BY user_id""".stripMargin,
+    "funnel_stages" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, min(ts) AS fv FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS fc
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.fv
+        |        AND e.ts <= v.fv + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS fp
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.fc
+        |        AND e.ts <= c.fc + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT CASE WHEN p.fp IS NOT NULL THEN 3
+        |            WHEN c.fc IS NOT NULL THEN 2
+        |            WHEN v.fv IS NOT NULL THEN 1
+        |            ELSE 0 END AS funnel_stage,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM users u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
     "win_latest_row" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
