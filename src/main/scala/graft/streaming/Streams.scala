@@ -147,6 +147,25 @@ object Streams {
     * job: drain whatever landed, publish only when content changed
     * (delta = new EXCEPT previous snapshot), exactly-once via checkpoint.
     */
+  /** Stream-side as-of enrichment: attach the most recent static
+    * `series` value to every probe row of a stream. Stream-static as-of
+    * isn't natively plannable (the merge needs both sides sorted), so
+    * each micro-batch runs the native [[graft.plans.AsOf]] backward merge
+    * inside `foreachBatch` — the static side's exchange is replanned per
+    * batch but stays a K-partition shuffle of the (small) series. The
+    * sink callback receives the enriched batch. */
+  def asofEnrich(stream: DataFrame, series: DataFrame,
+                 key: String, time: String, tiebreak: String, value: String,
+                 checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.plans.AsOf.joinBackward(
+          batch, series, key, time, tiebreak, value))
+      }
+      .start()
+
   def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     eventStream(spark, srcDir).writeStream

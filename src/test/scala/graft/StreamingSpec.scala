@@ -212,4 +212,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
+
+  test("asofEnrich: streamed probes get the same last_value as batch AsOf") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val series = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, 11.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 3L, 20.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00")),
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    val ms = MemoryStream[(Long, Timestamp)]
+    ms.addData(probes)
+    val ckp = Files.createTempDirectory("graft_asof_ckp").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = Streams.asofEnrich(
+      ms.toDF().toDF("user_id", "ts"), series,
+      "user_id", "ts", "event_id", "value", ckp) { enriched =>
+      got ++= enriched.collect().map(r =>
+        (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    }
+    q.awaitTermination()
+    val expected = graft.plans.AsOf.joinBackward(
+        probes.toDF("user_id", "ts"), series, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.sortBy(x => (x._1, x._2)) == expected.sortBy(x => (x._1, x._2)).toBuffer)
+  }
 }
