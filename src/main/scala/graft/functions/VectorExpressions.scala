@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -146,6 +146,60 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-row MinHash signature over a pre-hashed word-set column
+  * (array<bigint> → array<bigint> of length `numHashes`) — the
+  * shuffle-free form of the [[MinHashAgg]] aggregate: when the distinct
+  * word hashes are already materialized per document (the dedup cluster
+  * path computes them once for fingerprinting AND verification), the
+  * signature is a pure row-local fold, so no explode and no extra
+  * aggregation exchange is needed. Uses the same splitmix64 derivation
+  * as [[MinHashAgg.mix]], so both forms produce identical signatures.
+  */
+case class MinHashArray(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_minhash_array"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) if numHashes > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument and numHashes > 0, " +
+            s"got ${child.dataType.catalogString} / $numHashes")
+    }
+  override def nullSafeEval(a: Any): Any =
+    MinHashArray.compute(a.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashArray.compute($a, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashArray {
+  /** Same loop as [[MinHashAgg.update]] folded over one array: k running
+    * minima of the splitmix64-mixed word hashes. Empty input yields the
+    * empty-buffer signature (all Long.MaxValue), matching the aggregate
+    * over zero rows. */
+  def compute(hs: ArrayData, k: Int): ArrayData = {
+    val buf = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val m = MinHashAgg.mix(h, j)
+        if (m < buf(j)) buf(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+  }
+}
+
 /** Column wrappers + SQL registration.
   *
   * Column construction goes through the public `call_function` API over
@@ -185,6 +239,9 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def intersect_count(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_intersect_count", a, b)
+  def minhash_array(wordHashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash_array", wordHashes,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -211,5 +268,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashAgg(exprs(0),
         constIntArg("graft_minhash", "num_hashes", exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_array",
+      exprs => MinHashArray(exprs(0),
+        constIntArg("graft_minhash_array", "num_hashes", exprs(1))), "built-in")
   }
 }
