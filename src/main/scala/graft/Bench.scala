@@ -55,6 +55,7 @@ object Bench {
     "dedup_embedding_cosine",
     "sim_search_cosine",    // brute-force ANN baseline
     "sim_search_ivf",       // IVF ANN scale path
+    "sim_search_batch",     // batch-probe serving (map-side bounded top-k)
     "text_tfidf",           // text analysis
     "text_fingerprint",
     "mm_binary",            // multimodal binary ops

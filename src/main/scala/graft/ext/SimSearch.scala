@@ -125,19 +125,24 @@ object SimSearch extends graft.QueryModule {
     * equi-join on cell id, never a cross join. At 100 TB: centroids are
     * a K-row broadcast, the cell assignment is a scan, and each query
     * touches nprobe/K of the corpus. */
-  def ivfKmeansTopK(e: DataFrame, k: Int = 16, lloydIters: Int = 2,
-                    nprobe: Int = 4, topK: Int = 10): DataFrame = {
-    val vecs = e.select(col("vec_id"), col("embedding"))
-    def assign(centroids: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(centroids))
-        .select(col("vec_id"),
-          col("cid"), cosine(col("embedding"), col("cvec")).as("aff"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cell"))
+  /** Cell assignment: argmax-affinity against a broadcast K-row centroid
+    * table — one map-side pass over the corpus, no shuffle wider than the
+    * per-vec_id argmax agg. */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        col("cid"), cosine(col("embedding"), col("cvec")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cell"))
+
+  /** Distributed Lloyd training (see [[ivfKmeansTopK]] docs): returns the
+    * (cid, cvec) centroid table after `lloydIters` rounds from the
+    * deterministic vec_id 1..k seed. */
+  def trainKmeansCentroids(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
     var centroids = vecs.filter(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     (1 to lloydIters).foreach { _ =>
-      val assigned = assign(centroids)
+      val assigned = assignCells(vecs, centroids)
         .join(vecs, Seq("vec_id"))
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -148,7 +153,14 @@ object SimSearch extends graft.QueryModule {
           transform(col("dims"), x => x.getField("m").cast("float")).as("cvec"))
         .localCheckpoint() // cut lineage: next round replans from here
     }
-    val cells = assign(centroids).join(vecs, Seq("vec_id"))
+    centroids
+  }
+
+  def ivfKmeansTopK(e: DataFrame, k: Int = 16, lloydIters: Int = 2,
+                    nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
+    val cells = assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
     val probeVec = vecs.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
     val probeCells = probeVec.crossJoin(broadcast(centroids))
@@ -169,11 +181,82 @@ object SimSearch extends graft.QueryModule {
     ivfKmeansTopK(Tables.embeddings(s, d))
   }
 
+  /** Shared tail for the batch servers: explode each probe's bounded
+    * neighbor list into (probe_id, rnk, vec_id, cosine) rows. */
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("vec_id"), col("e.ord").as("cosine"))
+      .orderBy("probe_id", "rnk")
+
+  /** Brute-force BATCH top-k (VERDICT r3 #2): top `topK` cosine neighbors
+    * for EVERY probe in `probes` (probe_id, probe) in one pass. The probe
+    * table broadcasts against the corpus scan, and the per-probe top-k is
+    * the bounded [[graft.functions.TopKByAgg]] — partial top-k lists
+    * combine map-side, so the exchange carries `partitions × probes × k`
+    * buffer rows, never the `probes × corpus` scored rows that the window
+    * `row_number() <= k` formulation would shuffle. At 100 TB: one corpus
+    * scan per probe batch, shuffle bounded by the answer size. */
+  def batchTopK(e: DataFrame, probes: DataFrame, topK: Int = 10): DataFrame = {
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+    explodeTopK(scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
+  }
+
+  /** k-means IVF BATCH serving: every probe is routed to its `nprobe`
+    * highest-affinity cells (window rank over the probe × K-row centroid
+    * broadcast — linear in probes), candidates come from ONE equi-join of
+    * the cell-assigned corpus with the exploded (probe, cell) pairs, and
+    * the per-probe top-k is the same bounded map-side aggregate as
+    * [[batchTopK]]. Each probe touches ~nprobe/k of the corpus. */
+  def ivfKmeansBatchTopK(e: DataFrame, probes: DataFrame, k: Int = 16,
+                         lloydIters: Int = 2, nprobe: Int = 4,
+                         topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
+    val cells = assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("probe"), col("cid"),
+        cosine(col("probe"), col("cvec")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("aff").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("probe_id"), col("cid").as("probe_cell"), col("probe"))
+    val scored = cells.join(broadcast(probeCells),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+    explodeTopK(scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
+  }
+
+  private def probeTable(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+
+  private def batch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    batchTopK(e, probeTable(e))
+  }
+
+  private def ivfBatch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    ivfKmeansBatchTopK(e, probeTable(e))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_cosine" -> embCosinePairs,
     "sim_search_cosine" -> cosineTopK,
     "sim_search_ivf" -> ivfTopK,
-    "sim_search_ivf_kmeans" -> ivfKmeans)
+    "sim_search_ivf_kmeans" -> ivfKmeans,
+    "sim_search_batch" -> batch,
+    "sim_search_ivf_batch" -> ivfBatch)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
@@ -200,5 +283,22 @@ object SimSearch extends graft.QueryModule {
          |         ${dotSql.format("p.pe", "p.pe")} AS np
          |  FROM embeddings e, p WHERE e.vec_id <> 0)
          |SELECT vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
-         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // batch form: same bit-identical cosine, per-probe row_number top-10
+    "sim_search_batch" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |s AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")} AS d,
+         |         ${dotSql.format("e.embedding", "e.embedding")} AS na,
+         |         ${dotSql.format("p.pe", "p.pe")} AS np
+         |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, d / (sqrt(na) * sqrt(np)) AS cosine,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY d / (sqrt(na) * sqrt(np)) DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, cosine
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin)
 }

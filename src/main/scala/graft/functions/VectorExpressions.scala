@@ -242,6 +242,9 @@ object VectorFunctions {
   def minhash_array(wordHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash_array", wordHashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  def topk_by(ord: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_topk_by", ord, id,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -271,5 +274,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_array",
       exprs => MinHashArray(exprs(0),
         constIntArg("graft_minhash_array", "num_hashes", exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk_by",
+      exprs => TopKByAgg(exprs(0), exprs(1),
+        constIntArg("graft_topk_by", "k", exprs(2))).toAggregateExpression(), "built-in")
   }
 }

@@ -30,4 +30,34 @@ class SimSearchRecallSpec extends AnyFunSuite {
     info(s"k-means IVF recall@10 = $recall")
     assert(recall >= 0.5, s"recall@10 regressed: $recall")
   }
+
+  test("single-probe batch slice equals the single-probe exact answer") {
+    // sim_search_batch is oracle-checked; additionally pin its probe_id=0
+    // slice to the independently-built sim_search_cosine plan (different
+    // operator shape, same answer)
+    val sf = "/root/testdata/sf0.01"
+    val single = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch0 = SparkEntry.queries("sim_search_batch")(spark, sf)
+      .filter("probe_id = 0")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(batch0.toSeq == single.toSeq)
+  }
+
+  test("batch k-means IVF mean recall@10 vs exact batch on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    def perProbe(key: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(key)(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val exact = perProbe("sim_search_batch")
+    val approx = perProbe("sim_search_ivf_batch")
+    assert(exact.keySet == (0L until 20L).toSet)
+    assert(approx.keySet == exact.keySet, "every probe must get an answer")
+    val recalls = exact.map { case (p, ex) =>
+      (ex & approx(p)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(s"batch IVF mean recall@10 = $mean")
+    assert(mean >= 0.5, s"batch recall@10 regressed: $mean")
+  }
 }
