@@ -16,6 +16,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.rules.CollapseNestedBround)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL-text surface for the native as-of join:
+    //   SELECT * FROM graft_asof('probes_v', 'series_v', 'k', 't', 'tie', 'v')
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoin].getName, "graft_asof"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.AsOf.sqlBuilder(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 
@@ -43,9 +44,30 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY o_custkey, rnk""".stripMargin)
   }
 
+  /** The native as-of operator through pure SQL text (VERDICT r3 #4):
+    * the `graft_asof` TVF registered by [[graft.plans.AsOf.registerSql]]
+    * (or `spark.sql.extensions=graft.GraftExtensions`) over temp views —
+    * the same probes/series shape and oracle as `join_asof_native`, but
+    * every character the analyst writes is SQL. */
+  private def sqlAsOf(s: SparkSession, d: String): DataFrame = {
+    graft.plans.AsOf.registerSql(s)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    ev.createOrReplaceTempView("events_series_v")
+    ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("ts"))
+      .createOrReplaceTempView("events_probes_v")
+    s.sql(
+      """SELECT user_id, ts AS probe_ts, last_value
+        |FROM graft_asof('events_probes_v', 'events_series_v',
+        |                'user_id', 'ts', 'event_id', 'value')
+        |ORDER BY user_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_correlated_subquery" -> correlatedScalar,
-    "sql_cte_window" -> cteWindow)
+    "sql_cte_window" -> cteWindow,
+    "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
     "sql_correlated_subquery" ->
@@ -66,5 +88,19 @@ object SqlSurface extends graft.QueryModule {
         |    PARTITION BY o_custkey ORDER BY total DESC, mon) AS INTEGER) AS rnk
         |  FROM monthly)
         |WHERE rnk <= 2
-        |ORDER BY o_custkey, rnk""".stripMargin)
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    // same oracle as join_asof_native: the correlated-subquery rendering
+    // of backward as-of
+    "sql_asof" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
+        |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin)
 }

@@ -225,6 +225,62 @@ object AsOf {
       attr(rPlan, tiebreak), attr(rPlan, value), forward))
   }
 
+  /** SQL-text surface (VERDICT r3 #4): registers `graft_asof` as a
+    * table-valued function in the session's table-function registry, so a
+    * `spark.sql` analyst can reach this native operator without the Scala
+    * API:
+    *
+    * {{{
+    * SELECT * FROM graft_asof('probes_v', 'series_v',
+    *                          'user_id', 'ts', 'event_id', 'value',
+    *                          'backward')   -- direction optional
+    * }}}
+    *
+    * Arguments are string literals: two table/view names resolved through
+    * the session catalog, then the key, time, tiebreak and value column
+    * names, and an optional 'backward' (default) / 'forward' direction.
+    * The builder emits the same resolved [[AsOfJoin]] node as the Scala
+    * API, so the strategy and exec operator are shared. Deployments using
+    * `--conf spark.sql.extensions=graft.GraftExtensions` get the function
+    * without calling this. */
+  def registerSql(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_asof", sqlBuilder, "built-in")
+  }
+
+  private[graft] def sqlBuilder(
+      exprs: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    def str(i: Int, what: String): String = exprs(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: argument ${i + 1} ($what) must be a string literal, " +
+          s"got ${other.sql}")
+    }
+    if (exprs.length < 6 || exprs.length > 7)
+      throw new IllegalArgumentException(
+        "graft_asof(probes, series, key, time, tiebreak, value[, direction]) " +
+          s"takes 6 or 7 string-literal arguments, got ${exprs.length}")
+    val forward = exprs.length == 7 && (str(6, "direction") match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: direction must be 'backward' or 'forward', got '$other' " +
+          "(nearest composes two merges: use AsOf.joinNearest)")
+    })
+    // the builder runs inside analysis, where the active session is set;
+    // resolving the two relations here means the node we return is fully
+    // resolved and needs no extra analyzer rule
+    val spark = SparkSession.active
+    val probes = spark.table(str(0, "probes table/view"))
+    val series = spark.table(str(1, "series table/view"))
+    build(probes, series, str(2, "key column"), str(3, "time column"),
+      str(4, "tiebreak column"), str(5, "value column"), forward)
+      .queryExecution.analyzed
+  }
+
   /** Backward as-of join: `probes` gains `last_value` = value of the most
     * recent `series` row per key at-or-before the probe time (ties →
     * LARGEST tiebreak, i.e. max_by (time, tiebreak)).

@@ -152,4 +152,38 @@ class AsOfJoinSpec extends AnyFunSuite {
       (Some(1L), None, None),
       (None, Some(11L), None)))
   }
+
+  test("graft_asof TVF: SQL text reaches the native operator, both directions") {
+    import spark.implicits._
+    AsOf.registerSql(spark)
+    Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (2L, 15L, 3L, 3.0))
+      .toDF("k", "t", "seq", "v").createOrReplaceTempView("tvf_series")
+    Seq((1L, 15L), (2L, 10L), (3L, 15L))
+      .toDF("k", "t").createOrReplaceTempView("tvf_probes")
+    val back = spark.sql(
+      "SELECT * FROM graft_asof('tvf_probes', 'tvf_series', 'k', 't', 'seq', 'v')")
+    // the SQL text must plan through AsOfJoinExec, not a rewrite
+    assert(back.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      back.queryExecution.executedPlan.toString)
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet ==
+      Set((1L, 15L, Some(1.0)), (2L, 10L, None), (3L, 15L, None)))
+    val fwd = spark.sql(
+      "SELECT * FROM graft_asof('tvf_probes', 'tvf_series', 'k', 't', 'seq', 'v', 'forward')")
+    assert(fwd.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet ==
+      Set((1L, 15L, Some(2.0)), (2L, 10L, Some(3.0)), (3L, 15L, None)))
+    // equals the Scala-API answer on the same inputs
+    val api = AsOf.joinBackward(spark.table("tvf_probes"), spark.table("tvf_series"),
+      "k", "t", "seq", "v").collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == api)
+  }
+
+  test("graft_asof TVF: named argument errors") {
+    AsOf.registerSql(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('a', 'b', 'k', 't', 'seq')").collect())
+    assert(e1.getMessage.contains("6 or 7"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('a', 'b', 'k', 't', 'seq', 'v', 'sideways')").collect())
+    assert(e2.getMessage.contains("backward"))
+  }
 }
