@@ -24,11 +24,21 @@ object Compact {
 
   /** Compact `dir` (a parquet directory) to ~`targetBytes` per file.
     * Returns a before/after report. No-op (rewrite skipped) when the
-    * directory already has no more files than the target implies. */
+    * directory already has no more files than the target implies.
+    *
+    * Crash recovery (ADVICE r3): a crash between the two swap renames
+    * leaves the data at `dir + "_compact_old"` and nothing at `dir`;
+    * [[recover]] runs first and (a) renames `_compact_old` back when
+    * `dir` is missing — completing the interrupted swap backwards —
+    * and (b) deletes any stale `_compact_tmp`/`_compact_old` leftovers,
+    * which would otherwise fail this run's renames. Recovery is safe
+    * because `_compact_old` is only ever a fully-intact former `dir`,
+    * and `_compact_tmp` is only ever a discardable rewrite. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024): Report = {
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
+    recover(fs, path)
     def parts = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val before = parts
@@ -50,5 +60,20 @@ object Compact {
     fs.delete(old, true)
     val after = parts
     Report(before.length, after.length, totalBytes, rows)
+  }
+
+  /** Heal the directory state left by a crashed prior compaction: if the
+    * data directory is gone but `_compact_old` exists, the crash happened
+    * between the two renames — rename it back; then drop any stale
+    * `_compact_tmp`/`_compact_old` so this run's own renames can't
+    * collide with leftovers. */
+  private[pipeline] def recover(fs: org.apache.hadoop.fs.FileSystem,
+                                path: Path): Unit = {
+    val tmp = new Path(path.toString + "_compact_tmp")
+    val old = new Path(path.toString + "_compact_old")
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"crash recovery failed: $old -> $path")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -33,7 +33,9 @@ object EntitySink {
     * the JVM's shortest-ish decimal with Python-style exponent spelling. */
   def pyFloatRepr(d: Double): String = {
     require(!d.isNaN && !d.isInfinite, "non-finite double is not valid JSON")
-    if (d == math.rint(d) && math.abs(d) < 1e16) {
+    if (d == 0.0 && 1 / d < 0) {
+      "-0.0" // Python repr(-0.0) keeps the sign; BigDecimal would drop it
+    } else if (d == math.rint(d) && math.abs(d) < 1e16) {
       BigDecimal(d).toBigInt.toString + ".0"
     } else {
       val s = java.lang.Double.toString(d)
@@ -60,7 +62,9 @@ object EntitySink {
 
   /** Python `json.dump(..., ensure_ascii=True)` string escaping: quote,
     * backslash, named control escapes, `\u00xx` for other controls, and
-    * `\uxxxx` (lowercase hex) for every char above 0x7e. */
+    * `\uxxxx` (lowercase hex) for every char at or above 0x80. DEL (0x7f)
+    * passes through raw — CPython's c_encode_basestring_ascii escapes
+    * only < 0x20 and >= 0x80. */
   def jsonEscape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
@@ -71,7 +75,7 @@ object EntitySink {
       case '\t' => b.append("\\t")
       case '\b' => b.append("\\b")
       case '\f' => b.append("\\f")
-      case c if c < ' ' || c > '\u007e' => b.append(f"\\u${c.toInt}%04x")
+      case c if c < ' ' || c > '\u007f' => b.append(f"\\u${c.toInt}%04x")
       case c => b.append(c)
     }
     b.toString
@@ -102,25 +106,45 @@ object EntitySink {
       "  \"" + jsonEscape(f.name) + "\": " + v
     }.mkString("{\n", ",\n", "\n}")
 
+  /** Optional marker column: array<string> of double-typed field names
+    * whose SOURCE token was a Python int for that row (json.dump writes
+    * `0`, not `0.0`, for them). Schema-on-read widening loses int-ness;
+    * this column carries it per row. Excluded from rendering. */
+  val IntFieldsCol = "__int_fields"
+
   /** Write one `<outDir>/<name>.json` per row, distributed: rendering and
     * writing happen on the executors through the Hadoop FileSystem API
     * (works for file:/, hdfs:/, s3a:/ paths). Names must be flat — a
-    * separator in an entity name would escape outDir. */
+    * separator in an entity name would escape outDir. Rows carrying the
+    * [[IntFieldsCol]] marker get those fields rendered int-style on top
+    * of the static `intLike` set. */
   def writePerEntity(df: DataFrame, outDir: String, nameCol: String = "ticker",
                      intLike: Set[String] = Set("market_cap")): Unit = {
-    val schema = df.schema
+    // render columns first, marker (if any) last, so render indexes align
+    val dataCols = df.columns.filter(_ != IntFieldsCol)
+    val hasMarker = df.columns.contains(IntFieldsCol)
+    val ordered =
+      if (hasMarker)
+        df.select((dataCols :+ IntFieldsCol)
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else df
+    val schema = StructType(ordered.schema.fields.filter(_.name != IntFieldsCol))
     val nameIdx = schema.fieldIndex(nameCol)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    val markerIdx = if (hasMarker) schema.length else -1
+    ordered.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conf = new Configuration()
         rows.foreach { row =>
           val name = row.getString(nameIdx)
           require(!name.contains('/') && !name.contains('\\') && name.nonEmpty,
             s"entity name must be a flat file name, got '$name'")
+          val rowIntLike =
+            if (markerIdx < 0 || row.isNullAt(markerIdx)) intLike
+            else intLike ++ row.getSeq[String](markerIdx)
           val path = new Path(s"$outDir/$name.json")
           val fs = path.getFileSystem(conf)
           val out = fs.create(path, true)
-          try out.write(renderRecord(row, schema, intLike)
+          try out.write(renderRecord(row, schema, rowIntLike)
             .getBytes(StandardCharsets.UTF_8))
           finally out.close()
         }

@@ -63,11 +63,19 @@ object Refresh {
 
   /** The reference's compact manifest file (`fetch_data.py:318-319`):
     * `json.dump` default separators (`", "` / `": "`), one literal
-    * `_manifest.json`. Driver-side render — the manifest is one tiny row. */
+    * `_manifest.json`. Driver-side render — the manifest is one tiny row.
+    *
+    * Key order is rendered SORTED, never Scala Map iteration order
+    * (ADVICE r3: with >4 lists the backing HashMap reorders keys
+    * run-to-run, silently breaking manifest byte stability). The
+    * reference's own order is `glob.glob` readdir order
+    * (`fetch_data.py:290`) — machine-dependent, so not reproducible;
+    * sorted is the deterministic choice and matches [[manifest]]'s
+    * sorted entry construction. */
   def writeManifestFile(manifestDf: DataFrame, path: String): Unit = {
     val row = manifestDf.head()
     val listMap = row.getMap[String, scala.collection.Seq[String]](0)
-    val inner = listMap.toSeq.map { case (k, vs) =>
+    val inner = listMap.toSeq.sortBy(_._1).map { case (k, vs) =>
       "\"" + EntitySink.jsonEscape(k) + "\": " +
         vs.map(v => "\"" + EntitySink.jsonEscape(v) + "\"").mkString("[", ", ", "]")
     }.mkString("{", ", ", "}")
@@ -80,6 +88,25 @@ object Refresh {
     finally out.close()
   }
 
+  /** Per-file int-ness of double-typed snapshot fields: `json.dump`
+    * writes a Python int as `0`, a float as `0.0`; schema-on-read widens
+    * both to double and loses the difference (the FISV `forward_eps`
+    * byte-fidelity edge — the upstream API returned int 0 there,
+    * `fetch_data.py:312-314` dumped it bare). Recover it from the RAW
+    * text: one wholetext scan, one regex per double field, emitted as the
+    * [[EntitySink.IntFieldsCol]] marker keyed by source file name. */
+  private def intFieldMarkers(spark: SparkSession, dataDir: String): DataFrame = {
+    val doubleFields = Schemas.snapshot.fields
+      .filter(_.dataType == org.apache.spark.sql.types.DoubleType).map(_.name).toSeq
+    val flags = doubleFields.map { f =>
+      when(col("value").rlike("\"" + f + "\": -?[0-9]+\\s*[,}\\n]"), lit(f))
+    }
+    spark.read.option("wholetext", "true").text(s"$dataDir/*.json")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("__src_file"),
+        filter(array(flags: _*), x => x.isNotNull).as(EntitySink.IntFieldsCol))
+  }
+
   /** Full refresh, matching the reference's publishing layout exactly
     * (`fetch_data.py:301-321`): one literal `data/<TICKER>.json` per
     * entity (indent=2, [[EntitySink]]) + compact `data/_manifest.json`,
@@ -87,12 +114,18 @@ object Refresh {
   def run(spark: SparkSession, listsDir: String, dataDir: String,
           outDir: String, asOf: String): Unit = {
     val lists = loadLists(spark, listsDir)
-    val snaps = loadSnapshots(spark, dataDir)
+    val snaps = spark.read.schema(Schemas.snapshot)
+      .option("multiLine", true)
+      .json(s"$dataDir/*.json")
+      .withColumn("__src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .filter(col("ticker").isNotNull)
     val members = lists
       .withColumn("norm", Metrics.normalizeTicker(col("ticker")))
       .select(col("norm")).distinct()
     val kept = snaps.join(broadcast(members),
-      snaps("ticker") === members("norm"), "left_semi")
+        snaps("ticker") === members("norm"), "left_semi")
+      .join(intFieldMarkers(spark, dataDir), Seq("__src_file"), "left")
+      .drop("__src_file")
     EntitySink.writePerEntity(kept, s"$outDir/data")
     val m = manifest(lists, asOf)
     m.select(to_json(struct(col("lists"), col("last_updated"))).as("value"))

@@ -12,7 +12,7 @@ class EntitySinkSpec extends AnyFunSuite {
 
   test("pyFloatRepr: positional up to 1e16, like CPython") {
     assert(EntitySink.pyFloatRepr(0.0) == "0.0")
-    assert(EntitySink.pyFloatRepr(-0.0) == "0.0")
+    assert(EntitySink.pyFloatRepr(-0.0) == "-0.0") // repr(-0.0) keeps the sign
     assert(EntitySink.pyFloatRepr(496.85) == "496.85")
     assert(EntitySink.pyFloatRepr(283637000000.0) == "283637000000.0")
     assert(EntitySink.pyFloatRepr(26299723153.140026) == "26299723153.140026")
@@ -39,5 +39,8 @@ class EntitySinkSpec extends AnyFunSuite {
     // non-ASCII -> \uxxxx lowercase hex, like json.dump's default
     assert(EntitySink.jsonEscape("Société") == "Soci\\u00e9t\\u00e9")
     assert(EntitySink.jsonEscape("plain ascii.") == "plain ascii.")
+    // DEL (0x7f) passes raw — CPython escapes only < 0x20 and >= 0x80
+    assert(EntitySink.jsonEscape("a\u007fb") == "a\u007fb")
+    assert(EntitySink.jsonEscape("\u0080") == "\\u0080")
   }
 }
