@@ -95,18 +95,15 @@ object Aggs extends graft.QueryModule {
   /** Skew-safe two-phase aggregation [N]: `event_type` has only 5 values
     * — at 100 TB a direct groupBy sends 20% of the table to one reducer.
     * Salt to 16 sub-keys, partial-agg, then final-agg over the tiny
-    * salted result. Result is identical to the direct groupBy (the
-    * oracle computes it directly). */
-  private def saltedSkewAgg(s: SparkSession, d: String): DataFrame = {
-    val partial = Tables.events(s, d)
-      .withColumn("salt", pmod(col("event_id"), lit(16)))
-      .groupBy(col("event_type"), col("salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("ps"))
-    partial.groupBy(col("event_type"))
-      .agg(sum(col("pn")).cast("bigint").as("n"),
-        bround(sum(col("ps")), 2).as("sum_value"))
+    * salted result — via the reusable [[Skew.saltedAgg]] helper. Result
+    * is identical to the direct groupBy (the oracle computes it
+    * directly); SkewSpec proves the hot key actually splits. */
+  private def saltedSkewAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAgg(Tables.events(s, d), Seq("event_type"),
+        Seq(Skew.Count("n"), Skew.Sum("value", "sum_value")),
+        saltN = 16, salt = Some(pmod(col("event_id"), lit(16))))
+      .withColumn("sum_value", bround(col("sum_value"), 2))
       .orderBy("event_type")
-  }
 
   /** TPC-H Q6 shape [N]: tight filter → single global aggregate. All
     * three predicates reach the parquet scan as PushedFilters. */
