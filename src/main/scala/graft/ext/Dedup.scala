@@ -350,6 +350,130 @@ object Dedup extends graft.QueryModule {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** [[minhashClusters]]'s fully oracle-checkable twin (the r4 analogue
+    * of what `dedup_minhash_md5` is to `minhashPairs`): the ENTIRE
+    * cluster pipeline — md5 MinHash signatures, banding, per-bucket
+    * star + signature-ordered chain + skip-2 candidates, exact-Jaccard
+    * verify, min-label connected components — where every hash is md5 and
+    * every step has a bit-exact DuckDB mirror (bucket windows via
+    * lag/min-over, closure via a recursive CTE). Output: one
+    * (doc_id, cluster_id) row per document, cluster_id = min doc id of
+    * the component. No word-set collapse here: set-identical docs share
+    * every bucket with their representative and verify at J=1, so the
+    * component structure is identical and the SQL stays one CTE shorter. */
+  private def clustersMd5(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = NumHashes; val b = NumBands; val r = k / b
+    val docsDf = docs(s, d)
+    val w = wordRows(docsDf)
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
+    val sig = w.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val slotCols = (0 until k).map(i => col(s"m$i"))
+    val bandStructs = (0 until b).map { bi =>
+      val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
+      struct(lit(bi).as("band"), md5(concat_ws("|", slots: _*)).as("h"))
+    }
+    val bands = sig.select(
+        (Seq(col("doc_id")) ++ slotCols :+ explode(array(bandStructs: _*)).as("bh")): _*)
+      .select((Seq(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+        ++ slotCols): _*)
+    val bucket = Window.partitionBy(col("band"), col("h"))
+    val ord = bucket.orderBy((slotCols :+ col("doc_id")).map(_.asc): _*)
+    val annotated = bands.select(col("doc_id"), col("band"), col("h"),
+      lag(col("doc_id"), 1).over(ord).as("prev"),
+      lag(col("doc_id"), 2).over(ord).as("prev2"),
+      min(col("doc_id")).over(bucket).as("bmin"))
+    val stars = annotated.filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("i"), col("doc_id").as("j"))
+    def undirected(a: Column) =
+      annotated.filter(a.isNotNull && a =!= col("doc_id"))
+        .select(least(a, col("doc_id")).as("i"), greatest(a, col("doc_id")).as("j"))
+    val cand = stars.union(undirected(col("prev"))).union(undirected(col("prev2")))
+      .filter(col("i") =!= col("j")).distinct()
+    val wordArrs = docsDf.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val sizes = wordArrs.select(col("doc_id"), size(col("ws")).as("n"))
+    // count gate: pure necessary condition for J >= 0.8, so the gateless
+    // oracle still matches exactly (same argument as dedup_minhash_md5)
+    val gated = cand
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= 0.8)
+    val inter = size(array_intersect(col("wa"), col("wb")))
+    val verified = gated
+      .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
+      .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
+      .filter((inter / (col("ni") + col("nj") - inter)) >= 0.8)
+      .select(col("i"), col("j"))
+      .localCheckpoint()
+    connectedComponents(docsDf.select(col("doc_id")), verified, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Generated oracle for [[clustersMd5]]: the same 16 min-md5 slots and
+    * 4 band keys as [[minhashMd5Oracle]], the bucket star/chain/skip-2
+    * candidates via SQL windows (lag over the full-signature order,
+    * min-over for the star center), the exact-Jaccard verify, and the
+    * transitive closure as a recursive CTE with min reachable id per
+    * node. Generated, not hand-written, so the banding and window order
+    * cannot drift from the Spark side. */
+  private def clustersMd5Oracle: String = {
+    val k = NumHashes; val b = NumBands; val r = k / b
+    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val slotList = (0 until k).map(i => s"m$i").mkString(", ")
+    val bandRows = (0 until b).map { bi =>
+      val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
+      s"SELECT doc_id, $slotList, $bi AS band, md5($key) AS h FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $slots
+       |  FROM w GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |ann AS (
+       |  SELECT doc_id, band, h,
+       |         lag(doc_id, 1) OVER win AS prev,
+       |         lag(doc_id, 2) OVER win AS prev2,
+       |         min(doc_id) OVER (PARTITION BY band, h) AS bmin
+       |  FROM bands
+       |  WINDOW win AS (PARTITION BY band, h ORDER BY $slotList, doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT i, j FROM (
+       |    SELECT bmin AS i, doc_id AS j FROM ann WHERE doc_id <> bmin
+       |    UNION ALL
+       |    SELECT least(prev, doc_id), greatest(prev, doc_id) FROM ann
+       |    WHERE prev IS NOT NULL AND prev <> doc_id
+       |    UNION ALL
+       |    SELECT least(prev2, doc_id), greatest(prev2, doc_id) FROM ann
+       |    WHERE prev2 IS NOT NULL AND prev2 <> doc_id)
+       |  WHERE i <> j),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS c
+       |  FROM cand c
+       |  JOIN w a ON a.doc_id = c.i
+       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+       |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs
+       |          UNION ALL SELECT j, i FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   /** Connected components over a near-dup pair graph — the step BETWEEN
     * pair generation (minhash/simhash/ngram) and representative selection
     * ([[Corpus.keepBest]]): every document gets a `cluster_id` (the
@@ -615,6 +739,7 @@ object Dedup extends graft.QueryModule {
     "dedup_clusters" -> clusters,
     "dedup_cluster_best" -> clusterBest,
     "dedup_minhash_md5" -> minhashMd5,
+    "dedup_clusters_md5" -> clustersMd5,
     "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash,
     "dedup_simhash_md5" -> simhashMd5)
@@ -638,6 +763,7 @@ object Dedup extends graft.QueryModule {
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         |ORDER BY i, j""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_clusters_md5" -> clustersMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     // transitive closure by recursive CTE (seed every node with itself,
     // propagate over symmetric edges), then min reachable id per node =
