@@ -487,9 +487,10 @@ object Dedup extends graft.QueryModule {
     * rounds 1..N-1. Near-dup graphs converge in a few rounds (components
     * are dense, diameter ~2-3). At 100 TB the same loop holds with a
     * reliable `checkpoint` dir instead of localCheckpoint; for
-    * adversarially long path graphs, the alternating large-star /
-    * small-star formulation (Kiveris et al., "Connected Components in
-    * MapReduce") halves rounds — not needed for dedup graphs.
+    * adversarially long path graphs, [[connectedComponentsStar]]
+    * implements the alternating large-star/small-star formulation
+    * (O(log n) rounds regardless of diameter) — near-dup graphs are
+    * dense and shallow, so the simpler loop stays the default here.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "id", iCol: String = "i",
@@ -554,6 +555,78 @@ object Dedup extends graft.QueryModule {
       iter += 1
     }
     (labels.select(col("id").as(idCol), col("label").as("cluster_id")), converged)
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — public) — the variant for graphs whose diameter defeats
+    * min-label propagation: [[connectedComponents]] needs O(diameter)
+    * rounds (a 1000-hop chain of near-dup drift would take 1000 passes),
+    * this converges in O(log n) rounds on ANY shape.
+    *
+    *  - large-star: every edge (a, b), a < b, is rewritten to
+    *    (m(a), b) where m(a) = min(Γ(a) ∪ {a}) — big endpoints hook
+    *    directly onto their neighborhood minimum;
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to its minimum smaller neighbor.
+    *
+    * Both are one groupBy-min + one equi-join over the edge list — the
+    * same shuffle shape as a min-label round, there are just
+    * exponentially fewer of them. Fixpoint = the edge set is a union of
+    * stars rooted at component minima; convergence is detected by edge
+    * count + set-difference emptiness over the localCheckpoint'ed edge
+    * lists (two cheap scans per pair — at O(log n) pairs this costs
+    * less than the observe plumbing saves on the O(diameter) sibling).
+    *
+    * Returns ((id, cluster_id), pairRounds). Cluster label = min node id
+    * of the component; isolated nodes label themselves. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              idCol: String = "id", iCol: String = "i",
+                              jCol: String = "j",
+                              maxIter: Int = 50): (DataFrame, Int) = {
+    def canon(df: DataFrame, a: String, b: String): DataFrame =
+      df.select(least(col(a), col(b)).as("s"), greatest(col(a), col(b)).as("t"))
+        .filter(col("s") =!= col("t")).distinct()
+    var e = canon(edges, iCol, jCol).localCheckpoint()
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxIter) {
+      // large-star: for each edge (a, b) a < b -> (min(Γ(a) ∪ {a}), b)
+      val sym = e.select(col("s").as("u"), col("t").as("v"))
+        .union(e.select(col("t").as("u"), col("s").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(
+        sym.filter(col("v") > col("u")).join(mins, Seq("u"))
+          .select(col("m").as("i"), col("v").as("j")), "i", "j")
+        .localCheckpoint()
+      // small-star: orient every edge big->small, link each node's
+      // smaller neighbors (and itself) to its min smaller neighbor
+      val oriented = large.select(col("t").as("u"), col("s").as("v"))
+      val minsS = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(
+        minsS.select(col("u").as("i"), col("m").as("j"))
+          .union(oriented.join(minsS, Seq("u"))
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("i"), col("m").as("j"))), "i", "j")
+        .localCheckpoint()
+      // fixpoint: the (large+small) pair left the edge set unchanged
+      done = small.count() == e.count() && small.except(e).isEmpty
+      e = small
+      rounds += 1
+    }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    val neighborMin = e.select(col("s").as("n"), col("t").as("nb"))
+      .union(e.select(col("t").as("n"), col("s").as("nb")))
+      .groupBy(col("n")).agg(min(col("nb")).as("mn"))
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(neighborMin, col("id") === col("n"), "left")
+      .select(col("id").as(idCol),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Query key: components of the oracle-checked exact ngram-Jaccard pair

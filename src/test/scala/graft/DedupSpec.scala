@@ -164,6 +164,52 @@ class DedupSpec extends AnyFunSuite {
     assert(lenient == got)
   }
 
+  test("large-star/small-star CC: long path converges in O(log n) rounds") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // a 64-node path has diameter 63 — min-label propagation would need
+    // ~63 rounds; star contraction must do it in ~log2(64) + slack
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("i", "j")
+    val (labels, rounds) = Dedup.connectedComponentsStar(nodes, edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet == Set(1L), s"path not fully merged: $got")
+    info(s"64-node path converged in $rounds star pair-rounds")
+    assert(rounds <= 12, s"star contraction took $rounds rounds")
+  }
+
+  test("large-star/small-star CC == min-label CC on a seeded random graph") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(23)
+    val n = 300L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1 to 350).map { _ =>
+      (rnd.nextLong(n) + 1, rnd.nextLong(n) + 1)
+    }.filter(p => p._1 != p._2).toDF("i", "j")
+    val byStar = Dedup.connectedComponentsStar(nodes, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byLabel = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byStar == byLabel)
+  }
+
+  test("large-star/small-star CC: empty edges and self/duplicate edges") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val nodes = (1L to 4L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    val (iso, r0) = Dedup.connectedComponentsStar(nodes, empty)
+    assert(iso.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(r0 == 0)
+    val messy = Seq((2L, 2L), (3L, 4L), (4L, 3L), (3L, 4L)).toDF("i", "j")
+    val (got, _) = Dedup.connectedComponentsStar(nodes, messy)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("simhash pairs are symmetric-free and above-threshold") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
