@@ -59,11 +59,31 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("user_id", "event_type")
   }
 
+  /** Per-key running top-k leaderboard, batch formulation: the bounded
+    * [[graft.functions.TopKByAgg]] per event_type (map-side partial
+    * top-k, shuffle carries only the k-row buffers). The streaming form
+    * ([[graft.streaming.Streams.runningTopK]]) maintains the same
+    * bounded list in keyed state via mapGroupsWithState; StreamingSpec
+    * asserts the stream's final state equals this plan's answer. Null
+    * values carry no rank and are excluded on both sides. */
+  private def topkStateful(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorFunctions.topk_by(col("value"), col("event_id"), 5).as("nn"))
+      .select(col("event_type"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("event_id"), col("e.ord").as("value"))
+      .orderBy("event_type", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_sliding_agg" -> slidingAgg,
     "stream_session_agg" -> sessionAgg,
-    "stream_dedup_stateful" -> dedupStateful)
+    "stream_dedup_stateful" -> dedupStateful,
+    "stream_topk" -> topkStateful)
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" ->
@@ -92,5 +112,12 @@ object StreamBatch extends graft.QueryModule {
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY date_trunc('microseconds', ts), event_id) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "stream_topk" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rn <= 5 ORDER BY event_type, rnk""".stripMargin)
 }

@@ -109,6 +109,34 @@ object Streams {
       }
   }
 
+  /** Per-key RUNNING TOP-K leaderboard in keyed state — the streaming
+    * form of the `stream_topk` batch plan (same comparator as
+    * [[graft.functions.TopKByAgg]]: value DESC, id ASC). State per key
+    * is the k-bounded list itself, so state size is O(keys × k)
+    * regardless of stream length — the bounded-state discipline
+    * watermarks give windows, applied to a ranking. Update-mode output:
+    * the key's current leaderboard after each batch (one row per rank).
+    * StreamingSpec asserts the final state equals the batch plan. */
+  def runningTopK(events: org.apache.spark.sql.Dataset[graft.model.Event],
+                  k: Int = 5)
+      : org.apache.spark.sql.Dataset[(String, Int, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Seq[(Double, Long)], Seq[(String, Int, Long, Double)]](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[graft.model.Event],
+         state: GroupState[Seq[(Double, Long)]]) =>
+          val incoming = rows.flatMap(e => e.value.map(v => (v, e.event_id))).toSeq
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          merged.zipWithIndex.map { case ((v, id), i) => (key, i + 1, id, v) }
+      }
+      .flatMap(identity)
+  }
+
   /** Per-user running totals through Spark 4's `transformWithState`
     * (the successor of `mapGroupsWithState`: explicit typed state handles
     * with TTL support, timers, and a RocksDB-backed store). Semantics are

@@ -116,6 +116,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((7L, 3L, 7.0)))
   }
 
+  test("runningTopK: streamed leaderboard converges to the batch stream_topk plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[graft.model.Event]
+    val q = Streams.runningTopK(ms.toDS(), k = 3).writeStream
+      .format("memory").queryName("topk_out").outputMode("update").start()
+    // feed out of order across batches; a null value must never rank
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "a", 5.0),
+      ev(2, "2024-01-01 10:01:00", 8, "a", 9.0),
+      ev(3, "2024-01-01 10:02:00", 7, "b", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(4, "2024-01-01 10:03:00", 9, "a", 7.0),
+      graft.model.Event(5, java.sql.Timestamp.valueOf("2024-01-01 10:04:00"),
+        9, "a", None, "{}"),
+      ev(6, "2024-01-01 10:05:00", 9, "a", 9.0))) // ties 9.0: id 2 before 6
+    q.processAllAvailable(); q.stop()
+    // last leaderboard emitted per key (update mode re-emits on change)
+    val all = spark.table("topk_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val lastA = all.filter(_._1 == "a").takeRight(3).toSeq
+    assert(lastA == Seq(("a", 1, 2L, 9.0), ("a", 2, 6L, 9.0), ("a", 3, 4L, 7.0)))
+    // and the same comparator as the batch aggregate on identical rows
+    graft.functions.VectorFunctions.register(spark)
+    val batch = Seq((5.0, 1L), (9.0, 2L), (7.0, 4L), (9.0, 6L)).toDF("value", "event_id")
+      .agg(graft.functions.VectorFunctions.topk_by($"value", $"event_id", 3).as("nn"))
+      .select(org.apache.spark.sql.functions.posexplode($"nn").as(Seq("pos", "e")))
+      .select($"e.id", $"e.ord")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == lastA.map(t => (t._3, t._4)))
+  }
+
   test("flatMapGroupsWithState emits one alert per threshold crossing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
