@@ -127,12 +127,41 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
 
   /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
-    * oracle (driver records rows-only). */
+    * oracle (driver records rows-only; QueriesSpec bounds the relative
+    * error at <= 2% vs exact countDistinct). */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
+
+  /** Heavy hitters via Spark 4's DataSketches frequent-items aggregate
+    * (`approx_top_k`) [N] — the sketch the 100 TB "what are the top
+    * items" question needs (bounded memory, map-side mergeable). With
+    * the item domain under maxItemsTracked the sketch's counts are
+    * EXACT, so this key is fully oracle-checked against the plain
+    * GROUP BY top-3; at true scale the same plan degrades gracefully to
+    * approximate counts instead of blowing up the aggregation state. */
+  private def approxTopK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 3)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  /** Approximate percentiles (GK relative-error summaries) [N] — the
+    * sketch form of `agg_percentile`: mergeable bounded-memory state vs
+    * the exact formulation's full sort. Merge-order sensitive, so
+    * rows-only; QueriesSpec bounds the value drift vs the exact
+    * interpolated percentiles. */
+  private def approxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("p"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p50_price"),
+        element_at(col("p"), 2).as("p90_price"))
+      .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_ttm_rolling4" -> ttmRolling4,
@@ -145,7 +174,9 @@ object Aggs extends graft.QueryModule {
     "agg_collect_list" -> collectList,
     "agg_count_conditional" -> countConditional,
     "agg_grouping_sets" -> groupingSets,
-    "agg_approx_distinct" -> approxDistinct)
+    "agg_approx_distinct" -> approxDistinct,
+    "agg_approx_topk" -> approxTopK,
+    "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
     "agg_ttm_rolling4" ->
@@ -208,5 +239,10 @@ object Aggs extends graft.QueryModule {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, o_orderpriority)
-        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // the frequent-items sketch is exact while the item domain fits its
+    // tracking table, so the plain GROUP BY top-3 is a true oracle here
+    "agg_approx_topk" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin)
 }

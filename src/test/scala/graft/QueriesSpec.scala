@@ -42,4 +42,21 @@ class QueriesSpec extends AnyFunSuite {
     errs.foreach { case (k, e) =>
       assert(e <= 0.02, f"HLL error for $k is ${e * 100}%.2f%% (> 2%%)") }
   }
+
+  test("agg_approx_percentile: value drift <= 1% vs exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.01, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 <= 0.01, s"$k p90: $a90 vs $p90")
+    }
+  }
 }
