@@ -250,7 +250,28 @@ object SimSearch extends graft.QueryModule {
     ivfKmeansBatchTopK(e, probeTable(e))
   }
 
+  /** Symmetric int8 embedding quantization [N] — the compression step a
+    * 100 TB embedding store applies before serving (4× smaller, SIMD
+    * int dot products): per-vector scale = 127 / max|v|, q = round(v ×
+    * scale). Rounding is floor(x + 0.5) — exact in IEEE and identical
+    * across engines, unlike banker's rounding on arbitrary binary
+    * doubles — and zero vectors quantize to all-zeros with scale 0.
+    * Emitted positionally (vec_id, pos, q) so the driver compare never
+    * sees an array column. */
+  private def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val mx = array_max(transform(col("embedding"), x => abs(x)))
+    e.select(col("vec_id"), col("embedding"),
+        when(mx > 0, lit(127.0) / mx.cast("double")).otherwise(lit(0.0)).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        floor(col("v").cast("double") * col("scale") + lit(0.5)).cast("int").as("q"))
+      .orderBy("vec_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize_int8" -> quantizeInt8,
     "dedup_embedding_cosine" -> embCosinePairs,
     "sim_search_cosine" -> cosineTopK,
     "sim_search_ivf" -> ivfTopK,
@@ -263,6 +284,24 @@ object SimSearch extends graft.QueryModule {
       | FROM (SELECT unnest(%s) AS x, unnest(%s) AS y) u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE)
+        |              ELSE 0.0 END AS scale
+        |  FROM m),
+        |u AS (
+        |  SELECT vec_id, scale,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         unnest(embedding) AS v
+        |  FROM s)
+        |SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+        |       CAST(floor(CAST(v AS DOUBLE) * scale + 0.5) AS INTEGER) AS q
+        |FROM u ORDER BY vec_id, pos""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,

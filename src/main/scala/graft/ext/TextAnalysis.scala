@@ -179,7 +179,29 @@ object TextAnalysis extends graft.QueryModule {
       .select(col("doc_id"), col("rolling_fp"), col("n_chars_seen"))
       .orderBy("doc_id")
 
+  /** Per-doc mean unigram log-probability under the corpus unigram
+    * distribution — the cheap perplexity proxy quality filters rank by
+    * (low mean log-prob = improbable token mix). Two scans: token
+    * frequencies (hash agg), then a broadcast token→logprob join folded
+    * per doc. Cross-engine float discipline: each `ln` term is rounded
+    * to 6 dp BEFORE summing (identical addends in both engines despite
+    * libm differences), the mean is one sum/count division rounded at
+    * 4 dp (absorbs partial-sum reassociation). */
+  private def logprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    toks.join(broadcast(freq), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", bround(log(col("cnt").cast("double") / col("tot")), 6))
+      .groupBy(col("doc_id"))
+      .agg(bround(sum(col("lp")) / count(lit(1)), 4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_logprob" -> logprob,
     "text_tokens" -> tokens,
     "text_rolling_fingerprint" -> rollingFingerprint,
     "text_termfreq" -> termFreq,
@@ -191,6 +213,17 @@ object TextAnalysis extends graft.QueryModule {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         round_even(ln(CAST(f.cnt AS DOUBLE) / tot.tot), 6) AS lp
+        |  FROM toks t JOIN freq f ON t.w = f.w, tot)
+        |SELECT doc_id, round_even(sum(lp) / count(*), 4) AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

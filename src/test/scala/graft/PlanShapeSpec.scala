@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for the operators whose PERFORMANCE claim
+  * is a plan property (not just a timing): if a refactor silently
+  * changes the shape — a pushed filter lost, a partial aggregate
+  * dropped, the native exec replaced by a rewrite — these fail before
+  * any benchmark notices. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+
+  test("sim_search_batch: probe filter pushed, top-k partial-aggregates before the exchange") {
+    val p = plan("sim_search_batch")
+    // probe bound reaches the parquet scan
+    assert(p.contains("LessThan(vec_id,20)"), p)
+    // the scored rows meet a partial ObjectHashAggregate BEFORE any
+    // exchange: the shuffle carries k-row buffers, not probes×corpus
+    val partialIdx = p.indexOf("ObjectHashAggregate")
+    assert(partialIdx >= 0, p)
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange < 0 || p.lastIndexOf("ObjectHashAggregate") > firstExchange,
+      "no final aggregate after the exchange")
+    assert(p.indexOf("BroadcastNestedLoopJoin") >= 0, "probe table not broadcast")
+    // and the partial agg sits below the exchange in the tree (partial
+    // first in bottom-up string order means it appears AFTER the final
+    // in top-down print): two ObjectHashAggregate nodes total
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
+  test("stream_topk: null filter pushed, two-phase bounded aggregate") {
+    val p = plan("stream_topk")
+    assert(p.contains("IsNotNull(value)"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
+  test("sql_asof: SQL text plans through the native AsOfJoinExec") {
+    val p = plan("sql_asof")
+    assert(p.contains("AsOfJoin"), p)
+  }
+
+  test("dedup_minhash output is linear: exactly one labeled row per document") {
+    // the r4 contract: cluster assignment, never the pair set (which is
+    // quadratic inside near-dup cliques)
+    val n = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    val out = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf0001)
+    assert(out.count() == n)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+  }
+}
