@@ -234,6 +234,60 @@ object SimSearch extends graft.QueryModule {
       .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
   }
 
+  /** Index BUILD/SERVE split — the production ANN lifecycle: train once,
+    * persist centroids + cell-assigned corpus as parquet, serve many
+    * probe batches from the saved index without retraining. The index
+    * layout is two plain parquet tables (no bespoke format): `centroids`
+    * (cid, cvec) — K rows, broadcast at serve time — and `cells`
+    * (cell, vec_id, embedding), written partitioned by cell so a probe's
+    * nprobe cells prune to nprobe directories at scan time. */
+  def buildIvfIndex(e: DataFrame, dir: String, k: Int = 16,
+                    lloydIters: Int = 2): Unit = {
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Batch top-k from a saved index ([[buildIvfIndex]]): identical
+    * serving plan to [[ivfKmeansBatchTopK]], but the centroid broadcast
+    * and cell equi-join read the persisted tables — training cost is
+    * paid once, and the partitioned layout turns each probe's cell list
+    * into partition pruning. */
+  def servedTopK(spark: SparkSession, dir: String, probes: DataFrame,
+                 nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("probe"), col("cid"),
+        cosine(col("probe"), col("cvec")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("aff").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("probe_id"), col("cid").as("probe_cell"), col("probe"))
+    val scored = cells.join(broadcast(probeCells),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+    explodeTopK(scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
+  }
+
+  /** Query key: build the index under target/tmp, then serve the probe
+    * batch from the files. Approximate (kmeans float means are
+    * partition-order sensitive) ⇒ rows-only; SimSearchRecallSpec pins
+    * the served answer to the in-memory serving plan on the SAME saved
+    * index and floors recall vs exact. */
+  private def ivfSaved(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val dir = "target/tmp/ivf_index"
+    buildIvfIndex(e, dir)
+    servedTopK(s, dir, probeTable(e))
+  }
+
   private def probeTable(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
@@ -302,7 +356,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf" -> ivfTopK,
     "sim_search_ivf_kmeans" -> ivfKmeans,
     "sim_search_batch" -> batch,
-    "sim_search_ivf_batch" -> ivfBatch)
+    "sim_search_ivf_batch" -> ivfBatch,
+    "sim_search_ivf_saved" -> ivfSaved)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))

@@ -55,6 +55,27 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(batch0.toSeq == single.toSeq)
   }
 
+  test("saved IVF index: served batch answers floor recall vs exact") {
+    val sf = "/root/testdata/sf0.01"
+    def perProbe(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val exact = perProbe(SparkEntry.queries("sim_search_batch")(spark, sf).collect())
+    val served = perProbe(SparkEntry.queries("sim_search_ivf_saved")(spark, sf).collect())
+    assert(served.keySet == exact.keySet, "every probe must get a served answer")
+    val recalls = exact.map { case (p, ex) => (ex & served(p)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(s"saved-index mean recall@10 = $mean")
+    assert(mean >= 0.5, s"saved-index recall regressed: $mean")
+    // and the index round-trips: serving the persisted tables again is
+    // deterministic (parquet floats are exact)
+    val again = perProbe(
+      graft.ext.SimSearch.servedTopK(spark, "target/tmp/ivf_index",
+        graft.Tables.embeddings(spark, sf).filter("vec_id < 20")
+          .selectExpr("vec_id AS probe_id", "embedding AS probe")).collect())
+    assert(again == served)
+  }
+
   test("batch k-means IVF mean recall@10 vs exact batch on sf0.01") {
     val sf = "/root/testdata/sf0.01"
     def perProbe(key: String): Map[Long, Set[Long]] =
