@@ -56,6 +56,10 @@ object Bench {
     "sim_search_cosine",    // brute-force ANN baseline
     "sim_search_ivf",       // IVF ANN scale path
     "sim_search_batch",     // batch-probe serving (map-side bounded top-k)
+    "emb_quantize_int8",    // int8 embedding compression
+    "stream_topk",          // bounded per-key leaderboard aggregate
+    "sink_commit_partitions", // dynamic partition overwrite publish
+    "sql_asof",             // native as-of through the SQL TVF surface
     "text_tfidf",           // text analysis
     "text_fingerprint",
     "mm_binary",            // multimodal binary ops
