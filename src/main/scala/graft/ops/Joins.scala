@@ -144,6 +144,37 @@ object Joins extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Strict backward as-of [N] (`merge_asof(allow_exact_matches=False)`):
+    * probes sit exactly ON each user's last event time, so the
+    * non-strict match would be that event itself — strict must return
+    * the previous one (or null for single-event users). Same native
+    * one-pass merge, inequality flipped in the consume condition. */
+  private def asofStrict(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id")).agg(max(col("ts")).as("ts"))
+    graft.plans.AsOf.joinBackward(probes, ev, "user_id", "ts", "event_id",
+        "value", allowExactMatches = false)
+      .select(col("user_id"), col("ts").as("probe_ts"), col("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Tolerance-bounded backward as-of [N] (`merge_asof(tolerance=...)`):
+    * the match must lie within 30 minutes of the probe or the row nulls
+    * out — the staleness bound every market-data join wants. Composed
+    * over the native merge (the match time rides a struct, the bound is
+    * a plain probe-side filter). */
+  private def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("ts"))
+    graft.plans.AsOf.joinBackwardTolerance(probes, ev, "user_id", "ts",
+        "event_id", "value", expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("ts").as("probe_ts"), col("last_value"))
+      .orderBy("user_id")
+  }
+
   /** Range/interval (theta) join [N]: bounded build side broadcast,
     * nested-loop with a BETWEEN predicate. */
   private def rangeInterval(s: SparkSession, d: String): DataFrame = {
@@ -167,6 +198,8 @@ object Joins extends graft.QueryModule {
     "join_asof_native" -> asofNative,
     "join_asof_forward" -> asofForward,
     "join_asof_nearest" -> asofNearest,
+    "join_asof_strict" -> asofStrict,
+    "join_asof_tolerance" -> asofTolerance,
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +299,30 @@ object Joins extends graft.QueryModule {
         |       (SELECT e.value FROM events e
         |        WHERE e.user_id = p.user_id
         |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
+        |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin,
+    "join_asof_strict" ->
+      """WITH p AS (
+        |  SELECT user_id, max(date_trunc('microseconds', ts)) AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) < p.probe_ts
+        |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
+        |        LIMIT 1) AS last_value
+        |FROM p ORDER BY user_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS probe_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM events e
+        |        WHERE e.user_id = p.user_id
+        |          AND date_trunc('microseconds', e.ts) <= p.probe_ts
+        |          AND date_trunc('microseconds', e.ts) >= p.probe_ts - INTERVAL 30 MINUTE
         |        ORDER BY date_trunc('microseconds', e.ts) DESC, e.event_id DESC
         |        LIMIT 1) AS last_value
         |FROM p ORDER BY user_id""".stripMargin,

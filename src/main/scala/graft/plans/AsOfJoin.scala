@@ -42,7 +42,8 @@ case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, rightValue: Attribute,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    strict: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output :+ rightValue
@@ -58,7 +59,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, rightValue: Attribute,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    strict: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -99,6 +101,7 @@ case class AsOfJoinExec(
     val lKey = leftKey; val lTime = leftTime
     val rKey = rightKey; val rTime = rightTime
     val rVal = rightValue.asInstanceOf[Expression]
+    val strictIneq = strict
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
     val valType = rightValue.dataType
@@ -147,7 +150,8 @@ case class AsOfJoinExec(
           while (advancing && rBuf.hasNext) {
             val rkt = rKT(rBuf.head)
             if (rkt.isNullAt(0) || rkt.isNullAt(1)) rBuf.next()
-            else if (ordLex.compare(rkt, kt) < 0) rBuf.next()
+            else if ({ val c = ordLex.compare(rkt, kt)
+                       if (strictIneq) c <= 0 else c < 0 }) rBuf.next()
             else advancing = false
           }
           val matched = rBuf.hasNext && {
@@ -167,7 +171,8 @@ case class AsOfJoinExec(
             val rkt = rKT(rRow)
             if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
               rBuf.next() // null series key/time matches nothing: skip
-            } else if (ordLex.compare(rkt, kt) <= 0) {
+            } else if ({ val c = ordLex.compare(rkt, kt)
+                         if (strictIneq) c < 0 else c <= 0 }) {
               // copy the tag row only on a key change (ordKey reads field
               // 0 alone, so a stale time field in the tag is never read) —
               // one allocation per distinct series key, not per row
@@ -188,8 +193,9 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, rv, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, rv, fwd, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv,
+        fwd, strict) :: Nil
     case _ => Nil
   }
 }
@@ -205,7 +211,8 @@ object AsOf {
 
   private def build(probes: DataFrame, series: DataFrame,
                     key: String, time: String, tiebreak: String,
-                    value: String, forward: Boolean): DataFrame = {
+                    value: String, forward: Boolean,
+                    strict: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
     ensureStrategy(spark)
     val lPlan = probes.queryExecution.analyzed
@@ -222,7 +229,7 @@ object AsOf {
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
       attr(lPlan, time), attr(rPlan, time),
-      attr(rPlan, tiebreak), attr(rPlan, value), forward))
+      attr(rPlan, tiebreak), attr(rPlan, value), forward, strict))
   }
 
   /** SQL-text surface (VERDICT r3 #4): registers `graft_asof` as a
@@ -263,13 +270,18 @@ object AsOf {
       throw new IllegalArgumentException(
         "graft_asof(probes, series, key, time, tiebreak, value[, direction]) " +
           s"takes 6 or 7 string-literal arguments, got ${exprs.length}")
-    val forward = exprs.length == 7 && (str(6, "direction") match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"graft_asof: direction must be 'backward' or 'forward', got '$other' " +
-          "(nearest composes two merges: use AsOf.joinNearest)")
-    })
+    val (forward, strict) =
+      if (exprs.length < 7) (false, false)
+      else str(6, "direction") match {
+        case "backward" => (false, false)
+        case "forward" => (true, false)
+        case "backward_strict" => (false, true) // allow_exact_matches=false
+        case "forward_strict" => (true, true)
+        case other => throw new IllegalArgumentException(
+          "graft_asof: direction must be 'backward', 'forward', " +
+            s"'backward_strict' or 'forward_strict', got '$other' " +
+            "(nearest composes two merges: use AsOf.joinNearest)")
+      }
     // the builder runs inside analysis, where the active session is set;
     // resolving the two relations here means the node we return is fully
     // resolved and needs no extra analyzer rule
@@ -277,7 +289,7 @@ object AsOf {
     val probes = spark.table(str(0, "probes table/view"))
     val series = spark.table(str(1, "series table/view"))
     build(probes, series, str(2, "key column"), str(3, "time column"),
-      str(4, "tiebreak column"), str(5, "value column"), forward)
+      str(4, "tiebreak column"), str(5, "value column"), forward, strict)
       .queryExecution.analyzed
   }
 
@@ -290,8 +302,9 @@ object AsOf {
     */
   def joinBackward(probes: DataFrame, series: DataFrame,
                    key: String, time: String, tiebreak: String,
-                   value: String): DataFrame =
-    build(probes, series, key, time, tiebreak, value, forward = false)
+                   value: String, allowExactMatches: Boolean = true): DataFrame =
+    build(probes, series, key, time, tiebreak, value, forward = false,
+      strict = !allowExactMatches)
 
   /** Forward as-of join: `probes` gains `next_value` = value of the
     * EARLIEST `series` row per key at-or-after the probe time (ties →
@@ -299,8 +312,31 @@ object AsOf {
     * `merge_asof(direction="forward")` semantics, same one-pass merge. */
   def joinForward(probes: DataFrame, series: DataFrame,
                   key: String, time: String, tiebreak: String,
-                  value: String): DataFrame =
-    build(probes, series, key, time, tiebreak, value, forward = true)
+                  value: String, allowExactMatches: Boolean = true): DataFrame =
+    build(probes, series, key, time, tiebreak, value, forward = true,
+      strict = !allowExactMatches)
+
+  /** Backward as-of with a TOLERANCE bound (`merge_asof(tolerance=...)`):
+    * the match must lie within `tolerance` of the probe time or the row
+    * gets null. Composed over the native merge by carrying a (time,
+    * value) struct through it — the bound is then a plain column filter
+    * on the probe row (timestamp differences compare as intervals,
+    * numerics as numerics), so the exec needs no new mode. */
+  def joinBackwardTolerance(probes: DataFrame, series: DataFrame,
+                            key: String, time: String, tiebreak: String,
+                            value: String,
+                            tolerance: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val s2 = series.withColumn("__tv",
+      struct(col(time).as("t"), col(value).as("v")))
+    // the merge's match time is always <= the probe time, so only the
+    // upper bound needs checking
+    joinBackward(probes, s2, key, time, tiebreak, "__tv")
+      .withColumn("last_value",
+        when(col("last_value").isNotNull &&
+          (col(time) - col("last_value.t") <= tolerance), col("last_value.v"))
+          .otherwise(lit(null)))
+  }
 
   /** Nearest as-of join (`merge_asof` direction="nearest"): the closer of
     * the backward and forward matches by |series.time − probe.time|,

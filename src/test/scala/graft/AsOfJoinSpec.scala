@@ -153,6 +153,43 @@ class AsOfJoinSpec extends AnyFunSuite {
       (None, Some(11L), None)))
   }
 
+  test("strict as-of (allow_exact_matches=false): exact-time rows excluded") {
+    import spark.implicits._
+    val series = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 20L, 3L, 3.0),
+      (2L, 5L, 4L, 4.0)).toDF("k", "t", "seq", "v")
+    val probes = Seq((1L, 20L), (1L, 25L), (2L, 5L), (2L, 4L)).toDF("k", "t")
+    val strict = AsOf.joinBackward(probes, series, "k", "t", "seq", "v",
+        allowExactMatches = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(strict == Set(
+      (1L, 20L, Some(1.0)),  // rows at t=20 excluded; previous row wins
+      (1L, 25L, Some(3.0)),  // t=20 rows eligible again (20 < 25); max seq wins
+      (2L, 5L, None),        // only row is AT the probe time
+      (2L, 4L, None)))
+    // forward strict: the row at the probe time is skipped
+    val fwd = AsOf.joinForward(probes, series, "k", "t", "seq", "v",
+        allowExactMatches = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(fwd == Set(
+      (1L, 20L, None),       // t=20 rows are AT the probe: excluded
+      (1L, 25L, None),       // nothing strictly after 25
+      (2L, 5L, None),        // only row is AT the probe time
+      (2L, 4L, Some(4.0))))  // t=5 > 4 qualifies
+  }
+
+  test("tolerance as-of: stale matches null out, fresh ones survive") {
+    import spark.implicits._
+    val series = Seq((1L, 10L, 1L, 1.0), (1L, 100L, 2L, 2.0)).toDF("k", "t", "seq", "v")
+    val probes = Seq((1L, 15L), (1L, 105L), (1L, 150L)).toDF("k", "t")
+    val got = AsOf.joinBackwardTolerance(probes, series, "k", "t", "seq", "v",
+        org.apache.spark.sql.functions.lit(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, 15L, Some(1.0)),   // 15-10=5 <= 10
+      (1L, 105L, Some(2.0)),  // 105-100=5 <= 10
+      (1L, 150L, None)))      // 150-100=50 > 10: stale
+  }
+
   test("graft_asof TVF: SQL text reaches the native operator, both directions") {
     import spark.implicits._
     AsOf.registerSql(spark)
