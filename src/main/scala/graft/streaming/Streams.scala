@@ -216,4 +216,28 @@ object Streams {
         }
       }
       .start()
+
+  /** Streaming PARTITION-LEVEL publish: each micro-batch rewrites only
+    * the `yr` partitions it touches, via dynamic partition overwrite
+    * inside foreachBatch — the streaming form of
+    * `sink_commit_partitions` (ops/Scans.scala), and the idempotent way
+    * to maintain a partitioned serving table from a stream: replaying a
+    * micro-batch rewrites the same partitions to the same content
+    * instead of appending duplicates. Partitions the stream never
+    * touches are physically untouched (StreamingSpec checks file
+    * identity). The micro-batch must carry EVERY row of each partition
+    * it means to publish (a batch is the partition's new truth, not a
+    * delta) — that is the overwrite contract. */
+  def publishPartitions(spark: SparkSession, src: DataFrame, outDir: String,
+                        checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("yr", year(col("ts")))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("yr").parquet(outDir)
+      }
+      .start()
 }

@@ -244,6 +244,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("publishPartitions: micro-batches rewrite only the partitions they touch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pubpart").toString
+    val out = s"$base/table"
+    // pre-existing serving table: one 2023 partition, one 2024 partition
+    Seq(ev(1, "2023-06-01 10:00:00", 1, "a", 1.0),
+      ev(2, "2024-06-01 10:00:00", 1, "a", 2.0))
+      .toDF().withColumn("yr", org.apache.spark.sql.functions.year($"ts"))
+      .write.partitionBy("yr").parquet(out)
+    def files(p: String) = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val before2023 = files(s"$out/yr=2023")
+    assert(before2023.nonEmpty)
+
+    // stream only 2024 data: the 2024 partition is replaced, 2023 untouched
+    val ms = MemoryStream[graft.model.Event]
+    ms.addData(Seq(ev(3, "2024-07-01 10:00:00", 2, "b", 3.0),
+      ev(4, "2024-08-01 10:00:00", 2, "b", 4.0)))
+    Streams.publishPartitions(spark, ms.toDF(), out, s"$base/ckpt1")
+      .awaitTermination(60000)
+    assert(files(s"$out/yr=2023") == before2023, "untouched partition rewritten")
+    val got = spark.read.parquet(out)
+      .select("event_id", "yr").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 2023), (3L, 2024), (4L, 2024)), s"got $got")
+
+    // replaying the same rows through a fresh checkpoint is idempotent:
+    // same partitions rewritten to the same logical content, no dupes
+    val ms2 = MemoryStream[graft.model.Event]
+    ms2.addData(Seq(ev(3, "2024-07-01 10:00:00", 2, "b", 3.0),
+      ev(4, "2024-08-01 10:00:00", 2, "b", 4.0)))
+    Streams.publishPartitions(spark, ms2.toDF(), out, s"$base/ckpt2")
+      .awaitTermination(60000)
+    val again = spark.read.parquet(out)
+      .select("event_id", "yr").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == got)
+    assert(files(s"$out/yr=2023") == before2023)
+  }
+
   test("asofEnrich: streamed probes get the same last_value as batch AsOf") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
