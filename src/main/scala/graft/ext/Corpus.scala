@@ -53,6 +53,47 @@ object Corpus extends graft.QueryModule {
         coalesce(col("rate"), lit(1L)).as("rate"))
       .filter(pmod(col(keyCol), col("rate")) === 0)
 
+  /** TOKEN-BUDGET training mix: each stratum contributes documents (in
+    * deterministic `orderCol` order) until its token budget — a broadcast
+    * per-stratum dim — is exhausted; the first doc to cross the line is
+    * kept (budgets are "at least", matching how mixes are specced), the
+    * rest of the stratum is dropped. One window cumsum per stratum, the
+    * same parallel shape as [[packSequences]]. Strata absent from the
+    * dim contribute nothing. */
+  def mixByTokenBudget(docs: DataFrame, budgets: DataFrame,
+                       stratumCol: String, orderCol: String,
+                       textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(budgets), docs(stratumCol) === budgets("stratum"), "inner")
+      .select(col(orderCol), col(stratumCol), col("token_budget"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // keep while the PREVIOUS cumulative total was still under budget:
+      // the crossing document is included, everything after is cut
+      .filter(col("cum_tokens") - col("n_tokens") < col("token_budget"))
+      .select(col(orderCol), col(stratumCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Length-bucketed batching: group documents of similar token length
+    * into fixed-size batches so per-batch padding waste stays bounded —
+    * the standard efficiency prep before tokenized training. Bucket =
+    * token length / bucketWidth; batch = consecutive `batchSize` docs
+    * within the bucket in deterministic id order. Window row_number per
+    * bucket; bucket count is bounded by max doc length, so window
+    * parallelism holds at scale. */
+  def lengthBatches(docs: DataFrame, orderCol: String, textCol: String,
+                    bucketWidth: Int, batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("len_bucket")).orderBy(col(orderCol))
+    docs
+      .select(col(orderCol), size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("len_bucket",
+        floor(col("n_tokens") / bucketWidth).cast("int"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
   /** Benchmark decontamination: count word-3-gram collisions between each
     * document and the probe set; a collision marks the document
     * contaminated (it contains evaluation data) so it is dropped before
@@ -184,6 +225,18 @@ object Corpus extends graft.QueryModule {
   private val probes = Seq("stream table hash", "window fast query", "part filter scan")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mix_budget" -> ((s, d) => {
+      import s.implicits._
+      val budgets = Seq(("en", 2000L), ("fr", 1000L), ("de", 500L))
+        .toDF("stratum", "token_budget")
+      mixByTokenBudget(Tables.documents(s, d), budgets, "lang", "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+    "text_length_batches" -> ((s, d) =>
+      lengthBatches(Tables.documents(s, d), "doc_id", "text",
+        bucketWidth = 16, batchSize = 8)
+        .orderBy("doc_id")),
     "text_pack_sequences" -> ((s, d) =>
       packSequences(Tables.documents(s, d), "lang", "doc_id", "text", 2048)
         .orderBy("doc_id")),
@@ -210,6 +263,32 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "text_mix_budget" ->
+      """WITH b(stratum, token_budget) AS (
+        |  VALUES ('en', 2000), ('fr', 1000), ('de', 500)),
+        |t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents),
+        |c AS (
+        |  SELECT t.doc_id, t.lang, b.token_budget, t.n_tokens,
+        |         sum(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t JOIN b ON t.lang = b.stratum)
+        |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum - n_tokens < token_budget
+        |ORDER BY doc_id""".stripMargin,
+    "text_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(floor(n_tokens / 16.0) AS INTEGER) AS len_bucket
+        |  FROM t)
+        |SELECT doc_id, n_tokens, len_bucket,
+        |       CAST(floor((row_number() OVER (PARTITION BY len_bucket
+        |         ORDER BY doc_id) - 1) / 8.0) AS BIGINT) AS batch_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, lang,
         |       CAST(len(string_split(text, ' ')) + 1 AS INTEGER) AS n_tokens_eos,

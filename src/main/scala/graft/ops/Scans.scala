@@ -131,6 +131,26 @@ object Scans extends graft.QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** Schema evolution at the lake boundary [N]: two parquet generations
+    * of the same table — columns added and dropped between them — read
+    * back as ONE frame via `mergeSchema` (absent columns null-fill per
+    * file). Inference is still off per-file; the merged schema is the
+    * union, which is exactly what a long-lived 100 TB landing zone
+    * accumulates. Null ordering pinned explicitly: Spark defaults ASC
+    * NULLS FIRST, DuckDB NULLS LAST — an unpinned sort would
+    * hash-mismatch even with identical rows. */
+  private def srcMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/evolving_schema"
+    val p = Tables.part(spark, sfDir)
+    p.select(col("p_partkey"), col("p_name"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    p.select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"), col("p_name").asc_nulls_first)
+  }
+
   /** Publish-on-change: emit only rows differing from the previous
     * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
   private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -191,7 +211,8 @@ object Scans extends graft.QueryModule {
     "sink_partitioned_scan" -> sinkPartitionedScan,
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_commit_if_changed" -> sinkCommitIfChanged,
-    "sink_commit_partitions" -> sinkCommitPartitions)
+    "sink_commit_partitions" -> sinkCommitPartitions,
+    "src_merge_schema" -> srcMergeSchema)
 
   val oracles: Map[String, String] = Map(
     "src_list_scan" ->
@@ -227,6 +248,13 @@ object Scans extends graft.QueryModule {
         |EXCEPT
         |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "src_merge_schema" ->
+      """SELECT p_partkey, p_name,
+        |       CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS DOUBLE) AS p_retailprice
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, CAST(NULL AS VARCHAR), p_size, p_retailprice FROM part
+        |ORDER BY p_partkey, p_name NULLS FIRST""".stripMargin,
     // expected post-merge state: changed partitions (1995/1997 — the ones
     // the stale snapshot perturbed) carry current values and src='cur';
     // every other partition still holds the previous snapshot's rows
