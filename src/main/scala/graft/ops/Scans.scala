@@ -151,6 +151,33 @@ object Scans extends graft.QueryModule {
       .orderBy(col("p_partkey"), col("p_name").asc_nulls_first)
   }
 
+  /** Corrupt-record containment at the ingest boundary [N]: a landing
+    * zone at 100 TB always contains some malformed rows; the job must
+    * quarantine them (PERMISSIVE + `_corrupt_record`), never fail the
+    * scan (FAILFAST) or silently drop them (DROPMALFORMED). A
+    * deterministic 1-in-97 subset of rendered JSON lines is truncated,
+    * then the PERMISSIVE read buckets rows into their type or the
+    * quarantine; counts are oracle-checked against the same modular
+    * rule. */
+  private def srcJsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/json_corrupt"
+    val rendered = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        concat(lit("{\"event_id\": "), col("event_id"),
+          lit(", \"event_type\": \""), col("event_type"), lit("\"}")).as("line"))
+      .select(when(col("event_id") % 97 === 0,
+          // truncate: drop the closing brace -> malformed JSON
+          expr("substring(line, 1, length(line) - 1)"))
+        .otherwise(col("line")).as("value"))
+    rendered.write.mode("overwrite").text(dir)
+    spark.read
+      .schema("event_id BIGINT, event_type STRING, _corrupt_record STRING")
+      .json(dir)
+      .groupBy(coalesce(col("event_type"), lit("_corrupt")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Publish-on-change: emit only rows differing from the previous
     * snapshot (`update.yml:33-39`) — EXCEPT of new vs old. */
   private def sinkCommitIfChanged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -212,7 +239,8 @@ object Scans extends graft.QueryModule {
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_commit_if_changed" -> sinkCommitIfChanged,
     "sink_commit_partitions" -> sinkCommitPartitions,
-    "src_merge_schema" -> srcMergeSchema)
+    "src_merge_schema" -> srcMergeSchema,
+    "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
     "src_list_scan" ->
@@ -248,6 +276,10 @@ object Scans extends graft.QueryModule {
         |EXCEPT
         |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "src_json_corrupt" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt' ELSE event_type END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "src_merge_schema" ->
       """SELECT p_partkey, p_name,
         |       CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS DOUBLE) AS p_retailprice
