@@ -25,8 +25,10 @@ object Bench {
     "join_equi_large",      // fact-fact shuffle join
     "join_asof_native",     // custom AsOfJoinExec
     "join_range_interval",  // range join
+    "join_bloom_pruned",    // runtime bloom semi-join pruning
     "sink_bucketed_join",   // bucketed write + co-located join
     "sink_partitioned_scan",// partitioned write + pruned read-back
+    "sink_sorted_scan",     // range-clustered layout + min/max skipping
     "win_rank_topk",        // ranking window
     "win_rolling_frame",    // rows-frame window
     "sort_limit",           // TakeOrderedAndProject
@@ -64,6 +66,7 @@ object Bench {
     "text_fingerprint",
     "mm_binary",            // multimodal binary ops
     "stream_sliding_agg",   // streaming (batch-replay) agg
+    "stream_interval_join", // stream-stream interval join (batch form)
     "stream_dedup_stateful")
 
   def main(args: Array[String]): Unit = {

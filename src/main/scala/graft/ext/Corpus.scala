@@ -218,6 +218,27 @@ object Corpus extends graft.QueryModule {
       .select((-col("best.neg_key")).as(keyCol), col("fingerprint"),
         col("best.len").as(lenCol), col("group_size"))
 
+  /** Deterministic train/valid/test split assignment — the
+    * reproducibility primitive of every training-data pipeline: the
+    * split is a pure function of (key, salt), so re-running the pipeline
+    * on a grown corpus never moves an old document across splits (a
+    * `rand()`-based split reshuffles everything on every run and leaks
+    * eval data into training). md5 is used as the hash because both
+    * engines share it bit-for-bit; the first 4 hex chars → 0..65535 →
+    * percent bucket. Narrow, stateless, embarrassingly parallel — a
+    * pure projection at any scale. Change `salt` to draw a fresh split. */
+  def splitAssign(docs: DataFrame, keyCol: String, salt: String = "graft",
+                  trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket =
+      (conv(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), 1, 4),
+        16, 10).cast("int") % 100).as("bucket")
+    docs.select(col(keyCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   // ---- query-key bindings over the documents testdata table ----
 
   /** Benchmark probe 3-grams for the decontamination key (stand-ins for
@@ -225,6 +246,8 @@ object Corpus extends graft.QueryModule {
   private val probes = Seq("stream table hash", "window fast query", "part filter scan")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_assign" -> ((s, d) =>
+      splitAssign(Tables.documents(s, d), "doc_id").orderBy("doc_id")),
     "text_mix_budget" -> ((s, d) => {
       import s.implicits._
       val budgets = Seq(("en", 2000L), ("fr", 1000L), ("de", 500L))
@@ -263,6 +286,23 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB has no conv(hex, 16, 10): the 4 hex digits are decoded by a
+    // strpos polynomial (same trick as the md5 LSH oracle twins)
+    "text_split_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4) AS hx
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST((
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS INTEGER) AS bucket
+        |  FROM h)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_mix_budget" ->
       """WITH b(stratum, token_budget) AS (
         |  VALUES ('en', 2000), ('fr', 1000), ('de', 500)),

@@ -200,7 +200,25 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** PII-style pattern redaction — the scrubbing pass every training
+    * corpus runs before anything else: replace sensitive patterns (here
+    * digit runs, standing in for phone/account numbers; the pattern set
+    * is pluggable) with a typed placeholder and count the redactions per
+    * record so downstream filters can drop over-redacted docs. Runs over
+    * `events.props` (the only digit-bearing text column in the
+    * testdata). Pure projection: stateless, no shuffle, codegen'd
+    * regexp — scales with the scan. Redaction count comes from
+    * `regexp_count` (not a second replace) so the two expressions can't
+    * drift. */
+  private def redact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("int").as("n_redactions"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> redact,
     "text_logprob" -> logprob,
     "text_tokens" -> tokens,
     "text_rolling_fingerprint" -> rollingFingerprint,
@@ -213,6 +231,11 @@ object TextAnalysis extends graft.QueryModule {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_redact" ->
+      """SELECT event_id,
+        |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
+        |FROM events ORDER BY event_id""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -187,7 +187,40 @@ object Joins extends graft.QueryModule {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  /** Runtime bloom-filter join pruning [N] — the 100 TB semi-join story:
+    * when the build side is selective but too large to broadcast as a
+    * hash table, ship its key BLOOM FILTER (a few KB) instead and drop
+    * non-matching probe rows BEFORE the shuffle. The bits are built as a
+    * one-row scalar subquery over the filtered dim keys and tested
+    * map-side on the fact (`graft_bloom_contains`); the join is hinted
+    * `merge` so the exchange the bloom shrinks is actually in the plan
+    * (a broadcast join at this SF would hide the point). Correctness is
+    * unconditional: bloom false positives pass the filter but are
+    * eliminated by the exact join, so the result equals the plain join
+    * for ANY fpp — which is exactly what the oracle checks. */
+  private def bloomPruned(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 4500)
+      .select(col("c_custkey"), col("c_name"))
+    val nKeys = 10000L
+    val nBits = 131072L
+    val bits = cust
+      .agg(call_function("graft_bloom_agg", xxhash64(col("c_custkey")),
+        lit(nKeys), lit(nBits)).as("bits"))
+      .scalar()
+    Tables.orders(s, d)
+      .filter(call_function("graft_bloom_contains", bits, xxhash64(col("o_custkey"))))
+      .hint("merge")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).cast("int").as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_pruned" -> bloomPruned,
     "join_fx_rate" -> fxRate,
     "join_dim_config" -> dimConfig,
     "join_list_membership" -> listMembership,
@@ -203,6 +236,13 @@ object Joins extends graft.QueryModule {
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_pruned" ->
+      """SELECT c_custkey, c_name, CAST(count(*) AS INTEGER) AS n_orders,
+        |       max(o_totalprice) AS max_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 4500
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
     "join_fx_rate" ->
       """SELECT l_orderkey, l_linenumber,
         |       round_even(l_extendedprice /

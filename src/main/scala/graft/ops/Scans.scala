@@ -228,7 +228,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Sorted at-rest layout + min/max data skipping [N] — the third leg of
+    * the 100 TB layout story next to partitioning (coarse pruning) and
+    * bucketing (co-location): `repartitionByRange` on the filter column
+    * clusters each value range into ONE output file and
+    * `sortWithinPartitions` orders rows inside it, so every parquet
+    * row-group's min/max stats span a narrow slice and a range predicate
+    * on the read-back skips all but the matching files/row-groups (the
+    * pushed filter is in `.explain`; an unsorted layout scatters every
+    * value across every row-group and the same stats skip nothing). */
+  private def sinkSortedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/lineitem_sorted"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
     "src_json_records" -> srcJsonRecords,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
@@ -243,6 +268,12 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "sink_sorted_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |         l_quantity, l_extendedprice""".stripMargin,
     "src_list_scan" ->
       """SELECT 'part' AS list_name, upper(trim(p_name)) AS item, p_partkey
         |FROM part WHERE length(trim(p_name)) > 0 ORDER BY p_partkey""".stripMargin,

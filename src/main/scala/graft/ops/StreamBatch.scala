@@ -78,11 +78,29 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("event_type", "rnk")
   }
 
+  /** Stream-stream interval join, batch formulation: the EXACT plan of
+    * [[graft.streaming.Streams.clickViewJoin]] (watermarks are no-ops in
+    * batch) run over the events table — each click pairs with the same
+    * user's views from the preceding 4 hours. The streaming form keeps
+    * both sides' state bounded by the watermark + interval condition
+    * (StreamingSpec); here DuckDB oracles the join itself. At scale the
+    * equi-key (user_id) makes this a hash-partitioned join; the time
+    * bound is a residual predicate, never a cross product. */
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    graft.streaming.Streams.clickViewJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"),
+        boundMinutes = 240)
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_sliding_agg" -> slidingAgg,
     "stream_session_agg" -> sessionAgg,
     "stream_dedup_stateful" -> dedupStateful,
+    "stream_interval_join" -> intervalJoin,
     "stream_topk" -> topkStateful)
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +126,15 @@ object StreamBatch extends graft.QueryModule {
         |      FROM m)
         |SELECT min(ts) AS s_start, user_id, count(*) AS n, round_even(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+        |                  user_id, event_type FROM events),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM e WHERE event_type = 'view')
+        |SELECT c.user_id AS user_id, click_id, view_id, c_ts, v_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v_ts BETWEEN c_ts - INTERVAL '240 minutes' AND c_ts
+        |ORDER BY 1, 2, 3""".stripMargin,
     "stream_dedup_stateful" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

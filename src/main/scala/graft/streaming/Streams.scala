@@ -156,7 +156,8 @@ object Streams {
     * event-time bound passes (the unbounded-state hazard the watermark
     * exists to prevent). At scale: state is hash-partitioned by user_id;
     * the interval bound caps per-key state linearly in the window. */
-  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    boundMinutes: Int = 5): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "10 minutes")
@@ -164,8 +165,8 @@ object Streams {
         col("event_id").as("view_id"))
       .withWatermark("v_ts", "10 minutes")
     c.join(v, expr(
-      """c_user = v_user AND
-        |v_ts BETWEEN c_ts - INTERVAL 5 MINUTES AND c_ts""".stripMargin))
+      s"""c_user = v_user AND
+         |v_ts BETWEEN c_ts - INTERVAL $boundMinutes MINUTES AND c_ts""".stripMargin))
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         col("c_ts"), col("v_ts"))
   }

@@ -136,4 +136,28 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSeq
     assert(got == Seq((0L, 12, 3L), (3L, 6, 1L)))
   }
+
+  test("splitAssign: deterministic, stable under corpus growth, ~80/10/10") {
+    import spark.implicits._
+    val small = (0L until 200L).toDF("doc_id")
+    val big = (0L until 1000L).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Corpus.splitAssign(df, "doc_id")
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val a = assign(small)
+    val b = assign(big)
+    // growing the corpus NEVER moves an existing doc across splits
+    assert(a.forall { case (k, v) => b(k) == v })
+    // re-running is bit-stable
+    assert(assign(big) == b)
+    // the hash spreads close to the requested 80/10/10
+    val train = b.values.count(_ == "train").toDouble / b.size
+    val valid = b.values.count(_ == "valid").toDouble / b.size
+    assert(train > 0.75 && train < 0.85, s"train frac $train")
+    assert(valid > 0.06 && valid < 0.14, s"valid frac $valid")
+    // a different salt draws a genuinely different split
+    val resalted = Corpus.splitAssign(big, "doc_id", salt = "other")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(resalted != b)
+  }
 }

@@ -43,6 +43,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), p)
   }
 
+  test("join_bloom_pruned: bloom test sits below a real shuffle join") {
+    val p = plan("join_bloom_pruned")
+    // the map-side bloom probe survives into the physical plan...
+    assert(p.contains("might_contain"), p)
+    // ...and the join it prunes is the hinted sort-merge (an exchange
+    // actually exists for the bloom to shrink — broadcast would hide it)
+    assert(p.contains("SortMergeJoin"), p)
+    // the bloom filter is applied BEFORE the join in the tree (appears
+    // after it in top-down print order)
+    assert(p.indexOf("might_contain") > p.indexOf("SortMergeJoin"), p)
+  }
+
+  test("sink_sorted_scan: range predicate pushed into the sorted read-back scan") {
+    val p = plan("sink_sorted_scan")
+    // the PushedFilters list itself gets truncated in toString, so
+    // assert on the Filter node's predicate (plan-stable) plus the
+    // leading pushed entry
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert("""l_shipdate#\d+ <= """.r.findFirstIn(p).isDefined, p)
+  }
+
   test("dedup_minhash output is linear: exactly one labeled row per document") {
     // the r4 contract: cluster assignment, never the pair set (which is
     // quadratic inside near-dup cliques)

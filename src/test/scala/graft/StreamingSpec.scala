@@ -214,6 +214,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 200L, 100L)))
   }
 
+  test("interval join: streamed result equals the batch-shared plan (bound 240)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ev(1, "2024-01-01 08:00:00", 7, "view", 0.0),   // 2 h before click 2: joins
+      ev(2, "2024-01-01 10:00:00", 7, "click", 0.0),
+      ev(3, "2024-01-01 15:00:00", 7, "click", 0.0),  // 7 h after the view: outside
+      ev(4, "2024-01-01 09:00:00", 8, "view", 0.0),
+      ev(5, "2024-01-01 09:30:00", 8, "click", 0.0),
+      ev(6, "2024-01-01 12:00:00", 9, "click", 0.0))  // no views for user 9
+    def shape(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select($"user_id", $"click_id", $"view_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val batchDf = rows.toDF()
+    val batch = shape(Streams.clickViewJoin(
+      batchDf.filter($"event_type" === "click"),
+      batchDf.filter($"event_type" === "view"), boundMinutes = 240))
+    val clicks = MemoryStream[graft.model.Event]
+    val views = MemoryStream[graft.model.Event]
+    val q = Streams.clickViewJoin(
+        clicks.toDF().filter($"event_type" === "click"),
+        views.toDF().filter($"event_type" === "view"), boundMinutes = 240)
+      .writeStream.format("memory").queryName("ssj240_out")
+      .outputMode("append").start()
+    clicks.addData(rows); views.addData(rows)
+    q.processAllAvailable(); q.stop()
+    val streamed = shape(spark.table("ssj240_out"))
+    assert(streamed == batch)
+    assert(batch == Set((7L, 2L, 1L), (8L, 5L, 4L)))
+  }
+
   test("scheduledRefresh: AvailableNow drain + commit-if-changed idempotence") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_src").toString
