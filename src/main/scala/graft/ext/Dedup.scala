@@ -537,12 +537,14 @@ object Dedup extends graft.QueryModule {
         .select(col("id"), col("label"))
         .localCheckpoint()
       // localCheckpoint is a Dataset action (Dataset.withAction), so the
-      // CollectMetrics result is posted when it completes; wait a bounded
-      // window for the metric before falling back to an explicit count.
+      // CollectMetrics result is posted when it completes — but delivery
+      // rides the async listener bus. Wait only briefly: on a busy bus a
+      // long wait turns every round into a latency cliff, and the count
+      // fallback below costs about the same as one stalled round anyway.
       val changed: Long =
         try {
           val row = scala.concurrent.Await.result(
-            obs.future, scala.concurrent.duration.Duration(30, "s"))
+            obs.future, scala.concurrent.duration.Duration(2, "s"))
           if (row.isNullAt(0)) 0L else row.getLong(0) // null = sum over zero rows
         } catch {
           case _: java.util.concurrent.TimeoutException =>

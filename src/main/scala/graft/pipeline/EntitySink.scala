@@ -62,9 +62,9 @@ object EntitySink {
 
   /** Python `json.dump(..., ensure_ascii=True)` string escaping: quote,
     * backslash, named control escapes, `\u00xx` for other controls, and
-    * `\uxxxx` (lowercase hex) for every char at or above 0x80. DEL (0x7f)
-    * passes through raw — CPython's c_encode_basestring_ascii escapes
-    * only < 0x20 and >= 0x80. */
+    * `\uxxxx` (lowercase hex) for DEL (0x7f) and every char at or above
+    * 0x80 — CPython's encode_basestring_ascii escapes everything outside
+    * the printable-ASCII band 0x20..0x7e, DEL included. */
   def jsonEscape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
@@ -75,7 +75,7 @@ object EntitySink {
       case '\t' => b.append("\\t")
       case '\b' => b.append("\\b")
       case '\f' => b.append("\\f")
-      case c if c < ' ' || c > '\u007f' => b.append(f"\\u${c.toInt}%04x")
+      case c if c < ' ' || c > '\u007e' => b.append(f"\\u${c.toInt}%04x")
       case c => b.append(c)
     }
     b.toString

@@ -99,7 +99,10 @@ object Refresh {
     val doubleFields = Schemas.snapshot.fields
       .filter(_.dataType == org.apache.spark.sql.types.DoubleType).map(_.name).toSeq
     val flags = doubleFields.map { f =>
-      when(col("value").rlike("\"" + f + "\": -?[0-9]+\\s*[,}\\n]"), lit(f))
+      // anchored to the top-level field line (indent=2 => two leading
+      // spaces) so a STRING value whose text contains `"field": 5,`
+      // can't falsely mark the field int-like for that file
+      when(col("value").rlike("(?m)^  \"" + f + "\": -?[0-9]+,?$"), lit(f))
     }
     spark.read.option("wholetext", "true").text(s"$dataDir/*.json")
       .select(

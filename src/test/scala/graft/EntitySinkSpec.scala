@@ -39,8 +39,10 @@ class EntitySinkSpec extends AnyFunSuite {
     // non-ASCII -> \uxxxx lowercase hex, like json.dump's default
     assert(EntitySink.jsonEscape("Société") == "Soci\\u00e9t\\u00e9")
     assert(EntitySink.jsonEscape("plain ascii.") == "plain ascii.")
-    // DEL (0x7f) passes raw — CPython escapes only < 0x20 and >= 0x80
-    assert(EntitySink.jsonEscape("a\u007fb") == "a\u007fb")
+    // DEL (0x7f) IS escaped — CPython's encode_basestring_ascii escapes
+    // everything outside printable ASCII 0x20..0x7e (verified: Python
+    // 3.11 json.dumps("\x7f") == '"\\u007f"')
+    assert(EntitySink.jsonEscape("a\u007fb") == "a\\u007fb")
     assert(EntitySink.jsonEscape("\u0080") == "\\u0080")
   }
 }
