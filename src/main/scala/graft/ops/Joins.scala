@@ -219,7 +219,31 @@ object Joins extends graft.QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** Salted skewed join [N] — [[Skew.saltedJoin]] exercised on the most
+    * skew-hostile shape there is: a fact joined on a 5-value key
+    * (`o_orderpriority`), where an unsalted shuffle join sends ~20% of
+    * the table to ONE reducer. The dim carries per-priority decimal
+    * (sum, count); "above average" is tested as `price × cnt > sum` —
+    * exact decimal arithmetic, no division, no float-order sensitivity —
+    * so the salted plan's answer is bit-equal to the oracle's plain
+    * join. `shuffle_hash` hint keeps the 5-row dim out of a broadcast,
+    * which would dissolve the shuffle the salting is demonstrating (at
+    * real scale the small side is a few GB — shuffled, not broadcast). */
+  private def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val dim = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("price")).as("prio_sum"), count(lit(1)).as("prio_cnt"))
+    Skew.saltedJoin(o, dim.hint("shuffle_hash"), Seq("o_orderpriority"), saltN = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("price") * col("prio_cnt") > col("prio_sum"), 1L)
+        .otherwise(0L)).cast("int").as("n_above"),
+        count(lit(1)).cast("int").as("n_total"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_skew" -> saltedSkewJoin,
     "join_bloom_pruned" -> bloomPruned,
     "join_fx_rate" -> fxRate,
     "join_dim_config" -> dimConfig,
@@ -236,6 +260,19 @@ object Joins extends graft.QueryModule {
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "join_salted_skew" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |dim AS (
+        |  SELECT o_orderpriority, sum(price) AS prio_sum, count(*) AS prio_cnt
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        |       CAST(sum(CASE WHEN o.price * dim.prio_cnt > dim.prio_sum
+        |                     THEN 1 ELSE 0 END) AS INTEGER) AS n_above,
+        |       CAST(count(*) AS INTEGER) AS n_total
+        |FROM o JOIN dim USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_bloom_pruned" ->
       """SELECT c_custkey, c_name, CAST(count(*) AS INTEGER) AS n_orders,
         |       max(o_totalprice) AS max_price

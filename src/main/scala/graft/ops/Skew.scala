@@ -41,6 +41,35 @@ object Skew {
   def saltColumn(saltN: Int): Column =
     pmod(spark_partition_id().cast("long"), lit(saltN.toLong))
 
+  /** Salted equi-join for skewed keys when the small side is too large
+    * to broadcast and AQE's skew split is unavailable or insufficient:
+    * the big side gets a per-row salt in [0, saltN), the small side is
+    * REPLICATED once per salt value (explode over `sequence(0, saltN-1)`),
+    * and the join runs on (keys..., salt) — a hot key's rows land on up
+    * to `saltN` reducers instead of one. Exactly equal to the unsalted
+    * join: every big row carries one salt and meets the one replica of
+    * its key with that salt.
+    *
+    * Inner and left-outer only — a right/full outer join would surface
+    * each UNMATCHED small-side replica `saltN` times. Cost model: the
+    * small side shuffles ×saltN; pick saltN ≈ the factor you need the
+    * hot reducer split by, not more. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", saltN: Int = 16,
+                 salt: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one join key")
+    require(saltN > 0, s"saltN must be positive, got $saltN")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(outer small-side rows would duplicate per salt replica)")
+    val b = big.withColumn("__salt",
+      salt.getOrElse(saltColumn(saltN)).cast("int"))
+    val sm = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    b.join(sm, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Two-phase salted groupBy: exact same result as
     * `df.groupBy(keys).agg(...)`, skew-resistant shuffle shape. */
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Agg],

@@ -62,6 +62,57 @@ class SkewSpec extends AnyFunSuite {
     info(s"hot key: $total rows over ${subGroups.length} sub-groups, max $biggest")
   }
 
+  test("saltedJoin == plain join (inner and left), including unmatched rows") {
+    import spark.implicits._
+    val dim = Seq(("hot", 1.5), ("cold0", 2.0), ("cold1", 3.0), ("orphan", 9.9))
+      .toDF("k", "w")
+    // big side keeps cold2..cold4 unmatched so LEFT null-extension is exercised
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+        .select(col("k"), col("v"), col("id"), col("w"))
+        .collect().map(key).sortBy(_.toString)
+      val salted = Skew.saltedJoin(skewed, dim, Seq("k"), jt, saltN = 8)
+        .select(col("k"), col("v"), col("id"), col("w"))
+        .collect().map(key).sortBy(_.toString)
+      assert(salted.toSeq == plain.toSeq, s"$jt salted join drifted")
+    }
+    // the orphan dim row must never surface through inner/left
+    val out = Skew.saltedJoin(skewed, dim, Seq("k"), "inner", saltN = 8)
+    assert(out.filter(col("k") === "orphan").count() == 0)
+  }
+
+  test("saltedJoin spreads the hot key over multiple join partitions") {
+    import spark.implicits._
+    val dim = Seq(("hot", 1.5), ("cold0", 2.0)).toDF("k", "w")
+    // observe which shuffle partition each joined hot row lands in; AQE
+    // would re-coalesce this tiny shuffle into one partition and mask
+    // the spread, so pin coalescing off for the observation
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val parts =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Skew.saltedJoin(skewed, dim.hint("shuffle_hash"), Seq("k"), saltN = 8)
+          .filter(col("k") === "hot")
+          .select(spark_partition_id().as("p"))
+          .distinct().collect().map(_.getInt(0))
+      } finally spark.conf.set(coalesceKey, prev)
+    assert(parts.length > 1,
+      s"hot key still on a single join partition: ${parts.mkString(",")}")
+    info(s"hot key joined across ${parts.length} partitions")
+  }
+
+  test("saltedJoin rejects outer join types") {
+    import spark.implicits._
+    val dim = Seq(("hot", 1.0)).toDF("k", "w")
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed, dim, Seq("k"), "full_outer"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(skewed, dim, Seq("k"), "right"))
+  }
+
   test("saltedAgg validates its arguments") {
     intercept[IllegalArgumentException](
       Skew.saltedAgg(skewed, Seq.empty, Seq(Skew.Count("n"))))
