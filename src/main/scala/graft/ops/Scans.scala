@@ -252,7 +252,24 @@ object Scans extends graft.QueryModule {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
   }
 
+  /** Zone-map (manifest) file pruning [N] — see [[ZoneMap]]: orders
+    * range-clustered by o_totalprice into 8 files, per-file min/max
+    * manifest, and a band predicate that should touch ~1 of the 8 files
+    * before any scan task launches (ZoneMapSpec asserts the ratio). The
+    * residual filter keeps the result exact, so the key hash-matches a
+    * plain filtered scan. */
+  private def srcZonemapPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/orders_zonemap"
+    ZoneMap.write(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      dir, "o_totalprice", Seq("o_totalprice"), nFiles = 8)
+    ZoneMap.read(spark, dir, "o_totalprice", lit(450000.0), lit(500000.0))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_zonemap_pruned" -> srcZonemapPruned,
     "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
     "src_json_records" -> srcJsonRecords,
@@ -268,6 +285,11 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_zonemap_pruned" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 450000.0 AND 500000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_sorted_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
