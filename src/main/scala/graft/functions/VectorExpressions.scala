@@ -245,6 +245,8 @@ object VectorFunctions {
   def topk_by(ord: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_topk_by", ord, id,
       org.apache.spark.sql.functions.lit(k))
+  def zorder(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_zorder", a, b)
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -277,5 +279,7 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_topk_by",
       exprs => TopKByAgg(exprs(0), exprs(1),
         constIntArg("graft_topk_by", "k", exprs(2))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder",
+      exprs => ZOrderValue(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -161,7 +161,22 @@ object Exprs extends graft.QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** Morton z-value of two small non-negative dimensions through the
+    * native codegen expression ([[graft.functions.ZOrderValue]]). The
+    * 16-bit domain (p_size ≤ 50, p_partkey%1000) keeps the oracle's
+    * arithmetic bit-interleave inside safe BIGINT shifts; full 32-bit
+    * behavior is spec-tested against the reference loop in
+    * ZOrderValueSpec. */
+  private def zorderValue(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.part(s, d).select(col("p_partkey"),
+        graft.functions.VectorFunctions.zorder(
+          col("p_size"), pmod(col("p_partkey"), lit(1000)).cast("int")).as("zval"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "expr_zorder_value" -> zorderValue,
     "proj_snapshot" -> projSnapshot,
     "filter_positive" -> filterPositive,
     "expr_coalesce_chain" -> coalesceChain,
@@ -178,6 +193,19 @@ object Exprs extends graft.QueryModule {
     "expr_add_liquidity" -> addLiquidity)
 
   val oracles: Map[String, String] = Map(
+    // arithmetic Morton interleave: bit i of x -> bit 2i, bit i of y ->
+    // bit 2i+1; 16 terms cover the 16-bit demo domain (max shift 31)
+    "expr_zorder_value" ->
+      """WITH b AS (
+        |  SELECT p_partkey, p_size AS x, p_partkey % 1000 AS y FROM part)
+        |SELECT b.p_partkey,
+        |       CAST(sum(
+        |         ((b.x >> t.i) & 1) * (1::BIGINT << (2 * t.i)) +
+        |         ((b.y >> t.i) & 1) * (1::BIGINT << (2 * t.i + 1))
+        |       ) AS BIGINT) AS zval
+        |FROM b CROSS JOIN generate_series(0, 15) t(i)
+        |GROUP BY b.p_partkey
+        |ORDER BY b.p_partkey""".stripMargin,
     "proj_snapshot" ->
       """SELECT 'L-' || l_orderkey || '-' || l_linenumber AS ticker,
         |       l_extendedprice AS price,

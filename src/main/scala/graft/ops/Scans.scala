@@ -268,7 +268,33 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Z-order clustered layout [N] ([[graft.functions.ZOrderValue]] +
+    * [[ZoneMap]]): orders range-partitioned by the Morton code of
+    * (o_custkey, days-since-epoch-of-o_orderdate), manifest stats on
+    * BOTH source dimensions. Unlike a linear sort on custkey — which
+    * leaves every file's date band full-width — the curve keeps both
+    * bands tight, so a band predicate on the DATE alone still prunes
+    * files (ratio asserted in ZOrderValueSpec). The read result is
+    * exact, so the key hash-matches a plain filtered scan. */
+  private def sinkZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "target/tmp/orders_zorder"
+    val zed = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        graft.functions.VectorFunctions.zorder(
+          col("o_custkey").cast("int"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("int")).as("__z"))
+    ZoneMap.write(zed, dir, "__z", Seq("o_custkey", "o_orderdate"), nFiles = 16)
+    ZoneMap.read(spark, dir, "o_orderdate",
+        lit("1998-06-01").cast("timestamp"), lit("1998-08-31").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_zorder_scan" -> sinkZorderScan,
     "src_zonemap_pruned" -> srcZonemapPruned,
     "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
@@ -285,6 +311,11 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "sink_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1998-06-01' AND TIMESTAMP '1998-08-31'
+        |ORDER BY o_orderkey""".stripMargin,
     "src_zonemap_pruned" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice
         |FROM orders
