@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance [N] — the materialized-view pattern
+  * every 100 TB warehouse runs: keep a compact per-key PARTIAL-aggregate
+  * state table (count, sum, min, max), and fold each arriving batch of
+  * rows into it WITHOUT rescanning the base table. Refresh cost is
+  * O(delta + state), not O(base) — at 100 TB of facts with a few GB of
+  * state, that is the difference between minutes and a full-table job.
+  *
+  * Exactness contract: insert-only deltas. count/sum are abelian-group
+  * aggregates (deletes could be folded as negative deltas); min/max are
+  * only semigroup — a delete CAN'T be unfolded without the base rows, so
+  * the API models appends, which is what fact streams are. The merged
+  * state is EXACTLY the state of base ∪ delta (same partial/merge pairs
+  * Spark's own hash aggregate uses), verified by the oracle equality.
+  *
+  * Sum state is decimal: exact, order-invariant, bit-identical across
+  * engines; expose doubles only at the output boundary.
+  */
+object Incremental {
+
+  /** Build the per-key partial-aggregate state for `valueCol`.
+    * `n` counts non-null values (so merge math and avg share one base). */
+  def state(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "incremental state needs at least one key")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+  }
+
+  /** Merge two state tables (e.g. yesterday's state + today's delta
+    * state): union + re-aggregate with the merge half of each pair.
+    * Keys present in only one side pass through unchanged. */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("bigint").as("n"),
+        sum(col("s")).as("s"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Fold a batch of RAW delta rows into an existing state table. */
+  def mergeDelta(st: DataFrame, delta: DataFrame, keys: Seq[String],
+                 valueCol: String): DataFrame =
+    merge(st, state(delta, keys, valueCol), keys)
+}

@@ -100,12 +100,49 @@ object Warehouse extends graft.QueryModule {
       .orderBy("key")
   }
 
+  /** Incremental aggregate maintenance ([[Incremental]]): state built
+    * from orders BEFORE 1999, three months of 1999 folded in as
+    * insert-only deltas batch by batch — never rescanning the base —
+    * then the state is served. The oracle recomputes the same aggregate
+    * over the full union, so the hash check IS the proof that
+    * state+deltas equals a from-scratch groupBy. Decimal sum state;
+    * doubles only at the output boundary. */
+  private def aggIncremental(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val keys = Seq("o_custkey")
+    var st = Incremental.state(
+      o.filter(col("o_orderdate") < "1999-01-01"), keys, "price")
+    for (m <- Seq("01", "02", "03")) {
+      val delta = o.filter(col("o_orderdate") >= s"1999-$m-01" &&
+        col("o_orderdate") < (if (m == "03") "1999-04-01" else s"1999-0${m.toInt + 1}-01"))
+      st = Incremental.mergeDelta(st, delta, keys, "price")
+    }
+    st.select(col("o_custkey"), col("n"),
+        col("s").cast("double").as("total"),
+        col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_incremental" -> aggIncremental,
     "quality_checks" -> qualityChecks,
     "scd2_intervals" -> scd2Intervals,
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    // from-scratch recompute over the whole window the state+deltas
+    // covered: equality proves the incremental fold is exact
+    "agg_incremental" ->
+      """SELECT o_custkey,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mn,
+        |       CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mx
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1999-04-01'
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "quality_checks" ->
       """SELECT 'lineitem_qty_range' AS check_name,
         |       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS n_violations
