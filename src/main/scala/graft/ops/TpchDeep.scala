@@ -85,12 +85,83 @@ object TpchDeep extends graft.QueryModule {
       .limit(100)
   }
 
+  /** TPC-H Q7: bilateral trade volume between two nations by ship year.
+    * Plan: lineitem filtered on the two-year window (pushed), orderkey
+    * shuffle join to orders, then ALL dims — supplier, customer, the two
+    * nation copies — broadcast; the OR-of-nation-pairs predicate runs
+    * after the broadcasts, and the final agg is 2×2×2 rows. At 100 TB
+    * the only shuffle is the fact-to-orders join. */
+  private def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val revenue = sum(dec("l_extendedprice") * (one - dec("l_discount")))
+      .cast("double").as("revenue")
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue)
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14: promo revenue share for one month — the
+    * conditional-sum-over-join shape. part broadcasts; the share is ONE
+    * double division of two exact decimal sums (never an incremental
+    * ratio), so the scalar is bit-stable at any partition count. */
+  private def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val disc = dec("l_extendedprice") * (one - dec("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(((lit(100.0) * coalesce(sum(when(col("p_type") === "PROMO", disc)),
+          lit(0).cast("decimal(12,2)")).cast("double")) /
+        sum(disc).cast("double")).as("promo_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_q1_pricing" -> q1Pricing,
     "join_q10_returns" -> q10Returns,
+    "join_q7_volume" -> q7Volume,
+    "agg_q14_promo" -> q14Promo,
     "agg_q18_large_orders" -> q18LargeOrders)
 
   val oracles: Map[String, String] = Map(
+    "join_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "agg_q14_promo" ->
+      """SELECT (100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2))) END),
+        |           0) AS DOUBLE))
+        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
     "agg_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
