@@ -807,7 +807,40 @@ object Dedup extends graft.QueryModule {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** Edit-distance-1 similarity join [N] by 1-DELETION-NEIGHBORHOOD
+    * blocking (the FastSS family, public): every string generates itself
+    * plus its |s| single-character deletions; two strings within one
+    * edit (sub/ins/del) ALWAYS share a variant, so candidates come from
+    * an equi-join on the variant — O(collisions), never all-pairs. The
+    * neighborhood over-generates (e.g. a transposition "ab"/"ba" shares
+    * a variant at distance 2), so candidates pass an exact
+    * `levenshtein` verify — identical unit-cost semantics in Spark and
+    * DuckDB, which is what makes the key oracle-able. At 100 TB: ×(|s|+1)
+    * row expansion on short keys, bucketed equi-join, exact filter —
+    * the same candidates→verify shape as the MinHash pipeline. */
+  private def editDistPairs(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val variants = c.select(col("id"), col("name"),
+      explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substring(name, 1, i - 1),
+          |                substring(name, i + 1, length(name)))))""".stripMargin))
+        .as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.name").as("name_i"), col("b.name").as("name_j"))
+      .distinct()
+      .filter(levenshtein(col("name_i"), col("name_j")) <= 1)
+      .select(col("i"), col("j"),
+        levenshtein(col("name_i"), col("name_j")).cast("int").as("dist"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_editdist" -> editDistPairs,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
@@ -820,6 +853,14 @@ object Dedup extends graft.QueryModule {
     "dedup_simhash_md5" -> simhashMd5)
 
   val oracles: Map[String, String] = Map(
+    // brute-force ground truth: the blocked candidates + exact verify
+    // must equal the all-pairs answer exactly
+    "dedup_editdist" ->
+      """SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY i, j""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, source, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY lang, source, n_chars

@@ -210,6 +210,39 @@ class DedupSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("deletion-neighborhood blocking finds exactly the edit-dist<=1 pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sub ("abc"/"abd"), del ("abc"/"ab"), ins ("abc"/"xabc"), identical
+    // ("dup" twice), transposition ("ab"/"ba" — dist 2, must NOT match),
+    // and an unrelated string
+    val names = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xabc"),
+      (5L, "dup"), (6L, "dup"), (7L, "ba"), (8L, "zzzzz"))
+    val df = names.toDF("id", "name")
+    val variants = df.select(col("id"), col("name"),
+      explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substring(name, 1, i - 1),
+          |                substring(name, i + 1, length(name)))))""".stripMargin))
+        .as("v"))
+    val got = variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.name").as("ni"), col("b.name").as("nj"))
+      .distinct()
+      .filter(levenshtein(col("ni"), col("nj")) <= 1)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i, si) <- names; (j, sj) <- names if i < j
+    } yield (i, j, graft.TestLevenshtein.dist(si, sj)))
+      .filter(_._3 <= 1).map(t => (t._1, t._2)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((1L, 4L)) && got.contains((5L, 6L)))
+    assert(!got.contains((3L, 7L)) || graft.TestLevenshtein.dist("ab", "ba") <= 1)
+  }
+
   test("simhash pairs are symmetric-free and above-threshold") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
