@@ -95,7 +95,39 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** Streaming incremental-state maintenance end to end
+    * ([[graft.streaming.Streams.maintainIncrementalState]]): events are
+    * sliced into three files, streamed one file per micro-batch, each
+    * batch folded into the versioned partial-agg state; the key serves
+    * the FINAL state, and the oracle recomputes the same aggregate over
+    * all events at once — equality proves three incremental folds lose
+    * nothing vs one big groupBy. */
+  private def incrementalMaintain(s: SparkSession, d: String): DataFrame = {
+    val base = "target/tmp/inc_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val src = s"$base/src"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(12,2)").as("price"))
+    for (slice <- 0 to 2) {
+      ev.filter(pmod(col("event_id"), lit(3)) === slice)
+        .select(col("user_id"), col("price"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = graft.streaming.Streams.maintainIncrementalState(
+      s, src, s"$base/state", s"$base/ckpt")
+    q.awaitTermination()
+    val latest = graft.streaming.Streams.latestStateVersion(s"$base/state")
+      .getOrElse(sys.error("no incremental state version written"))
+    s.read.parquet(latest)
+      .select(col("user_id"), col("n"),
+        col("s").cast("double").as("total"),
+        col("mn").cast("double").as("mn"), col("mx").cast("double").as("mx"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_agg" -> incrementalMaintain,
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_sliding_agg" -> slidingAgg,
     "stream_session_agg" -> sessionAgg,
@@ -104,6 +136,14 @@ object StreamBatch extends graft.QueryModule {
     "stream_topk" -> topkStateful)
 
   val oracles: Map[String, String] = Map(
+    "stream_incremental_agg" ->
+      """SELECT user_id,
+        |       CAST(count(value) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |       CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mn,
+        |       CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mx
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', date_trunc('microseconds', ts)) AS w_start,
         |       event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value

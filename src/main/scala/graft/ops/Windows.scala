@@ -135,8 +135,32 @@ object Windows extends graft.QueryModule {
       .orderBy("funnel_stage")
   }
 
+  /** Gap-based sessionization [N] with explicit SESSION IDS — the batch
+    * twin of `session_window` that also LABELS every session: a session
+    * breaks after a 30-minute silence, the break flags cumulative-sum
+    * into a per-user session index (two passes over ONE window ordering
+    * — lag then running sum — a single sort per user partition), then
+    * one hash agg per (user, session). Emitting ids (not just bounds)
+    * is what lets downstream joins attribute events to sessions. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+          lit(30L * 60 * 1000000), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sess_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_distribution_ranks" -> distributionRanks,
+    "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
     "win_last_nonnull" -> lastNonNull,
@@ -146,6 +170,27 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+        |                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM b)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS s_start, max(ts) AS s_end,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "win_distribution_ranks" ->
       """WITH counts AS (
         |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)

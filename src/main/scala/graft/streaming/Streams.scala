@@ -241,4 +241,47 @@ object Streams {
           .partitionBy("yr").parquet(outDir)
       }
       .start()
+
+  /** Streaming maintenance of the [[graft.ops.Incremental]] partial-agg
+    * state: each micro-batch of (user_id, price) rows folds into the
+    * previous state VERSION and writes the next — O(batch + state) per
+    * trigger, never a rescan of history, and versioned state dirs make
+    * replay idempotent (re-running batch k rewrites v<k> from v<k-1>,
+    * same content). The streaming twin of `agg_incremental`: a serving
+    * table of per-key (n, sum, min, max) that is always one batch behind
+    * the stream head. */
+  def maintainIncrementalState(spark: SparkSession, srcDir: String,
+                               stateDir: String,
+                               checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DecimalType(12, 2))))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark2 = batch.sparkSession
+        val prev = new java.io.File(s"$stateDir/v${batchId - 1}")
+        val st =
+          if (batchId > 0 && prev.exists())
+            spark2.read.parquet(prev.getAbsolutePath)
+          else // empty state with the state schema
+            graft.ops.Incremental.state(batch.limit(0), Seq("user_id"), "price")
+        graft.ops.Incremental.mergeDelta(st, batch, Seq("user_id"), "price")
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .start()
+  }
+
+  /** Latest state version written by [[maintainIncrementalState]]. */
+  def latestStateVersion(stateDir: String): Option[String] = {
+    val vs = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .sortBy(_.getName.drop(1).toInt)
+    vs.lastOption.map(_.getAbsolutePath)
+  }
 }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Event
@@ -342,5 +343,33 @@ class StreamingSpec extends AnyFunSuite {
         probes.toDF("user_id", "ts"), series, "user_id", "ts", "event_id", "value")
       .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
     assert(got.sortBy(x => (x._1, x._2)) == expected.sortBy(x => (x._1, x._2)).toBuffer)
+  }
+
+  test("maintainIncrementalState: one state version per micro-batch, exact fold") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_inc_state").toString
+    val rows = Seq((1L, "11.50"), (1L, "2.25"), (2L, "7.00"), (2L, "-3.75"))
+    // two source files -> two micro-batches (maxFilesPerTrigger = 1)
+    rows.grouped(2).foreach { g =>
+      g.toDF("user_id", "price")
+        .select(col("user_id"), col("price").cast("decimal(12,2)").as("price"))
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    }
+    val q = Streams.maintainIncrementalState(
+      spark, s"$base/src", s"$base/state", s"$base/ckpt")
+    q.awaitTermination()
+    val versions = new java.io.File(s"$base/state").listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).sorted
+    assert(versions.toSeq == Seq("v0", "v1"),
+      s"expected one state version per batch, got ${versions.mkString(",")}")
+    val latest = Streams.latestStateVersion(s"$base/state").get
+    val got = spark.read.parquet(latest)
+      .select(col("user_id"), col("n"), col("s").cast("string"),
+        col("mn").cast("string"), col("mx").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, "13.75", "2.25", "11.50"),
+      (2L, 2L, "3.25", "-3.75", "7.00")))
   }
 }
