@@ -348,7 +348,103 @@ object SimSearch extends graft.QueryModule {
       .limit(10)
   }
 
+  /** Product quantization [N] (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", public) — the canonical embedding
+    * compression: the 64-dim vector splits into `m` subspaces, each
+    * subspace learns a tiny k-centroid codebook (distributed Lloyd, same
+    * machinery as the IVF path), and a vector is stored as m ONE-BYTE
+    * codes (32× smaller than float32). Serving is asymmetric distance
+    * computation: the probe precomputes an (m × k)-entry distance table
+    * (a broadcast of 128 rows), the corpus side joins CODES against the
+    * table and sums — the big-data scan touches only the code columns,
+    * never the floats — then an exact-cosine rerank over the short
+    * candidate list restores precision. Approximate (float centroid
+    * means) ⇒ rows-only key + recall floor in SimSearchRecallSpec. */
+  private def subvectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s2 -> slice(embedding, s2 * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "svec")))
+
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Per-subspace codebooks (sub, cid, cvec) from `iters` Lloyd rounds
+    * seeded deterministically by vec_id 1..k. */
+  def pqTrainCodebooks(vecs: DataFrame, m: Int, subDim: Int, k: Int,
+                       iters: Int): DataFrame = {
+    val sub = subvectors(vecs, m, subDim)
+    var cents = sub.filter(col("vec_id").between(1, k))
+      .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"),
+        col("svec").as("cvec"))
+    (1 to iters).foreach { _ =>
+      cents = sub.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("svec"), col("cid"),
+          l2sq(col("svec"), col("cvec")).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          first(col("svec")).as("svec"))
+        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("dims"))
+        .select(col("sub"), col("cid"),
+          transform(col("dims"), x => x.getField("mv").cast("float")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Encode every vector as its per-subspace nearest codebook entry:
+    * the (vec_id, sub, cid) code table IS the compressed corpus. */
+  def pqEncode(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        l2sq(col("svec"), col("cvec")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  def pqTopK(e: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+             rerank: Int = 200, topK: Int = 10): DataFrame = {
+    val subDim = 64 / m
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val cents = pqTrainCodebooks(vecs, m, subDim, k, iters)
+    val sub = subvectors(vecs, m, subDim)
+    val codes = pqEncode(sub, cents)
+    // the served metric is COSINE, so the ADC table carries the probe's
+    // per-subspace DOT with every codebook entry (m × k = 128 rows,
+    // broadcast); approx cosine = Σ_sub dot(probe_sub, cvec[code]) / |v|
+    // with the exact per-vector norm stored beside the codes (one float
+    // per vector — standard PQ-for-cosine practice)
+    val table = sub.filter(col("vec_id") === 0)
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("sub"), col("cid"), dot(col("svec"), col("cvec")).as("pdot"))
+    val norms = vecs.select(col("vec_id"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("vnorm"))
+    val candidates = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(table), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pdot")).as("approx_dot"))
+      .join(norms, Seq("vec_id"))
+      .select(col("vec_id"), (col("approx_dot") / col("vnorm")).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank)
+    // exact rerank of the short list
+    val probe = vecs.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    candidates.join(vecs, Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  private def pq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    pqTopK(Tables.embeddings(s, d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_pq" -> pq,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,

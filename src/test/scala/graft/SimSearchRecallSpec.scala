@@ -42,6 +42,18 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"quantized recall@10 regressed: $recall")
   }
 
+  test("PQ + exact rerank recall@10 vs exact top-10 on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("sim_search_pq")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.6, s"PQ recall@10 regressed: $recall")
+  }
+
   test("single-probe batch slice equals the single-probe exact answer") {
     // sim_search_batch is oracle-checked; additionally pin its probe_id=0
     // slice to the independently-built sim_search_cosine plan (different
