@@ -67,7 +67,16 @@ object Bench {
     "mm_binary",            // multimodal binary ops
     "stream_sliding_agg",   // streaming (batch-replay) agg
     "stream_interval_join", // stream-stream interval join (batch form)
-    "stream_dedup_stateful")
+    "stream_dedup_stateful",
+    "join_salted_skew",     // salted skew join (r5)
+    "src_zonemap_pruned",   // manifest file pruning (r5)
+    "sink_zorder_scan",     // z-order clustered layout (r5)
+    "agg_incremental",      // incremental agg maintenance (r5)
+    "join_q7_volume",       // TPC-H Q7 (r5)
+    "fin_twap",             // time-weighted average price (r5)
+    "dedup_editdist",       // deletion-neighborhood edit-distance join (r5)
+    "win_sessionize",       // labeled gap sessionization (r5)
+    "sim_search_pq")        // product-quantization ANN (r5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
