@@ -538,17 +538,20 @@ object Dedup extends graft.QueryModule {
         .localCheckpoint()
       // localCheckpoint is a Dataset action (Dataset.withAction), so the
       // CollectMetrics result is posted when it completes — but delivery
-      // rides the async listener bus. Wait only briefly: on a busy bus a
-      // long wait turns every round into a latency cliff, and the count
-      // fallback below costs about the same as one stalled round anyway.
+      // rides the async listener bus. 5 s rides out normal bus lag without
+      // turning every round into a latency cliff; the count fallback below
+      // costs about one extra round, so LOG when it fires — systematic bus
+      // starvation (every round falling back) must be visible, not silent.
       val changed: Long =
         try {
           val row = scala.concurrent.Await.result(
-            obs.future, scala.concurrent.duration.Duration(2, "s"))
+            obs.future, scala.concurrent.duration.Duration(5, "s"))
           if (row.isNullAt(0)) 0L else row.getLong(0) // null = sum over zero rows
         } catch {
           case _: java.util.concurrent.TimeoutException =>
-            // metric never delivered (defensive): one count job instead
+            System.err.println(s"graft.connectedComponents: observe metric " +
+              s"missed 5s window at iter $iter; falling back to a count() " +
+              "job (listener bus lagging?)")
             updated.as("u").join(labels.as("o"), Seq("id"))
               .filter(col("u.label") =!= col("o.label")).count()
         }
@@ -828,11 +831,16 @@ object Dedup extends graft.QueryModule {
   def editDistance1Pairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
     val vs = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       explode(expr(
+        // sequence(1, 0) yields the DESCENDING [1, 0], so an empty name
+        // must not reach it: guard with an empty typed array instead of
+        // emitting two spurious ""-deletion variants.
         """array_append(
-          |  transform(sequence(1, length(name)),
-          |    i -> struct(i AS tag,
-          |                concat(substring(name, 1, i - 1),
-          |                       substring(name, i + 1, length(name))) AS v)),
+          |  if(length(name) > 0,
+          |     transform(sequence(1, length(name)),
+          |       i -> struct(i AS tag,
+          |                   concat(substring(name, 1, i - 1),
+          |                          substring(name, i + 1, length(name))) AS v)),
+          |     CAST(array() AS array<struct<tag: int, v: string>>)),
           |  struct(-1 AS tag, name AS v))""".stripMargin)).as("e"))
       .select(col("id"), col("name"), col("e.tag").as("tag"), col("e.v").as("v"))
     // substitution / identical: same variant at the same position

@@ -282,9 +282,14 @@ object Scans extends graft.QueryModule {
     val zed = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"),
+        // ZOrderValue requires NON-NEGATIVE inputs (sign bit would top the
+        // interleave and invert clustering); this corpus starts exactly at
+        // 1995-01-01 but real TPC-H starts 1992 — clamp so an earlier date
+        // degrades locally instead of silently destroying the whole curve.
         graft.functions.VectorFunctions.zorder(
           col("o_custkey").cast("int"),
-          datediff(col("o_orderdate"), lit("1995-01-01")).cast("int")).as("__z"))
+          greatest(datediff(col("o_orderdate"), lit("1995-01-01")), lit(0))
+            .cast("int")).as("__z"))
     ZoneMap.write(zed, dir, "__z", Seq("o_custkey", "o_orderdate"), nFiles = 16)
     ZoneMap.read(spark, dir, "o_orderdate",
         lit("1998-06-01").cast("timestamp"), lit("1998-08-31").cast("timestamp"))

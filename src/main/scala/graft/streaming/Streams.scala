@@ -267,9 +267,18 @@ object Streams {
         val spark2 = batch.sparkSession
         val prev = new java.io.File(s"$stateDir/v${batchId - 1}")
         val st =
-          if (batchId > 0 && prev.exists())
+          if (batchId > 0) {
+            // Only batch 0 may start from empty state. A missing
+            // predecessor version with a surviving checkpoint (state dir
+            // cleaned, prior batch died between checkpoint and state
+            // write) must FAIL LOUDLY — folding batch k into empty state
+            // would serve silently undercounted aggregates forever after.
+            if (!prev.exists())
+              sys.error(s"incremental state v${batchId - 1} missing under " +
+                s"$stateDir but checkpoint expects batch $batchId; refusing " +
+                "to rebuild from empty state (would silently undercount)")
             spark2.read.parquet(prev.getAbsolutePath)
-          else // empty state with the state schema
+          } else // empty state with the state schema
             graft.ops.Incremental.state(batch.limit(0), Seq("user_id"), "price")
         graft.ops.Incremental.mergeDelta(st, batch, Seq("user_id"), "price")
           .write.mode("overwrite").parquet(s"$stateDir/v$batchId")

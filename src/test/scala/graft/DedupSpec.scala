@@ -243,6 +243,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((3L, 7L)) || graft.TestLevenshtein.dist("ab", "ba") <= 1)
   }
 
+  test("editDistance1Pairs: exact on random short strings incl. empty names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // empty strings are the edge: sequence(1,0) = [1,0] descending would
+    // mint two spurious ""-variants without the guard; two empty names are
+    // dist 0 and must appear exactly once, and ""/"a" is a dist-1 insert
+    val rnd = new scala.util.Random(42)
+    val pool = Seq("", "", "a", "b", "ab", "ba", "abc") ++
+      (0 until 40).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(4)).mkString
+        .toLowerCase.filter(_ <= 'c'))
+    val names = pool.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = graft.ext.Dedup.editDistance1Pairs(
+        names.toDF("id", "name"), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (i, si) <- names; (j, sj) <- names if i < j
+      d = graft.TestLevenshtein.dist(si, sj) if d <= 1
+    } yield (i, j, d)).toSet
+    assert(got == brute,
+      s"spurious=${(got -- brute).take(5)} missing=${(brute -- got).take(5)}")
+    // the two empty names: exactly ONE row, dist 0 — no contradictory twin
+    assert(got.count(t => t._1 == 0L && t._2 == 1L) == 1)
+    assert(got.contains((0L, 1L, 0)))
+  }
+
   test("simhash pairs are symmetric-free and above-threshold") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
