@@ -217,7 +217,57 @@ object TextAnalysis extends graft.QueryModule {
         regexp_count(col("props"), lit("[0-9]+")).cast("int").as("n_redactions"))
       .orderBy("event_id")
 
+  /** Sliding-window chunking — splitting long documents into
+    * overlapping fixed-token windows (stride 24, window 32, so 8 tokens
+    * of context overlap) is how a pretraining pipeline feeds documents
+    * longer than the model context. Zero shuffle: one map-side
+    * explode whose amplification is bounded by window/stride ≈ 1.33×,
+    * so it scales exactly like the scan. Chunks are emitted as md5 +
+    * token count (the pipeline's manifest form), not raw text. */
+  private def chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(floor((size(ws) - 1) / 24) AS INT)),
+          |  s -> struct(s AS chunk_id, slice(ws, s * 24 + 1, 32) AS c))"""
+          .stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.chunk_id").as("chunk_id"),
+        md5(array_join(col("e.c"), " ")).as("chunk_md5"),
+        size(col("e.c")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Temperature-based language rebalancing (the mT5/XLM-R mixture
+    * trick, α = 0.5): sampling rate per language ∝ count^(α−1),
+    * normalized so the LARGEST language keeps rate 0.5 — low-resource
+    * languages keep proportionally more. Selection is a DETERMINISTIC
+    * per-document coin: the md5-prefix of the text compared against the
+    * rate as an 8-hex-digit threshold, so the sample is reproducible
+    * across runs/engines and needs no RNG state. Rates derive from
+    * sqrt/division only (both correctly rounded IEEE — no float SUM
+    * whose order could differ cross-engine). Per-lang dim broadcasts;
+    * the docs scan never shuffles. */
+  private def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val rates = cnt
+      .crossJoin(broadcast(cnt.agg(max(col("c")).as("cmax"))))
+      .withColumn("rate",
+        least(lit(1.0), lit(0.5) * sqrt(col("cmax")) / sqrt(col("c"))))
+      .withColumn("thresh",
+        lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("long"))),
+          8, "0"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(col("c")).as("orig_docs"),
+        count(when(col("rate") >= 1.0 ||
+          substring(md5(col("text")), 1, 8) < col("thresh"), 1)).as("kept_docs"),
+        min(col("rate")).as("rate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> chunk,
+    "text_mix_temperature" -> mixTemperature,
     "text_redact" -> redact,
     "text_logprob" -> logprob,
     "text_tokens" -> tokens,
@@ -231,6 +281,28 @@ object TextAnalysis extends graft.QueryModule {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(s AS INTEGER) AS chunk_id,
+        |       md5(array_to_string(list_slice(ws, s*24 + 1, s*24 + 32), ' '))
+        |         AS chunk_md5,
+        |       CAST(len(list_slice(ws, s*24 + 1, s*24 + 32)) AS INTEGER)
+        |         AS n_tokens
+        |FROM t, range(0, 64) r(s)
+        |WHERE s*24 < len(ws)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_mix_temperature" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |r AS (SELECT lang, c,
+        |        least(1.0, 0.5 * sqrt((SELECT max(c) FROM cnt)) / sqrt(c)) AS rate
+        |      FROM cnt)
+        |SELECT d.lang, CAST(min(r.c) AS BIGINT) AS orig_docs,
+        |  CAST(count(CASE WHEN r.rate >= 1.0 OR substr(md5(d.text), 1, 8) <
+        |    lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+        |         8, '0') THEN 1 END) AS BIGINT) AS kept_docs,
+        |  min(r.rate) AS rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_redact" ->
       """SELECT event_id,
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,

@@ -128,14 +128,120 @@ object TpchDeep extends graft.QueryModule {
         sum(disc).cast("double")).as("promo_revenue"))
   }
 
+  /** TPC-H Q3: unshipped-order revenue for one market segment, top 10.
+    * The customer side contributes NO output columns, so it joins
+    * LEFT SEMI against the segment-filtered customer — the build side
+    * carries only c_custkey instead of the whole row, and at 100 TB the
+    * semi join lets AQE turn it into a broadcast of just the key set.
+    * lineitem⋈orders is the one real shuffle; top-10 is
+    * TakeOrderedAndProject. (o_shippriority doesn't exist in this
+    * synthetic schema; the reported columns end at o_orderdate.) */
+  private def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val revenue = sum(dec("l_extendedprice") * (one - dec("l_discount")))
+      .cast("double").as("revenue")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-07-01"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-07-01"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(revenue)
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q12 shape: late-shipment counts per order priority over one
+    * ship year (this schema has no l_shipmode/commitdate, so "late" is
+    * shipped > 75 days after order date and the grouping key is
+    * o_orderpriority). The point of the shape: BOTH conditional counts
+    * come out of ONE aggregation over the joined scan — never two passes
+    * — and the ship-year range is pushed to the lineitem parquet scan. */
+  private def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 75 DAYS")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(when(late, 1)).as("late_lines"),
+        count(lit(1)).as("total_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q19 shape: disjunctive OR-of-ANDs revenue — three
+    * (brand, type-set, quantity-band) clauses OR'd together in the JOIN
+    * condition. Scale notes: Catalyst extracts the common p_partkey
+    * equi-key so this stays a broadcast HASH join (not nested-loop), and
+    * the UNION of the clause domains is pre-pushed to both scans —
+    * part shrinks to 3 brands before broadcast, lineitem prunes
+    * quantity ∉ [1, 30] at the parquet scan instead of post-join. */
+  private def q19Disjunct(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 30))
+    val clauses =
+      (col("p_brand") === "Brand#1" &&
+        col("p_type").isin("PROMO", "ECONOMY") &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" &&
+        col("p_type").isin("STANDARD", "MEDIUM") &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" &&
+        col("p_type").isin("SMALL", "LARGE") &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && clauses)
+      .agg(coalesce(sum(dec("l_extendedprice") * (one - dec("l_discount"))),
+          lit(0).cast("decimal(12,2)")).cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_q1_pricing" -> q1Pricing,
     "join_q10_returns" -> q10Returns,
     "join_q7_volume" -> q7Volume,
     "agg_q14_promo" -> q14Promo,
+    "join_q3_shipping" -> q3Shipping,
+    "agg_q12_late" -> q12LateLines,
+    "join_q19_disjunct" -> q19Disjunct,
     "agg_q18_large_orders" -> q18LargeOrders)
 
   val oracles: Map[String, String] = Map(
+    "join_q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "agg_q12_late" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+        |                       THEN 1 END) AS BIGINT) AS late_lines,
+        |       CAST(count(*) AS BIGINT) AS total_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_q19_disjunct" ->
+      """SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2)))), 0) AS DOUBLE)
+        |       AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_type IN ('PROMO', 'ECONOMY')
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_type IN ('STANDARD', 'MEDIUM')
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_type IN ('SMALL', 'LARGE')
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "join_q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
