@@ -48,4 +48,23 @@ object Incremental {
   def mergeDelta(st: DataFrame, delta: DataFrame, keys: Seq[String],
                  valueCol: String): DataFrame =
     merge(st, state(delta, keys, valueCol), keys)
+
+  /** Incremental JOIN maintenance (insert-only deltas) — the classic
+    * delta-join identity from incremental view maintenance (Blakeley et
+    * al., public):
+    *
+    *   (A₀∪ΔA) ⋈ (B₀∪ΔB) = (A₀⋈B₀) ∪ (ΔA ⋈ (B₀∪ΔB)) ∪ (A₀ ⋈ ΔB)
+    *
+    * `m0` is the already-materialized A₀⋈B₀ — the term that at 100 TB
+    * you must NEVER recompute. The two delta terms each join a (small)
+    * delta against one full side, so refresh cost is O(Δ × join-width),
+    * not O(A × B); the deltas typically broadcast. The ΔA⋈ΔB cross term
+    * is folded into ΔA⋈B₁ (B₁ = B₀∪ΔB) so no pair is emitted twice. */
+  def joinDelta(m0: DataFrame, a0: DataFrame, deltaA: DataFrame,
+                b0: DataFrame, deltaB: DataFrame,
+                joinKeys: Seq[String]): DataFrame = {
+    val b1 = b0.unionByName(deltaB)
+    m0.unionByName(deltaA.join(b1, joinKeys))
+      .unionByName(a0.join(deltaB, joinKeys))
+  }
 }

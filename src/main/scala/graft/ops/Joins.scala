@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -242,7 +242,41 @@ object Joins extends graft.QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Bucketed (binned) interval join [N] — the 100 TB form of
+    * [[rangeInterval]]. A BETWEEN join has no equi-key, so Spark's only
+    * built-in plan is a broadcast-nested-loop — O(|points| × |intervals|)
+    * compares and a full build-side broadcast, which dies the moment the
+    * interval side outgrows one executor. The standard fix (DB2/Trino
+    * range-join binning, public): quantize the domain into width-B
+    * buckets, explode each interval onto the ≤ ⌈w/B⌉+1 buckets it
+    * overlaps, tag each point with its ONE bucket, equi-join on the
+    * bucket id, and re-check the exact BETWEEN as a residual filter. With
+    * B ≥ the max interval width the expansion is ≤ 2×, the join is a
+    * plain shuffled hash/merge join — partitionable, AQE-skew-splittable,
+    * no broadcast of either side — and the residual keeps it EXACT, which
+    * is what the oracle (a plain BETWEEN join) certifies. */
+  def intervalJoinBucketed(points: DataFrame, intervals: DataFrame,
+                           v: Column, lo: Column, hi: Column,
+                           bucketWidth: Double): DataFrame = {
+    val b = lit(bucketWidth)
+    val iv = intervals.withColumn("__b",
+      explode(sequence(floor(lo / b).cast("long"), floor(hi / b).cast("long"))))
+    val pt = points.withColumn("__b", floor(v / b).cast("long"))
+    pt.join(iv, Seq("__b")).filter(v.between(lo, hi)).drop("__b")
+  }
+
+  private def rangeBucketed(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal") * 10 as "lo")
+      .withColumn("hi", col("lo") + 500)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    intervalJoinBucketed(o, c, col("o_totalprice"), col("lo"), col("hi"), 500.0)
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_bucketed" -> rangeBucketed,
     "join_salted_skew" -> saltedSkewJoin,
     "join_bloom_pruned" -> bloomPruned,
     "join_fx_rate" -> fxRate,
@@ -408,5 +442,10 @@ object Joins extends graft.QueryModule {
         |FROM customer JOIN orders
         |  ON o_totalprice BETWEEN c_acctbal * 10 AND c_acctbal * 10 + 50000
         |WHERE c_custkey < 20
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "join_range_bucketed" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders
+        |  ON o_totalprice BETWEEN c_acctbal * 10 AND c_acctbal * 10 + 500
         |ORDER BY c_custkey, o_orderkey""".stripMargin)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.pipeline.Snapshots
 
 /** Warehouse-operations layer (SURVEY §2 extensions, round 2): the
   * data-quality expectation checks and slowly-changing-dimension
@@ -124,13 +125,93 @@ object Warehouse extends graft.QueryModule {
       .orderBy("o_custkey")
   }
 
+  /** Snapshot time travel ([[graft.pipeline.Snapshots]]): commit the
+    * customer balance table as v0, commit the order-merged table as v1,
+    * then read BOTH versions back FROM THE FILES and summarize each.
+    * The oracle recomputes both snapshots from the base tables, so the
+    * hash check proves the as-of reads return exactly what was
+    * committed — v0 unchanged by the v1 commit. */
+  private def sinkTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = "target/tmp/snapshots_customer"
+    // the key must be re-runnable: clear prior commits so v0/v1 are
+    // exactly this run's two versions
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    val v0 = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(12,2)").as("balance"))
+    val upd = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).cast("decimal(12,2)").as("nb"))
+    val v1 = v0.join(upd, col("key") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("key"), col("o_custkey")).as("key"),
+        coalesce(col("nb"), col("balance")).as("balance"))
+    Snapshots.commit(v0, dir)
+    Snapshots.commit(v1, dir)
+    def summarize(version: Int) =
+      Snapshots.readAsOf(s, dir, version)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("balance")).cast("double").as("total_balance"))
+        .select(lit(version).as("version"), col("n_rows"), col("total_balance"))
+    summarize(0).unionByName(summarize(1)).orderBy("version")
+  }
+
+  /** Incremental join maintenance ([[Incremental.joinDelta]]): the
+    * materialized orders⋈customer view maintained under insert-only
+    * deltas on BOTH sides (1999 orders; BUILDING-segment customers)
+    * without ever recomputing the base join. The oracle is the full
+    * from-scratch join, so the hash check is the delta-identity proof. */
+  private def joinIncremental(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (a0, dA) = (o.filter(col("o_orderdate") < "1999-01-01"),
+      o.filter(col("o_orderdate") >= "1999-01-01"))
+    val (b0, dB) = (c.filter(col("c_mktsegment") =!= "BUILDING"),
+      c.filter(col("c_mktsegment") === "BUILDING"))
+    val m0 = a0.join(b0, Seq("o_custkey"))
+    Incremental.joinDelta(m0, a0, dA, b0, dB, Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental" -> aggIncremental,
+    "sink_time_travel" -> sinkTimeTravel,
+    "join_incremental" -> joinIncremental,
     "quality_checks" -> qualityChecks,
     "scd2_intervals" -> scd2Intervals,
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    // both snapshots recomputed from the base tables: the hash check
+    // proves the as-of file reads return exactly what was committed
+    "sink_time_travel" ->
+      """WITH v0 AS (
+        |  SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(12,2)) AS balance
+        |  FROM customer),
+        |upd AS (
+        |  SELECT o_custkey, CAST(max(o_totalprice) AS DECIMAL(12,2)) AS nb
+        |  FROM orders GROUP BY o_custkey),
+        |v1 AS (
+        |  SELECT coalesce(key, o_custkey) AS key, coalesce(nb, balance) AS balance
+        |  FROM v0 FULL JOIN upd ON key = o_custkey)
+        |SELECT CAST(0 AS INTEGER) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(balance) AS DOUBLE) AS total_balance FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), CAST(count(*) AS BIGINT),
+        |       CAST(sum(balance) AS DOUBLE) FROM v1
+        |ORDER BY version""".stripMargin,
+    // full from-scratch join: equality is the delta-identity proof
+    "join_incremental" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     // from-scratch recompute over the whole window the state+deltas
     // covered: equality proves the incremental fold is exact
     "agg_incremental" ->

@@ -32,6 +32,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
   }
 
+  test("join_range_bucketed: equi-join on the bucket, never a nested loop") {
+    val p = plan("join_range_bucketed")
+    // the whole point: the BETWEEN join runs as a bucket equi-join
+    // (shuffled hash / sort-merge / broadcast HASH at this SF) with a
+    // residual filter — a BroadcastNestedLoopJoin here means the binning
+    // silently stopped reaching the planner
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("stream_topk: null filter pushed, two-phase bounded aggregate") {
     val p = plan("stream_topk")
     assert(p.contains("IsNotNull(value)"), p)
