@@ -29,9 +29,8 @@ object Bench {
     "sink_bucketed_join",   // bucketed write + co-located join
     "sink_partitioned_scan",// partitioned write + pruned read-back
     "sink_sorted_scan",     // range-clustered layout + min/max skipping
-    "win_rank_topk",        // ranking window
+    "win_rank_topk",        // ranking window (TakeOrderedAndProject inside)
     "win_rolling_frame",    // rows-frame window
-    "sort_limit",           // TakeOrderedAndProject
     "setop_except",         // set op
     "stmt_pivot_wide",      // pivot
     "sql_correlated_subquery",
@@ -55,7 +54,6 @@ object Bench {
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "sim_search_cosine",    // brute-force ANN baseline
     "sim_search_ivf",       // IVF ANN scale path
     "sim_search_batch",     // batch-probe serving (map-side bounded top-k)
     "emb_quantize_int8",    // int8 embedding compression
@@ -63,11 +61,9 @@ object Bench {
     "sink_commit_partitions", // dynamic partition overwrite publish
     "sql_asof",             // native as-of through the SQL TVF surface
     "text_tfidf",           // text analysis
-    "text_fingerprint",
     "mm_binary",            // multimodal binary ops
     "stream_sliding_agg",   // streaming (batch-replay) agg
     "stream_interval_join", // stream-stream interval join (batch form)
-    "stream_dedup_stateful",
     "join_salted_skew",     // salted skew join (r5)
     "src_zonemap_pruned",   // manifest file pruning (r5)
     "sink_zorder_scan",     // z-order clustered layout (r5)
@@ -76,7 +72,15 @@ object Bench {
     "fin_twap",             // time-weighted average price (r5)
     "dedup_editdist",       // deletion-neighborhood edit-distance join (r5)
     "win_sessionize",       // labeled gap sessionization (r5)
-    "sim_search_pq")        // product-quantization ANN (r5)
+    "sim_search_pq",        // product-quantization ANN (r5)
+    "join_q3_shipping",     // TPC-H Q3 semi-join form (r6)
+    "join_q19_disjunct",    // OR-of-ANDs disjunctive hash join (r6)
+    "agg_q12_late",         // Q12-shape one-pass conditional counts (r6)
+    "join_range_bucketed",  // binned interval join, no nested loop (r6)
+    "join_incremental",     // delta-join view maintenance (r6)
+    "sink_time_travel",     // snapshot commits + as-of reads (r6)
+    "text_chunk",           // sliding-window chunking (r6)
+    "text_mix_temperature") // temperature language rebalancing (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,7 +128,10 @@ object Bench {
       val t2 = timeOnce(name)
       name -> math.min(t1, t2)
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // 2 dp: 10 ms resolution is ample for multi-second keys, and the
+    // driver's ~2 KB stdout-tail capture must fit the whole line — at 66
+    // keys the line is ~1.8 KB, so every char per key matters
+    def r3(v: Double): String = f"$v%.2f"
     // a failed query must not masquerade as a latency number
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed(k)) "null" else r3(v))
