@@ -64,12 +64,70 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY user_id""".stripMargin)
   }
 
+  /** EXISTS / NOT EXISTS in one query — Catalyst decorrelates the pair
+    * into a LEFT SEMI and a LEFT ANTI join (RewritePredicateSubquery),
+    * so the "loop over orders per customer" the SQL reads as is actually
+    * two hash joins; at 100 TB both reduce the fact side before any
+    * wide row is carried. */
+  private def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** SQL PIVOT clause (long→wide through pure SQL text; the DataFrame
+    * twin is `stmt_pivot_wide`). Exact decimal sums inside the pivot,
+    * doubles only at the outer projection. */
+  private def sqlPivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT yr, CAST(urgent AS DOUBLE) AS urgent,
+        |       CAST(high AS DOUBLE) AS high,
+        |       CAST(medium AS DOUBLE) AS medium
+        |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority,
+        |             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |      FROM orders_v)
+        |PIVOT (sum(price) FOR o_orderpriority IN
+        |       ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
+        |ORDER BY yr""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_correlated_subquery" -> correlatedScalar,
     "sql_cte_window" -> cteWindow,
+    "sql_exists_subquery" -> existsSubquery,
+    "sql_pivot" -> sqlPivot,
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS medium
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "sql_correlated_subquery" ->
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders o
