@@ -163,7 +163,24 @@ object Aggs extends graft.QueryModule {
         element_at(col("p"), 2).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** Fixed-width histogram of order totals: 20 × 25k buckets with the
+    * overflow clamped into the top bucket. The bucket id is pure
+    * IEEE arithmetic (divide + floor — bit-identical across engines),
+    * so the whole histogram is one map-side-combinable hash aggregate;
+    * at 100 TB this is the cheapest possible full-table profile (no
+    * sort, no shuffle beyond 20 groups). */
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / lit(25000.0)), lit(19L))
+        .cast("int").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> histogram,
     "agg_ttm_rolling4" -> ttmRolling4,
     "agg_ttm_typed" -> ttmTyped,
     "agg_salted_skew" -> saltedSkewAgg,
@@ -179,6 +196,13 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INTEGER)
+        |         AS bucket,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_ttm_rolling4" ->
       """WITH r AS (
         |  SELECT user_id, value,

@@ -59,9 +59,58 @@ object Finance extends graft.QueryModule {
         sum(col("vol")).cast("bigint").as("total_vol"))
       .orderBy("user_id")
 
+  /** Daily OHLC candles per user: open/close pinned by the first/last
+    * tick timestamp of the (user, day) group via `min_by`/`max_by` — one
+    * hash aggregate with map-side partials, no window sort. `(user_id,
+    * ts)` is unique in the generated data at every SF (asserted in
+    * FinanceSpec), so the ordering key needs no tie-break column. */
+  private def ohlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+        col("ts"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id", "day")
+
+  /** Realized volatility per user from consecutive-tick simple returns.
+    *
+    * Float determinism: the return `v/prev - 1` uses only IEEE-defined
+    * ops (bit-exact across engines); each return is then pinned to a
+    * fixed decimal before the SUM so the aggregate is order-invariant,
+    * and the one decimal->double conversion per group is rounded at 6dp
+    * (same discipline as [[twap]] — the unscaled sums exceed 2^53). */
+  private def volatility(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .filter(col("value") > 0)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("ret", col("value") / col("prev") - lit(1.0))
+      .select(col("user_id"),
+        bround(col("ret"), 12).cast("decimal(24,12)").as("ret_d"),
+        bround(col("ret") * col("ret"), 14).cast("decimal(30,14)").as("ret2_d"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        bround(sum(col("ret_d")).cast("double"), 6).as("sum_ret"),
+        // the n_ret >= 2 filter below drops 1-return groups, but guard the
+        // division anyway: bround(Inf) must never evaluate for them
+        bround(when(count(lit(1)) > 1, sqrt(sum(col("ret2_d")).cast("double") /
+          (count(lit(1)) - lit(1)).cast("double"))), 6).as("realized_vol"))
+      .filter(col("n_ret") >= 2)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_twap" -> twap,
-    "fin_vwap" -> vwap)
+    "fin_vwap" -> vwap,
+    "fin_ohlc" -> ohlc,
+    "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
     "fin_twap" ->
@@ -91,5 +140,35 @@ object Finance extends graft.QueryModule {
         |         / CAST(sum(vol) AS DOUBLE) AS vwap,
         |       CAST(sum(vol) AS BIGINT) AS total_vol
         |FROM e WHERE vol > 0
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fin_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         date_trunc('microseconds', ts) AS ts, value
+        |  FROM events)
+        |SELECT user_id, day,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*) AS n_ticks
+        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+    "fin_volatility" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events WHERE value > 0),
+        |r AS (
+        |  SELECT user_id,
+        |         value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+        |           - 1.0 AS ret
+        |  FROM e),
+        |d AS (
+        |  SELECT user_id,
+        |         CAST(round_even(ret, 12) AS DECIMAL(24,12)) AS ret_d,
+        |         CAST(round_even(ret * ret, 14) AS DECIMAL(30,14)) AS ret2_d
+        |  FROM r WHERE ret IS NOT NULL)
+        |SELECT user_id, count(*) AS n_ret,
+        |       round_even(CAST(sum(ret_d) AS DOUBLE), 6) AS sum_ret,
+        |       round_even(sqrt(CAST(sum(ret2_d) AS DOUBLE)
+        |         / CAST(count(*) - 1 AS DOUBLE)), 6) AS realized_vol
+        |FROM d GROUP BY user_id HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin)
 }

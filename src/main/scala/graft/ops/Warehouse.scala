@@ -180,7 +180,37 @@ object Warehouse extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Change-data-capture between two keyed snapshots: a full-outer join
+    * on the key emits one changelog row per insert (`I`), delete (`D`)
+    * or value update (`U`); unchanged rows drop out. The two snapshots
+    * are carved deterministically from `orders` (key mod filters +
+    * a 5% price bump on every 5th key), so the changelog is exactly
+    * reproducible — this is the batch diff the reference's
+    * commit-if-changed sink implies but never materializes
+    * (fetch_data.py overwrites blindly). At scale both sides shuffle
+    * once on the key; AQE handles the skewless equi-join. */
+  private def cdcCapture(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val old = base.filter(col("o_orderkey") % 11 =!= 3)
+    val neu = base.filter(col("o_orderkey") % 7 =!= 2)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(1.05))
+          .otherwise(col("o_totalprice")))
+    old.as("a").join(neu.as("b"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("a.o_custkey").isNull, lit("I"))
+          .when(col("b.o_custkey").isNull, lit("D"))
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("U"))
+          .as("op"),
+        col("a.o_totalprice").as("old_price"),
+        col("b.o_totalprice").as("new_price"))
+      .filter(col("op").isNotNull)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_capture" -> cdcCapture,
     "agg_incremental" -> aggIncremental,
     "sink_time_travel" -> sinkTimeTravel,
     "join_incremental" -> joinIncremental,
@@ -189,6 +219,27 @@ object Warehouse extends graft.QueryModule {
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    "cdc_capture" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |prev AS (SELECT * FROM base WHERE o_orderkey % 11 <> 3),
+        |curr AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN o_totalprice * CAST(1.05 AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 2),
+        |log AS (
+        |  SELECT coalesce(prev.o_orderkey, curr.o_orderkey) AS o_orderkey,
+        |         CASE WHEN prev.o_custkey IS NULL THEN 'I'
+        |              WHEN curr.o_custkey IS NULL THEN 'D'
+        |              WHEN prev.o_totalprice <> curr.o_totalprice THEN 'U'
+        |         END AS op,
+        |         prev.o_totalprice AS old_price,
+        |         curr.o_totalprice AS new_price
+        |  FROM prev FULL OUTER JOIN curr
+        |    ON prev.o_orderkey = curr.o_orderkey)
+        |SELECT * FROM log WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     // both snapshots recomputed from the base tables: the hash check
     // proves the as-of file reads return exactly what was committed
     "sink_time_travel" ->

@@ -158,7 +158,31 @@ object Windows extends graft.QueryModule {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Sweep-line interval concurrency [N]: how many orders are "open" on
+    * each day, where an order stays open `o_orderkey % 30 + 1` days. The
+    * classic +1/-1 delta unpivot collapses |intervals| rows into one row
+    * per boundary DAY before the running sum, so the single-partition
+    * window at the end scans only the distinct-date timeline (a few
+    * thousand rows regardless of table size) — the per-interval work is
+    * all map-side + one tiny hash agg. This is the scalable form of
+    * "overlap counting"; the naive interval self-join is quadratic. */
+  private def sweepConcurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 30 + 1).cast("int")).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(col("e"), 1).as("day"), lit(-1L).as("delta")))
+    deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("net"))
+      .withColumn("active", sum(col("net")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sweep_concurrency" -> sweepConcurrency,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -170,6 +194,23 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_sweep_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+        |  FROM orders),
+        |d AS (
+        |  SELECT s AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT e + 1, CAST(-1 AS BIGINT) FROM iv),
+        |t AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS net
+        |  FROM d GROUP BY day)
+        |SELECT day, net,
+        |       CAST(sum(net) OVER (ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+        |FROM t ORDER BY day""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

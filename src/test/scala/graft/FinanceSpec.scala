@@ -33,6 +33,53 @@ class FinanceSpec extends AnyFunSuite {
     assert(got == Map(1L -> 12.5))
   }
 
+  test("OHLC ordering-key precondition: (user_id, ts) unique at sf0.001") {
+    // fin_ohlc pins open/close with min_by/max_by on ts alone; this is
+    // only deterministic while no user has two ticks on one microsecond
+    val dups = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id"), col("ts")).count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0L)
+  }
+
+  test("OHLC candle invariants: low <= open,close <= high; n sums to ticks") {
+    val d = TestSpark.sf0001
+    val bars = SparkEntry.queries("fin_ohlc")(spark, d)
+    val bad = bars.filter(
+      col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close")).count()
+    assert(bad == 0L)
+    val total = bars.agg(sum(col("n_ticks"))).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, d).count())
+  }
+
+  test("realized vol matches hand computation on a 3-tick series") {
+    import spark.implicits._
+    // returns: 12/10-1 = 0.2, 6/12-1 = -0.5
+    // sum_ret = -0.3; vol = sqrt((0.04 + 0.25) / 1) = sqrt(0.29)
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 00:00:01", 12.0),
+      (1L, "2024-01-01 00:00:02", 6.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val got = df
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("ret", col("value") / col("prev") - lit(1.0))
+      .groupBy(col("user_id"))
+      .agg(bround(sum(bround(col("ret"), 12).cast("decimal(24,12)"))
+          .cast("double"), 6).as("sum_ret"),
+        bround(sqrt(sum(bround(col("ret") * col("ret"), 14)
+          .cast("decimal(30,14)")).cast("double") /
+          (count(lit(1)) - lit(1)).cast("double")), 6).as("vol"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got(0)._2 == -0.3)
+    assert(math.abs(got(0)._3 - math.sqrt(0.29)) < 1e-6)
+  }
+
   test("VWAP ignores zero-volume ticks and weights by volume") {
     import spark.implicits._
     // vwap = (10*1 + 20*3) / 4 = 17.5; the 0-volume 99.0 tick is inert
