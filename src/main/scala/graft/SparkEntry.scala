@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Flagship, ops.Scans, ops.Exprs, ops.Aggs, ops.Joins,
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
     ops.Statements, ops.TpchDeep, ops.Warehouse, ops.Finance,
-    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus)
+    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
+    ext.Graph)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

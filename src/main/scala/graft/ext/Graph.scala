@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed graph profiling over the co-purchase graph (parts that
+  * appear together in one order are connected) — the graph-shaped twin
+  * of the near-dup pair graph that [[Dedup.connectedComponents]] walks.
+  *
+  * The interesting operator is triangle counting. The naive three-way
+  * self-join explodes on high-degree vertices (a part in k orders with
+  * m co-parts contributes m² wedge candidates); the standard fix
+  * (Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11) ORIENTS each edge from its lower-(degree, id)
+  * endpoint to its higher one. Every triangle then has exactly one
+  * vertex with two outgoing oriented edges, and out-degrees are bounded
+  * by O(sqrt(|E|)) on the skewed side — wedge generation becomes
+  * near-linear instead of quadratic in the hot vertex's degree. At
+  * 100 TB this is the difference between a runnable plan and one task
+  * that never finishes; the oracle (a plain canonical a<b<c triangle
+  * join — fine at oracle scale) proves the orientation loses nothing.
+  */
+object Graph extends graft.QueryModule {
+
+  /** Distinct undirected co-purchase edges, canonical as `a < b`. */
+  private[ext] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val pr = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    pr.as("x").join(pr.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+  }
+
+  /** Triangle count + edge/vertex/wedge tallies in one row. */
+  private def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge low→high by (deg, id): src gets the smaller key
+    val oriented = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // wedges at the oriented apex; dedupe direction with dst1 < dst2
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+    // close each wedge against the canonical edge set; LEFT SEMI keeps
+    // wedge multiplicity (each triangle has exactly one apex, so each
+    // closed wedge is exactly one triangle) without widening rows
+    val closing = e.select(col("a").as("u"), col("b").as("w"))
+    val triangles = wedges.join(closing, Seq("u", "w"), "left_semi")
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+  }
+
+  /** Degree distribution of the co-purchase graph: how many vertices
+    * have each degree — the O(1)-output profile that sizes every
+    * downstream graph job (and the skew evidence for the orientation
+    * trick above). Two hash aggregates, no joins. */
+  private def degreeDistribution(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy("deg")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> triangleCount,
+    "graph_degree_dist" -> degreeDistribution)
+
+  val oracles: Map[String, String] = Map(
+    // the oracle is the textbook canonical a<b<c triangle join — no
+    // orientation — so hash equality proves the oriented plan exact
+    "graph_triangles" ->
+      """WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM pr x JOIN pr y ON x.l_orderkey = y.l_orderkey
+        |                         AND x.l_partkey < y.l_partkey)
+        |SELECT (SELECT CAST(count(*) AS BIGINT)
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |         AS n_triangles,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |         (SELECT a AS v FROM e UNION SELECT b FROM e)) AS n_vertices""".stripMargin,
+    "graph_degree_dist" ->
+      """WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM pr x JOIN pr y ON x.l_orderkey = y.l_orderkey
+        |                         AND x.l_partkey < y.l_partkey),
+        |degs AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |    (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM degs GROUP BY deg ORDER BY deg""".stripMargin)
+}

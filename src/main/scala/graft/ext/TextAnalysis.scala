@@ -265,7 +265,35 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("lang")
   }
 
+  /** Corpus-global line-level dedup (the CCNet/RefinedWeb pass that
+    * strips boilerplate repeated ACROSS documents): the corpus splits
+    * into 10-word lines, every distinct line keeps only its first
+    * occurrence — "first" = min (doc_id, line_idx), resolved with ONE
+    * `min(struct)` hash aggregate on the line text (map-side partials;
+    * no window sort over the exploded corpus, which at 100 TB is the
+    * difference between one shuffle of distinct lines and a sort of
+    * every line instance) — then surviving lines reassemble per doc in
+    * order. Output: per-doc kept-line count + deduped text. */
+  private def lineDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
+          |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+        .as(Seq("line_idx", "line")))
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        col("w.line_idx").as("line_idx"), col("line"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("line_idx"), col("line")))), e => e("line")), " ")
+          .as("text_dedup"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> lineDedup,
     "text_chunk" -> chunk,
     "text_mix_temperature" -> mixTemperature,
     "text_redact" -> redact,
@@ -281,6 +309,21 @@ object TextAnalysis extends graft.QueryModule {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, i AS line_idx,
+        |             array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS line
+        |      FROM t, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+        |             r(i)),
+        |s AS (SELECT doc_id, line_idx, line FROM
+        |        (SELECT doc_id, line_idx, line, row_number() OVER (
+        |           PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |         FROM c)
+        |      WHERE rn = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(line, ' ' ORDER BY line_idx) AS text_dedup
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |SELECT doc_id, CAST(s AS INTEGER) AS chunk_id,

@@ -75,6 +75,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Dynamic partition pruning [N]: the partition filter is NOT a
+    * literal — it arrives at runtime from the dim side of a join (two
+    * region rows → two years), and Spark still skips the other
+    * partitions' files: the scan's PartitionFilters carries a
+    * `dynamicpruning` subquery fed by the broadcast (PlanShapeSpec pins
+    * this). This is the at-rest story for star joins at 100 TB: static
+    * pruning only helps literal predicates; every "fact JOIN filtered
+    * dim" query needs DPP to touch just the matching partitions. */
+  private def srcDppPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/orders_dpp"
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    // a non-foldable dim: years derived from region rows at runtime
+    val dimYears = Tables.region(spark, sfDir)
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select((lit(1995) + col("r_regionkey")).cast("int").as("yr"))
+    spark.read.parquet(dir)
+      .join(broadcast(dimYears), Seq("yr"))
+      .groupBy(col("yr").cast("int").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("yr")
+  }
+
   /** Bucketed-at-rest layout + co-located join [N] (the 100 TB
     * co-location story): both fact tables written bucketBy(8) on the
     * join key, then joined — the sort-merge join reads bucket-aligned
@@ -309,6 +335,7 @@ object Scans extends graft.QueryModule {
     "sink_json_per_entity" -> sinkJsonPerEntity,
     "sink_manifest" -> sinkManifest,
     "sink_partitioned_scan" -> sinkPartitionedScan,
+    "src_dpp_pruned" -> srcDppPruned,
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_commit_if_changed" -> sinkCommitIfChanged,
     "sink_commit_partitions" -> sinkCommitPartitions,
@@ -316,6 +343,14 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_dpp_pruned" ->
+      """SELECT CAST(yr AS INTEGER) AS yr, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders) o
+        |JOIN (SELECT 1995 + r_regionkey AS yr FROM region
+        |      WHERE r_name IN ('ASIA', 'EUROPE')) d USING (yr)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
     "sink_zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders

@@ -101,7 +101,30 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY yr""".stripMargin)
   }
 
+  /** LATERAL correlated subquery join: "top-2 orders for each customer
+    * of two nations" — the subquery re-executes per outer row in the
+    * SQL reading, but Catalyst plans it as DecorrelateInnerQuery +
+    * window rank + ONE join (no per-row loop; the same rewrite every
+    * warehouse applies to LATERAL ... ORDER BY ... LIMIT k). */
+  private def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT n.n_name, c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM nation_v n
+        |JOIN customer_v c ON c.c_nationkey = n.n_nationkey,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders_v o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        |ORDER BY n_name, c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral" -> sqlLateral,
     "sql_correlated_subquery" -> correlatedScalar,
     "sql_cte_window" -> cteWindow,
     "sql_exists_subquery" -> existsSubquery,
@@ -109,6 +132,17 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_lateral" ->
+      """SELECT n.n_name, c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        |ORDER BY n_name, c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "sql_exists_subquery" ->
       """SELECT c_custkey, c_name
         |FROM customer c

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Triangle-counting semantics on hand-built graphs (the oracle proves
+  * Spark ≡ DuckDB on the co-purchase graph; this proves the MATH on
+  * graphs whose triangle count is known by construction). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Count triangles of an explicit canonical (a<b) edge list with the
+    * same degree-oriented plan as `graph_triangles`. */
+  private def countTriangles(edges: Seq[(Long, Long)]): Long = {
+    import spark.implicits._
+    val e = edges.toDF("a", "b")
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+    wedges.join(e.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_semi")
+      .count()
+  }
+
+  test("K4 has 4 triangles; adding an apex over one edge adds 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(countTriangles(k4) == 4L)
+    assert(countTriangles(k4 :+ (4L, 5L) :+ (3L, 5L)) == 5L)
+  }
+
+  test("triangle-free graphs count zero (path, star, 4-cycle)") {
+    assert(countTriangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+    assert(countTriangles(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == 0L)
+    assert(countTriangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == 0L)
+  }
+
+  test("hub skew: star + one closing edge counts 1 regardless of hub degree") {
+    // a 50-leaf hub with one leaf-leaf edge — the shape the orientation
+    // exists for: the hub contributes ZERO wedge candidates because all
+    // its edges orient outward from the leaves (lower degree) toward it
+    val star = (2L to 51L).map(i => (1L, i))
+    assert(countTriangles(star :+ (2L, 3L)) == 1L)
+  }
+
+  test("degree distribution on sf0.001 sums to the vertex count") {
+    val dist = SparkEntry.queries("graph_degree_dist")(spark, TestSpark.sf0001)
+    val tri = SparkEntry.queries("graph_triangles")(spark, TestSpark.sf0001)
+      .collect()(0)
+    val nVertices = dist.agg(sum(col("n_vertices"))).collect()(0).getLong(0)
+    assert(nVertices == tri.getAs[Long]("n_vertices"))
+    // edge handshake: sum(deg * n_vertices) = 2 |E|
+    val degSum = dist.agg(sum(col("deg") * col("n_vertices")))
+      .collect()(0).getLong(0)
+    assert(degSum == 2 * tri.getAs[Long]("n_edges"))
+  }
+}

@@ -82,4 +82,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count() == n)
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
   }
+
+  test("src_dpp_pruned: partition filter is a runtime dynamicpruning subquery") {
+    val p = plan("src_dpp_pruned")
+    assert(p.contains("dynamicpruning"), p)
+    // and the fact side still reads through a partitioned scan, not a
+    // post-scan filter on yr
+    assert(p.contains("PartitionFilters"), p)
+  }
+
+  test("sql_lateral: correlated LIMIT decorrelates to a window rank + one join") {
+    val p = plan("sql_lateral")
+    // no per-outer-row re-execution: the lateral subquery must not
+    // survive as a nested-loop over customers
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_line_dedup: first-occurrence resolved by aggregate, not a window sort") {
+    val p = plan("text_line_dedup")
+    // min(struct) keeps the exploded corpus out of any window sort: the
+    // only Window-free path is partial agg -> exchange on line -> final
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
 }
