@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -275,7 +276,55 @@ object Joins extends graft.QueryModule {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  /** Point-in-time (PIT) lookup against an SCD2 dimension: each probe
+    * (user × weekly grid over the data's one-month span) retrieves the
+    * version row whose `[valid_from, valid_to)` interval contains the
+    * probe instant. The SCD2 dimension is the same tiling
+    * `scd2_intervals` builds; because intervals tile disjointly per
+    * user, the range residual matches AT MOST one version per probe.
+    * Plan shape: an equi-join on `user_id` (shuffle-partitionable,
+    * skew-splittable) with the interval residual applied inside the
+    * join — never a broadcast-nested-loop over all versions. */
+  private def scd2Pit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val dim = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(w),
+        lit("2200-01-01 00:00:00").cast("timestamp")))
+      .withColumn("version", row_number().over(w))
+    val grid = s.range(1).select(explode(expr(
+      """sequence(timestamp'2024-01-08 00:00:00',
+        |         timestamp'2024-01-29 00:00:00',
+        |         interval 7 days)""".stripMargin)).as("pit_ts"))
+    val probes = Tables.events(s, d).select(col("user_id")).distinct()
+      .crossJoin(broadcast(grid))
+    probes.join(dim,
+        probes("user_id") === dim("user_id") &&
+          col("pit_ts") >= col("valid_from") && col("pit_ts") < col("valid_to"))
+      .select(probes("user_id"), col("pit_ts"), col("version"), col("value"))
+      .orderBy("user_id", "pit_ts")
+  }
+
+  /** Null-safe equi-join (`<=>`): both sides aggregate events by a key
+    * that is deliberately NULL for sub-100 values, then join so the two
+    * NULL groups pair up like any other key. Catalyst plans EqualNullSafe
+    * as a plain hash-join key (no null-filtering, no fallback to a
+    * nested loop) — the join stays shuffle-partitionable at scale. */
+  private def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, n: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(nullif(floor(col("value") / 100).cast("int"), lit(0)).as(n))
+      .groupBy(col(n)).agg(count(lit(1)).as(s"n_$t"))
+    side("view", "k").join(side("click", "k2"), col("k") <=> col("k2"))
+      .select(col("k"), col("n_view"), col("n_click"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_scd2_pit" -> scd2Pit,
+    "join_null_safe" -> nullSafeJoin,
     "join_range_bucketed" -> rangeBucketed,
     "join_salted_skew" -> saltedSkewJoin,
     "join_bloom_pruned" -> bloomPruned,
@@ -294,6 +343,42 @@ object Joins extends graft.QueryModule {
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "join_scd2_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         date_trunc('microseconds', ts) AS valid_from
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id, value,
+        |         valid_from,
+        |         coalesce(lead(valid_from, 1) OVER (PARTITION BY user_id
+        |             ORDER BY valid_from, event_id),
+        |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |             ORDER BY valid_from, event_id) AS INTEGER) AS version
+        |  FROM e),
+        |probes AS (
+        |  SELECT u.user_id, g.pit_ts
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |       unnest(generate_series(TIMESTAMP '2024-01-08',
+        |         TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) g(pit_ts))
+        |SELECT p.user_id, p.pit_ts, d.version, d.value
+        |FROM probes p JOIN dim d
+        |  ON p.user_id = d.user_id
+        | AND p.pit_ts >= d.valid_from AND p.pit_ts < d.valid_to
+        |ORDER BY p.user_id, p.pit_ts""".stripMargin,
+    "join_null_safe" ->
+      """WITH v AS (
+        |  SELECT nullif(CAST(floor(value / 100) AS INTEGER), 0) AS k,
+        |         count(*) AS n_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT nullif(CAST(floor(value / 100) AS INTEGER), 0) AS k,
+        |         count(*) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT v.k, v.n_view, c.n_click
+        |FROM v JOIN c ON v.k IS NOT DISTINCT FROM c.k
+        |ORDER BY v.k NULLS FIRST""".stripMargin,
     "join_salted_skew" ->
       """WITH o AS (
         |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS price

@@ -38,6 +38,78 @@ class UserTotalsProcessor
   }
 }
 
+/** Timer-driven gap sessionization on event time: events buffer in a
+  * `ListState` and sessions are emitted ONLY from `handleExpiredTimer`,
+  * when the watermark crosses `session_last_event + gap` — a group
+  * closes because event time passed, never because more data happened to
+  * arrive (an event 2 h ahead of the buffer does NOT flush the old
+  * session early: a straggler inside the watermark could still extend
+  * it). One timer per key, armed at the EARLIEST unflushed session's
+  * close; expiry emits every gap-delimited session the watermark has
+  * sealed, keeps the rest buffered, and re-arms. This is the
+  * state-variable + timer surface `session_window` hides; the explicit
+  * form also lets a session carry arbitrary payload (here the buffered
+  * count/sum and the closing timestamp).
+  *
+  * Output: (user_id, n_events, sum_value, session_close_ms). */
+class SessionTimeoutProcessor(gapMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, graft.model.Event, (Long, Long, Double, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var buf: ListState[(Long, Double)] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[(Long, Double)]("buf",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** Gap-split the buffered (ts, value) rows into ordered sessions. */
+  private def sessions(items: Seq[(Long, Double)]): Seq[Seq[(Long, Double)]] = {
+    val sorted = items.sortBy(_._1)
+    if (sorted.isEmpty) Nil
+    else sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+      if (e._1 - acc.last.last._1 > gapMs) acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }
+  }
+
+  private def rearm(closeMs: Long): Unit = {
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(closeMs)
+    armed.update(closeMs)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[graft.model.Event],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double, Long)] = {
+    rows.foreach(e => buf.appendValue((e.ts.getTime, e.value.getOrElse(0.0))))
+    val sess = sessions(buf.get().toSeq)
+    if (sess.nonEmpty) rearm(sess.head.last._1 + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double, Long)] = {
+    val wm = timerValues.getCurrentWatermarkInMs
+    val (closed, open) = sessions(buf.get().toSeq)
+      .partition(sess => sess.last._1 + gapMs <= wm)
+    armed.clear()
+    if (open.isEmpty) buf.clear()
+    else {
+      buf.put(open.flatten.toArray)
+      rearm(open.head.last._1 + gapMs)
+    }
+    closed.iterator.map(sess => (user, sess.size.toLong,
+      sess.map(_._2).sum, sess.last._1 + gapMs))
+  }
+}
+
 object Streams {
 
   /** File-source event stream over a parquet landing dir. */
@@ -148,6 +220,22 @@ object Streams {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Gap sessions closed by event-time TIMERS ([[SessionTimeoutProcessor]]):
+    * requires a watermark on `ts` (TimeMode.EventTime) — sessions emit
+    * when the watermark passes `last_event + gap`, so output is
+    * append-shaped and late events beyond the watermark can never reopen
+    * a closed session. */
+  def timedSessions(events: org.apache.spark.sql.Dataset[graft.model.Event],
+                    gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Watermarked stream-stream interval join: each click pairs with the

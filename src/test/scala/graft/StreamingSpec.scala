@@ -195,6 +195,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timers close sessions when the watermark passes, not when data arrives") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[graft.model.Event]
+      val q = Streams.timedSessions(ms.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName("timed_sessions").outputMode("append").start()
+      // batch 1: two users, sessions still open — nothing may emit
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "a", 2.0),
+        ev(3, "2024-01-01 10:00:00", 2, "b", 8.0)))
+      q.processAllAvailable()
+      assert(spark.table("timed_sessions").count() == 0L,
+        "sessions emitted before their timers expired")
+      // batch 2: one late-morning event pushes the watermark past both
+      // timers (12:00 − 10 min wm delay = 11:50 > 10:35/10:30) — both
+      // buffered sessions close via handleExpiredTimer; the new event
+      // opens a fresh, still-unflushed session for user 2
+      ms.addData(Seq(ev(4, "2024-01-01 12:00:00", 2, "b", 16.0)))
+      q.processAllAvailable()
+      // a third batch so the no-data watermark tick runs the timer sweep
+      ms.addData(Seq(ev(5, "2024-01-01 12:01:00", 2, "b", 0.5)))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("timed_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 8.0)), rows)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join: clicks pair with preceding views only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
