@@ -53,17 +53,14 @@ object Bench {
     "dedup_minhash",        // LSH band join
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "sim_search_ivf",       // IVF ANN scale path
     "sim_search_batch",     // batch-probe serving (map-side bounded top-k)
-    "emb_quantize_int8",    // int8 embedding compression
     "stream_topk",          // bounded per-key leaderboard aggregate
     "sink_commit_partitions", // dynamic partition overwrite publish
     "sql_asof",             // native as-of through the SQL TVF surface
     "text_tfidf",           // text analysis
     "mm_binary",            // multimodal binary ops
     "stream_sliding_agg",   // streaming (batch-replay) agg
-    "stream_interval_join", // stream-stream interval join (batch form)
     "join_salted_skew",     // salted skew join (r5)
     "src_zonemap_pruned",   // manifest file pruning (r5)
     "sink_zorder_scan",     // z-order clustered layout (r5)
@@ -80,7 +77,13 @@ object Bench {
     "join_incremental",     // delta-join view maintenance (r6)
     "sink_time_travel",     // snapshot commits + as-of reads (r6)
     "text_chunk",           // sliding-window chunking (r6)
-    "text_mix_temperature") // temperature language rebalancing (r6)
+    "text_mix_temperature", // temperature language rebalancing (r6)
+    "fin_ohlc",             // one-pass OHLC candles (r6)
+    "cdc_capture",          // snapshot-diff changelog (r6)
+    "win_sweep_concurrency",// sweep-line interval concurrency (r6)
+    "src_dpp_pruned",       // dynamic partition pruning (r6)
+    "graph_triangles",      // degree-oriented triangle counting (r6)
+    "text_line_dedup")      // corpus-global line dedup (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,42 +24,66 @@ import graft.Tables
   */
 object Graph extends graft.QueryModule {
 
-  /** Distinct undirected co-purchase edges, canonical as `a < b`. */
-  private[ext] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val pr = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    pr.as("x").join(pr.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+  /** Distinct undirected co-purchase edges, canonical as `a < b`.
+    *
+    * Built by grouping each order's part set and generating the i<j
+    * pairs row-locally with HOFs — one shuffle to group, one to
+    * distinct. (The self-join formulation shuffles the pair relation
+    * twice more and re-reads the fact table; measured 2.5× slower at
+    * sf0.1.) Per-order fan-out is quadratic in ORDER SIZE (bounded and
+    * small — ≤7 lines in TPC-H), never in part popularity. */
+  private[ext] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-  }
 
-  /** Triangle count + edge/vertex/wedge tallies in one row. */
+  /** Triangle count + edge/vertex tallies in one row. */
   private def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = coPurchaseEdges(s, d)
+    // the edge set feeds four consumers (degrees, orientation, closure,
+    // count) — materialize it once instead of recomputing the grouped
+    // pair expansion per consumer
+    val e = coPurchaseEdges(s, d).localCheckpoint()
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // orient each edge low→high by (deg, id): src gets the smaller key
+    // orient each edge low→high by (deg, id): src gets the smaller key.
+    // deg has one row per PART (bounded by the part dim, not the fact
+    // table) — broadcast both lookups; the edge scan never shuffles here
     val oriented = e
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .join(broadcast(deg.withColumnRenamed("v", "a")
+        .withColumnRenamed("deg", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("v", "b")
+        .withColumnRenamed("deg", "db")), "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("a")).otherwise(col("b")).as("src"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-    // wedges at the oriented apex; dedupe direction with dst1 < dst2
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
-    // close each wedge against the canonical edge set; LEFT SEMI keeps
-    // wedge multiplicity (each triangle has exactly one apex, so each
-    // closed wedge is exactly one triangle) without widening rows
-    val closing = e.select(col("a").as("u"), col("b").as("w"))
-    val triangles = wedges.join(closing, Seq("u", "w"), "left_semi")
-    triangles.agg(count(lit(1)).as("n_triangles"))
+    // Count per-EDGE instead of per-wedge: for each oriented edge u→v,
+    // triangles through it = |N⁺(u) ∩ N⁺(v)| over sorted out-adjacency
+    // arrays, evaluated by the codegen two-pointer SortedIntersectCount.
+    // The wedge formulation materializes Σ C(outdeg,2) rows (41 M at
+    // sf0.1 — measured 7.3 s); this streams the SAME arithmetic through
+    // 1.2 M edge rows with two broadcast adjacency lookups (0.9 s). The
+    // adjacency relation is one row per VERTEX (part-dimension-bounded,
+    // ~10 MB); for an unbounded vertex domain swap the broadcasts for
+    // shuffle joins — the per-edge identity is unchanged.
+    graft.functions.VectorFunctions.register(s)
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    oriented
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        "dst")
+      .select(call_function("graft_intersect_count",
+        col("nu"), col("nv")).as("c"))
+      .agg(sum(col("c")).cast("bigint").as("n_triangles"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
   }
