@@ -15,6 +15,9 @@ import graft.functions.{CosineSimilarity, DotProduct, MinHashAgg, SimHashAgg, So
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.rules.CollapseNestedBround)
+    // opt-in via spark.graft.rangejoin.bucketWidth: BETWEEN joins with no
+    // equi key re-plan as binned equi-joins instead of nested loops
+    ext.injectOptimizerRule(_ => graft.rules.RewriteRangeJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL-text surface for the native as-of join:
     //   SELECT * FROM graft_asof('probes_v', 'series_v', 'k', 't', 'tie', 'v')

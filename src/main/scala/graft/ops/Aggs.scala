@@ -179,7 +179,24 @@ object Aggs extends graft.QueryModule {
           .as("total_price"))
       .orderBy("bucket")
 
+  /** Deterministic mode per group: most frequent value bucket, ties to
+    * the LOWEST bucket. Spark's built-in `mode()` leaves ties
+    * unspecified; `max(struct(count, -bucket))` pins them — two hash
+    * aggregates, both map-side combinable, no window sort. */
+  private def aggMode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") / 10).cast("int").as("vb"))
+      .groupBy(col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("c"), (-col("vb")).as("nvb"))).as("m"))
+      .select(col("event_type"), (-col("m.nvb")).as("mode_bucket"),
+        col("m.c").as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode,
     "agg_histogram" -> histogram,
     "agg_ttm_rolling4" -> ttmRolling4,
     "agg_ttm_typed" -> ttmTyped,
@@ -196,6 +213,17 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value / 10) AS INTEGER) AS vb,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, vb, c, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, vb ASC) AS rn
+        |  FROM b)
+        |SELECT event_type, vb AS mode_bucket, c AS n
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INTEGER)
         |         AS bucket,

@@ -322,7 +322,34 @@ object Joins extends graft.QueryModule {
       .orderBy(col("k"))
   }
 
+  /** The SAME naive BETWEEN join as `join_range_bucketed` — but the user
+    * writes the nested-loop-shaped query and the injected
+    * [[graft.rules.RewriteRangeJoin]] optimizer rule produces the binned
+    * equi-join automatically (conf-gated bucket width; physical planning
+    * is pinned inside this call so the rewrite is what Verify/Bench
+    * execute). Same oracle as the hand-built form: exactness proof. */
+  private def rangeRewritten(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.RewriteRangeJoin
+    if (!s.experimental.extraOptimizations.contains(RewriteRangeJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteRangeJoin
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), (col("c_acctbal") * 10).as("lo"))
+      .withColumn("hi", col("lo") + 500)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    s.conf.set(RewriteRangeJoin.WidthConf, "500.0")
+    try {
+      val df = o.join(c, col("o_totalprice").between(col("lo"), col("hi")))
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy("c_custkey", "o_orderkey")
+      // force planning now, while the width conf is set
+      df.queryExecution.executedPlan
+      df
+    } finally s.conf.unset(RewriteRangeJoin.WidthConf)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_rewritten" -> rangeRewritten,
     "join_scd2_pit" -> scd2Pit,
     "join_null_safe" -> nullSafeJoin,
     "join_range_bucketed" -> rangeBucketed,
@@ -529,6 +556,11 @@ object Joins extends graft.QueryModule {
         |WHERE c_custkey < 20
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "join_range_bucketed" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders
+        |  ON o_totalprice BETWEEN c_acctbal * 10 AND c_acctbal * 10 + 500
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "join_range_rewritten" ->
       """SELECT c_custkey, o_orderkey
         |FROM customer JOIN orders
         |  ON o_totalprice BETWEEN c_acctbal * 10 AND c_acctbal * 10 + 500

@@ -18,6 +18,48 @@ class RulesSpec extends AnyFunSuite {
     n
   }
 
+  test("RewriteRangeJoin: naive BETWEEN join re-plans as a binned equi-join") {
+    import graft.rules.RewriteRangeJoin
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteRangeJoin
+    try {
+      val c = Tables.customer(spark, TestSpark.sf0001)
+        .select(col("c_custkey"), (col("c_acctbal") * 10).as("lo"))
+        .withColumn("hi", col("lo") + 500)
+      val o = Tables.orders(spark, TestSpark.sf0001)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def q() = o.join(c, col("o_totalprice").between(col("lo"), col("hi")))
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy("c_custkey", "o_orderkey")
+      // without the conf: nested loop (the only plan Spark has for this)
+      val naive = q()
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("NestedLoop"), "expected the naive plan to nested-loop")
+      val expected = naive.collect().toSeq
+      // with the conf: hash join on the bucket, same rows
+      spark.conf.set(RewriteRangeJoin.WidthConf, "500.0")
+      try {
+        val rewritten = q()
+        val p = rewritten.queryExecution.executedPlan.toString
+        assert(!p.contains("NestedLoop"), p)
+        assert(p.contains("__graft_bucket"), p)
+        assert(rewritten.collect().toSeq == expected)
+      } finally spark.conf.unset(RewriteRangeJoin.WidthConf)
+      // an equi-keyed join must NOT be touched even with the conf set
+      spark.conf.set(RewriteRangeJoin.WidthConf, "500.0")
+      try {
+        val equi = o.join(c, col("o_orderkey") === col("c_custkey") &&
+          col("o_totalprice") >= col("lo"))
+        assert(!equi.queryExecution.executedPlan.toString
+          .contains("__graft_bucket"))
+      } finally spark.conf.unset(RewriteRangeJoin.WidthConf)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.rules.RewriteRangeJoin)
+    }
+  }
+
   test("bround(bround(x,2),4) collapses to one BRound; values unchanged") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ CollapseNestedBround
