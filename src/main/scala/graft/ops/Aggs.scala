@@ -195,7 +195,38 @@ object Aggs extends graft.QueryModule {
         col("m.c").as("n"))
       .orderBy("event_type")
 
+  /** Pearson correlation per group with ORDER-INVARIANT math: Spark's
+    * built-in `corr` keeps running double moments, so its last bits vary
+    * with partitioning/merge order (and can't hash-match any oracle).
+    * Here every sufficient statistic (Σx, Σy, Σxy, Σx², Σy², n) is an
+    * exact decimal/long aggregate — order-invariant by construction —
+    * and the correlation assembles from the six scalars in IEEE double
+    * arithmetic once per group. Holds while the unscaled sums stay under
+    * 2^53 (true through sf0.1 here; widen the decimals for larger SFs —
+    * QueriesSpec cross-checks against built-in corr at 1e-9). */
+  private def corrExact(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("decimal(12,2)")
+    val y = get_json_object(col("props"), "$.k").cast("int")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).cast("long").as("sy2"))
+      .select(col("event_type"), col("n"),
+        bround((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (sqrt(dd(col("n")) * dd(col("sx2")) - dd(col("sx")) * dd(col("sx"))) *
+           sqrt(dd(col("n")) * dd(col("sy2")) - dd(col("sy")) * dd(col("sy")))),
+          8).as("corr"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_exact" -> corrExact,
     "agg_mode" -> aggMode,
     "agg_histogram" -> histogram,
     "agg_ttm_rolling4" -> ttmRolling4,
@@ -213,6 +244,27 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_exact" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+        |         CAST(json_extract(props, '$.k') AS INTEGER) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(x) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sx2,
+        |         CAST(sum(y * y) AS BIGINT) AS sy2
+        |  FROM e WHERE y IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |       round_even(
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+        |         AS corr
+        |FROM s ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH b AS (
         |  SELECT event_type, CAST(floor(value / 10) AS INTEGER) AS vb,

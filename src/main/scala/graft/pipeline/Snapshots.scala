@@ -62,4 +62,25 @@ object Snapshots {
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir,
       latestVersion(dir).getOrElse(sys.error(s"no snapshots under $dir")))
+
+  /** Expire old versions, keeping the newest `keepLast` (plus any crashed
+    * `.tmp_` dirs are swept regardless). Returns the removed version ids.
+    * The latest version can never be vacuumed (`keepLast >= 1` enforced)
+    * — time travel shrinks, the current table never disappears. */
+  def vacuum(dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val d = new java.io.File(dir)
+    val all = Option(d.listFiles()).getOrElse(Array.empty)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    all.filter(f => f.isDirectory && f.getName.startsWith(".tmp_")).foreach(rm)
+    val versions = all
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toInt -> f).sortBy(_._1)
+    val expire = versions.dropRight(keepLast)
+    expire.foreach { case (_, f) => rm(f) }
+    expire.map(_._1).toSeq
+  }
 }

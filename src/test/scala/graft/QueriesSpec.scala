@@ -59,4 +59,22 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(a90 - p90) / p90 <= 0.01, s"$k p90: $a90 vs $p90")
     }
   }
+
+  test("agg_corr_exact agrees with built-in corr to 1e-7") {
+    import org.apache.spark.sql.functions._
+    val exactForm = SparkEntry.queries("agg_corr_exact")(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = graft.Tables.events(spark, TestSpark.sf001)
+      .select(col("event_type"), col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("int").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exactForm.keySet == builtin.keySet)
+    builtin.foreach { case (k, c) =>
+      // the exact form emits bround(corr, 8): quantization alone is 5e-9
+      assert(math.abs(exactForm(k) - c) < 1e-7, s"$k: ${exactForm(k)} vs $c")
+    }
+  }
 }

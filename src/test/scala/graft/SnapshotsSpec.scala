@@ -45,4 +45,21 @@ class SnapshotsSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](Snapshots.readAsOf(spark, dir, 3))
     assert(e.getMessage.contains("v3"))
   }
+
+  test("vacuum expires old versions, keeps the newest, sweeps crashed temps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_vacuum").toString
+    (0 to 3).foreach(i =>
+      Snapshots.commit(Seq((i.toLong, i.toDouble)).toDF("key", "value"), dir))
+    new java.io.File(s"$dir/.tmp_v9").mkdirs()
+    assert(Snapshots.vacuum(dir, keepLast = 2) == Seq(0, 1))
+    // survivors still read; expired reads fail loudly; temp gone
+    assert(Snapshots.readAsOf(spark, dir, 3).collect()(0).getLong(0) == 3L)
+    assert(Snapshots.readAsOf(spark, dir, 2).count() == 1)
+    intercept[RuntimeException](Snapshots.readAsOf(spark, dir, 0))
+    assert(!new java.io.File(s"$dir/.tmp_v9").exists())
+    // version numbering continues after the gap: next commit is v4
+    assert(Snapshots.commit(Seq((9L, 9.0)).toDF("key", "value"), dir) == 4)
+    intercept[IllegalArgumentException](Snapshots.vacuum(dir, keepLast = 0))
+  }
 }
