@@ -259,6 +259,29 @@ object Streams {
         col("c_ts"), col("v_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: every click emits — paired with its
+    * preceding views when they exist, or null-padded once the watermark
+    * proves no match can still arrive. The null-padded row is the
+    * interesting one: it CANNOT be emitted eagerly (a matching view may
+    * still be in flight inside the watermark), so it appears only after
+    * event time passes `click_ts + bound + watermark delay`. Same
+    * bounded-state shape as [[clickViewJoin]]. */
+  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame,
+                             boundMinutes: Int = 5): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    c.join(v, expr(
+      s"""c_user = v_user AND
+         |v_ts BETWEEN c_ts - INTERVAL $boundMinutes MINUTES AND c_ts""".stripMargin),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** The reference's scheduled-refresh loop (`update.yml:4-7,33-39`:
     * cron batch + commit-if-changed) as a `Trigger.AvailableNow` streaming
     * job: drain whatever landed, publish only when content changed

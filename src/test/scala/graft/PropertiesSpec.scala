@@ -21,6 +21,50 @@ class PropertiesSpec extends AnyFunSuite {
     xs.dropRight(1).collectFirst { case Some(v) if v != 0.0 => Some(v) }
       .getOrElse(xs.last)
 
+  test("RewriteRangeJoin == naive BETWEEN join on randomized intervals/widths") {
+    import spark.implicits._
+    import graft.rules.RewriteRangeJoin
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteRangeJoin
+    try {
+      (1 to 5).foreach { trial =>
+        // random points and intervals, including empty (hi < lo),
+        // negative, null-bound, and zero-width intervals
+        val points = Seq.fill(120)(
+          (rng.nextInt(1000).toLong, rng.nextDouble() * 200 - 100))
+          .toDF("pid", "v")
+        val ivals = Seq.fill(60) {
+          val lo = rng.nextDouble() * 200 - 100
+          val span = rng.nextInt(4) match {
+            case 0 => -10.0 // empty interval
+            case 1 => 0.0   // zero width
+            case _ => rng.nextDouble() * 50
+          }
+          (rng.nextInt(1000).toLong,
+            if (rng.nextInt(10) == 0) None else Some(lo),
+            Some(lo + span))
+        }.toDF("iid", "lo", "hi")
+        def q() = points.join(ivals,
+            col("v") >= col("lo") && col("v") <= col("hi"))
+          .select(col("pid"), col("iid")).orderBy("pid", "iid")
+        val naive = q().collect().toSeq
+        val width = Seq("0.5", "7.0", "300.0")(trial % 3)
+        spark.conf.set(RewriteRangeJoin.WidthConf, width)
+        try {
+          val rewritten = q()
+          assert(rewritten.queryExecution.executedPlan.toString
+            .contains("__graft_bucket"), s"rule did not fire (trial $trial)")
+          assert(rewritten.collect().toSeq == naive,
+            s"trial $trial width $width diverged")
+        } finally spark.conf.unset(RewriteRangeJoin.WidthConf)
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.rules.RewriteRangeJoin)
+    }
+  }
+
   test("truthyCoalesce == Python or-chain on 200 random triples") {
     import spark.implicits._
     def gen(): Option[Double] = rng.nextInt(4) match {

@@ -254,6 +254,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 200L, 100L)))
   }
 
+  test("left-outer stream-stream join: unmatched clicks null-pad after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[graft.model.Event]
+    val views = MemoryStream[graft.model.Event]
+    val q = Streams.clickViewJoinLeftOuter(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    views.addData(Seq(ev(100, "2024-01-01 10:00:00", 7, "view", 0.0)))
+    clicks.addData(Seq(
+      ev(200, "2024-01-01 10:03:00", 7, "click", 0.0),  // matched
+      ev(201, "2024-01-01 10:05:00", 9, "click", 0.0))) // never matched
+    q.processAllAvailable()
+    // matched row may emit now; the null-padded row must NOT exist yet
+    // (a matching view inside the watermark could still arrive)
+    val early = spark.table("ssj_outer")
+      .filter(col("view_id").isNull).count()
+    assert(early == 0L, "null-padded row emitted before the watermark sealed it")
+    // advance both watermarks far past click+bound; two ticks so the
+    // outer-join state sweep runs with the new watermark
+    views.addData(Seq(ev(102, "2024-01-01 12:00:00", 8, "view", 0.0)))
+    clicks.addData(Seq(ev(202, "2024-01-01 12:00:00", 8, "click", 0.0)))
+    q.processAllAvailable()
+    clicks.addData(Seq(ev(203, "2024-01-01 12:01:00", 8, "click", 0.0)))
+    views.addData(Seq(ev(103, "2024-01-01 12:01:00", 8, "view", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_outer")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(rows(200L).contains(100L), rows)
+    assert(rows.contains(201L) && rows(201L).isEmpty,
+      s"unmatched click 201 missing or matched: $rows")
+  }
+
   test("interval join: streamed result equals the batch-shared plan (bound 240)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
