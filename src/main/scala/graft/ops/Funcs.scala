@@ -78,7 +78,23 @@ object Funcs extends graft.QueryModule {
         ",").as("top3"))
       .orderBy("vec_id")
 
+  /** Bitwise battery [N] (§H completeness — the one scalar family the
+    * earlier rounds skipped): AND/OR/XOR masks, shifts, and popcount
+    * over the integer keys. All pure integer ops — bit-identical across
+    * engines by construction. */
+  private def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+      col("o_orderkey").bitwiseOR(col("o_custkey")).as("bor"),
+      col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+      shiftleft(col("o_orderkey"), 2).as("shl"),
+      shiftright(col("o_orderkey"), 3).as("shr"),
+      bit_count(col("o_orderkey")).as("pop"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_math" -> fnMath,
     "fn_date" -> fnDate,
@@ -86,6 +102,15 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS band,
+        |       o_orderkey | o_custkey AS bor,
+        |       xor(o_orderkey, o_custkey) AS bxor,
+        |       o_orderkey << 2 AS shl,
+        |       o_orderkey >> 3 AS shr,
+        |       CAST(bit_count(o_orderkey) AS INTEGER) AS pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |       upper(trim(p_name)) AS up,

@@ -83,6 +83,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
   }
 
+  test("join_scd2_pit: equi-join on the key with the interval residual inside") {
+    val p = plan("join_scd2_pit")
+    // the PIT lookup itself must be a hash/merge join carrying the
+    // interval residual — never a nested loop over all versions
+    val pitJoinLine = p.linesIterator
+      .find(l => l.contains("valid_from") &&
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")))
+    assert(pitJoinLine.isDefined, p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("NestedLoop") && l.contains("valid_from")), p)
+    // the only nested loop allowed is the 4-row probe-grid cross join
+    assert("NestedLoop".r.findAllIn(p).size <= 1, p)
+  }
+
   test("src_dpp_pruned: partition filter is a runtime dynamicpruning subquery") {
     val p = plan("src_dpp_pruned")
     assert(p.contains("dynamicpruning"), p)
