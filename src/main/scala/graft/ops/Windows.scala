@@ -181,7 +181,29 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Longest strictly-increasing value run per user [N] — the
+    * MATCH_RECOGNIZE-style "pattern over an ordered stream" shape done
+    * with gaps-and-islands: a break flag (not-increasing) cumulative-sums
+    * into run ids on ONE window ordering (same single-sort discipline as
+    * [[sessionize]]), then two hash aggs produce per-user run stats. */
+  private def patternRuns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("brk",
+        when(col("value") > lag(col("value"), 1).over(w), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("run_len")).as("longest_run"),
+        count(lit(1)).as("n_runs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
@@ -194,6 +216,27 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_pattern_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN value > lag(value, 1) OVER w THEN 0 ELSE 1 END
+        |           AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM b),
+        |lens AS (
+        |  SELECT user_id, run_id, count(*) AS run_len
+        |  FROM runs GROUP BY user_id, run_id)
+        |SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_run,
+        |       CAST(count(*) AS BIGINT) AS n_runs
+        |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_sweep_concurrency" ->
       """WITH iv AS (
         |  SELECT CAST(o_orderdate AS DATE) AS s,
