@@ -443,7 +443,67 @@ object SimSearch extends graft.QueryModule {
     pqTopK(Tables.embeddings(s, d))
   }
 
+  /** The full FAISS-style two-stage serving architecture — IVF coarse
+    * quantizer + PQ fine scoring + exact rerank — composed from
+    * [[trainKmeansCentroids]] and [[pqTrainCodebooks]]:
+    *
+    *  1. COARSE: the probe visits only its `nprobe` nearest k-means
+    *     cells, cutting the candidate corpus to ~nprobe/k of the data
+    *     (the at-scale I/O win: cells are the partition key on disk).
+    *  2. FINE: survivors are scored from their 8-byte PQ codes via the
+    *     broadcast ADC table — no full vectors touched.
+    *  3. RERANK: exact cosine on the short list only.
+    *
+    * (Classic IVF-PQ trains codebooks on residuals v − centroid(cell);
+    * here codebooks are global — simpler, and the exact rerank absorbs
+    * the quantization-accuracy difference at these sizes.) Approximate
+    * by construction → rows-only; SimSearchRecallSpec holds the
+    * recall@10 floor vs the exact scan. */
+  def ivfPqTopK(e: DataFrame, kCells: Int = 16, lloydIters: Int = 2,
+                nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+                pqIters: Int = 3, rerank: Int = 100, topK: Int = 10)
+      : DataFrame = {
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansCentroids(vecs, kCells, lloydIters)
+    val cellOf = assignCells(vecs, centroids)
+    val probeVec = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val probeCells = probeVec.crossJoin(broadcast(centroids))
+      .select(col("cid"), cosine(col("probe"), col("cvec")).as("aff"))
+      .orderBy(col("aff").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val subDim = 64 / m
+    val cents = pqTrainCodebooks(vecs, m, subDim, kCodes, pqIters)
+    val sub = subvectors(vecs, m, subDim)
+    val codes = pqEncode(sub, cents)
+    val table = sub.filter(col("vec_id") === 0)
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("sub"), col("cid"), dot(col("svec"), col("cvec")).as("pdot"))
+    val norms = vecs.select(col("vec_id"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("vnorm"))
+    val candidates = codes
+      .join(cellOf, Seq("vec_id"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(table), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pdot")).as("approx_dot"))
+      .join(norms, Seq("vec_id"))
+      .select(col("vec_id"), (col("approx_dot") / col("vnorm")).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id")).limit(rerank)
+    candidates.join(vecs, Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(topK)
+  }
+
+  private def ivfPq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    ivfPqTopK(Tables.embeddings(s, d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_ivf_pq" -> ivfPq,
     "sim_search_pq" -> pq,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_search_quantized" -> quantizedTopK,

@@ -54,6 +54,19 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall@10 regressed: $recall")
   }
 
+  test("IVF+PQ two-stage recall@10 vs exact top-10 on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val twoStage = SparkEntry.queries("sim_search_ivf_pq")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & twoStage).size.toDouble / exact.size
+    info(s"IVF+PQ recall@10 = $recall")
+    // bounded by the coarse stage: only nprobe/16 of the corpus is
+    // visible to PQ, so the floor matches the k-means IVF floor
+    assert(recall >= 0.5, s"IVF+PQ recall@10 regressed: $recall")
+  }
+
   test("single-probe batch slice equals the single-probe exact answer") {
     // sim_search_batch is oracle-checked; additionally pin its probe_id=0
     // slice to the independently-built sim_search_cosine plan (different
