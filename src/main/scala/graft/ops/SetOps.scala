@@ -34,12 +34,54 @@ object SetOps extends graft.QueryModule {
       .orderBy("o_custkey")
   }
 
+  /** Bag-semantics EXCEPT ALL [N]: multiplicities subtract instead of
+    * the set form's vanish — the right answer when the "produced" side
+    * may partially cover duplicates in "requested". Spark plans it as a
+    * replicate-count generate over a grouped anti-count, never a sort. */
+  private def exceptAll(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.select(col("l_suppkey"))
+      .exceptAll(l.filter(col("l_returnflag") === "R").select(col("l_suppkey")))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Schema-evolution union [N]: `unionByName(allowMissingColumns)`
+    * aligns by NAME and null-fills the columns one side lacks — the
+    * union a long-lived pipeline actually needs once v2 of a feed adds
+    * a column (positional `union` would silently misalign). */
+  private def unionByNameEvolved(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val v1 = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val v2 = c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "setop_except_all" -> exceptAll,
+    "setop_union_by_name" -> unionByNameEvolved,
     "setop_union_distinct" -> unionDistinct,
     "setop_intersect" -> intersectKeys,
     "setop_except" -> exceptKeys)
 
   val oracles: Map[String, String] = Map(
+    "setop_except_all" ->
+      """WITH r AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_suppkey, count(*) AS n
+        |FROM r GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "setop_union_by_name" ->
+      """SELECT c_custkey, c_name, NULL::DOUBLE AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
     "setop_union_distinct" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION
