@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide plan hygiene: NO registered query may plan a nested-loop
+  * or cartesian join unless its key is explicitly allowlisted with the
+  * reason the shape is intentional and bounded. This is the regression
+  * gate for "a refactor quietly turned a hash join into a nested loop"
+  * — at 100 TB that plan change is an outage, and no per-key oracle
+  * would notice (the result stays correct). */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Keys whose nested-loop/cross shape is deliberate AND bounded: one
+    * side is a literal, a single-row probe, a k-row centroid/grid table,
+    * or the key exists to DEMONSTRATE the naive plan. */
+  private val allowed: Map[String, String] = Map(
+    "join_range_interval" -> "the deliberate BNL demo (bounded build side)",
+    "sim_search_cosine" -> "single-row probe crossJoin",
+    "sim_search_ivf_kmeans" -> "k-row centroid broadcast",
+    "sim_search_ivf_batch" -> "k-row centroid broadcast",
+    "sim_search_ivf_saved" -> "k-row centroid broadcast",
+    "sim_search_ivf_pq" -> "k-row centroid + m*k ADC table broadcasts",
+    "sim_search_pq" -> "m*k-row ADC table broadcast",
+    "sim_search_quantized" -> "single-row probe crossJoin",
+    "sim_search_batch" -> "bounded 20-probe broadcast",
+    "join_scd2_pit" -> "4-row probe-grid crossJoin",
+    "text_mix_temperature" -> "1-row cmax crossJoin",
+    "graph_triangles" -> "three 1-row count crossJoins at the root",
+    "text_tfidf" -> "1-row corpus-doc-count crossJoin",
+    "text_logprob" -> "1-row corpus-total crossJoin")
+
+  test("nested-loop/cartesian plans == the allowlist, exactly (sf0.001)") {
+    val looping = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val loops = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (loops) Some(name) else None
+    }.toSet
+    val unlisted = looping -- allowed.keySet
+    assert(unlisted.isEmpty,
+      s"unlisted nested-loop/cartesian plans: ${unlisted.mkString(", ")}")
+    // both directions: an allowlist entry whose loop disappeared (or
+    // whose key was dropped) is stale and must be removed, so the list
+    // always documents exactly the current deliberate exceptions
+    val stale = allowed.keySet -- looping
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+}
