@@ -225,7 +225,24 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
+    * NDV for three columns of `orders` in a SINGLE scan (the statistics
+    * every CBO and data-quality gate needs). At 100 TB swap the exact
+    * `count distinct` for `approx_count_distinct` — same single-pass
+    * plan shape; exact here so the key stays oracle-checkable. */
+  private def profileStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        count(when(col("o_totalprice").isNull, 1)).as("price_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_ndv"),
+        min(col("o_orderdate")).cast("date").as("date_min"),
+        max(col("o_orderdate")).cast("date").as("date_max"),
+        countDistinct(col("o_orderpriority")).as("priority_ndv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_profile_stats" -> profileStats,
     "agg_corr_exact" -> corrExact,
     "agg_mode" -> aggMode,
     "agg_histogram" -> histogram,
@@ -244,6 +261,16 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |       min(o_totalprice) AS price_min,
+        |       max(o_totalprice) AS price_max,
+        |       count(*) FILTER (o_totalprice IS NULL) AS price_nulls,
+        |       count(DISTINCT o_custkey) AS custkey_ndv,
+        |       CAST(min(o_orderdate) AS DATE) AS date_min,
+        |       CAST(max(o_orderdate) AS DATE) AS date_max,
+        |       count(DISTINCT o_orderpriority) AS priority_ndv
+        |FROM orders""".stripMargin,
     "agg_corr_exact" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,

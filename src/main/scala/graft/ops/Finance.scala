@@ -106,10 +106,29 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Maximum drawdown per user: the worst peak-to-trough value ratio
+    * over the tick sequence — running max (one window pass), per-tick
+    * drawdown `v / peak − 1` (IEEE divide, bit-exact both engines),
+    * then one hash agg for the minimum. Double throughout: no sums, so
+    * no ordering hazard to pin. */
+  private def drawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("peak", max(col("value")).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("value") / col("peak") - lit(1.0)).as("max_drawdown"),
+        max(col("peak")).as("peak_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_twap" -> twap,
     "fin_vwap" -> vwap,
     "fin_ohlc" -> ohlc,
+    "fin_drawdown" -> drawdown,
     "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +160,21 @@ object Finance extends graft.QueryModule {
         |       CAST(sum(vol) AS BIGINT) AS total_vol
         |FROM e WHERE vol > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fin_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, value,
+        |         max(value) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM e)
+        |SELECT user_id,
+        |       min(value / peak - 1.0) AS max_drawdown,
+        |       max(peak) AS peak_value
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fin_ohlc" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

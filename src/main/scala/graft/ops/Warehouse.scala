@@ -209,7 +209,41 @@ object Warehouse extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** The SAME changelog as [[cdcCapture]], but computed BETWEEN STORED
+    * SNAPSHOT VERSIONS: both table states commit to the time-travel
+    * store ([[graft.pipeline.Snapshots]]) and the diff reads them back
+    * as-of v0/v1 — CDC as a pure function of the version store, no
+    * access to the original inputs. Shares cdc_capture's oracle: the
+    * hash match proves commit → read-as-of → diff loses nothing. */
+  private def cdcTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = "target/tmp/orders_cdc_versions"
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val f = new java.io.File(dir)
+    if (f.exists()) { def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); () }
+      rm(f) }
+    Snapshots.commit(base.filter(col("o_orderkey") % 11 =!= 3), dir)
+    Snapshots.commit(base.filter(col("o_orderkey") % 7 =!= 2)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(1.05))
+          .otherwise(col("o_totalprice"))), dir)
+    val old = Snapshots.readAsOf(s, dir, 0)
+    val neu = Snapshots.readAsOf(s, dir, 1)
+    old.as("a").join(neu.as("b"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("a.o_custkey").isNull, lit("I"))
+          .when(col("b.o_custkey").isNull, lit("D"))
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("U"))
+          .as("op"),
+        col("a.o_totalprice").as("old_price"),
+        col("b.o_totalprice").as("new_price"))
+      .filter(col("op").isNotNull)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_time_travel" -> cdcTimeTravel,
     "cdc_capture" -> cdcCapture,
     "agg_incremental" -> aggIncremental,
     "sink_time_travel" -> sinkTimeTravel,
@@ -219,6 +253,29 @@ object Warehouse extends graft.QueryModule {
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    // identical SQL to cdc_capture: the version-store round-trip must
+    // reproduce the direct diff exactly
+    "cdc_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |prev AS (SELECT * FROM base WHERE o_orderkey % 11 <> 3),
+        |curr AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN o_totalprice * CAST(1.05 AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 2),
+        |log AS (
+        |  SELECT coalesce(prev.o_orderkey, curr.o_orderkey) AS o_orderkey,
+        |         CASE WHEN prev.o_custkey IS NULL THEN 'I'
+        |              WHEN curr.o_custkey IS NULL THEN 'D'
+        |              WHEN prev.o_totalprice <> curr.o_totalprice THEN 'U'
+        |         END AS op,
+        |         prev.o_totalprice AS old_price,
+        |         curr.o_totalprice AS new_price
+        |  FROM prev FULL OUTER JOIN curr
+        |    ON prev.o_orderkey = curr.o_orderkey)
+        |SELECT * FROM log WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     "cdc_capture" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

@@ -202,7 +202,26 @@ object Windows extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Time-based RANGE window frame [N]: each tick's trailing-1-hour
+    * activity (count + exact-decimal sum) — the frame is defined by the
+    * ORDER-BY VALUE (ts within 1 hour), not by row offsets, so sparse
+    * and dense users get the same wall-clock semantics. The ROWS-frame
+    * twin is [[rollingFrame]]. */
+  private def rangeFrame(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+          .as("n_1h"),
+        expr("""CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE)""").as("sum_1h"))
+      .orderBy("user_id", "ts", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_frame" -> rangeFrame,
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_distribution_ranks" -> distributionRanks,
@@ -216,6 +235,20 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         date_trunc('microseconds', ts) AS ts,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events)
+        |SELECT user_id, ts, event_id,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |                       AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "win_pattern_runs" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
