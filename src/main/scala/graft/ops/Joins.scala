@@ -348,7 +348,28 @@ object Joins extends graft.QueryModule {
     } finally s.conf.unset(RewriteRangeJoin.WidthConf)
   }
 
+  /** Multi-column as-of retrieval through the native operator [N]: the
+    * series value is a STRUCT (price + event type), proving the exec's
+    * "value may be any type" contract end-to-end — one merge pass
+    * carries the whole payload; the probe flattens it after the join.
+    * (The alternative — two as-of joins, one per column — would scan
+    * the series twice and can desynchronize under ties.) */
+  private def asofPayload(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("value"), col("event_type")).as("payload"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("ts"))
+    graft.plans.AsOf.joinBackward(probes, ev, "user_id", "ts", "event_id",
+        "payload")
+      .select(col("user_id"), col("ts").as("probe_ts"),
+        col("last_value.value").as("last_price"),
+        col("last_value.event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_payload" -> asofPayload,
     "join_range_rewritten" -> rangeRewritten,
     "join_scd2_pit" -> scd2Pit,
     "join_null_safe" -> nullSafeJoin,
@@ -370,6 +391,22 @@ object Joins extends graft.QueryModule {
     "join_range_interval" -> rangeInterval)
 
   val oracles: Map[String, String] = Map(
+    "join_asof_payload" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |         event_id, value, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, max(ts) - INTERVAL 1 HOUR AS probe_ts
+        |  FROM e GROUP BY user_id)
+        |SELECT p.user_id, p.probe_ts,
+        |       (SELECT e.value FROM e
+        |        WHERE e.user_id = p.user_id AND e.ts <= p.probe_ts
+        |        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_price,
+        |       (SELECT e.event_type FROM e
+        |        WHERE e.user_id = p.user_id AND e.ts <= p.probe_ts
+        |        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_type
+        |FROM p ORDER BY p.user_id""".stripMargin,
     "join_scd2_pit" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
