@@ -83,7 +83,8 @@ object Bench {
     "win_sweep_concurrency",// sweep-line interval concurrency (r6)
     "src_dpp_pruned",       // dynamic partition pruning (r6)
     "graph_triangles",      // degree-oriented triangle counting (r6)
-    "text_line_dedup")      // corpus-global line dedup (r6)
+    "text_line_dedup",      // corpus-global line dedup (r6)
+    "corpus_clean_pipeline") // 5-stage cleaning pipeline, one plan (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -245,7 +245,59 @@ object Corpus extends graft.QueryModule {
     * eval-set shingles; chosen to actually hit the synthetic corpus). */
   private val probes = Seq("stream table hash", "window fast query", "part filter scan")
 
+  /** The whole C4/RefinedWeb-style cleaning pipeline as ONE declarative
+    * plan — the composition showpiece: every stage is an operator this
+    * library already ships individually, chained here so Catalyst plans
+    * the entire pipeline (stage fusion, one shuffle per keyed step,
+    * pushdown through the lot) instead of five materialized hops:
+    *
+    *  1. quality gate (length floors),
+    *  2. language selection,
+    *  3. corpus-global line dedup (first occurrence of each 10-word
+    *     line survives, docs reassemble),
+    *  4. exact-document dedup on the REASSEMBLED text (md5, lowest
+    *     doc_id wins),
+    *  5. decontamination (drop docs containing an eval-set phrase),
+    *
+    * emitting per-surviving-doc stats. The oracle mirrors the chain
+    * stage for stage, so the hash check proves five-stage composition
+    * loses nothing vs the per-operator semantics. */
+  private def cleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars") >= 100 &&
+        size(split(col("text"), " ")) >= 20 &&
+        col("lang").isin("en", "fr", "de"))
+    val deduped = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
+          |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+        .as(Seq("line_idx", "line")))
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"), col("lang"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.line_idx").as("line_idx"), col("line"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("line_idx"), col("line")))), e => e("line")), " ")
+          .as("text_out"))
+    deduped
+      .withColumn("h", md5(col("text_out")))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_lines"),
+        col("text_out"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.n_lines").as("n_lines"), col("w.text_out").as("text_out"))
+      .filter(!col("text_out").contains("spark query window") &&
+        !col("text_out").contains("table scan merge"))
+      .select(col("doc_id"), col("lang"), col("n_lines"),
+        length(col("text_out")).as("n_chars_out"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean_pipeline" -> cleanPipeline,
     "text_split_assign" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id").orderBy("doc_id")),
     "text_mix_budget" -> ((s, d) => {
@@ -286,6 +338,37 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "corpus_clean_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+        |    AND lang IN ('en', 'fr', 'de')),
+        |c AS (
+        |  SELECT doc_id, lang, i AS line_idx,
+        |         array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS line
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |        FROM docs) t,
+        |       unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) r(i)),
+        |s AS (
+        |  SELECT doc_id, lang, line_idx, line FROM
+        |    (SELECT doc_id, lang, line_idx, line, row_number() OVER (
+        |       PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |     FROM c) WHERE rn = 1),
+        |rs AS (
+        |  SELECT doc_id, lang, count(*) AS n_lines,
+        |         string_agg(line, ' ' ORDER BY line_idx) AS text_out
+        |  FROM s GROUP BY doc_id, lang),
+        |ex AS (
+        |  SELECT doc_id, lang, n_lines, text_out FROM
+        |    (SELECT *, row_number() OVER (
+        |       PARTITION BY md5(text_out) ORDER BY doc_id) AS rn
+        |     FROM rs) WHERE rn = 1)
+        |SELECT doc_id, lang, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(length(text_out) AS INTEGER) AS n_chars_out
+        |FROM ex
+        |WHERE NOT contains(text_out, 'spark query window')
+        |  AND NOT contains(text_out, 'table scan merge')
+        |ORDER BY doc_id""".stripMargin,
     // DuckDB has no conv(hex, 16, 10): the 4 hex digits are decoded by a
     // strpos polynomial (same trick as the md5 LSH oracle twins)
     "text_split_assign" ->
