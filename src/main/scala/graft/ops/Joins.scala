@@ -323,29 +323,34 @@ object Joins extends graft.QueryModule {
   }
 
   /** The SAME naive BETWEEN join as `join_range_bucketed` — but the user
-    * writes the nested-loop-shaped query and the injected
-    * [[graft.rules.RewriteRangeJoin]] optimizer rule produces the binned
-    * equi-join automatically (conf-gated bucket width; physical planning
-    * is pinned inside this call so the rewrite is what Verify/Bench
-    * execute). Same oracle as the hand-built form: exactness proof. */
+    * writes the nested-loop-shaped query and
+    * [[graft.rules.RewriteRangeJoin]] produces the binned equi-join.
+    * The rule is applied DIRECTLY to the analyzed plan here (conf set
+    * only around that call) and the result re-wrapped, so the returned
+    * DataFrame's LOGICAL plan is already the bucketed join — every
+    * derived action (Verify's write, Bench's count) re-plans from the
+    * rewritten plan with no session-global conf left behind. (The
+    * conf-gated in-optimizer path is exercised by RulesSpec and
+    * ExtensionsSpec; an earlier pin-the-physical-plan variant of this
+    * key silently fell back to the nested loop in any derived action —
+    * caught when Bench showed 28 s against the twin's 1.6 s.)
+    * Same oracle as the hand-built form: exactness proof. */
   private def rangeRewritten(s: SparkSession, d: String): DataFrame = {
     import graft.rules.RewriteRangeJoin
-    if (!s.experimental.extraOptimizations.contains(RewriteRangeJoin))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ RewriteRangeJoin
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), (col("c_acctbal") * 10).as("lo"))
       .withColumn("hi", col("lo") + 500)
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val naive = o.join(c, col("o_totalprice").between(col("lo"), col("hi")))
     s.conf.set(RewriteRangeJoin.WidthConf, "500.0")
-    try {
-      val df = o.join(c, col("o_totalprice").between(col("lo"), col("hi")))
-        .select(col("c_custkey"), col("o_orderkey"))
-        .orderBy("c_custkey", "o_orderkey")
-      // force planning now, while the width conf is set
-      df.queryExecution.executedPlan
-      df
-    } finally s.conf.unset(RewriteRangeJoin.WidthConf)
+    val rewritten =
+      try RewriteRangeJoin(naive.queryExecution.analyzed)
+      finally s.conf.unset(RewriteRangeJoin.WidthConf)
+    assert(rewritten.toString.contains("__graft_bucket"),
+      "RewriteRangeJoin did not fire on the naive BETWEEN join")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, rewritten)
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy("c_custkey", "o_orderkey")
   }
 
   /** Multi-column as-of retrieval through the native operator [N]: the
