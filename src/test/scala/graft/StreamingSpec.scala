@@ -254,6 +254,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 200L, 100L)))
   }
 
+  test("timer sessions == batch gaps-and-islands on randomized event sets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rng = new scala.util.Random(7)
+      // 3 users × ~12 events over 6 hours, random gaps straddling the
+      // 30-min session boundary. Delivery: time-contiguous micro-batches
+      // with arbitrary order INSIDE each batch — disorder within the
+      // watermark's tolerance. (A global shuffle would make most events
+      // late beyond the 10-min watermark, and append mode rightly drops
+      // those — that regime is covered by the late-data spec, not this
+      // equivalence.)
+      val rows = (1 to 3).flatMap { u =>
+        var t = 0L
+        (1 to 12).map { i =>
+          t += 60L + rng.nextInt(80) * 60L // 1..81 min gaps
+          ev(u * 100L + i, "2024-01-01 00:00:00", u.toLong, "e", i.toDouble)
+            .copy(ts = new Timestamp(
+              Timestamp.valueOf("2024-01-01 00:00:00").getTime + t * 1000))
+        }
+      }
+      val ordered = rows.sortBy(_.ts.getTime)
+      val ms = MemoryStream[graft.model.Event]
+      val q = Streams.timedSessions(ms.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName("timed_rand").outputMode("append").start()
+      ordered.grouped(ordered.size / 3 + 1).foreach { b =>
+        ms.addData(rng.shuffle(b)); q.processAllAvailable()
+      }
+      // flush: one far-future event per user pushes every watermark past
+      // all timers; run two ticks so the sweep sees the new watermark
+      ms.addData((1 to 3).map(u =>
+        ev(9000L + u, "2024-02-01 00:00:00", u.toLong, "flush", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(9100L, "2024-02-01 00:01:00", 1L, "flush", 0.0)))
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("timed_rand")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      // batch reference: gap > 30 min starts a new session (flush
+      // events excluded — their sessions are still open)
+      val batch = rows.toDF()
+        .withColumn("brk", when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+              .orderBy(col("ts")))) > 30L * 60 * 1000000, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      assert(streamed == batch,
+        s"streamed ${streamed.size} sessions != batch ${batch.size}:\n" +
+          s"missing=${batch.diff(streamed)}\nextra=${streamed.diff(batch)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("left-outer stream-stream join: unmatched clicks null-pad after the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
