@@ -225,6 +225,25 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** Boolean + bitwise aggregate battery [N]: `bool_and`/`bool_or`
+    * (ANSI EVERY/ANY) over predicates, `count_if`, and the three bitwise
+    * reducers over the key column. Every one is commutative+associative
+    * — order-invariant by construction, a single map-side-combinable
+    * hash aggregate, and (unlike float sums) safe to hash-compare
+    * across engines with no rounding discipline at all. */
+  private def booleanBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+        expr("bool_or(o_totalprice > 400000.0)").as("any_over_400k"),
+        expr("bool_and(o_custkey > 0)").as("every_pos"),
+        expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+        expr("bit_and(o_custkey)").as("key_band"),
+        expr("bit_or(o_custkey)").as("key_bor"),
+        expr("bit_xor(o_custkey)").as("key_bxor"))
+      .orderBy("o_orderpriority")
+
   /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
     * NDV for three columns of `orders` in a SINGLE scan (the statistics
     * every CBO and data-quality gate needs). At 100 TB swap the exact
@@ -242,6 +261,7 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_boolean_bitwise" -> booleanBitwise,
     "agg_profile_stats" -> profileStats,
     "agg_corr_exact" -> corrExact,
     "agg_mode" -> aggMode,
@@ -261,6 +281,17 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_boolean_bitwise" ->
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |       bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |       bool_and(o_custkey > 0) AS every_pos,
+        |       count(*) FILTER (o_totalprice > 200000.0) AS n_big,
+        |       bit_and(o_custkey) AS key_band,
+        |       bit_or(o_custkey) AS key_bor,
+        |       bit_xor(o_custkey) AS key_bxor
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_profile_stats" ->
       """SELECT count(*) AS n_rows,
         |       min(o_totalprice) AS price_min,

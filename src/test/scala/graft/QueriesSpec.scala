@@ -23,6 +23,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_boolean_bitwise: every aggregate equals a driver-side fold") {
+    val got = SparkEntry.queries("agg_boolean_bitwise")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val raw = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderpriority", "o_totalprice", "o_custkey")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(raw.nonEmpty && got.keySet == raw.map(_._1).toSet)
+    raw.groupBy(_._1).foreach { case (g, rs) =>
+      val r = got(g)
+      assert(r.getBoolean(1) == rs.forall(_._2 > 1000.0), s"bool_and $g")
+      assert(r.getBoolean(2) == rs.exists(_._2 > 400000.0), s"bool_or $g")
+      assert(r.getBoolean(3) == rs.forall(_._3 > 0), s"every_pos $g")
+      assert(r.getLong(4) == rs.count(_._2 > 200000.0), s"count_if $g")
+      assert(r.getLong(5) == rs.map(_._3).reduce(_ & _), s"bit_and $g")
+      assert(r.getLong(6) == rs.map(_._3).reduce(_ | _), s"bit_or $g")
+      assert(r.getLong(7) == rs.map(_._3).reduce(_ ^ _), s"bit_xor $g")
+    }
+  }
+
   test("agg_approx_distinct: HLL relative error <= 2% vs exact, sf0.1") {
     // the one §2 row with no oracle (approximate by design, rsd = 0.01);
     // quantify it instead: per-group relative error against the exact
