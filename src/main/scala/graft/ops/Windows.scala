@@ -181,6 +181,36 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Merge overlapping/touching validity intervals per customer [N] —
+    * the other half of the sweep-line family ([[sweepConcurrency]]
+    * counts overlap; this COALESCES it). One window ordering per key:
+    * running max of interval ends over the preceding rows; a gap
+    * (start beyond every prior end) breaks a new island; islands then
+    * collapse in one hash agg. Linear in rows, parallel across
+    * customers — no self-join, no island×interval blowup; the classic
+    * quadratic NOT-EXISTS formulation is what this replaces at scale. */
+  private def intervalMerge(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 30 + 1).cast("int")).as("e"))
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    iv.withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("start_d"), max(col("e")).as("end_d"),
+        count(lit(1)).as("n_merged"))
+      .select(col("k").as("o_custkey"), col("start_d"), col("end_d"),
+        datediff(col("end_d"), col("start_d")).as("span_days"),
+        col("n_merged"))
+      .orderBy("o_custkey", "start_d")
+  }
+
   /** Longest strictly-increasing value run per user [N] — the
     * MATCH_RECOGNIZE-style "pattern over an ordered stream" shape done
     * with gaps-and-islands: a break flag (not-increasing) cumulative-sums
@@ -224,6 +254,7 @@ object Windows extends graft.QueryModule {
     "win_range_frame" -> rangeFrame,
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
+    "win_interval_merge" -> intervalMerge,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -235,6 +266,27 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |         max(e) OVER (PARTITION BY k ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |i AS (
+        |  SELECT k, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |                           THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT k AS o_custkey, min(s) AS start_d, max(e) AS end_d,
+        |       CAST(date_diff('day', min(s), max(e)) AS INTEGER) AS span_days,
+        |       count(*) AS n_merged
+        |FROM i GROUP BY k, island ORDER BY o_custkey, start_d""".stripMargin,
     "win_range_frame" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

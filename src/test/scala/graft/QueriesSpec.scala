@@ -42,6 +42,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("win_interval_merge: islands disjoint with strict gaps, cover all rows") {
+    val merged = SparkEntry.queries("win_interval_merge")(spark, TestSpark.sf0001)
+      .collect()
+    merged.groupBy(_.getLong(0)).foreach { case (k, rows) =>
+      val sorted = rows.toList.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      sorted.sliding(2).foreach {
+        case a :: b :: Nil =>
+          // next island starts strictly AFTER this one ends (else they
+          // would have merged)
+          assert(b.getDate(1).toLocalDate.toEpochDay >
+            a.getDate(2).toLocalDate.toEpochDay, s"customer $k islands touch")
+        case _ => ()
+      }
+    }
+    val covered = merged.map(_.getLong(4)).sum
+    assert(covered == graft.Tables.orders(spark, TestSpark.sf0001).count())
+  }
+
   test("agg_approx_distinct: HLL relative error <= 2% vs exact, sf0.1") {
     // the one §2 row with no oracle (approximate by design, rsd = 0.01);
     // quantify it instead: per-group relative error against the exact
