@@ -181,6 +181,33 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Exact rolling MEDIAN over a trailing 10-row frame [N]. Built-in
+    * interpolating percentiles are engine-specific in their last ULP
+    * ((1-g)a+gb vs a+g(b-a)), so this pins the math: frame values are
+    * exact decimals, the frame materializes as a sorted 10-element
+    * array, and the even-case midpoint is written as one fixed IEEE
+    * expression ((x+y)/2.0) both here and in the oracle — bit-exact by
+    * construction. The frame is bounded, so per-row state is O(10)
+    * regardless of history length. */
+  private def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.events(s, d)
+      .filter(col("event_type") === "click" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("a", sort_array(collect_list(col("v")).over(w)))
+      .withColumn("n", size(col("a")))
+      .select(col("user_id"), col("event_id"),
+        when(col("n") % 2 === 1,
+          dd(element_at(col("a"), ((col("n") + 1) / 2).cast("int"))))
+          .otherwise((dd(element_at(col("a"), (col("n") / 2).cast("int")))
+            + dd(element_at(col("a"), (col("n") / 2 + 1).cast("int")))) / 2.0)
+          .as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Merge overlapping/touching validity intervals per customer [N] —
     * the other half of the sweep-line family ([[sweepConcurrency]]
     * counts overlap; this COALESCES it). One window ordering per key:
@@ -255,6 +282,7 @@ object Windows extends graft.QueryModule {
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_interval_merge" -> intervalMerge,
+    "win_rolling_median" -> rollingMedian,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -266,6 +294,25 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, event_id,
+        |         list_sort(list(v) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |       CASE WHEN len(arr) % 2 = 1
+        |            THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+        |            ELSE (CAST(arr[len(arr) // 2] AS DOUBLE)
+        |                + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2.0
+        |       END AS med
+        |FROM a ORDER BY user_id, event_id""".stripMargin,
     "win_interval_merge" ->
       """WITH iv AS (
         |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,

@@ -60,6 +60,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(covered == graft.Tables.orders(spark, TestSpark.sf0001).count())
   }
 
+  test("win_rolling_median: bit-equal to a driver-side sorted-frame fold") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_rolling_median")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = graft.Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "click" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(raw.nonEmpty && got.size == raw.length)
+    raw.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.toInstant.getNano, r._3))
+      sorted.indices.foreach { i =>
+        // same decimal(12,2) pin as the query (Spark casts HALF_UP)
+        val frame = sorted.slice(math.max(0, i - 9), i + 1)
+          .map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame((n + 1) / 2 - 1).toDouble
+          else (frame(n / 2 - 1).toDouble + frame(n / 2).toDouble) / 2.0
+        assert(got((u, sorted(i)._3)) == med, s"user $u row ${sorted(i)._3}")
+      }
+    }
+  }
+
   test("agg_approx_distinct: HLL relative error <= 2% vs exact, sf0.1") {
     // the one §2 row with no oracle (approximate by design, rsd = 0.01);
     // quantify it instead: per-group relative error against the exact
