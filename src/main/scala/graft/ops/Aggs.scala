@@ -225,6 +225,30 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** Cohort retention matrix [N]: users cohorted by first-activity day,
+    * then (cohort day × days-since) distinct actives and the retention
+    * ratio vs cohort size. Three map-side-combinable hash aggs and one
+    * equi-join on user_id (co-partitioned with the cohort agg's own
+    * shuffle — AQE reuses the exchange); the cohort-size dim is tiny
+    * (one row per day) and broadcasts. The ratio divides two exact
+    * longs once per output row — IEEE-exact, then pinned at 4dp. */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("days_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("days_since"), col("active_users"),
+        bround(col("active_users").cast("double")
+          / col("cohort_size").cast("double"), 4).as("retention"))
+      .orderBy("cohort_day", "days_since")
+  }
+
   /** Boolean + bitwise aggregate battery [N]: `bool_and`/`bool_or`
     * (ANSI EVERY/ANY) over predicates, `count_if`, and the three bitwise
     * reducers over the key column. Every one is commutative+associative
@@ -261,6 +285,7 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cohort_retention" -> cohortRetention,
     "agg_boolean_bitwise" -> booleanBitwise,
     "agg_profile_stats" -> profileStats,
     "agg_corr_exact" -> corrExact,
@@ -281,6 +306,25 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('microseconds', ts) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size
+        |       FROM c GROUP BY cohort_day),
+        |a AS (
+        |  SELECT c.cohort_day,
+        |         CAST(date_diff('day', c.cohort_day, e.day) AS INTEGER)
+        |           AS days_since,
+        |         count(DISTINCT e.user_id) AS active_users
+        |  FROM e JOIN c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.days_since, a.active_users,
+        |       round_even(CAST(a.active_users AS DOUBLE)
+        |         / CAST(sz.cohort_size AS DOUBLE), 4) AS retention
+        |FROM a JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, days_since""".stripMargin,
     "agg_boolean_bitwise" ->
       """SELECT o_orderpriority,
         |       bool_and(o_totalprice > 1000.0) AS all_over_1k,

@@ -23,6 +23,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cohort_retention: day-0 retention is 1.0, cohorts partition users") {
+    val rows = SparkEntry.queries("agg_cohort_retention")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_._2 == 0)
+    assert(day0.forall(_._4 == 1.0), "every cohort is fully active on day 0")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // day-0 actives across cohorts partition the user population
+    val users = graft.Tables.events(spark, TestSpark.sf0001)
+      .select("user_id").distinct().count()
+    assert(day0.map(_._3).sum == users)
+  }
+
   test("agg_boolean_bitwise: every aggregate equals a driver-side fold") {
     val got = SparkEntry.queries("agg_boolean_bitwise")(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
