@@ -859,6 +859,34 @@ object Dedup extends graft.QueryModule {
     samePos.unionByName(insDel).distinct()
   }
 
+  /** Fuzzy best-match by native Jaro-Winkler
+    * ([[graft.functions.JaroWinkler]], bit-compatible with the oracle
+    * engine's `jaro_winkler_similarity`): each probe part name gets its
+    * single most similar other part, ties pinned by (jw DESC, key ASC)
+    * on the 8dp-rounded score. The probe set is bounded (50 rows,
+    * broadcast) so the scan is linear in the candidate table — the
+    * entity-resolution serving shape; for corpus-scale all-pairs
+    * matching, block first ([[editDistance1Pairs]] / the LSH paths) and
+    * use JW only as the verifier inside buckets. */
+  private def jaroWinklerBest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val probes = parts.filter(col("p_partkey") < 50)
+      .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_key"))
+      .orderBy(col("jw").desc, col("match_key"))
+    broadcast(probes)
+      .join(parts, col("p_partkey") =!= col("probe_key"))
+      .select(col("probe_key"), col("probe_name"),
+        col("p_partkey").as("match_key"), col("p_name").as("match_name"),
+        bround(graft.functions.VectorFunctions.jaro_winkler(
+          col("probe_name"), col("p_name")), 8).as("jw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("probe_key")
+  }
+
   private def editDistPairs(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -869,6 +897,7 @@ object Dedup extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_editdist" -> editDistPairs,
+    "dedup_jarowinkler" -> jaroWinklerBest,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
@@ -889,6 +918,22 @@ object Dedup extends graft.QueryModule {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY i, j""".stripMargin,
+    "dedup_jarowinkler" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_key, p_name AS probe_name
+        |  FROM part WHERE p_partkey < 50),
+        |cand AS (
+        |  SELECT probe_key, probe_name, p_partkey AS match_key,
+        |         p_name AS match_name,
+        |         round_even(jaro_winkler_similarity(probe_name, p_name), 8)
+        |           AS jw
+        |  FROM probes, part WHERE p_partkey <> probe_key),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY jw DESC, match_key) AS rn
+        |  FROM cand)
+        |SELECT probe_key, probe_name, match_key, match_name, jw
+        |FROM r WHERE rn = 1 ORDER BY probe_key""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, source, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY lang, source, n_chars

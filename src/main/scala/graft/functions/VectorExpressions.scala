@@ -239,6 +239,8 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def intersect_count(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_intersect_count", a, b)
+  def jaro_winkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_jaro_winkler", a, b)
   def minhash_array(wordHashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash_array", wordHashes,
       org.apache.spark.sql.functions.lit(numHashes))
@@ -258,6 +260,8 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime join filters but does NOT register them as SQL functions;
     // surface them for the Bloom decontamination path (probe sets too

@@ -24,6 +24,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_pq" -> "m*k-row ADC table broadcast",
     "sim_search_quantized" -> "single-row probe crossJoin",
     "sim_search_batch" -> "bounded 20-probe broadcast",
+    "dedup_jarowinkler" -> "bounded 50-probe broadcast",
     "join_scd2_pit" -> "4-row probe-grid crossJoin",
     "text_mix_temperature" -> "1-row cmax crossJoin",
     "graph_triangles" -> "three 1-row count crossJoins at the root",

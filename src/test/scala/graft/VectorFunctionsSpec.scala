@@ -29,6 +29,56 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(offOne == 0)
   }
 
+  test("JaroWinkler matches the oracle engine's published values exactly") {
+    // expected values probed from DuckDB jaro_winkler_similarity —
+    // window clamp, integer-halved transpositions, 0.7 boost threshold,
+    // prefix cap 4, empty → 0.0, all in evidence
+    val cases = Seq(
+      ("", "", 0.0), ("a", "", 0.0), ("abc", "abc", 1.0),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("ab", "ba", 0.0),
+      ("abcdefgh", "hgfedcba", 0.5),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abcdxxxxxx", "abcdyyyyyyyyyy", 0.5619047619047619), // no boost <= 0.7
+      ("ab", "abcdefghij", 0.7866666666666667))
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw($a, $b): got $got want $want")
+      // symmetry
+      val rev = graft.functions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(rev == got, s"jw not symmetric on ($a, $b)")
+    }
+  }
+
+  test("JaroWinkler codegen path == interpreted eval, null-safe") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Tables.part(spark, TestSpark.sf0001)
+      .select(col("p_name").as("a"),
+        reverse(col("p_name")).as("b"))
+    // codegen (projection over rows) vs direct interpreted compute
+    val rows = df.select(col("a"), col("b"),
+      VectorFunctions.jaro_winkler(col("a"), col("b")).as("jw")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = graft.functions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(r.getDouble(2) == want)
+    }
+    val n = Seq(("x", null: String)).toDF("a", "b")
+      .select(VectorFunctions.jaro_winkler(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(n.head.isNullAt(0), "null input must yield null, not 0")
+  }
+
   test("SQL registration: graft_cosine usable from spark.sql") {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.sf0001).limit(5)
