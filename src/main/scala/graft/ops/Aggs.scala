@@ -268,6 +268,39 @@ object Aggs extends graft.QueryModule {
         expr("bit_xor(o_custkey)").as("key_bxor"))
       .orderBy("o_orderpriority")
 
+  /** Least-squares regression per group with ORDER-INVARIANT math [N] —
+    * the regr_slope/regr_intercept/regr_r2 family on the same exact
+    * sufficient statistics as [[corrExact]] (built-in regr_* keeps
+    * running double moments whose last bits depend on merge order, so
+    * they can never hash-match an oracle). Six decimal/long sums, then
+    * each coefficient assembles once per group in a pinned IEEE
+    * expression order, mirrored verbatim in the oracle SQL. */
+  private def regression(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast("decimal(12,2)")
+    val y = get_json_object(col("props"), "$.k").cast("int")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n = dd(col("n")); val sx = dd(col("sx")); val sy = dd(col("sy"))
+    val sxy = dd(col("sxy")); val sx2 = dd(col("sx2")); val sy2 = dd(col("sy2"))
+    val num = n * sxy - sx * sy
+    val denX = n * sx2 - sx * sx
+    val denY = n * sy2 - sy * sy
+    val slope = num / denX
+    Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).cast("long").as("sy2"))
+      .select(col("event_type"), col("n"),
+        bround(slope, 8).as("slope"),
+        bround((sy - slope * sx) / n, 8).as("icept"),
+        bround(num * num / (denX * denY), 8).as("r2"))
+      .orderBy("event_type")
+  }
+
   /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
     * NDV for three columns of `orders` in a SINGLE scan (the statistics
     * every CBO and data-quality gate needs). At 100 TB swap the exact
@@ -285,6 +318,7 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regression" -> regression,
     "agg_cohort_retention" -> cohortRetention,
     "agg_boolean_bitwise" -> booleanBitwise,
     "agg_profile_stats" -> profileStats,
@@ -306,6 +340,32 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+        |         CAST(json_extract(props, '$.k') AS INTEGER) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(x) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sx2,
+        |         CAST(sum(y * y) AS BIGINT) AS sy2
+        |  FROM e WHERE y IS NOT NULL GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |         CAST(sx2 AS DOUBLE) AS sx2d, CAST(sy2 AS DOUBLE) AS sy2d
+        |  FROM s)
+        |SELECT event_type, n,
+        |       round_even((nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd), 8)
+        |         AS slope,
+        |       round_even((syd - ((nd * sxyd - sxd * syd)
+        |           / (nd * sx2d - sxd * sxd)) * sxd) / nd, 8) AS icept,
+        |       round_even((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |         / ((nd * sx2d - sxd * sxd) * (nd * sy2d - syd * syd)), 8)
+        |         AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
     "agg_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(date_trunc('microseconds', ts) AS DATE) AS day

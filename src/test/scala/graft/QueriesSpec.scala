@@ -138,6 +138,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_regression agrees with built-in regr_slope/intercept/r2 to 1e-6") {
+    import org.apache.spark.sql.functions._
+    val exactForm = SparkEntry.queries("agg_regression")(spark, TestSpark.sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val builtin = graft.Tables.events(spark, TestSpark.sf001)
+      .select(col("event_type"),
+        col("value").cast("decimal(12,2)").cast("double").as("x"),
+        get_json_object(col("props"), "$.k").cast("int").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("regr_slope(y, x)").as("s"),
+        expr("regr_intercept(y, x)").as("i"),
+        expr("regr_r2(y, x)").as("r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(exactForm.keySet == builtin.keySet)
+    builtin.foreach { case (k, (s, i, r)) =>
+      val (es, ei, er) = exactForm(k)
+      assert(math.abs(es - s) < 1e-6, s"$k slope: $es vs $s")
+      assert(math.abs(ei - i) < 1e-6, s"$k intercept: $ei vs $i")
+      assert(math.abs(er - r) < 1e-6, s"$k r2: $er vs $r")
+    }
+  }
+
   test("agg_corr_exact agrees with built-in corr to 1e-7") {
     import org.apache.spark.sql.functions._
     val exactForm = SparkEntry.queries("agg_corr_exact")(spark, TestSpark.sf001)
