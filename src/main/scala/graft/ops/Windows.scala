@@ -181,6 +181,34 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** 2-D skyline (Pareto frontier, maximize both axes) [N]: the
+    * textbook NOT-EXISTS dominance query is an all-pairs self-join —
+    * quadratic and unrunnable at scale. Reformulated: per-x max
+    * collapses the point cloud to one candidate per x value (a hash agg
+    * over ≤50 quantity buckets here), then ONE ordered pass marks the
+    * candidates whose y strictly exceeds every higher-x candidate's
+    * (running max over the x-descending order). The window runs over
+    * |distinct x| rows, not |points| — the sort is on a table the size
+    * of the domain, so the plan is agg-bound, linear in input.
+    * WinSkylineSpec proves equivalence to the brute-force dominance
+    * definition at sf0.001. */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("int").as("x"),
+        col("l_extendedprice").cast("decimal(12,2)").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val cand = pts.groupBy(col("x"))
+      .agg(max(struct(col("y"), col("n"))).as("m"))
+      .select(col("x"), col("m.y").as("ymax"), col("m.n").as("n_at_max"))
+    cand.withColumn("pmax",
+        max(col("ymax")).over(Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("pmax").isNull || col("ymax") > col("pmax"))
+      .select(col("x"), col("ymax").cast("double").as("ymax"),
+        col("n_at_max"))
+      .orderBy("x")
+  }
+
   /** Exact rolling MEDIAN over a trailing 10-row frame [N]. Built-in
     * interpolating percentiles are engine-specific in their last ULP
     * ((1-g)a+gb vs a+g(b-a)), so this pins the math: frame values are
@@ -283,6 +311,7 @@ object Windows extends graft.QueryModule {
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_interval_merge" -> intervalMerge,
     "win_rolling_median" -> rollingMedian,
+    "win_skyline" -> skyline,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -294,6 +323,24 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS INTEGER) AS x,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT x, max(y) AS ymax,
+        |         max_by(n, y) AS n_at_max
+        |  FROM pts GROUP BY x),
+        |m AS (
+        |  SELECT x, ymax, n_at_max,
+        |         max(ymax) OVER (ORDER BY x DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM cand)
+        |SELECT x, CAST(ymax AS DOUBLE) AS ymax, n_at_max
+        |FROM m WHERE pmax IS NULL OR ymax > pmax
+        |ORDER BY x""".stripMargin,
     "win_rolling_median" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,

@@ -74,6 +74,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(covered == graft.Tables.orders(spark, TestSpark.sf0001).count())
   }
 
+  test("win_skyline equals the brute-force NOT-EXISTS dominance definition") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_skyline")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .toSeq.sorted
+    // brute force over the distinct point set: p survives iff no q with
+    // q.x >= p.x, q.y >= p.y and at least one strict
+    val pts = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_quantity").cast("int").as("x"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("y"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val distinctPts = pts.distinct
+    val sky = distinctPts.filter { case (px, py) =>
+      !distinctPts.exists { case (qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.map { case (px, py) =>
+      (px, py, pts.count(p => p._1 == px && p._2 == py).toLong)
+    }.toSeq.sorted
+    assert(got == sky, s"skyline mismatch:\ngot  $got\nwant $sky")
+  }
+
   test("win_rolling_median: bit-equal to a driver-side sorted-frame fold") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("win_rolling_median")(spark, TestSpark.sf0001)
