@@ -84,7 +84,10 @@ object Bench {
     "src_dpp_pruned",       // dynamic partition pruning (r6)
     "graph_triangles",      // degree-oriented triangle counting (r6)
     "text_line_dedup",      // corpus-global line dedup (r6)
-    "corpus_clean_pipeline") // 5-stage cleaning pipeline, one plan (r6)
+    "corpus_clean_pipeline", // 5-stage cleaning pipeline, one plan (r6)
+    "dedup_jarowinkler",    // native codegen JW probe scan (r6)
+    "win_interval_merge",   // interval coalescing window pass (r6)
+    "win_skyline")          // domain-sized Pareto frontier (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

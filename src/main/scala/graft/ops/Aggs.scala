@@ -268,6 +268,25 @@ object Aggs extends graft.QueryModule {
         expr("bit_xor(o_custkey)").as("key_bxor"))
       .orderBy("o_orderpriority")
 
+  /** Re-aggregatable distinct-count sketches [N] — the 100 TB pattern
+    * `approx_count_distinct` cannot express: per-(type, day) HLL
+    * sketches materialize ONCE (the daily rollup table), then any
+    * coarser grain re-aggregates by UNIONING SKETCHES, never rescanning
+    * raw events. Spark 4's DataSketches functions (`hll_sketch_agg` →
+    * `hll_union_agg` → `hll_sketch_estimate`) make both levels
+    * map-side-combinable hash aggs. Approximate by design → rows-only;
+    * QueriesSpec bounds the error vs exact countDistinct at ≤3% and
+    * asserts the sketch union is LOSSLESS vs sketching raw directly. */
+  private def hllReaggregate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("approx_users"), count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+
   /** Least-squares regression per group with ORDER-INVARIANT math [N] —
     * the regr_slope/regr_intercept/regr_r2 family on the same exact
     * sufficient statistics as [[corrExact]] (built-in regr_* keeps
@@ -318,6 +337,7 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_reaggregate" -> hllReaggregate,
     "agg_regression" -> regression,
     "agg_cohort_retention" -> cohortRetention,
     "agg_boolean_bitwise" -> booleanBitwise,

@@ -159,6 +159,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_reaggregate: union of daily sketches ~= exact, == direct sketch") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf001
+    val got = SparkEntry.queries("agg_hll_reaggregate")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(got(k) - ex).toDouble / ex <= 0.03,
+        s"$k: sketch ${got(k)} vs exact $ex")
+    }
+    // re-aggregation must be lossless: unioning the daily sketches gives
+    // the same estimate as sketching the raw column directly
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct, s"sketch union lost information: $got vs $direct")
+  }
+
   test("agg_regression agrees with built-in regr_slope/intercept/r2 to 1e-6") {
     import org.apache.spark.sql.functions._
     val exactForm = SparkEntry.queries("agg_regression")(spark, TestSpark.sf001)
