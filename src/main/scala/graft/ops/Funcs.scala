@@ -55,6 +55,24 @@ object Funcs extends graft.QueryModule {
 
   /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
     * record serialization. */
+  /** Spark 4 VARIANT path [N]: semi-structured props parse ONCE into
+    * the binary variant encoding, then typed `variant_get` access —
+    * at scale this replaces per-access JSON string re-parsing
+    * (`get_json_object` re-tokenizes the string on every extraction;
+    * variant decodes once per row and serves every field from the
+    * binary form). `try_variant_get` on a missing path types to null
+    * instead of erroring; aggregates run on the extracted exact ints. */
+  private def fnVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(col("miss")).as("n_missing"))
+      .orderBy("event_type")
+
   private def fnJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
@@ -94,6 +112,7 @@ object Funcs extends graft.QueryModule {
       .orderBy("o_orderkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> fnVariant,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_math" -> fnMath,
@@ -102,6 +121,13 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
+        |            AS BIGINT) AS sum_k,
+        |       count(CASE WHEN json_extract(props, '$.missing')
+        |                  IS NOT NULL THEN 1 END) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |       o_orderkey & 255 AS band,

@@ -123,7 +123,36 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY n_name, c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** WITH RECURSIVE through Spark 4's native recursive-CTE support [N]:
+    * the calendar-spine pattern — derive the date bounds, recursively
+    * enumerate every day between them, left-join the daily aggregate so
+    * gap days surface as explicit zeros (a plain GROUP BY silently drops
+    * them). Recursion depth = span in days (30 here), well under
+    * `spark.sql.cteRecursionLevelLimit`; each step is one tiny
+    * one-row-widening union, the daily agg stays a normal hash agg. */
+  private def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_rcte_v")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        |  FROM events_rcte_v),
+        |spine(day) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT date_add(sp.day, 1) FROM spine sp, bounds b
+        |  WHERE sp.day < b.hi),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         count(DISTINCT user_id) AS n_users
+        |  FROM events_rcte_v GROUP BY 1)
+        |SELECT day, coalesce(n_events, 0) AS n_events,
+        |       coalesce(n_users, 0) AS n_users
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> recursiveCte,
     "sql_lateral" -> sqlLateral,
     "sql_correlated_subquery" -> correlatedScalar,
     "sql_cte_window" -> cteWindow,
@@ -132,6 +161,24 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+        |         user_id
+        |  FROM events),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |spine(day) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT sp.day + 1 FROM spine sp, bounds b WHERE sp.day < b.hi),
+        |daily AS (
+        |  SELECT day, count(*) AS n_events,
+        |         count(DISTINCT user_id) AS n_users
+        |  FROM e GROUP BY 1)
+        |SELECT day, coalesce(n_events, 0) AS n_events,
+        |       coalesce(n_users, 0) AS n_users
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
     "sql_lateral" ->
       """SELECT n.n_name, c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM nation n

@@ -159,6 +159,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fn_variant: stable variant schema, missing path types to null") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.events(spark, TestSpark.sf0001)
+      .selectExpr("schema_of_variant(parse_json(props)) AS sch",
+        "try_variant_get(parse_json(props), '$.nope', 'int') AS miss")
+    val schemas = df.select("sch").distinct().collect().map(_.getString(0)).toSet
+    assert(schemas == Set("OBJECT<k: BIGINT>"), s"unexpected: $schemas")
+    assert(df.filter(col("miss").isNotNull).count() == 0)
+  }
+
+  test("sql_recursive_cte: spine is contiguous, daily counts cover all events") {
+    val rows = SparkEntry.queries("sql_recursive_cte")(spark, TestSpark.sf0001)
+      .collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b == a.plusDays(1), s"gap between $a and $b")
+      case _ => ()
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.events(spark, TestSpark.sf0001).count())
+  }
+
   test("agg_hll_reaggregate: union of daily sketches ~= exact, == direct sketch") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf001
