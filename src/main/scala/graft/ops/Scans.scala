@@ -324,7 +324,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Parquet FOOTER-served aggregation [N]: whole-table count/min/max
+    * answered from row-group statistics without decoding a single data
+    * page — at 100 TB the difference between touching metadata and
+    * scanning the table. Aggregate pushdown needs the v2 parquet source
+    * (v1 is Spark's default), so the query builds on an ISOLATED
+    * `newSession()` whose conf flips parquet to v2 + enables
+    * `parquet.aggregatePushdown` — the parent session's plans (bucketed
+    * joins etc. are v1-only) are untouched, and the conf travels WITH
+    * the DataFrame through any later re-planning (the
+    * `join_range_rewritten` lesson: session-conf toggles must not be
+    * restored under a returned lazy plan). PlanShapeSpec asserts the
+    * scan carries `PushedAggregation`. */
+  private def aggPushdownScan(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(s"$d/orders.parquet")
+      .agg(expr("count(*)").as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_agg_pushdown" -> aggPushdownScan,
     "sink_zorder_scan" -> sinkZorderScan,
     "src_zonemap_pruned" -> srcZonemapPruned,
     "sink_sorted_scan" -> sinkSortedScan,
@@ -343,6 +368,11 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
     "src_dpp_pruned" ->
       """SELECT CAST(yr AS INTEGER) AS yr, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

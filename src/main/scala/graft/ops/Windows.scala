@@ -181,6 +181,28 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Value-navigation window battery [N] (§E completeness): first/last
+    * value with explicit null handling, nth_value, and lag with a
+    * default — the reference-row functions the ranking keys don't
+    * touch. One window ordering serves all five columns (single sort,
+    * no extra exchanges; the frame for last_value must be the FULL
+    * partition or it silently degrades to "running last"). */
+  private def valueFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .select(col("user_id"), col("event_id"),
+        first(col("v")).over(full).cast("double").as("first_v"),
+        last(col("v"), ignoreNulls = true).over(full).cast("double")
+          .as("last_nonnull_v"),
+        nth_value(col("v"), 2).over(full).cast("double").as("second_v"),
+        lag(col("v"), 1, -1).over(w).cast("double").as("prev_or_neg1"),
+        lead(col("v"), 2).over(w).cast("double").as("next2"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** 2-D skyline (Pareto frontier, maximize both axes) [N]: the
     * textbook NOT-EXISTS dominance query is an all-pairs self-join —
     * quadratic and unrunnable at scale. Reformulated: per-x max
@@ -312,6 +334,7 @@ object Windows extends graft.QueryModule {
     "win_interval_merge" -> intervalMerge,
     "win_rolling_median" -> rollingMedian,
     "win_skyline" -> skyline,
+    "win_value_functions" -> valueFunctions,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -323,6 +346,25 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_value_functions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       CAST(first_value(v) OVER full_w AS DOUBLE) AS first_v,
+        |       CAST(last_value(v IGNORE NULLS) OVER full_w AS DOUBLE)
+        |         AS last_nonnull_v,
+        |       CAST(nth_value(v, 2) OVER full_w AS DOUBLE) AS second_v,
+        |       CAST(lag(v, 1, CAST(-1 AS DECIMAL(12,2))) OVER ord_w
+        |            AS DOUBLE) AS prev_or_neg1,
+        |       CAST(lead(v, 2) OVER ord_w AS DOUBLE) AS next2
+        |FROM e
+        |WINDOW ord_w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       full_w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_skyline" ->
       """WITH pts AS (
         |  SELECT CAST(l_quantity AS INTEGER) AS x,

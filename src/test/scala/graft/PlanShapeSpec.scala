@@ -32,6 +32,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
   }
 
+  test("src_agg_pushdown: count/min/max served from parquet footers") {
+    val p = plan("src_agg_pushdown")
+    assert(p.contains("PushedAggregation"),
+      s"aggregate not pushed into the v2 parquet scan:\n$p")
+    assert(p.contains("COUNT(*)") &&
+      p.contains("MIN(o_orderkey)") && p.contains("MAX(o_totalprice)"),
+      s"pushed aggregate list incomplete:\n$p")
+  }
+
   test("join_range_bucketed: equi-join on the bucket, never a nested loop") {
     val p = plan("join_range_bucketed")
     // the whole point: the BETWEEN join runs as a bucket equi-join
