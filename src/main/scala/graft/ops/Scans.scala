@@ -131,6 +131,47 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Bucketed-at-rest layout + SHUFFLE-FREE WINDOW [N]: windows are the
+    * other operator family (besides joins) whose exchange dominates at
+    * scale — every `partitionBy(user_id)` window hash-shuffles the full
+    * table. Written bucketBy(user_id) + sortBy(user_id, ts, event_id)
+    * with one file per bucket (the pre-write repartition uses the SAME
+    * hash as the bucketing, so task == bucket), the scan itself reports
+    * hash partitioning AND the window's required sort order: the
+    * window runs with NO Exchange and NO Sort below it — the 100 TB
+    * daily-window workload served straight from layout.
+    * PlanShapeSpec pins the plan shape. */
+  private def sinkBucketedWindow(s0: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File("target/tmp/bucketed_win").getAbsolutePath
+    // Spark ≥3.0 stops reporting the bucket files' sortBy order by
+    // default (multi-file buckets would need a merge-sort read); with
+    // exactly one file per bucket the order IS valid, so opt back in on
+    // an isolated session (same isolation discipline as
+    // [[aggPushdownScan]] — the parent session never sees the conf)
+    val spark = s0.newSession()
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .repartition(8, col("user_id"))
+      .write.format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
+      .option("path", s"$base/events").mode("overwrite")
+      .saveAsTable("graft_bucketed_events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    spark.table("graft_bucketed_events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_sum",
+        sum(col("v")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("rn"), col("run_sum"))
+      .orderBy("user_id", "rn")
+  }
+
   /** CSV interchange roundtrip [N]: header'd CSV written then read back
     * under an EXPLICIT schema (inference off — schema drift at 100 TB is
     * an outage, not a convenience). Doubles survive exactly: the writer
@@ -362,12 +403,30 @@ object Scans extends graft.QueryModule {
     "sink_partitioned_scan" -> sinkPartitionedScan,
     "src_dpp_pruned" -> srcDppPruned,
     "sink_bucketed_join" -> sinkBucketedJoin,
+    "sink_bucketed_window" -> sinkBucketedWindow,
     "sink_commit_if_changed" -> sinkCommitIfChanged,
     "sink_commit_partitions" -> sinkCommitPartitions,
     "src_merge_schema" -> srcMergeSchema,
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "sink_bucketed_window" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id,
+        |         CAST(row_number() OVER win AS INTEGER) AS rn,
+        |         CAST(sum(v) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE) AS run_sum
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, rn, run_sum
+        |FROM r WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
     "src_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,

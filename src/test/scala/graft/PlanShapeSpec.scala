@@ -32,6 +32,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
   }
 
+  test("sink_bucketed_window: window runs with no hash exchange and no sort below it") {
+    val p = plan("sink_bucketed_window")
+    // the only exchange is the FINAL output orderBy's range partitioning;
+    // the window itself is fed by the bucketed layout
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"window shuffled despite bucketed layout:\n$p")
+    // the scan's sortBy satisfies the window's required ordering: the
+    // only Sort node is the output orderBy ABOVE the window
+    val winIdx = p.indexOf("Window")
+    val sorts = "Sort ".r.findAllMatchIn(p).map(_.start).toList
+    assert(winIdx >= 0, p)
+    assert(sorts.forall(_ < winIdx),
+      s"a Sort sits below the window — bucket sort order not used:\n$p")
+  }
+
   test("src_agg_pushdown: count/min/max served from parquet footers") {
     val p = plan("src_agg_pushdown")
     assert(p.contains("PushedAggregation"),
