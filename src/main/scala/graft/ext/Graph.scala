@@ -100,11 +100,89 @@ object Graph extends graft.QueryModule {
       .orderBy("deg")
   }
 
+  private val prIters = 5
+
+  /** PageRank over the co-purchase graph with CROSS-ENGINE-DETERMINISTIC
+    * iterations [N]. The naive formulation can never hash-match an
+    * oracle: per-neighbor contribution sums are double adds whose result
+    * depends on aggregation order. Here each iteration pins the per-edge
+    * contribution to a 12dp decimal (`bround(rank/deg, 12)` ↔
+    * `round_even(...)`) so the neighbor sum is EXACT and
+    * order-invariant, converts the sum to double once per vertex, and
+    * re-pins the damped rank at 12dp — bit-identical on any partitioning
+    * and in any engine. Plan shape per iteration: one equi-join rank×
+    * edges (both hash-partitioned on the same key) + one hash agg;
+    * `localCheckpoint` cuts the growing lineage exactly like
+    * [[Dedup.connectedComponents]]. Fixed 5 iterations (deterministic
+    * work, no convergence action); undirected co-purchase edges mean no
+    * dangling mass. */
+  private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nD = deg.count().toDouble
+    var r = deg.select(col("node"), col("deg"),
+      bround(lit(1.0) / nD, 12).as("rank"))
+    for (_ <- 1 to prIters) {
+      val sums = r.join(dir, col("node") === col("src"))
+        .select(col("dst"),
+          bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      r = deg.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          bround(lit(0.15) / nD +
+            lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), bround(col("rank"), 8).as("rank")).orderBy("node")
+  }
+
+  /** The oracle unrolls the same pinned iteration `prIters` times as
+    * chained CTEs (generated — the md5-twin discipline): every
+    * rounding, cast, and float op mirrors the Spark side verbatim, so
+    * the final ranks hash-match exactly. */
+  private def pageRankOracle: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |dir AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT node, deg, round_even(1.0 / nn.n, 12) AS rank
+        |       FROM deg, nn)""".stripMargin
+    val iters = (1 to prIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.node, d.deg,
+         |         round_even(0.15 / nn.n
+         |           + 0.85 * CAST(coalesce(s.sc, 0) AS DOUBLE), 12) AS rank
+         |  FROM deg d CROSS JOIN nn LEFT JOIN (
+         |    SELECT dir.dst,
+         |           sum(CAST(round_even(p.rank / p.deg, 12)
+         |                    AS DECIMAL(24,12))) AS sc
+         |    FROM r${i - 1} p JOIN dir ON p.node = dir.src
+         |    GROUP BY dir.dst) s
+         |  ON d.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, round_even(rank, 8) AS rank
+       |FROM r$prIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangleCount,
+    "graph_pagerank" -> pageRank,
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle,
     // the oracle is the textbook canonical a<b<c triangle join — no
     // orientation — so hash equality proves the oriented plan exact
     "graph_triangles" ->

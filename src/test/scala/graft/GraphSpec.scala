@@ -52,6 +52,31 @@ class GraphSpec extends AnyFunSuite {
     assert(countTriangles(star :+ (2L, 3L)) == 1L)
   }
 
+  test("graph_pagerank: rank mass conserved, bias toward high degree") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0.0), "every rank strictly positive")
+    // undirected graph, no dangling mass: total rank stays ~1 (per-step
+    // 12dp pinning drifts at most iters * n * 5e-13)
+    val mass = rows.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass")
+    // the top-degree decile must outrank the bottom decile on average
+    val pr = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = pr.as("x").join(pr.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranked = rows.sortBy { case (n, _) => -deg.getOrElse(n, 0L) }
+    val k = ranked.length / 10 max 1
+    val top = ranked.take(k).map(_._2).sum / k
+    val bot = ranked.takeRight(k).map(_._2).sum / k
+    assert(top > bot, s"high-degree mean rank $top !> low-degree $bot")
+  }
+
   test("degree distribution on sf0.001 sums to the vertex count") {
     val dist = SparkEntry.queries("graph_degree_dist")(spark, TestSpark.sf0001)
     val tri = SparkEntry.queries("graph_triangles")(spark, TestSpark.sf0001)
