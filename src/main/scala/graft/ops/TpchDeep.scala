@@ -199,7 +199,81 @@ object TpchDeep extends graft.QueryModule {
           lit(0).cast("decimal(12,2)")).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q21 SHAPE (suppliers who kept waiting): the deepest
+    * correlation pattern in the suite — an EXISTS (another supplier on
+    * the same order) AND a NOT EXISTS (no OTHER supplier was late)
+    * against the same fact table, both correlated on (orderkey,
+    * suppkey). Catalyst decorrelates the pair into a LEFT SEMI and a
+    * LEFT ANTI join on l_orderkey with the suppkey inequality as the
+    * residual — three passes over lineitem, zero per-row subquery loops.
+    * (This lineitem has no receipt/commit dates, so "late" :=
+    * shipped > 90 days after the order date — the derived predicate
+    * keeps every join and correlation of the original.) */
+  private def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+    val l1 = li.filter(col("late"))
+    // EXISTS: another supplier shipped on the same order
+    val withOther = l1.as("a").join(
+      li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .as("b"),
+      col("a.l_orderkey") === col("b.ok") &&
+        col("a.l_suppkey") =!= col("b.sk"), "left_semi")
+    // NOT EXISTS: no OTHER supplier was ALSO late on that order
+    val sole = withOther.as("a").join(
+      l1.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).as("c"),
+      col("a.l_orderkey") === col("c.ok") &&
+        col("a.l_suppkey") =!= col("c.sk"), "left_anti")
+    sole.join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 SHAPE (global sales opportunity): a SCALAR subquery
+    * (the positive-balance average) feeding a filter, then an anti-join
+    * against orders — customers with above-average balance and no
+    * purchase history, tallied by country code. The scalar average
+    * broadcasts as a 1-row literal-like input; the anti-join is the
+    * same hash shape as `join_anti_failures`. (No phone column here, so
+    * cntrycode := c_nationkey % 7 — predicate derived, shape intact.)
+    * The balance average is an exact decimal sum / count, divided ONCE
+    * — never an incremental mean. */
+  private def q22Opportunity(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select((col("c_nationkey") % 7).cast("int").as("cntrycode"),
+        col("c_custkey"), dec("c_acctbal").as("bal"))
+      .filter(col("cntrycode").isin(0, 1, 2, 3, 4))
+    val avgBal = cust.filter(col("bal") > 0.0)
+      .agg((sum(col("bal")).cast("double") / count(lit(1))).as("ab"))
+    val rich = cust.join(broadcast(avgBal),
+      col("bal").cast("double") > col("ab"))
+    // every customer here has SOME order (synthetic data is dense), so
+    // the no-history predicate is "no order since 1998" — same anti-join
+    // shape, and it actually bites
+    rich.join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_q21_waiting" -> q21Waiting,
+    "agg_q22_opportunity" -> q22Opportunity,
     "agg_q1_pricing" -> q1Pricing,
     "join_q10_returns" -> q10Returns,
     "join_q7_volume" -> q7Volume,
@@ -210,6 +284,43 @@ object TpchDeep extends graft.QueryModule {
     "agg_q18_large_orders" -> q18LargeOrders)
 
   val oracles: Map[String, String] = Map(
+    "join_q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |l1 AS (SELECT * FROM li WHERE late)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM l1 a
+        |JOIN supplier s ON a.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |             AND n.n_name = 'NATION_3'
+        |WHERE EXISTS (SELECT 1 FROM li b
+        |              WHERE b.l_orderkey = a.l_orderkey
+        |                AND b.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 c
+        |                  WHERE c.l_orderkey = a.l_orderkey
+        |                    AND c.l_suppkey <> a.l_suppkey)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "agg_q22_opportunity" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode, c_custkey,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer
+        |  WHERE CAST(c_nationkey % 7 AS INTEGER) IN (0, 1, 2, 3, 4)),
+        |ab AS (SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS ab
+        |       FROM cust WHERE bal > 0.0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(bal) AS DOUBLE) AS totacctbal
+        |FROM cust, ab
+        |WHERE CAST(bal AS DOUBLE) > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "join_q3_shipping" ->
       """SELECT o_orderkey, o_orderdate,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

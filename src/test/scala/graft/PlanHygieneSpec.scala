@@ -27,6 +27,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "dedup_jarowinkler" -> "bounded 50-probe broadcast",
     "join_scd2_pit" -> "4-row probe-grid crossJoin",
     "text_mix_temperature" -> "1-row cmax crossJoin",
+    "agg_q22_opportunity" -> "1-row scalar-average broadcast (Q22's avg subquery)",
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin")
