@@ -38,6 +38,38 @@ class UserTotalsProcessor
   }
 }
 
+/** [[UserTotalsProcessor]] with WARM-START: the state bootstrap pattern
+  * for migrating a batch pipeline to streaming without reprocessing
+  * history — `handleInitialState` seeds each key's `ValueState` from a
+  * batch-computed (count, sum) row BEFORE the first micro-batch, then
+  * the stream folds deltas on top. At 100 TB the alternative is
+  * replaying the full history through the stream; here it's one batch
+  * aggregate + state handoff. */
+class UserTotalsWarmStartProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    Long, graft.model.Event, (Long, Long, Double), (Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInitialState(user: Long, initial: (Long, Double),
+                                  timerValues: TimerValues): Unit =
+    totals.update(initial)
+
+  override def handleInputRows(user: Long, rows: Iterator[graft.model.Event],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    val batch = rows.toSeq
+    val next = (n0 + batch.size, s0 + batch.flatMap(_.value).sum)
+    totals.update(next)
+    Iterator.single((user, next._1, next._2))
+  }
+}
+
 /** Timer-driven gap sessionization on event time: events buffer in a
   * `ListState` and sessions are emitted ONLY from `handleExpiredTimer`,
   * when the watermark crosses `session_last_event + gap` — a group
@@ -220,6 +252,22 @@ object Streams {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[runningUserTotalsV2]] warm-started from a batch backfill: the
+    * initial state is a batch (user, count, sum) table; the stream
+    * continues the totals from there. See
+    * [[UserTotalsWarmStartProcessor]]. */
+  def runningUserTotalsWarmStart(
+      events: org.apache.spark.sql.Dataset[graft.model.Event],
+      backfill: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val initial = backfill.groupByKey(_._1).mapValues(r => (r._2, r._3))
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsWarmStartProcessor,
+        TimeMode.None(), OutputMode.Update(), initial)
   }
 
   /** Gap sessions closed by event-time TIMERS ([[SessionTimeoutProcessor]]):

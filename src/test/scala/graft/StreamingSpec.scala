@@ -195,6 +195,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-start: stream continues totals from a batch backfill exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // history (already in the warehouse) vs live tail (the stream)
+      val history = Seq(
+        ev(1, "2024-01-01 09:00:00", 7, "a", 1.0),
+        ev(2, "2024-01-01 09:10:00", 7, "a", 2.0),
+        ev(3, "2024-01-01 09:20:00", 9, "b", 10.0))
+      val live = Seq(
+        ev(4, "2024-01-01 10:00:00", 7, "a", 4.0),
+        ev(5, "2024-01-01 10:01:00", 9, "b", 5.0),
+        ev(6, "2024-01-01 10:02:00", 11, "c", 8.0)) // key with NO backfill
+      val backfill = history.toDS()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(expr("coalesce(value, 0.0)")).as("s"))
+        .as[(Long, Long, Double)]
+      val ms = MemoryStream[graft.model.Event]
+      val q = Streams.runningUserTotalsWarmStart(ms.toDS(), backfill)
+        .writeStream.format("memory").queryName("warm_out")
+        .outputMode("update").start()
+      ms.addData(live); q.processAllAvailable(); q.stop()
+      val got = spark.table("warm_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // every emitted total equals the batch aggregate over history+live
+      assert(got == Set((7L, 3L, 7.0), (9L, 2L, 15.0), (11L, 1L, 8.0)),
+        s"warm-start totals wrong: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("timers close sessions when the watermark passes, not when data arrives") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
