@@ -124,7 +124,33 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Exponentially weighted moving average with DYADIC decay [N]:
+    * α = 0.5 makes every weight a power of two — exact in IEEE — and
+    * both engines run the SAME left-to-right Horner fold over the
+    * trailing-16 frame (`aggregate(arr, 0.0, (acc,x) -> acc*0.5 + x)`
+    * ≡ DuckDB `list_reduce`, whose first-element init coincides with
+    * the zero-init fold after one step), so the result is bit-exact
+    * with no rounding discipline beyond the output pin. A general α
+    * would make the fold order-sensitive in the last ULP; the dyadic
+    * choice is the float-determinism discipline applied to recursion.
+    * Bounded frame → O(16) state per row at any scale. */
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        dec("value").cast("double").as("v"))
+      .withColumn("arr", collect_list(col("v")).over(w))
+      .select(col("user_id"), col("event_id"),
+        bround(expr("aggregate(arr, 0.0D, (acc, x) -> acc * 0.5D + x)") /
+          expr("aggregate(arr, 0.0D, (acc, x) -> acc * 0.5D + 1.0D)"), 8)
+          .as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_ewma" -> ewma,
     "fin_twap" -> twap,
     "fin_vwap" -> vwap,
     "fin_ohlc" -> ohlc,
@@ -132,6 +158,23 @@ object Finance extends graft.QueryModule {
     "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
+    "fin_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+        |         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, event_id,
+        |         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |       round_even(
+        |         list_reduce(arr, (acc, x) -> acc * 0.5 + x)
+        |         / list_reduce(list_transform(arr,
+        |             x -> CAST(1.0 AS DOUBLE)),
+        |             (acc, x) -> acc * 0.5 + 1.0), 8) AS ewma
+        |FROM a ORDER BY user_id, event_id""".stripMargin,
     "fin_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

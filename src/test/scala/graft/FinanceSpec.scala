@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
 class FinanceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("fin_ewma: bit-equal to a driver-side Horner fold over each frame") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("fin_ewma")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = graft.Tables.events(spark, TestSpark.sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").cast("double").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(raw.nonEmpty && got.size == raw.length)
+    raw.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.toInstant.getNano, r._3))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 15), i + 1).map(_._4)
+        val num = frame.foldLeft(0.0)((acc, x) => acc * 0.5 + x)
+        val den = frame.foldLeft(0.0)((acc, _) => acc * 0.5 + 1.0)
+        val want = BigDecimal(num / den)
+          .setScale(8, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+        assert(got((u, sorted(i)._3)) == want, s"user $u row ${sorted(i)._3}")
+      }
+    }
+  }
+
   test("left-closed TWAP weights each price by its holding time") {
     import spark.implicits._
     // u1 holds 10.0 for 30s, then 20.0 for 10s, last tick unweighted:
