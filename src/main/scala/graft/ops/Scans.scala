@@ -389,7 +389,27 @@ object Scans extends graft.QueryModule {
         max(col("o_totalprice")).as("max_price"))
   }
 
+  /** The DataSourceV2 ingest connector
+    * ([[graft.sources.v2.EntityApiSource]]) end-to-end [N]: five
+    * entities planned as five partitions, the IN-filter pushed into the
+    * scan prunes two of them BEFORE any fetch runs, per-(entity,
+    * metric) rollups on the delivered rows. Values pin to decimal(8,1)
+    * pre-sum (the deterministic payloads are 1dp) so the rollup is
+    * order-invariant. V2SourceSpec pins partition pruning and column
+    * pruning in the plan. */
+  private def v2EntityApi(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.v2.EntityApiSource")
+      .option("entities", "ALPHA,BRAVO,CHARLIE,DELTA,ECHO")
+      .option("periods", "8")
+      .load()
+      .filter(col("entity").isin("ALPHA", "BRAVO", "CHARLIE"))
+      .groupBy(col("entity"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(8,1)")).cast("double").as("total"))
+      .orderBy("entity", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
     "sink_zorder_scan" -> sinkZorderScan,
     "src_zonemap_pruned" -> srcZonemapPruned,
@@ -410,6 +430,20 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_v2_pushdown" ->
+      """WITH entities(entity) AS (
+        |  VALUES ('ALPHA'), ('BRAVO'), ('CHARLIE')),
+        |metrics(metric, idx) AS (
+        |  VALUES ('revenue', 0), ('eps', 1), ('assets', 2)),
+        |p AS (SELECT unnest(generate_series(1, 8)) AS period),
+        |r AS (
+        |  SELECT entity, metric,
+        |         CAST(CAST((period * 37 + ascii(substr(entity, 1, 1)) * 13
+        |               + length(entity) * 11 + idx * 101) % 1000 AS DOUBLE)
+        |              / 10.0 AS DECIMAL(8,1)) AS v
+        |  FROM entities, metrics, p)
+        |SELECT entity, metric, count(*) AS n, CAST(sum(v) AS DOUBLE) AS total
+        |FROM r GROUP BY entity, metric ORDER BY entity, metric""".stripMargin,
     "sink_bucketed_window" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
