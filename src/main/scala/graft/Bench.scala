@@ -87,7 +87,10 @@ object Bench {
     "corpus_clean_pipeline", // 5-stage cleaning pipeline, one plan (r6)
     "dedup_jarowinkler",    // native codegen JW probe scan (r6)
     "win_interval_merge",   // interval coalescing window pass (r6)
-    "win_skyline")          // domain-sized Pareto frontier (r6)
+    "win_skyline",          // domain-sized Pareto frontier (r6)
+    "graph_pagerank",       // 5 pinned iterations, broadcast rank (r6)
+    "fin_ewma",             // dyadic-decay Horner fold (r6)
+    "src_v2_pushdown")      // DataSourceV2 partition/filter pushdown (r6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -127,11 +127,17 @@ object Graph extends graft.QueryModule {
     var r = deg.select(col("node"), col("deg"),
       bround(lit(1.0) / nD, 12).as("rank"))
     for (_ <- 1 to prIters) {
-      val sums = r.join(dir, col("node") === col("src"))
+      // the rank table is |V| rows (vs |E| edges) — broadcast it so the
+      // edge table never re-shuffles or re-sorts across iterations
+      // (localCheckpoint erases size stats, so the auto-broadcast
+      // heuristic can't see how small it is). At a scale where |V|
+      // outgrows broadcast, pre-partition BOTH sides on the key once
+      // and let each round shuffle only the rank table.
+      val sums = broadcast(r).join(dir, col("node") === col("src"))
         .select(col("dst"),
           bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      r = deg.join(sums, col("node") === col("dst"), "left")
+      r = deg.join(broadcast(sums), col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           bround(lit(0.15) / nD +
             lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
