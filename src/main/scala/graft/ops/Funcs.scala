@@ -55,6 +55,22 @@ object Funcs extends graft.QueryModule {
 
   /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
     * record serialization. */
+  /** ANSI error-handling battery [N]: Spark 4 runs ANSI mode BY DEFAULT
+    * — division by zero, bad casts, and integer overflow now THROW
+    * mid-job instead of silently corrupting (QueriesSpec proves the
+    * throw). The `try_*` family is the per-expression opt-out: each
+    * converts its own failure to NULL without disabling ANSI for the
+    * rest of the plan — at 100 TB the difference between one poisoned
+    * row nulling out and a 6-hour job dying at hour 5. */
+  private def fnTryErrors(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("try_divide(o_totalprice, o_custkey % 3)").as("safe_div"),
+      expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+      expr("try_add(o_orderkey, 9223372036854775800L)").as("near_overflow"),
+      expr("try_element_at(array(o_orderkey, o_custkey), 3)").as("oob_idx"))
+      .orderBy("o_orderkey")
+
   /** Spark 4 VARIANT path [N]: semi-structured props parse ONCE into
     * the binary variant encoding, then typed `variant_get` access —
     * at scale this replaces per-access JSON string re-parsing
@@ -112,6 +128,7 @@ object Funcs extends graft.QueryModule {
       .orderBy("o_orderkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try_errors" -> fnTryErrors,
     "fn_variant" -> fnVariant,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
@@ -121,6 +138,14 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_try_errors" ->
+      """SELECT o_orderkey,
+        |       o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
+        |       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |       CASE WHEN o_orderkey > 7 THEN NULL
+        |            ELSE o_orderkey + 9223372036854775800 END AS near_overflow,
+        |       CAST(NULL AS BIGINT) AS oob_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_variant" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))

@@ -159,6 +159,15 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANSI mode is ON: unguarded division by zero throws; try_divide nulls") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT 10 / (id - id) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"), e.getMessage)
+    val ok = spark.sql("SELECT try_divide(10, id - id) FROM range(1)").collect()
+    assert(ok.head.isNullAt(0))
+  }
+
   test("fn_variant: stable variant schema, missing path types to null") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.events(spark, TestSpark.sf0001)
