@@ -1,0 +1,121 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the V2 surface ([[EntityApiSource]] is the read
+  * half): a JSON-lines directory sink built on the V2 COMMIT PROTOCOL —
+  * the contract that makes distributed writes exactly-once:
+  *
+  *  - each task writes its partition to `_staging/<task>-<attempt>.json`
+  *    and reports the file in its `WriterCommitMessage` (speculative /
+  *    retried attempts write DIFFERENT files and only the committed
+  *    attempt's message survives);
+  *  - the driver's `commit` publishes ALL staged files with atomic
+  *    renames, then drops the staging dir — readers never observe a
+  *    partial write;
+  *  - `abort` deletes the staging dir — a failed job leaves nothing.
+  *
+  * This is `sink_commit_if_changed`'s publish-on-complete discipline
+  * expressed through Spark's own writer contract instead of
+  * hand-rolled FS code (compare `pipeline/EntitySink.scala`, which
+  * needs exact per-entity FILENAMES and so drives the FS API directly).
+  */
+class JsonDirSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    sys.error("graft-json-sink is write-only; supply a schema via the writing DataFrame")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      sys.error("graft-json-sink: the 'path' option is required"))
+    new JsonDirTable(path, schema)
+  }
+}
+
+class JsonDirTable(path: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_json_sink($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new JsonDirBatchWrite(path, info.schema())
+      }
+    }
+}
+
+class JsonDirBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  private val staging = s"$path/_staging"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(staging).mkdirs()
+    new JsonDirWriterFactory(staging, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    messages.foreach { case JsonFileCommitted(name) =>
+      val src = new java.io.File(staging, name)
+      if (!src.renameTo(new java.io.File(dir, name)))
+        sys.error(s"graft-json-sink: publish rename failed for $name")
+    }
+    // staging may still hold files from failed/speculative attempts
+    // whose commit message never reached the driver — they are garbage
+    Option(new java.io.File(staging).listFiles()).foreach(_.foreach(_.delete()))
+    new java.io.File(staging).delete()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Option(new java.io.File(staging).listFiles()).foreach(_.foreach(_.delete()))
+    new java.io.File(staging).delete()
+  }
+}
+
+case class JsonFileCommitted(fileName: String) extends WriterCommitMessage
+
+class JsonDirWriterFactory(staging: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val fileName = f"part-$partitionId%05d-task$taskId.json"
+      private val out = new java.io.PrintWriter(
+        new java.io.File(staging, fileName), "UTF-8")
+
+      private def jsonValue(dt: DataType, row: InternalRow, i: Int): String =
+        if (row.isNullAt(i)) "null"
+        else dt match {
+          case org.apache.spark.sql.types.StringType =>
+            "\"" + row.getUTF8String(i).toString
+              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case org.apache.spark.sql.types.LongType => row.getLong(i).toString
+          case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
+          case org.apache.spark.sql.types.DoubleType => row.getDouble(i).toString
+          case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
+          case TimestampType => row.getLong(i).toString // micros
+          case other => sys.error(s"graft-json-sink: unsupported type $other")
+        }
+
+      override def write(row: InternalRow): Unit =
+        out.println(schema.fields.indices.map { i =>
+          "\"" + schema.fields(i).name + "\": " +
+            jsonValue(schema.fields(i).dataType, row, i)
+        }.mkString("{", ", ", "}"))
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        JsonFileCommitted(fileName)
+      }
+      override def abort(): Unit = { out.close() }
+      override def close(): Unit = ()
+    }
+}

@@ -44,6 +44,36 @@ class V2SourceSpec extends AnyFunSuite {
     assert(scanOut == Seq("value"), s"scan output $scanOut")
   }
 
+  test("json sink: staged per-partition files publish atomically on commit") {
+    import java.nio.file.{Files, Paths}
+    val dir = "target/tmp/v2_json_sink"
+    val f = new java.io.File(dir)
+    if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+    f.mkdirs()
+    load().filter(col("entity").isin("ALPHA", "BRAVO"))
+      .select(col("entity"), col("metric"), col("period"), col("value"))
+      .repartition(2, col("entity"))
+      .write.format("graft.sources.v2.JsonDirSink")
+      .option("path", dir).mode("append").save()
+    // staging gone, only published part files remain
+    assert(!new java.io.File(dir, "_staging").exists(), "staging not cleaned")
+    val parts = f.listFiles().filter(_.getName.endsWith(".json"))
+    assert(parts.nonEmpty)
+    val lines = parts.flatMap(p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(p.getPath))).asScala)
+    assert(lines.length == 2 * 3 * 4) // 2 entities x 3 metrics x 4 periods
+    // the payload round-trips through a normal JSON read
+    val back = spark.read.json(dir)
+    assert(back.count() == 24)
+    assert(back.select("entity").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("ALPHA", "BRAVO"))
+    val v = back.filter(col("entity") === "ALPHA" &&
+        col("metric") === "eps" && col("period") === 3)
+      .select("value").collect().head.getDouble(0)
+    assert(v == graft.sources.v2.EntityApiSource.valueFor("ALPHA", 1, 3))
+  }
+
   test("rows are the deterministic payload, complete per partition") {
     val rows = load().collect()
     assert(rows.length == 5 * 3 * 4) // entities x metrics x periods
