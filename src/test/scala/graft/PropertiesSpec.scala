@@ -65,6 +65,47 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-merge window plan == driver-side sweep on randomized intervals") {
+    import spark.implicits._
+    val rng = new Random(11)
+    // 40 keys x up to 12 random [s, s+len] integer intervals, dense
+    // enough that overlap, touching, containment, and gaps all occur
+    val data = (1 to 40).flatMap { k =>
+      (1 to (1 + rng.nextInt(12))).map { _ =>
+        val s = rng.nextInt(60); val e = s + rng.nextInt(15)
+        (k.toLong, s, e)
+      }
+    }
+    val df = data.toDF("k", "s", "e")
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    // the exact plan shape win_interval_merge uses, on integer bounds
+    val merged = df
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // reference: classic driver-side sweep per key
+    val want = data.groupBy(_._1).flatMap { case (k, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+      val islands = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+        (acc, iv) =>
+          if (iv._1 > acc.last.map(_._2).max) acc :+ Vector(iv)
+          else acc.init :+ (acc.last :+ iv)
+      }
+      islands.map(isl =>
+        (k, isl.map(_._1).min, isl.map(_._2).max, isl.size.toLong))
+    }.toSet
+    assert(merged == want,
+      s"missing=${want -- merged}\nextra=${merged -- want}")
+  }
+
   test("truthyCoalesce == Python or-chain on 200 random triples") {
     import spark.implicits._
     def gen(): Option[Double] = rng.nextInt(4) match {
