@@ -46,6 +46,19 @@ object SetOps extends graft.QueryModule {
       .orderBy("l_suppkey")
   }
 
+  /** Bag-semantics INTERSECT ALL [N] — [[exceptAll]]'s twin: each
+    * supplier key survives min(multiplicity-left, multiplicity-right)
+    * times. Spark plans it as one aggregate computing both counts plus
+    * a generate replicating min(counts) — two shuffles total, no join
+    * of the raw bags. */
+  private def intersectAll(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_returnflag") =!= "A").select(col("l_suppkey"))
+      .intersectAll(l.filter(col("l_returnflag") =!= "R").select(col("l_suppkey")))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_suppkey")
+  }
+
   /** Schema-evolution union [N]: `unionByName(allowMissingColumns)`
     * aligns by NAME and null-fills the columns one side lacks — the
     * union a long-lived pipeline actually needs once v2 of a feed adds
@@ -62,12 +75,20 @@ object SetOps extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "setop_except_all" -> exceptAll,
+    "setop_intersect_all" -> intersectAll,
     "setop_union_by_name" -> unionByNameEvolved,
     "setop_union_distinct" -> unionDistinct,
     "setop_intersect" -> intersectKeys,
     "setop_except" -> exceptKeys)
 
   val oracles: Map[String, String] = Map(
+    "setop_intersect_all" ->
+      """WITH r AS (
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'A'
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag <> 'R')
+        |SELECT l_suppkey, count(*) AS n
+        |FROM r GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "setop_except_all" ->
       """WITH r AS (
         |  SELECT l_suppkey FROM lineitem
