@@ -887,6 +887,29 @@ object Dedup extends graft.QueryModule {
       .orderBy("probe_key")
   }
 
+  /** Blocked fuzzy PAIR detection — the scale discipline from the r3
+    * verdict applied to Jaro-Winkler: 20k part rows collapse to 64
+    * DISTINCT names first (exact-dup collapse BEFORE any pairwise
+    * work), pairs generate only inside noun blocks, the native
+    * expression verifies, and multiplicities ride along so the answer
+    * still describes the full table. Pairwise cost is quadratic in
+    * DISTINCT names per block — independent of table size. */
+  private def jwBlocked(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val reps = Tables.part(s, d).groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("p_name"), col("n_members"),
+        split(col("p_name"), " ").getItem(1).as("noun"))
+    reps.as("a").join(reps.as("b"),
+        col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("a.n_members").as("n_a"), col("b.n_members").as("n_b"),
+        bround(graft.functions.VectorFunctions.jaro_winkler(
+          col("a.p_name"), col("b.p_name")), 8).as("jw"))
+      .filter(col("jw") >= 0.7)
+      .orderBy("name_a", "name_b")
+  }
+
   private def editDistPairs(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -898,6 +921,7 @@ object Dedup extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_editdist" -> editDistPairs,
     "dedup_jarowinkler" -> jaroWinklerBest,
+    "dedup_jw_blocked" -> jwBlocked,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhash,
@@ -918,6 +942,21 @@ object Dedup extends graft.QueryModule {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY i, j""".stripMargin,
+    "dedup_jw_blocked" ->
+      """WITH reps AS (
+        |  SELECT p_name, count(*) AS n_members,
+        |         split_part(p_name, ' ', 2) AS noun
+        |  FROM part GROUP BY p_name),
+        |pairs AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |         a.n_members AS n_a, b.n_members AS n_b,
+        |         round_even(jaro_winkler_similarity(a.p_name, b.p_name), 8)
+        |           AS jw
+        |  FROM reps a JOIN reps b
+        |    ON a.noun = b.noun AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, n_a, n_b, jw
+        |FROM pairs WHERE jw >= 0.7
+        |ORDER BY name_a, name_b""".stripMargin,
     "dedup_jarowinkler" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_key, p_name AS probe_name
