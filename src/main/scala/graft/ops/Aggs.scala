@@ -268,6 +268,22 @@ object Aggs extends graft.QueryModule {
         expr("bit_xor(o_custkey)").as("key_bxor"))
       .orderBy("o_orderpriority")
 
+  /** CUBE aggregation [N] — `agg_grouping_sets` covers the ROLLUP
+    * hierarchy; CUBE materializes ALL 2^k grouping combinations in the
+    * same single pass (Catalyst expands to one Expand + one hash agg,
+    * not 2^k scans). `grouping_id` disambiguates a real NULL key from a
+    * rolled-up one — the classic reporting-cube trap. */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "o_orderpriority", "o_orderstatus")
+
   /** Re-aggregatable distinct-count sketches [N] — the 100 TB pattern
     * `approx_count_distinct` cannot express: per-(type, day) HLL
     * sketches materialize ONCE (the daily rollup table), then any
@@ -337,6 +353,7 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_regression" -> regression,
     "agg_cohort_retention" -> cohortRetention,
@@ -360,6 +377,16 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(grouping(o_orderpriority) * 2
+        |            + grouping(o_orderstatus) AS INTEGER) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
     "agg_regression" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,

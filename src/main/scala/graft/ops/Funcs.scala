@@ -55,6 +55,20 @@ object Funcs extends graft.QueryModule {
 
   /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
     * record serialization. */
+  /** Extended string battery [N] (§H completeness round 2): padding,
+    * character translation, repetition, reversal, and built-in
+    * levenshtein — all pure string ops, byte-identical across engines. */
+  private def fnStringExtra(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lpad(col("p_name"), 16, "*").as("padded"),
+      rpad(col("p_brand"), 10, ".").as("rpadded"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("xlated"),
+      repeat(substring(col("p_name"), 1, 3), 2).as("rep"),
+      reverse(col("p_name")).as("rev"),
+      levenshtein(col("p_name"), reverse(col("p_name"))).as("lev_rev"))
+      .orderBy("p_partkey")
+
   /** ANSI error-handling battery [N]: Spark 4 runs ANSI mode BY DEFAULT
     * — division by zero, bad casts, and integer overflow now THROW
     * mid-job instead of silently corrupting (QueriesSpec proves the
@@ -128,6 +142,7 @@ object Funcs extends graft.QueryModule {
       .orderBy("o_orderkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string_extra" -> fnStringExtra,
     "fn_try_errors" -> fnTryErrors,
     "fn_variant" -> fnVariant,
     "fn_bitwise" -> fnBitwise,
@@ -138,6 +153,16 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_string_extra" ->
+      """SELECT p_partkey,
+        |       lpad(p_name, 16, '*') AS padded,
+        |       rpad(p_brand, 10, '.') AS rpadded,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS xlated,
+        |       repeat(substring(p_name, 1, 3), 2) AS rep,
+        |       reverse(p_name) AS rev,
+        |       CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER)
+        |         AS lev_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_try_errors" ->
       """SELECT o_orderkey,
         |       o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
