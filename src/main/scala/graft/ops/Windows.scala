@@ -181,6 +181,43 @@ object Windows extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Linear interpolation of missing readings [N] — the time-series
+    * twin of [[lastNonNull]]'s LOCF: a null reading fills from the
+    * time-weighted line between its neighboring non-null readings
+    * (leading/trailing nulls take the nearest known value). Two window
+    * passes over ONE ordering (running last-non-null backward,
+    * first-non-null forward — both value AND its timestamp), then one
+    * pinned IEEE expression per row: exact long microsecond diffs, one
+    * divide for the fraction, one fused interpolation, 6dp output pin.
+    * No self-join, no explode — linear at any scale. (The generated
+    * events table has no null readings at any SF, so dropouts are
+    * SIMULATED deterministically — every seventh reading — to make
+    * every branch of the fill actually bite; QueriesSpec asserts the
+    * masked rows exist and fill within their neighbor bounds.) */
+  private def interpolate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value").cast("decimal(12,2)")).as("v"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("v").isNotNull, col("ts")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("v").isNotNull, col("ts")), ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("event_id"),
+        when(col("v").isNotNull, dd(col("v")))
+          .when(col("pv").isNull, dd(col("nv")))
+          .when(col("nv").isNull, dd(col("pv")))
+          .otherwise(bround(dd(col("pv")) + (dd(col("nv")) - dd(col("pv")))
+            * (dd(unix_micros(col("ts")) - unix_micros(col("pt")))
+               / dd(unix_micros(col("nt")) - unix_micros(col("pt")))), 6))
+          .as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Value-navigation window battery [N] (§E completeness): first/last
     * value with explicit null handling, nth_value, and lag with a
     * default — the reference-row functions the ranking keys don't
@@ -335,6 +372,7 @@ object Windows extends graft.QueryModule {
     "win_rolling_median" -> rollingMedian,
     "win_skyline" -> skyline,
     "win_value_functions" -> valueFunctions,
+    "win_interpolate" -> interpolate,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "funnel_stages" -> funnelStages,
@@ -346,6 +384,35 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              ELSE CAST(value AS DECIMAL(12,2)) END AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts, v,
+        |         last_value(v IGNORE NULLS) OVER back AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN ts END
+        |                    IGNORE NULLS) OVER back AS pt,
+        |         first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN ts END
+        |                     IGNORE NULLS) OVER fwd AS nt
+        |  FROM e
+        |  WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |            WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |            WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |            ELSE round_even(CAST(pv AS DOUBLE)
+        |              + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |              * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+        |                 / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)), 6)
+        |       END AS filled
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     "win_value_functions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,

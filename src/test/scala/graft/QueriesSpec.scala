@@ -74,6 +74,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(covered == graft.Tables.orders(spark, TestSpark.sf0001).count())
   }
 
+  test("win_interpolate: pass-through on known rows, bounded fills between neighbors") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_interpolate")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value").cast("decimal(12,2)").cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(raw.exists(_._4.isEmpty), "need null readings for the test to bite")
+    raw.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.toInstant.getNano, r._3))
+      sorted.zipWithIndex.foreach { case ((_, _, id, v), i) =>
+        val filled = got((u, id))
+        v match {
+          case Some(x) => assert(filled == x, s"known row $id changed")
+          case None =>
+            val prev = sorted.take(i).flatMap(_._4).lastOption
+            val next = sorted.drop(i + 1).flatMap(_._4).headOption
+            (prev, next) match {
+              case (Some(p), Some(n)) =>
+                val (lo, hi) = (math.min(p, n), math.max(p, n))
+                assert(filled >= lo - 1e-6 && filled <= hi + 1e-6,
+                  s"fill $filled outside [$lo, $hi] for row $id")
+              case (Some(p), None) => assert(filled == p)
+              case (None, Some(n)) => assert(filled == n)
+              case (None, None) => ()
+            }
+        }
+      }
+    }
+  }
+
   test("win_skyline equals the brute-force NOT-EXISTS dominance definition") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("win_skyline")(spark, TestSpark.sf0001)
