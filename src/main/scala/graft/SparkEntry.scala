@@ -18,7 +18,7 @@ object SparkEntry {
   private lazy val modules: Seq[QueryModule] = Seq(
     ops.Flagship, ops.Scans, ops.Exprs, ops.Aggs, ops.Joins,
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
-    ops.Statements, ops.TpchDeep, ops.Warehouse, ops.Finance,
+    ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
     ext.Graph)
 

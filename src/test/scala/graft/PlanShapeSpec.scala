@@ -137,6 +137,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("agg_q17_small_qty: correlated avg decorrelates to a per-part aggregate join") {
+    val p = plan("agg_q17_small_qty")
+    // RewriteCorrelatedScalarSubquery: the per-part average is ONE
+    // aggregate joined back on l_partkey — no per-row subquery loop
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    // the 20%-of-average predicate survives as a post-join filter/cond
+    assert(p.contains("0.2"), p)
+  }
+
+  test("join_q20_excess: correlated half-volume subquery becomes aggregate + semi join") {
+    val p = plan("join_q20_excess")
+    assert(!p.contains("NestedLoop"), p)
+    // the IN(...) membership runs as a LEFT SEMI hash join
+    assert(p.contains("LeftSemi"), p)
+    // the correlated scalar aggregate is a real per-part aggregate
+    assert(p.contains("0.5"), p)
+  }
+
+  test("join_q2_mincost: correlated min decorrelates, no per-row re-execution") {
+    val p = plan("join_q2_mincost")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("min(unit_cost") || p.contains("min(") , p)
+  }
+
   test("text_line_dedup: first-occurrence resolved by aggregate, not a window sort") {
     val p = plan("text_line_dedup")
     // min(struct) keeps the exploded corpus out of any window sort: the
