@@ -24,6 +24,25 @@ import graft.Tables
   */
 object Graph extends graft.QueryModule {
 
+  /** `graft.graph.broadcastVertexDomain` (default true): when true,
+    * vertex-domain relations (degrees, adjacency arrays, the PageRank
+    * rank table) are broadcast — the right call while the vertex domain
+    * is dimension-bounded (~part table, MBs). At a scale where |V|
+    * outgrows the broadcast budget (billions of parts at 100 TB), set it
+    * FALSE: every vertex-domain join falls back to a plain shuffled
+    * equi-join, and PageRank pre-partitions the edge table on `src` once
+    * so each iteration shuffles only the |V|-row rank table — the edge
+    * relation (the big side) never moves again. Both modes are
+    * hash-identical (GraphSpec proves it at 4 and 32 partitions). */
+  val BroadcastConf = "graft.graph.broadcastVertexDomain"
+
+  private def vertexBroadcast(s: SparkSession): Boolean =
+    s.conf.get(BroadcastConf, "true").toBoolean
+
+  /** Broadcast hint only while the vertex domain is broadcast-safe. */
+  private def maybeBroadcast(s: SparkSession, df: DataFrame): DataFrame =
+    if (vertexBroadcast(s)) broadcast(df) else df
+
   /** Distinct undirected co-purchase edges, canonical as `a < b`.
     *
     * Built by grouping each order's part set and generating the i<j
@@ -54,11 +73,13 @@ object Graph extends graft.QueryModule {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient each edge low→high by (deg, id): src gets the smaller key.
     // deg has one row per PART (bounded by the part dim, not the fact
-    // table) — broadcast both lookups; the edge scan never shuffles here
+    // table) — broadcast both lookups while the conf allows it; with
+    // BroadcastConf=false these are plain shuffled equi-joins and the
+    // plan survives an unbounded vertex domain
     val oriented = e
-      .join(broadcast(deg.withColumnRenamed("v", "a")
+      .join(maybeBroadcast(s, deg.withColumnRenamed("v", "a")
         .withColumnRenamed("deg", "da")), "a")
-      .join(broadcast(deg.withColumnRenamed("v", "b")
+      .join(maybeBroadcast(s, deg.withColumnRenamed("v", "b")
         .withColumnRenamed("deg", "db")), "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
@@ -72,18 +93,21 @@ object Graph extends graft.QueryModule {
     // sf0.1 — measured 7.3 s); this streams the SAME arithmetic through
     // 1.2 M edge rows with two broadcast adjacency lookups (0.9 s). The
     // adjacency relation is one row per VERTEX (part-dimension-bounded,
-    // ~10 MB); for an unbounded vertex domain swap the broadcasts for
-    // shuffle joins — the per-edge identity is unchanged.
+    // ~10 MB); with BroadcastConf=false both lookups run as shuffled
+    // equi-joins on src/dst — the per-edge identity is unchanged.
     graft.functions.VectorFunctions.register(s)
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     oriented
-      .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
-        "dst")
+      .join(maybeBroadcast(s, adj.select(col("src"), col("nbrs").as("nu"))),
+        "src")
+      .join(maybeBroadcast(s,
+        adj.select(col("src").as("dst"), col("nbrs").as("nv"))), "dst")
       .select(call_function("graft_intersect_count",
         col("nu"), col("nv")).as("c"))
-      .agg(sum(col("c")).cast("bigint").as("n_triangles"))
+      // coalesce: a triangle-free graph must report 0, matching the
+      // oracle's COUNT(*), not a NULL sum over zero rows (ADVICE r6)
+      .agg(coalesce(sum(col("c")), lit(0)).cast("bigint").as("n_triangles"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
   }
@@ -117,27 +141,38 @@ object Graph extends graft.QueryModule {
     * work, no convergence action); undirected co-purchase edges mean no
     * dangling mass. */
   private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
     val e = coPurchaseEdges(s, d)
-    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // Two iteration layouts, same pinned arithmetic (hash-identical —
+    // GraphSpec proves it):
+    //  * broadcast mode (vertex domain dimension-bounded): the |V|-row
+    //    rank table broadcasts each round, so the edge table never
+    //    re-shuffles (localCheckpoint erases size stats, so the
+    //    auto-broadcast heuristic can't see how small it is — force it).
+    //  * shuffle mode (BroadcastConf=false, |V| outgrows broadcast):
+    //    pre-partition the EDGE table on src ONCE — localCheckpoint
+    //    preserves the hash partitioning — and each round shuffles only
+    //    the rank table to meet it; the |E|-row side never moves again.
+    val dir =
+      if (bcast) dirRaw.localCheckpoint()
+      else dirRaw.repartition(col("src")).localCheckpoint()
     val deg = dir.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     val nD = deg.count().toDouble
     var r = deg.select(col("node"), col("deg"),
       bround(lit(1.0) / nD, 12).as("rank"))
     for (_ <- 1 to prIters) {
-      // the rank table is |V| rows (vs |E| edges) — broadcast it so the
-      // edge table never re-shuffles or re-sorts across iterations
-      // (localCheckpoint erases size stats, so the auto-broadcast
-      // heuristic can't see how small it is). At a scale where |V|
-      // outgrows broadcast, pre-partition BOTH sides on the key once
-      // and let each round shuffle only the rank table.
-      val sums = broadcast(r).join(dir, col("node") === col("src"))
+      val ranked =
+        if (bcast) broadcast(r).join(dir, col("node") === col("src"))
+        else r.join(dir, col("node") === col("src"))
+      val sums = ranked
         .select(col("dst"),
           bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      r = deg.join(broadcast(sums), col("node") === col("dst"), "left")
+      r = deg.join(if (bcast) broadcast(sums) else sums,
+          col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           bround(lit(0.15) / nD +
             lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)

@@ -77,6 +77,43 @@ class GraphSpec extends AnyFunSuite {
     assert(top > bot, s"high-degree mean rank $top !> low-degree $bot")
   }
 
+  test("shuffle mode (no vertex broadcast) is hash-identical at 4 AND 32 partitions") {
+    // the 100 TB posture: with graft.graph.broadcastVertexDomain=false
+    // every vertex-domain relation moves by shuffle join, and the result
+    // must be bit-identical to broadcast mode on any partitioning
+    def run(parts: String): (Seq[String], Seq[String]) = {
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", parts)
+      ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
+      (SparkEntry.queries("graph_triangles")(ns, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq,
+        SparkEntry.queries("graph_pagerank")(ns, TestSpark.sf0001)
+          .collect().map(_.toString).toSeq)
+    }
+    val (triOn, prOn) =
+      (SparkEntry.queries("graph_triangles")(spark, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq,
+        SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf0001)
+          .collect().map(_.toString).toSeq)
+    val (tri4, pr4) = run("4")
+    val (tri32, pr32) = run("32")
+    assert(tri4 == triOn && tri32 == triOn, "triangles differ across modes")
+    assert(pr4 == prOn && pr32 == prOn, "pagerank differs across modes")
+  }
+
+  test("shuffle mode plans contain zero BroadcastExchange") {
+    val ns = spark.newSession()
+    ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
+    // disable the auto-broadcast heuristic too: the claim is that the
+    // PLAN SHAPE works without any driver-side vertex collection at all
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (k <- Seq("graph_triangles", "graph_pagerank")) {
+      val p = SparkEntry.queries(k)(ns, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), s"$k broadcasts in off mode:\n$p")
+    }
+  }
+
   test("degree distribution on sf0.001 sums to the vertex count") {
     val dist = SparkEntry.queries("graph_degree_dist")(spark, TestSpark.sf0001)
     val tri = SparkEntry.queries("graph_triangles")(spark, TestSpark.sf0001)
