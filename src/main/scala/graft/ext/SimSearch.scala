@@ -181,6 +181,180 @@ object SimSearch extends graft.QueryModule {
     ivfKmeansTopK(Tables.embeddings(s, d))
   }
 
+  // ---------------------------------------------------------------------
+  // CROSS-ENGINE-DETERMINISTIC k-means (VERDICT r6 #3): Lloyd's iteration
+  // pinned with the PageRank discipline so training is oracle-checkable.
+  // ---------------------------------------------------------------------
+
+  private val pinnedK = 16
+  private val pinnedIters = 2
+
+  /** Affinity of an embedding to a pinned (double[]) centroid:
+    * `dot/(sqrt(na)*sqrt(nc))` with sequential in-array-order double
+    * accumulation — the exact shape VectorFunctionsSpec proves
+    * bit-identical to the DuckDB parallel-unnest sum. */
+  private def pinnedAffinity(emb: Column, cvec: Column): Column = {
+    val d = aggregate(zip_with(emb, cvec, (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(emb, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nc = aggregate(cvec, lit(0.0), (acc, c) => acc + c * c)
+    d / (sqrt(na) * sqrt(nc))
+  }
+
+  /** One pinned assignment pass: argmax affinity, ties to the lower cid
+    * (identical doubles on both engines make the argmax exact). */
+  private def pinnedAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        pinnedAffinity(col("embedding"), col("cvec")).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cell"))
+
+  /** Lloyd training that HASH-MATCHES a DuckDB oracle (the discipline
+    * proven on PageRank, applied to ANN training). Two pins make every
+    * bit deterministic:
+    *
+    *  1. Each embedding component is rounded to an 8dp DECIMAL before
+    *     the per-(cell, dim) sum, so the sum is exact and
+    *     order-invariant, and its double conversion is exact too
+    *     (|v| < 1 ⇒ unscaled sum < 2^53 even at 10^9 members).
+    *  2. The centroid is kept in the mergeable **(sum, count)** form —
+    *     the mean is NEVER materialized. Cosine affinity is invariant
+    *     to positive per-vector scaling, so assigning against the
+    *     sum-vector gives byte-identical assignments to the
+    *     mean-vector — while dodging the one non-deterministic step:
+    *     rounding `sum/count` ties (a power-of-two count makes the
+    *     exact mean terminate in a trailing 5 at the pin precision,
+    *     and Spark's BigDecimal-expansion bround and DuckDB's
+    *     multiply-based round_even resolve that double tie
+    *     differently — observed on 10/1024 components at 12dp).
+    *
+    * Same plan shape as [[trainKmeansCentroids]]: broadcast assignment
+    * join + posexplode hash-agg per round, lineage cut by
+    * localCheckpoint. */
+  def trainKmeansPinned(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
+    var centroids = vecs.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"),
+          x => bround(x.cast("double"), 8)).as("cvec"),
+        lit(1L).as("n_members"))
+    (1 to lloydIters).foreach { _ =>
+      val assigned = pinnedAssign(vecs, centroids)
+        .join(vecs, Seq("vec_id"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(bround(col("v").cast("double"), 8).cast("decimal(20,8)"))
+            .cast("double").as("m"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"),
+          max(col("cnt")).as("n_members"))
+        .select(col("cell").as("cid"),
+          transform(col("dims"), x => x.getField("m")).as("cvec"),
+          col("n_members"))
+        .localCheckpoint() // cut lineage: next round replans from here
+    }
+    centroids
+  }
+
+  /** Oracle-checked k-means ASSIGNMENTS: the final cell of every vector
+    * under the pinned training — a real hash_match row for the IVF
+    * family's training step. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansPinned(vecs, pinnedK, pinnedIters)
+    pinnedAssign(vecs, centroids)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle-checked k-means CENTROIDS in the mergeable (sum, count)
+    * form: (cid, pos, s_sum, n_members) — s_sum the exact per-dimension
+    * decimal sum as a double, n_members the cell population. The mean is
+    * s_sum / n_members; keeping the quotient unevaluated is what makes
+    * the row hash-exact (see [[trainKmeansPinned]]) and is the same
+    * combiner-form representation the sketch rollups use. */
+  private def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    trainKmeansPinned(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      pinnedK, pinnedIters)
+      .select(col("cid"), col("n_members"),
+        posexplode(col("cvec")).as(Seq("pos", "s_sum")))
+      .select(col("cid"), col("pos").cast("int").as("pos"), col("s_sum"),
+        col("n_members"))
+      .orderBy("cid", "pos")
+
+  /** The generated DuckDB mirror: Lloyd rounds unrolled as chained CTEs
+    * (the PageRank-oracle discipline). Affinity is the parallel-unnest
+    * ordered sum; the argmax tiebreak is `ROW_NUMBER() ... ORDER BY aff
+    * DESC, cid`; the mean pins mirror bround↔round_even verbatim. */
+  private def kmeansOracle(finalSelect: String): String = {
+    def affinity(e: String, c: String): String =
+      s"""((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+         |  FROM (SELECT unnest($e) AS x, unnest($c) AS y) u)
+         | / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+         |          FROM (SELECT unnest($e) AS x) u))
+         |    * sqrt((SELECT sum(u.y * u.y)
+         |            FROM (SELECT unnest($c) AS y) u))))""".stripMargin
+    val base =
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |         list_transform(embedding,
+         |           x -> round_even(CAST(x AS DOUBLE), 8)) AS cvec
+         |  FROM vecs WHERE vec_id BETWEEN 1 AND $pinnedK)""".stripMargin
+    val rounds = (1 to pinnedIters).map { i =>
+      s"""aff$i AS (
+         |  SELECT v.vec_id, v.embedding, c.cid,
+         |         ${affinity("v.embedding", "c.cvec")} AS aff
+         |  FROM vecs v CROSS JOIN c${i - 1} c),
+         |asg$i AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY aff DESC, cid) AS rn
+         |    FROM aff$i) WHERE rn = 1),
+         |comp$i AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM asg$i),
+         |mean$i AS (
+         |  SELECT cell, pos,
+         |         CAST(sum(CAST(round_even(CAST(v AS DOUBLE), 8)
+         |                       AS DECIMAL(20,8))) AS DOUBLE) AS m,
+         |         count(*) AS cnt
+         |  FROM comp$i GROUP BY cell, pos),
+         |c$i AS (
+         |  SELECT cell AS cid, list(m ORDER BY pos) AS cvec
+         |  FROM mean$i GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds\n$finalSelect"
+  }
+
+  private def kmeansAssignOracle: String = kmeansOracle(
+    s""", affF AS (
+       |  SELECT v.vec_id, c.cid,
+       |         ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+       |           FROM (SELECT unnest(v.embedding) AS x,
+       |                        unnest(c.cvec) AS y) u)
+       |          / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                   FROM (SELECT unnest(v.embedding) AS x) u))
+       |             * sqrt((SELECT sum(u.y * u.y)
+       |                     FROM (SELECT unnest(c.cvec) AS y) u)))) AS aff
+       |  FROM vecs v CROSS JOIN c$pinnedIters c)
+       |SELECT vec_id, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY aff DESC, cid) AS rn
+       |  FROM affF) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin)
+
+  private def kmeansCentroidsOracle: String = kmeansOracle(
+    s"""SELECT cell AS cid, CAST(pos AS INTEGER) AS pos, m AS s_sum,
+       |       CAST(cnt AS BIGINT) AS n_members
+       |FROM mean$pinnedIters
+       |ORDER BY cid, pos""".stripMargin)
+
   /** Shared tail for the batch servers: explode each probe's bounded
     * neighbor list into (probe_id, rnk, vec_id, cosine) rows. */
   private def explodeTopK(grouped: DataFrame): DataFrame =
@@ -511,6 +685,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_cosine" -> cosineTopK,
     "sim_search_ivf" -> ivfTopK,
     "sim_search_ivf_kmeans" -> ivfKmeans,
+    "sim_search_kmeans_assign" -> kmeansAssign,
+    "sim_search_kmeans_centroids" -> kmeansCentroids,
     "sim_search_batch" -> batch,
     "sim_search_ivf_batch" -> ivfBatch,
     "sim_search_ivf_saved" -> ivfSaved)
@@ -520,6 +696,8 @@ object SimSearch extends graft.QueryModule {
       | FROM (SELECT unnest(%s) AS x, unnest(%s) AS y) u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_search_kmeans_assign" -> kmeansAssignOracle,
+    "sim_search_kmeans_centroids" -> kmeansCentroidsOracle,
     "emb_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
