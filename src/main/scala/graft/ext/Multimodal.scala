@@ -10,20 +10,63 @@ import graft.Tables
   * blob column read from parquet. */
 case class MediaBlob(doc_id: Long, data: Array[Byte])
 
-/** Decoded media features (schema of the decode stage's output batches). */
+/** Decoded media features (schema of the decode stage's output batches).
+  * `n_bytes` is the DECODED sample count (width × height × channels). */
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                      channels: Int, checksum: Long)
 
 /** SURVEY.md §2.K — multimodal columns: opaque binary payloads with typed
-  * metadata carried through relational ops, plus a decode/feature-extract
-  * stage as a partition-wise typed transform.
+  * metadata carried through relational ops, plus a REAL decode /
+  * frame-sample stage as partition-wise typed transforms.
   *
-  * The decode itself is a STUB (media codecs are not in this container):
-  * [[Multimodal.decodeStub]] is a deterministic fake with the real
-  * Spark-side plumbing — typed Dataset, mapPartitions batch iteration,
-  * schema, partitioning — all genuine and tested.
+  * The codec is `javax.imageio` (pure JVM, in-container): each document's
+  * bytes deterministically synthesize a real PNG (and, for the video
+  * path, a length-prefixed multi-PNG container) in one `mapPartitions`
+  * stage, and a SECOND `mapPartitions` stage — the codec seam a
+  * Pandas-UDF / JNI decoder would occupy — parses those bytes back with
+  * `ImageIO.read`, emitting width/height/channels and a pixel checksum.
+  * Because the pixel matrix is a pure function of the doc bytes, the
+  * DuckDB oracle reproduces dimensions AND checksums exactly — the
+  * decode is real and still hash-checked.
   */
 object Multimodal extends graft.QueryModule {
+
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+    DataInputStream, DataOutputStream}
+  import javax.imageio.ImageIO
+
+  // never spill ImageInputStream caches to executor-local tmp files
+  ImageIO.setUseCache(false)
+
+  /** Deterministic pixel value: byte `(i + shift) mod len` of the doc
+    * (0 for an empty payload) — the construction the oracle mirrors. */
+  private def pixelValue(data: Array[Byte], i: Int, shift: Int): Int =
+    if (data.isEmpty) 0 else data((i + shift) % data.length) & 0xff
+
+  /** Synthesize one REAL PNG of the given dimensions whose pixels derive
+    * from the payload bytes: channel sample j of pixel p = byte
+    * (3p+j+shift) mod len. */
+  private[ext] def synthesizePng(data: Array[Byte], shift: Int,
+                                 w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = pixelValue(data, 3 * p, shift)
+        val g = pixelValue(data, 3 * p + 1, shift)
+        val b = pixelValue(data, 3 * p + 2, shift)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   private val labelDim = Seq(
     (0, "photo"), (1, "chart"), (2, "scan"), (3, "render"), (4, "frame"),
@@ -58,50 +101,113 @@ object Multimodal extends graft.QueryModule {
       base64(substring(col("text"), 1, 12).cast("binary")).as("head_b64"))
       .orderBy("doc_id")
 
-  /** STUB media decoder — deterministic fake standing in for an image/
-    * audio codec (not available in this container). The per-partition
-    * batch shape is what a Pandas-UDF / JNI decoder would use. */
-  def decodeStub(blobs: Iterator[MediaBlob]): Iterator[MediaMeta] =
+  /** ENCODE stage: one real PNG per document (w = len%16+1,
+    * h = len%12+1, pixels from doc bytes). A separate mapPartitions
+    * stage from the decoder — the decoder only ever sees opaque bytes. */
+  def encodeImages(blobs: Iterator[MediaBlob]): Iterator[MediaBlob] =
+    blobs.map(b => MediaBlob(b.doc_id,
+      synthesizePng(b.data, 0, b.data.length % 16 + 1, b.data.length % 12 + 1)))
+
+  /** REAL media decoder at the codec seam: `ImageIO.read` over the
+    * payload bytes, emitting the raster's true width/height/band-count
+    * and the sum of every RGB sample. The per-partition batch shape is
+    * what a Pandas-UDF / JNI decoder would use. */
+  def decodeImages(blobs: Iterator[MediaBlob]): Iterator[MediaMeta] =
     blobs.map { b =>
-      val n = b.data.length
-      // ??? real codec goes here; fake dims/checksum are deterministic
-      MediaMeta(b.doc_id, n, n % 640 + 1, n % 480 + 1, 3,
-        b.data.foldLeft(0L)((acc, byte) => acc + (byte & 0xff)))
+      val img = ImageIO.read(new ByteArrayInputStream(b.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val channels = img.getRaster.getNumBands
+      var checksum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          checksum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(b.doc_id, w * h * channels, w, h, channels, checksum)
     }
 
-  /** Decode/feature-extract as a partition-wise typed transform over a
-    * binary column (rows-only check: stub output, no SQL mirror). */
+  /** Decode/feature-extract as two partition-wise typed transforms over
+    * a binary column: synthesize real PNGs, then decode them with
+    * javax.imageio. Oracle-checked: dims and pixel checksum are pure
+    * functions of the doc bytes. */
   private def mmDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("data"))
       .as[MediaBlob]
-      .mapPartitions(decodeStub)
+      .mapPartitions(encodeImages)
+      .mapPartitions(decodeImages)
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** STUB frame sampler — stands in for a video frame extractor: slices
-    * the payload into fixed 64-byte "frames", keeps every 4th, emits one
-    * row per sampled frame with a per-frame checksum. The explode
-    * (one-to-many generator) and per-frame schema are the real plumbing. */
-  def frameSampleStub(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, Int, Long)] =
+  /** ENCODE stage for the video path: a length-prefixed multi-PNG
+    * container — int32 frame count, int32 per-frame byte lengths, then
+    * the concatenated PNG streams. Frame f's image is w=(len+f)%8+1 ×
+    * h=(len+f)%6+1 with pixels read at byte offset shifted by f. */
+  def encodeContainers(blobs: Iterator[MediaBlob]): Iterator[MediaBlob] =
+    blobs.map { b =>
+      val nFrames = b.data.length % 5 + 1
+      val frames = (0 until nFrames).map { f =>
+        synthesizePng(b.data, f,
+          (b.data.length + f) % 8 + 1, (b.data.length + f) % 6 + 1)
+      }
+      val bytes = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bytes)
+      out.writeInt(nFrames)
+      frames.foreach(fr => out.writeInt(fr.length))
+      frames.foreach(out.write(_))
+      out.flush()
+      MediaBlob(b.doc_id, bytes.toByteArray)
+    }
+
+  /** REAL demuxer + frame sampler: parse the container header, decode
+    * every 2nd frame with `ImageIO.read`, emit one row per sampled frame
+    * with its true dims' sample count and pixel checksum. */
+  def demuxFrames(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, Int, Long)] =
     blobs.flatMap { b =>
-      // ??? real demuxer goes here; fixed-size slicing is the fake
-      b.data.grouped(64).zipWithIndex.collect {
-        case (frame, idx) if idx % 4 == 0 =>
-          (b.doc_id, idx, frame.length,
-            frame.foldLeft(0L)((acc, byte) => acc + (byte & 0xff)))
+      val in = new DataInputStream(new ByteArrayInputStream(b.data))
+      val nFrames = in.readInt()
+      val lengths = (0 until nFrames).map(_ => in.readInt())
+      lengths.zipWithIndex.flatMap { case (len, idx) =>
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        if (idx % 2 != 0) None
+        else {
+          val img = ImageIO.read(new ByteArrayInputStream(frame))
+          var checksum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              checksum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((b.doc_id, idx,
+            img.getWidth * img.getHeight * img.getRaster.getNumBands,
+            checksum))
+        }
       }
     }
 
-  /** Frame sampling over binary payloads (rows-only: stub-defined). */
+  /** Frame sampling over binary payloads: real container demux + PNG
+    * decode, oracle-checked per frame. */
   private def mmFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("data"))
       .as[MediaBlob]
-      .mapPartitions(frameSampleStub)
+      .mapPartitions(encodeContainers)
+      .mapPartitions(demuxFrames)
       .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
       .orderBy("doc_id", "frame_idx")
   }
@@ -130,30 +236,37 @@ object Multimodal extends graft.QueryModule {
         |       sha256(text) AS sha,
         |       to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS head_b64
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // The decode/frame stubs are deterministic byte arithmetic, and the
-    // stand-in payloads are pure-ASCII text bytes — so ord(char) == byte
-    // and DuckDB can mirror the "codec" exactly. PRECONDITION (holds for
-    // the driver's documents generator; re-verify if it changes): no
-    // non-ASCII chars (ord==byte breaks on multibyte) — empty payloads
-    // are handled below via coalesce (DuckDB list_sum([]) is NULL, the
-    // stub's fold is 0).
+    // The decoded dims and pixels are pure functions of the doc bytes
+    // (see synthesizePng), and the payloads are pure-ASCII text bytes —
+    // so ord(char) == byte and DuckDB reproduces what ImageIO decodes.
+    // PRECONDITION (holds for the driver's documents generator;
+    // re-verify if it changes): no non-ASCII chars (ord==byte breaks on
+    // multibyte). Empty payloads decode as a 1×1 black image.
     "mm_decode" ->
-      """SELECT doc_id,
-        |       CAST(length(text) AS INTEGER) AS n_bytes,
-        |       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
-        |       CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  length(text) % 16 + 1 AS w,
+        |                  length(text) % 12 + 1 AS h
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
+        |       CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height,
         |       3 AS channels,
-        |       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
-        |            i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       CAST(coalesce(list_sum(list_transform(range(0, w * h * 3),
+        |            i -> CASE WHEN len = 0 THEN 0
+        |                      ELSE ord(substr(text, (i % len) + 1, 1)) END)),
+        |            0) AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
-      """SELECT doc_id,
-        |       CAST(f AS INTEGER) AS frame_idx,
-        |       CAST(least(64, length(text) - f * 64) AS INTEGER) AS n_bytes,
-        |       CAST(coalesce(list_sum(list_transform(
-        |              range(f * 64 + 1, f * 64 + least(64, length(text) - f * 64) + 1),
-        |              p -> ord(substr(text, p, 1)))), 0) AS BIGINT) AS checksum
-        |FROM documents,
-        |     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) t(f)
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
+        |       CAST(coalesce(list_sum(list_transform(range(0, w * h * 3),
+        |            i -> CASE WHEN len = 0 THEN 0
+        |                      ELSE ord(substr(text, ((i + f) % len) + 1, 1))
+        |                 END)), 0) AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, text, len, f,
+        |             (len + f) % 8 + 1 AS w, (len + f) % 6 + 1 AS h
+        |      FROM d, unnest(range(0, len % 5 + 1, 2)) t(f))
         |ORDER BY doc_id, frame_idx""".stripMargin)
 }
