@@ -17,7 +17,8 @@ class SimSearchRecallSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"IVF recall@10 = $recall")
-    assert(recall >= 0.5, s"recall@10 regressed: $recall")
+    // r7: scored multiprobe (margin-ranked bucket visits) — measured 0.9
+    assert(recall >= 0.8, s"recall@10 regressed: $recall")
   }
 
   test("k-means IVF top-10 recall vs exact top-10 on sf0.01") {
@@ -62,9 +63,9 @@ class SimSearchRecallSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & twoStage).size.toDouble / exact.size
     info(s"IVF+PQ recall@10 = $recall")
-    // bounded by the coarse stage: only nprobe/16 of the corpus is
-    // visible to PQ, so the floor matches the k-means IVF floor
-    assert(recall >= 0.5, s"IVF+PQ recall@10 regressed: $recall")
+    // r7: nprobe 8 + rerank 200 (the short list must widen with the
+    // candidate pool or the noisy ADC score crowds true neighbors out)
+    assert(recall >= 0.8, s"IVF+PQ recall@10 regressed: $recall")
   }
 
   test("single-probe batch slice equals the single-probe exact answer") {
