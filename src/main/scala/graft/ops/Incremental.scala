@@ -49,6 +49,37 @@ object Incremental {
                  valueCol: String): DataFrame =
     merge(st, state(delta, keys, valueCol), keys)
 
+  /** Fold an I/U/D CHANGELOG into (n, s) group state as SIGNED deltas —
+    * retraction maintenance for the abelian-group aggregates (count,
+    * sum), where a delete IS representable without the base rows:
+    *
+    *   I: n+1, s+new    D: n−1, s−old    U: n+0, s+(new−old)
+    *
+    * min/max stay out by design (semigroup only — see the class doc);
+    * a view needing them under deletes must rescan the affected groups.
+    * Groups whose count reaches zero are DROPPED, matching a
+    * from-scratch recompute (their sum is exactly 0 too: the deltas are
+    * exact decimals, so full retraction cancels bit-for-bit — a float
+    * sum could NOT guarantee that).
+    *
+    * `log` carries `keys`, `op` ('I'/'U'/'D'), `oldCol`, `newCol`
+    * (exact decimals; old null for I, new null for D). Cost is
+    * O(changelog + state) — the base table is never rescanned. */
+  def mergeChangelog(st: DataFrame, log: DataFrame, keys: Seq[String],
+                     oldCol: String, newCol: String): DataFrame = {
+    val zero = lit(0).cast("decimal(12,2)")
+    val signed = log.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("op") === "I", 1L)
+          .when(col("op") === "D", -1L).otherwise(0L)).as("n"),
+        sum(coalesce(col(newCol), zero) - coalesce(col(oldCol), zero)).as("s"))
+    st.select((keys.map(col) :+ col("n") :+ col("s")): _*)
+      .unionByName(signed)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("bigint").as("n"), sum(col("s")).as("s"))
+      .filter(col("n") =!= 0)
+  }
+
   /** Incremental JOIN maintenance (insert-only deltas) — the classic
     * delta-join identity from incremental view maintenance (Blakeley et
     * al., public):

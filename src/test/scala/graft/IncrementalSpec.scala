@@ -60,4 +60,29 @@ class IncrementalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Incremental.state(Seq(("a", 1.0)).toDF("k", "v"), Seq.empty, "v"))
   }
+
+  test("changelog fold: deletes retract, updates shift, emptied groups vanish") {
+    import spark.implicits._
+    def dec(v: Double) = BigDecimal(v).setScale(2)
+    // base view state over {a: 1.00+2.00, b: 5.00, c: 9.00}
+    val st = Seq(("a", 2L, dec(3.0)), ("b", 1L, dec(5.0)), ("c", 1L, dec(9.0)))
+      .toDF("k", "n", "s")
+      .select(col("k"), col("n"), col("s").cast("decimal(12,2)").as("s"))
+    // changelog: delete BOTH of a's rows (group must vanish), update b
+    // 5.00→7.50, insert d 4.25, and an insert+delete churn on c
+    val log = Seq(
+      ("D", "a", Some(1.0), None), ("D", "a", Some(2.0), None),
+      ("U", "b", Some(5.0), Some(7.5)),
+      ("I", "d", None, Some(4.25)),
+      ("I", "c", None, Some(1.0)), ("D", "c", Some(9.0), None))
+      .toDF("op", "k", "old_v", "new_v")
+      .select(col("op"), col("k"),
+        col("old_v").cast("decimal(12,2)").as("old_v"),
+        col("new_v").cast("decimal(12,2)").as("new_v"))
+    val got = Incremental.mergeChangelog(st, log, Seq("k"), "old_v", "new_v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(got.toSeq == Seq(("b", 1L, 7.5), ("c", 1L, 1.0), ("d", 1L, 4.25)),
+      s"got ${got.toSeq}")
+  }
 }
