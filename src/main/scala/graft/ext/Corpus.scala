@@ -245,29 +245,45 @@ object Corpus extends graft.QueryModule {
     * eval-set shingles; chosen to actually hit the synthetic corpus). */
   private val probes = Seq("stream table hash", "window fast query", "part filter scan")
 
-  /** The whole C4/RefinedWeb-style cleaning pipeline as ONE declarative
-    * plan — the composition showpiece: every stage is an operator this
-    * library already ships individually, chained here so Catalyst plans
-    * the entire pipeline (stage fusion, one shuffle per keyed step,
-    * pushdown through the lot) instead of five materialized hops:
+  /** The whole C4/RefinedWeb-style cleaning pipeline — the composition
+    * showpiece: every stage is an operator this library already ships
+    * individually, chained so Catalyst plans the chain end to end
+    * (stage fusion, one shuffle per keyed step, pushdown through the
+    * lot) instead of six materialized hops:
     *
     *  1. quality gate (length floors),
     *  2. language selection,
-    *  3. corpus-global line dedup (first occurrence of each 10-word
+    *  3. exact-document dedup on the raw text (md5, lowest doc_id wins),
+    *  4. NEAR-dup collapse (r7): the linear md5-minhash cluster pipeline
+    *     ([[Dedup.md5ClusterAssign]] — band join, Jaccard verify,
+    *     connected components), keeping each cluster's min-id
+    *     representative — removes the reworded copies stage 3 cannot
+    *     (CorpusSpec proves the stage drops non-identical docs). The CC
+    *     iteration is the chain's one deliberately-iterative element.
+    *  5. corpus-global line dedup (first occurrence of each 10-word
     *     line survives, docs reassemble),
-    *  4. exact-document dedup on the REASSEMBLED text (md5, lowest
-    *     doc_id wins),
-    *  5. decontamination (drop docs containing an eval-set phrase),
+    *  6. decontamination (drop docs containing an eval-set phrase),
     *
     * emitting per-surviving-doc stats. The oracle mirrors the chain
-    * stage for stage, so the hash check proves five-stage composition
-    * loses nothing vs the per-operator semantics. */
+    * stage for stage (the near-dup stage via the generated
+    * [[Dedup.md5ClusterChainSql]] CTEs), so the hash check proves
+    * six-stage composition loses nothing vs the per-operator
+    * semantics. */
   private def cleanPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(col("n_chars") >= 100 &&
         size(split(col("text"), " ")) >= 20 &&
         col("lang").isin("en", "fr", "de"))
-    val deduped = docs
+    val exact = docs
+      .withColumn("h", md5(col("text")))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.text").as("text"))
+    val reps = Dedup.md5ClusterAssign(exact.select(col("doc_id"), col("text")))
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val nearDeduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    nearDeduped
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"), posexplode(expr(
         """transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
@@ -282,13 +298,6 @@ object Corpus extends graft.QueryModule {
         array_join(transform(array_sort(collect_list(
           struct(col("line_idx"), col("line")))), e => e("line")), " ")
           .as("text_out"))
-    deduped
-      .withColumn("h", md5(col("text_out")))
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("lang"), col("n_lines"),
-        col("text_out"))).as("w"))
-      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
-        col("w.n_lines").as("n_lines"), col("w.text_out").as("text_out"))
       .filter(!col("text_out").contains("spark query window") &&
         !col("text_out").contains("table scan merge"))
       .select(col("doc_id"), col("lang"), col("n_lines"),
@@ -339,36 +348,41 @@ object Corpus extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "corpus_clean_pipeline" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
-        |    AND lang IN ('en', 'fr', 'de')),
-        |c AS (
-        |  SELECT doc_id, lang, i AS line_idx,
-        |         array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS line
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
-        |        FROM docs) t,
-        |       unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) r(i)),
-        |s AS (
-        |  SELECT doc_id, lang, line_idx, line FROM
-        |    (SELECT doc_id, lang, line_idx, line, row_number() OVER (
-        |       PARTITION BY line ORDER BY doc_id, line_idx) AS rn
-        |     FROM c) WHERE rn = 1),
-        |rs AS (
-        |  SELECT doc_id, lang, count(*) AS n_lines,
-        |         string_agg(line, ' ' ORDER BY line_idx) AS text_out
-        |  FROM s GROUP BY doc_id, lang),
-        |ex AS (
-        |  SELECT doc_id, lang, n_lines, text_out FROM
-        |    (SELECT *, row_number() OVER (
-        |       PARTITION BY md5(text_out) ORDER BY doc_id) AS rn
-        |     FROM rs) WHERE rn = 1)
-        |SELECT doc_id, lang, CAST(n_lines AS BIGINT) AS n_lines,
-        |       CAST(length(text_out) AS INTEGER) AS n_chars_out
-        |FROM ex
-        |WHERE NOT contains(text_out, 'spark query window')
-        |  AND NOT contains(text_out, 'table scan merge')
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+         |    AND lang IN ('en', 'fr', 'de')),
+         |ex AS (
+         |  SELECT doc_id, lang, text FROM
+         |    (SELECT *, row_number() OVER (
+         |       PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |     FROM docs) WHERE rn = 1),
+         |${Dedup.md5ClusterChainSql("ex", "text")},
+         |nd AS (
+         |  SELECT e.doc_id, e.lang, e.text
+         |  FROM ex e JOIN clusters cl ON e.doc_id = cl.doc_id
+         |  WHERE cl.doc_id = cl.cluster_id),
+         |lc AS (
+         |  SELECT doc_id, lang, i AS line_idx,
+         |         array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS line
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+         |        FROM nd) t,
+         |       unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) t2(i)),
+         |sl AS (
+         |  SELECT doc_id, lang, line_idx, line FROM
+         |    (SELECT doc_id, lang, line_idx, line, row_number() OVER (
+         |       PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+         |     FROM lc) WHERE rn = 1),
+         |rs AS (
+         |  SELECT doc_id, lang, count(*) AS n_lines,
+         |         string_agg(line, ' ' ORDER BY line_idx) AS text_out
+         |  FROM sl GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, CAST(n_lines AS BIGINT) AS n_lines,
+         |       CAST(length(text_out) AS INTEGER) AS n_chars_out
+         |FROM rs
+         |WHERE NOT contains(text_out, 'spark query window')
+         |  AND NOT contains(text_out, 'table scan merge')
+         |ORDER BY doc_id""".stripMargin,
     // DuckDB has no conv(hex, 16, 10): the 4 hex digits are decoded by a
     // strpos polynomial (same trick as the md5 LSH oracle twins)
     "text_split_assign" ->

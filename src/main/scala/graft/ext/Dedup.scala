@@ -361,10 +361,16 @@ object Dedup extends graft.QueryModule {
     * the component. No word-set collapse here: set-identical docs share
     * every bucket with their representative and verify at J=1, so the
     * component structure is identical and the SQL stays one CTE shorter. */
-  private def clustersMd5(s: SparkSession, d: String): DataFrame = {
+  private def clustersMd5(s: SparkSession, d: String): DataFrame =
+    md5ClusterAssign(docs(s, d)).orderBy("doc_id")
+
+  /** The full md5 cluster pipeline over an arbitrary `(doc_id, text)`
+    * relation — extracted so other chains (the corpus cleaning
+    * pipeline's near-dup stage) can splice it in; the SQL mirror is
+    * [[md5ClusterChainSql]] with the same input parameterization. */
+  def md5ClusterAssign(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = NumHashes; val b = NumBands; val r = k / b
-    val docsDf = docs(s, d)
     val w = wordRows(docsDf)
     val sigCols = (0 until k).map(i =>
       min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
@@ -408,7 +414,6 @@ object Dedup extends graft.QueryModule {
       .select(col("i"), col("j"))
       .localCheckpoint()
     connectedComponents(docsDf.select(col("doc_id")), verified, "doc_id")
-      .orderBy("doc_id")
   }
 
   /** Generated oracle for [[clustersMd5]]: the same 16 min-md5 slots and
@@ -418,7 +423,12 @@ object Dedup extends graft.QueryModule {
     * transitive closure as a recursive CTE with min reachable id per
     * node. Generated, not hand-written, so the banding and window order
     * cannot drift from the Spark side. */
-  private def clustersMd5Oracle: String = {
+  /** The md5 cluster chain as a reusable CTE-list FRAGMENT over an
+    * arbitrary `(doc_id, <textCol>)` relation — ends with a `clusters`
+    * CTE of (doc_id, cluster_id). Callers prepend `WITH RECURSIVE` and
+    * their own CTEs, and select from `clusters`. Mirrors
+    * [[md5ClusterAssign]] statement for statement. */
+  def md5ClusterChainSql(inputRel: String, textCol: String): String = {
     val k = NumHashes; val b = NumBands; val r = k / b
     val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
     val slotList = (0 until k).map(i => s"m$i").mkString(", ")
@@ -426,9 +436,9 @@ object Dedup extends graft.QueryModule {
       val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
       s"SELECT doc_id, $slotList, $bi AS band, md5($key) AS h FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE w AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-       |  FROM documents),
+    s"""w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split($textCol, ' '))) AS w
+       |  FROM $inputRel),
        |sig AS (
        |  SELECT doc_id,
        |         $slots
@@ -465,14 +475,19 @@ object Dedup extends graft.QueryModule {
        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
        |edges AS (SELECT i AS src, j AS dst FROM pairs
        |          UNION ALL SELECT j, i FROM pairs),
-       |nodes AS (SELECT doc_id AS id FROM documents),
+       |nodes AS (SELECT doc_id AS id FROM $inputRel),
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
-       |SELECT id AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
   }
+
+  private def clustersMd5Oracle: String =
+    s"""WITH RECURSIVE ${md5ClusterChainSql("documents", "text")}
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   /** Connected components over a near-dup pair graph — the step BETWEEN
     * pair generation (minhash/simhash/ngram) and representative selection

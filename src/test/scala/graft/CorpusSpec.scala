@@ -160,4 +160,33 @@ class CorpusSpec extends AnyFunSuite {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(resalted != b)
   }
+
+  test("pipeline near-dup stage removes documents the exact stage cannot") {
+    import org.apache.spark.sql.functions._
+    // replicate the pipeline's stages 1-3 (quality, lang, exact dedup),
+    // then show stage 4's cluster collapse drops docs whose text is NOT
+    // byte-identical to their representative's — reworded near-dups the
+    // md5 exact pass is blind to
+    val docs = graft.Tables.documents(spark, TestSpark.sf001)
+      .filter(col("n_chars") >= 100 &&
+        size(split(col("text"), " ")) >= 20 &&
+        col("lang").isin("en", "fr", "de"))
+    val exact = docs
+      .withColumn("h", md5(col("text")))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.text").as("text"))
+    val clusters = graft.ext.Dedup.md5ClusterAssign(exact)
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    assert(dropped.count() > 0,
+      "near-dup stage must actually remove documents on this corpus")
+    // every dropped doc's text differs from its representative's text
+    val withTexts = dropped
+      .join(exact.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(exact.select(col("doc_id").as("cluster_id"),
+        col("text").as("rep_text")), Seq("cluster_id"))
+    assert(withTexts.count() == dropped.count())
+    assert(withTexts.filter(col("text") === col("rep_text")).count() == 0,
+      "exact duplicates should already be gone before the near-dup stage")
+  }
 }
