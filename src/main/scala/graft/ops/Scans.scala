@@ -16,6 +16,23 @@ import graft.Tables
   */
 object Scans extends graft.QueryModule {
 
+  /** One cached isolated session per (parent session, key): the
+    * conf-isolated keys (`sink_bucketed_window`, `src_agg_pushdown`)
+    * need a child session whose confs the parent must never see — but a
+    * child per CALL would accumulate sessions across Verify/Bench/spec
+    * sweeps (ADVICE r6). The cache bounds that to one child per parent
+    * per key; the child's conf is set once at creation and, per the
+    * `join_range_rewritten` lesson, travels with every plan later
+    * derived from the returned DataFrame. */
+  private val isoSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
+
+  private def isolatedSession(s: SparkSession, key: String)
+                             (init: SparkSession => Unit): SparkSession =
+    isoSessions.computeIfAbsent((s, key), _ => {
+      val ns = s.newSession(); init(ns); ns
+    })
+
   /** Glob scan + per-line normalize: list name from file name, item
     * upper/trim, blanks dropped (`fetch_data.py:285-297`). */
   private def srcListScan(spark: SparkSession, sfDir: String): DataFrame =
@@ -146,10 +163,14 @@ object Scans extends graft.QueryModule {
     // Spark ≥3.0 stops reporting the bucket files' sortBy order by
     // default (multi-file buckets would need a merge-sort read); with
     // exactly one file per bucket the order IS valid, so opt back in on
-    // an isolated session (same isolation discipline as
-    // [[aggPushdownScan]] — the parent session never sees the conf)
-    val spark = s0.newSession()
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // an isolated CACHED session ([[isolatedSession]] — the parent never
+    // sees the conf, and sweeps reuse one child instead of leaking one
+    // per call). The table write below runs eagerly at construction BY
+    // DESIGN: this key demonstrates the bucketed SINK, so Verify/Bench
+    // deliberately measure write + layout-served read as one unit.
+    val spark = isolatedSession(s0, "sink_bucketed_window") {
+      _.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    }
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("value").cast("decimal(12,2)").as("v"))
@@ -378,9 +399,11 @@ object Scans extends graft.QueryModule {
     * restored under a returned lazy plan). PlanShapeSpec asserts the
     * scan carries `PushedAggregation`. */
   private def aggPushdownScan(s: SparkSession, d: String): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val s2 = isolatedSession(s, "src_agg_pushdown") { ns =>
+      ns.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    }
     s2.read.parquet(s"$d/orders.parquet")
       .agg(expr("count(*)").as("n_rows"),
         min(col("o_orderkey")).as("min_key"),

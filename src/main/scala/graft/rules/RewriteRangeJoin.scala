@@ -33,10 +33,17 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangejoin.bucketWidth"
 
-  private def widthOpt: Option[Double] =
-    Option(SQLConf.get.getConfString(WidthConf, null))
-      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+  private def widthOpt: Option[Double] = {
+    val raw = Option(SQLConf.get.getConfString(WidthConf, null))
+    val parsed = raw.flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
       .filter(_ > 0)
+    // a set-but-unparsable width silently disabling the rewrite is the
+    // worst failure mode (cost, not correctness) — make it loud
+    if (raw.isDefined && parsed.isEmpty)
+      logWarning(s"$WidthConf='${raw.get}' is not a positive number; " +
+        "range-join rewrite disabled")
+    parsed
+  }
 
   private def refsWithin(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
@@ -85,15 +92,17 @@ object RewriteRangeJoin extends Rule[LogicalPlan] {
         val conjuncts = splitConjunctivePredicates(cond)
         if (hasEquiKey(conjuncts, left, right)) j
         else {
-          val lower = conjuncts.flatMap(lowerBound(_, left, right)).headOption
-          // the matching upper bound: same point expr, bound on the
-          // same OTHER side (x <= hi is a lower bound for hi over x)
-          val pair = lower.flatMap { case (v, lo, pointOnLeft) =>
-            conjuncts.flatMap(lowerBound(_, left, right)).collectFirst {
+          // try EVERY lower-bound candidate for a matching upper bound
+          // (x <= hi is a lower bound for hi over x) — a BETWEEN written
+          // upper-bound-first (hi >= x AND x >= lo) pairs on the second
+          // candidate, which headOption used to miss (ADVICE r6)
+          val lowers = conjuncts.flatMap(lowerBound(_, left, right))
+          val pair = lowers.view.flatMap { case (v, lo, pointOnLeft) =>
+            lowers.collectFirst {
               case (hi, v2, p2) if p2 != pointOnLeft && v2.semanticEquals(v) =>
                 (v, lo, hi, pointOnLeft)
             }
-          }
+          }.headOption
           pair match {
             case None => j
             case Some((v, lo, hi, pointOnLeft)) =>

@@ -91,15 +91,37 @@ class JsonDirWriterFactory(staging: String, schema: StructType)
       private val out = new java.io.PrintWriter(
         new java.io.File(staging, fileName), "UTF-8")
 
+      /** Full JSON string escaping: backslash, quote, the named control
+        * escapes, and \u00XX for every other char < 0x20 — a newline in
+        * a value must not break the one-record-per-line framing
+        * (ADVICE r6). */
+      private def escape(s: String): String = {
+        val sb = new StringBuilder(s.length + 8)
+        s.foreach {
+          case '\\' => sb.append("\\\\")
+          case '"' => sb.append("\\\"")
+          case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+
       private def jsonValue(dt: DataType, row: InternalRow, i: Int): String =
         if (row.isNullAt(i)) "null"
         else dt match {
           case org.apache.spark.sql.types.StringType =>
-            "\"" + row.getUTF8String(i).toString
-              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            "\"" + escape(row.getUTF8String(i).toString) + "\""
           case org.apache.spark.sql.types.LongType => row.getLong(i).toString
           case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
-          case org.apache.spark.sql.types.DoubleType => row.getDouble(i).toString
+          case org.apache.spark.sql.types.DoubleType =>
+            val d = row.getDouble(i)
+            // bare NaN/Infinity are not valid JSON tokens — emit null
+            if (java.lang.Double.isFinite(d)) d.toString else "null"
           case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
           case TimestampType => row.getLong(i).toString // micros
           case other => sys.error(s"graft-json-sink: unsupported type $other")
@@ -107,7 +129,7 @@ class JsonDirWriterFactory(staging: String, schema: StructType)
 
       override def write(row: InternalRow): Unit =
         out.println(schema.fields.indices.map { i =>
-          "\"" + schema.fields(i).name + "\": " +
+          "\"" + escape(schema.fields(i).name) + "\": " +
             jsonValue(schema.fields(i).dataType, row, i)
         }.mkString("{", ", ", "}"))
 

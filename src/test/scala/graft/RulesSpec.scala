@@ -53,6 +53,19 @@ class RulesSpec extends AnyFunSuite {
         assert(!equi.queryExecution.executedPlan.toString
           .contains("__graft_bucket"))
       } finally spark.conf.unset(RewriteRangeJoin.WidthConf)
+      // the UPPER-BOUND-FIRST formulation (hi >= x AND x >= lo) must
+      // pair too — headOption used to silently skip it (ADVICE r6)
+      spark.conf.set(RewriteRangeJoin.WidthConf, "500.0")
+      try {
+        val flipped = o.join(c,
+          col("hi") >= col("o_totalprice") && col("o_totalprice") >= col("lo"))
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy("c_custkey", "o_orderkey")
+        val p = flipped.queryExecution.executedPlan.toString
+        assert(!p.contains("NestedLoop"), p)
+        assert(p.contains("__graft_bucket"), p)
+        assert(flipped.collect().toSeq == expected)
+      } finally spark.conf.unset(RewriteRangeJoin.WidthConf)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

@@ -74,6 +74,37 @@ class V2SourceSpec extends AnyFunSuite {
     assert(v == graft.sources.v2.EntityApiSource.valueFor("ALPHA", 1, 3))
   }
 
+  test("json sink escapes control chars and serializes non-finite doubles as null") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = "target/tmp/v2_json_sink_esc"
+    val f = new java.io.File(dir)
+    if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+    f.mkdirs()
+    val nasty = Seq(
+      ("line\nbreak\ttab", 1.0),
+      ("quote\"back\\slash", Double.NaN),
+      ("bellctl", Double.PositiveInfinity))
+      .toDF("s", "v")
+    nasty.coalesce(1).write.format("graft.sources.v2.JsonDirSink")
+      .option("path", dir).mode("append").save()
+    val lines = f.listFiles().filter(_.getName.endsWith(".json")).flatMap(p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(p.getPath))).asScala)
+    // one-record-per-line framing survives embedded newlines
+    assert(lines.length == 3, lines.mkString("|"))
+    // every line is independently valid JSON (strict parser)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach(l => mapper.readTree(l))
+    // and the values round-trip through a normal Spark JSON read
+    val back = spark.read.json(dir)
+    val got = back.select("s", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("line\nbreak\ttab") == Some(1.0))
+    assert(got("quote\"back\\slash").isEmpty) // NaN became JSON null
+    assert(got("bellctl").isEmpty) // Infinity became JSON null
+  }
+
   test("rows are the deterministic payload, complete per partition") {
     val rows = load().collect()
     assert(rows.length == 5 * 3 * 4) // entities x metrics x periods
