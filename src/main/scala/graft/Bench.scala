@@ -12,85 +12,64 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** One representative per SURVEY §2 family; the heavy operators (dedup
-    * family, as-of join, bucketed sink, star join, streams) are all in. */
+  /** One representative per SURVEY §2 family, biased toward the heavy
+    * operators. CURATED (r7, ADVICE budget item): the r6 list hit 76
+    * keys / 1.85 KB of the driver's ~2 KB stdout tail — one more round
+    * of keys would overflow it and reproduce r01's `parsed: null`. Thin
+    * family duplicates (sub-0.6 s keys whose family keeps a heavier
+    * representative) moved out; their steady numbers live in PERF.md
+    * and every key still runs under Verify. BenchLineSpec asserts the
+    * worst-case line stays ≤ 1600 bytes. */
   val headline: Seq[String] = Seq(
     "filter_positive",      // scan+filter pushdown
-    "proj_snapshot",        // wide projection
-    "agg_group_stats",      // hash agg
-    "agg_grouping_sets",    // rollup/cube
-    "agg_salted_skew",      // skew mitigation
-    "agg_ttm_rolling4",     // window-limit + agg
+    "agg_grouping_sets",    // rollup/cube hash agg
     "join_star_q5",         // multi-way star join
     "join_equi_large",      // fact-fact shuffle join
     "join_asof_native",     // custom AsOfJoinExec
     "join_range_interval",  // range join
     "join_bloom_pruned",    // runtime bloom semi-join pruning
+    "join_range_bucketed",  // binned interval join, no nested loop
+    "join_salted_skew",     // salted skew join
     "sink_bucketed_join",   // bucketed write + co-located join
-    "sink_partitioned_scan",// partitioned write + pruned read-back
     "sink_sorted_scan",     // range-clustered layout + min/max skipping
+    "sink_zorder_scan",     // z-order clustered layout
+    "sink_commit_partitions", // dynamic partition overwrite publish
+    "src_dpp_pruned",       // dynamic partition pruning
     "win_rank_topk",        // ranking window (TakeOrderedAndProject inside)
     "win_rolling_frame",    // rows-frame window
+    "win_skyline",          // domain-sized Pareto frontier
     "setop_except",         // set op
     "stmt_pivot_wide",      // pivot
-    "sql_correlated_subquery",
     "expr_fx_normalize",    // expression-heavy projection
     "fn_math",              // scalar function battery
     "agg_q1_pricing",       // TPC-H Q1, exact-decimal
     "join_q10_returns",     // TPC-H Q10
-    "agg_q18_large_orders", // TPC-H Q18 group-having-topk
+    "agg_q8_share",         // TPC-H Q8 8-table share ratio (r7)
+    "agg_q9_profit",        // TPC-H Q9 5-way profit rollup (r7)
+    "agg_q17_small_qty",    // TPC-H Q17 decorrelated agg-in-predicate (r7)
     "quality_checks",       // fused expectation scan + FK anti-join
-    "scd2_intervals",       // SCD2 window pass
     "merge_upsert",         // full-outer MERGE shape
-    "text_pack_sequences",  // corpus packing window
+    "agg_incremental",      // incremental agg maintenance
+    "agg_incremental_cdc",  // retraction (I/U/D) view maintenance (r7)
     "text_pack_shards",     // 64-way bounded-shard packing
     "text_decontaminate",   // zero-shuffle 3-gram scan
-    "text_repetition",      // Gopher-style repetition signals (HOF scan)
+    "text_tfidf",           // text analysis
     "dedup_keep_best",      // map-side representative selection
     "dedup_clusters",       // iterative min-label connected components
-    "src_orc_roundtrip",    // ORC write + pushed read
-    "dedup_exact",
     "dedup_minhash",        // LSH band join
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_search_ivf",       // IVF ANN scale path
-    "sim_search_batch",     // batch-probe serving (map-side bounded top-k)
-    "stream_topk",          // bounded per-key leaderboard aggregate
-    "sink_commit_partitions", // dynamic partition overwrite publish
+    "dedup_jarowinkler",    // native codegen JW probe scan
+    "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
+    "sim_search_pq",        // product-quantization ANN
+    "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
     "sql_asof",             // native as-of through the SQL TVF surface
-    "text_tfidf",           // text analysis
     "mm_binary",            // multimodal binary ops
+    "mm_decode",            // real javax.imageio PNG decode (r7)
     "stream_sliding_agg",   // streaming (batch-replay) agg
-    "join_salted_skew",     // salted skew join (r5)
-    "src_zonemap_pruned",   // manifest file pruning (r5)
-    "sink_zorder_scan",     // z-order clustered layout (r5)
-    "agg_incremental",      // incremental agg maintenance (r5)
-    "join_q7_volume",       // TPC-H Q7 (r5)
-    "fin_twap",             // time-weighted average price (r5)
-    "dedup_editdist",       // deletion-neighborhood edit-distance join (r5)
-    "win_sessionize",       // labeled gap sessionization (r5)
-    "sim_search_pq",        // product-quantization ANN (r5)
-    "join_q3_shipping",     // TPC-H Q3 semi-join form (r6)
-    "join_q19_disjunct",    // OR-of-ANDs disjunctive hash join (r6)
-    "agg_q12_late",         // Q12-shape one-pass conditional counts (r6)
-    "join_range_bucketed",  // binned interval join, no nested loop (r6)
-    "join_incremental",     // delta-join view maintenance (r6)
-    "sink_time_travel",     // snapshot commits + as-of reads (r6)
-    "text_chunk",           // sliding-window chunking (r6)
-    "text_mix_temperature", // temperature language rebalancing (r6)
-    "fin_ohlc",             // one-pass OHLC candles (r6)
-    "cdc_capture",          // snapshot-diff changelog (r6)
-    "win_sweep_concurrency",// sweep-line interval concurrency (r6)
-    "src_dpp_pruned",       // dynamic partition pruning (r6)
-    "graph_triangles",      // degree-oriented triangle counting (r6)
-    "text_line_dedup",      // corpus-global line dedup (r6)
-    "corpus_clean_pipeline", // 5-stage cleaning pipeline, one plan (r6)
-    "dedup_jarowinkler",    // native codegen JW probe scan (r6)
-    "win_interval_merge",   // interval coalescing window pass (r6)
-    "win_skyline",          // domain-sized Pareto frontier (r6)
-    "graph_pagerank",       // 5 pinned iterations, broadcast rank (r6)
-    "fin_ewma",             // dyadic-decay Horner fold (r6)
-    "src_v2_pushdown")      // DataSourceV2 partition/filter pushdown (r6)
+    "fin_twap",             // time-weighted average price
+    "graph_triangles",      // degree-oriented triangle counting
+    "graph_pagerank",       // 5 pinned iterations, broadcast rank
+    "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
