@@ -28,6 +28,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "join_scd2_pit" -> "4-row probe-grid crossJoin",
     "text_mix_temperature" -> "1-row cmax crossJoin",
     "agg_q22_opportunity" -> "1-row scalar-average broadcast (Q22's avg subquery)",
+    "agg_q11_value" -> "1-row scalar-threshold broadcast (Q11's HAVING total)",
+    "sim_search_kmeans_assign" -> "k-row pinned-centroid broadcast per Lloyd round",
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin")
