@@ -43,6 +43,51 @@ object Aggs extends graft.QueryModule {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Higher-moment statistics (skewness, excess kurtosis) per group [N],
+    * EXACT and order-invariant — the built-ins accumulate centered
+    * float moments whose result is partition-order-dependent, so they
+    * can never hash-match an oracle. The determinism trick is to make
+    * the pinned value INTEGER-VALUED: price bins to $1000 units
+    * (y = cents div 10⁵ − 250, roughly centered so |y| ≤ 350 and the
+    * bigint power sums stay far under 2^53 at any SF), the four power
+    * sums are exact integer arithmetic — no decimal rounding anywhere,
+    * which matters because DuckDB's round_even on a DECIMAL product
+    * silently routes through doubles (measured: re-pinned decimal
+    * products drifted kurt at 1e-8). Skew/kurt are what a price
+    * histogram at $1000 resolution has; floats appear only in the
+    * final moment formulas, mirrored token for token (sqrt not pow —
+    * pow is transcendental and drifts a ULP across engines). */
+  private def skewKurt(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val y = expr("cents div 100000") - lit(250L)
+    val agg = Tables.orders(s, d)
+      .select(col("o_orderpriority"), cents.as("cents"))
+      .select(col("o_orderpriority"), y.as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("s1"),
+        sum(col("y") * col("y")).cast("double").as("s2"),
+        sum(col("y") * col("y") * col("y")).cast("double").as("s3"),
+        sum(col("y") * col("y") * col("y") * col("y")).cast("double").as("s4"))
+    agg
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2",
+        col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("skew",
+        (col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n")) +
+          lit(2.0) * col("mean") * col("mean") * col("mean")) /
+          (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt",
+        (col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n")) +
+          lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean")) /
+          (col("m2") * col("m2")) - lit(3.0))
+      .select(col("o_orderpriority"), col("n").cast("bigint").as("n"),
+        col("mean"), col("m2"), col("skew"), col("kurt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Cross-list dedup to a unique key set (`fetch_data.py:282,296`). */
   private def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(col("o_custkey")).distinct().orderBy("o_custkey")
@@ -356,6 +401,7 @@ object Aggs extends graft.QueryModule {
     "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_regression" -> regression,
+    "agg_skewkurt" -> skewKurt,
     "agg_cohort_retention" -> cohortRetention,
     "agg_boolean_bitwise" -> booleanBitwise,
     "agg_profile_stats" -> profileStats,
@@ -377,6 +423,31 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    // integer power sums ($1000-binned, centered); moment formulas
+    // mirrored token for token (sqrt not pow)
+    "agg_skewkurt" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS s1,
+        |         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS s2,
+        |         CAST(CAST(sum(y * y * y) AS BIGINT) AS DOUBLE) AS s3,
+        |         CAST(CAST(sum(y * y * y * y) AS BIGINT) AS DOUBLE) AS s4
+        |  FROM (SELECT o_orderpriority,
+        |               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                    AS BIGINT) // 100000 - 250 AS y
+        |        FROM orders)
+        |  GROUP BY o_orderpriority),
+        |b AS (SELECT *, s1 / n AS mean FROM a),
+        |c AS (SELECT *, s2 / n - mean * mean AS m2 FROM b)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, mean, m2,
+        |       (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+        |         / (m2 * sqrt(m2)) AS skew,
+        |       (s4 / n - 4.0 * mean * (s3 / n)
+        |          + 6.0 * mean * mean * (s2 / n)
+        |          - 3.0 * mean * mean * mean * mean)
+        |         / (m2 * m2) - 3.0 AS kurt
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderpriority, o_orderstatus,
         |       CAST(grouping(o_orderpriority) * 2
