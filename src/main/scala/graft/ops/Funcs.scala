@@ -141,7 +141,47 @@ object Funcs extends graft.QueryModule {
       bit_count(col("o_orderkey")).as("pop"))
       .orderBy("o_orderkey")
 
+  /** Regexp battery (§H completeness, r7): extract-all, global replace,
+    * count, rlike — the text-wrangling calls every ETL leans on. All
+    * codegen'd built-ins; DuckDB mirrors with regexp_extract_all /
+    * regexp_replace(.., 'g') / regexp_matches (its regexp_replace is
+    * FIRST-occurrence unless the 'g' flag is passed — the classic
+    * cross-engine trap, mirrored explicitly). */
+  private def fnRegexp(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), "|")
+        .as("words"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      expr("regexp_count(p_name, '[aeiou]')").cast("int").as("n_vowels"),
+      col("p_name").rlike("^(red|blue)").as("is_color"),
+      regexp_extract(col("p_type"), "^(.)", 1).as("type_initial"))
+      .orderBy("p_partkey")
+
+  /** Map-typed column battery (§H completeness, r7): build a map from
+    * delimited text (`str_to_map`), then element access, cardinality,
+    * sorted key/value projections, `map_concat` and `transform_values`
+    * — maps survive end-to-end in Spark; the oracle mirrors the VALUE
+    * semantics with plain string ops (DuckDB's MAP type needn't appear
+    * for the outputs to be comparable). */
+  private def fnMapOps(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("str_to_map(concat('priority:', o_orderpriority, " +
+          "',status:', o_orderstatus), ',', ':')").as("m"))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "priority").as("priority"),
+        size(col("m")).as("n_entries"),
+        array_join(array_sort(map_keys(col("m"))), "|").as("keys_sorted"),
+        element_at(expr("transform_values(m, (k, v) -> upper(v))"), "status")
+          .as("status_upper"),
+        element_at(expr("map_concat(m, map('src', 'etl'))"), "src").as("src"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regexp" -> fnRegexp,
+    "fn_map_ops" -> fnMapOps,
     "fn_string_extra" -> fnStringExtra,
     "fn_try_errors" -> fnTryErrors,
     "fn_variant" -> fnVariant,
@@ -153,6 +193,24 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_regexp" ->
+      """SELECT p_partkey,
+        |       array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|')
+        |         AS words,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |       CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS INTEGER)
+        |         AS n_vowels,
+        |       regexp_matches(p_name, '^(red|blue)') AS is_color,
+        |       regexp_extract(p_type, '^(.)', 1) AS type_initial
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_map_ops" ->
+      """SELECT o_orderkey,
+        |       o_orderpriority AS priority,
+        |       2 AS n_entries,
+        |       'priority|status' AS keys_sorted,
+        |       upper(o_orderstatus) AS status_upper,
+        |       'etl' AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_string_extra" ->
       """SELECT p_partkey,
         |       lpad(p_name, 16, '*') AS padded,
