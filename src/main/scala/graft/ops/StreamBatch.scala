@@ -126,7 +126,36 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Streaming RETRACTION maintenance end to end
+    * ([[graft.streaming.Streams.maintainChangelogState]]): the CDC
+    * changelog (cdcViewParts' I/U/D rows) is sliced into three files,
+    * streamed one per micro-batch, and each batch folds into the
+    * versioned (count, sum) view state as SIGNED deltas — deletes
+    * subtract, updates shift. The key serves the FINAL state and the
+    * oracle recomputes the view from scratch over the CURR snapshot:
+    * equality proves three changelog folds land exactly where one
+    * direct maintenance (or a full recompute) lands. */
+  private def incrementalCdcMaintain(s: SparkSession, d: String): DataFrame = {
+    val base = "target/tmp/cdc_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (view0, log) = Warehouse.cdcViewParts(s, d)
+    view0.write.mode("overwrite").parquet(s"$base/seed")
+    for (slice <- 0 to 2) {
+      log.filter(pmod(col("o_custkey"), lit(3)) === slice)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+    }
+    val q = graft.streaming.Streams.maintainChangelogState(
+      s, s"$base/src", s"$base/seed", s"$base/state", s"$base/ckpt")
+    q.awaitTermination()
+    val latest = graft.streaming.Streams.latestStateVersion(s"$base/state")
+      .getOrElse(sys.error("no changelog state version written"))
+    s.read.parquet(latest)
+      .select(col("o_custkey"), col("n"), col("s").cast("double").as("total"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_cdc" -> incrementalCdcMaintain,
     "stream_incremental_agg" -> incrementalMaintain,
     "stream_tumbling_agg" -> tumblingAgg,
     "stream_sliding_agg" -> slidingAgg,
@@ -136,6 +165,20 @@ object StreamBatch extends graft.QueryModule {
     "stream_topk" -> topkStateful)
 
   val oracles: Map[String, String] = Map(
+    // same from-scratch-over-CURR oracle as agg_incremental_cdc: the
+    // streamed folds must land exactly where the batch fold lands
+    "stream_incremental_cdc" ->
+      """WITH curr AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN CAST(o_totalprice AS DECIMAL(12,2))
+        |                   * CAST(1.05 AS DECIMAL(3,2))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |                        AS DECIMAL(16,4)) END AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 2)
+        |SELECT o_custkey, CAST(count(price) AS BIGINT) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM curr GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "stream_incremental_agg" ->
       """SELECT user_id,
         |       CAST(count(value) AS BIGINT) AS n,

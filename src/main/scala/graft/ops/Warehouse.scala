@@ -136,7 +136,11 @@ object Warehouse extends graft.QueryModule {
     * pin ONCE to 2dp decimals and the 5% bump runs in exact decimal
     * arithmetic (scale 4) — a double-side `*1.05` then re-round hit a
     * half-even tie one engine resolved differently. */
-  private def aggIncrementalCdc(s: SparkSession, d: String): DataFrame = {
+  /** Shared with [[StreamBatch]]'s streaming twin: the per-customer
+    * (count, sum) view over the PREV snapshot, and the I/U/D changelog
+    * that carries it to CURR. */
+  private[ops] def cdcViewParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val pinned = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("decimal(12,2)").as("p2"))
@@ -160,6 +164,11 @@ object Warehouse extends graft.QueryModule {
       .filter(col("op").isNotNull)
     val view0 = prev.groupBy(col("o_custkey"))
       .agg(count(col("price")).as("n"), sum(col("price")).as("s"))
+    (view0, log)
+  }
+
+  private def aggIncrementalCdc(s: SparkSession, d: String): DataFrame = {
+    val (view0, log) = cdcViewParts(s, d)
     Incremental.mergeChangelog(view0, log, Seq("o_custkey"),
         "old_price", "new_price")
       .select(col("o_custkey"), col("n"), col("s").cast("double").as("total"))

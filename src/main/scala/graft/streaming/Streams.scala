@@ -445,6 +445,45 @@ object Streams {
       .start()
   }
 
+  /** Retraction-aware streaming view maintenance: each micro-batch is a
+    * slice of an I/U/D CHANGELOG folded into the versioned (count, sum)
+    * state via [[graft.ops.Incremental.mergeChangelog]] — the streaming
+    * form of `agg_incremental_cdc`, with the same fail-loud
+    * missing-predecessor contract as [[maintainIncrementalState]].
+    * `seedDir` holds the view state over the PREV snapshot (batch 0
+    * folds into it, never into empty state). */
+  def maintainChangelogState(spark: SparkSession, srcDir: String,
+                             seedDir: String, stateDir: String,
+                             checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("op", StringType),
+      StructField("o_custkey", LongType),
+      StructField("old_price", DecimalType(16, 4)),
+      StructField("new_price", DecimalType(16, 4))))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark2 = batch.sparkSession
+        val prev = new java.io.File(s"$stateDir/v${batchId - 1}")
+        val st =
+          if (batchId > 0) {
+            if (!prev.exists())
+              sys.error(s"changelog state v${batchId - 1} missing under " +
+                s"$stateDir but checkpoint expects batch $batchId; refusing " +
+                "to rebuild from empty state (would silently drift)")
+            spark2.read.parquet(prev.getAbsolutePath)
+          } else spark2.read.parquet(seedDir)
+        graft.ops.Incremental.mergeChangelog(st, batch, Seq("o_custkey"),
+            "old_price", "new_price")
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .start()
+  }
+
   /** Latest state version written by [[maintainIncrementalState]]. */
   def latestStateVersion(stateDir: String): Option[String] = {
     val vs = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
