@@ -311,6 +311,37 @@ object SimSearch extends graft.QueryModule {
         col("n_members"))
       .orderBy("cid", "pos")
 
+  /** The FULL IVF serving path, oracle-checked end to end [r7]: pinned
+    * deterministic training ([[trainKmeansPinned]]) makes the cell
+    * structure hash-exact, and the final candidate ranking is plain
+    * cosine between stored floats (bit-identical ordered folds) — so
+    * the entire ANN query (train → assign → probe nprobe cells → exact
+    * cosine top-k) matches a DuckDB oracle bit for bit. The float-mean
+    * twin `sim_search_ivf_kmeans` stays rows-only; this key proves the
+    * ARCHITECTURE exact under the pinned trainer. Same plan shape:
+    * K-row centroid broadcasts, nprobe-cell equi-join, bounded top-k. */
+  private def ivfPinnedServe(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 4
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansPinned(vecs, pinnedK, pinnedIters)
+    val cells = pinnedAssign(vecs, centroids).join(vecs, Seq("vec_id"))
+    val probeVec = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val probeCells = probeVec.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("probe"),
+        pinnedAffinity(col("probe"), col("cvec")).as("aff"))
+      .orderBy(col("aff").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("probe_cell"), col("probe"))
+    cells.join(broadcast(probeCells), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"),
+        pinnedAffinity(col("embedding"),
+          transform(col("probe"), x => x.cast("double"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** The generated DuckDB mirror: Lloyd rounds unrolled as chained CTEs
     * (the PageRank-oracle discipline). Affinity is the parallel-unnest
     * ordered sum; the argmax tiebreak is `ROW_NUMBER() ... ORDER BY aff
@@ -373,6 +404,50 @@ object SimSearch extends graft.QueryModule {
        |                               ORDER BY aff DESC, cid) AS rn
        |  FROM affF) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin)
+
+  private def ivfPinnedServeOracle: String = kmeansOracle(
+    s""", affF AS (
+       |  SELECT v.vec_id, c.cid,
+       |         ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+       |           FROM (SELECT unnest(v.embedding) AS x,
+       |                        unnest(c.cvec) AS y) u)
+       |          / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                   FROM (SELECT unnest(v.embedding) AS x) u))
+       |             * sqrt((SELECT sum(u.y * u.y)
+       |                     FROM (SELECT unnest(c.cvec) AS y) u)))) AS aff
+       |  FROM vecs v CROSS JOIN c$pinnedIters c),
+       |asgF AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY aff DESC, cid) AS rn
+       |    FROM affF) WHERE rn = 1),
+       |p AS (SELECT embedding AS pe FROM vecs WHERE vec_id = 0),
+       |pc AS (
+       |  SELECT cid AS probe_cell FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+       |        FROM (SELECT unnest(p.pe) AS x, unnest(c.cvec) AS y) u)
+       |       / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                FROM (SELECT unnest(p.pe) AS x) u))
+       |          * sqrt((SELECT sum(u.y * u.y)
+       |                  FROM (SELECT unnest(c.cvec) AS y) u)))) DESC,
+       |      c.cid) AS rn
+       |    FROM c$pinnedIters c CROSS JOIN p) WHERE rn <= 4),
+       |served AS (
+       |  SELECT v.vec_id, a.cell,
+       |         ((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+       |           FROM (SELECT unnest(v.embedding) AS x,
+       |                        unnest(p.pe) AS y) u)
+       |          / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                   FROM (SELECT unnest(v.embedding) AS x) u))
+       |             * sqrt((SELECT sum(CAST(u.y AS DOUBLE) * CAST(u.y AS DOUBLE))
+       |                     FROM (SELECT unnest(p.pe) AS y) u)))) AS cosine
+       |  FROM vecs v JOIN asgF a ON v.vec_id = a.vec_id
+       |  JOIN pc ON a.cell = pc.probe_cell
+       |  CROSS JOIN p
+       |  WHERE v.vec_id <> 0)
+       |SELECT vec_id, cell, cosine FROM served
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)
 
   private def kmeansCentroidsOracle: String = kmeansOracle(
     s"""SELECT cell AS cid, CAST(pos AS INTEGER) AS pos, m AS s_sum,
@@ -721,6 +796,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_kmeans" -> ivfKmeans,
     "sim_search_kmeans_assign" -> kmeansAssign,
     "sim_search_kmeans_centroids" -> kmeansCentroids,
+    "sim_search_ivf_pinned" -> ivfPinnedServe,
     "sim_search_batch" -> batch,
     "sim_search_ivf_batch" -> ivfBatch,
     "sim_search_ivf_saved" -> ivfSaved)
@@ -732,6 +808,7 @@ object SimSearch extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "sim_search_kmeans_assign" -> kmeansAssignOracle,
     "sim_search_kmeans_centroids" -> kmeansCentroidsOracle,
+    "sim_search_ivf_pinned" -> ivfPinnedServeOracle,
     "emb_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

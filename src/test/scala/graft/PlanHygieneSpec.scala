@@ -30,6 +30,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "agg_q22_opportunity" -> "1-row scalar-average broadcast (Q22's avg subquery)",
     "agg_q11_value" -> "1-row scalar-threshold broadcast (Q11's HAVING total)",
     "sim_search_kmeans_assign" -> "k-row pinned-centroid broadcast per Lloyd round",
+    "sim_search_ivf_pinned" -> "k-row centroid + single-probe broadcasts",
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin")
