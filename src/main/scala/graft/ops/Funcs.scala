@@ -53,6 +53,25 @@ object Funcs extends graft.QueryModule {
       date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
       .orderBy("o_orderkey")
 
+  /** Extended datetime battery (§H completeness, r7): week/quarter
+    * truncation, ISO week numbering, month arithmetic, boundary dates —
+    * the calendar surface every reporting query leans on. Cross-engine
+    * traps mirrored explicitly: Spark `dayofweek` is 1=Sunday while
+    * DuckDB's is 0=Sunday (+1 on the oracle); Spark `weekofyear` is ISO
+    * week ≡ DuckDB `weekofyear`; quarter/last_day/add_months agree. */
+  private def fnDatetimeExtra(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+      date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+      quarter(col("o_orderdate")).as("q"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      weekofyear(col("o_orderdate")).as("iso_week"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      add_months(col("o_orderdate").cast("date"), 3).as("plus_q"))
+      .orderBy("o_orderkey")
+
   /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
     * record serialization. */
   /** Extended string battery [N] (§H completeness round 2): padding,
@@ -182,6 +201,7 @@ object Funcs extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_regexp" -> fnRegexp,
     "fn_map_ops" -> fnMapOps,
+    "fn_datetime_extra" -> fnDatetimeExtra,
     "fn_string_extra" -> fnStringExtra,
     "fn_try_errors" -> fnTryErrors,
     "fn_variant" -> fnVariant,
@@ -193,6 +213,17 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_datetime_extra" ->
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_regexp" ->
       """SELECT p_partkey,
         |       array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|')
