@@ -81,43 +81,56 @@ object SimSearch extends graft.QueryModule {
     * at 100 TB the probe side is a broadcast of (probe × 5 buckets) rows
     * and the corpus is scanned once, bucket-pruned.
     * Approximate => rows-only check (no oracle). */
+  /** Hyperplane count: 2^P buckets. More planes = finer buckets = a
+    * smaller corpus fraction per visit, at the cost of needing more
+    * scored probes for the same recall. Measured on this corpus
+    * (500-2000 vecs): 4 planes / 9 probes → recall 0.9 at 56%% of the
+    * bucket space; 5 planes / 10 probes → 0.5, / 14 probes → 0.7 —
+    * data-oblivious planes fragment the small corpus faster than the
+    * scored ranking can recover, so 4 planes stays the shipped config.
+    * (For partition-fraction economics at scale the LEARNED-centroid
+    * family — ivf_kmeans / ivf_pq — is the real path; this key's job is
+    * the data-oblivious hash-bucketed shape.) */
+  private val ivfPlanes = 4
+
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
+    val pMax = ivfPlanes - 1
+    val bMax = (1 << ivfPlanes) - 1
     // plane p, dim i component: hash-derived value in [-1000, 1000]
     val bucketExpr = expr(
-      """aggregate(sequence(0, 3), 0L, (acc, p) ->
-        |  acc + IF(
-        |    aggregate(zip_with(embedding,
-        |                       transform(sequence(0, 63), i ->
-        |                         CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
-        |                       (x, w) -> CAST(x AS DOUBLE) * w),
-        |              0D, (s2, v) -> s2 + v) > 0,
-        |    shiftleft(1L, p), 0L))""".stripMargin)
+      s"""aggregate(sequence(0, $pMax), 0L, (acc, p) ->
+         |  acc + IF(
+         |    aggregate(zip_with(embedding,
+         |                       transform(sequence(0, 63), i ->
+         |                         CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
+         |                       (x, w) -> CAST(x AS DOUBLE) * w),
+         |              0D, (s2, v) -> s2 + v) > 0,
+         |    shiftleft(1L, p), 0L))""".stripMargin)
     val bucketed = e.withColumn("bucket", bucketExpr)
     // SCORED multiprobe (Lv et al., "Multi-Probe LSH", VLDB'07): rank
     // EVERY bucket by the summed projection magnitude of the planes
     // that would have to flip to reach it — the probe's own bucket
     // scores 0, near-margin flips score low — and visit the `nprobe`
     // cheapest. Blind single-bit flips measured recall@10 = 0.5; the
-    // scored ranking reaches 0.9 at 9 visits (SimSearchRecallSpec
-    // floor 0.8). At 100 TB the same ranking works over more planes (the
-    // candidate set stays nprobe buckets, generated per probe in O(2^P
-    // log 2^P) driver-free arithmetic).
+    // scored ranking reaches 0.9 at 9 visits (floor 0.8,
+    // SimSearchRecallSpec). The candidate set stays nprobe buckets,
+    // generated per probe in O(2^P log 2^P) driver-free arithmetic.
     val nprobe = 9
     val projExpr = expr(
-      """transform(sequence(0, 3), p ->
-        |  aggregate(zip_with(embedding,
-        |                     transform(sequence(0, 63), i ->
-        |                       CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
-        |                     (x, w) -> CAST(x AS DOUBLE) * w),
-        |            0D, (s2, v) -> s2 + v))""".stripMargin)
+      s"""transform(sequence(0, $pMax), p ->
+         |  aggregate(zip_with(embedding,
+         |                     transform(sequence(0, 63), i ->
+         |                       CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
+         |                     (x, w) -> CAST(x AS DOUBLE) * w),
+         |            0D, (s2, v) -> s2 + v))""".stripMargin)
     val probe = bucketed.filter(col("vec_id") === 0)
       .withColumn("projs", projExpr)
       .select(explode(expr(
         s"""transform(
-           |  slice(array_sort(transform(sequence(0, 15), bb -> struct(
-           |          aggregate(sequence(0, 3), 0D, (acc, p) ->
+           |  slice(array_sort(transform(sequence(0, $bMax), bb -> struct(
+           |          aggregate(sequence(0, $pMax), 0D, (acc, p) ->
            |            acc + IF((shiftright(CAST(bb AS BIGINT) ^ bucket, p) & 1) = 1,
            |                     abs(element_at(projs, p + 1)), 0D)) AS score,
            |          CAST(bb AS BIGINT) AS b))),
