@@ -741,11 +741,14 @@ object SimSearch extends graft.QueryModule {
     *     broadcast ADC table — no full vectors touched.
     *  3. RERANK: exact cosine on the short list only.
     *
-    * (Classic IVF-PQ trains codebooks on residuals v − centroid(cell);
-    * here codebooks are global — simpler, and the exact rerank absorbs
-    * the quantization-accuracy difference at these sizes.) Approximate
-    * by construction → rows-only; SimSearchRecallSpec holds the
-    * recall@10 floor vs the exact scan. */
+    * RESIDUAL encoding (r7, classic FAISS): codebooks train on
+    * r = v − centroid(cell) rather than the raw vectors, so each
+    * codebook only has to cover the within-cell spread — and the ADC
+    * score decomposes as dot(probe, v) ≈ dot(probe, c_cell) +
+    * Σ_sub dot(probe_sub, code_sub), one broadcast per-cell constant
+    * plus the usual m-entry table lookup. Approximate by construction
+    * → rows-only; SimSearchRecallSpec holds the recall@10 floor vs the
+    * exact scan. */
   def ivfPqTopK(e: DataFrame, kCells: Int = 16, lloydIters: Int = 2,
                 nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
                 pqIters: Int = 3, rerank: Int = 100, topK: Int = 10)
@@ -755,15 +758,28 @@ object SimSearch extends graft.QueryModule {
     val cellOf = assignCells(vecs, centroids)
     val probeVec = vecs.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
+    // probed cells carry BOTH the membership key and the probe·centroid
+    // constant the residual ADC score needs
     val probeCells = probeVec.crossJoin(broadcast(centroids))
-      .select(col("cid"), cosine(col("probe"), col("cvec")).as("aff"))
+      .select(col("cid"), cosine(col("probe"), col("cvec")).as("aff"),
+        dot(col("probe"), col("cvec")).as("pdotc"))
       .orderBy(col("aff").desc, col("cid")).limit(nprobe)
-      .select(col("cid").as("cell"))
+      .select(col("cid").as("cell"), col("pdotc"))
+    // residual corpus: one broadcast centroid join, element-wise
+    // subtract — the relation PQ trains on and encodes
+    val rvecs = vecs
+      .join(cellOf, Seq("vec_id"))
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => (x - c).cast("float")).as("embedding"))
     val subDim = 64 / m
-    val cents = pqTrainCodebooks(vecs, m, subDim, kCodes, pqIters)
-    val sub = subvectors(vecs, m, subDim)
-    val codes = pqEncode(sub, cents)
-    val table = sub.filter(col("vec_id") === 0)
+    val cents = pqTrainCodebooks(rvecs, m, subDim, kCodes, pqIters)
+    val codes = pqEncode(subvectors(rvecs, m, subDim), cents)
+    // ADC table: probe subvectors (RAW probe — the centroid term is the
+    // separate pdotc constant) against the residual codebooks
+    val table = subvectors(probeVec
+        .select(lit(0L).as("vec_id"), col("probe").as("embedding")), m, subDim)
       .join(broadcast(cents), Seq("sub"))
       .select(col("sub"), col("cid"), dot(col("svec"), col("cvec")).as("pdot"))
     val norms = vecs.select(col("vec_id"),
@@ -774,7 +790,7 @@ object SimSearch extends graft.QueryModule {
       .filter(col("vec_id") =!= 0)
       .join(broadcast(table), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
-      .agg(sum(col("pdot")).as("approx_dot"))
+      .agg((first(col("pdotc")) + sum(col("pdot"))).as("approx_dot"))
       .join(norms, Seq("vec_id"))
       .select(col("vec_id"), (col("approx_dot") / col("vnorm")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("vec_id")).limit(rerank)
@@ -786,16 +802,12 @@ object SimSearch extends graft.QueryModule {
 
   private def ivfPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    // nprobe 8/16: the r6 verdict measured recall 0.6 at nprobe=4 —
-    // coarse-stage bound. Doubling the visited cells lifts recall@10 to
-    // ≥0.8 (SimSearchRecallSpec floor); the PQ stage and the exact
-    // rerank are unchanged, and the 8-byte-code ADC scan still touches
-    // no full vectors outside the rerank short list.
-    // rerank widens with nprobe: a larger candidate pool under the noisy
-    // global-codebook ADC score would otherwise crowd true neighbors out
-    // of a fixed-size short list (measured: nprobe 4→8 at rerank=100
-    // DROPPED recall 0.6→0.6 before this widening)
-    ivfPqTopK(Tables.embeddings(s, d), nprobe = 8, rerank = 200)
+    // r6 measured recall 0.6 at nprobe=4 with GLOBAL codebooks; r7's
+    // residual encoding (codebooks on v − centroid(cell)) plus a rerank
+    // list that widens with the candidate pool holds recall ≥0.8 at
+    // nprobe 6/16 — the residual ADC is accurate enough to give back
+    // two of the cells the global-codebook version needed (8/16).
+    ivfPqTopK(Tables.embeddings(s, d), nprobe = 6, rerank = 200)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
