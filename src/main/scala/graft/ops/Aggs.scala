@@ -88,6 +88,22 @@ object Aggs extends graft.QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Quantity-weighted average price per return flag [N] — the weighted
+    * mean every pricing report needs: Σ(w·x)/Σw with both sums in exact
+    * decimals (the product widens, nothing rounds) and ONE double
+    * division per group. */
+  private def weightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = col("l_quantity").cast("decimal(12,2)")
+    val x = col("l_extendedprice").cast("decimal(12,2)")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(w * x).cast("double") / sum(w).cast("double")).as("wavg_price"),
+        sum(w).cast("double").as("total_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Cross-list dedup to a unique key set (`fetch_data.py:282,296`). */
   private def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(col("o_custkey")).distinct().orderBy("o_custkey")
@@ -402,6 +418,7 @@ object Aggs extends graft.QueryModule {
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
+    "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
     "agg_boolean_bitwise" -> booleanBitwise,
     "agg_profile_stats" -> profileStats,
@@ -423,6 +440,16 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS wavg_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |         AS total_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // integer power sums ($1000-binned, centered); moment formulas
     // mirrored token for token (sqrt not pow)
     "agg_skewkurt" ->
