@@ -72,6 +72,30 @@ object Funcs extends graft.QueryModule {
       add_months(col("o_orderdate").cast("date"), 3).as("plus_q"))
       .orderBy("o_orderkey")
 
+  /** Extended array battery (§H completeness, r7): position lookup,
+    * set algebra (union/intersect/except), flatten, repeat, and
+    * aggregate-over-array — emitted as SORTED joined strings so neither
+    * engine's internal set-op ordering leaks into the compare. Spark's
+    * array_position returns 0 when absent, DuckDB's list_position
+    * returns NULL — coalesced on the oracle side. */
+  private def fnArrayExtra(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("p_name"), " ")
+    val const = array(lit("red"), lit("green"), lit("blue"))
+    def sortedJoin(c: org.apache.spark.sql.Column) =
+      array_join(array_sort(array_distinct(c)), "|")
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      array_position(ws, "widget").as("pos_widget"),
+      size(flatten(array(ws, const))).as("n_flat"),
+      sortedJoin(array_intersect(ws, const)).as("inter"),
+      sortedJoin(array_except(ws, const)).as("except_c"),
+      sortedJoin(array_union(ws, const)).as("union_c"),
+      array_join(array_repeat(substring(col("p_name"), 1, 3), 2), "|")
+        .as("rep"),
+      array_max(ws).as("max_word"))
+      .orderBy("p_partkey")
+  }
+
   /** JSON scalar functions (`fetch_data.py:313-319`): path extraction +
     * record serialization. */
   /** Extended string battery [N] (§H completeness round 2): padding,
@@ -202,6 +226,7 @@ object Funcs extends graft.QueryModule {
     "fn_regexp" -> fnRegexp,
     "fn_map_ops" -> fnMapOps,
     "fn_datetime_extra" -> fnDatetimeExtra,
+    "fn_array_extra" -> fnArrayExtra,
     "fn_string_extra" -> fnStringExtra,
     "fn_try_errors" -> fnTryErrors,
     "fn_variant" -> fnVariant,
@@ -213,6 +238,25 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    "fn_array_extra" ->
+      """WITH t AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ') AS ws,
+        |         ['red', 'green', 'blue'] AS c
+        |  FROM part)
+        |SELECT p_partkey,
+        |       CAST(coalesce(list_position(ws, 'widget'), 0) AS BIGINT)
+        |         AS pos_widget,
+        |       CAST(len(flatten([ws, c])) AS INTEGER) AS n_flat,
+        |       coalesce(array_to_string(list_sort(list_distinct(
+        |         list_intersect(ws, c))), '|'), '') AS inter,
+        |       coalesce(array_to_string(list_sort(list_distinct(
+        |         list_filter(ws, x -> NOT list_contains(c, x)))), '|'), '')
+        |         AS except_c,
+        |       coalesce(array_to_string(list_sort(list_distinct(
+        |         list_concat(ws, c))), '|'), '') AS union_c,
+        |       substr(p_name, 1, 3) || '|' || substr(p_name, 1, 3) AS rep,
+        |       list_aggregate(ws, 'max') AS max_word
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "fn_datetime_extra" ->
       """SELECT o_orderkey,
         |       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
