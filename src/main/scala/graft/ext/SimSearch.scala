@@ -802,11 +802,12 @@ object SimSearch extends graft.QueryModule {
 
   private def ivfPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    // r6 measured recall 0.6 at nprobe=4 with GLOBAL codebooks; r7's
-    // residual encoding (codebooks on v − centroid(cell)) plus a rerank
-    // list that widens with the candidate pool holds recall ≥0.8 at
-    // nprobe 6/16 — the residual ADC is accurate enough to give back
-    // two of the cells the global-codebook version needed (8/16).
+    // r6 measured recall 0.6 at nprobe=4 with GLOBAL codebooks. r7
+    // ships nprobe=6 of 16 cells + rerank=200, and the 0.8 recall
+    // floor in SimSearchRecallSpec was measured at exactly that
+    // config: residual encoding (codebooks on v − centroid(cell))
+    // makes the ADC accurate enough that 6 probed cells suffice where
+    // the global-codebook variant needed 8.
     ivfPqTopK(Tables.embeddings(s, d), nprobe = 6, rerank = 200)
   }
 

@@ -48,15 +48,24 @@ object Aggs extends graft.QueryModule {
     * float moments whose result is partition-order-dependent, so they
     * can never hash-match an oracle. The determinism trick is to make
     * the pinned value INTEGER-VALUED: price bins to $1000 units
-    * (y = cents div 10⁵ − 250, roughly centered so |y| ≤ 350 and the
-    * bigint power sums stay far under 2^53 at any SF), the four power
+    * (y = cents div 10⁵ − 250, roughly centered so |y| ≤ 350 and each
+    * per-row power term stays under 350⁴ ≈ 1.5e10), the four power
     * sums are exact integer arithmetic — no decimal rounding anywhere,
     * which matters because DuckDB's round_even on a DECIMAL product
     * silently routes through doubles (measured: re-pinned decimal
-    * products drifted kurt at 1e-8). Skew/kurt are what a price
-    * histogram at $1000 resolution has; floats appear only in the
-    * final moment formulas, mirrored token for token (sqrt not pow —
-    * pow is transcendental and drifts a ULP across engines). */
+    * products drifted kurt at 1e-8). The SUMS of those terms are NOT
+    * bounded by 2^53 — s4 ≈ 1.5e10·n crosses it near n ≈ 6e5 rows per
+    * group (≈ SF 4 here) — so s2..s4 accumulate as decimal(38,0)
+    * (order-invariant, exact to 1e38; a bigint sum would wrap silently
+    * at n ≈ 6e8) to mirror DuckDB's exact hugeint sum. Each exact
+    * integer sum converts to double ONCE, correctly rounded on both
+    * engines (BigDecimal.doubleValue / int64 IEEE cast), so the final
+    * doubles agree at any realistic SF; the oracle's BIGINT cast
+    * errors loudly, rather than diverging, past 2^63. Skew/kurt are
+    * what a price histogram at $1000 resolution has; floats appear
+    * only in the final moment formulas, mirrored token for token
+    * (sqrt not pow — pow is transcendental and drifts a ULP across
+    * engines). */
   private def skewKurt(s: SparkSession, d: String): DataFrame = {
     val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
       .cast("long")
@@ -67,9 +76,12 @@ object Aggs extends graft.QueryModule {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("y")).cast("double").as("s1"),
-        sum(col("y") * col("y")).cast("double").as("s2"),
-        sum(col("y") * col("y") * col("y")).cast("double").as("s3"),
-        sum(col("y") * col("y") * col("y") * col("y")).cast("double").as("s4"))
+        sum((col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s2"),
+        sum((col("y") * col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s3"),
+        sum((col("y") * col("y") * col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s4"))
     agg
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("m2",

@@ -23,15 +23,21 @@ object Scans extends graft.QueryModule {
     * sweeps (ADVICE r6). The cache bounds that to one child per parent
     * per key; the child's conf is set once at creation and, per the
     * `join_range_rewritten` lesson, travels with every plan later
-    * derived from the returned DataFrame. */
+    * derived from the returned DataFrame. Entries whose parent context
+    * has stopped are purged on each lookup (ADVICE r7): bounded per
+    * live parent AND across parents — a stream of short-lived
+    * `newSession()` parents (one per spec) no longer pins dead
+    * sessions for the JVM lifetime. */
   private val isoSessions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
 
   private def isolatedSession(s: SparkSession, key: String)
-                             (init: SparkSession => Unit): SparkSession =
+                             (init: SparkSession => Unit): SparkSession = {
+    isoSessions.keySet.removeIf(k => k._1.sparkContext.isStopped)
     isoSessions.computeIfAbsent((s, key), _ => {
       val ns = s.newSession(); init(ns); ns
     })
+  }
 
   /** Glob scan + per-line normalize: list name from file name, item
     * upper/trim, blanks dropped (`fetch_data.py:285-297`). */

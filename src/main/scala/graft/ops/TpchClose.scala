@@ -261,7 +261,13 @@ object TpchClose extends graft.QueryModule {
     * per (brand, type, size) bucket, excluding "complaint" suppliers
     * (negative balance) via NOT IN → broadcast anti join. The distinct
     * count is the only wide stage: partial distinct sets combine
-    * map-side before the (brand,type,size,suppkey) exchange. */
+    * map-side before the (brand,type,size,suppkey) exchange.
+    * PRECONDITION (ADVICE r7): `s_suppkey`/`l_suppkey` are non-null
+    * (TPC-H key columns; holds in the synthetic tables). NOT IN and
+    * left_anti diverge only on NULL keys — a NULL in the subquery
+    * empties NOT IN entirely, and a NULL probe key is dropped by NOT
+    * IN but kept by left_anti — so the rewrite is exact only under
+    * this precondition (same class as the Multimodal ASCII one). */
   private def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
       .filter(col("p_brand") =!= "Brand#5" &&

@@ -63,8 +63,9 @@ class SimSearchRecallSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & twoStage).size.toDouble / exact.size
     info(s"IVF+PQ recall@10 = $recall")
-    // r7: nprobe 8 + rerank 200 (the short list must widen with the
-    // candidate pool or the noisy ADC score crowds true neighbors out)
+    // r7: measured at the shipped config — nprobe 6, rerank 200
+    // (SimSearch.ivfPq). The rerank list must widen with the candidate
+    // pool or the noisy ADC score crowds true neighbors out.
     assert(recall >= 0.8, s"IVF+PQ recall@10 regressed: $recall")
   }
 
