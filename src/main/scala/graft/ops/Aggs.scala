@@ -116,6 +116,61 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered string aggregation [N] — Spark 4's ANSI `listagg ...
+    * WITHIN GROUP (ORDER BY ...)`: the per-customer order-status
+    * history as one deterministic string (ordered by orderkey, so the
+    * concat order is total regardless of partitioning), plus the
+    * distinct-sorted status set. Strings stay small because the GROUP
+    * is small (≈10 orders/customer) — the scale guardrail for listagg
+    * is always group size, never table size. */
+  private def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("listagg(o_orderstatus, '') WITHIN GROUP (ORDER BY o_orderkey)")
+          .as("status_seq"),
+        expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** Pearson chi-square independence statistic [N] over the
+    * priority × status contingency table — exact and order-invariant
+    * end to end. Counts are exact integers; each cell's term is
+    * (obs·N − rt·ct)² / (N·rt·ct) with the numerator squared in
+    * decimal(38,0) (a² reaches ~5e32 at SF 100 — far past int64) and
+    * ONE double division per cell; the cell terms then sum via a
+    * SORTED sequential fold (collect the ≤ r·c cells, array_sort,
+    * `aggregate`), because a parallel double sum is partition-order-
+    * dependent — the fold is the EWMA-proven `list_reduce` mapping.
+    * The contingency table is r·c rows; everything after the first
+    * hash-agg is broadcast-sized by construction. */
+  private def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("r").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("c").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("n"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val terms = cells
+      .join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(n))
+      .withColumn("a", dec(col("obs")) * dec(col("n")) - dec(col("rt")) * dec(col("ct")))
+      .withColumn("term",
+        (col("a") * col("a")).cast("double") /
+          (dec(col("n")) * dec(col("rt")) * dec(col("ct"))).cast("double"))
+    terms
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("r"), col("c"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"),
+        ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1))
+          .cast("int").as("dof"),
+        count(lit(1)).cast("int").as("cells"))
+  }
+
   /** Cross-list dedup to a unique key set (`fetch_data.py:282,296`). */
   private def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(col("o_custkey")).distinct().orderBy("o_custkey")
@@ -426,6 +481,8 @@ object Aggs extends graft.QueryModule {
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> stringAgg,
+    "agg_chisq" -> chiSquare,
     "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_regression" -> regression,
@@ -452,6 +509,39 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(o_orderstatus, '' ORDER BY o_orderkey)
+        |         AS status_seq,
+        |       array_to_string(list_sort(list_distinct(list(o_orderstatus))),
+        |         ',') AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // exact hugeint cell terms, summed by the same sorted sequential
+    // fold the Spark side uses (zero-init + IEEE add ≡ first-elem-init)
+    "agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |         count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(obs) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, sum(obs) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(obs) AS n FROM cells),
+        |t AS (
+        |  SELECT r, c,
+        |         CAST((CAST(obs AS HUGEINT) * n.n - rt.rt * ct.ct)
+        |              * (CAST(obs AS HUGEINT) * n.n - rt.rt * ct.ct)
+        |              AS DOUBLE)
+        |           / CAST(CAST(n.n AS HUGEINT) * rt.rt * ct.ct AS DOUBLE)
+        |           AS term
+        |  FROM cells JOIN rt USING (r) JOIN ct USING (c), n)
+        |SELECT list_reduce(list(term ORDER BY r, c),
+        |                   (acc, x) -> acc + x) AS chi2,
+        |       CAST(((SELECT count(DISTINCT r) FROM cells) - 1)
+        |            * ((SELECT count(DISTINCT c) FROM cells) - 1)
+        |            AS INTEGER) AS dof,
+        |       CAST(count(*) AS INTEGER) AS cells
+        |FROM t""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))

@@ -222,7 +222,61 @@ object Funcs extends graft.QueryModule {
         element_at(expr("map_concat(m, map('src', 'etl'))"), "src").as("src"))
       .orderBy("o_orderkey")
 
+  /** Table-generator battery [N] (§H completeness round 3): the four
+    * row-producing generator shapes — `posexplode` (element + ordinal),
+    * `stack` (wide→long reshaping without a join), `inline` (array-of-
+    * struct flattening), and `explode_outer` (the null-preserving
+    * variant, where an empty array must still yield its parent row).
+    * One generator per select as Catalyst requires; the four legs union
+    * by name. Generators run inside the scan projection — no shuffle,
+    * no join, output rows ≈ Σ array sizes, linear at any scale. */
+  private def fnGenerators(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val ws = split(col("p_name"), " ")
+    val words = p
+      .select(col("p_partkey"), posexplode(ws))
+      .select(col("p_partkey"), lit("word").as("src"), col("pos"),
+        col("col").as("val"))
+    val attrs = p.selectExpr("p_partkey", "'attr' AS src",
+      "stack(2, 0, p_brand, 1, p_type) AS (pos, val)")
+    val inlined = p
+      .select(col("p_partkey"), lit("inline").as("src"),
+        expr("inline(array(struct(0 AS pos, p_type AS val), " +
+          "struct(1 AS pos, CAST(p_size AS STRING) AS val)))"))
+      .select(col("p_partkey"), col("src"), col("pos"), col("val"))
+    val outer = p
+      .select(col("p_partkey"), lit("outer").as("src"),
+        lit(-1).as("pos"),
+        explode_outer(filter(ws, w => length(w) === 4)).as("val"))
+    words.unionByName(attrs).unionByName(inlined).unionByName(outer)
+      .orderBy(col("p_partkey"), col("src"), col("pos"),
+        col("val").asc_nulls_first)
+  }
+
+  /** URL scalar battery [N]: `parse_url` component extraction and the
+    * form-encode/decode pair. The URL is CONSTRUCTED from table columns,
+    * so the oracle can state each expected component directly from the
+    * same construction — the check is that Spark's parser gives back
+    * exactly what was built (and that encode is an exact inverse of
+    * decode). Pure per-row string work, codegen'd, no shuffle. */
+  private def fnUrl(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), lower(col("c_mktsegment")),
+      lit(".example.com/cust/"), col("c_custkey"),
+      lit("?ref="), col("c_nationkey"), lit("&utm_source=x"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("ref")).as("ref_param"),
+      url_encode(col("c_name")).as("enc"),
+      (url_decode(url_encode(col("c_name"))) === col("c_name"))
+        .as("roundtrip"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_generators" -> fnGenerators,
+    "fn_url" -> fnUrl,
     "fn_regexp" -> fnRegexp,
     "fn_map_ops" -> fnMapOps,
     "fn_datetime_extra" -> fnDatetimeExtra,
@@ -238,6 +292,48 @@ object Funcs extends graft.QueryModule {
     "fn_array_map" -> fnArrayMap)
 
   val oracles: Map[String, String] = Map(
+    // parallel unnests zip in DuckDB (pos list + word list); stack and
+    // inline are UNION ALL; the outer leg's empty-array null row is an
+    // explicit WHERE len = 0 branch. Spark ASC sorts NULLS FIRST.
+    "fn_generators" ->
+      """WITH t AS (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS ws,
+        |         p_brand, p_type, p_size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, 'word' AS src,
+        |         CAST(unnest(range(len(ws))) AS INTEGER) AS pos,
+        |         unnest(ws) AS val
+        |  FROM t),
+        |a AS (
+        |  SELECT p_partkey, 'attr' AS src, 0 AS pos, p_brand AS val FROM t
+        |  UNION ALL
+        |  SELECT p_partkey, 'attr', 1, p_type FROM t),
+        |i AS (
+        |  SELECT p_partkey, 'inline' AS src, 0 AS pos, p_type AS val FROM t
+        |  UNION ALL
+        |  SELECT p_partkey, 'inline', 1, CAST(p_size AS VARCHAR) FROM t),
+        |o AS (
+        |  SELECT p_partkey, 'outer' AS src, CAST(-1 AS INTEGER) AS pos,
+        |         unnest(list_filter(ws, x -> len(x) = 4)) AS val
+        |  FROM t WHERE len(list_filter(ws, x -> len(x) = 4)) > 0
+        |  UNION ALL
+        |  SELECT p_partkey, 'outer', -1, NULL
+        |  FROM t WHERE len(list_filter(ws, x -> len(x) = 4)) = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM w UNION ALL SELECT * FROM a
+        |  UNION ALL SELECT * FROM i UNION ALL SELECT * FROM o)
+        |ORDER BY p_partkey, src, pos, val NULLS FIRST""".stripMargin,
+    // components restated from the construction; c_name's only
+    // non-form-safe byte is '#' (→ %23)
+    "fn_url" ->
+      """SELECT c_custkey,
+        |       lower(c_mktsegment) || '.example.com' AS host,
+        |       '/cust/' || c_custkey AS path,
+        |       CAST(c_nationkey AS VARCHAR) AS ref_param,
+        |       replace(replace(c_name, '#', '%23'), ' ', '+') AS enc,
+        |       true AS roundtrip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_array_extra" ->
       """WITH t AS (
         |  SELECT p_partkey, p_name, string_split(p_name, ' ') AS ws,

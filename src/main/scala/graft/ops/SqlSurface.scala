@@ -151,7 +151,23 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY day""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL [N] — the analyst-ergonomics form both
+    * Spark 4 and DuckDB support natively: every non-aggregate select
+    * item becomes a grouping key, and the output orders by the full
+    * select list left-to-right. Same plan as the explicit form (one
+    * hash-agg exchange on the inferred keys) — this key pins that the
+    * inference stays correct, not a new physical shape. */
+  private def groupByAll(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders_v GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> groupByAll,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral" -> sqlLateral,
     "sql_correlated_subquery" -> correlatedScalar,
@@ -161,6 +177,11 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE e AS (
         |  SELECT CAST(date_trunc('microseconds', ts) AS DATE) AS day,

@@ -33,7 +33,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_ivf_pinned" -> "k-row centroid + single-probe broadcasts",
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
-    "text_logprob" -> "1-row corpus-total crossJoin")
+    "text_logprob" -> "1-row corpus-total crossJoin",
+    "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table")
 
   test("nested-loop/cartesian plans == the allowlist, exactly (sf0.001)") {
     val looping = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
