@@ -217,13 +217,69 @@ object Graph extends graft.QueryModule {
        |FROM r$prIters ORDER BY node""".stripMargin
   }
 
+  private val bfsRounds = 4
+
+  /** Multi-source BFS [N]: shortest hop-distance (≤ `bfsRounds`) from a
+    * deterministic seed set (node ≡ 0 mod 101) over the co-purchase
+    * graph. Pure INTEGER iteration — min-distance propagation needs no
+    * float pinning at all, so both layouts are trivially hash-exact:
+    * broadcast mode ships the ≤|V|-row frontier to the pre-checkpointed
+    * edge table; shuffle mode (BroadcastConf=false) pre-partitions the
+    * edges on `src` once and each round shuffles only the frontier —
+    * the |E| side never moves, the 100 TB posture shared with
+    * [[pageRank]]. Each round is one equi-join + one min-agg; the
+    * frontier stays ≤|V| rows because min-dist collapses paths. */
+  private def bfs(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = coPurchaseEdges(s, d)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val dir =
+      if (bcast) dirRaw.localCheckpoint()
+      else dirRaw.repartition(col("src")).localCheckpoint()
+    var reach = dir.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(101)) === 0)
+      .withColumn("dist", lit(0))
+    for (_ <- 1 to bfsRounds) {
+      val next = (if (bcast) broadcast(reach) else reach)
+        .join(dir, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      reach = reach.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    reach.orderBy("node")
+  }
+
+  /** Bounded-depth recursive CTE: `UNION` (not ALL) keeps each level's
+    * working set to distinct (node, dist) pairs — ≤|V| per level, never
+    * the path-combinatorial blowup — and min(dist) at the end is
+    * exactly the BFS distance. */
+  private def bfsOracle: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |dir AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |walk(node, dist) AS (
+       |  SELECT DISTINCT src, 0 FROM dir WHERE src % 101 = 0
+       |  UNION
+       |  SELECT dir.dst, w.dist + 1
+       |  FROM walk w JOIN dir ON w.node = dir.src
+       |  WHERE w.dist < $bfsRounds)
+       |SELECT node, CAST(min(dist) AS INTEGER) AS dist
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> triangleCount,
     "graph_pagerank" -> pageRank,
+    "graph_bfs" -> bfs,
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle,
+    "graph_bfs" -> bfsOracle,
     // the oracle is the textbook canonical a<b<c triangle join — no
     // orientation — so hash equality proves the oriented plan exact
     "graph_triangles" ->

@@ -149,7 +149,38 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Calendar gap-fill [N] — the resample-to-daily-grid operator every
+    * time-series warehouse needs and no Spark built-in provides: rows
+    * that don't exist get CREATED. Per user: daily close (max_by over
+    * the unique (user, ts) keys), a generated date spine
+    * (`sequence(min_day, max_day)` + explode — spine length is the
+    * user's day span, bounded by calendar not by data volume), a left
+    * join back, and a forward fill (`last ignoreNulls` over the spine
+    * order). All decimal/integer until the output cast, so the fill is
+    * deterministic at any partitioning. The spine explode is map-side
+    * (no shuffle beyond the two hash-aggs + the equi-join); at 100 TB
+    * the spine is |users| × |days| — grid-sized, never event-sized. */
+  private def gapfill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), dec("value").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("v"), col("ts")).as("close"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled",
+        last(col("close"), ignoreNulls = true).over(w).cast("double"))
+      .withColumn("is_gap", col("close").isNull)
+      .select(col("user_id"), col("day"), col("filled"), col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gapfill" -> gapfill,
     "fin_ewma" -> ewma,
     "fin_twap" -> twap,
     "fin_vwap" -> vwap,
@@ -158,6 +189,31 @@ object Finance extends graft.QueryModule {
     "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
+    // generate_series over DATEs steps in timestamps — cast back; the
+    // default cumulative frame makes last_value IGNORE NULLS the
+    // forward fill; day 1 always has data (it's min(day)) so filled is
+    // never null
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         arg_max(CAST(value AS DECIMAL(12,2)), ts) AS close
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.close
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |       CAST(last_value(close IGNORE NULLS)
+        |              OVER (PARTITION BY user_id ORDER BY day)
+        |            AS DOUBLE) AS filled,
+        |       close IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "fin_ewma" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
