@@ -212,10 +212,101 @@ object Multimodal extends graft.QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** RESIZE stage: nearest-neighbor downscale to `tw`×`th` and
+    * re-encode. Sampling is pure integer arithmetic — src pixel of
+    * output (x, y) is (x·w div tw, y·h div th) via `getRGB`, never
+    * Graphics2D (whose scaling/antialiasing is renderer-dependent) —
+    * so the resized raster is bit-deterministic and the oracle can
+    * restate every resized pixel from the construction. */
+  def resizeImages(tw: Int, th: Int)(
+      blobs: Iterator[MediaBlob]): Iterator[MediaBlob] =
+    blobs.map { b =>
+      val img = ImageIO.read(new ByteArrayInputStream(b.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bytes)
+      MediaBlob(b.doc_id, bytes.toByteArray)
+    }
+
+  /** Resize pipeline [N]: encode → nearest-neighbor resize to 8×6 →
+    * decode (the SAME decode stage mm_decode uses — the resized bytes
+    * are a real PNG). Three partition-wise stages, no shuffle until the
+    * output sort. */
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .mapPartitions(resizeImages(8, 6))
+      .mapPartitions(decodeImages)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** AVERAGE-HASH stage: decode, nearest-neighbor sample to 8×8,
+    * integer grayscale (r + 2g + b) div 4, threshold each cell against
+    * the exact mean via the cross-multiplied compare g·64 ≥ Σg (no
+    * division, no floats), emit the 64 bits as a string. The standard
+    * perceptual-dedup fingerprint, end-to-end integer-deterministic. */
+  def ahashImages(blobs: Iterator[MediaBlob]): Iterator[(Long, String)] =
+    blobs.map { b =>
+      val img = ImageIO.read(new ByteArrayInputStream(b.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray = new Array[Int](64)
+      var sum = 0L
+      var q = 0
+      while (q < 64) {
+        val rgb = img.getRGB((q % 8) * w / 8, (q / 8) * h / 8)
+        gray(q) = (((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 4
+        sum += gray(q)
+        q += 1
+      }
+      val bits = new StringBuilder(64)
+      q = 0
+      while (q < 64) {
+        bits.append(if (gray(q) * 64L >= sum) '1' else '0')
+        q += 1
+      }
+      (b.doc_id, bits.toString)
+    }
+
+  /** Image near-dup fingerprinting [N] — the dedup family extended to
+    * the multimodal column: every document's synthesized image gets an
+    * aHash, and `n_same` counts the corpus images sharing it (the
+    * perceptual-duplicate cluster size). One window count over the
+    * 64-bit hash — the grouping scales like any hash-agg. */
+  private def mmAhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .mapPartitions(ahashImages)
+      .toDF("doc_id", "ahash")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+    hashed
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_cols" -> mmMeta,
     "mm_binary" -> mmBinary,
     "mm_decode" -> mmDecode,
+    "mm_resize" -> mmResize,
+    "mm_ahash" -> mmAhash,
     "mm_frames" -> mmFrames)
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +348,55 @@ object Multimodal extends graft.QueryModule {
         |                      ELSE ord(substr(text, (i % len) + 1, 1)) END)),
         |            0) AS BIGINT) AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // resized pixel (x,y) samples source pixel (x*w div 8, y*h div 6);
+    // i enumerates output samples: q = i div 3 is the pixel, i mod 3
+    // the channel; all arithmetic integer, same precondition as
+    // mm_decode
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  length(text) % 16 + 1 AS w,
+        |                  length(text) % 12 + 1 AS h
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(8 * 6 * 3 AS INTEGER) AS n_bytes,
+        |       8 AS width, 6 AS height, 3 AS channels,
+        |       CAST(coalesce(list_sum(list_transform(range(0, 8 * 6 * 3),
+        |            i -> CASE WHEN len = 0 THEN 0
+        |                      ELSE ord(substr(text,
+        |                        ((3 * ((((i // 3) // 8) * h // 6) * w
+        |                               + ((i // 3) % 8) * w // 8)
+        |                          + i % 3) % len) + 1, 1)) END)), 0)
+        |         AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // 8×8 nearest-neighbor sample → integer gray (r+2g+b) div 4 →
+    // threshold by the exact mean via g*64 >= sum (no division);
+    // empty payloads gray to all-zero and hash to all-ones
+    "mm_ahash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  length(text) % 16 + 1 AS w,
+        |                  length(text) % 12 + 1 AS h
+        |           FROM documents),
+        |b AS (SELECT doc_id, text, len,
+        |             list_transform(range(0, 64), q ->
+        |               3 * ((q // 8) * h // 8 * w + (q % 8) * w // 8))
+        |               AS base
+        |      FROM d),
+        |g AS (SELECT doc_id,
+        |             list_transform(base, bp ->
+        |               CASE WHEN len = 0 THEN 0 ELSE
+        |                 (ord(substr(text, (bp % len) + 1, 1))
+        |                  + 2 * ord(substr(text, ((bp + 1) % len) + 1, 1))
+        |                  + ord(substr(text, ((bp + 2) % len) + 1, 1))) // 4
+        |               END) AS gs
+        |      FROM b),
+        |hx AS (SELECT doc_id,
+        |              array_to_string(list_transform(gs, x ->
+        |                CASE WHEN x * 64 >= list_sum(gs) THEN '1'
+        |                     ELSE '0' END), '') AS ahash
+        |       FROM g)
+        |SELECT doc_id, ahash,
+        |       count(*) OVER (PARTITION BY ahash) AS n_same
+        |FROM hx ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
