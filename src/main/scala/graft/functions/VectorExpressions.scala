@@ -249,6 +249,8 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(k))
   def zorder(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_zorder", a, b)
+  def hilbert(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hilbert", a, b)
 
   /** Idempotent SQL registration (`graft_dot`, `graft_cosine`,
     * aggregate `graft_simhash`). */
@@ -285,5 +287,7 @@ object VectorFunctions {
         constIntArg("graft_topk_by", "k", exprs(2))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_zorder",
       exprs => ZOrderValue(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hilbert",
+      exprs => HilbertValue(exprs(0), exprs(1)), "built-in")
   }
 }

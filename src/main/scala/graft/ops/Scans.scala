@@ -392,6 +392,32 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Hilbert-clustered write + band-filtered read [N] — the same
+    * two-dimensional clustering contract as [[sinkZorderScan]] but on
+    * the Hilbert curve ([[graft.functions.HilbertValue]]): no Morton
+    * seams, so per-file min/max bands on both dimensions stay at least
+    * as tight as z-order's (HilbertValueSpec measures both). The read
+    * result is layout-independent, so the key hash-matches the same
+    * plain filtered scan; the file-skipping win shows in the manifest
+    * pruning ratio, not the answer. */
+  private def sinkHilbertScan(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "target/tmp/orders_hilbert"
+    val indexed = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        graft.functions.VectorFunctions.hilbert(
+          col("o_custkey").cast("int"),
+          greatest(datediff(col("o_orderdate"), lit("1995-01-01")), lit(0))
+            .cast("int")).as("__h"))
+    ZoneMap.write(indexed, dir, "__h", Seq("o_custkey", "o_orderdate"), nFiles = 16)
+    ZoneMap.read(spark, dir, "o_orderdate",
+        lit("1998-06-01").cast("timestamp"), lit("1998-08-31").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Parquet FOOTER-served aggregation [N]: whole-table count/min/max
     * answered from row-group statistics without decoding a single data
     * page — at 100 TB the difference between touching metadata and
@@ -441,6 +467,7 @@ object Scans extends graft.QueryModule {
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
     "sink_zorder_scan" -> sinkZorderScan,
+    "sink_hilbert_scan" -> sinkHilbertScan,
     "src_zonemap_pruned" -> srcZonemapPruned,
     "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
@@ -504,6 +531,11 @@ object Scans extends graft.QueryModule {
         |      WHERE r_name IN ('ASIA', 'EUROPE')) d USING (yr)
         |GROUP BY yr ORDER BY yr""".stripMargin,
     "sink_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1998-06-01' AND TIMESTAMP '1998-08-31'
+        |ORDER BY o_orderkey""".stripMargin,
+    "sink_hilbert_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1998-06-01' AND TIMESTAMP '1998-08-31'
