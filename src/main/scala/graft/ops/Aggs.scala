@@ -431,6 +431,37 @@ object Aggs extends graft.QueryModule {
         .as("approx_users"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
 
+  /** EXACT mergeable distinct rollup via bitmaps [N] — the scale
+    * answer to "count(distinct) does not re-aggregate": Spark 3.5+'s
+    * bitmap functions shard the key domain into fixed 32 768-bit
+    * buckets (`bitmap_bucket_number`/`bitmap_bit_position`), build one
+    * bitmap per (group, bucket) with `bitmap_construct_agg`, and the
+    * per-group distinct count is then `sum(bitmap_count(bm))` — while
+    * ANY coarser rollup ORs the very same bitmaps (`bitmap_or_agg`)
+    * instead of rescanning the fact table. Unlike HLL
+    * ([[hllReaggregate]]) this is exact, and unlike
+    * `count(distinct)` the partial state is mergeable, so a 100 TB
+    * daily→monthly→all-time rollup chain touches the raw data once.
+    * The fine bitmaps here feed BOTH the per-priority counts and the
+    * re-aggregated global row, proving the merge path. */
+  private def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val fine = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+      .groupBy(col("prio"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bm"))
+    val perPrio = fine
+      .groupBy(col("prio"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+    val global = fine
+      .groupBy(col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .select(lit("ALL").as("prio"), col("n_distinct"))
+    perPrio.unionByName(global).orderBy("prio")
+  }
+
   /** Least-squares regression per group with ORDER-INVARIANT math [N] —
     * the regr_slope/regr_intercept/regr_r2 family on the same exact
     * sufficient statistics as [[corrExact]] (built-in regr_* keeps
@@ -485,6 +516,7 @@ object Aggs extends graft.QueryModule {
     "agg_chisq" -> chiSquare,
     "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
+    "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
@@ -509,6 +541,14 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY prio""".stripMargin,
     "agg_string_agg" ->
       """SELECT o_custkey,
         |       string_agg(o_orderstatus, '' ORDER BY o_orderkey)

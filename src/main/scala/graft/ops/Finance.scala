@@ -179,7 +179,44 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id", "day")
   }
 
+  /** Lag-1 autocorrelation per series [N] — the mean-reversion /
+    * momentum screen: Pearson correlation between each event's value
+    * and its predecessor's, on the [[graft.ops.Aggs]] `agg_corr_exact`
+    * discipline (exact decimal/long sufficient statistics — order-
+    * invariant, so partition count can't move a bit — then each
+    * coefficient assembled ONCE per group in a pinned IEEE expression
+    * order). One window pass builds the (prev, cur) pairs, one
+    * hash-agg reduces them; groups with too few pairs or zero variance
+    * are filtered rather than emitted as NaN. */
+  private def autocorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        dec("value").as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .filter(col("n") >= 3 &&
+        dd(col("n")) * dd(col("sx2")) - dd(col("sx")) * dd(col("sx")) > 0 &&
+        dd(col("n")) * dd(col("sy2")) - dd(col("sy")) * dd(col("sy")) > 0)
+      .select(col("user_id"), col("n"),
+        bround((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (sqrt(dd(col("n")) * dd(col("sx2")) - dd(col("sx")) * dd(col("sx"))) *
+           sqrt(dd(col("n")) * dd(col("sy2")) - dd(col("sy")) * dd(col("sy")))),
+          8).as("autocorr"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_autocorr" -> autocorr,
     "ts_gapfill" -> gapfill,
     "fin_ewma" -> ewma,
     "fin_twap" -> twap,
@@ -189,6 +226,34 @@ object Finance extends graft.QueryModule {
     "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
+    "fin_autocorr" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         lag(CAST(value AS DECIMAL(12,2)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+        |         CAST(value AS DECIMAL(12,2)) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM p WHERE x IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n,
+        |       round_even(
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+        |         AS autocorr
+        |FROM s
+        |WHERE n >= 3
+        |  AND CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  AND CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |ORDER BY user_id""".stripMargin,
     // generate_series over DATEs steps in timestamps — cast back; the
     // default cumulative frame makes last_value IGNORE NULLS the
     // forward fill; day 1 always has data (it's min(day)) so filled is

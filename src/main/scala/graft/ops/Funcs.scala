@@ -274,9 +274,38 @@ object Funcs extends graft.QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** XML battery [N] — Spark 4 ships the XML data source and
+    * `from_xml`/`xpath_*` in core (the former spark-xml package,
+    * SPARK-44265). The document is CONSTRUCTED from customer columns
+    * (numerics stringified via decimal, never double, so both engines
+    * agree on the text), parsed back with a typed `from_xml` schema,
+    * and cross-checked by the Hive-style xpath extractors; the oracle
+    * restates every output straight from the base columns, so any
+    * parse/extract defect hash-fails. */
+  private def fnXml(s: SparkSession, d: String): DataFrame = {
+    val xml = concat(
+      lit("<cust><name>"), col("c_name"),
+      lit("</name><bal>"), col("c_acctbal").cast("decimal(12,2)"),
+      lit("</bal><nation>"), col("c_nationkey"),
+      lit("</nation></cust>"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), xml.as("xml"))
+      .select(
+        col("c_custkey"),
+        expr("from_xml(xml, 'name STRING, bal DECIMAL(12,2), nation INT')")
+          .as("p"),
+        expr("xpath_string(xml, '/cust/name')").as("xp_name"),
+        expr("xpath_int(xml, '/cust/nation')").as("xp_nation"))
+      .select(col("c_custkey"), col("p.name").as("name"),
+        col("p.bal").as("bal"), col("p.nation").as("nation"),
+        col("xp_name"), col("xp_nation"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_generators" -> fnGenerators,
     "fn_url" -> fnUrl,
+    "fn_xml" -> fnXml,
     "fn_regexp" -> fnRegexp,
     "fn_map_ops" -> fnMapOps,
     "fn_datetime_extra" -> fnDatetimeExtra,
@@ -326,6 +355,14 @@ object Funcs extends graft.QueryModule {
         |ORDER BY p_partkey, src, pos, val NULLS FIRST""".stripMargin,
     // components restated from the construction; c_name's only
     // non-form-safe byte is '#' (→ %23)
+    "fn_xml" ->
+      """SELECT c_custkey,
+        |       c_name AS name,
+        |       CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+        |       CAST(c_nationkey AS INTEGER) AS nation,
+        |       c_name AS xp_name,
+        |       CAST(c_nationkey AS INTEGER) AS xp_nation
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_url" ->
       """SELECT c_custkey,
         |       lower(c_mktsegment) || '.example.com' AS host,

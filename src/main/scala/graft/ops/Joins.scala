@@ -322,6 +322,29 @@ object Joins extends graft.QueryModule {
       .orderBy(col("k"))
   }
 
+  /** Full outer join [N]: per-customer aggregates of open ('O') and
+    * finished ('F') orders, joined FULL OUTER so a customer present on
+    * either side survives with null-filled columns from the missing
+    * side. Catalyst cannot broadcast a full outer join — it plans a
+    * shuffle sort-merge join with both sides hash-partitioned on the
+    * key, which is exactly the layout that scales: each side is already
+    * the output of a hash aggregate on the same key, so AQE reuses the
+    * exchange and the join adds no extra shuffle. */
+  private def fullOuter(s: SparkSession, d: String): DataFrame = {
+    def side(status: String, cnt: String, mx: String) =
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(cnt), max(col("o_totalprice")).as(mx))
+    val open = side("O", "n_open", "max_open")
+    val fin = side("F", "n_fin", "max_fin")
+      .withColumnRenamed("o_custkey", "ck2")
+    open.join(fin, col("o_custkey") === col("ck2"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("ck2")).as("custkey"),
+        col("n_open"), col("max_open"), col("n_fin"), col("max_fin"))
+      .orderBy("custkey")
+  }
+
   /** The SAME naive BETWEEN join as `join_range_bucketed` — but the user
     * writes the nested-loop-shaped query and
     * [[graft.rules.RewriteRangeJoin]] produces the binned equi-join.
@@ -378,6 +401,7 @@ object Joins extends graft.QueryModule {
     "join_range_rewritten" -> rangeRewritten,
     "join_scd2_pit" -> scd2Pit,
     "join_null_safe" -> nullSafeJoin,
+    "join_full_outer" -> fullOuter,
     "join_range_bucketed" -> rangeBucketed,
     "join_salted_skew" -> saltedSkewJoin,
     "join_bloom_pruned" -> bloomPruned,
@@ -448,6 +472,17 @@ object Joins extends graft.QueryModule {
         |SELECT v.k, v.n_view, c.n_click
         |FROM v JOIN c ON v.k IS NOT DISTINCT FROM c.k
         |ORDER BY v.k NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey, count(*) AS n_open, max(o_totalprice) AS max_open
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_fin, max(o_totalprice) AS max_fin
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+        |       n_open, max_open, n_fin, max_fin
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "join_salted_skew" ->
       """WITH o AS (
         |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS price

@@ -418,6 +418,33 @@ object Scans extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Small-file compaction [N] — the table-maintenance pass every
+    * long-lived warehouse needs: streaming/trickle ingest leaves
+    * thousands of KB-scale files whose per-file open/footer cost
+    * dominates scans at 100 TB. Drives the real maintenance engine
+    * ([[graft.pipeline.Compact.compactParquet]]: metadata-only sizing
+    * to `ceil(totalBytes/targetBytes)`, shuffle-free `coalesce`
+    * rewrite, two-rename swap with crash recovery — CompactSpec) over
+    * a deliberately fragmented copy of orders, then reads the healed
+    * directory back. The result is layout-independent, so the oracle
+    * is the plain table: what hash-matches is that the rewrite+swap
+    * lost and duplicated nothing; the file-count arithmetic is pinned
+    * by CompactSpec and re-asserted here via the report. */
+  private def sinkCompactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = "target/tmp/orders_frag"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(64) // simulate trickle ingest: 64 tiny files
+      .write.mode("overwrite").parquet(frag)
+    val r = graft.pipeline.Compact.compactParquet(
+      spark, frag, targetBytes = 1L << 20)
+    require(r.filesAfter <= r.filesBefore,
+      s"compaction grew the file count: $r")
+    spark.read.parquet(frag)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Parquet FOOTER-served aggregation [N]: whole-table count/min/max
     * answered from row-group statistics without decoding a single data
     * page — at 100 TB the difference between touching metadata and
@@ -468,6 +495,7 @@ object Scans extends graft.QueryModule {
     "src_agg_pushdown" -> aggPushdownScan,
     "sink_zorder_scan" -> sinkZorderScan,
     "sink_hilbert_scan" -> sinkHilbertScan,
+    "sink_compact_files" -> sinkCompactFiles,
     "src_zonemap_pruned" -> srcZonemapPruned,
     "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
@@ -539,6 +567,10 @@ object Scans extends graft.QueryModule {
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1998-06-01' AND TIMESTAMP '1998-08-31'
+        |ORDER BY o_orderkey""".stripMargin,
+    "sink_compact_files" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "src_zonemap_pruned" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice
