@@ -114,13 +114,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard link prediction is identical in broadcast and shuffle modes") {
+    val on = SparkEntry.queries("graph_jaccard_neighbors")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    for (parts <- Seq("4", "32")) {
+      val ns = spark.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", parts)
+      ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
+      val off = SparkEntry.queries("graph_jaccard_neighbors")(
+        ns, TestSpark.sf0001).collect().map(_.toString).toSeq
+      assert(off == on, s"jaccard differs in shuffle mode at $parts partitions")
+    }
+  }
+
   test("shuffle mode plans contain zero BroadcastExchange") {
     val ns = spark.newSession()
     ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
     // disable the auto-broadcast heuristic too: the claim is that the
     // PLAN SHAPE works without any driver-side vertex collection at all
     ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    for (k <- Seq("graph_triangles", "graph_pagerank", "graph_bfs")) {
+    for (k <- Seq("graph_triangles", "graph_pagerank", "graph_bfs",
+        "graph_jaccard_neighbors")) {
       val p = SparkEntry.queries(k)(ns, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastExchange"), s"$k broadcasts in off mode:\n$p")
