@@ -271,6 +271,57 @@ object Graph extends graft.QueryModule {
        |SELECT node, CAST(min(dist) AS INTEGER) AS dist
        |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  /** Bounded multi-source single-source-shortest-path [N] — the
+    * weighted twin of [[bfs]]: min-PLUS relaxation instead of min-hop,
+    * with a pure-integer edge weight derived from the endpoint keys
+    * (`(a + b) mod 7 + 1`, so both engines agree on every weight
+    * without a stored column). `bfsRounds` relaxation rounds give the
+    * exact shortest distance over paths of ≤ that many edges — the
+    * bounded-frontier contract that keeps each round one equi-join +
+    * one min-aggregate, `|V|`-bounded state, lineage cut per round.
+    * All-integer arithmetic, so broadcast and shuffle layouts are
+    * hash-identical (GraphSpec) and the recursive-CTE oracle can
+    * enumerate the same bounded path space exactly: distances are
+    * ≤ 7·rounds, so the UNION-dedup'd working set stays tiny. */
+  private def sssp(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = coPurchaseEdges(s, d)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("w", pmod(col("src") + col("dst"), lit(7)) + 1)
+    val dir =
+      if (bcast) dirRaw.localCheckpoint()
+      else dirRaw.repartition(col("src")).localCheckpoint()
+    var reach = dir.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(101)) === 0)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to bfsRounds) {
+      val next = (if (bcast) broadcast(reach) else reach)
+        .join(dir, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      reach = reach.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    reach.orderBy("node")
+  }
+
+  private def ssspOracle: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |dir AS (SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM edges
+       |        UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM edges),
+       |walk(node, dist, hop) AS (
+       |  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM dir WHERE src % 101 = 0
+       |  UNION
+       |  SELECT dir.dst, w.dist + dir.w, w.hop + 1
+       |  FROM walk w JOIN dir ON w.node = dir.src
+       |  WHERE w.hop < $bfsRounds)
+       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** Common-neighbor Jaccard link prediction [N]: for every 2-hop
     * vertex pair that is NOT already an edge, |N(x)∩N(y)| / |N(x)∪N(y)|,
     * top-K by score. The wedge expansion is the quadratic hazard here
@@ -327,6 +378,7 @@ object Graph extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_jaccard_neighbors" -> jaccardNeighbors,
+    "graph_sssp" -> sssp,
     "graph_triangles" -> triangleCount,
     "graph_pagerank" -> pageRank,
     "graph_bfs" -> bfs,
@@ -335,6 +387,7 @@ object Graph extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle,
     "graph_bfs" -> bfsOracle,
+    "graph_sssp" -> ssspOracle,
     // textbook formulation of the same hub-filtered graph: the wedge
     // self-join IS the spec; hash equality proves the capped HOF
     // expansion + anti-join + division exact

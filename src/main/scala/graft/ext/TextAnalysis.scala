@@ -292,7 +292,34 @@ object TextAnalysis extends graft.QueryModule {
           .as("text_dedup"))
       .orderBy("doc_id")
 
+  /** Within-document token entropy [N] — the gibberish/boilerplate
+    * screen: H(doc) = −Σ p_w·log2(p_w) over the doc's own token
+    * distribution (low H = repetitive template text, high H ≈
+    * log2(n_tokens) = no reuse). Two hash aggs (per-(doc,word) then
+    * per-doc counts — both map-side combinable) and one co-partitioned
+    * join on doc_id. Float discipline: each term takes ONE log2 and
+    * pins at 6dp (the transcendental 1-ULP exposure, same acceptance
+    * as `text_logprob`), but the SUM is over decimal(18,6) — exact and
+    * order-invariant — with a single decimal→double conversion per
+    * doc, so partitioning can never move a bit. */
+  private def entropy(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val wc = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("t"))
+    val p = col("c").cast("double") / col("t").cast("double")
+    wc.join(tot, "doc_id")
+      .withColumn("term",
+        bround(-p * log2(p), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).cast("double").as("entropy"),
+        max(col("t")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> entropy,
     "text_line_dedup" -> lineDedup,
     "text_chunk" -> chunk,
     "text_mix_temperature" -> mixTemperature,
@@ -351,6 +378,21 @@ object TextAnalysis extends graft.QueryModule {
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
         |FROM events ORDER BY event_id""".stripMargin,
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, count(*) AS t FROM toks GROUP BY 1),
+        |terms AS (
+        |  SELECT wc.doc_id, tot.t,
+        |         CAST(round_even(
+        |           -(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |             * log2(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+        |           AS DECIMAL(18,6)) AS term
+        |  FROM wc JOIN tot ON wc.doc_id = tot.doc_id)
+        |SELECT doc_id, CAST(sum(term) AS DOUBLE) AS entropy,
+        |       CAST(max(t) AS BIGINT) AS n_tokens
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

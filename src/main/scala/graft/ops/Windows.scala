@@ -50,6 +50,23 @@ object Windows extends graft.QueryModule {
       .select(col("event_id"), col("user_id"), col("ttm_asof"))
       .orderBy("event_id")
 
+  /** Rolling DISTINCT count [N] — Spark has no `count(DISTINCT)` over a
+    * window frame; the composable equivalent is
+    * `size(array_distinct(collect_list))` over the frame, which stays
+    * a single Window operator (one hash exchange + in-partition sort,
+    * same as every rolling agg) with a frame-bounded buffer — 10 rows
+    * here, so per-row state is constant and the operator scales
+    * exactly like `win_rolling_frame`. The oracle runs DuckDB's native
+    * windowed `count(DISTINCT)`, so hash equality proves the
+    * collect/dedup formulation IS the distinct count. */
+  private def distinctRolling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("n_types_10",
+        size(array_distinct(collect_list(col("event_type"))
+          .over(userWindow.rowsBetween(-9, 0)))))
+      .select(col("event_id"), col("user_id"), col("n_types_10"))
+      .orderBy("event_id")
+
   /** Ranking/analytic top-k per group [N]: top-3 orders per customer with
     * the previous order's price (lag). */
   private def rankTopk(s: SparkSession, d: String): DataFrame = {
@@ -365,6 +382,7 @@ object Windows extends graft.QueryModule {
       .orderBy("user_id", "ts", "event_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_rolling" -> distinctRolling,
     "win_range_frame" -> rangeFrame,
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
@@ -384,6 +402,13 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_distinct_rolling" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS INTEGER)
+        |         AS n_types_10
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_interpolate" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,

@@ -101,16 +101,33 @@ class GraphSpec extends AnyFunSuite {
     assert(pr4 == prOn && pr32 == prOn, "pagerank differs across modes")
   }
 
-  test("bfs is identical in broadcast and shuffle modes") {
-    val on = SparkEntry.queries("graph_bfs")(spark, TestSpark.sf0001)
-      .collect().map(_.toString).toSeq
-    for (parts <- Seq("4", "32")) {
-      val ns = spark.newSession()
-      ns.conf.set("spark.sql.shuffle.partitions", parts)
-      ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
-      val off = SparkEntry.queries("graph_bfs")(ns, TestSpark.sf0001)
+  test("bfs and sssp are identical in broadcast and shuffle modes") {
+    for (key <- Seq("graph_bfs", "graph_sssp")) {
+      val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
-      assert(off == on, s"bfs differs in shuffle mode at $parts partitions")
+      for (parts <- Seq("4", "32")) {
+        val ns = spark.newSession()
+        ns.conf.set("spark.sql.shuffle.partitions", parts)
+        ns.conf.set(graft.ext.Graph.BroadcastConf, "false")
+        val off = SparkEntry.queries(key)(ns, TestSpark.sf0001)
+          .collect().map(_.toString).toSeq
+        assert(off == on, s"$key differs in shuffle mode at $parts partitions")
+      }
+    }
+  }
+
+  test("sssp distances are never above hop distance x max weight, never below hops") {
+    // dist uses weights in [1, 7]: for any reached node,
+    // hops <= dist <= 7 * hops ties the weighted relaxation to BFS
+    val hops = SparkEntry.queries("graph_bfs")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dists = SparkEntry.queries("graph_sssp")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(dists.nonEmpty)
+    dists.foreach { case (n, dist) =>
+      val h = hops(n).toLong // same seeds, same rounds -> same reach set
+      assert(dist >= h && dist <= 7L * h || (h == 0L && dist == 0L),
+        s"node $n: weighted dist $dist inconsistent with hop dist $h")
     }
   }
 
@@ -134,7 +151,7 @@ class GraphSpec extends AnyFunSuite {
     // PLAN SHAPE works without any driver-side vertex collection at all
     ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for (k <- Seq("graph_triangles", "graph_pagerank", "graph_bfs",
-        "graph_jaccard_neighbors")) {
+        "graph_sssp", "graph_jaccard_neighbors")) {
       val p = SparkEntry.queries(k)(ns, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastExchange"), s"$k broadcasts in off mode:\n$p")
