@@ -301,13 +301,73 @@ object Multimodal extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Media-file INGEST via Spark's `binaryFile` source [N] — the front
+    * door of every multimodal pipeline: a directory of opaque media
+    * files becomes (path, length, content) rows, the entity key is
+    * recovered from the file name, and the bytes flow into the same
+    * codec seam as [[mmDecode]]. The fixture stage materializes the
+    * per-doc PNGs as REAL files (written partition-wise by executors —
+    * no driver collect), so the source exercises the actual
+    * list/open/read path; `pathGlobFilter` pushes the extension filter
+    * into the file listing itself. Output (and oracle) are identical
+    * to `mm_decode`: what hash-matches is that a file round-trip
+    * through the source loses nothing. */
+  private def srcBinaryFiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = "target/tmp/png_files"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // no stale files across SF runs
+    fs.mkdirs(p)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .foreachPartition { (it: Iterator[MediaBlob]) =>
+        val exFs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        it.foreach { b =>
+          val f = new org.apache.hadoop.fs.Path(dir, f"${b.doc_id}%010d.png")
+          val out = exFs.create(f, true)
+          out.write(b.data)
+          out.close()
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(decodeImages)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_binary_files" -> srcBinaryFiles,
     "multimodal_cols" -> mmMeta,
     "mm_binary" -> mmBinary,
     "mm_decode" -> mmDecode,
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAhash,
     "mm_frames" -> mmFrames)
+
+  private val decodeOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len,
+      |                  length(text) % 16 + 1 AS w,
+      |                  length(text) % 12 + 1 AS h
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
+      |       CAST(w AS INTEGER) AS width,
+      |       CAST(h AS INTEGER) AS height,
+      |       3 AS channels,
+      |       CAST(coalesce(list_sum(list_transform(range(0, w * h * 3),
+      |            i -> CASE WHEN len = 0 THEN 0
+      |                      ELSE ord(substr(text, (i % len) + 1, 1)) END)),
+      |            0) AS BIGINT) AS checksum
+      |FROM d ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "multimodal_cols" ->
@@ -333,21 +393,10 @@ object Multimodal extends graft.QueryModule {
     // PRECONDITION (holds for the driver's documents generator;
     // re-verify if it changes): no non-ASCII chars (ord==byte breaks on
     // multibyte). Empty payloads decode as a 1×1 black image.
-    "mm_decode" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len,
-        |                  length(text) % 16 + 1 AS w,
-        |                  length(text) % 12 + 1 AS h
-        |           FROM documents)
-        |SELECT doc_id,
-        |       CAST(w * h * 3 AS INTEGER) AS n_bytes,
-        |       CAST(w AS INTEGER) AS width,
-        |       CAST(h AS INTEGER) AS height,
-        |       3 AS channels,
-        |       CAST(coalesce(list_sum(list_transform(range(0, w * h * 3),
-        |            i -> CASE WHEN len = 0 THEN 0
-        |                      ELSE ord(substr(text, (i % len) + 1, 1)) END)),
-        |            0) AS BIGINT) AS checksum
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_decode" -> decodeOracle,
+    // the file round-trip must decode to exactly what the in-memory
+    // path decodes to — one oracle serves both
+    "src_binary_files" -> decodeOracle,
     // resized pixel (x,y) samples source pixel (x*w div 8, y*h div 6);
     // i enumerates output samples: q = i div 3 is the pixel, i mod 3
     // the channel; all arithmetic integer, same precondition as

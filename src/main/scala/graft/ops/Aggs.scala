@@ -431,6 +431,33 @@ object Aggs extends graft.QueryModule {
         .as("approx_users"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
 
+  /** Markov transition matrix [N] — the behavioral-model aggregate
+    * (what follows what, with what probability): per-user event
+    * sequences pair each event with its predecessor in ONE window
+    * pass, then a hash agg counts (from, to) bigrams and a broadcast
+    * join against the per-from totals (a relation bounded by the
+    * event-type vocabulary, never the data) turns counts into row
+    * probabilities. The probability is one exact long/long IEEE
+    * division per output row — no rounding needed for cross-engine
+    * hash equality. */
+  private def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bigrams = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bigrams.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    bigrams.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n") / col("tot")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** EXACT mergeable distinct rollup via bitmaps [N] — the scale
     * answer to "count(distinct) does not re-aggregate": Spark 3.5+'s
     * bitmap functions shard the key domain into fixed 32 768-bit
@@ -517,6 +544,7 @@ object Aggs extends graft.QueryModule {
     "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_bitmap_distinct" -> bitmapDistinct,
+    "agg_markov_transitions" -> markovTransitions,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
@@ -541,6 +569,21 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |b AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM b GROUP BY 1)
+        |SELECT b.from_type, b.to_type, b.n,
+        |       CAST(b.n AS DOUBLE) / t.tot AS prob
+        |FROM b JOIN t ON b.from_type = t.from_type
+        |ORDER BY b.from_type, b.to_type""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT o_orderpriority AS prio,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
