@@ -318,7 +318,35 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Inverted index build + serve [N] — the text-retrieval layout: one
+    * hash agg turns (doc, token) pairs into token→sorted-posting-list
+    * rows, persisted as parquet (at scale: bucketed by token so a term
+    * lookup is one pruned file read — the layout is the index). The
+    * serve path answers a conjunctive (AND) query over the two
+    * highest-df terms — both chosen deterministically (df desc, token)
+    * so the oracle re-derives the same query — by intersecting ONLY
+    * those two posting arrays: the per-term cost is |postings|, never
+    * a corpus scan. Hash equality against DuckDB's direct
+    * contains-both scan proves index build and serve lossless. */
+  private def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = "target/tmp/inverted_index"
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    toks.groupBy(col("w"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = s.read.parquet(dir)
+    val top2 = idx.orderBy(col("df").desc, col("w")).limit(2)
+      .select(col("postings"))
+    top2.agg(collect_list(col("postings")).as("ps"))
+      .select(explode(expr("array_intersect(ps[0], ps[1])")).as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> invertedIndex,
     "text_entropy" -> entropy,
     "text_line_dedup" -> lineDedup,
     "text_chunk" -> chunk,
@@ -378,6 +406,15 @@ object TextAnalysis extends graft.QueryModule {
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
         |FROM events ORDER BY event_id""".stripMargin,
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |df AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |top2 AS (SELECT w FROM df ORDER BY c DESC, w LIMIT 2)
+        |SELECT doc_id FROM toks JOIN top2 USING (w)
+        |GROUP BY doc_id HAVING count(*) = 2
+        |ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -431,6 +431,35 @@ object Aggs extends graft.QueryModule {
         .as("approx_users"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
 
+  /** Z-score outlier counting with EXACT integer arithmetic [N]: a row
+    * is an outlier when (x − μ)² > k²σ². Computing μ or σ invites the
+    * cross-engine quotient-tie trap, so both sides are multiplied out:
+    * (n·x − s)² > k²·(n·sx2 − s²) — every term an exact integer (cents
+    * as decimal(38,0), products capped far below 10³⁸), so the
+    * comparison is bit-free-of-floats on BOTH engines (DuckDB runs it
+    * in HUGEINT). Plan: one hash agg for the per-group moments (the
+    * group domain is the event-type vocabulary — broadcast), one scan
+    * with the flag expression, one count agg. */
+  private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100)
+      .cast("decimal(20,0)")
+    val rows = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
+    val stats = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dev = d38(col("n") * col("c")) - d38(col("sc"))
+    val varN2 = d38(col("n") * col("sc2")) - d38(col("sc")) * d38(col("sc"))
+    rows.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n"),
+        when(dev * dev > lit(9) * varN2, 1L).otherwise(0L).as("flag"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("flag")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Markov transition matrix [N] — the behavioral-model aggregate
     * (what follows what, with what probability): per-user event
     * sequences pair each event with its predecessor in ONE window
@@ -545,6 +574,7 @@ object Aggs extends graft.QueryModule {
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_markov_transitions" -> markovTransitions,
+    "agg_zscore_outliers" -> zscoreOutliers,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
@@ -569,6 +599,23 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    // every term HUGEINT-exact: the cross-multiplied compare needs no
+    // mean, no stddev, no float anywhere
+    "agg_zscore_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c * c) AS sc2
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(st.n AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN (st.n * r.c - st.sc) * (st.n * r.c - st.sc)
+        |                        > 9 * (st.n * st.sc2 - st.sc * st.sc)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM r JOIN st USING (event_type)
+        |GROUP BY r.event_type, st.n
+        |ORDER BY r.event_type""".stripMargin,
     "agg_markov_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (
