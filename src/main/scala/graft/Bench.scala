@@ -69,6 +69,10 @@ object Bench {
     "fin_twap",             // time-weighted average price
     "graph_triangles",      // degree-oriented triangle counting
     "graph_pagerank",       // 5 pinned iterations, broadcast rank
+    "graph_sssp",           // weighted min-plus relaxation (r8)
+    "graph_jaccard_neighbors", // capped wedge link prediction (r8)
+    "agg_bitmap_distinct",  // mergeable exact-distinct rollup (r8)
+    "text_inverted_index",  // index build + conjunctive serve (r8)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {

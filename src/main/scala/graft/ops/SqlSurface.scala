@@ -166,7 +166,27 @@ object SqlSurface extends graft.QueryModule {
         |FROM orders_v GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** Named WINDOW clause [N]: one window definition shared by several
+    * analytic functions — the ANSI form both engines parse. Catalyst
+    * resolves all four functions onto the SAME Window operator (one
+    * exchange + one sort), which is the point: a shared named window
+    * is the textual guarantee the frames can fuse. */
+  private def windowClause(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       rank() OVER w AS rk,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              OVER w AS DOUBLE) AS run_total
+        |FROM orders_v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_window_clause" -> windowClause,
     "sql_group_by_all" -> groupByAll,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral" -> sqlLateral,
@@ -177,6 +197,16 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_window_clause" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       CAST(rank() OVER w AS INTEGER) AS rk,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              OVER w AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "sql_group_by_all" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -95,6 +95,22 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** The LEFT OUTER stream-stream join
+    * ([[graft.streaming.Streams.clickViewJoinLeftOuter]]) on the shared
+    * batch/stream plan: every click emits, null-padded when no view
+    * precedes it within the bound. StreamingSpec drives the same code
+    * as a real watermarked stream (where the null-padded row may only
+    * emit after the watermark proves no match can arrive); this key
+    * pins the JOIN SEMANTICS against a plain SQL left join. */
+  private def outerIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    graft.streaming.Streams.clickViewJoinLeftOuter(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"),
+        boundMinutes = 240)
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   /** Streaming incremental-state maintenance end to end
     * ([[graft.streaming.Streams.maintainIncrementalState]]): events are
     * sliced into three files, streamed one file per micro-batch, each
@@ -162,6 +178,7 @@ object StreamBatch extends graft.QueryModule {
     "stream_session_agg" -> sessionAgg,
     "stream_dedup_stateful" -> dedupStateful,
     "stream_interval_join" -> intervalJoin,
+    "stream_outer_join" -> outerIntervalJoin,
     "stream_topk" -> topkStateful)
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +233,15 @@ object StreamBatch extends graft.QueryModule {
         |v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM e WHERE event_type = 'view')
         |SELECT c.user_id AS user_id, click_id, view_id, c_ts, v_ts
         |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v_ts BETWEEN c_ts - INTERVAL '240 minutes' AND c_ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "stream_outer_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+        |                  user_id, event_type FROM events),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM e WHERE event_type = 'view')
+        |SELECT c.user_id AS user_id, click_id, view_id, c_ts, v_ts
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
         |  AND v_ts BETWEEN c_ts - INTERVAL '240 minutes' AND c_ts
         |ORDER BY 1, 2, 3""".stripMargin,
     "stream_dedup_stateful" ->
