@@ -811,7 +811,56 @@ object SimSearch extends graft.QueryModule {
     ivfPqTopK(Tables.embeddings(s, d), nprobe = 6, rerank = 200)
   }
 
+  /** Per-label centroid in MERGEABLE (sum, count) form [N] — the class
+    * prototype / cluster-profile aggregate, kept as the exact integer
+    * sum vector + count instead of the mean: the k-means rounds proved
+    * the mean's division ties are the one cross-engine hazard, and
+    * every scale-invariant consumer (cosine, nearest-prototype) reads
+    * the sum form identically. Components pin to micro-units
+    * (`floor(v·10⁶)` — float→double is exact, one deterministic
+    * product+floor), so the per-(label, dim) sums are exact BIGINT and
+    * re-aggregate across any partitioning; the dim-domain rollup is
+    * one extra hash agg, never a rescan. */
+  private def centroidByLabel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vd", floor(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vd")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(min(col("n")).as("n"),
+        // string-serialized: the driver's row-sort can't hash arrays
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, s))), x -> x.s)"),
+          ",").as("sums"))
+      .orderBy("label")
+
+  /** Johnson-Lindenstrauss random projection [N] — embedding
+    * dimensionality reduction with a SEEDED sign matrix: s(i,j) = ±1
+    * from the first hex digit of md5(i ++ '_' ++ j), so both engines
+    * regenerate the identical matrix from nothing (the md5-coin
+    * discipline the text samplers use, applied to linear algebra).
+    * Components pin to exact micro-unit longs, so each of the 8 output
+    * components is an exact BIGINT dot product — order-invariant,
+    * partition-invariant. Cost: |vecs|·dims·k rows through one hash
+    * agg; the sign matrix is never materialized, it's computed inline
+    * by codegen'd md5 — nothing to broadcast, nothing to store. */
+  private def randomProjection(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("vd", floor(col("v").cast("double") * 1e6).cast("long"))
+      .select(col("vec_id"), col("i"), col("vd"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("sign",
+        when(substring(md5(concat(col("i"), lit("_"), col("j"))), 1, 1)
+          .between("0", "7"), 1L).otherwise(-1L))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("vd") * col("sign")).as("proj"))
+      .orderBy("vec_id", "j")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroid_by_label" -> centroidByLabel,
+    "emb_random_projection" -> randomProjection,
     "sim_search_ivf_pq" -> ivfPq,
     "sim_search_pq" -> pq,
     "emb_quantize_int8" -> quantizeInt8,
@@ -832,6 +881,41 @@ object SimSearch extends graft.QueryModule {
       | FROM (SELECT unnest(%s) AS x, unnest(%s) AS y) u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // zipped unnests give (pos, v); micro-unit pinning makes every sum
+    // exact BIGINT on both engines
+    "emb_centroid_by_label" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         unnest(range(0, len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, pos,
+        |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))
+        |              AS BIGINT) AS s,
+        |         count(*) AS n
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, CAST(min(n) AS BIGINT) AS n,
+        |       array_to_string(list(s ORDER BY pos), ',') AS sums
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
+    "emb_random_projection" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         unnest(range(0, len(embedding))) AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, i,
+        |         CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS vd,
+        |         j
+        |  FROM x CROSS JOIN (SELECT unnest(range(0, 8)) AS j))
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |       CAST(sum(vd * (CASE WHEN substr(md5(CAST(i AS VARCHAR)
+        |              || '_' || CAST(j AS VARCHAR)), 1, 1)
+        |              BETWEEN '0' AND '7' THEN 1 ELSE -1 END)) AS BIGINT)
+        |         AS proj
+        |FROM p GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
     "sim_search_kmeans_assign" -> kmeansAssignOracle,
     "sim_search_kmeans_centroids" -> kmeansCentroidsOracle,
     "sim_search_ivf_pinned" -> ivfPinnedServeOracle,
