@@ -431,6 +431,66 @@ object Aggs extends graft.QueryModule {
         .as("approx_users"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
 
+  /** RFM segmentation [N] — the classic customer-value screen: per
+    * customer recency (last order date), frequency (order count),
+    * monetary (exact decimal revenue), each scored into quartiles and
+    * concatenated into the familiar 'r-f-m' segment code. The naive
+    * form is three `ntile(4)` calls over UNPARTITIONED windows — each
+    * one a whole-relation single-partition sort, the global-window
+    * scale killer — so the quartiles here come from
+    * [[GlobalRank.withRank]] (range-partition + offset, no global
+    * exchange) with [[GlobalRank.ntileFromRank]] reproducing ANSI
+    * ntile arithmetic exactly; the oracle still writes plain `ntile`
+    * windows, and hash equality proves the distributed construction
+    * IS ntile. Every ordering ends in the unique customer key, so all
+    * labels are deterministic at any partitioning. */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      .localCheckpoint() // three rank passes share one computed base
+    val n = base.count() // one scalar for the ntile arithmetic
+    val r = GlobalRank.withRank(base,
+      Seq(col("last_order").desc, col("o_custkey")), "rank_r")
+    val f = GlobalRank.withRank(base,
+      Seq(col("frequency").desc, col("o_custkey")), "rank_f")
+      .select(col("o_custkey"), col("rank_f"))
+    val m = GlobalRank.withRank(base,
+      Seq(col("monetary").desc, col("o_custkey")), "rank_m")
+      .select(col("o_custkey"), col("rank_m"))
+    r.join(f, "o_custkey").join(m, "o_custkey")
+      .select(col("o_custkey"), col("last_order").cast("date").as("last_order"),
+        col("frequency"), col("monetary").cast("double").as("monetary"),
+        concat(GlobalRank.ntileFromRank(col("rank_r"), n, 4), lit("-"),
+          GlobalRank.ntileFromRank(col("rank_f"), n, 4), lit("-"),
+          GlobalRank.ntileFromRank(col("rank_m"), n, 4)).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  /** Equi-DEPTH histogram [N] — the quantile-bucket profile (equal
+    * COUNTS per bucket, unlike [[histogram]]'s equal widths): `ntile`
+    * assigns depth buckets under a fully tie-broken order, then one
+    * hash agg emits each bucket's span and population. The ntile sort
+    * is per-group (event types partition the window), so the exchange
+    * is the same hash partition every grouped op uses. */
+  private def equidepthHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Z-score outlier counting with EXACT integer arithmetic [N]: a row
     * is an outlier when (x − μ)² > k²σ². Computing μ or σ invites the
     * cross-engine quotient-tie trap, so both sides are multiplied out:
@@ -575,6 +635,8 @@ object Aggs extends graft.QueryModule {
     "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_markov_transitions" -> markovTransitions,
     "agg_zscore_outliers" -> zscoreOutliers,
+    "agg_rfm_segments" -> rfmSegments,
+    "agg_equidepth_hist" -> equidepthHist,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
@@ -599,6 +661,35 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey, last_order, frequency, monetary,
+        |         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+        |         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+        |         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        |  FROM base)
+        |SELECT o_custkey, CAST(last_order AS DATE) AS last_order,
+        |       frequency, CAST(monetary AS DOUBLE) AS monetary,
+        |       CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-'
+        |         || CAST(m AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    "agg_equidepth_hist" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, v, ntile(4) OVER (
+        |    PARTITION BY event_type ORDER BY v, event_id) AS bucket
+        |  FROM e)
+        |SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+        |       CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
+        |       count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // every term HUGEINT-exact: the cross-multiplied compare needs no
     // mean, no stddev, no float anywhere
     "agg_zscore_outliers" ->
