@@ -302,7 +302,32 @@ object Funcs extends graft.QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** Collation-aware comparison [N] — Spark 4.0 collations
+    * (SPARK-46830): a case-INSENSITIVE equi-join via `UTF8_LCASE`
+    * without rewriting either side through `lower()`. The fact side
+    * carries deliberately mixed-case labels (parity-cased from the
+    * key), the dim side Title-case; the collated comparison is still a
+    * plain hash-join key (collation folds into the join key's binary
+    * representation — no nested loop, no expression wrapper blocking
+    * pushdown). The oracle lowers both sides explicitly; hash equality
+    * proves the collation semantics. Output restates only
+    * deterministic casings (the collated key itself keeps an arbitrary
+    * representative, so it never leaves the join). */
+  private def fnCollation(s: SparkSession, d: String): DataFrame = {
+    val mixed = Tables.customer(s, d).select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(2)) === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment"))).as("seg_mixed"))
+    val dim = Tables.customer(s, d)
+      .select(initcap(lower(col("c_mktsegment"))).as("seg_dim")).distinct()
+    mixed.join(dim,
+        expr("collate(seg_mixed, 'UTF8_LCASE')") ===
+          expr("collate(seg_dim, 'UTF8_LCASE')"))
+      .select(col("c_custkey"), col("seg_mixed"), col("seg_dim"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collation" -> fnCollation,
     "fn_generators" -> fnGenerators,
     "fn_url" -> fnUrl,
     "fn_xml" -> fnXml,
@@ -355,6 +380,19 @@ object Funcs extends graft.QueryModule {
         |ORDER BY p_partkey, src, pos, val NULLS FIRST""".stripMargin,
     // components restated from the construction; c_name's only
     // non-form-safe byte is '#' (→ %23)
+    "fn_collation" ->
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg_mixed
+        |  FROM customer),
+        |dim AS (
+        |  SELECT DISTINCT upper(substr(c_mktsegment, 1, 1))
+        |           || lower(substr(c_mktsegment, 2)) AS seg_dim
+        |  FROM customer)
+        |SELECT c_custkey, seg_mixed, seg_dim
+        |FROM m JOIN dim ON lower(seg_mixed) = lower(seg_dim)
+        |ORDER BY c_custkey""".stripMargin,
     "fn_xml" ->
       """SELECT c_custkey,
         |       c_name AS name,

@@ -185,7 +185,26 @@ object SqlSurface extends graft.QueryModule {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** SQL pipe syntax [N] — Spark 4.0's `|>` operator chain
+    * (SPARK-49555, the GoogleSQL-style form): FROM … |> WHERE … |>
+    * AGGREGATE … GROUP BY … |> ORDER BY. Same Catalyst plan as the
+    * classic text — the key pins that the pipe parser resolves onto
+    * identical semantics (the oracle is the classic formulation, which
+    * is also all DuckDB can parse). */
+  private def pipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """FROM orders_v
+        ||> WHERE o_orderstatus = 'O'
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       AS total
+        |   GROUP BY o_orderpriority
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pipe_syntax" -> pipeSyntax,
     "sql_window_clause" -> windowClause,
     "sql_group_by_all" -> groupByAll,
     "sql_recursive_cte" -> recursiveCte,
@@ -197,6 +216,12 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_window_clause" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER w AS INTEGER) AS rn,
