@@ -431,6 +431,65 @@ object Aggs extends graft.QueryModule {
         .as("approx_users"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
 
+  /** Percentile winsorization [N] — feature-engineering's standard
+    * outlier clamp: per group, values outside [p05, p95] snap to the
+    * boundary, then the clamped distribution is profiled. Cross-engine
+    * discipline: the interpolated percentiles are PINNED at 4dp and
+    * cast to decimal BEFORE the clamp, so the boundary compare is
+    * decimal-vs-decimal exact on both engines (raw interpolation can
+    * differ by 1 ULP — never let it touch a comparison); clamped
+    * values stay decimal through the sum, one conversion + 2dp pin per
+    * group at the end. The percentile agg and the clamp join share the
+    * group-key exchange; the stats dim is group-domain-bounded and
+    * broadcasts. */
+  private def winsorizePct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(14,4)").as("v"))
+    val stats = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        bround(expr("percentile(l_extendedprice, 0.05)"), 4)
+          .cast("decimal(14,4)").as("lo"),
+        bround(expr("percentile(l_extendedprice, 0.95)"), 4)
+          .cast("decimal(14,4)").as("hi"))
+    li.join(broadcast(stats), "l_returnflag")
+      .withColumn("w",
+        when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") =!= col("w"), 1L).otherwise(0L)).as("n_clamped"),
+        bround(sum(col("w")).cast("double"), 2).as("sum_w"),
+        min(col("w")).cast("double").as("min_w"),
+        max(col("w")).cast("double").as("max_w"))
+      .orderBy("l_returnflag")
+  }
+
+  /** k-anonymity generalization [N] — the privacy screen a dataset
+    * passes before publication: quasi-identifier combinations carried
+    * by fewer than k individuals are SUPPRESSED (generalized to '*')
+    * and merged, so no released group is smaller than k. Two hash
+    * aggs: quasi-group counts, then re-aggregation of the suppressed
+    * remainder — the suppressed rows collapse to one row per
+    * fully-generalized class, never leaving rare combinations in the
+    * output. */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 10L
+    val groups = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nation"))
+      .groupBy(col("seg"), col("nation"))
+      .agg(count(lit(1)).as("n"))
+    val kept = groups.filter(col("n") >= k)
+    val suppressed = groups.filter(col("n") < k)
+      .select(lit("*").as("seg"), lit("*").as("nation"), col("n"))
+      .groupBy(col("seg"), col("nation"))
+      .agg(sum(col("n")).as("n"))
+    kept.unionByName(suppressed)
+      .orderBy("seg", "nation")
+  }
+
   /** RFM segmentation [N] — the classic customer-value screen: per
     * customer recency (last order date), frequency (order count),
     * monetary (exact decimal revenue), each scored into quartiles and
@@ -637,6 +696,8 @@ object Aggs extends graft.QueryModule {
     "agg_zscore_outliers" -> zscoreOutliers,
     "agg_rfm_segments" -> rfmSegments,
     "agg_equidepth_hist" -> equidepthHist,
+    "agg_winsorize_pct" -> winsorizePct,
+    "quality_k_anonymity" -> kAnonymity,
     "agg_regression" -> regression,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
@@ -661,6 +722,40 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorize_pct" ->
+      """WITH st AS (
+        |  SELECT l_returnflag,
+        |         CAST(round_even(quantile_cont(l_extendedprice, 0.05), 4)
+        |              AS DECIMAL(14,4)) AS lo,
+        |         CAST(round_even(quantile_cont(l_extendedprice, 0.95), 4)
+        |              AS DECIMAL(14,4)) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l.l_returnflag,
+        |         CAST(l.l_extendedprice AS DECIMAL(14,4)) AS v, st.lo, st.hi
+        |  FROM lineitem l JOIN st USING (l_returnflag)),
+        |w AS (
+        |  SELECT l_returnflag, v,
+        |         CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS w
+        |  FROM r)
+        |SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN v <> w THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clamped,
+        |       round_even(CAST(sum(w) AS DOUBLE), 2) AS sum_w,
+        |       CAST(min(w) AS DOUBLE) AS min_w,
+        |       CAST(max(w) AS DOUBLE) AS max_w
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "quality_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(c_nationkey AS VARCHAR) AS nation,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT seg, nation, n FROM g WHERE n >= 10
+        |UNION ALL
+        |SELECT '*', '*', CAST(sum(n) AS BIGINT) FROM g WHERE n < 10
+        |HAVING count(*) > 0
+        |ORDER BY seg, nation""".stripMargin,
     "agg_rfm_segments" ->
       """WITH base AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,
