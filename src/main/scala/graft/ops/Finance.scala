@@ -215,7 +215,34 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id")
   }
 
+  /** Year-over-year growth [N] — the reporting staple: monthly revenue
+    * per order priority, each month paired with the same month last
+    * year (lag 12 over the gap-free month sequence — the grouped
+    * months are CONSECUTIVE by construction since every month trades
+    * in the synthetic data; a sparse calendar would compose this with
+    * [[gapfill]]). Float discipline: monthly sums are exact decimals;
+    * the growth ratio is ONE double division of identical inputs on
+    * both engines and ships UNROUNDED — rounding a quotient is the one
+    * pinning step that can diverge (trailing-5 ties), while the raw
+    * IEEE quotient is bit-identical by construction. */
+  private def yoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("rev_ly", lag(col("rev"), 12).over(w))
+      .filter(col("rev_ly").isNotNull)
+      .select(col("o_orderpriority"), col("month"),
+        col("rev").cast("double").as("rev"),
+        col("rev_ly").cast("double").as("rev_ly"),
+        ((col("rev") - col("rev_ly")).cast("double") /
+          col("rev_ly").cast("double")).as("yoy"))
+      .orderBy("o_orderpriority", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_yoy" -> yoyGrowth,
     "fin_autocorr" -> autocorr,
     "ts_gapfill" -> gapfill,
     "fin_ewma" -> ewma,
@@ -226,6 +253,21 @@ object Finance extends graft.QueryModule {
     "fin_volatility" -> volatility)
 
   val oracles: Map[String, String] = Map(
+    "fin_yoy" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT o_orderpriority, month, rev,
+        |         lag(rev, 12) OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY month) AS rev_ly
+        |  FROM m)
+        |SELECT o_orderpriority, month,
+        |       CAST(rev AS DOUBLE) AS rev, CAST(rev_ly AS DOUBLE) AS rev_ly,
+        |       CAST(rev - rev_ly AS DOUBLE) / CAST(rev_ly AS DOUBLE) AS yoy
+        |FROM l WHERE rev_ly IS NOT NULL
+        |ORDER BY o_orderpriority, month""".stripMargin,
     "fin_autocorr" ->
       """WITH p AS (
         |  SELECT user_id,

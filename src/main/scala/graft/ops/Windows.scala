@@ -50,6 +50,46 @@ object Windows extends graft.QueryModule {
       .select(col("event_id"), col("user_id"), col("ttm_asof"))
       .orderBy("event_id")
 
+  /** Ratio-to-report [N] — each row's share of its partition total
+    * (Oracle's RATIO_TO_REPORT): an unbounded-frame sum over the
+    * partition, then one double division per row of inputs that are
+    * exact decimals on both engines — bit-identical unrounded. Single
+    * Window operator on the group key's hash exchange. */
+  private def ratioToReport(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("prio_total", sum(col("price")).over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("price").cast("double").as("price"),
+        (col("price").cast("double") / col("prio_total").cast("double"))
+          .as("share"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Gaps-and-islands [N] — the canonical consecutive-runs problem:
+    * collapse each user's active DAYS into maximal consecutive spans.
+    * The classic trick: day − row_number() is constant within a
+    * consecutive run, so one window pass labels islands and one hash
+    * agg emits the spans — no self-join, no iteration, scales as a
+    * single partition-keyed sort. */
+  private def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1990-01-01")) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("island_start"),
+        max(col("day")).as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy("user_id", "island_start")
+  }
+
   /** Rolling DISTINCT count [N] — Spark has no `count(DISTINCT)` over a
     * window frame; the composable equivalent is
     * `size(array_distinct(collect_list))` over the frame, which stays
@@ -383,6 +423,8 @@ object Windows extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_distinct_rolling" -> distinctRolling,
+    "win_ratio_to_report" -> ratioToReport,
+    "win_gaps_islands" -> gapsIslands,
     "win_range_frame" -> rangeFrame,
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
@@ -402,6 +444,32 @@ object Windows extends graft.QueryModule {
     "sort_output" -> sortOutput)
 
   val oracles: Map[String, String] = Map(
+    "win_ratio_to_report" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderkey, o_orderpriority, price,
+        |         sum(price) OVER (PARTITION BY o_orderpriority) AS prio_total
+        |  FROM o)
+        |SELECT o_orderkey, o_orderpriority,
+        |       CAST(price AS DOUBLE) AS price,
+        |       CAST(price AS DOUBLE) / CAST(prio_total AS DOUBLE) AS share
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+    "win_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         datediff('day', DATE '1990-01-01', day)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS grp
+        |  FROM days)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |       count(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin,
     "win_distinct_rolling" ->
       """SELECT event_id, user_id,
         |       CAST(count(DISTINCT event_type) OVER (
