@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in via spark.graft.rangejoin.bucketWidth: BETWEEN joins with no
     // equi key re-plan as binned equi-joins instead of nested loops
     ext.injectOptimizerRule(_ => graft.rules.RewriteRangeJoin)
+    // opt-in via spark.graft.mv.{summaryPath,sourcePath}: eligible fact
+    // aggregates re-plan to read the materialized summary instead
+    ext.injectOptimizerRule(_ => graft.rules.RewriteAggregateToSummary)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL-text surface for the native as-of join:
     //   SELECT * FROM graft_asof('probes_v', 'series_v', 'k', 't', 'tie', 'v')

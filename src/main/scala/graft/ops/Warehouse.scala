@@ -292,7 +292,46 @@ object Warehouse extends graft.QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Materialized-view rewrite end to end [N]: build the lineitem
+    * summary (decimal partials — associative, so re-aggregation is
+    * EXACT), then hand [[graft.rules.RewriteAggregateToSummary]] a
+    * coarser aggregate over the FACT table and serve it from the
+    * summary instead. The rule is applied directly to the analyzed
+    * plan (the conf-gated in-optimizer path is exercised by RulesSpec)
+    * and the key asserts the rewrite actually fired — the rewritten
+    * plan must scan the summary path. The oracle aggregates the raw
+    * fact table in DuckDB: hash equality proves summary-serving is
+    * indistinguishable from the direct scan. */
+  private def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.RewriteAggregateToSummary._
+    val mvPath = "target/tmp/mv_lineitem"
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as(SumQty),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as(SumBase),
+        count(lit(1)).as(Cnt))
+      .write.mode("overwrite").parquet(mvPath)
+    val naive = li
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        count(lit(1)).as("n"))
+    s.conf.set(PathConf, mvPath)
+    s.conf.set(SourceConf, s"$d/lineitem")
+    val rewritten =
+      try graft.rules.RewriteAggregateToSummary(naive.queryExecution.analyzed)
+      finally { s.conf.unset(PathConf); s.conf.unset(SourceConf) }
+    require(graft.rules.RewriteAggregateToSummary.servesFrom(rewritten, mvPath),
+      "materialized-view rewrite did not fire")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, rewritten)
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_base").cast("double").as("sum_base"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mv_rewrite" -> mvRewrite,
     "cdc_time_travel" -> cdcTimeTravel,
     "cdc_capture" -> cdcCapture,
     "agg_incremental" -> aggIncremental,
@@ -304,6 +343,17 @@ object Warehouse extends graft.QueryModule {
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    // the oracle reads the RAW fact table: equality proves the
+    // summary-served answer indistinguishable from the direct scan
+    "agg_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_base,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // identical SQL to cdc_capture: the version-store round-trip must
     // reproduce the direct diff exactly
     "cdc_time_travel" ->

@@ -73,6 +73,55 @@ class RulesSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteAggregateToSummary: eligible fact aggregate served from the " +
+    "summary; ineligible shapes untouched") {
+    import graft.rules.RewriteAggregateToSummary
+    import RewriteAggregateToSummary.{PathConf, SourceConf, SumQty, SumBase, Cnt}
+    val d = TestSpark.sf0001
+    val mvPath = "target/tmp/mv_lineitem_spec"
+    val li = Tables.lineitem(spark, d)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as(SumQty),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as(SumBase),
+        count(lit(1)).as(Cnt))
+      .write.mode("overwrite").parquet(mvPath)
+    def naive() = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    val expected = naive().collect().toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteAggregateToSummary
+    spark.conf.set(PathConf, mvPath)
+    spark.conf.set(SourceConf, s"$d/lineitem")
+    try {
+      // through the real optimizer: the plan reads the summary, the
+      // values are indistinguishable from the direct fact scan
+      val served = naive()
+      assert(RewriteAggregateToSummary.servesFrom(
+        served.queryExecution.optimizedPlan, mvPath),
+        served.queryExecution.optimizedPlan.treeString)
+      assert(served.collect().toSeq == expected)
+      assert(served.schema == naive().schema)
+      // a measure the summary cannot merge (sum of a THIRD column)
+      // must leave the fact scan in place
+      val other = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_discount").cast("decimal(18,2)")).as("sum_disc"))
+      assert(!RewriteAggregateToSummary.servesFrom(
+        other.queryExecution.optimizedPlan, mvPath))
+      // a grouping key outside the summary's keys must too
+      val finer = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(!RewriteAggregateToSummary.servesFrom(
+        finer.queryExecution.optimizedPlan, mvPath))
+    } finally {
+      spark.conf.unset(PathConf); spark.conf.unset(SourceConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == RewriteAggregateToSummary)
+    }
+  }
+
   test("bround(bround(x,2),4) collapses to one BRound; values unchanged") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ CollapseNestedBround
