@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retail-analytics operators [N] — market-basket association rules, a
+  * grid-bucketed geo radius join, and an A/B Welch t-test. No reference
+  * anchor (the reference pipeline has no analytics engine); these are
+  * warehouse-parity rows per BASELINE.json's mandate, nearest SURVEY
+  * anchors §2.C/§2.D.
+  *
+  * Float discipline (graft-verify-protocol): every measure here is a
+  * ratio or statistic of EXACT integer aggregates — counts, BIGINT
+  * cents bins, integer grid coordinates — combined in doubles with the
+  * expression order mirrored verbatim in the DuckDB oracle. IEEE
+  * +,-,*,/,sqrt on identical inputs are bit-identical across engines,
+  * so nothing here is rounded (rounding a quotient is the step that
+  * CAN diverge on trailing-5 ties).
+  */
+object Retail extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** Market-basket association rules [N] — support / confidence / lift
+    * for co-purchased part pairs, the classic retail-warehouse query
+    * (Agrawal & Srikant's Apriori output format, frequent-pair level).
+    *
+    * Scale shape: pairs are generated ROW-LOCALLY from each order's
+    * sorted part set (quadratic only in order size, ≤7 in TPC-H —
+    * never in part popularity), then hash-aggregated; per-item counts
+    * live in the part domain (dimension-bounded) and the basket total
+    * is one row. At 100 TB the only wide stage is the pair hash-agg,
+    * exactly like [[graft.ext.Graph.coPurchaseEdges]]. Lift is
+    * computed as ONE division of two exact BIGINT products
+    * (n_ab·N < 2^53 and n_a·n_b < 2^53 at any plausible SF — both
+    * factors are order/item counts, not data values). */
+  private def basketRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val total = baskets.agg(countDistinct(col("l_orderkey")).as("n"))
+    val items = baskets.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(items.withColumnRenamed("cnt", "n_a")),
+        col("a") === col("p")).drop("p")
+      .join(broadcast(items.withColumnRenamed("cnt", "n_b")),
+        col("b") === col("p")).drop("p")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (dd(col("n_ab")) / dd(col("n"))).as("support"),
+        (dd(col("n_ab")) / dd(col("n_a"))).as("confidence"),
+        (dd(col("n_ab") * col("n")) / dd(col("n_a") * col("n_b"))).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  /** Geo radius join [N] — all (customer, supplier) pairs within
+    * distance R, the point-radius spatial join. Coordinates are
+    * DETERMINISTIC synthetic projections of the keys (LCG-style
+    * multiplier mod 100 000 — exact BIGINT arithmetic on both
+    * engines; the testdata carries no lat/lon).
+    *
+    * Scale shape: each point lands in one R×R grid cell; the probe
+    * side fans out to its 3×3 cell neighborhood (9 rows, constant)
+    * and the join is a plain EQUI-join on the cell id — candidate
+    * pairs are neighborhood-local, never the |C|×|S| cross product
+    * the oracle runs. Cell width = R guarantees the neighborhood
+    * covers the radius. Squared distance in BIGINT (coords < 10⁵ so
+    * diff² < 10¹⁰) — no sqrt, no floats anywhere. */
+  private def geoRadius(s: SparkSession, d: String): DataFrame = {
+    val R = 2000L
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      (col("c_custkey").cast("long") * 48271 % 100000).as("cx"),
+      (col("c_custkey").cast("long") * 69621 % 100000).as("cy"))
+      .withColumn("gx", expr(s"cx div $R"))
+      .withColumn("gy", expr(s"cy div $R"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+      (col("s_suppkey").cast("long") * 16807 % 100000).as("sx"),
+      (col("s_suppkey").cast("long") * 37489 % 100000).as("sy"))
+      .withColumn("dx", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("dy", explode(expr("array(-1L, 0L, 1L)")))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (expr(s"sx div $R") + col("dx")).as("gx"),
+        (expr(s"sy div $R") + col("dy")).as("gy"))
+    val dist2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+      (col("cy") - col("sy")) * (col("cy") - col("sy"))
+    cust.join(supp, Seq("gx", "gy"))
+      .filter(dist2 <= lit(R * R))
+      .select(col("c_custkey"), col("s_suppkey"), dist2.as("dist2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  /** Welch two-sample t-test [N] — the A/B-test statistic, per
+    * linestatus: returned lineitems ('R') vs the rest, on the price
+    * binned to exact $10 BIGINT units (`cents div 1000`). The t
+    * statistic is invariant under the affine part of that transform;
+    * the binning itself is part of the key's declared semantics, so
+    * the oracle mirrors it exactly.
+    *
+    * Scale shape: ONE hash aggregate with conditional integer sums
+    * (map-side combine; |y|² ≤ 10⁸ so even sf 1's 6 M rows keep
+    * Σy² < 2⁵³ — exact BIGINT, and exact again after the single
+    * cast to double). All downstream arithmetic is double-IEEE with
+    * the operation order mirrored in the oracle; sqrt is IEEE-exact. */
+  private def welchTtest(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val r = col("l_returnflag") === "R"
+    val agg = Tables.lineitem(s, d)
+      .select(col("l_linestatus"), col("l_returnflag"),
+        cents.as("cents"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+        expr("cents div 1000").as("y"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(r, 1L).otherwise(0L)).as("n1"),
+        sum(when(r, col("y")).otherwise(0L)).as("s1"),
+        sum(when(r, col("y") * col("y")).otherwise(0L)).as("q1"),
+        sum(when(!r, 1L).otherwise(0L)).as("n2"),
+        sum(when(!r, col("y")).otherwise(0L)).as("s2"),
+        sum(when(!r, col("y") * col("y")).otherwise(0L)).as("q2"))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+    agg
+      .withColumn("m1", dd(col("s1")) / dd(col("n1")))
+      .withColumn("m2", dd(col("s2")) / dd(col("n2")))
+      .withColumn("v1",
+        (dd(col("q1")) - dd(col("s1")) * dd(col("s1")) / dd(col("n1"))) /
+          (dd(col("n1")) - lit(1.0)))
+      .withColumn("v2",
+        (dd(col("q2")) - dd(col("s2")) * dd(col("s2")) / dd(col("n2"))) /
+          (dd(col("n2")) - lit(1.0)))
+      .select(col("l_linestatus"), col("n1"), col("n2"),
+        col("m1"), col("m2"),
+        ((col("m1") - col("m2")) /
+          sqrt(col("v1") / dd(col("n1")) + col("v2") / dd(col("n2"))))
+          .as("t"))
+      .orderBy("l_linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_rules" -> basketRules,
+    "join_geo_radius" -> geoRadius,
+    "stats_welch_ttest" -> welchTtest)
+
+  val oracles: Map[String, String] = Map(
+    // pairs via self-join — quadratic but fine at oracle scale; the
+    // Spark side generates them row-locally from the order's part set
+    "basket_rules" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM bk),
+        |item AS (SELECT l_partkey AS p, count(*) AS cnt FROM bk GROUP BY 1),
+        |pair AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
+        |  FROM bk x JOIN bk y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |       CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+        |       CAST(n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+        |       CAST(n_ab * n AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE)
+        |         AS lift
+        |FROM pair
+        |CROSS JOIN tot
+        |JOIN item ia ON ia.p = pair.a
+        |JOIN item ib ON ib.p = pair.b
+        |WHERE n_ab >= 2
+        |ORDER BY a, b""".stripMargin,
+    // cross join + distance filter — the naive plan the grid join
+    // refuses to run; equality proves the 3x3 neighborhood loses
+    // nothing (cell width = R)
+    "join_geo_radius" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey AS BIGINT) * 48271 % 100000 AS cx,
+        |         CAST(c_custkey AS BIGINT) * 69621 % 100000 AS cy
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |         CAST(s_suppkey AS BIGINT) * 16807 % 100000 AS sx,
+        |         CAST(s_suppkey AS BIGINT) * 37489 % 100000 AS sy
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |       (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+        |FROM c CROSS JOIN s
+        |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+        |        <= 2000 * 2000
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "stats_welch_ttest" ->
+      """WITH y AS (
+        |  SELECT l_linestatus, l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           // 1000 AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_linestatus,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN y ELSE 0 END)
+        |              AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN y * y ELSE 0 END)
+        |              AS BIGINT) AS q1,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN y ELSE 0 END)
+        |              AS BIGINT) AS s2,
+        |         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN y * y ELSE 0 END)
+        |              AS BIGINT) AS q2
+        |  FROM y GROUP BY 1),
+        |m AS (
+        |  SELECT l_linestatus, n1, n2,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |         (CAST(q1 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |              / CAST(n1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |         (CAST(q2 AS DOUBLE)
+        |            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |              / CAST(n2 AS DOUBLE))
+        |           / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM a WHERE n1 >= 2 AND n2 >= 2)
+        |SELECT l_linestatus, n1, n2, m1, m2,
+        |       (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE)
+        |                        + v2 / CAST(n2 AS DOUBLE)) AS t
+        |FROM m ORDER BY l_linestatus""".stripMargin)
+}

@@ -34,7 +34,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin",
-    "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table")
+    "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table",
+    "basket_rules" -> "1-row basket-total crossJoin")
 
   test("nested-loop/cartesian plans == the allowlist, exactly (sf0.001)") {
     val looping = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
