@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -217,6 +218,103 @@ object Graph extends graft.QueryModule {
        |FROM r$prIters ORDER BY node""".stripMargin
   }
 
+  private val lpIters = 3
+
+  /** Label-propagation community detection [N] (Raghavan et al. 2007),
+    * made DETERMINISTIC: synchronous rounds, every vertex adopts the
+    * MODE of its neighbors' current labels with ties broken by the
+    * smallest label (the original's random tie-break and asynchronous
+    * order are the known nondeterminism sources — fixing both gives a
+    * cross-engine hash-exact algorithm with no float in sight). Fixed
+    * `lpIters` rounds; output is the community profile (size + min
+    * member per label).
+    *
+    * Plan shape per round: one equi-join labels×edges + one hash agg +
+    * one per-vertex row_number — integer-only, so both layouts are
+    * trivially hash-exact: broadcast mode ships the |V|-row label table
+    * to the pre-checkpointed edge table; shuffle mode
+    * (BroadcastConf=false) pre-partitions the edges on `u` once and
+    * each round shuffles only the labels — the |E| side never moves,
+    * the 100 TB posture shared with [[pageRank]] and [[bfs]]. */
+  /** Hubs (parts in many orders) weld everything into one giant
+    * community — label prop is only informative on the sparse part of
+    * the graph, so restrict to vertices of degree ≤ cap, exactly like
+    * [[jaccardNeighbors]]'s hub filter. */
+  private val LpDegCap = 100
+
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e0 = coPurchaseEdges(s, d)
+    val keep = e0.select(col("a").as("x")).unionAll(e0.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") <= LpDegCap).select(col("x"))
+    val e = e0
+      .join(maybeBroadcast(s, keep.withColumnRenamed("x", "a")), Seq("a"),
+        "left_semi")
+      .join(maybeBroadcast(s, keep.withColumnRenamed("x", "b")), Seq("b"),
+        "left_semi")
+    // (v, u): u ranges over v's neighbors; join key is u (the label side)
+    val undRaw = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+    val und =
+      if (bcast) undRaw.localCheckpoint()
+      else undRaw.repartition(col("u")).localCheckpoint()
+    var lab = und.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    val byMode = Window.partitionBy(col("v"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 1 to lpIters) {
+      val nbr = (if (bcast) broadcast(lab) else lab)
+        .withColumnRenamed("v", "u")
+        .join(und, "u")
+      lab = nbr.groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byMode))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lbl"))
+        .localCheckpoint()
+    }
+    lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"), min(col("v")).as("min_member"))
+      .orderBy("community")
+  }
+
+  /** Oracle: the same rounds unrolled as chained CTEs (the generated-
+    * oracle discipline of [[pageRankOracle]]) — all-integer, so the
+    * only things to mirror are the mode tie-break and the join shape. */
+  private def labelPropOracle: String = {
+    val base =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |dg AS (SELECT x, count(*) AS dg FROM (
+         |         SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0)
+         |       GROUP BY x),
+         |keep AS (SELECT x FROM dg WHERE dg <= $LpDegCap),
+         |edges AS (SELECT e0.a, e0.b FROM e0
+         |          JOIN keep ka ON e0.a = ka.x
+         |          JOIN keep kb ON e0.b = kb.x),
+         |und AS (SELECT a AS v, b AS u FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT DISTINCT v, v AS lbl FROM und)""".stripMargin
+    val iters = (1 to lpIters).map { i =>
+      s"""l$i AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT c.v, c.lbl,
+         |           row_number() OVER (PARTITION BY c.v
+         |                              ORDER BY c.cnt DESC, c.lbl) AS rn
+         |    FROM (SELECT und.v, p.lbl, count(*) AS cnt
+         |          FROM und JOIN l${i - 1} p ON p.v = und.u
+         |          GROUP BY und.v, p.lbl) c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
+       |       min(v) AS min_member
+       |FROM l$lpIters GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   private val bfsRounds = 4
 
   /** Multi-source BFS [N]: shortest hop-distance (≤ `bfsRounds`) from a
@@ -377,6 +475,7 @@ object Graph extends graft.QueryModule {
   private val JaccardDegCap = 80
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_labelprop" -> labelProp,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
     "graph_sssp" -> sssp,
     "graph_triangles" -> triangleCount,
@@ -385,6 +484,7 @@ object Graph extends graft.QueryModule {
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_labelprop" -> labelPropOracle,
     "graph_pagerank" -> pageRankOracle,
     "graph_bfs" -> bfsOracle,
     "graph_sssp" -> ssspOracle,

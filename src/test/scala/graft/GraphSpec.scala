@@ -101,8 +101,8 @@ class GraphSpec extends AnyFunSuite {
     assert(pr4 == prOn && pr32 == prOn, "pagerank differs across modes")
   }
 
-  test("bfs and sssp are identical in broadcast and shuffle modes") {
-    for (key <- Seq("graph_bfs", "graph_sssp")) {
+  test("bfs, sssp, and labelprop are identical in broadcast and shuffle modes") {
+    for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop")) {
       val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
       for (parts <- Seq("4", "32")) {
