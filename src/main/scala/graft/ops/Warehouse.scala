@@ -330,7 +330,54 @@ object Warehouse extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Incremental maintenance OF the materialized summary [N]: the base
+    * summary is built from the pre-cutoff fact rows only, the
+    * post-cutoff rows arrive as a delta whose PARTIALS are unioned in
+    * and re-aggregated — the mergeable-decimal contract means the
+    * maintained summary is bit-identical to a from-scratch rebuild, so
+    * serving a query from it (via the same
+    * [[graft.rules.RewriteAggregateToSummary]] path as
+    * [[mvRewrite]]) is indistinguishable from scanning the full fact
+    * table — which is exactly what the oracle does. At 100 TB this is
+    * the nightly pattern: the delta partial-agg touches only new data;
+    * the union re-agg touches only the summary (group-domain-sized). */
+  private def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.rules.RewriteAggregateToSummary._
+    val mvPath = "target/tmp/mv_lineitem_inc"
+    val li = Tables.lineitem(s, d)
+    val cutoff = "1996-01-01"
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as(SumQty),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as(SumBase),
+        count(lit(1)).as(Cnt))
+    val base = partials(li.filter(col("l_shipdate") < lit(cutoff)))
+    val delta = partials(li.filter(col("l_shipdate") >= lit(cutoff)))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col(SumQty)).cast("decimal(28,2)").as(SumQty),
+        sum(col(SumBase)).cast("decimal(28,2)").as(SumBase),
+        sum(col(Cnt)).as(Cnt))
+      .write.mode("overwrite").parquet(mvPath)
+    val naive = li
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n"))
+    s.conf.set(PathConf, mvPath)
+    s.conf.set(SourceConf, s"$d/lineitem")
+    val rewritten =
+      try graft.rules.RewriteAggregateToSummary(naive.queryExecution.analyzed)
+      finally { s.conf.unset(PathConf); s.conf.unset(SourceConf) }
+    require(graft.rules.RewriteAggregateToSummary.servesFrom(rewritten, mvPath),
+      "materialized-view rewrite did not fire on the maintained summary")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, rewritten)
+      .select(col("l_linestatus"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n"))
+      .orderBy("l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mv_incremental" -> mvIncremental,
     "agg_mv_rewrite" -> mvRewrite,
     "cdc_time_travel" -> cdcTimeTravel,
     "cdc_capture" -> cdcCapture,
@@ -343,6 +390,15 @@ object Warehouse extends graft.QueryModule {
     "merge_upsert" -> mergeUpsert)
 
   val oracles: Map[String, String] = Map(
+    // raw fact table again: base+delta maintenance then summary-serving
+    // must be indistinguishable from the direct full scan
+    "agg_mv_incremental" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     // the oracle reads the RAW fact table: equality proves the
     // summary-served answer indistinguishable from the direct scan
     "agg_mv_rewrite" ->

@@ -192,6 +192,42 @@ object Windows extends graft.QueryModule {
       .orderBy("funnel_stage")
   }
 
+  /** Last-touch marketing attribution [N]: each purchase is credited to
+    * the user's most recent PRECEDING click or view within a 7-day
+    * lookback (the standard last-non-direct-touch model). The
+    * engine-portable trick: instead of `last_value(... IGNORE NULLS)`
+    * (dialect-dependent), take a per-channel running `max` over a
+    * `CASE`-masked epoch-micros column — `max` skips nulls everywhere,
+    * `(user_id, ts)` uniqueness makes the later-of-two comparison
+    * tie-free, and everything is BIGINT. One window sort per user
+    * partition serves both channels, then one hash agg. */
+  private def attrLastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookback = 7L * 24 * 3600 * 1000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("lc",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lc").isNull && col("lv").isNull, lit("none"))
+          .when(col("lv").isNull ||
+            (col("lc").isNotNull && col("lc") > col("lv")),
+            when(col("us") - col("lc") <= lookback, lit("click"))
+              .otherwise(lit("stale")))
+          .otherwise(
+            when(col("us") - col("lv") <= lookback, lit("view"))
+              .otherwise(lit("stale"))).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"))
+      .orderBy("channel")
+  }
+
   /** Gap-based sessionization [N] with explicit SESSION IDS — the batch
     * twin of `session_window` that also LABELS every session: a session
     * breaks after a 30-minute silence, the break flags cumulative-sum
@@ -435,6 +471,7 @@ object Windows extends graft.QueryModule {
     "win_interpolate" -> interpolate,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
+    "attr_last_touch" -> attrLastTouch,
     "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
     "win_last_nonnull" -> lastNonNull,
@@ -635,6 +672,31 @@ object Windows extends graft.QueryModule {
         |       CAST(sum(net) OVER (ORDER BY day
         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
         |FROM t ORDER BY day""".stripMargin,
+    "attr_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type, us,
+        |         max(CASE WHEN event_type = 'click' THEN us END) OVER w AS lc,
+        |         max(CASE WHEN event_type = 'view' THEN us END) OVER w AS lv
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE
+        |           WHEN lc IS NULL AND lv IS NULL THEN 'none'
+        |           WHEN lv IS NULL OR (lc IS NOT NULL AND lc > lv) THEN
+        |             CASE WHEN us - lc <= 604800000000
+        |                  THEN 'click' ELSE 'stale' END
+        |           ELSE
+        |             CASE WHEN us - lv <= 604800000000
+        |                  THEN 'view' ELSE 'stale' END
+        |         END AS channel
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS conversions
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
