@@ -70,7 +70,10 @@ object Bench {
     "graph_triangles",      // degree-oriented triangle counting
     "graph_pagerank",       // 5 pinned iterations, broadcast rank
     "graph_sssp",           // weighted min-plus relaxation (r8)
+    "graph_labelprop",      // deterministic community detection (r8)
     "graph_jaccard_neighbors", // capped wedge link prediction (r8)
+    "basket_rules",         // market-basket support/confidence/lift (r8)
+    "agg_mv_rewrite",       // materialized-view rewrite serving (r8)
     "agg_bitmap_distinct",  // mergeable exact-distinct rollup (r8)
     "text_inverted_index",  // index build + conjunctive serve (r8)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)

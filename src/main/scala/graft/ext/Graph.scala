@@ -261,16 +261,18 @@ object Graph extends graft.QueryModule {
       else undRaw.repartition(col("u")).localCheckpoint()
     var lab = und.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint()
-    val byMode = Window.partitionBy(col("v"))
-      .orderBy(col("cnt").desc, col("lbl"))
     for (_ <- 1 to lpIters) {
       val nbr = (if (bcast) broadcast(lab) else lab)
         .withColumnRenamed("v", "u")
         .join(und, "u")
+      // mode with smallest-label tie-break as ONE hash agg:
+      // max(struct(cnt, -lbl)) = (largest count, then smallest label) —
+      // same pick as `row_number over (order by cnt desc, lbl)` without
+      // the per-vertex sort a window would add each round
       lab = nbr.groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(byMode))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("lbl"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("lbl"))
         .localCheckpoint()
     }
     lab.groupBy(col("lbl").as("community"))
