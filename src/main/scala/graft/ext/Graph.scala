@@ -476,7 +476,71 @@ object Graph extends graft.QueryModule {
     * measured 227 candidate pairs at sf0.01, 2032 at sf0.1. */
   private val JaccardDegCap = 80
 
+  private val KCoreK = 60
+  private val KCoreRounds = 4
+
+  /** Bounded k-core peel [N] (Seidman 1983; the distributed peel is the
+    * textbook iterate-until-fixpoint): each round drops every vertex
+    * whose CURRENT degree is below `KCoreK` and restricts the edge set
+    * to survivors; after `KCoreRounds` rounds the output is each
+    * survivor with its degree in the peeled subgraph. Fixed rounds keep
+    * the work deterministic and let the oracle unroll the same peel as
+    * chained CTEs (the [[labelPropOracle]] discipline) — the true core
+    * is the fixpoint, and GraphSpec asserts the round count REACHES it
+    * on this graph (every surviving degree is already ≥ k, so a further
+    * round peels nothing), so the bounded answer is not an
+    * approximation here.
+    *
+    * Scale shape per round: one degree hash-agg + two semi-joins on the
+    * vertex key — integer-only, no wedges, no adjacency arrays; the
+    * survivor relation only shrinks. The vertex-domain semi-join sides
+    * ride [[maybeBroadcast]] like the rest of the family, so with
+    * `BroadcastConf=false` every step is a shuffled equi-join and the
+    * plan survives an unbounded vertex domain. */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    var edges = coPurchaseEdges(s, d).localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= KCoreK).select(col("v"))
+      edges = edges
+        .join(maybeBroadcast(s, keep.withColumnRenamed("v", "a")), Seq("a"),
+          "left_semi")
+        .join(maybeBroadcast(s, keep.withColumnRenamed("v", "b")), Seq("b"),
+          "left_semi")
+        .localCheckpoint()
+    }
+    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .orderBy("v")
+  }
+
+  /** Oracle: the identical peel unrolled — degree, threshold, restrict,
+    * `KCoreRounds` times. All-integer, so hash equality is exact. */
+  private def kcoreOracle: String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)""".stripMargin
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""d$i AS (SELECT v, count(*) AS deg FROM (
+         |         SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |       GROUP BY v),
+         |k$i AS (SELECT v FROM d$i WHERE deg >= $KCoreK),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.v JOIN k$i y ON e.b = y.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS v FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+       |GROUP BY v ORDER BY v""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> kcore,
     "graph_labelprop" -> labelProp,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
     "graph_sssp" -> sssp,
@@ -486,6 +550,7 @@ object Graph extends graft.QueryModule {
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
     "graph_pagerank" -> pageRankOracle,
     "graph_bfs" -> bfsOracle,

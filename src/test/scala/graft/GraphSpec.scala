@@ -102,7 +102,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("bfs, sssp, and labelprop are identical in broadcast and shuffle modes") {
-    for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop")) {
+    for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop", "graph_kcore")) {
       val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
       for (parts <- Seq("4", "32")) {
@@ -113,6 +113,18 @@ class GraphSpec extends AnyFunSuite {
           .collect().map(_.toString).toSeq
         assert(off == on, s"$key differs in shuffle mode at $parts partitions")
       }
+    }
+  }
+
+  test("kcore: the bounded peel reaches the fixpoint (no survivor still peelable)") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty, "the 60-core of the co-purchase graph is empty")
+    // fixpoint: every surviving vertex's degree IN THE PEELED SUBGRAPH is
+    // already >= k, so a further round would peel nothing — the fixed
+    // round count is the true core on this graph, not a truncation
+    rows.foreach { case (v, deg) =>
+      assert(deg >= 60L, s"vertex $v survives with degree $deg < k")
     }
   }
 
