@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ops.Retail,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
-    ext.Graph)
+    ext.Graph, ext.EmbPca)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -19,15 +19,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
-    * read it as raw long nanos and floor-divide to µs TimestampType — the
-    * same truncation DuckDB's `date_trunc('microseconds', ts)` applies on
-    * the oracle side (SURVEY.md §7 hard parts).
-    */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects outright —
+    * read as raw long nanos and floor-divide to µs, the same truncation
+    * DuckDB's `date_trunc('microseconds', ts)` applies; SURVEY.md §7
+    * hard parts) and, since r8, plain TIMESTAMP(MICROS) (reads natively
+    * as TIMESTAMP_NTZ). Both normalize to session-TZ-UTC TimestampType
+    * at µs precision so every downstream window/watermark/oracle sees
+    * identical instants. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _ => "cast(ts as timestamp)"
+    }
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr(tsExpr))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

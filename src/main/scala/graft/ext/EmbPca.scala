@@ -23,14 +23,24 @@ import graft.Tables
   *      the "driver-side eigensolve" of the classic design never even
   *      needs a collect; at 100 TB nothing here grows with n.
   *
-  * Determinism discipline (the [[Graph.pageRank]] 12dp pinning, applied to
-  * Lloyd-style float iteration): inputs pin to 5dp decimals, every
-  * per-element product pins to an 8dp decimal BEFORE the order-invariant
-  * exact decimal sum, and each round's iterate re-pins at 12dp after the
-  * one IEEE division by the max-|w| component (signed, ties to the
-  * smallest dim — which also fixes the eigenvector's sign). Every
-  * decimal→double cast keeps its unscaled value below 2^53 so both
-  * engines' conversions are exactly rounded and identical. The oracle
+  * Determinism discipline (the [[Graph.pageRank]] pinning, taken one
+  * step further): after the inputs pin to 5dp decimals, EVERYTHING up
+  * to the per-round normalization is EXACT decimal arithmetic — the
+  * centering is a decimal subtraction (no rounding at all), Gram
+  * products are decimal(9,5)×decimal(9,5) → decimal(19,10) exact, the
+  * Gram pins only by PRECISION-tightening to decimal(14,10) (same
+  * scale, no digit dropped), and the matvec `gv·v` is a
+  * decimal(14,10)×decimal(13,12) → decimal(28,22) exact multiply into
+  * an exact decimal sum. Scale-DROPPING decimal casts are never left
+  * implicit: Spark's decimal downcast rounds HALF_UP while DuckDB's
+  * truncates (measured: 9.5343410681 → 9.53434107 vs 9.53434106), so
+  * every re-pin goes through an explicit decimal-native `round(x, s)`
+  * first — half-away-from-zero in BOTH engines — making the following
+  * cast exact. The sole float operation per round is the normalization
+  * `bround(w/mw, 12)` of a magnitude-≤1 quotient — the regime
+  * [[Graph.pageRank]] already proved hash-exact cross-engine — after
+  * `w` re-pins to decimal(18,8) so its double cast stays under 2^53
+  * (exactly rounded identically in both engines). The oracle
   * unrolls the identical iteration as chained MATERIALIZED CTEs
   * (materialization matters: `w_k` is referenced twice per round — inlined,
   * the expansion is exponential in rounds).
@@ -47,8 +57,11 @@ object EmbPca extends graft.QueryModule {
 
   private val PcaRounds = 12
 
-  /** Centered pinned values (vec_id, d, c) and the per-dim means join
-    * shape: means are 64 rows → broadcast; the explode is row-local. */
+  /** Centered pinned values (vec_id, d, c: decimal(9,5) EXACT) and the
+    * per-dim means join shape: means are 64 rows → broadcast; the
+    * explode is row-local. The mean pins to decimal(8,5) (its double is
+    * within 1e-15 of the 5dp grid, so both engines land the same cell)
+    * and the centering is an exact decimal subtraction — no rounding. */
   private def centered(s: SparkSession, d: String): DataFrame = {
     val ex = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
@@ -56,11 +69,9 @@ object EmbPca extends graft.QueryModule {
       bround(col("xf").cast("double"), 5).cast("decimal(8,5)").as("x"))
     val mu = px.groupBy(col("d"))
       .agg(bround(sum(col("x")).cast("double") /
-        count(lit(1)).cast("double"), 5).as("m"))
+        count(lit(1)).cast("double"), 5).cast("decimal(8,5)").as("md"))
     px.join(broadcast(mu), "d")
-      .select(col("vec_id"), col("d"),
-        bround(col("x").cast("double") - col("m"), 5)
-          .cast("decimal(8,5)").as("c"))
+      .select(col("vec_id"), col("d"), (col("x") - col("md")).as("c"))
   }
 
   /** The full (mirrored) Gram relation + the final pinned iterate.
@@ -68,8 +79,8 @@ object EmbPca extends graft.QueryModule {
     * against a 1-row broadcast means array, upper-triangle pairs come
     * from a nested transform (no self-join), and the single shuffle is
     * the dim²-group agg. */
-  private def gramAndComponent(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def gramAndComponent(s: SparkSession, d: String)
+      : (DataFrame, IndexedSeq[DataFrame]) = {
     val emb = Tables.embeddings(s, d)
     val ex = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("d", "xf")))
@@ -78,23 +89,15 @@ object EmbPca extends graft.QueryModule {
         bround(col("xf").cast("double"), 5).cast("decimal(8,5)").as("x"))
       .groupBy(col("d"))
       .agg(bround(sum(col("x")).cast("double") /
-        count(lit(1)).cast("double"), 5).as("m"))
+        count(lit(1)).cast("double"), 5).cast("decimal(8,5)").as("md"))
     val marr = mu.agg(expr(
-      "transform(sort_array(collect_list(struct(d, m))), s -> s.m)").as("marr"))
-    val pairs = emb.crossJoin(broadcast(marr))
-      .select(expr(
-        """explode(flatten(transform(
-          |  transform(embedding, (xf, i) ->
-          |    cast(bround(cast(xf as double) - element_at(marr, i + 1), 5)
-          |         as decimal(8,5))),
-          |  (xi, i, carr) -> null))) as e""".stripMargin.replace(
-          "(xi, i, carr) -> null", "")).as("e"))
-    // (the placeholder trick above is unusable — build in two steps)
+      "transform(sort_array(collect_list(struct(d, md))), s -> s.md)")
+      .as("marr"))
     val carrDf = emb.crossJoin(broadcast(marr))
       .select(col("vec_id"), expr(
         """transform(embedding, (xf, i) ->
-          |  cast(bround(cast(xf as double) - element_at(marr, i + 1), 5)
-          |       as decimal(8,5)))""".stripMargin).as("carr"))
+          |  cast(bround(cast(xf as double), 5) as decimal(8,5))
+          |    - element_at(marr, i + 1))""".stripMargin).as("carr"))
     val g = carrDf
       .select(explode(expr(
         """flatten(transform(carr, (xi, i) ->
@@ -102,17 +105,19 @@ object EmbPca extends graft.QueryModule {
           |    struct(i as i, i + jj as j, xi * xj as p))))""".stripMargin))
         .as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("gv"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).cast("decimal(14,10)").as("gv"))
     val gf = g.unionAll(g.filter(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gv")))
       .localCheckpoint()
     var v = mu.select(col("d").as("j"),
       lit(1).cast("decimal(13,12)").as("v")).localCheckpoint()
+    val vs = IndexedSeq.newBuilder[DataFrame]
+    vs += v
     for (_ <- 1 to PcaRounds) {
       val w = gf.join(broadcast(v), "j")
         .groupBy(col("i"))
-        .agg(sum(bround(col("gv").cast("double") * col("v").cast("double"), 8)
-          .cast("decimal(24,8)")).as("w"))
+        .agg(round(sum(col("gv") * col("v")), 8).cast("decimal(18,8)").as("w"))
       val m = w.orderBy(abs(col("w")).desc, col("i").asc).limit(1)
         .select(col("w").as("mw"))
       v = w.crossJoin(broadcast(m))
@@ -120,14 +125,16 @@ object EmbPca extends graft.QueryModule {
           bround(col("w").cast("double") / col("mw").cast("double"), 12)
             .cast("decimal(13,12)").as("v"))
         .localCheckpoint()
+      vs += v
     }
-    (gf, v)
+    (gf, vs.result())
   }
 
   /** Top principal component (loadings per dim, max-|component| = 1). */
   private def pcaPower(s: SparkSession, d: String): DataFrame = {
-    val (_, v) = gramAndComponent(s, d)
-    v.select(col("j").as("dim"), col("v").cast("double").as("loading"))
+    val (_, vs) = gramAndComponent(s, d)
+    vs.last.select(col("j").cast("bigint").as("dim"),
+        col("v").cast("double").as("loading"))
       .orderBy("dim")
   }
 
@@ -136,12 +143,11 @@ object EmbPca extends graft.QueryModule {
     * n·dim rows against the 64-row broadcast iterate; top-k is a
     * TakeOrdered, no global sort. */
   private def pcaScores(s: SparkSession, d: String): DataFrame = {
-    val (_, v) = gramAndComponent(s, d)
+    val (_, vs) = gramAndComponent(s, d)
     centered(s, d)
-      .join(broadcast(v), col("d") === col("j"))
+      .join(broadcast(vs.last), col("d") === col("j"))
       .groupBy(col("vec_id"))
-      .agg(sum(bround(col("c").cast("double") * col("v").cast("double"), 8)
-        .cast("decimal(24,8)")).as("s"))
+      .agg(round(sum(col("c") * col("v")), 10).cast("decimal(18,10)").as("s"))
       .select(col("vec_id"), col("s").cast("double").as("score"))
       .orderBy(abs(col("score")).desc, col("vec_id").asc)
       .limit(20)
@@ -161,15 +167,15 @@ object EmbPca extends graft.QueryModule {
       |         CAST(round_even(CAST(xf AS DOUBLE), 5) AS DECIMAL(8,5)) AS x
       |  FROM ex),
       |mu AS MATERIALIZED (
-      |  SELECT d, round_even(CAST(sum(x) AS DOUBLE)
-      |                       / CAST(count(*) AS DOUBLE), 5) AS m
+      |  SELECT d, CAST(round_even(CAST(sum(x) AS DOUBLE)
+      |                            / CAST(count(*) AS DOUBLE), 5)
+      |                 AS DECIMAL(8,5)) AS md
       |  FROM px GROUP BY d),
       |cx AS MATERIALIZED (
-      |  SELECT vec_id, px.d,
-      |         CAST(round_even(CAST(x AS DOUBLE) - m, 5) AS DECIMAL(8,5)) AS c
+      |  SELECT vec_id, px.d, x - md AS c
       |  FROM px JOIN mu ON px.d = mu.d),
       |g AS MATERIALIZED (
-      |  SELECT a.d AS i, b.d AS j, sum(a.c * b.c) AS gv
+      |  SELECT a.d AS i, b.d AS j, CAST(sum(a.c * b.c) AS DECIMAL(14,10)) AS gv
       |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND a.d <= b.d
       |  GROUP BY a.d, b.d),
       |gf AS MATERIALIZED (
@@ -181,9 +187,7 @@ object EmbPca extends graft.QueryModule {
   private def oracleIters: String =
     (1 to PcaRounds).map { k =>
       s"""w$k AS MATERIALIZED (
-         |  SELECT gf.i,
-         |         sum(CAST(round_even(CAST(gv AS DOUBLE) * CAST(v AS DOUBLE), 8)
-         |             AS DECIMAL(24,8))) AS w
+         |  SELECT gf.i, CAST(round(sum(gv * v), 8) AS DECIMAL(18,8)) AS w
          |  FROM gf JOIN v${k - 1} ON gf.j = v${k - 1}.j GROUP BY gf.i),
          |v$k AS MATERIALIZED (
          |  SELECT i AS j,
@@ -204,9 +208,7 @@ object EmbPca extends graft.QueryModule {
     s"""$oracleBase,
        |$oracleIters,
        |sc AS MATERIALIZED (
-       |  SELECT cx.vec_id,
-       |         sum(CAST(round_even(CAST(c AS DOUBLE) * CAST(v AS DOUBLE), 8)
-       |             AS DECIMAL(24,8))) AS s
+       |  SELECT cx.vec_id, CAST(round(sum(c * v), 10) AS DECIMAL(18,10)) AS s
        |  FROM cx JOIN v$PcaRounds ON cx.d = v$PcaRounds.j
        |  GROUP BY cx.vec_id)
        |SELECT vec_id, CAST(s AS DOUBLE) AS score FROM sc

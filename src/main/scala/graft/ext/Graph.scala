@@ -539,7 +539,129 @@ object Graph extends graft.QueryModule {
        |GROUP BY v ORDER BY v""".stripMargin
   }
 
+  private val HitsRounds = 4
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) on the ID-ORIENTED
+    * co-purchase graph [N], CROSS-ENGINE DETERMINISTIC. The canonical
+    * `a < b` edge direction gives a DAG-like directed graph where hub
+    * and authority roles genuinely differ (an undirected HITS collapses
+    * to the degree vector), and the orientation is a pure function of
+    * the data — no RNG, no tie-break ambiguity.
+    *
+    * Pinning (the [[pageRank]]/[[EmbPca]] discipline): scores live as
+    * decimal(13,12) in [0,1]; each half-round's neighbor sum is EXACT
+    * decimal arithmetic, re-pins via the decimal-native `round(sum, 8)`
+    * (half-away-from-zero in BOTH engines — Spark's bare decimal
+    * downcast rounds HALF_UP while DuckDB's truncates, so the cast is
+    * never left implicit), and max-normalizes with ONE IEEE division of
+    * a magnitude-≤1 quotient re-pinned at 12dp. The max is an exact
+    * decimal max of non-negative scores — no ordering ambiguity.
+    *
+    * Scale shape per round: two equi-join + hash-agg passes over the
+    * edge relation (h→auth on dst, a→hub on src). Broadcast mode ships
+    * the |V|-row score table each half-round; with [[BroadcastConf]]
+    * off, the edge relation is pre-partitioned ONCE per join side (src
+    * copy + dst copy, both checkpointed) and only the score table
+    * moves — the [[pageRank]] posture, doubled for the two directions. */
+  private[graft] def hitsIterate(s: SparkSession, edges: DataFrame)
+      : DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    val esrc =
+      (if (bcast) e else e.repartition(col("src"))).localCheckpoint()
+    val edst =
+      (if (bcast) esrc else e.repartition(col("dst"))).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var h = nodes.select(col("node"), lit(1).cast("decimal(13,12)").as("hs"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      // authority half-round: sum incoming hub mass on dst
+      val araw = edst.join(
+          if (bcast) broadcast(h) else h, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(round(sum(col("hs")), 8).cast("decimal(18,8)").as("ar"))
+      val amax = araw.agg(max(col("ar")).as("amax"))
+      val anorm = araw.crossJoin(broadcast(amax))
+        .select(col("dst"),
+          bround(col("ar").cast("double") / col("amax").cast("double"), 12)
+            .cast("decimal(13,12)").as("as_"))
+      a = nodes.join(if (bcast) broadcast(anorm) else anorm,
+          col("node") === col("dst"), "left")
+        .select(col("node"),
+          coalesce(col("as_"), lit(0).cast("decimal(13,12)")).as("as_"))
+        .localCheckpoint()
+      // hub half-round: sum outgoing authority mass on src
+      val hraw = esrc.join(
+          if (bcast) broadcast(a) else a, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(round(sum(col("as_")), 8).cast("decimal(18,8)").as("hr"))
+      val hmax = hraw.agg(max(col("hr")).as("hmax"))
+      val hnorm = hraw.crossJoin(broadcast(hmax))
+        .select(col("src"),
+          bround(col("hr").cast("double") / col("hmax").cast("double"), 12)
+            .cast("decimal(13,12)").as("hs"))
+      h = nodes.join(if (bcast) broadcast(hnorm) else hnorm,
+          col("node") === col("src"), "left")
+        .select(col("node"),
+          coalesce(col("hs"), lit(0).cast("decimal(13,12)")).as("hs"))
+        .localCheckpoint()
+    }
+    h.join(a, "node")
+      .select(col("node"), bround(col("hs").cast("double"), 8).as("hub"),
+        bround(col("as_").cast("double"), 8).as("authority"))
+      .orderBy("node")
+  }
+
+  private def hits(s: SparkSession, d: String): DataFrame =
+    hitsIterate(s, coPurchaseEdges(s, d))
+
+  /** Oracle: the identical pinned alternation unrolled as chained CTEs
+    * (the [[pageRankOracle]] discipline — every round, cast, and IEEE
+    * division mirrored verbatim). */
+  private def hitsOracle: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v AS node FROM
+        |          (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1.000000000000 AS DECIMAL(13,12)) AS hs
+        |       FROM nodes)""".stripMargin
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(round(sum(hs), 8) AS DECIMAL(18,8)) AS ar
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         coalesce(CAST(round_even(CAST(ar AS DOUBLE) /
+         |             CAST((SELECT max(ar) FROM ar$i) AS DOUBLE), 12)
+         |           AS DECIMAL(13,12)),
+         |           CAST(0 AS DECIMAL(13,12))) AS as_
+         |  FROM nodes n LEFT JOIN ar$i ON n.node = ar$i.dst),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src, CAST(round(sum(as_), 8) AS DECIMAL(18,8)) AS hr
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         coalesce(CAST(round_even(CAST(hr AS DOUBLE) /
+         |             CAST((SELECT max(hr) FROM hr$i) AS DOUBLE), 12)
+         |           AS DECIMAL(13,12)),
+         |           CAST(0 AS DECIMAL(13,12))) AS hs
+         |  FROM nodes n LEFT JOIN hr$i ON n.node = hr$i.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT h.node, round_even(CAST(hs AS DOUBLE), 8) AS hub,
+       |       round_even(CAST(as_ AS DOUBLE), 8) AS authority
+       |FROM h$HitsRounds h JOIN a$HitsRounds a ON h.node = a.node
+       |ORDER BY h.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> hits,
     "graph_kcore" -> kcore,
     "graph_labelprop" -> labelProp,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
@@ -550,6 +672,7 @@ object Graph extends graft.QueryModule {
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_hits" -> hitsOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
     "graph_pagerank" -> pageRankOracle,

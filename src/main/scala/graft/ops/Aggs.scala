@@ -670,6 +670,34 @@ object Aggs extends graft.QueryModule {
       .orderBy("event_type")
   }
 
+  /** Weighted (lower) median per group [N]: the smallest price whose
+    * cumulative quantity-weight reaches half the group total — the
+    * robust central-tendency statistic for weighted corpora (token
+    * budgets per source, price by traded volume). NO interpolation:
+    * built-in `percentile(x, 0.5, w)` interpolates in IEEE space and is
+    * dialect-specific; the cumsum formulation is exact
+    * integer/decimal arithmetic both engines agree on bit-for-bit.
+    *
+    * Scale shape: ties collapse FIRST (hash agg on (group, price) —
+    * map-side combinable), the running sum windows over the collapsed
+    * per-group value domain (bounded by distinct prices, not rows),
+    * and `2*cum >= tot` avoids any division. One window sort per
+    * group, no global sort, no collect. */
+  private def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("wt"))
+      .select(col("l_returnflag"), col("price"),
+        sum(col("wt")).over(w).as("cum"),
+        sum(col("wt")).over(Window.partitionBy(col("l_returnflag")))
+          .as("tot"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("w_median"))
+      .orderBy("l_returnflag")
+  }
+
   /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
     * NDV for three columns of `orders` in a SINGLE scan (the statistics
     * every CBO and data-quality gate needs). At 100 TB swap the exact
@@ -699,6 +727,7 @@ object Aggs extends graft.QueryModule {
     "agg_winsorize_pct" -> winsorizePct,
     "quality_k_anonymity" -> kAnonymity,
     "agg_regression" -> regression,
+    "agg_weighted_median" -> weightedMedian,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
@@ -903,6 +932,19 @@ object Aggs extends graft.QueryModule {
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, price,
+        |         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+        |         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag, min(price) AS w_median
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_regression" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,

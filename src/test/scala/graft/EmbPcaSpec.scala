@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Power-iteration PCA invariants the DuckDB oracle can't express:
+  * the Rayleigh quotient must be NON-DECREASING across rounds on the
+  * (PSD) Gram — the convergence guarantee of power iteration — and the
+  * pinned normalization must leave exactly one |loading| = 1. */
+class EmbPcaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val (gram, iterates) =
+    ext.EmbPca.gramAndComponent(spark, TestSpark.sf0001)
+
+  /** 64×64 dense Gram from the mirrored relation. */
+  private lazy val g: Array[Array[Double]] = {
+    val m = Array.fill(64, 64)(0.0)
+    gram.collect().foreach { r =>
+      m(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue()
+    }
+    m
+  }
+
+  private def rayleigh(v: Array[Double]): Double = {
+    val gv = g.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val num = gv.zip(v).map { case (a, b) => a * b }.sum
+    val den = v.map(x => x * x).sum
+    num / den
+  }
+
+  private def vec(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+    val a = Array.fill(64)(0.0)
+    df.collect().foreach(r => a(r.getInt(0)) = r.getDecimal(1).doubleValue())
+    a
+  }
+
+  test("Rayleigh quotient is non-decreasing across the 12 pinned rounds") {
+    val rqs = iterates.map(df => rayleigh(vec(df)))
+    rqs.sliding(2).foreach { case Seq(prev, next) =>
+      // 12dp pinning can wiggle the quotient at ~1e-6 of its magnitude;
+      // the INVARIANT is monotone ascent, the tolerance covers the pin
+      assert(next >= prev - 1e-6 * math.abs(prev).max(1.0),
+        s"Rayleigh quotient decreased: $prev -> $next in $rqs")
+    }
+    // and it must actually move: round 12 strictly dominates round 0
+    assert(rqs.last > rqs.head)
+  }
+
+  test("emb_pca_power: 64 dims, exactly one pinned |loading| = 1, all <= 1") {
+    val rows = SparkEntry.queries("emb_pca_power")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.length == 64)
+    assert(rows.map(_._1).toSeq == (0L until 64L))
+    assert(rows.forall { case (_, l) => math.abs(l) <= 1.0 })
+    assert(rows.count { case (_, l) => math.abs(l) == 1.0 } == 1,
+      "the max-|w| component is pinned to exactly 1 by the normalization")
+  }
+
+  test("emb_pca_scores: top-20 by |projection|, deterministically ordered") {
+    val rows = SparkEntry.queries("emb_pca_scores")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    val mags = rows.toSeq.map { case (_, s) => math.abs(s) }
+    assert(mags.sliding(2).forall { case Seq(a, b) => a >= b },
+      "scores ordered by |score| desc")
+    assert(rows.map(_._1).distinct.length == 20, "vec_ids distinct")
+  }
+
+  test("pinned iteration is bit-stable across recomputation") {
+    val a = SparkEntry.queries("emb_pca_power")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = SparkEntry.queries("emb_pca_power")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+}

@@ -181,4 +181,33 @@ class GraphSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(degSum == 2 * tri.getAs[Long]("n_edges"))
   }
+
+  /** HITS math on graphs with hand-computable fixpoints (the oracle
+    * proves Spark ≡ DuckDB on the co-purchase graph; this proves the
+    * alternation itself). `hitsIterate` takes canonical (a→b) edges. */
+  private def hits(edges: Seq[(Long, Long)]): Map[Long, (Double, Double)] = {
+    import spark.implicits._
+    ext.Graph.hitsIterate(spark, edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+  }
+
+  test("HITS on a star: center is the pure hub, leaves pure authorities") {
+    val m = hits(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(m(1L) == ((1.0, 0.0)), "center: hub 1, authority 0")
+    Seq(2L, 3L, 4L).foreach { v =>
+      assert(m(v) == ((0.0, 1.0)), s"leaf $v: hub 0, authority 1")
+    }
+  }
+
+  test("HITS asymmetric chain: weak hub/authority decay halves per round") {
+    // 1→3, 2→3, 3→4: strong hubs 1,2 reinforce authority 3; the 3→4
+    // edge decays — auth(4) = 2^-k after k rounds (hand-computed)
+    val m = hits(Seq((1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(m(1L)._1 == 1.0 && m(2L)._1 == 1.0, "1,2 are the max hubs")
+    assert(m(3L)._2 == 1.0, "3 is the max authority")
+    assert(m(4L)._2 == math.pow(2.0, -4.0), "auth(4) halves each round")
+    assert(m(3L)._1 == math.pow(2.0, -4.0), "hub(3) follows auth(4)")
+    assert(m(4L)._1 == 0.0 && m(1L)._2 == 0.0, "no out-edges / in-edges")
+  }
 }
