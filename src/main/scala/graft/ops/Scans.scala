@@ -490,7 +490,58 @@ object Scans extends graft.QueryModule {
         sum(col("value").cast("decimal(8,1)")).cast("double").as("total"))
       .orderBy("entity", "metric")
 
+  /** Storage-partitioned join through the layout-reporting V2 connector
+    * ([[graft.sources.v2.PartitionedKvSource]]) [N]: both scans declare
+    * one partition per `cat` with `KeyGroupedPartitioning(identity(cat))`,
+    * so the co-located join on `cat` and the `groupBy(cat)` above
+    * it plan with ZERO exchanges (broadcast disabled to prove it; the
+    * conf-isolated session flips `v2.bucketing.enabled` like
+    * `src_agg_pushdown` flips its parquet confs). At 100 TB this is the
+    * Iceberg-style SPJ: two bucketed petabyte tables join without either
+    * crossing the wire. V2SourceSpec pins the shuffle-free plan. */
+  private def v2StoragePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = isolatedSession(s, "src_v2_spj") { ns =>
+      ns.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    def kv(rows: Int) = s2.read
+      .format("graft.sources.v2.PartitionedKvSource")
+      .option("rows", rows.toString).option("cats", "64").load()
+    // join keys == partition keys: the contract Spark's key-grouped
+    // compatibility check accepts (a superset re-shuffles)
+    val a = kv(4000)
+    val b = kv(1000).select(col("cat").as("bcat"), col("amt").as("bamt"))
+    a.join(b, col("cat") === col("bcat"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("amt") + col("bamt")).as("total"))
+      .orderBy("cat")
+  }
+
+  /** Runtime (execution-time) partition pruning on the V2 connector [N]:
+    * the dimension's selective filter reaches the fact scan as an
+    * `In(cat, ...)` runtime filter via `SupportsRuntimeFiltering`, and
+    * whole cat-partitions are dropped before their readers open — DPP
+    * for V2 sources (planning-time parquet twin: `src_dpp_pruned`).
+    * V2SourceSpec asserts the scan actually pruned. */
+  private def v2RuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    // the dimension must be a REAL source with a surviving selective
+    // Filter node — a filtered LocalRelation constant-folds away and the
+    // pruning heuristic sees nothing selective to push
+    val fact = s.read.format("graft.sources.v2.PartitionedKvSource")
+      .option("rows", "20000").option("cats", "16").load()
+    val dim = Tables.nation(s, d)
+      .filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("int").as("dcat"))
+    fact.join(broadcast(dim), col("cat") === col("dcat"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+      .orderBy("cat")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_v2_spj" -> v2StoragePartitionedJoin,
+    "src_v2_runtime_filter" -> v2RuntimeFilter,
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
     "sink_zorder_scan" -> sinkZorderScan,
@@ -514,6 +565,32 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_v2_spj" ->
+      """WITH a AS (
+        |  SELECT CAST(((i * 2654435761) % 997) % 64 AS INT) AS cat,
+        |         (i * 31) % 9973 AS amt
+        |  FROM range(4000) t(i)),
+        |b AS (
+        |  SELECT CAST(((i * 2654435761) % 997) % 64 AS INT) AS cat,
+        |         (i * 31) % 9973 AS amt
+        |  FROM range(1000) t(i))
+        |SELECT a.cat, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(a.amt + b.amt) AS BIGINT) AS total
+        |FROM a JOIN b ON a.cat = b.cat
+        |GROUP BY a.cat ORDER BY a.cat""".stripMargin,
+    "src_v2_runtime_filter" ->
+      """WITH f AS (
+        |  SELECT (i * 2654435761) % 997 AS key,
+        |         CAST(((i * 2654435761) % 997) % 16 AS INT) AS cat,
+        |         (i * 31) % 9973 AS amt
+        |  FROM range(20000) t(i)),
+        |d AS (
+        |  SELECT CAST(n_nationkey AS INT) AS dcat FROM nation
+        |  WHERE n_regionkey = 0)
+        |SELECT cat, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(amt) AS BIGINT) AS total
+        |FROM f JOIN d ON f.cat = d.dcat
+        |GROUP BY cat ORDER BY cat""".stripMargin,
     "src_v2_pushdown" ->
       """WITH entities(entity) AS (
         |  VALUES ('ALPHA'), ('BRAVO'), ('CHARLIE')),

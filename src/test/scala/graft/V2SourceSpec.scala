@@ -114,4 +114,50 @@ class V2SourceSpec extends AnyFunSuite {
         graft.sources.v2.EntityApiSource.valueFor(r.getString(0), mi, r.getInt(2)))
     }
   }
+
+  test("storage-partitioned join: join and aggs plan with no hash exchange") {
+    val df = SparkEntry.queries("src_v2_spj")(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"SPJ join+agg must be exchange-free (both scans report " +
+        s"KeyGroupedPartitioning and the agg rides the join):\n$plan")
+    // the only allowed exchange is the output orderBy's range partitioning
+    assert(plan.contains("BatchScan"), s"expected two V2 scans:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected a co-located SMJ:\n$plan")
+  }
+
+  test("storage-partitioned join result == shuffled result (conf off)") {
+    import graft.sources.v2.PartitionedKvSource
+    def kv(rows: Int) = spark.read
+      .format("graft.sources.v2.PartitionedKvSource")
+      .option("rows", rows.toString).option("cats", "64").load()
+    // parent session: v2 bucketing DISABLED -> plain shuffled join
+    val b = kv(1000).select(col("cat").as("bcat"), col("amt").as("bamt"))
+    val shuffled = kv(4000)
+      .join(b, col("cat") === col("bcat"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("amt") + col("bamt")).as("total"))
+      .orderBy("cat").collect().toSeq
+    val spj = SparkEntry.queries("src_v2_spj")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(spj == shuffled, "SPJ and shuffled plans must agree row-for-row")
+    assert(PartitionedKvSource.keyFor(1L) == 2654435761L % 997L)
+  }
+
+  test("runtime filtering: dimension predicate prunes fact partitions in-flight") {
+    import graft.sources.v2.PartitionedKvSource
+    PartitionedKvSource.lastRuntimePruned = None
+    val rows = SparkEntry.queries("src_v2_runtime_filter")(
+      spark, TestSpark.sf0001).collect()
+    // region-0 nations are keys {0,5,10,15,20}; cats span 0..15
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 5, 10, 15))
+    PartitionedKvSource.lastRuntimePruned match {
+      case Some((before, after)) =>
+        assert(before == 16 && after == 4,
+          s"expected 16 planned -> 4 surviving partitions, got $before -> $after")
+      case None =>
+        fail("Scan.filter was never invoked — runtime filtering did not fire")
+    }
+  }
 }
