@@ -76,6 +76,8 @@ object Bench {
     "agg_mv_rewrite",       // materialized-view rewrite serving (r8)
     "agg_bitmap_distinct",  // mergeable exact-distinct rollup (r8)
     "text_inverted_index",  // index build + conjunctive serve (r8)
+    "graph_hits",           // pinned hubs/authorities alternation (r8)
+    "emb_pca_power",        // distributed Gram + pinned power iteration (r8)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {

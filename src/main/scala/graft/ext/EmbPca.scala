@@ -110,11 +110,22 @@ object EmbPca extends graft.QueryModule {
     val gf = g.unionAll(g.filter(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gv")))
       .localCheckpoint()
-    var v = mu.select(col("d").as("j"),
+    val v0 = mu.select(col("d").as("j"),
       lit(1).cast("decimal(13,12)").as("v")).localCheckpoint()
+    (gf, iterate(gf, v0, PcaRounds))
+  }
+
+  /** The pinned power-iteration loop on any mirrored Gram relation
+    * (i, j, gv: decimal(14,10)): matvec as exact decimal sum re-pinned
+    * via decimal-native round, max-|w| normalization as the one IEEE
+    * division per round. Returns every iterate (v0 included) so specs
+    * can trace the Rayleigh ascent. */
+  private def iterate(gf: DataFrame, v0: DataFrame, rounds: Int)
+      : IndexedSeq[DataFrame] = {
+    var v = v0
     val vs = IndexedSeq.newBuilder[DataFrame]
     vs += v
-    for (_ <- 1 to PcaRounds) {
+    for (_ <- 1 to rounds) {
       val w = gf.join(broadcast(v), "j")
         .groupBy(col("i"))
         .agg(round(sum(col("gv") * col("v")), 8).cast("decimal(18,8)").as("w"))
@@ -127,7 +138,7 @@ object EmbPca extends graft.QueryModule {
         .localCheckpoint()
       vs += v
     }
-    (gf, vs.result())
+    vs.result()
   }
 
   /** Top principal component (loadings per dim, max-|component| = 1). */
@@ -152,6 +163,89 @@ object EmbPca extends graft.QueryModule {
       .orderBy(abs(col("score")).desc, col("vec_id").asc)
       .limit(20)
   }
+
+  private val DeflateRounds = 8
+
+  /** Top-2 principal components via Hotelling deflation [N]: after the
+    * 12-round first component v1, pin its Rayleigh quotient λ =
+    * (v1ᵀGv1)/(v1ᵀv1), subtract the rank-1 term (λ/v1ᵀv1)·v1·v1ᵀ — the
+    * extra v1ᵀv1 because the max-normalized iterate is NOT unit — from
+    * the Gram RELATION (stepwise pinned decimal products — never a 3-factor
+    * multiply, whose precision would blow past decimal(38)), and run
+    * [[DeflateRounds]] more pinned rounds on the deflated relation.
+    * Everything stays dim²-scale: the deflate is one pass over the
+    * 64²-row Gram with two 64-row broadcast lookups. The contract is
+    * the pinned fixed-round estimate (like component 1); EmbPcaSpec
+    * asserts near-orthogonality and the Rayleigh ordering λ1 ≥ λ2. */
+  private def pcaDeflate(s: SparkSession, d: String): DataFrame = {
+    val (gf, vs) = gramAndComponent(s, d)
+    val v1 = vs.last
+    val gv1 = gf.join(broadcast(v1), "j")
+      .groupBy(col("i"))
+      .agg(round(sum(col("gv") * col("v")), 8).cast("decimal(18,8)").as("w"))
+    val num = gv1.join(broadcast(v1), col("i") === col("j"))
+      .agg(round(sum(col("w") * col("v")), 8).cast("decimal(18,8)").as("num"))
+    val den = v1
+      .agg(round(sum(col("v") * col("v")), 12).cast("decimal(16,12)").as("den"))
+    // the rank-1 term for a NON-UNIT iterate is (λ/v1ᵀv1)·v1·v1ᵀ =
+    // num/den²·v1·v1ᵀ — two chained IEEE divisions, operand order
+    // mirrored verbatim in the oracle, pinned once at 8dp
+    val lam = num.crossJoin(broadcast(den))
+      .select(bround(col("num").cast("double") / col("den").cast("double")
+          / col("den").cast("double"), 8)
+        .cast("decimal(18,8)").as("lam"))
+    val vi = v1.select(col("j").as("i"), col("v").as("vi"))
+    val vj = v1.select(col("j"), col("v").as("vj"))
+    val g2 = gf.crossJoin(broadcast(lam))
+      .join(broadcast(vi), "i")
+      .join(broadcast(vj), "j")
+      .select(col("i"), col("j"),
+        (col("gv") -
+          round(round(col("lam") * col("vi"), 10).cast("decimal(18,10)")
+            * col("vj"), 10).cast("decimal(18,10)"))
+          .cast("decimal(16,10)").as("gv"))
+      .localCheckpoint()
+    val v0 = v1.select(col("j"), lit(1).cast("decimal(13,12)").as("v"))
+      .localCheckpoint()
+    val v2 = iterate(g2, v0, DeflateRounds).last
+    v1.select(col("j").as("dim"), col("v").as("l1"))
+      .join(v2.select(col("j").as("dim"), col("v").as("l2")), "dim")
+      .select(col("dim").cast("bigint").as("dim"),
+        col("l1").cast("double").as("loading1"),
+        col("l2").cast("double").as("loading2"))
+      .orderBy("dim")
+  }
+
+  private def pcaDeflateOracle: String =
+    s"""$oracleBase,
+       |$oracleIters,
+       |gv1 AS MATERIALIZED (
+       |  SELECT gf.i, CAST(round(sum(gv * v), 8) AS DECIMAL(18,8)) AS w
+       |  FROM gf JOIN v$PcaRounds ON gf.j = v$PcaRounds.j GROUP BY gf.i),
+       |num AS MATERIALIZED (
+       |  SELECT CAST(round(sum(w * v), 8) AS DECIMAL(18,8)) AS num
+       |  FROM gv1 JOIN v$PcaRounds ON gv1.i = v$PcaRounds.j),
+       |den AS MATERIALIZED (
+       |  SELECT CAST(round(sum(v * v), 12) AS DECIMAL(16,12)) AS den
+       |  FROM v$PcaRounds),
+       |lam AS MATERIALIZED (
+       |  SELECT CAST(round_even(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |                         / CAST(den AS DOUBLE), 8)
+       |              AS DECIMAL(18,8)) AS lam
+       |  FROM num, den),
+       |g2 AS MATERIALIZED (
+       |  SELECT gf.i, gf.j,
+       |         CAST(gv - CAST(round(CAST(round(lam * vi.v, 10)
+       |                  AS DECIMAL(18,10)) * vj.v, 10) AS DECIMAL(18,10))
+       |              AS DECIMAL(16,10)) AS gv
+       |  FROM gf CROSS JOIN lam
+       |  JOIN v$PcaRounds vi ON gf.i = vi.j
+       |  JOIN v$PcaRounds vj ON gf.j = vj.j),
+       |${oracleIterChain("g2", "u", "x", DeflateRounds, start = "v0")}
+       |SELECT a.j AS dim, CAST(a.v AS DOUBLE) AS loading1,
+       |       CAST(b.v AS DOUBLE) AS loading2
+       |FROM v$PcaRounds a JOIN u$DeflateRounds b ON a.j = b.j
+       |ORDER BY dim""".stripMargin
 
   /** Shared oracle prefix: pinned explode, means, centering, Gram,
     * mirror, v0 — every CTE MATERIALIZED (w_k is referenced twice per
@@ -184,19 +278,26 @@ object EmbPca extends graft.QueryModule {
       |v0 AS MATERIALIZED (
       |  SELECT d AS j, CAST(1.000000000000 AS DECIMAL(13,12)) AS v FROM mu)""".stripMargin
 
-  private def oracleIters: String =
-    (1 to PcaRounds).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT gf.i, CAST(round(sum(gv * v), 8) AS DECIMAL(18,8)) AS w
-         |  FROM gf JOIN v${k - 1} ON gf.j = v${k - 1}.j GROUP BY gf.i),
-         |v$k AS MATERIALIZED (
+  /** One pinned power-iteration chain as MATERIALIZED CTEs: `rounds`
+    * rounds on gram relation `g`, iterates named `$vp{k}` starting from
+    * the existing CTE `$vp0` (or `start` when given). */
+  private def oracleIterChain(g: String, vp: String, wp: String,
+                              rounds: Int, start: String = ""): String =
+    (1 to rounds).map { k =>
+      val prev = if (k == 1 && start.nonEmpty) start else s"$vp${k - 1}"
+      s"""$wp$k AS MATERIALIZED (
+         |  SELECT $g.i, CAST(round(sum(gv * v), 8) AS DECIMAL(18,8)) AS w
+         |  FROM $g JOIN $prev ON $g.j = $prev.j GROUP BY $g.i),
+         |$vp$k AS MATERIALIZED (
          |  SELECT i AS j,
          |         CAST(round_even(CAST(w AS DOUBLE) /
-         |              CAST((SELECT w FROM w$k
+         |              CAST((SELECT w FROM $wp$k
          |                    ORDER BY abs(w) DESC, i ASC LIMIT 1) AS DOUBLE),
          |              12) AS DECIMAL(13,12)) AS v
-         |  FROM w$k)""".stripMargin
+         |  FROM $wp$k)""".stripMargin
     }.mkString(",\n")
+
+  private def oracleIters: String = oracleIterChain("gf", "v", "w", PcaRounds)
 
   private def pcaPowerOracle: String =
     s"""$oracleBase,
@@ -216,9 +317,11 @@ object EmbPca extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca_power" -> pcaPower,
-    "emb_pca_scores" -> pcaScores)
+    "emb_pca_scores" -> pcaScores,
+    "emb_pca_deflate" -> pcaDeflate)
 
   val oracles: Map[String, String] = Map(
     "emb_pca_power" -> pcaPowerOracle,
-    "emb_pca_scores" -> pcaScoresOracle)
+    "emb_pca_scores" -> pcaScoresOracle,
+    "emb_pca_deflate" -> pcaDeflateOracle)
 }

@@ -577,26 +577,32 @@ object Graph extends graft.QueryModule {
     var h = nodes.select(col("node"), lit(1).cast("decimal(13,12)").as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to HitsRounds) {
-      // authority half-round: sum incoming hub mass on dst
+      // authority half-round: sum incoming hub mass on dst. The RAW
+      // |V|-row aggregate is what gets checkpointed: the 1-row max
+      // subquery and the normalization both consume it, and lazy each
+      // would recompute the |E|-scale join+agg (measured ~2x the key)
       val araw = edst.join(
           if (bcast) broadcast(h) else h, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(round(sum(col("hs")), 8).cast("decimal(18,8)").as("ar"))
+        .localCheckpoint()
       val amax = araw.agg(max(col("ar")).as("amax"))
       val anorm = araw.crossJoin(broadcast(amax))
         .select(col("dst"),
           bround(col("ar").cast("double") / col("amax").cast("double"), 12)
             .cast("decimal(13,12)").as("as_"))
+      // a itself stays lazy — recomputing it from the checkpointed araw
+      // is a |V|-scale join, cheap for both its consumers
       a = nodes.join(if (bcast) broadcast(anorm) else anorm,
           col("node") === col("dst"), "left")
         .select(col("node"),
           coalesce(col("as_"), lit(0).cast("decimal(13,12)")).as("as_"))
-        .localCheckpoint()
       // hub half-round: sum outgoing authority mass on src
       val hraw = esrc.join(
           if (bcast) broadcast(a) else a, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(round(sum(col("as_")), 8).cast("decimal(18,8)").as("hr"))
+        .localCheckpoint()
       val hmax = hraw.agg(max(col("hr")).as("hmax"))
       val hnorm = hraw.crossJoin(broadcast(hmax))
         .select(col("src"),
@@ -606,7 +612,6 @@ object Graph extends graft.QueryModule {
           col("node") === col("src"), "left")
         .select(col("node"),
           coalesce(col("hs"), lit(0).cast("decimal(13,12)")).as("hs"))
-        .localCheckpoint()
     }
     h.join(a, "node")
       .select(col("node"), bround(col("hs").cast("double"), 8).as("hub"),
