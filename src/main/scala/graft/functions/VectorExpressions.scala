@@ -289,5 +289,7 @@ object VectorFunctions {
       exprs => ZOrderValue(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hilbert",
       exprs => HilbertValue(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_product",
+      exprs => ProductAgg(exprs(0)).toAggregateExpression(), "built-in")
   }
 }

@@ -149,6 +149,32 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Trailing-8 compounded growth factor per user [N] — Π(1 + rᵢ) over a
+    * bounded ordered frame, the multiplicative twin of the rolling sum
+    * and the op behind drawdown-free compounding, chained FX, and decay
+    * products. Spark has NO product aggregate; this is the repo's
+    * [[graft.functions.ProductAgg]] (a DeclarativeAggregate — pure
+    * expressions, whole-stage-codegen'd in the window path, the sixth
+    * distinct Catalyst extension shape here). Determinism: the frame's
+    * TOTAL order (ts, event_id) makes the window evaluation a strict
+    * left-to-right IEEE fold, which DuckDB's `product()` window mirrors
+    * (same sequence, same rounding — FinanceSpec also cross-checks a
+    * driver-side fold); the merge-order-dependent GROUPED form is
+    * deliberately not used here. */
+  private def compoundReturn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (lit(1.0) + bround(col("value"), 2) / lit(1000.0)).as("f"))
+      .select(col("user_id"), col("event_id"),
+        bround(call_function("graft_product", col("f")).over(w), 10)
+          .as("compound"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Calendar gap-fill [N] — the resample-to-daily-grid operator every
     * time-series warehouse needs and no Spark built-in provides: rows
     * that don't exist get CREATED. Per user: daily close (max_by over
@@ -250,9 +276,20 @@ object Finance extends graft.QueryModule {
     "fin_vwap" -> vwap,
     "fin_ohlc" -> ohlc,
     "fin_drawdown" -> drawdown,
-    "fin_volatility" -> volatility)
+    "fin_volatility" -> volatility,
+    "fin_compound_return" -> compoundReturn)
 
   val oracles: Map[String, String] = Map(
+    "fin_compound_return" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |         1.0 + round_even(value, 2) / 1000.0 AS f
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, event_id,
+        |       round_even(product(f) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 10) AS compound
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "fin_yoy" ->
       """WITH m AS (
         |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,

@@ -117,4 +117,44 @@ class FinanceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 17.5))
   }
+
+  test("graft_product: sum-like null semantics, exact on power-of-two inputs") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // powers of two are associativity-immune: any merge order is exact
+    val df = Seq((1L, Some(2.0)), (1L, Some(4.0)), (1L, Some(8.0)),
+      (2L, None), (2L, Some(0.5)), (3L, None))
+      .toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_product", col("v")).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(1L -> 64.0, 2L -> 0.5, 3L -> null),
+      "nulls skipped, all-null group -> null")
+  }
+
+  test("fin_compound_return: window product == driver-side left fold") {
+    val rows = SparkEntry.queries("fin_compound_return")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // rebuild one user's factor sequence in query order and fold it
+    val user = rows.head._1
+    val factors = graft.Tables.events(spark, TestSpark.sf0001)
+      .filter(col("user_id") === user && col("value").isNotNull)
+      .select(col("ts"), col("event_id"),
+        (lit(1.0) + bround(col("value"), 2) / lit(1000.0)).as("f"))
+      .orderBy("ts", "event_id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+    val expect = factors.indices.map { i =>
+      val frame = factors.slice(math.max(0, i - 7), i + 1).map(_._2)
+      factors(i)._1 -> frame.foldLeft(1.0)(_ * _)
+    }.toMap
+    rows.filter(_._1 == user).foreach { case (_, eid, got) =>
+      // same 10dp half-even pin the query applies
+      val want = BigDecimal(expect(eid))
+        .setScale(10, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(got == want, s"event $eid: window $got vs fold $want")
+    }
+  }
 }
