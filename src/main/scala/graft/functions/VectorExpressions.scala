@@ -291,5 +291,7 @@ object VectorFunctions {
       exprs => HilbertValue(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_product",
       exprs => ProductAgg(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_session_id",
+      exprs => SessionId(exprs(0), exprs(1)), "built-in")
   }
 }

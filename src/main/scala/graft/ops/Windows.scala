@@ -235,6 +235,26 @@ object Windows extends graft.QueryModule {
     * — lag then running sum — a single sort per user partition), then
     * one hash agg per (user, session). Emitting ids (not just bounds)
     * is what lets downstream joins attribute events to sessions. */
+  /** [[sessionize]]'s semantics through the NATIVE window function
+    * [[graft.functions.SessionId]] (custom AggregateWindowFunction):
+    * one running buffer pass labels sessions instead of the lag-flag +
+    * cumulative-sum pair. Shares `win_sessionize`'s oracle verbatim —
+    * hash equality IS the proof the single-pass state machine matches
+    * the two-expression idiom. */
+  private def sessionizeNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("sess_id", call_function("graft_session_id",
+        col("ts"), lit(30L * 60 * 1000000)).over(w))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sess_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
@@ -471,6 +491,7 @@ object Windows extends graft.QueryModule {
     "win_interpolate" -> interpolate,
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
+    "win_sessionize_native" -> sessionizeNative,
     "attr_last_touch" -> attrLastTouch,
     "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
@@ -698,6 +719,29 @@ object Windows extends graft.QueryModule {
         |SELECT channel, CAST(count(*) AS BIGINT) AS conversions
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+        |                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM b)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS s_start, max(ts) AS s_end,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+    // the native AggregateWindowFunction must label identically to the
+    // lag+cumsum idiom — one oracle serves both keys
+    "win_sessionize_native" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
         |         date_trunc('microseconds', ts) AS ts

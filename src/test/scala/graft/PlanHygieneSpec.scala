@@ -35,10 +35,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin",
     "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table",
-    "basket_rules" -> "1-row basket-total crossJoin")
-  // emb_pca_* and graph_hits also normalize via 1-row broadcast
-  // crossJoins, but those sit above localCheckpoint lineage cuts, so the
-  // final plans the sweep sees are clean — no allowlist entry needed.
+    "basket_rules" -> "1-row basket-total crossJoin",
+    "graph_hits" -> ("1-row max-score normalization crossJoins (the raw " +
+      "aggregates are checkpointed; the final normalize stays lazy)"))
+  // emb_pca_* also normalizes via 1-row broadcast crossJoins, but those
+  // sit above localCheckpoint lineage cuts, so the final plans the
+  // sweep sees are clean — no allowlist entry needed.
 
   test("nested-loop/cartesian plans == the allowlist, exactly (sf0.001)") {
     val looping = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
