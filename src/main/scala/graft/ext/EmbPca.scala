@@ -62,7 +62,7 @@ object EmbPca extends graft.QueryModule {
     * explode is row-local. The mean pins to decimal(8,5) (its double is
     * within 1e-15 of the 5dp grid, so both engines land the same cell)
     * and the centering is an exact decimal subtraction — no rounding. */
-  private def centered(s: SparkSession, d: String): DataFrame = {
+  private[graft] def centered(s: SparkSession, d: String): DataFrame = {
     val ex = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
     val px = ex.select(col("vec_id"), col("d"),

@@ -698,6 +698,29 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Weighted percentile VECTOR (p25/p50/p75) per group [N] — the
+    * [[weightedMedian]] cumsum shape answering three quantiles from the
+    * SAME single window pass: each is a conditional `min` under a
+    * division-free exact-decimal threshold (4·cum ≥ tot, 2·cum ≥ tot,
+    * 4·cum ≥ 3·tot). Adding quantiles costs one aggregate expression
+    * each, never another sort. */
+  private def weightedPercentiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("wt"))
+      .select(col("l_returnflag"), col("price"),
+        sum(col("wt")).over(w).as("cum"),
+        sum(col("wt")).over(Window.partitionBy(col("l_returnflag")))
+          .as("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 4 >= col("tot"), col("price"))).as("p25"),
+        min(when(col("cum") * 2 >= col("tot"), col("price"))).as("p50"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("price"))).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
     * NDV for three columns of `orders` in a SINGLE scan (the statistics
     * every CBO and data-quality gate needs). At 100 TB swap the exact
@@ -728,6 +751,7 @@ object Aggs extends graft.QueryModule {
     "quality_k_anonymity" -> kAnonymity,
     "agg_regression" -> regression,
     "agg_weighted_median" -> weightedMedian,
+    "agg_weighted_percentiles" -> weightedPercentiles,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
@@ -945,6 +969,21 @@ object Aggs extends graft.QueryModule {
         |SELECT l_returnflag, min(price) AS w_median
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_percentiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, price,
+        |         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+        |         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag,
+        |       min(CASE WHEN cum * 4 >= tot THEN price END) AS p25,
+        |       min(CASE WHEN cum * 2 >= tot THEN price END) AS p50,
+        |       min(CASE WHEN cum * 4 >= tot * 3 THEN price END) AS p75
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_regression" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,

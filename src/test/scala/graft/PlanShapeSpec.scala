@@ -169,4 +169,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
   }
+
+  test("emb_pca: embeddings scan prunes the unused label column") {
+    // the registered keys' final plans sit above localCheckpoint cuts,
+    // so inspect the pre-checkpoint centering stage: it touches
+    // (vec_id, embedding) only — a scan that also decodes `label` drags
+    // a dead column through the n*dim explode, real read+decode volume
+    // at 100 TB
+    val p = ext.EmbPca.centered(spark, TestSpark.sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") && p.contains("embedding"), p)
+    assert(!p.contains("label"), s"centered stage reads the label column:\n$p")
+  }
+
+  test("win_sessionize_native: ONE window node hosts the session labeling") {
+    val p = plan("win_sessionize_native")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected exactly one Window exec:\n$p")
+    assert(p.contains("graft_session_id") || p.contains("sessionid"),
+      s"native window function not in plan:\n$p")
+  }
 }
