@@ -79,7 +79,20 @@ object EmbPca extends graft.QueryModule {
     * against a 1-row broadcast means array, upper-triangle pairs come
     * from a nested transform (no self-join), and the single shuffle is
     * the dim²-group agg. */
+  /** Memoized per (session, dir) — `emb_pca_power`/`_scores`/`_deflate`
+    * all start from the same Gram and first-component chain (the
+    * [[Graph.coPurchaseEdges]] shared-relation discipline; everything
+    * cached is checkpointed, so reuse is exact). */
+  private val gramCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, IndexedSeq[DataFrame])]()
+
   private[graft] def gramAndComponent(s: SparkSession, d: String)
+      : (DataFrame, IndexedSeq[DataFrame]) = {
+    gramCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    gramCache.computeIfAbsent((s, d), _ => gramAndComponentBuild(s, d))
+  }
+
+  private def gramAndComponentBuild(s: SparkSession, d: String)
       : (DataFrame, IndexedSeq[DataFrame]) = {
     val emb = Tables.embeddings(s, d)
     val ex = emb.select(col("vec_id"),

@@ -86,10 +86,14 @@ class EmbPcaSpec extends AnyFunSuite {
       s"second Rayleigh out of range: lambda1=$r1 lambda2=$r2")
   }
 
-  test("pinned iteration is bit-stable across recomputation") {
+  test("pinned iteration is bit-stable across sessions and partitionings") {
     val a = SparkEntry.queries("emb_pca_power")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val b = SparkEntry.queries("emb_pca_power")(spark, TestSpark.sf0001)
+    // a FRESH session defeats the gram memoization and changes the
+    // shuffle partitioning — the pinned arithmetic must not notice
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = SparkEntry.queries("emb_pca_power")(ns, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b)
   }
