@@ -585,6 +585,27 @@ object SimSearch extends graft.QueryModule {
     batchTopK(e, probeTable(e))
   }
 
+  /** Hard-negative mining for contrastive training [N]: for each probe,
+    * the top-10 most-similar corpus vectors with a DIFFERENT label —
+    * the near-misses an embedding model most needs to push apart
+    * (InfoNCE/triplet batch construction). Same scale shape as
+    * [[batchTopK]]: broadcast probes, one corpus scan, bounded
+    * [[graft.functions.TopKByAgg]] partials on the wire — the label
+    * disequality rides the join condition, so same-label rows never
+    * reach scoring. */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        col("label").as("plabel"))
+    val scored = e.join(broadcast(probes), col("label") =!= col("plabel"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+    explodeTopK(scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), 10).as("nn")))
+  }
+
   private def ivfBatch(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
@@ -867,6 +888,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,
     "sim_search_cosine" -> cosineTopK,
+    "emb_hard_negatives" -> hardNegatives,
     "sim_search_ivf" -> ivfTopK,
     "sim_search_ivf_kmeans" -> ivfKmeans,
     "sim_search_kmeans_assign" -> kmeansAssign,
@@ -958,6 +980,24 @@ object SimSearch extends graft.QueryModule {
          |  FROM embeddings e, p WHERE e.vec_id <> 0)
          |SELECT vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // hard negatives: same bit-identical cosine, restricted to rows with
+    // a different label than the probe's
+    "emb_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl
+         |           FROM embeddings WHERE vec_id < 20),
+         |s AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")} AS d,
+         |         ${dotSql.format("e.embedding", "e.embedding")} AS na,
+         |         ${dotSql.format("p.pe", "p.pe")} AS np
+         |  FROM embeddings e, p WHERE e.label <> p.pl),
+         |r AS (
+         |  SELECT probe_id, vec_id, d / (sqrt(na) * sqrt(np)) AS cosine,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY d / (sqrt(na) * sqrt(np)) DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, cosine
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin,
     // batch form: same bit-identical cosine, per-probe row_number top-10
     "sim_search_batch" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe

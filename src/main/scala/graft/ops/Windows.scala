@@ -255,6 +255,35 @@ object Windows extends graft.QueryModule {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Calendar densification + forward fill [N]: materialize the MISSING
+    * days of each user's activity span (the rows [[interpolate]] can't
+    * touch because they don't exist) and carry the last known daily
+    * total forward — the resample step every time-series pipeline runs
+    * before windowed features.
+    *
+    * Scale shape: the day spine is a row-local `sequence()` explode per
+    * user (span-bounded, never a calendar×users cross join), the
+    * actuals join is one equi-shuffle on (user, day), and the fill is a
+    * single ordered window. Totals stay exact decimals until the final
+    * cast. */
+  private def gapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("total"))
+    val dense = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("total"), ignoreNulls = true).over(w)
+          .cast("double").as("total"),
+        col("total").isNull.as("is_filled"))
+      .orderBy("user_id", "day")
+  }
+
   private def sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
@@ -492,6 +521,7 @@ object Windows extends graft.QueryModule {
     "win_distribution_ranks" -> distributionRanks,
     "win_sessionize" -> sessionize,
     "win_sessionize_native" -> sessionizeNative,
+    "win_gap_fill" -> gapFill,
     "attr_last_touch" -> attrLastTouch,
     "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
@@ -739,6 +769,25 @@ object Windows extends graft.QueryModule {
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "win_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |              CAST(max(day) AS TIMESTAMP), INTERVAL '1 day'))
+        |              AS DATE) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.day,
+        |       CAST(last_value(d.total IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total,
+        |       d.total IS NULL AS is_filled
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
     // the native AggregateWindowFunction must label identically to the
     // lag+cumsum idiom — one oracle serves both keys
     "win_sessionize_native" ->
