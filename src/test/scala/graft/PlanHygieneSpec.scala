@@ -36,6 +36,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_logprob" -> "1-row corpus-total crossJoin",
     "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table",
     "basket_rules" -> "1-row basket-total crossJoin",
+    "emb_hard_negatives" -> ("20-row probe broadcast with a label-" +
+      "disequality condition (bounded: probes x corpus scan, like " +
+      "sim_search_batch)"),
     "graph_hits" -> ("1-row max-score normalization crossJoins (the raw " +
       "aggregates are checkpointed; the final normalize stays lazy)"))
   // emb_pca_* also normalizes via 1-row broadcast crossJoins, but those
