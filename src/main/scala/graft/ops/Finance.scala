@@ -161,6 +161,36 @@ object Finance extends graft.QueryModule {
     * (same sequence, same rounding — FinanceSpec also cross-checks a
     * driver-side fold); the merge-order-dependent GROUPED form is
     * deliberately not used here. */
+  /** Historical VaR(5%) and CVaR per user [N]: the exact lower 5th
+    * percentile of observed values (smallest v with 20·cum ≥ total —
+    * the [[Aggs.weightedMedian]] division-free cumsum discipline at
+    * weight 1) and the mean of the tail at or below it. No
+    * interpolation, no sampling: exact decimal comparisons pick the
+    * quantile, one exact decimal sum + one IEEE division compute the
+    * expected shortfall. Ties collapse first, so the window runs on the
+    * per-user distinct-value domain. */
+  private def varCvar(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), col("value").cast("decimal(12,2)").as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("v"))
+    val var5 = vals.groupBy(col("user_id"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("user_id"), col("v"),
+        sum(col("c")).over(w).as("cum"),
+        sum(col("c")).over(Window.partitionBy(col("user_id"))).as("tot"))
+      .filter(col("cum") * 20 >= col("tot"))
+      .groupBy(col("user_id")).agg(min(col("v")).as("var5"))
+    vals.join(var5, "user_id")
+      .filter(col("v") <= col("var5"))
+      .groupBy(col("user_id"), col("var5"))
+      .agg(count(lit(1)).as("n_tail"),
+        bround(sum(col("v")).cast("double") /
+          count(lit(1)).cast("double"), 8).as("cvar5"))
+      .select(col("user_id"), col("var5").cast("double").as("var5"),
+        col("cvar5"), col("n_tail"))
+      .orderBy("user_id")
+  }
+
   private def compoundReturn(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val w = Window.partitionBy(col("user_id"))
@@ -277,9 +307,32 @@ object Finance extends graft.QueryModule {
     "fin_ohlc" -> ohlc,
     "fin_drawdown" -> drawdown,
     "fin_volatility" -> volatility,
-    "fin_compound_return" -> compoundReturn)
+    "fin_compound_return" -> compoundReturn,
+    "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "fin_var_cvar" ->
+      """WITH vals AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT user_id, v, count(*) AS c FROM vals GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT user_id, v,
+        |         sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY user_id) AS tot
+        |  FROM t),
+        |var5 AS (
+        |  SELECT user_id, min(v) AS var5 FROM cum
+        |  WHERE cum * 20 >= tot GROUP BY user_id)
+        |SELECT vals.user_id, CAST(var5.var5 AS DOUBLE) AS var5,
+        |       round_even(CAST(sum(vals.v) AS DOUBLE)
+        |                  / CAST(count(*) AS DOUBLE), 8) AS cvar5,
+        |       CAST(count(*) AS BIGINT) AS n_tail
+        |FROM vals JOIN var5 ON vals.user_id = var5.user_id
+        |WHERE vals.v <= var5.var5
+        |GROUP BY vals.user_id, var5.var5
+        |ORDER BY vals.user_id""".stripMargin,
     "fin_compound_return" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,

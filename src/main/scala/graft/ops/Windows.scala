@@ -192,6 +192,26 @@ object Windows extends graft.QueryModule {
       .orderBy("funnel_stage")
   }
 
+  /** Step conversion rates over the [[funnelStages]] profile [N]:
+    * users at-or-past each stage (suffix sum over the stage counts) and
+    * the stage-to-stage conversion ratio every growth dashboard reads.
+    * The suffix-sum window runs on the STAGE-DOMAIN table (≤4 rows) —
+    * single-partition by construction and size-bounded, the same
+    * domain-sized-window class as `win_skyline`. */
+  private def funnelConversion(s: SparkSession, d: String): DataFrame = {
+    val sc = funnelStages(s, d)
+    val wDesc = Window.orderBy(col("funnel_stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("funnel_stage"))
+    sc.select(col("funnel_stage"), col("n_users"),
+        sum(col("n_users")).over(wDesc).as("n_at_or_past"))
+      .select(col("funnel_stage"), col("n_users"), col("n_at_or_past"),
+        bround(col("n_at_or_past").cast("double") /
+          lag(col("n_at_or_past"), 1).over(wAsc).cast("double"), 8)
+          .as("conv_from_prev"))
+      .orderBy("funnel_stage")
+  }
+
   /** Last-touch marketing attribution [N]: each purchase is credited to
     * the user's most recent PRECEDING click or view within a 7-day
     * lookback (the standard last-non-direct-touch model). The
@@ -522,6 +542,7 @@ object Windows extends graft.QueryModule {
     "win_sessionize" -> sessionize,
     "win_sessionize_native" -> sessionizeNative,
     "win_gap_fill" -> gapFill,
+    "funnel_conversion" -> funnelConversion,
     "attr_last_touch" -> attrLastTouch,
     "funnel_stages" -> funnelStages,
     "win_latest_row" -> latestRow,
@@ -846,6 +867,42 @@ object Windows extends graft.QueryModule {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
+    "funnel_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, min(ts) AS fv FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS fc
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.fv
+        |        AND e.ts <= v.fv + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS fp
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.fc
+        |        AND e.ts <= c.fc + INTERVAL 1 DAY GROUP BY 1),
+        |sc AS (
+        |  SELECT CASE WHEN p.fp IS NOT NULL THEN 3
+        |              WHEN c.fc IS NOT NULL THEN 2
+        |              WHEN v.fv IS NOT NULL THEN 1
+        |              ELSE 0 END AS funnel_stage,
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM users u
+        |  LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id
+        |  GROUP BY 1),
+        |ap AS (
+        |  SELECT funnel_stage, n_users,
+        |         CAST(sum(n_users) OVER (ORDER BY funnel_stage DESC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_past
+        |  FROM sc)
+        |SELECT funnel_stage, n_users, n_at_or_past,
+        |       round_even(CAST(n_at_or_past AS DOUBLE) /
+        |         CAST(lag(n_at_or_past) OVER (ORDER BY funnel_stage)
+        |              AS DOUBLE), 8) AS conv_from_prev
+        |FROM ap ORDER BY funnel_stage""".stripMargin,
     "win_latest_row" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
