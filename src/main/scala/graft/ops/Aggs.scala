@@ -721,6 +721,33 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Gini coefficient of customer spend per nation [N] — the inequality
+    * statistic behind data-mix audits (is one customer/source dominating
+    * a bucket?). Rank formulation G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    * over the TOTAL order (spend, custkey): ranks are integers, both
+    * sums exact decimals, the single IEEE division pinned at 8dp — the
+    * whole statistic is deterministic with no sampling and no float
+    * accumulation. One join + one window rank + one hash agg. */
+  private def giniSpend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("x"), col("c_custkey"))
+    spend.select(col("nation"), col("x"),
+        row_number().over(w).cast("long").as("r"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("r")).as("srx"))
+      .select(col("nation"), col("n"),
+        bround((lit(2) * col("srx") - (col("n") + 1) * col("sx"))
+            .cast("double") /
+          (col("n") * col("sx")).cast("double"), 8).as("gini"))
+      .orderBy("nation")
+  }
+
   /** ANALYZE-style one-pass column profile [N]: min/max/null-count/exact
     * NDV for three columns of `orders` in a SINGLE scan (the statistics
     * every CBO and data-quality gate needs). At 100 TB swap the exact
@@ -752,6 +779,7 @@ object Aggs extends graft.QueryModule {
     "agg_regression" -> regression,
     "agg_weighted_median" -> weightedMedian,
     "agg_weighted_percentiles" -> weightedPercentiles,
+    "agg_gini_spend" -> giniSpend,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
@@ -969,6 +997,25 @@ object Aggs extends graft.QueryModule {
         |SELECT l_returnflag, min(price) AS w_median
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey AS nation, c_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nation, x,
+        |         CAST(row_number() OVER (PARTITION BY nation
+        |           ORDER BY x, c_custkey) AS BIGINT) AS r
+        |  FROM spend),
+        |ss AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(x * r) AS srx
+        |  FROM r GROUP BY nation)
+        |SELECT nation, n,
+        |       round_even(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+        |                  / CAST(n * sx AS DOUBLE), 8) AS gini
+        |FROM ss ORDER BY nation""".stripMargin,
     "agg_weighted_percentiles" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_extendedprice AS price,

@@ -44,14 +44,75 @@ class JsonDirTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft_json_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new JsonDirBatchWrite(path, info.schema())
+        override def toStreaming: streaming.StreamingWrite =
+          new JsonDirStreamingWrite(path, info.schema())
       }
     }
+}
+
+/** Streaming half of the commit protocol: per-EPOCH staging dirs and an
+  * IDEMPOTENT epoch commit. After a checkpoint recovery the engine may
+  * re-run an epoch it already committed — the `_epoch-<id>.committed`
+  * marker makes the replay a no-op instead of a duplicate publish,
+  * which is exactly the sink-side half of streaming exactly-once
+  * (the source-side half is the checkpointed offset log). */
+class JsonDirStreamingWrite(path: String, schema: StructType)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new JsonDirStreamingWriterFactory(path, schema)
+
+  private def staging(epochId: Long) =
+    new java.io.File(path, s"_staging-epoch-$epochId")
+  private def marker(epochId: Long) =
+    new java.io.File(path, s"_epoch-$epochId.committed")
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val stg = staging(epochId)
+    if (marker(epochId).exists()) {
+      // replayed epoch after recovery: already published — drop the
+      // fresh staging output, publish nothing twice
+      Option(stg.listFiles()).foreach(_.foreach(_.delete()))
+      stg.delete()
+      return
+    }
+    val dir = new java.io.File(path)
+    messages.foreach { case JsonFileCommitted(name) =>
+      val src = new java.io.File(stg, name)
+      if (!src.renameTo(new java.io.File(dir, name)))
+        sys.error(s"graft-json-sink: epoch $epochId publish failed for $name")
+    }
+    Option(stg.listFiles()).foreach(_.foreach(_.delete()))
+    stg.delete()
+    marker(epochId).createNewFile()
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val stg = staging(epochId)
+    Option(stg.listFiles()).foreach(_.foreach(_.delete()))
+    stg.delete()
+  }
+}
+
+class JsonDirStreamingWriterFactory(path: String, schema: StructType)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = new java.io.File(path, s"_staging-epoch-$epochId")
+    staging.mkdirs() // task-side: the per-epoch dir appears on first writer
+    new JsonRowWriter(staging.getPath,
+      f"epoch-$epochId%05d-part-$partitionId%05d-task$taskId.json", schema)
+  }
 }
 
 class JsonDirBatchWrite(path: String, schema: StructType) extends BatchWrite {
@@ -86,58 +147,63 @@ case class JsonFileCommitted(fileName: String) extends WriterCommitMessage
 class JsonDirWriterFactory(staging: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val fileName = f"part-$partitionId%05d-task$taskId.json"
-      private val out = new java.io.PrintWriter(
-        new java.io.File(staging, fileName), "UTF-8")
+    new JsonRowWriter(staging,
+      f"part-$partitionId%05d-task$taskId.json", schema)
+}
 
-      /** Full JSON string escaping: backslash, quote, the named control
-        * escapes, and \u00XX for every other char < 0x20 — a newline in
-        * a value must not break the one-record-per-line framing
-        * (ADVICE r6). */
-      private def escape(s: String): String = {
-        val sb = new StringBuilder(s.length + 8)
-        s.foreach {
-          case '\\' => sb.append("\\\\")
-          case '"' => sb.append("\\\"")
-          case '\b' => sb.append("\\b")
-          case '\f' => sb.append("\\f")
-          case '\n' => sb.append("\\n")
-          case '\r' => sb.append("\\r")
-          case '\t' => sb.append("\\t")
-          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-          case c => sb.append(c)
-        }
-        sb.toString
-      }
+/** The shared per-task JSON-lines writer (batch and streaming factories
+  * differ only in staging layout and file naming). */
+class JsonRowWriter(staging: String, fileName: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val out = new java.io.PrintWriter(
+    new java.io.File(staging, fileName), "UTF-8")
 
-      private def jsonValue(dt: DataType, row: InternalRow, i: Int): String =
-        if (row.isNullAt(i)) "null"
-        else dt match {
-          case org.apache.spark.sql.types.StringType =>
-            "\"" + escape(row.getUTF8String(i).toString) + "\""
-          case org.apache.spark.sql.types.LongType => row.getLong(i).toString
-          case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
-          case org.apache.spark.sql.types.DoubleType =>
-            val d = row.getDouble(i)
-            // bare NaN/Infinity are not valid JSON tokens — emit null
-            if (java.lang.Double.isFinite(d)) d.toString else "null"
-          case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
-          case TimestampType => row.getLong(i).toString // micros
-          case other => sys.error(s"graft-json-sink: unsupported type $other")
-        }
-
-      override def write(row: InternalRow): Unit =
-        out.println(schema.fields.indices.map { i =>
-          "\"" + escape(schema.fields(i).name) + "\": " +
-            jsonValue(schema.fields(i).dataType, row, i)
-        }.mkString("{", ", ", "}"))
-
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        JsonFileCommitted(fileName)
-      }
-      override def abort(): Unit = { out.close() }
-      override def close(): Unit = ()
+  /** Full JSON string escaping: backslash, quote, the named control
+    * escapes, and \u00XX for every other char < 0x20 — a newline in
+    * a value must not break the one-record-per-line framing
+    * (ADVICE r6). */
+  private def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
     }
+    sb.toString
+  }
+
+  private def jsonValue(dt: DataType, row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) "null"
+    else dt match {
+      case org.apache.spark.sql.types.StringType =>
+        "\"" + escape(row.getUTF8String(i).toString) + "\""
+      case org.apache.spark.sql.types.LongType => row.getLong(i).toString
+      case org.apache.spark.sql.types.IntegerType => row.getInt(i).toString
+      case org.apache.spark.sql.types.DoubleType =>
+        val d = row.getDouble(i)
+        // bare NaN/Infinity are not valid JSON tokens — emit null
+        if (java.lang.Double.isFinite(d)) d.toString else "null"
+      case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
+      case TimestampType => row.getLong(i).toString // micros
+      case other => sys.error(s"graft-json-sink: unsupported type $other")
+    }
+
+  override def write(row: InternalRow): Unit =
+    out.println(schema.fields.indices.map { i =>
+      "\"" + escape(schema.fields(i).name) + "\": " +
+        jsonValue(schema.fields(i).dataType, row, i)
+    }.mkString("{", ", ", "}"))
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonFileCommitted(fileName)
+  }
+  override def abort(): Unit = { out.close() }
+  override def close(): Unit = ()
 }
