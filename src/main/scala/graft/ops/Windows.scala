@@ -465,6 +465,58 @@ object Windows extends graft.QueryModule {
     * collapse in one hash agg. Linear in rows, parallel across
     * customers — no self-join, no island×interval blowup; the classic
     * quadratic NOT-EXISTS formulation is what this replaces at scale. */
+  /** Interval DIFFERENCE A \ B [N] — the subtraction half of the
+    * interval family ([[intervalMerge]] is the union half): per-customer
+    * merged validity intervals MINUS the monthly maintenance blackouts
+    * (first 5 days of each month in the date domain). The boundary-point
+    * method keeps it declarative: every kept segment lies between two
+    * adjacent boundary points (interval ends + clamped blackout ends),
+    * and a segment survives iff no blackout covers it — segments never
+    * straddle boundaries, so coverage is a simple point-pair test, not
+    * a sweep with state.
+    *
+    * Scale shape: the blackout dimension is TIME-DOMAIN-bounded (one
+    * row per month — broadcast by construction, the two non-equi joins
+    * are bounded by |A|·|overlapping months|); boundary explode is
+    * row-local; one window lead per interval. */
+  private def intervalDiff(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 30 + 1).cast("int")).as("e"))
+    val w0 = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    val a = iv
+      .withColumn("pmax",
+        max(col("e")).over(w0.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select(col("k"), col("s"), col("e"))
+    val b = Tables.orders(s, d)
+      .select(trunc(col("o_orderdate"), "month").cast("date").as("bs"))
+      .distinct()
+      .select(col("bs"), date_add(col("bs"), 5).as("be"))
+    val pts = a.join(broadcast(b),
+        col("bs") < col("e") && col("s") < col("be"), "left")
+      .select(col("k"), col("s"), col("e"),
+        explode(array(col("s"), col("e"),
+          coalesce(greatest(col("bs"), col("s")), col("s")),
+          coalesce(least(col("be"), col("e")), col("s")))).as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("k"), col("s"), col("e")).orderBy(col("p"))
+    pts.withColumn("np", lead(col("p"), 1).over(w))
+      .filter(col("np") > col("p"))
+      .join(broadcast(b), col("bs") <= col("p") && col("np") <= col("be"),
+        "left_anti")
+      .select(col("k").as("o_custkey"), col("p").as("start_d"),
+        col("np").as("end_d"), datediff(col("np"), col("p")).as("days"))
+      .orderBy("o_custkey", "start_d", "end_d")
+  }
+
   private def intervalMerge(s: SparkSession, d: String): DataFrame = {
     val iv = Tables.orders(s, d)
       .select(col("o_custkey").as("k"),
@@ -534,6 +586,7 @@ object Windows extends graft.QueryModule {
     "win_pattern_runs" -> patternRuns,
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_interval_merge" -> intervalMerge,
+    "win_interval_diff" -> intervalDiff,
     "win_rolling_median" -> rollingMedian,
     "win_skyline" -> skyline,
     "win_value_functions" -> valueFunctions,
@@ -692,6 +745,46 @@ object Windows extends graft.QueryModule {
         |       CAST(date_diff('day', min(s), max(e)) AS INTEGER) AS span_days,
         |       count(*) AS n_merged
         |FROM i GROUP BY k, island ORDER BY o_custkey, start_d""".stripMargin,
+    "win_interval_diff" ->
+      """WITH iv AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+        |  FROM orders),
+        |m AS (
+        |  SELECT k, s, e,
+        |         max(e) OVER (PARTITION BY k ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |i AS (
+        |  SELECT k, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |                           THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |a AS (
+        |  SELECT k, min(s) AS s, max(e) AS e FROM i GROUP BY k, island),
+        |b AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS bs,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) + 5 AS be
+        |  FROM orders),
+        |pts AS (
+        |  SELECT DISTINCT k, s, e, p FROM (
+        |    SELECT a.k, a.s, a.e,
+        |           unnest([a.s, a.e,
+        |                   coalesce(greatest(b.bs, a.s), a.s),
+        |                   coalesce(least(b.be, a.e), a.s)]) AS p
+        |    FROM a LEFT JOIN b ON b.bs < a.e AND a.s < b.be)),
+        |segs AS (
+        |  SELECT k, s, e, p,
+        |         lead(p) OVER (PARTITION BY k, s, e ORDER BY p) AS np
+        |  FROM pts)
+        |SELECT k AS o_custkey, p AS start_d, np AS end_d,
+        |       CAST(date_diff('day', p, np) AS INTEGER) AS days
+        |FROM segs
+        |WHERE np > p AND NOT EXISTS (
+        |  SELECT 1 FROM b WHERE b.bs <= segs.p AND segs.np <= b.be)
+        |ORDER BY o_custkey, start_d, end_d""".stripMargin,
     "win_range_frame" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -39,6 +39,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "emb_hard_negatives" -> ("20-row probe broadcast with a label-" +
       "disequality condition (bounded: probes x corpus scan, like " +
       "sim_search_batch)"),
+    "win_interval_diff" -> ("month-domain blackout broadcast, two bounded " +
+      "non-equi joins (|A| x overlapping months)"),
     "graph_hits" -> ("1-row max-score normalization crossJoins (the raw " +
       "aggregates are checkpointed; the final normalize stays lazy)"))
   // emb_pca_* also normalizes via 1-row broadcast crossJoins, but those
