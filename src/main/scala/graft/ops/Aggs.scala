@@ -721,6 +721,34 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Benford first-digit profile of order totals [N] — the classic
+    * fraud / synthetic-data screen. The leading digit comes from the
+    * decimal's STRING prefix, never `log10` (libm results differ across
+    * engines in the last ulp, which a floor() then amplifies into a
+    * different digit); counts are exact integers, the Benford
+    * expectations are literal decimals, and the single IEEE share
+    * division pins at 8dp. One scan, one 9-group hash agg. */
+  private def benford(s: SparkSession, d: String): DataFrame = {
+    val p = Seq(0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+      0.06695, 0.05799, 0.05115, 0.04576)
+    val expect = p.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (v, i)) =>
+      when(col("digit") === (i + 1).toString, lit(v)).otherwise(acc)
+    }
+    val tot = Window.partitionBy()
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(col("o_totalprice").cast("decimal(12,2)")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        bround(col("n").cast("double") /
+          sum(col("n")).over(tot).cast("double"), 8).as("share"),
+        expect.as("benford_p"))
+      .select(col("digit"), col("n"), col("share"), col("benford_p"),
+        bround(col("share") - col("benford_p"), 8).as("deviation"))
+      .orderBy("digit")
+  }
+
   /** Gini coefficient of customer spend per nation [N] — the inequality
     * statistic behind data-mix audits (is one customer/source dominating
     * a bucket?). Rank formulation G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
@@ -780,6 +808,7 @@ object Aggs extends graft.QueryModule {
     "agg_weighted_median" -> weightedMedian,
     "agg_weighted_percentiles" -> weightedPercentiles,
     "agg_gini_spend" -> giniSpend,
+    "agg_benford" -> benford,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
@@ -997,6 +1026,26 @@ object Aggs extends graft.QueryModule {
         |SELECT l_returnflag, min(price) AS w_median
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_benford" ->
+      """WITH dgt AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |                1, 1) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM dgt GROUP BY digit),
+        |sh AS (
+        |  SELECT digit, n,
+        |         round_even(CAST(n AS DOUBLE) /
+        |           CAST(sum(n) OVER () AS DOUBLE), 8) AS share,
+        |         CASE digit WHEN '1' THEN 0.30103 WHEN '2' THEN 0.17609
+        |           WHEN '3' THEN 0.12494 WHEN '4' THEN 0.09691
+        |           WHEN '5' THEN 0.07918 WHEN '6' THEN 0.06695
+        |           WHEN '7' THEN 0.05799 WHEN '8' THEN 0.05115
+        |           WHEN '9' THEN 0.04576 ELSE 0.0 END AS benford_p
+        |  FROM c)
+        |SELECT digit, n, share, benford_p,
+        |       round_even(share - benford_p, 8) AS deviation
+        |FROM sh ORDER BY digit""".stripMargin,
     "agg_gini_spend" ->
       """WITH spend AS (
         |  SELECT c_nationkey AS nation, c_custkey,
