@@ -203,7 +203,45 @@ object SqlSurface extends graft.QueryModule {
         ||> ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** SQL scripting (SQL/PSM, Spark 4): BEGIN … END block with a DECLAREd
+    * session variable referenced by the query — procedural SQL without
+    * leaving the engine. The block's last statement is the result. */
+  private def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 150000.0;
+        |  SELECT o_orderpriority, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS big_total
+        |  FROM orders_v WHERE o_totalprice > thr
+        |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
+        |END""".stripMargin)
+  }
+
+  /** SQL-language function (CREATE FUNCTION … RETURN expr, Spark 4):
+    * the UDF the catalog understands and Catalyst INLINES — unlike a
+    * Scala closure it stays a plain expression, so codegen, pushdown,
+    * and the zero-UDF policy (§2.J) all survive. */
+  private def sqlUdfCreate(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p < 50000 THEN 'low'
+        |            WHEN p < 150000 THEN 'mid'
+        |            ELSE 'high' END""".stripMargin)
+    s.sql(
+      """SELECT price_tier(o_totalprice) AS tier, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders_v GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_scripting" -> sqlScripting,
+    "sql_udf_create" -> sqlUdfCreate,
     "sql_pipe_syntax" -> pipeSyntax,
     "sql_window_clause" -> windowClause,
     "sql_group_by_all" -> groupByAll,
@@ -216,6 +254,20 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_scripting" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS big_total
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sql_udf_create" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_pipe_syntax" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
