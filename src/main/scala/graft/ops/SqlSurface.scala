@@ -239,7 +239,24 @@ object SqlSurface extends graft.QueryModule {
         |FROM orders_v GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Parameterized SQL (named parameter markers, Spark 4): the text is
+    * a template with `:name` placeholders and values bind as LITERALS
+    * at parse time — injection-safe by construction and plan-cacheable
+    * by text. */
+  private def sqlParameterized(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders_v
+        |WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floor" -> 25000))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_parameterized" -> sqlParameterized,
     "sql_scripting" -> sqlScripting,
     "sql_udf_create" -> sqlUdfCreate,
     "sql_pipe_syntax" -> pipeSyntax,
@@ -254,6 +271,13 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice >= 25000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_scripting" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
