@@ -203,18 +203,19 @@ object Graph extends graft.QueryModule {
     * the final ranks hash-match exactly. */
   private def pageRankOracle: String = {
     val base =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         |  FROM lineitem l1 JOIN lineitem l2
         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        |dir AS (SELECT a AS src, b AS dst FROM edges
+        |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
         |        UNION ALL SELECT b, a FROM edges),
-        |deg AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY src),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-        |r0 AS (SELECT node, deg, round_even(1.0 / nn.n, 12) AS rank
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+        |                     FROM dir GROUP BY src),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS MATERIALIZED (SELECT node, deg, round_even(1.0 / nn.n, 12) AS rank
         |       FROM deg, nn)""".stripMargin
     val iters = (1 to prIters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT d.node, d.deg,
          |         round_even(0.15 / nn.n
          |           + 0.85 * CAST(coalesce(s.sc, 0) AS DOUBLE), 12) AS rank
@@ -299,22 +300,22 @@ object Graph extends graft.QueryModule {
     * only things to mirror are the mode tie-break and the join shape. */
   private def labelPropOracle: String = {
     val base =
-      s"""WITH e0 AS (
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
          |  FROM lineitem l1 JOIN lineitem l2
          |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-         |dg AS (SELECT x, count(*) AS dg FROM (
+         |dg AS MATERIALIZED (SELECT x, count(*) AS dg FROM (
          |         SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0)
          |       GROUP BY x),
-         |keep AS (SELECT x FROM dg WHERE dg <= $LpDegCap),
-         |edges AS (SELECT e0.a, e0.b FROM e0
+         |keep AS MATERIALIZED (SELECT x FROM dg WHERE dg <= $LpDegCap),
+         |edges AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
          |          JOIN keep ka ON e0.a = ka.x
          |          JOIN keep kb ON e0.b = kb.x),
-         |und AS (SELECT a AS v, b AS u FROM edges
+         |und AS MATERIALIZED (SELECT a AS v, b AS u FROM edges
          |        UNION ALL SELECT b, a FROM edges),
-         |l0 AS (SELECT DISTINCT v, v AS lbl FROM und)""".stripMargin
+         |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM und)""".stripMargin
     val iters = (1 to lpIters).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT v, lbl FROM (
          |    SELECT c.v, c.lbl,
          |           row_number() OVER (PARTITION BY c.v
@@ -534,16 +535,16 @@ object Graph extends graft.QueryModule {
     * `KCoreRounds` times. All-integer, so hash equality is exact. */
   private def kcoreOracle: String = {
     val base =
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         |  FROM lineitem l1 JOIN lineitem l2
         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)""".stripMargin
     val rounds = (1 to KCoreRounds).map { i =>
-      s"""d$i AS (SELECT v, count(*) AS deg FROM (
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
          |         SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
          |       GROUP BY v),
-         |k$i AS (SELECT v FROM d$i WHERE deg >= $KCoreK),
-         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
          |        JOIN k$i x ON e.a = x.v JOIN k$i y ON e.b = y.v)""".stripMargin
     }.mkString(",\n")
     s"""$base,
