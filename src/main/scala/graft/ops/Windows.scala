@@ -465,6 +465,29 @@ object Windows extends graft.QueryModule {
     * collapse in one hash agg. Linear in rows, parallel across
     * customers — no self-join, no island×interval blowup; the classic
     * quadratic NOT-EXISTS formulation is what this replaces at scale. */
+  /** One-sided CUSUM drift detection per user [N] — the classic
+    * change-point statistic S_i = max(0, S_{i-1} + (x_i - target)).
+    * The recurrence LOOKS iterative, but prefix algebra makes it two
+    * plain windows: S_i = P_i - min_{j≤i} P_j where P is the running
+    * sum of deviations — so the whole detector is declarative, exact
+    * decimal arithmetic, and shuffle-partitioned by user like any other
+    * window. Flags fire where the statistic clears the threshold. */
+  private def cusumDrift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(12,2)") - lit(50)).as("dev"))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("cusum",
+        col("p") - least(min(col("p")).over(w), lit(0).cast("decimal(12,2)")))
+      .select(col("user_id"), col("event_id"),
+        col("cusum").cast("double").as("cusum"),
+        (col("cusum") > 500).as("drift_flag"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Interval DIFFERENCE A \ B [N] — the subtraction half of the
     * interval family ([[intervalMerge]] is the union half): per-customer
     * merged validity intervals MINUS the monthly maintenance blackouts
@@ -587,6 +610,7 @@ object Windows extends graft.QueryModule {
     "win_sweep_concurrency" -> sweepConcurrency,
     "win_interval_merge" -> intervalMerge,
     "win_interval_diff" -> intervalDiff,
+    "win_cusum_drift" -> cusumDrift,
     "win_rolling_median" -> rollingMedian,
     "win_skyline" -> skyline,
     "win_value_functions" -> valueFunctions,
@@ -745,6 +769,33 @@ object Windows extends graft.QueryModule {
         |       CAST(date_diff('day', min(s), max(e)) AS INTEGER) AS span_days,
         |       count(*) AS n_merged
         |FROM i GROUP BY k, island ORDER BY o_custkey, start_d""".stripMargin,
+    "win_cusum_drift" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |         CAST(value AS DECIMAL(12,2)) - 50 AS dev
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  -- width-tighten the running sums: two DECIMAL(38,2) operands
+        |  -- would push the final subtraction past width 38 and DuckDB
+        |  -- silently degrades the op to DOUBLE (measured 4.5e-15 noise)
+        |  SELECT user_id, ts, event_id,
+        |         CAST(sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS p
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, event_id, p,
+        |         CAST(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS mn
+        |  FROM p)
+        |SELECT user_id, event_id,
+        |       -- DuckDB's least() DEGRADES decimals to DOUBLE (even
+        |       -- decimal-vs-decimal); CASE keeps the clamp exact
+        |       CAST(p - (CASE WHEN mn < 0 THEN mn
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS cusum,
+        |       (p - (CASE WHEN mn < 0 THEN mn
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END)) > 500 AS drift_flag
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     "win_interval_diff" ->
       """WITH iv AS (
         |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS s,
