@@ -721,6 +721,30 @@ object Aggs extends graft.QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Herfindahl-Hirschman concentration index per nation [N] — the
+    * Gini's companion statistic (Σ shareᵢ², share in percent — the
+    * antitrust convention where 10000 = monopoly). Each customer's
+    * squared share is ONE IEEE division+multiply pinned to a 12dp
+    * decimal, so the per-nation sum is exact and order-invariant — the
+    * naive Σ(x/t)² of raw doubles can never hash-match across engines.
+    * Same input relation as [[giniSpend]], no window needed. */
+  private def hhiSpend(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val tot = spend.groupBy(col("nation")).agg(sum(col("x")).as("t"))
+    spend.join(tot, "nation")
+      .select(col("nation"),
+        bround(col("x").cast("double") / col("t").cast("double") * 100.0
+          * (col("x").cast("double") / col("t").cast("double") * 100.0), 12)
+          .cast("decimal(20,12)").as("sq"))
+      .groupBy(col("nation"))
+      .agg(sum(col("sq")).cast("double").as("hhi"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("nation")
+  }
+
   /** Benford first-digit profile of order totals [N] — the classic
     * fraud / synthetic-data screen. The leading digit comes from the
     * decimal's STRING prefix, never `log10` (libm results differ across
@@ -809,6 +833,7 @@ object Aggs extends graft.QueryModule {
     "agg_weighted_percentiles" -> weightedPercentiles,
     "agg_gini_spend" -> giniSpend,
     "agg_benford" -> benford,
+    "agg_hhi_spend" -> hhiSpend,
     "agg_skewkurt" -> skewKurt,
     "agg_weighted_avg" -> weightedAvg,
     "agg_cohort_retention" -> cohortRetention,
@@ -1026,6 +1051,23 @@ object Aggs extends graft.QueryModule {
         |SELECT l_returnflag, min(price) AS w_median
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hhi_spend" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey AS nation, c_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT nation, sum(x) AS t FROM spend GROUP BY nation),
+        |sq AS (
+        |  SELECT spend.nation,
+        |         CAST(round_even(
+        |           CAST(x AS DOUBLE) / CAST(t AS DOUBLE) * 100.0
+        |           * (CAST(x AS DOUBLE) / CAST(t AS DOUBLE) * 100.0), 12)
+        |           AS DECIMAL(20,12)) AS sq
+        |  FROM spend JOIN tot ON spend.nation = tot.nation)
+        |SELECT nation, CAST(sum(sq) AS DOUBLE) AS hhi,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM sq GROUP BY nation ORDER BY nation""".stripMargin,
     "agg_benford" ->
       """WITH dgt AS (
         |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),

@@ -465,6 +465,37 @@ object Windows extends graft.QueryModule {
     * collapse in one hash agg. Linear in rows, parallel across
     * customers — no self-join, no island×interval blowup; the classic
     * quadratic NOT-EXISTS formulation is what this replaces at scale. */
+  /** Rolling z-score over a trailing 16-row frame per user [N] — the
+    * online-anomaly feature every monitoring pipeline computes. The
+    * frame's Σx and Σx² are EXACT decimal window sums (the value pins
+    * to 2dp first, its square to an exact 4dp decimal), and each row
+    * assembles mean/variance/z in a fixed IEEE expression order
+    * mirrored verbatim by the oracle — the [[Aggs]] exact-sufficient-
+    * statistics discipline applied inside a moving frame. Population
+    * variance; |z| needs var > 0 (constant frames emit null). */
+  private def rollingZscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, 0)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("v")).over(w))
+      .withColumn("sx2", sum((col("v") * col("v")).cast("decimal(24,4)")).over(w))
+      .withColumn("varn",
+        (dd(col("sx2")) * col("n") - dd(col("sx")) * dd(col("sx")))
+          / (col("n") * col("n")))
+      .select(col("user_id"), col("event_id"),
+        // singleton/constant frames have zero variance: z undefined ->
+        // null (ANSI divide-by-zero on the Spark side, inf on DuckDB's)
+        when(col("varn") > 0,
+          bround((dd(col("v")) - dd(col("sx")) / col("n")) /
+            sqrt(col("varn")), 8)).as("zscore"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** One-sided CUSUM drift detection per user [N] — the classic
     * change-point statistic S_i = max(0, S_{i-1} + (x_i - target)).
     * The recurrence LOOKS iterative, but prefix algebra makes it two
@@ -611,6 +642,7 @@ object Windows extends graft.QueryModule {
     "win_interval_merge" -> intervalMerge,
     "win_interval_diff" -> intervalDiff,
     "win_cusum_drift" -> cusumDrift,
+    "win_rolling_zscore" -> rollingZscore,
     "win_rolling_median" -> rollingMedian,
     "win_skyline" -> skyline,
     "win_value_functions" -> valueFunctions,
@@ -769,6 +801,30 @@ object Windows extends graft.QueryModule {
         |       CAST(date_diff('day', min(s), max(e)) AS INTEGER) AS span_days,
         |       count(*) AS n_merged
         |FROM i GROUP BY k, island ORDER BY o_custkey, start_d""".stripMargin,
+    "win_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, event_id, v,
+        |         CAST(count(*) OVER w AS DOUBLE) AS n,
+        |         CAST(sum(v) OVER w AS DECIMAL(18,2)) AS sx,
+        |         CAST(sum(CAST(v * v AS DECIMAL(24,4))) OVER w
+        |              AS DECIMAL(24,4)) AS sx2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT user_id, event_id, v, n, sx,
+        |         (CAST(sx2 AS DOUBLE) * n
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * n)
+        |           AS varn
+        |  FROM f)
+        |SELECT user_id, event_id,
+        |       CASE WHEN varn > 0 THEN round_even(
+        |         (CAST(v AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+        |           sqrt(varn), 8) END AS zscore
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
     "win_cusum_drift" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
