@@ -142,6 +142,72 @@ class SessionTimeoutProcessor(gapMs: Long)
   }
 }
 
+/** Watermark-ordered streaming CUSUM [N]: the batch `win_cusum_drift`
+  * recurrence S = max(0, S + (x - target)) made exactly-once ONLINE.
+  * The recurrence is order-sensitive, so rows buffer in `ListState` and
+  * emit ONLY from `handleExpiredTimer` once the watermark seals their
+  * event time — emission replays them in (ts, event_id) order against a
+  * running `ValueState`, which makes the statistic independent of
+  * arrival order and micro-batch boundaries (the SessionTimeoutProcessor
+  * discipline applied to a running fold instead of gap grouping).
+  * Output: (user_id, event_id, cusum). */
+class CusumProcessor(target: Double)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, graft.model.Event, (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var buf: ListState[(Long, Long, Double)] = _
+  @transient private var run: ValueState[Double] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[(Long, Long, Double)]("buf",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double)],
+      TTLConfig.NONE)
+    run = getHandle.getValueState[Double]("run",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def rearm(atMs: Long): Unit = {
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(atMs)
+    armed.update(atMs)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[graft.model.Event],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    rows.foreach(e => buf.appendValue(
+      (e.ts.getTime, e.event_id, e.value.getOrElse(target))))
+    val earliest = buf.get().map(_._1).foldLeft(Long.MaxValue)(_ min _)
+    if (earliest != Long.MaxValue) rearm(earliest)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double)] = {
+    val wm = timerValues.getCurrentWatermarkInMs
+    val (sealedRows, open) = buf.get().toSeq.partition(_._1 <= wm)
+    armed.clear()
+    if (open.isEmpty) buf.clear()
+    else {
+      buf.put(open.toArray)
+      rearm(open.map(_._1).min)
+    }
+    var s = if (run.exists()) run.get() else 0.0
+    val out = sealedRows.sortBy(r => (r._1, r._2)).map { case (_, eid, v) =>
+      s = math.max(0.0, s + (v - target))
+      (user, eid, s)
+    }
+    run.update(s)
+    out.iterator
+  }
+}
+
 object Streams {
 
   /** File-source event stream over a parquet landing dir. */
@@ -283,6 +349,18 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming CUSUM drift (see [[CusumProcessor]]). */
+  def cusumDrift(events: org.apache.spark.sql.Dataset[graft.model.Event],
+                 target: Double = 50.0)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(target),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -555,4 +555,59 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 2L, "13.75", "2.25", "11.50"),
       (2L, 2L, "3.25", "-3.75", "7.00")))
   }
+
+  test("streaming CUSUM == batch fold, arrival-order independent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rng = new scala.util.Random(11)
+      // 2 users x 15 events, 1..40-min gaps, values straddling the target
+      val rows = (1 to 2).flatMap { u =>
+        var t = 0L
+        (1 to 15).map { i =>
+          t += 60L + rng.nextInt(40) * 60L
+          ev(u * 100L + i, "2024-01-01 00:00:00", u.toLong, "e",
+            20.0 + rng.nextInt(70))
+            .copy(ts = new Timestamp(
+              Timestamp.valueOf("2024-01-01 00:00:00").getTime + t * 1000))
+        }
+      }
+      val ordered = rows.sortBy(_.ts.getTime)
+      val ms = MemoryStream[graft.model.Event]
+      val q = Streams.cusumDrift(ms.toDS(), target = 50.0).writeStream
+        .format("memory").queryName("cusum_stream").outputMode("append").start()
+      // time-contiguous micro-batches, arbitrary order INSIDE each batch
+      ordered.grouped(ordered.size / 4 + 1).foreach { b =>
+        ms.addData(rng.shuffle(b)); q.processAllAvailable()
+      }
+      // flush: far-future event per user pushes the watermark past all rows
+      ms.addData((1 to 2).map(u =>
+        ev(9000L + u, "2024-02-01 00:00:00", u.toLong, "flush", 50.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(9100L, "2024-02-01 00:01:00", 1L, "flush", 50.0)))
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("cusum_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._2 < 9000L).toSeq.sorted
+      // batch reference: the plain sequential fold per user in ts order
+      val batch = rows.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        var s = 0.0
+        es.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          s = math.max(0.0, s + (e.value.get - 50.0))
+          (u, e.event_id, s)
+        }
+      }.sorted
+      assert(streamed == batch,
+        s"missing=${batch.diff(streamed)}\nextra=${streamed.diff(batch)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
