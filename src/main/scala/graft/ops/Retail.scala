@@ -147,12 +147,69 @@ object Retail extends graft.QueryModule {
       .orderBy("l_linestatus")
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic [N] — the distribution-
+    * drift test (did prices shift between open and fulfilled orders?):
+    * D = max |ECDF_F(v) − ECDF_O(v)| over the pooled value domain.
+    * Entirely deterministic: per-value counts are exact integers, the
+    * two running counts are exact window sums over the same total
+    * order, and each ECDF step is ONE IEEE division — both engines
+    * produce bit-identical step values, and max over identical doubles
+    * is exact. Values bin to exact $100 BIGINT units FIRST (declared
+    * semantics, mirrored by the oracle), so the single ECDF window runs
+    * over a BOUNDED bin domain — the `win_skyline` domain-sized-window
+    * class — never the raw value count; the heavy work is the map-side-
+    * combinable per-bin hash agg. */
+  private def ksTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 10000"
+      ).as("v"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
+    counts
+      .select(col("v"), sum(col("c1")).over(w).as("r1"),
+        sum(col("c2")).over(w).as("r2"),
+        sum(col("c1")).over(Window.partitionBy()).as("n1"),
+        sum(col("c2")).over(Window.partitionBy()).as("n2"))
+      .select(col("n1"), col("n2"),
+        abs(dd(col("r1")) / dd(col("n1")) - dd(col("r2")) / dd(col("n2")))
+          .as("d"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("d")).as("ks_d"))
+      .select(col("n1"), col("n2"), col("ks_d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ks_test" -> ksTest,
     "basket_rules" -> basketRules,
     "join_geo_radius" -> geoRadius,
     "stats_welch_ttest" -> welchTtest)
 
   val oracles: Map[String, String] = Map(
+    "stats_ks_test" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           // 10000 AS v,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |r AS (
+        |  SELECT v,
+        |         CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS r1,
+        |         CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS r2,
+        |         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+        |         CAST(sum(c2) OVER () AS BIGINT) AS n2
+        |  FROM c)
+        |SELECT n1, n2,
+        |       max(abs(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |               - CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d
+        |FROM r GROUP BY n1, n2""".stripMargin,
     // pairs via self-join — quadratic but fine at oracle scale; the
     // Spark side generates them row-locally from the order's part set
     "basket_rules" ->
