@@ -183,13 +183,102 @@ object Retail extends graft.QueryModule {
       .select(col("n1"), col("n2"), col("ks_d"))
   }
 
+  /** Mann-Whitney U (rank-sum) statistic [N] — the nonparametric
+    * two-sample test, tie-aware: each distinct binned value's AVERAGE
+    * rank is (ranks-before + (count+1)/2), an exact half-integer, so
+    * rank sums are exact decimal(.,1) arithmetic; U₁ = R₁ − n₁(n₁+1)/2
+    * stays exact, and only the final normal-approximation z (with the
+    * standard tie correction) touches IEEE — one sqrt, one division,
+    * operation order mirrored by the oracle. Same bounded $100-bin
+    * domain and window shape as [[ksTest]]. */
+  private def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val counts = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 10000"
+      ).as("v"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val ranked = counts
+      .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      // average rank of this value's block: exact half-integer
+      .withColumn("avgrank",
+        (col("before").cast("decimal(20,1)") * 2 + col("c") + 1) / 2)
+      .withColumn("tie3", col("c") * col("c") * col("c") - col("c"))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum((col("avgrank") * col("c1")).cast("decimal(28,1)")).as("r1"),
+      sum(col("tie3")).as("t3"))
+    agg.select(col("n1"), col("n2"),
+        (col("r1") - (col("n1").cast("decimal(20,1)") * (col("n1") + 1)) / 2)
+          .cast("decimal(28,1)").as("u1"),
+        col("t3"))
+      .select(col("n1"), col("n2"), col("u1"),
+        ((col("n1") * col("n2")).cast("decimal(28,1)") - col("u1"))
+          .cast("decimal(28,1)").as("u2"),
+        bround((dd(col("u1")) - dd(col("n1")) * dd(col("n2")) / lit(2.0)) /
+          sqrt(dd(col("n1")) * dd(col("n2")) / lit(12.0) *
+            ((dd(col("n1")) + dd(col("n2")) + 1.0) -
+              dd(col("t3")) / ((dd(col("n1")) + dd(col("n2"))) *
+                (dd(col("n1")) + dd(col("n2")) - 1.0)))), 8).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_whitney" -> mannWhitney,
     "stats_ks_test" -> ksTest,
     "basket_rules" -> basketRules,
     "join_geo_radius" -> geoRadius,
     "stats_welch_ttest" -> welchTtest)
 
   val oracles: Map[String, String] = Map(
+    "stats_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           // 10000 AS v,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |r AS (
+        |  SELECT v, c1, c2, c1 + c2 AS c,
+        |         coalesce(sum(c1 + c2) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS before
+        |  FROM c),
+        |k AS (
+        |  SELECT c1, c2, c,
+        |         (CAST(before AS DECIMAL(20,1)) * 2 + c + 1) / 2 AS avgrank,
+        |         c * c * c - c AS tie3
+        |  FROM r),
+        |a AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(CAST(avgrank * c1 AS DECIMAL(28,1)))
+        |              AS DECIMAL(28,1)) AS r1,
+        |         CAST(sum(tie3) AS BIGINT) AS t3
+        |  FROM k),
+        |u AS (
+        |  SELECT n1, n2, t3,
+        |         CAST(r1 - (CAST(n1 AS DECIMAL(20,1)) * (n1 + 1)) / 2
+        |              AS DECIMAL(28,1)) AS u1
+        |  FROM a)
+        |SELECT n1, n2, u1,
+        |       CAST(CAST(n1 * n2 AS DECIMAL(28,1)) - u1 AS DECIMAL(28,1))
+        |         AS u2,
+        |       round_even(
+        |         (CAST(u1 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |            / 2.0) /
+        |         sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |           ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+        |             CAST(t3 AS DOUBLE) /
+        |               ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |                (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
+        |         8) AS z
+        |FROM u""".stripMargin,
     "stats_ks_test" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
