@@ -20,8 +20,8 @@ object SparkEntry {
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ops.Retail,
-    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
-    ext.Graph, ext.EmbPca)
+    ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
+    ext.Corpus, ext.Graph, ext.EmbPca)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
