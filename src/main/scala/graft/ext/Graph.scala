@@ -257,7 +257,9 @@ object Graph extends graft.QueryModule {
     * [[jaccardNeighbors]]'s hub filter. */
   private val LpDegCap = 100
 
-  private def labelProp(s: SparkSession, d: String): DataFrame = {
+  /** The label-prop fixpoint state: (capped edge set, per-vertex final
+    * labels) — shared by [[labelProp]] and [[modularity]]. */
+  private def labelPropState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val bcast = vertexBroadcast(s)
     val e0 = coPurchaseEdges(s, d)
     val keep = e0.select(col("a").as("x")).unionAll(e0.select(col("b").as("x")))
@@ -290,15 +292,68 @@ object Graph extends graft.QueryModule {
         .select(col("v"), (-col("m.neg")).as("lbl"))
         .localCheckpoint()
     }
+    (e, lab)
+  }
+
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val (_, lab) = labelPropState(s, d)
     lab.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("size"), min(col("v")).as("min_member"))
       .orderBy("community")
   }
 
+  /** Newman modularity of the label-prop partition [N] — the quality
+    * score every community detection reports: per community c,
+    * ΔQ_c = e_c/m − (d_c/2m)², folded here as the EXACT integer
+    * numerator q_num = 4m·e_c − d_c² over the common denominator 4m²
+    * (Σ_c ΔQ_c = Q). All tallies are integers; q_num accumulates as
+    * decimal(38,0) on the Spark side and HUGEINT in the oracle (4m²
+    * crosses int64 once |E| passes ~1.5e9 — SF ≈ 250, so int64 would
+    * be a silent-overflow cliff, the skewKurt lesson), and only the
+    * per-community division ΔQ = q_num/4m² touches IEEE: identical
+    * exact integers in, one division, bit-identical out.
+    *
+    * Scale shape: re-labels both edge endpoints via two joins against
+    * the |V|-row label table (broadcast mode ships labels; shuffle
+    * mode hashes on the endpoint — the dual-layout posture of the
+    * whole graph family), one hash agg per tally, and a 1-row m
+    * crossJoin at the root (allowlisted). */
+  private def modularity(s: SparkSession, d: String): DataFrame = {
+    val (eRaw, lab) = labelPropState(s, d)
+    val e = eRaw.localCheckpoint()
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(19,0)")
+    val labFor = (k: String) => maybeBroadcast(s,
+      lab.select(col("v").as(k), col("lbl").as(s"lbl_$k")))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ein = e.join(labFor("a"), "a").join(labFor("b"), "b")
+      .filter(col("lbl_a") === col("lbl_b"))
+      .groupBy(col("lbl_a").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val qnum = (dec(lit(4)) * dec(col("m")) * dec(col("e_in")) -
+      dec(col("d_sum")) * dec(col("d_sum"))).cast("decimal(38,0)")
+    deg.join(maybeBroadcast(s, lab), "v")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+      .join(ein, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        qnum.cast("double").as("q_num"),
+        (qnum.cast("double") /
+          (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double"))
+          .as("dq"))
+      .orderBy("community")
+  }
+
   /** Oracle: the same rounds unrolled as chained CTEs (the generated-
     * oracle discipline of [[pageRankOracle]]) — all-integer, so the
-    * only things to mirror are the mode tie-break and the join shape. */
-  private def labelPropOracle: String = {
+    * only things to mirror are the mode tie-break and the join shape.
+    * [[labelPropCtes]] is the shared WITH-chain ([[modularityOracle]]
+    * extends it). */
+  private def labelPropCtes: String = {
     val base =
       s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -326,11 +381,40 @@ object Graph extends graft.QueryModule {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""$base,
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def labelPropOracle: String =
+    s"""$labelPropCtes
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
        |       min(v) AS min_member
        |FROM l$lpIters GROUP BY lbl ORDER BY community""".stripMargin
-  }
+
+  /** Modularity oracle: the label-prop chain, then integer tallies and
+    * the exact-integer q_num in HUGEINT (mirror of decimal(38,0)). */
+  private def modularityOracle: String =
+    s"""$labelPropCtes,
+       |deg2 AS MATERIALIZED (SELECT x AS v, count(*) AS deg FROM (
+       |         SELECT a AS x FROM edges UNION ALL SELECT b FROM edges)
+       |       GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM edges),
+       |ein AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |        FROM edges
+       |        JOIN l$lpIters la ON la.v = edges.a
+       |        JOIN l$lpIters lb ON lb.v = edges.b
+       |        WHERE la.lbl = lb.lbl GROUP BY 1),
+       |ds AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(sum(deg) AS BIGINT) AS d_sum
+       |       FROM deg2 JOIN l$lpIters l USING (v) GROUP BY 1)
+       |SELECT ds.community, n_nodes, coalesce(e_in, CAST(0 AS BIGINT)) AS e_in,
+       |       d_sum,
+       |       CAST(4 * m * coalesce(e_in, 0)
+       |            - CAST(d_sum AS HUGEINT) * d_sum AS DOUBLE) AS q_num,
+       |       CAST(4 * m * coalesce(e_in, 0)
+       |            - CAST(d_sum AS HUGEINT) * d_sum AS DOUBLE)
+       |         / CAST(4 * m * m AS DOUBLE) AS dq
+       |FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
 
   private val bfsRounds = 4
 
@@ -684,6 +768,7 @@ object Graph extends graft.QueryModule {
     "graph_hits" -> hits,
     "graph_kcore" -> kcore,
     "graph_labelprop" -> labelProp,
+    "graph_modularity" -> modularity,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
     "graph_sssp" -> sssp,
     "graph_triangles" -> triangleCount,
@@ -695,6 +780,7 @@ object Graph extends graft.QueryModule {
     "graph_hits" -> hitsOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
+    "graph_modularity" -> modularityOracle,
     "graph_pagerank" -> pageRankOracle,
     "graph_bfs" -> bfsOracle,
     "graph_sssp" -> ssspOracle,

@@ -228,7 +228,54 @@ object Retail extends graft.QueryModule {
                 (dd(col("n1")) + dd(col("n2")) - 1.0)))), 8).as("z"))
   }
 
+  /** Spearman rank correlation [N] — the monotone-association statistic
+    * (quantity vs price bin), tie-aware via average ranks. Works in
+    * DOUBLED ranks so every rank is an exact integer (avg rank of a tie
+    * block is a half-integer; 2·rank = 2·before + cnt + 1), and ρ is
+    * invariant under the common ×2. All five power sums accumulate as
+    * decimal(38,0) — exact integers at any SF (the skewKurt
+    * discipline; their DuckDB mirror is HUGEINT, since DuckDB decimal
+    * arithmetic degrades to DOUBLE past width 38) — and only the final
+    * ρ assembly touches IEEE, in mirrored operation order.
+    *
+    * Scale shape: one hash agg into the bounded (quantity × $1000-bin)
+    * cell domain, two domain-sized rank windows over the cell MARGINS,
+    * broadcast rank dims back onto cells, one global agg. The raw
+    * rows are touched exactly once. */
+  private def spearman(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("(cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint))" +
+          " div 100000").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    def doubledRank(margin: DataFrame, key: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)
+      margin
+        .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(key), (col("before") * 2 + col("cnt") + 1).as(out))
+    }
+    val rx = doubledRank(cells.groupBy(col("x")).agg(sum(col("c")).as("cnt")),
+      "x", "tx")
+    val ry = doubledRank(cells.groupBy(col("y")).agg(sum(col("c")).as("cnt")),
+      "y", "ty")
+    val sums = cells.join(broadcast(rx), "x").join(broadcast(ry), "y")
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("c")) * dec(col("tx"))).as("sx"),
+        sum(dec(col("c")) * dec(col("ty"))).as("sy"),
+        sum(dec(col("c")) * dec(col("tx")) * dec(col("tx"))).as("sxx"),
+        sum(dec(col("c")) * dec(col("ty")) * dec(col("ty"))).as("syy"),
+        sum(dec(col("c")) * dec(col("tx")) * dec(col("ty"))).as("sxy"))
+    sums.select(col("n"),
+      (dd(dec(col("n")) * col("sxy") - col("sx") * col("sy")) /
+        sqrt(dd(dec(col("n")) * col("sxx") - col("sx") * col("sx")) *
+          dd(dec(col("n")) * col("syy") - col("sy") * col("sy"))))
+        .as("rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> spearman,
     "stats_mann_whitney" -> mannWhitney,
     "stats_ks_test" -> ksTest,
     "basket_rules" -> basketRules,
@@ -236,6 +283,39 @@ object Retail extends graft.QueryModule {
     "stats_welch_ttest" -> welchTtest)
 
   val oracles: Map[String, String] = Map(
+    // doubled average ranks (2r = 2·before + cnt + 1) are exact
+    // integers; HUGEINT mirrors Spark's decimal(38,0) power sums
+    "stats_spearman" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           // 100000 AS y,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT x, coalesce(sum(cnt) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |           + cnt + 1 AS tx
+        |  FROM (SELECT x, sum(c) AS cnt FROM cells GROUP BY 1)),
+        |my AS (
+        |  SELECT y, coalesce(sum(cnt) OVER (ORDER BY y
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |           + cnt + 1 AS ty
+        |  FROM (SELECT y, sum(c) AS cnt FROM cells GROUP BY 1)),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT) * tx) AS sx,
+        |         sum(CAST(c AS HUGEINT) * ty) AS sy,
+        |         sum(CAST(c AS HUGEINT) * tx * tx) AS sxx,
+        |         sum(CAST(c AS HUGEINT) * ty * ty) AS syy,
+        |         sum(CAST(c AS HUGEINT) * tx * ty) AS sxy
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y))
+        |SELECT n,
+        |       CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |       sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+        |            CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+        |         AS rho
+        |FROM a""".stripMargin,
     "stats_mann_whitney" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)

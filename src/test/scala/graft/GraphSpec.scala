@@ -103,7 +103,7 @@ class GraphSpec extends AnyFunSuite {
 
   test("bfs, sssp, and labelprop are identical in broadcast and shuffle modes") {
     for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop", "graph_kcore",
-        "graph_hits")) {
+        "graph_hits", "graph_modularity")) {
       val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
       for (parts <- Seq("4", "32")) {
@@ -114,6 +114,23 @@ class GraphSpec extends AnyFunSuite {
           .collect().map(_.toString).toSeq
         assert(off == on, s"$key differs in shuffle mode at $parts partitions")
       }
+    }
+  }
+
+  test("modularity tallies are consistent: sum(d_sum) = 2m, Q in (-1, 1]") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, TestSpark.sf0001)
+      .collect()
+    val dsum = rows.map(_.getAs[Long]("d_sum")).sum
+    val ein = rows.map(_.getAs[Long]("e_in")).sum
+    assert(dsum % 2 == 0, "degree sum must be even (handshake lemma)")
+    val m = dsum / 2
+    assert(ein <= m)
+    val q = rows.map(_.getAs[Double]("dq")).sum
+    assert(q > -1.0 && q <= 1.0, s"modularity $q outside (-1, 1]")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d_sum").toDouble
+      assert(r.getAs[Double]("q_num") ==
+        4.0 * m * r.getAs[Long]("e_in") - d * d)
     }
   }
 
