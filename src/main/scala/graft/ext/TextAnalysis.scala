@@ -345,7 +345,57 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weighting [N] — domain selection via hashed
+    * n-gram features (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"; see PAPERS.md): every doc's
+    * char-bigrams hash into 64 buckets, bucket distributions are
+    * estimated for the TARGET domain (lang = 'en', standing in for the
+    * curated seed corpus) and the RAW corpus with add-one smoothing,
+    * and each doc scores the log importance ratio
+    * w = Σ_b c_b · (ln p_target(b) − ln p_raw(b)) — the quantity DSIR
+    * resamples by (∝ exp w). High w = looks like the target domain.
+    *
+    * Float discipline: each ln is pinned at 6 dp BEFORE use (the
+    * text_logprob transcendental acceptance), the per-bucket DIFFERENCE
+    * is exact decimal(12,6) subtraction, and the per-doc fold is an
+    * exact decimal sum with one final double conversion.
+    *
+    * Scale shape: one explode → hash agg into (doc, bucket) cells
+    * (map-side combinable), a 64-row bucket dim + 1-row total
+    * broadcast, one per-doc agg. Nothing is quadratic; the raw text is
+    * scanned once. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 2)
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        """transform(sequence(1, length(text) - 1), i ->
+          |  (ascii(substring(text, i, 1)) * 31 +
+          |   ascii(substring(text, i + 1, 1))) % 64)""".stripMargin))
+        .as("b"))
+    val cnt = bg.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val bk = bg.groupBy(col("b"))
+      .agg(count(lit(1)).as("r_b"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+    val tot = bg.agg(count(lit(1)).as("rr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val lp = bk.crossJoin(broadcast(tot))
+      .select(col("b"),
+        bround(log((col("t_b") + lit(1.0)) / (col("tt") + lit(64.0))), 6)
+          .cast("decimal(12,6)").as("lpt"),
+        bround(log((col("r_b") + lit(1.0)) / (col("rr") + lit(64.0))), 6)
+          .cast("decimal(12,6)").as("lpr"))
+    cnt.join(broadcast(lp), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("decimal(18,0)") * (col("lpt") - col("lpr")))
+          .cast("double").as("weight"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_weights" -> dsirWeights,
     "text_inverted_index" -> invertedIndex,
     "text_entropy" -> entropy,
     "text_line_dedup" -> lineDedup,
@@ -364,6 +414,31 @@ object TextAnalysis extends graft.QueryModule {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_dsir_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |         (ord(substr(text, CAST(i AS INTEGER), 1)) * 31 +
+        |          ord(substr(text, CAST(i AS INTEGER) + 1, 1))) % 64 AS b
+        |  FROM documents, unnest(range(1, length(text))) t(i)
+        |  WHERE length(text) >= 2),
+        |cnt AS (SELECT doc_id, lang, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |bk AS (SELECT b, count(*) AS r_b,
+        |              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+        |       FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS rr,
+        |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt
+        |        FROM bg),
+        |lp AS (SELECT b,
+        |         CAST(round_even(ln((t_b + 1.0) / (tt + 64.0)), 6)
+        |              AS DECIMAL(12,6)) AS lpt,
+        |         CAST(round_even(ln((r_b + 1.0) / (rr + 64.0)), 6)
+        |              AS DECIMAL(12,6)) AS lpr
+        |       FROM bk CROSS JOIN tot)
+        |SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CAST(c AS DECIMAL(18,0)) * (lpt - lpr)) AS DOUBLE)
+        |         AS weight
+        |FROM cnt JOIN lp USING (b)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "text_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

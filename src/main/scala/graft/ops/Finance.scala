@@ -297,7 +297,53 @@ object Finance extends graft.QueryModule {
       .orderBy("o_orderpriority", "month")
   }
 
+  /** Classical additive seasonal decomposition [N] — the
+    * trend/seasonal/remainder split (STL's classical ancestor) on the
+    * monthly revenue series: trend = centered 12-month moving average
+    * (complete windows only), seasonal = month-of-year mean of the
+    * detrended series, remainder = the rest.
+    *
+    * Float discipline: the detrended value is kept as the EXACT decimal
+    * numerator 12·rev − Σ₁₂rev (never rev − trend in doubles — the
+    * month-of-year mean would then sum doubles in engine-dependent
+    * order), so the seasonal mean is one division of exact decimal
+    * sums. Widths are tightened to (20,2)/(24,2) BEFORE multiplying —
+    * DuckDB silently degrades decimal arithmetic to DOUBLE past width
+    * 38 (PERF.md r8). Trend/remainder are then plain IEEE in mirrored
+    * order.
+    *
+    * Scale shape: one hash agg from the fact table into the month
+    * domain; everything after runs in the calendar-bounded domain
+    * (win_skyline class), incl. the 12-row seasonal broadcast join. */
+  private def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("month")).rowsBetween(-5, 6)
+    val monthly = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(20,2)").as("rev"))
+    val t = monthly
+      .withColumn("tsum", sum(col("rev")).over(w).cast("decimal(24,2)"))
+      .withColumn("tcnt", count(col("rev")).over(w))
+      .withColumn("trend",
+        when(col("tcnt") === 12, col("tsum").cast("double") / lit(12.0)))
+      .withColumn("dnum",
+        when(col("tcnt") === 12,
+          (col("rev") * 12 - col("tsum")).cast("decimal(24,2)")))
+    val seas = t.filter(col("dnum").isNotNull)
+      .groupBy(month(col("month")).as("moy"))
+      .agg((sum(col("dnum")).cast("double") /
+        (lit(12.0) * count(lit(1)))).as("seasonal"))
+    t.withColumn("moy", month(col("month")))
+      .join(broadcast(seas), "moy")
+      .select(col("month"), col("rev").cast("double").as("rev"),
+        col("trend"), col("seasonal"),
+        (col("rev").cast("double") - col("trend") - col("seasonal"))
+          .as("remainder"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_decompose" -> seasonalDecompose,
     "fin_yoy" -> yoyGrowth,
     "fin_autocorr" -> autocorr,
     "ts_gapfill" -> gapfill,
@@ -311,6 +357,35 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal_decompose" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |              AS DECIMAL(20,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT month, rev,
+        |         CAST(sum(rev) OVER w AS DECIMAL(24,2)) AS tsum,
+        |         count(rev) OVER w AS tcnt
+        |  FROM monthly
+        |  WINDOW w AS (ORDER BY month
+        |               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+        |t2 AS (
+        |  SELECT month, rev,
+        |         CASE WHEN tcnt = 12
+        |              THEN CAST(tsum AS DOUBLE) / 12.0 END AS trend,
+        |         CASE WHEN tcnt = 12
+        |              THEN CAST(rev * 12 - tsum AS DECIMAL(24,2)) END AS dnum
+        |  FROM t),
+        |seas AS (
+        |  SELECT month(month) AS moy,
+        |         CAST(sum(dnum) AS DOUBLE) / (12.0 * count(*)) AS seasonal
+        |  FROM t2 WHERE dnum IS NOT NULL GROUP BY 1)
+        |SELECT CAST(t2.month AS DATE) AS month, CAST(rev AS DOUBLE) AS rev,
+        |       trend, seasonal,
+        |       CAST(rev AS DOUBLE) - trend - seasonal AS remainder
+        |FROM t2 JOIN seas ON month(t2.month) = seas.moy
+        |ORDER BY month""".stripMargin,
     "fin_var_cvar" ->
       """WITH vals AS (
         |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v

@@ -225,6 +225,26 @@ object Scans extends graft.QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** XML roundtrip [N] — Spark 4's built-in XML data source (the format
+    * land registries / feeds still ship): write customers as one
+    * `<customer>` element per row, read back with an EXPLICIT schema
+    * (inference off, the same at-rest discipline as the CSV key). The
+    * hash check proves element encode/decode — including '#' in names
+    * and double-typed balances — is lossless; Double.toString's
+    * shortest-repr round-trip guarantees the latter. */
+  private def srcXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/customer_xml"
+    Tables.customer(spark, sfDir)
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .save(dir)
+    spark.read.format("xml")
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+      .option("rowTag", "customer").load(dir)
+      .orderBy("c_custkey")
+  }
+
   /** Schema evolution at the lake boundary [N]: two parquet generations
     * of the same table — columns added and dropped between them — read
     * back as ONE frame via `mergeSchema` (absent columns null-fill per
@@ -553,6 +573,7 @@ object Scans extends graft.QueryModule {
     "src_json_records" -> srcJsonRecords,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
+    "src_xml_roundtrip" -> srcXmlRoundtrip,
     "sink_json_per_entity" -> sinkJsonPerEntity,
     "sink_manifest" -> sinkManifest,
     "sink_partitioned_scan" -> sinkPartitionedScan,
@@ -672,6 +693,9 @@ object Scans extends graft.QueryModule {
     "src_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice
         |FROM part WHERE p_size >= 25 ORDER BY p_partkey""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "sink_json_per_entity" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
