@@ -394,7 +394,71 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  private val bpeRounds = 5
+
+  /** BPE-style merge training [N] — token-vocabulary induction on the
+    * corpus (Sennrich et al. 2016, the subword-tokenizer trainer; see
+    * PAPERS.md), distributed: the word VOCABULARY (not the corpus)
+    * carries a space-separated symbol sequence per word; each round
+    * counts all adjacent symbol pairs weighted by word frequency, picks
+    * the most frequent pair (ties to the lexicographically smallest),
+    * and merges it everywhere. Output: the learned merge table
+    * (round, a, b, pair count) — all integer tallies, nothing to pin.
+    *
+    * Declared semantics the oracle mirrors bit-for-bit: pair counts
+    * include overlapping occurrences; the merge applies plain
+    * `replace` on the space-padded sequence TWICE (non-overlapping
+    * left-to-right both engines — the second pass catches occurrences
+    * whose boundary space the first pass consumed).
+    *
+    * Scale shape: every round is one vocab-bounded explode + hash agg
+    * (map-side combinable), a 1-row argmax, and a broadcast-1-row merge
+    * projection; the corpus is scanned exactly once to build the
+    * vocabulary. Sequences re-checkpoint per round (iterative-lineage
+    * discipline of [[graft.ext.Graph]]). */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words.select(
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), ' ')").as("seq"),
+      col("cnt")).localCheckpoint()
+    var merges: DataFrame = null
+    for (r <- 1 to bpeRounds) {
+      val pairs = vocab
+        .select(col("cnt"), split(col("seq"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(0, size(sy) - 2),
+            |  i -> struct(element_at(sy, i + 1) AS a,
+            |              element_at(sy, i + 2) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+      val best = pairs
+        .agg(min(struct((-col("pc")).as("np"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"),
+          (-col("m.np")).as("pc"))
+        .localCheckpoint()
+      merges = Option(merges)
+        .map(_.unionAll(best.withColumn("round", lit(r))))
+        .getOrElse(best.withColumn("round", lit(r)))
+      val pad = concat(lit(" "), col("seq"), lit(" "))
+      val from = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+      val to = concat(lit(" "), col("a"), col("b"), lit(" "))
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(trim(replace(replace(pad, from, to), from, to)).as("seq"),
+          col("cnt"))
+        .localCheckpoint()
+    }
+    merges.select(col("round"), col("a"), col("b"), col("pc"))
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> bpeTrain,
     "text_dsir_weights" -> dsirWeights,
     "text_inverted_index" -> invertedIndex,
     "text_entropy" -> entropy,
@@ -413,7 +477,44 @@ object TextAnalysis extends graft.QueryModule {
     "text_cooccurrence" -> cooccurrence,
     "text_fingerprint" -> fingerprint)
 
+  /** BPE oracle: the merge rounds unrolled as chained MATERIALIZED CTEs
+    * (the generated-oracle discipline of the graph family) — pair
+    * explode via lateral unnest, argmax via ORDER BY pc DESC, a, b
+    * LIMIT 1, and the exact two-pass padded replace. */
+  private def bpeOracle: String = {
+    val base =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        |           i -> substr(w, CAST(i AS INTEGER), 1)), ' ') AS seq,
+        |         cnt
+        |  FROM (SELECT w, count(*) AS cnt FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))""".stripMargin
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT sy[CAST(i + 1 AS INTEGER)] AS a,
+         |         sy[CAST(i + 2 AS INTEGER)] AS b,
+         |         CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT string_split(seq, ' ') AS sy, cnt FROM v${r - 1}),
+         |       unnest(range(0, len(sy) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |           ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+         |           ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
+         |           AS seq,
+         |         cnt
+         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeRounds).map(r =>
+      s"SELECT $r AS round, a, b, pc FROM b$r").mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$out\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeOracle,
     "text_dsir_weights" ->
       """WITH bg AS (
         |  SELECT doc_id, lang,

@@ -274,7 +274,51 @@ object Retail extends graft.QueryModule {
         .as("rho"))
   }
 
+  /** MAD outlier screen [N] — the robust complement to
+    * `agg_zscore_outliers`: flag values more than 3 median-absolute-
+    * deviations from the group median (the Hampel rule; mean/stddev
+    * screens are themselves dragged by the outliers they hunt).
+    * Medians are LOWER medians over the exact $100-bin domain (declared
+    * semantics: first bin whose cumulative count reaches ⌈n/2⌉) — all
+    * integer, nothing to pin.
+    *
+    * Scale shape: one hash agg into (priority × bin) cells, then every
+    * median/MAD/outlier tally runs in the bounded bin domain (two
+    * domain-sized windows, one broadcast of the 5-row median dim) —
+    * the KS/Mann-Whitney posture; raw rows are touched once. */
+  private def madOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"),
+        expr("(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))" +
+          " div 10000").as("v"))
+      .agg(count(lit(1)).as("c"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("grp"))
+      df.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(all))
+        .filter(col("cum") * 2 >= col("n") + 1)
+        .groupBy(col("grp"))
+        .agg(min(col(valueCol)).as(out), max(col("n")).as(s"${out}_n"))
+    }
+    val med = lowerMedian(cells, "v", "med")
+    val dev = cells.join(broadcast(med), "grp")
+      .groupBy(col("grp"), abs(col("v") - col("med")).as("dv"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "dv", "mad")
+    cells.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("med_n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mad_outliers" -> madOutliers,
     "stats_spearman" -> spearman,
     "stats_mann_whitney" -> mannWhitney,
     "stats_ks_test" -> ksTest,
@@ -283,6 +327,37 @@ object Retail extends graft.QueryModule {
     "stats_welch_ttest" -> welchTtest)
 
   val oracles: Map[String, String] = Map(
+    "stats_mad_outliers" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           // 10000 AS v,
+        |         count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |medt AS (
+        |  SELECT grp, min(v) AS med, CAST(max(n) AS BIGINT) AS med_n FROM (
+        |    SELECT grp, v, c,
+        |           sum(c) OVER (PARTITION BY grp ORDER BY v
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |           sum(c) OVER (PARTITION BY grp) AS n
+        |    FROM cells)
+        |  WHERE cum * 2 >= n + 1 GROUP BY grp),
+        |dev AS (
+        |  SELECT cells.grp, abs(v - med) AS dv, sum(c) AS c
+        |  FROM cells JOIN medt USING (grp) GROUP BY 1, 2),
+        |madt AS (
+        |  SELECT grp, min(dv) AS mad FROM (
+        |    SELECT grp, dv, c,
+        |           sum(c) OVER (PARTITION BY grp ORDER BY dv
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |           sum(c) OVER (PARTITION BY grp) AS n
+        |    FROM dev)
+        |  WHERE cum * 2 >= n + 1 GROUP BY grp)
+        |SELECT cells.grp, max(med_n) AS n, max(med) AS med, max(mad) AS mad,
+        |       CAST(sum(CASE WHEN abs(v - med) > mad * 3 THEN c ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM cells JOIN medt USING (grp) JOIN madt USING (grp)
+        |GROUP BY cells.grp ORDER BY grp""".stripMargin,
     // doubled average ranks (2r = 2·before + cnt + 1) are exact
     // integers; HUGEINT mirrors Spark's decimal(38,0) power sums
     "stats_spearman" ->
