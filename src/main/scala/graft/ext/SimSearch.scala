@@ -879,7 +879,119 @@ object SimSearch extends graft.QueryModule {
       .agg(sum(col("vd") * col("sign")).as("proj"))
       .orderBy("vec_id", "j")
 
+  // ---------------------------------------------------------------------
+  // MMR diversified retrieval — oracle-checked greedy re-ranking.
+  // ---------------------------------------------------------------------
+
+  /** Symmetric pinned affinity (both sides float[] embeddings):
+    * the [[pinnedAffinity]] ordered-sum shape with casts on BOTH
+    * arguments, bit-identical to the DuckDB parallel-unnest mirror. */
+  private def pairAffinity(a: Column, b: Column): Column = {
+    val d = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nb = aggregate(b, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    d / (sqrt(na) * sqrt(nb))
+  }
+
+  private val mmrProbe = 11
+  private val mmrPool = 12
+  private val mmrK = 4
+
+  /** Maximal-marginal-relevance re-ranking [N] (Carbonell & Goldstein
+    * 1998; see PAPERS.md) — diversity-aware top-k, the retrieval twin of
+    * near-dup removal: after the similarity stage ranks a candidate
+    * pool, greedily pick k results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so every pick is relevant
+    * AND far from what's already selected (λ = 0.7).
+    *
+    * Oracle-checked end to end: affinities use the pinned ordered-sum
+    * (bit-identical across engines), the blend is two IEEE multiplies
+    * and a subtract in mirrored order, and each greedy argmax breaks
+    * ties on vec_id — the greedy loop unrolls as chained CTEs (the
+    * kmeans/PageRank discipline applied to re-ranking).
+    *
+    * Scale shape: the pool build is the [[cosineTopK]] broadcast-probe
+    * scan + TakeOrdered; the k selection steps then touch only the
+    * bounded pool (≤ pool·k pair affinities), all tiny broadcasts. */
+  private def mmrTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probe = e.filter(col("vec_id") === mmrProbe)
+      .select(col("embedding").as("p"))
+    val cand = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding"),
+        pairAffinity(col("embedding"), col("p")).as("qaff"))
+      .orderBy(col("qaff").desc, col("vec_id")).limit(mmrPool)
+      .localCheckpoint()
+    var selected = cand.orderBy(col("qaff").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("qaff"),
+        lit(1).as("rank"), col("qaff").as("score"))
+      .localCheckpoint()
+    for (r <- 2 to mmrK) {
+      val sel = selected.select(col("vec_id").as("sid"),
+        col("embedding").as("semb"))
+      val rest = cand.join(selected.select(col("vec_id")), Seq("vec_id"),
+        "left_anti")
+      val msim = rest.crossJoin(broadcast(sel))
+        .select(col("vec_id"),
+          pairAffinity(col("embedding"), col("semb")).as("ps"))
+        .groupBy(col("vec_id")).agg(max(col("ps")).as("msim"))
+      val pick = rest.join(msim, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("qaff"),
+          (lit(0.7) * col("qaff") - lit(0.3) * col("msim")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("qaff"),
+          lit(r).as("rank"), col("score"))
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("qaff"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** The greedy rounds unrolled as chained CTEs; `aff` is the
+    * parallel-unnest ordered sum [[kmeansOracle]] uses. */
+  private def mmrOracle: String = {
+    def aff(a: String, b: String): String =
+      s"""((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+         |  FROM (SELECT unnest($a) AS x, unnest($b) AS y) u)
+         | / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+         |          FROM (SELECT unnest($a) AS x) u))
+         |    * sqrt((SELECT sum(CAST(u.y AS DOUBLE) * CAST(u.y AS DOUBLE))
+         |            FROM (SELECT unnest($b) AS y) u))))""".stripMargin
+    val base =
+      s"""WITH probe AS (SELECT embedding AS p FROM embeddings
+         |              WHERE vec_id = $mmrProbe),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |         ${aff("embedding", "p")} AS qaff
+         |  FROM embeddings CROSS JOIN probe
+         |  ORDER BY qaff DESC, vec_id LIMIT $mmrPool),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, embedding, qaff, 1 AS rank, qaff AS score
+         |  FROM cand ORDER BY qaff DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to mmrK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""r$r AS (
+         |  SELECT c.vec_id, c.embedding, c.qaff,
+         |         0.7 * c.qaff - 0.3 * max(${aff("c.embedding", "s.embedding")})
+         |           AS score
+         |  FROM cand c, ($prev) s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev))
+         |  GROUP BY c.vec_id, c.embedding, c.qaff),
+         |sel$r AS MATERIALIZED (
+         |  SELECT vec_id, embedding, qaff, $r AS rank, score
+         |  FROM r$r ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to mmrK).map(r =>
+      s"SELECT rank, vec_id, qaff, score FROM sel$r").mkString("\nUNION ALL ")
+    s"$base,\n$rounds\n$out\nORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_mmr" -> mmrTopK,
     "emb_centroid_by_label" -> centroidByLabel,
     "emb_random_projection" -> randomProjection,
     "sim_search_ivf_pq" -> ivfPq,
@@ -938,6 +1050,7 @@ object SimSearch extends graft.QueryModule {
         |         AS proj
         |FROM p GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
+    "sim_search_mmr" -> mmrOracle,
     "sim_search_kmeans_assign" -> kmeansAssignOracle,
     "sim_search_kmeans_centroids" -> kmeansCentroidsOracle,
     "sim_search_ivf_pinned" -> ivfPinnedServeOracle,

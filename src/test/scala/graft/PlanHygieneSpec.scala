@@ -44,8 +44,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "graph_hits" -> ("1-row max-score normalization crossJoins (the raw " +
       "aggregates are checkpointed; the final normalize stays lazy)"),
     "graph_modularity" -> "1-row edge-count crossJoin at the root",
-    "text_dsir_weights" -> "1-row corpus-total crossJoin",
-    "text_bpe_train" -> "1-row best-pair crossJoin per merge round")
+    "text_dsir_weights" -> "1-row corpus-total crossJoin")
+  // text_bpe_train / sim_search_mmr also use 1-row best-pick crossJoins,
+  // but those run during per-round localCheckpoint materialization — the
+  // final plans the sweep sees are clean, like emb_pca_*.
   // emb_pca_* also normalizes via 1-row broadcast crossJoins, but those
   // sit above localCheckpoint lineage cuts, so the final plans the
   // sweep sees are clean — no allowlist entry needed.
