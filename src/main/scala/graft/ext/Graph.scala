@@ -764,7 +764,41 @@ object Graph extends graft.QueryModule {
        |ORDER BY h.node""".stripMargin
   }
 
+  /** Degree assortativity [N] — Newman's r: the Pearson correlation of
+    * endpoint degrees over the 2|E| ordered edge directions (do hubs
+    * link to hubs?). With symmetric sums Σj = Σk the formula collapses
+    * to (nΣjk − (Σj)²)/(nΣj² − (Σj)²) — every sum an exact integer,
+    * accumulated as decimal(19→38,0) (HUGEINT in the oracle), one IEEE
+    * division at the end. Complements [[modularity]]: partition quality
+    * vs degree mixing on the same edge relation.
+    *
+    * Scale shape: two joins of the edge list against the |V|-row degree
+    * table (dual broadcast/shuffle layouts like the rest of the
+    * family), one global agg. */
+  private def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e0 = coPurchaseEdges(s, d)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val pairs = e0.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e0.select(col("b").as("x"), col("a").as("y")))
+    val sums = pairs
+      .join(maybeBroadcast(s, deg.select(col("v").as("x"), col("deg").as("j"))),
+        "x")
+      .join(maybeBroadcast(s, deg.select(col("v").as("y"), col("deg").as("k"))),
+        "y")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("j"))).as("sj"),
+        sum(dec(col("j")) * dec(col("j"))).as("sjj"),
+        sum(dec(col("j")) * dec(col("k"))).as("sjk"))
+    sums.select(col("n"),
+      ((dec(col("n")) * col("sjk") - col("sj") * col("sj")).cast("double") /
+        (dec(col("n")) * col("sjj") - col("sj") * col("sj")).cast("double"))
+        .as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> assortativity,
     "graph_hits" -> hits,
     "graph_kcore" -> kcore,
     "graph_labelprop" -> labelProp,
@@ -781,6 +815,24 @@ object Graph extends graft.QueryModule {
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
+    "graph_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |deg AS (SELECT x AS v, count(*) AS deg FROM (
+        |          SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        |pr AS (SELECT a AS x, b AS y FROM e0
+        |       UNION ALL SELECT b, a FROM e0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(j.deg AS HUGEINT)) AS sj,
+        |             sum(CAST(j.deg AS HUGEINT) * j.deg) AS sjj,
+        |             sum(CAST(j.deg AS HUGEINT) * k.deg) AS sjk
+        |      FROM pr JOIN deg j ON pr.x = j.v JOIN deg k ON pr.y = k.v)
+        |SELECT n, CAST(CAST(n AS HUGEINT) * sjk - sj * sj AS DOUBLE) /
+        |          CAST(CAST(n AS HUGEINT) * sjj - sj * sj AS DOUBLE) AS r
+        |FROM s""".stripMargin,
     "graph_pagerank" -> pageRankOracle,
     "graph_bfs" -> bfsOracle,
     "graph_sssp" -> ssspOracle,

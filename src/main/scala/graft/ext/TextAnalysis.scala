@@ -416,12 +416,14 @@ object TextAnalysis extends graft.QueryModule {
     * projection; the corpus is scanned exactly once to build the
     * vocabulary. Sequences re-checkpoint per round (iterative-lineage
     * discipline of [[graft.ext.Graph]]). */
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The BPE fixpoint state: (merge table, final word→symbol-sequence
+    * vocabulary) — shared by [[bpeTrain]] and [[bpeApply]]. */
+  private def bpeState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var vocab = words.select(
+    var vocab = words.select(col("w"),
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)), ' ')").as("seq"),
       col("cnt")).localCheckpoint()
@@ -449,16 +451,72 @@ object TextAnalysis extends graft.QueryModule {
       val from = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
       val to = concat(lit(" "), col("a"), col("b"), lit(" "))
       vocab = vocab.crossJoin(broadcast(best))
-        .select(trim(replace(replace(pad, from, to), from, to)).as("seq"),
+        .select(col("w"),
+          trim(replace(replace(pad, from, to), from, to)).as("seq"),
           col("cnt"))
         .localCheckpoint()
     }
+    (merges, vocab)
+  }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeState(s, d)
     merges.select(col("round"), col("a"), col("b"), col("pc"))
       .orderBy("round")
   }
 
+  /** BPE tokenization serve path [N] — the learned merge table applied
+    * back to the corpus: every alphabetic word joins the trained
+    * word→symbol-sequence vocabulary (the training fixpoint IS the
+    * lookup table — no re-derivation), and each document reports its
+    * alpha-word and subword-token counts, the quantity every
+    * token-budgeted pipeline stage (packing, mixing, pricing) consumes.
+    * One explode + one equi-join against the vocab-bounded mapping
+    * (broadcast at dimension scale) + one per-doc hash agg. */
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeState(s, d)
+    val mapping = vocab.select(col("w"),
+      size(split(col("seq"), " ")).as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(mapping, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document n-gram duplication profile [N] — the substring-level
+    * dup audit (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr statistic at 8-gram
+    * granularity; see PAPERS.md): each doc's distinct word-8-gram
+    * fingerprints are counted across the corpus, and every doc reports
+    * how many of its 8-grams also appear in OTHER docs — the signal the
+    * suffix-array pass acts on, here as the hash-join formulation that
+    * scales like the minhash shingle pipeline (explode → two hash aggs
+    * → one equi-join on the gram hash; everything map-side combinable,
+    * nothing quadratic). */
+  private def crossdocNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7), " +
+          "i -> md5(array_join(slice(ws, i, 8), ' ')))")).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_ratio",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_crossdoc_ngrams" -> crossdocNgrams,
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_apply" -> bpeApply,
     "text_dsir_weights" -> dsirWeights,
     "text_inverted_index" -> invertedIndex,
     "text_entropy" -> entropy,
@@ -481,10 +539,11 @@ object TextAnalysis extends graft.QueryModule {
     * (the generated-oracle discipline of the graph family) — pair
     * explode via lateral unnest, argmax via ORDER BY pc DESC, a, b
     * LIMIT 1, and the exact two-pass padded replace. */
-  private def bpeOracle: String = {
+  private def bpeChain: String = {
     val base =
       """WITH v0 AS MATERIALIZED (
-        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        |  SELECT w,
+        |         array_to_string(list_transform(range(1, length(w) + 1),
         |           i -> substr(w, CAST(i AS INTEGER), 1)), ' ') AS seq,
         |         cnt
         |  FROM (SELECT w, count(*) AS cnt FROM (
@@ -501,20 +560,52 @@ object TextAnalysis extends graft.QueryModule {
          |b$r AS MATERIALIZED (
          |  SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |  SELECT w,
+         |         trim(replace(replace(' ' || seq || ' ',
          |           ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
          |           ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
          |           AS seq,
          |         cnt
          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to bpeRounds).map(r =>
-      s"SELECT $r AS round, a, b, pc FROM b$r").mkString("\nUNION ALL ")
-    s"$base,\n$rounds\n$out\nORDER BY round"
+    s"$base,\n$rounds"
   }
 
+  private def bpeOracle: String = {
+    val out = (1 to bpeRounds).map(r =>
+      s"SELECT $r AS round, a, b, pc FROM b$r").mkString("\nUNION ALL ")
+    s"$bpeChain\n$out\nORDER BY round"
+  }
+
+  private def bpeApplyOracle: String =
+    s"""$bpeChain
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) dw
+       |JOIN v$bpeRounds USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_crossdoc_ngrams" ->
+      """WITH grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |         md5(array_to_string(
+        |           ws[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents),
+        |       unnest(range(1, len(ws) - 6)) t(i)
+        |  WHERE len(ws) >= 8),
+        |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS share_ratio
+        |FROM grams JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeOracle,
+    "text_bpe_apply" -> bpeApplyOracle,
     "text_dsir_weights" ->
       """WITH bg AS (
         |  SELECT doc_id, lang,

@@ -103,7 +103,7 @@ class GraphSpec extends AnyFunSuite {
 
   test("bfs, sssp, and labelprop are identical in broadcast and shuffle modes") {
     for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop", "graph_kcore",
-        "graph_hits", "graph_modularity")) {
+        "graph_hits", "graph_modularity", "graph_assortativity")) {
       val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
       for (parts <- Seq("4", "32")) {
