@@ -63,8 +63,9 @@ object Bench {
     "sim_search_pq",        // product-quantization ANN
     "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
     "sql_asof",             // native as-of through the SQL TVF surface
-    "mm_binary",            // multimodal binary ops
     "mm_decode",            // real javax.imageio PNG decode (r7)
+    "mm_audio_decode",      // real javax.sound WAV decode (r8; mm_binary's
+                            // thin scan moved out for the line budget)
     "stream_sliding_agg",   // streaming (batch-replay) agg
     "fin_twap",             // time-weighted average price
     "graph_triangles",      // degree-oriented triangle counting
@@ -78,6 +79,7 @@ object Bench {
     "text_inverted_index",  // index build + conjunctive serve (r8)
     "graph_hits",           // pinned hubs/authorities alternation (r8)
     "emb_pca_power",        // distributed Gram + pinned power iteration (r8)
+    "text_bpe_train",       // iterative vocab-bounded BPE merge rounds (r8)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {
