@@ -126,6 +126,30 @@ object Audio extends graft.QueryModule {
       }
     }
 
+  /** RESAMPLE stage (decimate by 2): keep every 2nd sample and re-encode
+    * a REAL WAV — pure integer selection (no interpolation filter, whose
+    * kernel would be renderer-dependent), so the resampled stream is
+    * bit-deterministic and the oracle restates every kept sample. The
+    * audio twin of [[Multimodal.resizeImages]]'s nearest-neighbor rule. */
+  def resampleAudio(blobs: Iterator[MediaBlob]): Iterator[MediaBlob] =
+    blobs.map { b =>
+      val (_, samples) = readWav(b.data)
+      val kept = Array.range(0, samples.length, 2).map(samples)
+      val pcm = new Array[Byte](kept.length * 2)
+      var i = 0
+      while (i < kept.length) {
+        pcm(2 * i) = (kept(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((kept(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        kept.length)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      MediaBlob(b.doc_id, out.toByteArray)
+    }
+
   /** Decode/feature-extract as two partition-wise typed transforms over a
     * binary column: synthesize real WAVs, then decode them with
     * javax.sound.sampled. Oracle-checked: format fields and sample
@@ -154,9 +178,26 @@ object Audio extends graft.QueryModule {
       .orderBy("doc_id", "window_idx")
   }
 
+  /** Resample pipeline: encode → decimate-by-2 → decode (the SAME
+    * decode stage mm_audio_decode uses — the resampled bytes are a real
+    * WAV). Three partition-wise stages, no shuffle until the output
+    * sort. */
+  private def mmAudioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeAudio)
+      .mapPartitions(resampleAudio)
+      .mapPartitions(decodeAudio)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_decode" -> mmAudioDecode,
-    "mm_audio_window" -> mmAudioWindow)
+    "mm_audio_window" -> mmAudioWindow,
+    "mm_audio_resample" -> mmAudioResample)
 
   // Same ASCII precondition as mm_decode (ord(char) == byte; holds for
   // the driver's documents generator). Sample i = (ord(byte i mod len)
@@ -174,6 +215,25 @@ object Audio extends graft.QueryModule {
         |      FROM d)
         |SELECT doc_id,
         |       CAST(n AS INTEGER) AS n_samples,
+        |       8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |       CAST(coalesce(list_sum(list_transform(smp, x -> abs(x))), 0)
+        |            AS BIGINT) AS abs_sum,
+        |       CAST(coalesce(list_max(list_transform(smp, x -> abs(x))), 0)
+        |            AS INTEGER) AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // kept sample j of the decimated stream is source sample 2j
+    "mm_audio_resample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |                  length(text) % 50 + 8 AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, (n + 1) // 2 AS nk,
+        |             list_transform(range(0, (n + 1) // 2), j ->
+        |               CASE WHEN len = 0 THEN 0
+        |                    ELSE (ord(substr(text, ((2 * j) % len) + 1, 1))
+        |                          - 128) * 256 END) AS smp
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(nk AS INTEGER) AS n_samples,
         |       8000 AS sample_rate, 1 AS channels, 16 AS bits,
         |       CAST(coalesce(list_sum(list_transform(smp, x -> abs(x))), 0)
         |            AS BIGINT) AS abs_sum,

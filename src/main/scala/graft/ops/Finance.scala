@@ -342,7 +342,39 @@ object Finance extends graft.QueryModule {
       .orderBy("month")
   }
 
+  /** Relative Strength Index [N] (Wilder's RSI, simple-average form over
+    * a 14-tick window): gains/losses from consecutive value diffs, then
+    * RSI = 100·Σgain/(Σgain+Σloss) — algebraically equal to
+    * 100 − 100/(1+RS) with the /14s cancelled, leaving ONE IEEE division
+    * of exact decimal sums (and no division-by-zero branch when a window
+    * is all-gain). Flat windows (Σgain+Σloss = 0) drop by declared
+    * semantics. Two window passes on one (user, ts, event_id) ordering:
+    * lag for the diff, a rows-frame sum pair for the window. */
+  private def rsi(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(-13, 0)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("diff", col("v") - lag(col("v"), 1).over(w))
+      .withColumn("gain",
+        when(col("diff") > 0, col("diff")).otherwise(lit(0).cast("decimal(12,2)")))
+      .withColumn("loss",
+        when(col("diff") < 0, -col("diff")).otherwise(lit(0).cast("decimal(12,2)")))
+      .withColumn("sg", sum(col("gain")).over(wf).cast("decimal(20,2)"))
+      .withColumn("sl", sum(col("loss")).over(wf).cast("decimal(20,2)"))
+      .withColumn("n_diffs", count(col("diff")).over(wf))
+      .filter(col("n_diffs") === 14 && (col("sg") + col("sl")) > 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (lit(100.0) * col("sg").cast("double") /
+          (col("sg") + col("sl")).cast("double")).as("rsi"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
     "fin_yoy" -> yoyGrowth,
     "fin_autocorr" -> autocorr,
@@ -357,6 +389,34 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "fin_rsi" ->
+      """WITH v AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |         CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, ts, event_id, v,
+        |         v - lag(v, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS diff
+        |  FROM v),
+        |g AS (
+        |  SELECT user_id, ts, event_id, diff,
+        |         CASE WHEN diff > 0 THEN diff
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END AS gain,
+        |         CASE WHEN diff < 0 THEN -diff
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END AS loss
+        |  FROM d),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(sum(gain) OVER wf AS DECIMAL(20,2)) AS sg,
+        |         CAST(sum(loss) OVER wf AS DECIMAL(20,2)) AS sl,
+        |         count(diff) OVER wf AS n_diffs
+        |  FROM g WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts, event_id,
+        |       100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) AS rsi
+        |FROM f WHERE n_diffs = 14 AND sg + sl > 0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "ts_seasonal_decompose" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate) AS month,

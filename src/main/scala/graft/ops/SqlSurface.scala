@@ -255,7 +255,27 @@ object SqlSurface extends graft.QueryModule {
       Map("status" -> "F", "floor" -> 25000))
   }
 
+  /** EXECUTE IMMEDIATE [N] (Spark 4): SQL text held in a declared
+    * variable runs as a statement with USING parameter binding — the
+    * dynamic-SQL surface warehouse procedures use (query text assembled
+    * by one layer, executed safely by another). The query string stays a
+    * parameterized template: values bind as literals at parse time, the
+    * injection-safe path. */
+  private def executeImmediate(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql("DECLARE OR REPLACE VARIABLE seg_query STRING")
+    s.sql(
+      """SET VAR seg_query =
+        |  'SELECT c_mktsegment, count(*) AS n,
+        |          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |            AS total
+        |   FROM customer_v WHERE c_acctbal >= ?
+        |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
+    s.sql("EXECUTE IMMEDIATE seg_query USING 1000")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_execute_immediate" -> executeImmediate,
     "sql_parameterized" -> sqlParameterized,
     "sql_scripting" -> sqlScripting,
     "sql_udf_create" -> sqlUdfCreate,
@@ -271,6 +291,12 @@ object SqlSurface extends graft.QueryModule {
     "sql_asof" -> sqlAsOf)
 
   val oracles: Map[String, String] = Map(
+    "sql_execute_immediate" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM customer WHERE c_acctbal >= 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "sql_parameterized" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

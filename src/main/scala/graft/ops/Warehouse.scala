@@ -376,7 +376,48 @@ object Warehouse extends graft.QueryModule {
       .orderBy("l_linestatus")
   }
 
+  /** Crypto-shredding erasure [N] — the right-to-be-forgotten mechanism
+    * for immutable lakes: sensitive values are stored AES-encrypted
+    * under per-user keys held in a separate key table; erasing a user =
+    * deleting one key row, after which their ciphertext is
+    * unrecoverable everywhere (no rewrite of petabytes of history).
+    * This key runs the full path with Spark's real cipher: derive
+    * per-user keys, `aes_encrypt` each value, drop the keys of users ≡
+    * 0 (mod 97), then `try_aes_decrypt` with the surviving key table —
+    * erased users come back NULL, everyone else round-trips exactly.
+    * The oracle states the CONTRACT (original value or NULL by the
+    * erasure rule), so hash equality proves the cipher round-trip is
+    * lossless AND the shredding is total. GCM's random IV makes the
+    * ciphertext itself nondeterministic — only the decrypted contract
+    * is comparable, which is exactly the point.
+    *
+    * Scale shape: one projection to encrypt (stateless, codegen'd),
+    * one broadcast join against the user-domain key dim, one decrypt
+    * projection. */
+  private def cryptoShred(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      // decimal→string (not printf: Java %.2f rounds HALF_UP, C printf
+      // half-even — the decimal render is identical in both engines)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(12,2)").cast("string").as("v_str"))
+    val userKey = substring(sha2(col("user_id").cast("string"), 256), 1, 32)
+    val encrypted = events
+      .select(col("event_id"), col("user_id"),
+        expr("aes_encrypt(v_str, substring(sha2(cast(user_id as string)," +
+          " 256), 1, 32))").as("ct"))
+    val keys = events.select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 =!= 0)
+      .select(col("user_id"), userKey.as("k"))
+    encrypted
+      .join(broadcast(keys), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        expr("cast(try_aes_decrypt(ct, k) as string)").as("recovered"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_crypto_shred" -> cryptoShred,
     "agg_mv_incremental" -> mvIncremental,
     "agg_mv_rewrite" -> mvRewrite,
     "cdc_time_travel" -> cdcTimeTravel,
@@ -504,6 +545,15 @@ object Warehouse extends graft.QueryModule {
         |WHERE o_orderdate < TIMESTAMP '1999-04-01'
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // the oracle states the erasure CONTRACT; Spark runs the real AES
+    // round-trip to meet it
+    "quality_crypto_shred" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN user_id % 97 = 0 THEN NULL
+        |            ELSE CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+        |       END AS recovered
+        |FROM events WHERE value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "quality_checks" ->
       """SELECT 'lineitem_qty_range' AS check_name,
         |       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS n_violations

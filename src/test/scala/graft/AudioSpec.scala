@@ -58,6 +58,17 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("decimate-by-2 keeps exactly the even-index samples") {
+    val data = "resampled audio keeps even index samples".getBytes("UTF-8")
+    val ref = refSamples(data)
+    val meta = Audio.decodeAudio(Audio.resampleAudio(
+      Audio.encodeAudio(Iterator(MediaBlob(4L, data))))).next()
+    val kept = ref.indices.collect { case i if i % 2 == 0 => ref(i) }
+    assert(meta.n_samples == (ref.size + 1) / 2)
+    assert(meta.abs_sum == kept.map(s => math.abs(s).toLong).sum)
+    assert(meta.peak == kept.map(math.abs).max)
+  }
+
   test("empty payload decodes as 8 samples of silence") {
     val meta = Audio.decodeAudio(
       Audio.encodeAudio(Iterator(MediaBlob(0L, Array.empty[Byte])))).next()
