@@ -538,6 +538,36 @@ object Scans extends graft.QueryModule {
       .orderBy("cat")
   }
 
+  /** SQL DML through a custom V2 TableCatalog [N]
+    * (`sources/v2/FsKvCatalog`): CREATE TABLE → INSERT INTO →
+    * DELETE FROM → SELECT all resolve through the catalog plugin, and
+    * the DELETE is partition-grained (`SupportsDeleteV2` drops whole
+    * partition directories — metadata-scale, the Hive drop-partition
+    * shape; non-partition predicates are REFUSED by `canDeleteWhere`
+    * rather than scanned on the driver). The hash check proves the
+    * write commit protocol, the partition routing, the TSV round-trip,
+    * and the delete are all exact. */
+  private def v2CatalogDml(s: SparkSession, d: String): DataFrame = {
+    val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
+      ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
+      ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        "target/tmp/kv_catalog")
+    }
+    Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
+    s2.sql("DROP TABLE IF EXISTS graft_cat.cust")
+    s2.sql(
+      """CREATE TABLE graft_cat.cust (
+        |  c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+        |USING kv PARTITIONED BY (c_mktsegment)""".stripMargin)
+    s2.sql(
+      """INSERT INTO graft_cat.cust
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer_dml_v""".stripMargin)
+    s2.sql("DELETE FROM graft_cat.cust WHERE c_mktsegment = 'BUILDING'")
+    s2.sql(
+      """SELECT c_custkey, c_name, c_mktsegment FROM graft_cat.cust
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Runtime (execution-time) partition pruning on the V2 connector [N]:
     * the dimension's selective filter reaches the fact scan as an
     * `In(cat, ...)` runtime filter via `SupportsRuntimeFiltering`, and
@@ -561,6 +591,7 @@ object Scans extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_v2_spj" -> v2StoragePartitionedJoin,
+    "src_v2_catalog_dml" -> v2CatalogDml,
     "src_v2_runtime_filter" -> v2RuntimeFilter,
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
@@ -586,6 +617,10 @@ object Scans extends graft.QueryModule {
     "src_json_corrupt" -> srcJsonCorrupt)
 
   val oracles: Map[String, String] = Map(
+    "src_v2_catalog_dml" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     "src_v2_spj" ->
       """WITH a AS (
         |  SELECT CAST(((i * 2654435761) % 997) % 64 AS INT) AS cat,

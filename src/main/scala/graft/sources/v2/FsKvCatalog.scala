@@ -1,0 +1,293 @@
+package graft.sources.v2
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal filesystem-backed `TableCatalog` [N] — the catalog-plugin
+  * surface (`spark.sql.catalog.<name>=...`) that unlocks SQL DML
+  * against V2 connectors: `CREATE TABLE` / `INSERT INTO` /
+  * `DELETE FROM` / `DROP TABLE` resolve through THIS class instead of
+  * the session catalog.
+  *
+  * Tables are partition-dir layouts (`<col>=<value>/part-*.tsv`), and
+  * DELETE is **partition-grained**: `deleteWhere` accepts only
+  * equality predicates on the partition column and drops whole
+  * partition directories — metadata-scale work, exactly how file-based
+  * lakes do cheap deletes (Hive drop-partition; the row-level
+  * copy-on-write path is `SupportsRowLevelOperations`, a deliberate
+  * non-goal here). `canDeleteWhere` refuses anything else, so a
+  * non-partition DELETE fails loudly instead of scanning 100 TB on the
+  * driver.
+  *
+  * Writes reuse the staging + atomic-publish commit protocol of
+  * [[JsonDirSink]]: tasks stage per-partition files, the driver
+  * publishes them under their partition dirs on commit.
+  */
+class FsKvCatalog extends TableCatalog {
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("warehouse"))
+      .getOrElse(sys.error("graft FsKvCatalog: 'warehouse' option required"))
+  }
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): File =
+    new File(root, (ident.namespace() :+ ident.name()).mkString("."))
+  private def schemaFile(d: File): File = new File(d, "_schema")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => schemaFile(f).exists())
+      .map(f => Identifier.of(namespace, f.getName))
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!schemaFile(d).exists())
+      throw new NoSuchTableException(
+        (catName +: ident.namespace() :+ ident.name()).toSeq)
+    val lines = java.nio.file.Files.readAllLines(schemaFile(d).toPath)
+    new FsKvTable(d.getPath, StructType.fromDDL(lines.get(1)), lines.get(0))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val partCol = partitions.toSeq match {
+      case Seq(t) => t.references().head.fieldNames().mkString(".")
+      case _ => sys.error(
+        "graft FsKvCatalog: exactly one identity partition column required")
+    }
+    require(schema(partCol).dataType == StringType,
+      "graft FsKvCatalog: partition column must be STRING")
+    val d = tableDir(ident)
+    if (schemaFile(d).exists())
+      sys.error(s"graft FsKvCatalog: table ${ident.name()} already exists")
+    d.mkdirs()
+    java.nio.file.Files.write(schemaFile(d).toPath,
+      s"$partCol\n${schema.toDDL}".getBytes("UTF-8"))
+    new FsKvTable(d.getPath, schema, partCol)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    sys.error("graft FsKvCatalog: ALTER TABLE not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    sys.error("graft FsKvCatalog: RENAME not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!d.exists()) false
+    else { FsKv.deleteRecursively(d); true }
+  }
+}
+
+private[v2] object FsKv {
+  def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+  /** TSV escaping for the at-rest lines: tab, newline, CR, backslash. */
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '\\' => sb.append('\\'); case 't' => sb.append('\t')
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+  def partDirName(col: String, value: String): String =
+    col + "=" + java.net.URLEncoder.encode(value, "UTF-8")
+}
+
+class FsKvTable(path: String, tableSchema: StructType, partCol: String)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+  override def name(): String = s"graft_fskv($path)"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(partCol))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val dirs = Option(new File(path).listFiles())
+            .getOrElse(Array.empty).filter(_.isDirectory)
+          dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+            .filter(_.getName.endsWith(".tsv"))
+            .map(f => FsKvFilePartition(f.getPath): InputPartition)
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new FsKvReaderFactory(tableSchema)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new FsKvBatchWrite(path, info.schema(),
+            info.schema().fieldIndex(partCol))
+      }
+    }
+
+  /** Partition-grained delete: AlwaysTrue (truncate) or partition-column
+    * equality only — whole-directory drops, metadata-scale. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => partitionValueOf(p).isDefined ||
+      p.isInstanceOf[AlwaysTrue])
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    predicates.foreach {
+      case _: AlwaysTrue =>
+        Option(new File(path).listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).foreach(FsKv.deleteRecursively)
+      case p =>
+        val v = partitionValueOf(p).getOrElse(
+          sys.error(s"graft FsKvCatalog: unsupported delete predicate $p"))
+        FsKv.deleteRecursively(new File(path, FsKv.partDirName(partCol, v)))
+    }
+
+  private def partitionValueOf(p: Predicate): Option[String] =
+    if (p.name() != "=") None
+    else p.children().toSeq match {
+      case Seq(r: NamedReference, l: org.apache.spark.sql.connector.expressions.Literal[_])
+          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
+        Some(l.value().toString)
+      case Seq(l: org.apache.spark.sql.connector.expressions.Literal[_], r: NamedReference)
+          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
+        Some(l.value().toString)
+      case _ => None
+    }
+}
+
+case class FsKvFilePartition(file: String) extends InputPartition
+
+class FsKvReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val lines = java.nio.file.Files.readAllLines(
+      new File(p.asInstanceOf[FsKvFilePartition].file).toPath).iterator()
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (!lines.hasNext) false
+        else {
+          val cells = lines.next().split("\t", -1).map(FsKv.unescape)
+          row = InternalRow.fromSeq(schema.fields.zipWithIndex.map {
+            case (f, i) =>
+              if (cells(i) == "\\N") null
+              else f.dataType match {
+                case LongType => cells(i).toLong
+                case StringType => UTF8String.fromString(cells(i))
+                case other =>
+                  sys.error(s"graft FsKvCatalog: unsupported type $other")
+              }
+          }.toSeq)
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Staging + atomic publish, per partition value (the [[JsonDirSink]]
+  * commit protocol with a partition-routing writer). */
+class FsKvBatchWrite(path: String, schema: StructType, partIdx: Int)
+    extends BatchWrite {
+  private val staging = s"$path/_staging"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(staging).mkdirs()
+    new FsKvWriterFactory(staging, schema, partIdx)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case FsKvFilesCommitted(files) =>
+      files.foreach { rel =>
+        val Array(partDir, fileName) = rel.split("/", 2)
+        val dest = new File(new File(path, partDir), fileName)
+        dest.getParentFile.mkdirs()
+        if (!new File(staging, rel.replace('/', '%')).renameTo(dest))
+          sys.error(s"graft FsKvCatalog: publish rename failed for $rel")
+      }
+    }
+    FsKv.deleteRecursively(new File(staging))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    FsKv.deleteRecursively(new File(staging))
+}
+
+case class FsKvFilesCommitted(files: Seq[String]) extends WriterCommitMessage
+
+class FsKvWriterFactory(staging: String, schema: StructType, partIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val writers =
+        scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+      private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      private def writerFor(partValue: String): java.io.PrintWriter =
+        writers.getOrElseUpdate(partValue, {
+          val partDir = FsKv.partDirName(schema.fields(partIdx).name, partValue)
+          val rel = f"$partDir/part-$partitionId%05d-task$taskId.tsv"
+          files += rel
+          new java.io.PrintWriter(
+            new File(staging, rel.replace('/', '%')), "UTF-8")
+        })
+
+      override def write(row: InternalRow): Unit = {
+        val partValue =
+          if (row.isNullAt(partIdx)) sys.error("null partition value")
+          else row.getUTF8String(partIdx).toString
+        writerFor(partValue).println(schema.fields.indices.map { i =>
+          if (row.isNullAt(i)) "\\N"
+          else schema.fields(i).dataType match {
+            case LongType => row.getLong(i).toString
+            case StringType => FsKv.escape(row.getUTF8String(i).toString)
+            case other => sys.error(s"graft FsKvCatalog: unsupported type $other")
+          }
+        }.mkString("\t"))
+      }
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        FsKvFilesCommitted(files.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_.close())
+      override def close(): Unit = ()
+    }
+}

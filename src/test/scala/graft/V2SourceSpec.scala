@@ -205,6 +205,45 @@ class V2SourceSpec extends AnyFunSuite {
     assert(f.list().count(_.startsWith("_staging")) == 0, "staging leaked")
   }
 
+  test("fskv catalog: partition-grained DELETE drops only the targeted partition") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
+    ns.conf.set("spark.sql.catalog.t_cat.warehouse", "target/tmp/kv_cat_spec")
+    ns.sql("DROP TABLE IF EXISTS t_cat.t")
+    ns.sql("CREATE TABLE t_cat.t (k BIGINT, grp STRING) USING kv " +
+      "PARTITIONED BY (grp)")
+    ns.range(0, 100)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp")
+      .createOrReplaceTempView("src_v")
+    ns.sql("INSERT INTO t_cat.t SELECT k, grp FROM src_v")
+    assert(ns.sql("SELECT count(*) FROM t_cat.t").head.getLong(0) == 100)
+    ns.sql("DELETE FROM t_cat.t WHERE grp = 'even'")
+    val left = ns.sql("SELECT k FROM t_cat.t").collect().map(_.getLong(0)).sorted
+    assert(left.length == 50 && left.forall(_ % 2 == 1))
+    // the partition dir itself is gone (metadata-scale delete)
+    val dirs = Option(new java.io.File("target/tmp/kv_cat_spec/t").listFiles())
+      .get.filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("grp=odd"), s"unexpected layout: $dirs")
+  }
+
+  test("fskv catalog: non-partition DELETE is refused, full DELETE truncates") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
+    ns.conf.set("spark.sql.catalog.t_cat.warehouse", "target/tmp/kv_cat_spec2")
+    ns.sql("DROP TABLE IF EXISTS t_cat.t2")
+    ns.sql("CREATE TABLE t_cat.t2 (k BIGINT, grp STRING) USING kv " +
+      "PARTITIONED BY (grp)")
+    ns.range(0, 10)
+      .selectExpr("id AS k", "'only' AS grp").createOrReplaceTempView("src_v2")
+    ns.sql("INSERT INTO t_cat.t2 SELECT k, grp FROM src_v2")
+    // row-level predicate on a non-partition column: loud refusal, not a
+    // driver-side scan
+    intercept[Exception] { ns.sql("DELETE FROM t_cat.t2 WHERE k = 3") }
+    assert(ns.sql("SELECT count(*) FROM t_cat.t2").head.getLong(0) == 10)
+    ns.sql("DELETE FROM t_cat.t2")
+    assert(ns.sql("SELECT count(*) FROM t_cat.t2").head.getLong(0) == 0)
+  }
+
   test("runtime filtering: dimension predicate prunes fact partitions in-flight") {
     import graft.sources.v2.PartitionedKvSource
     PartitionedKvSource.lastRuntimePruned = None
