@@ -568,6 +568,46 @@ object Scans extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SQL UPDATE + MERGE INTO through the same catalog [N]: group-based
+    * copy-on-write via `SupportsRowLevelOperations` — Spark reads the
+    * affected partition groups through the operation's scan, computes
+    * updated/merged rows, and the replace-data commit swaps the scanned
+    * partition dirs for the new files atomically. The flow seeds the
+    * table with 2/3 of the customers, UPDATEs one residue class,
+    * then MERGEs the full customer relation back in (matched rows of a
+    * second residue class get annotated, missing rows insert), and the
+    * final SELECT hash-matches the declaratively-stated end state. */
+  private def v2CatalogMerge(s: SparkSession, d: String): DataFrame = {
+    val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
+      ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
+      ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        "target/tmp/kv_catalog")
+    }
+    Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
+    s2.sql("DROP TABLE IF EXISTS graft_cat.cust_m")
+    s2.sql(
+      """CREATE TABLE graft_cat.cust_m (
+        |  c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+        |USING kv PARTITIONED BY (c_mktsegment)""".stripMargin)
+    s2.sql(
+      """INSERT INTO graft_cat.cust_m
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer_dml_v
+        |WHERE c_custkey % 3 <> 0""".stripMargin)
+    s2.sql(
+      """UPDATE graft_cat.cust_m SET c_name = upper(c_name)
+        |WHERE c_custkey % 10 = 1""".stripMargin)
+    s2.sql(
+      """MERGE INTO graft_cat.cust_m t
+        |USING customer_dml_v s ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND s.c_custkey % 10 = 2
+        |  THEN UPDATE SET c_name = concat(t.c_name, '+')
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_mktsegment)
+        |  VALUES (s.c_custkey, s.c_name, s.c_mktsegment)""".stripMargin)
+    s2.sql(
+      """SELECT c_custkey, c_name, c_mktsegment FROM graft_cat.cust_m
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Runtime (execution-time) partition pruning on the V2 connector [N]:
     * the dimension's selective filter reaches the fact scan as an
     * `In(cat, ...)` runtime filter via `SupportsRuntimeFiltering`, and
@@ -592,6 +632,7 @@ object Scans extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_v2_spj" -> v2StoragePartitionedJoin,
     "src_v2_catalog_dml" -> v2CatalogDml,
+    "src_v2_catalog_merge" -> v2CatalogMerge,
     "src_v2_runtime_filter" -> v2RuntimeFilter,
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
@@ -621,6 +662,16 @@ object Scans extends graft.QueryModule {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer WHERE c_mktsegment <> 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    // the declarative end state of seed(2/3) -> UPDATE(%10=1) ->
+    // MERGE(annotate %10=2, insert the missing third)
+    "src_v2_catalog_merge" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_name
+        |            WHEN c_custkey % 10 = 1 THEN upper(c_name)
+        |            WHEN c_custkey % 10 = 2 THEN c_name || '+'
+        |            ELSE c_name END AS c_name,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "src_v2_spj" ->
       """WITH a AS (
         |  SELECT CAST(((i * 2654435761) % 997) % 64 AS INT) AS cat,

@@ -131,7 +131,8 @@ private[v2] object FsKv {
 }
 
 class FsKvTable(path: String, tableSchema: StructType, partCol: String)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
   override def name(): String = s"graft_fskv($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
@@ -165,6 +166,20 @@ class FsKvTable(path: String, tableSchema: StructType, partCol: String)
       }
     }
 
+  /** Group-based (copy-on-write) row-level ops: UPDATE / MERGE / and any
+    * DELETE `canDeleteWhere` refuses rewrite the affected partition
+    * groups — Spark reads the groups through the operation's scan,
+    * computes the surviving/updated rows, and the replace-data write
+    * swaps the scanned partition dirs for the new files in one commit.
+    * The scan implements no row-filter pushdown BY DESIGN: a pushed
+    * residual would drop the unmatched rows of a matched group and the
+    * rewrite would lose them. (Group runtime filtering via
+    * `SupportsRuntimeV2Filtering` is the narrowing optimization; this
+    * table rewrites every group — correct, and honest about the cost.) */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new FsKvRowLevelOperation(path, tableSchema, partCol, info.command())
+
   /** Partition-grained delete: AlwaysTrue (truncate) or partition-column
     * equality only — whole-directory drops, metadata-scale. */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -192,6 +207,55 @@ class FsKvTable(path: String, tableSchema: StructType, partCol: String)
           if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
         Some(l.value().toString)
       case _ => None
+    }
+}
+
+class FsKvRowLevelOperation(path: String, schema: StructType, partCol: String,
+                            cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  // partitions planned by THIS operation's scan — the groups the
+  // replace-data commit must swap out (scan and write share the
+  // operation instance, both driver-side)
+  private val scannedParts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft_fskv group-based $cmd on $partCol groups"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val dirs = Option(new File(path).listFiles())
+            .getOrElse(Array.empty).filter(_.isDirectory)
+          dirs.foreach(d => scannedParts.add(d.getName))
+          dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+            .filter(_.getName.endsWith(".tsv"))
+            .map(f => FsKvFilePartition(f.getPath): InputPartition)
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new FsKvReaderFactory(schema)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new FsKvBatchWrite(path, info.schema(),
+            info.schema().fieldIndex(partCol)) {
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              // swap: drop every scanned group, then publish the staged
+              // replacement files (same atomic-rename publish)
+              scannedParts.forEach(p =>
+                FsKv.deleteRecursively(new File(path, p)))
+              super.commit(messages)
+            }
+          }
+      }
     }
 }
 
@@ -271,14 +335,22 @@ class FsKvWriterFactory(staging: String, schema: StructType, partIdx: Int)
         })
 
       override def write(row: InternalRow): Unit = {
+        // group-based replace-data rows arrive with a LEADING
+        // __row_operation marker the LogicalWriteInfo schema does not
+        // mention (observed in the analyzed ReplaceData plan:
+        // Project [__row_operation, <table cols>]) — skip it
+        val off = row.numFields - schema.fields.length
+        require(off == 0 || off == 1,
+          s"graft FsKvCatalog: row has ${row.numFields} fields for " +
+            s"${schema.fields.length}-column schema")
         val partValue =
-          if (row.isNullAt(partIdx)) sys.error("null partition value")
-          else row.getUTF8String(partIdx).toString
+          if (row.isNullAt(partIdx + off)) sys.error("null partition value")
+          else row.getUTF8String(partIdx + off).toString
         writerFor(partValue).println(schema.fields.indices.map { i =>
-          if (row.isNullAt(i)) "\\N"
+          if (row.isNullAt(i + off)) "\\N"
           else schema.fields(i).dataType match {
-            case LongType => row.getLong(i).toString
-            case StringType => FsKv.escape(row.getUTF8String(i).toString)
+            case LongType => row.getLong(i + off).toString
+            case StringType => FsKv.escape(row.getUTF8String(i + off).toString)
             case other => sys.error(s"graft FsKvCatalog: unsupported type $other")
           }
         }.mkString("\t"))

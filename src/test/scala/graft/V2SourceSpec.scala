@@ -226,7 +226,7 @@ class V2SourceSpec extends AnyFunSuite {
     assert(dirs == Set("grp=odd"), s"unexpected layout: $dirs")
   }
 
-  test("fskv catalog: non-partition DELETE is refused, full DELETE truncates") {
+  test("fskv catalog: non-partition DELETE rewrites via copy-on-write, full DELETE truncates") {
     val ns = spark.newSession()
     ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
     ns.conf.set("spark.sql.catalog.t_cat.warehouse", "target/tmp/kv_cat_spec2")
@@ -236,10 +236,13 @@ class V2SourceSpec extends AnyFunSuite {
     ns.range(0, 10)
       .selectExpr("id AS k", "'only' AS grp").createOrReplaceTempView("src_v2")
     ns.sql("INSERT INTO t_cat.t2 SELECT k, grp FROM src_v2")
-    // row-level predicate on a non-partition column: loud refusal, not a
-    // driver-side scan
-    intercept[Exception] { ns.sql("DELETE FROM t_cat.t2 WHERE k = 3") }
-    assert(ns.sql("SELECT count(*) FROM t_cat.t2").head.getLong(0) == 10)
+    // row-level predicate on a non-partition column: canDeleteWhere
+    // refuses the metadata path, so Spark rewrites the affected groups
+    // through SupportsRowLevelOperations (copy-on-write)
+    ns.sql("DELETE FROM t_cat.t2 WHERE k = 3")
+    val after = ns.sql("SELECT k FROM t_cat.t2").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == (0L to 9L).filterNot(_ == 3L),
+      s"copy-on-write delete wrong: ${after.toSeq}")
     ns.sql("DELETE FROM t_cat.t2")
     assert(ns.sql("SELECT count(*) FROM t_cat.t2").head.getLong(0) == 0)
   }
