@@ -20,15 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `DELETE FROM` / `DROP TABLE` resolve through THIS class instead of
   * the session catalog.
   *
-  * Tables are partition-dir layouts (`<col>=<value>/part-*.tsv`), and
-  * DELETE is **partition-grained**: `deleteWhere` accepts only
-  * equality predicates on the partition column and drops whole
-  * partition directories — metadata-scale work, exactly how file-based
-  * lakes do cheap deletes (Hive drop-partition; the row-level
-  * copy-on-write path is `SupportsRowLevelOperations`, a deliberate
-  * non-goal here). `canDeleteWhere` refuses anything else, so a
-  * non-partition DELETE fails loudly instead of scanning 100 TB on the
-  * driver.
+  * Tables are partition-dir layouts (`<col>=<value>/part-*.tsv`) with
+  * BOTH delete tiers real lakes have: `deleteWhere` handles
+  * partition-column equality as a metadata-scale whole-directory drop
+  * (the Hive drop-partition shape), and everything else — row-level
+  * DELETE, UPDATE, MERGE INTO — goes through
+  * `SupportsRowLevelOperations` as a group-based copy-on-write rewrite
+  * (the Iceberg COW shape): never a driver-side data scan.
   *
   * Writes reuse the staging + atomic-publish commit protocol of
   * [[JsonDirSink]]: tasks stage per-partition files, the driver
