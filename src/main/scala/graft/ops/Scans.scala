@@ -608,6 +608,33 @@ object Scans extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Stored procedures through the same catalog [N]: Spark 4's
+    * `ProcedureCatalog` + `CALL` statement — warehouse maintenance
+    * shipped behind a procedure instead of exposed internals. The flow
+    * seeds a table, `CALL graft_cat.drop_partition(...)` drops one
+    * partition directory (metadata-scale, returns a result set via
+    * `LocalScan`), and the final SELECT hash-matches the survivors. */
+  private def v2CatalogCall(s: SparkSession, d: String): DataFrame = {
+    val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
+      ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
+      ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        "target/tmp/kv_catalog")
+    }
+    Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
+    s2.sql("DROP TABLE IF EXISTS graft_cat.cust_p")
+    s2.sql(
+      """CREATE TABLE graft_cat.cust_p (
+        |  c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+        |USING kv PARTITIONED BY (c_mktsegment)""".stripMargin)
+    s2.sql(
+      """INSERT INTO graft_cat.cust_p
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer_dml_v""".stripMargin)
+    s2.sql("CALL graft_cat.drop_partition('cust_p', 'MACHINERY')")
+    s2.sql(
+      """SELECT c_custkey, c_name, c_mktsegment FROM graft_cat.cust_p
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Runtime (execution-time) partition pruning on the V2 connector [N]:
     * the dimension's selective filter reaches the fact scan as an
     * `In(cat, ...)` runtime filter via `SupportsRuntimeFiltering`, and
@@ -633,6 +660,7 @@ object Scans extends graft.QueryModule {
     "src_v2_spj" -> v2StoragePartitionedJoin,
     "src_v2_catalog_dml" -> v2CatalogDml,
     "src_v2_catalog_merge" -> v2CatalogMerge,
+    "src_v2_catalog_call" -> v2CatalogCall,
     "src_v2_runtime_filter" -> v2RuntimeFilter,
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
@@ -661,6 +689,10 @@ object Scans extends graft.QueryModule {
     "src_v2_catalog_dml" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "src_v2_catalog_call" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'MACHINERY'
         |ORDER BY c_custkey""".stripMargin,
     // the declarative end state of seed(2/3) -> UPDATE(%10=1) ->
     // MERGE(annotate %10=2, insert the missing third)

@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[JsonDirSink]]: tasks stage per-partition files, the driver
   * publishes them under their partition dirs on commit.
   */
-class FsKvCatalog extends TableCatalog {
+class FsKvCatalog extends TableCatalog with ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -90,6 +90,90 @@ class FsKvCatalog extends TableCatalog {
     if (!d.exists()) false
     else { FsKv.deleteRecursively(d); true }
   }
+
+  // ---- stored procedures (Spark 4 ProcedureCatalog, the CALL surface) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "drop_partition"),
+      Identifier.of(namespace, "partition_stats"))
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    ident.name() match {
+      case "drop_partition" => new FsKvDropPartitionProcedure(root)
+      case "partition_stats" => new FsKvPartitionStatsProcedure(root)
+      case other => sys.error(s"graft FsKvCatalog: unknown procedure $other")
+    }
+}
+
+/** Maintenance procedures, driver-side and METADATA-scale only — they
+  * list and drop partition directories, never touch row data. The CALL
+  * surface is how a warehouse ships maintenance without handing users
+  * its internals. */
+class FsKvDropPartitionProcedure(root: String)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "drop_partition"
+  override def description(): String =
+    "drop one partition directory of a graft_fskv table (metadata-scale)"
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "drop_partition"
+      override def description(): String = FsKvDropPartitionProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("value", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val value = input.getUTF8String(1).toString
+        val tdir = new File(root, table)
+        val partCol = java.nio.file.Files
+          .readAllLines(new File(tdir, "_schema").toPath).get(0)
+        val dir = new File(tdir, FsKv.partDirName(partCol, value))
+        val existed = dir.exists()
+        FsKv.deleteRecursively(dir)
+        util.Collections.singletonList(FsKvResultScan(
+          StructType.fromDDL("partition STRING, dropped BOOLEAN"),
+          Array(InternalRow(UTF8String.fromString(value), existed))): Scan)
+          .iterator()
+      }
+    }
+}
+
+/** Per-partition file/byte tallies — the observability half. */
+class FsKvPartitionStatsProcedure(root: String)
+    extends procedures.UnboundProcedure {
+  override def name(): String = "partition_stats"
+  override def description(): String =
+    "per-partition file count and byte size of a graft_fskv table"
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = "partition_stats"
+      override def description(): String = FsKvPartitionStatsProcedure.this.description()
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val tdir = new File(root, input.getUTF8String(0).toString)
+        val rows = Option(tdir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).sortBy(_.getName)
+          .map { d =>
+            val files = Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".tsv"))
+            InternalRow(UTF8String.fromString(d.getName),
+              files.length, files.map(_.length()).sum)
+          }
+        util.Collections.singletonList(FsKvResultScan(
+          StructType.fromDDL("partition STRING, n_files INT, n_bytes BIGINT"),
+          rows.toArray[InternalRow]): Scan).iterator()
+      }
+    }
+}
+
+/** Driver-local procedure result set. */
+case class FsKvResultScan(schema: StructType, rs: Array[InternalRow])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rs
 }
 
 private[v2] object FsKv {

@@ -247,6 +247,29 @@ class V2SourceSpec extends AnyFunSuite {
     assert(ns.sql("SELECT count(*) FROM t_cat.t2").head.getLong(0) == 0)
   }
 
+  test("fskv catalog: CALL partition_stats reports the layout; drop_partition result set") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
+    ns.conf.set("spark.sql.catalog.t_cat.warehouse", "target/tmp/kv_cat_spec3")
+    ns.sql("DROP TABLE IF EXISTS t_cat.t3")
+    ns.sql("CREATE TABLE t_cat.t3 (k BIGINT, grp STRING) USING kv " +
+      "PARTITIONED BY (grp)")
+    ns.range(0, 40)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp")
+      .createOrReplaceTempView("src_v3")
+    ns.sql("INSERT INTO t_cat.t3 SELECT k, grp FROM src_v3")
+    val stats = ns.sql("CALL t_cat.partition_stats('t3')").collect()
+    assert(stats.map(_.getString(0)).sorted.toSeq == Seq("grp=a", "grp=b"))
+    assert(stats.forall(r => r.getInt(1) >= 1 && r.getLong(2) > 0))
+    val dropped = ns.sql("CALL t_cat.drop_partition('t3', 'a')").collect()
+    assert(dropped.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("a", true)))
+    // dropping a missing partition reports dropped=false, no error
+    val again = ns.sql("CALL t_cat.drop_partition('t3', 'a')").collect()
+    assert(again.head.getBoolean(1) == false)
+    assert(ns.sql("SELECT count(*) FROM t_cat.t3").head.getLong(0) == 20)
+  }
+
   test("runtime filtering: dimension predicate prunes fact partitions in-flight") {
     import graft.sources.v2.PartitionedKvSource
     PartitionedKvSource.lastRuntimePruned = None
