@@ -170,7 +170,46 @@ object StreamBatch extends graft.QueryModule {
       .orderBy("o_custkey")
   }
 
+  /** Streaming STATE introspection [N] — Spark 4's `statestore` batch
+    * source: a real AvailableNow streaming aggregation runs against a
+    * checkpoint, then the checkpoint's state store is read back as a
+    * DataFrame (the debugging/observability surface for stateful
+    * streaming — "what does my state actually contain right now").
+    * The state rows must equal the batch aggregate of the same input —
+    * that equality IS the oracle, proving the state source reads what
+    * the stateful operator wrote. Buffer field names are engine-
+    * internal, so columns rebind positionally. */
+  private def stateReader(s: SparkSession, d: String): DataFrame = {
+    val src = "target/tmp/state_src"
+    val ckpt = "target/tmp/state_ckpt"
+    Seq(src, ckpt).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .write.parquet(src)
+    val q = s.readStream
+      .schema("user_id BIGINT, event_type STRING")
+      .parquet(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+      .writeStream
+      .format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.*"), col("value.*"))
+      .toDF("event_type", "n", "uid_sum")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_reader" -> stateReader,
     "stream_incremental_cdc" -> incrementalCdcMaintain,
     "stream_incremental_agg" -> incrementalMaintain,
     "stream_tumbling_agg" -> tumblingAgg,
@@ -204,6 +243,10 @@ object StreamBatch extends graft.QueryModule {
         |       CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mx
         |FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_state_reader" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', date_trunc('microseconds', ts)) AS w_start,
         |       event_type, count(*) AS n, round_even(sum(value), 2) AS sum_value
