@@ -317,7 +317,65 @@ object Retail extends graft.QueryModule {
       .orderBy("grp")
   }
 
+  // ---- multi-feature OLS: shared formula text, both engines ----
+  // Cramer's rule over the 3x3 normal equations; every matrix entry is
+  // an EXACT integer sum (decimal(38,0) / HUGEINT — 3-factor determinant
+  // products would blow past width 38, so determinants assemble in
+  // doubles from identical exact inputs). The formula STRINGS below are
+  // interpolated into BOTH the Spark selectExpr and the DuckDB oracle,
+  // so the IEEE evaluation order cannot drift between engines.
+  private val olsDet =
+    "(nn * (s11d * s22d - s12d * s12d) - sx1d * (sx1d * s22d - s12d * sx2d)" +
+      " + sx2d * (sx1d * s12d - s11d * sx2d))"
+  private val olsDet0 =
+    "(syd * (s11d * s22d - s12d * s12d) - sx1d * (s1yd * s22d - s12d * s2yd)" +
+      " + sx2d * (s1yd * s12d - s11d * s2yd))"
+  private val olsDet1 =
+    "(nn * (s1yd * s22d - s12d * s2yd) - syd * (sx1d * s22d - s12d * sx2d)" +
+      " + sx2d * (sx1d * s2yd - s1yd * sx2d))"
+  private val olsDet2 =
+    "(nn * (s11d * s2yd - s1yd * s12d) - sx1d * (sx1d * s2yd - s1yd * sx2d)" +
+      " + syd * (sx1d * s12d - s11d * sx2d))"
+  private val olsR2 =
+    "1.0 - (syyd - (b0 * syd + b1 * s1yd + b2 * s2yd))" +
+      " / (syyd - syd * syd / nn)"
+  private val olsDoubles = Seq("nn" -> "n", "sx1d" -> "sx1", "sx2d" -> "sx2",
+    "s11d" -> "s11", "s12d" -> "s12", "s22d" -> "s22", "syd" -> "sy",
+    "s1yd" -> "s1y", "s2yd" -> "s2y", "syyd" -> "syy")
+
+  /** Multivariate OLS [N] — price ~ quantity + discount-percent by the
+    * normal equations: ONE map-side-combinable hash agg collects the
+    * ten exact power sums, then Cramer's rule assembles β and R² on the
+    * 1-row result. The 100 TB shape for closed-form regression: the
+    * data is touched once, everything after is constant work. */
+  private def olsMulti(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val base = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("long").as("x1"),
+      (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("x2"),
+      expr("(cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint))" +
+        " div 100").as("y"))
+    val a = base.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("sx1"), sum(dec(col("x2"))).as("sx2"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    a.selectExpr("cast(n as bigint) as n" +:
+        olsDoubles.map { case (d2, src) => s"cast($src as double) as $d2" }: _*)
+      .selectExpr("n", "nn", "syd", "s1yd", "s2yd", "syyd",
+        s"$olsDet0 / $olsDet as b0",
+        s"$olsDet1 / $olsDet as b1",
+        s"$olsDet2 / $olsDet as b2")
+      .selectExpr("n", "b0", "b1", "b2", s"$olsR2 as r2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ols_multi" -> olsMulti,
     "stats_mad_outliers" -> madOutliers,
     "stats_spearman" -> spearman,
     "stats_mann_whitney" -> mannWhitney,
@@ -326,7 +384,43 @@ object Retail extends graft.QueryModule {
     "join_geo_radius" -> geoRadius,
     "stats_welch_ttest" -> welchTtest)
 
+  private def olsOracle: String = {
+    val dbls = olsDoubles
+      .map { case (d2, src) => s"CAST($src AS DOUBLE) AS $d2" }
+      .mkString(",\n|         ")
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+       |         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |           // 100 AS y
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x1 AS HUGEINT)) AS sx1,
+       |         sum(CAST(x2 AS HUGEINT)) AS sx2,
+       |         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+       |         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+       |         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+       |         sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+       |         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM base),
+       |v AS (
+       |  SELECT CAST(n AS BIGINT) AS n,
+       |         $dbls
+       |  FROM a),
+       |c AS (
+       |  SELECT n, nn, syd, s1yd, s2yd, syyd,
+       |         $olsDet0 / $olsDet AS b0,
+       |         $olsDet1 / $olsDet AS b1,
+       |         $olsDet2 / $olsDet AS b2
+       |  FROM v)
+       |SELECT n, b0, b1, b2, $olsR2 AS r2 FROM c""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "stats_ols_multi" -> olsOracle,
     "stats_mad_outliers" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS grp,
