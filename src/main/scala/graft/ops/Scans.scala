@@ -635,6 +635,33 @@ object Scans extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Read-path pushdown + the `_partition` metadata column on the
+    * catalog table [N]: equality on the partition column prunes whole
+    * directories at PLANNING time, column pruning narrows the reader to
+    * the requested fields, and `_partition` is served from the file
+    * layout (never parsed from data) — the Iceberg/Delta hidden-column
+    * surface. V2SourceSpec pins the pruned partition count. */
+  private def v2FskvPruned(s: SparkSession, d: String): DataFrame = {
+    val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
+      ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
+      ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        "target/tmp/kv_catalog")
+    }
+    Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
+    s2.sql("DROP TABLE IF EXISTS graft_cat.cust_q")
+    s2.sql(
+      """CREATE TABLE graft_cat.cust_q (
+        |  c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+        |USING kv PARTITIONED BY (c_mktsegment)""".stripMargin)
+    s2.sql(
+      """INSERT INTO graft_cat.cust_q
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer_dml_v""".stripMargin)
+    s2.sql(
+      """SELECT c_custkey, c_name, _partition FROM graft_cat.cust_q
+        |WHERE c_mktsegment = 'FURNITURE'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Runtime (execution-time) partition pruning on the V2 connector [N]:
     * the dimension's selective filter reaches the fact scan as an
     * `In(cat, ...)` runtime filter via `SupportsRuntimeFiltering`, and
@@ -661,6 +688,7 @@ object Scans extends graft.QueryModule {
     "src_v2_catalog_dml" -> v2CatalogDml,
     "src_v2_catalog_merge" -> v2CatalogMerge,
     "src_v2_catalog_call" -> v2CatalogCall,
+    "src_v2_fskv_pruned" -> v2FskvPruned,
     "src_v2_runtime_filter" -> v2RuntimeFilter,
     "src_v2_pushdown" -> v2EntityApi,
     "src_agg_pushdown" -> aggPushdownScan,
@@ -693,6 +721,11 @@ object Scans extends graft.QueryModule {
     "src_v2_catalog_call" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+    "src_v2_fskv_pruned" ->
+      """SELECT c_custkey, c_name,
+        |       'c_mktsegment=FURNITURE' AS _partition
+        |FROM customer WHERE c_mktsegment = 'FURNITURE'
         |ORDER BY c_custkey""".stripMargin,
     // the declarative end state of seed(2/3) -> UPDATE(%10=1) ->
     // MERGE(annotate %10=2, insert the missing third)

@@ -210,11 +210,24 @@ private[v2] object FsKv {
   }
   def partDirName(col: String, value: String): String =
     col + "=" + java.net.URLEncoder.encode(value, "UTF-8")
+
+  /** `<partCol> = literal` (either operand order) → the literal value. */
+  def partitionEquality(partCol: String, p: Predicate): Option[String] =
+    if (p.name() != "=") None
+    else p.children().toSeq match {
+      case Seq(r: NamedReference, l: org.apache.spark.sql.connector.expressions.Literal[_])
+          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
+        Some(l.value().toString)
+      case Seq(l: org.apache.spark.sql.connector.expressions.Literal[_], r: NamedReference)
+          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
+        Some(l.value().toString)
+      case _ => None
+    }
 }
 
 class FsKvTable(path: String, tableSchema: StructType, partCol: String)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft_fskv($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
@@ -222,20 +235,57 @@ class FsKvTable(path: String, tableSchema: StructType, partCol: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
+  /** `_partition` hidden column (the Iceberg/Delta metadata-column
+    * surface): the row's partition directory name, served from the file
+    * LAYOUT — the reader never parses it from data. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_partition"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def comment(): String = "partition directory of the row"
+    })
+
+  /** Read-path pushdown: COLUMN PRUNING (the reader materializes only
+    * requested fields, incl. the `_partition` metadata column) and
+    * PARTITION-FILTER pruning (equality on the partition column drops
+    * whole directories at planning time — the static twin of
+    * `src_v2_runtime_filter`). Non-partition predicates are returned to
+    * Spark unpushed and evaluate post-scan. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownV2Filters
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      private var pushed: Array[Predicate] = Array.empty
+      private var partValue: Option[String] = None
+
+      override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+        val (sup, unsup) = predicates.partition(p =>
+          FsKv.partitionEquality(partCol, p).isDefined)
+        pushed = sup
+        partValue = sup.headOption.flatMap(FsKv.partitionEquality(partCol, _))
+        unsup
+      }
+      override def pushedPredicates(): Array[Predicate] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = new Scan with Batch {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_fskv partValue=$partValue cols=" +
+            required.fields.map(_.name).mkString(",")
         override def planInputPartitions(): Array[InputPartition] = {
           val dirs = Option(new File(path).listFiles())
             .getOrElse(Array.empty).filter(_.isDirectory)
+            .filter(d => partValue.forall(v =>
+              d.getName == FsKv.partDirName(partCol, v)))
           dirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
             .filter(_.getName.endsWith(".tsv"))
             .map(f => FsKvFilePartition(f.getPath): InputPartition)
         }
         override def createReaderFactory(): PartitionReaderFactory =
-          new FsKvReaderFactory(tableSchema)
+          new FsKvReaderFactory(tableSchema, required)
       }
     }
 
@@ -280,16 +330,7 @@ class FsKvTable(path: String, tableSchema: StructType, partCol: String)
     }
 
   private def partitionValueOf(p: Predicate): Option[String] =
-    if (p.name() != "=") None
-    else p.children().toSeq match {
-      case Seq(r: NamedReference, l: org.apache.spark.sql.connector.expressions.Literal[_])
-          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
-        Some(l.value().toString)
-      case Seq(l: org.apache.spark.sql.connector.expressions.Literal[_], r: NamedReference)
-          if r.fieldNames().mkString(".").equalsIgnoreCase(partCol) =>
-        Some(l.value().toString)
-      case _ => None
-    }
+    FsKv.partitionEquality(partCol, p)
 }
 
 class FsKvRowLevelOperation(path: String, schema: StructType, partCol: String,
@@ -343,25 +384,36 @@ class FsKvRowLevelOperation(path: String, schema: StructType, partCol: String,
 
 case class FsKvFilePartition(file: String) extends InputPartition
 
-class FsKvReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class FsKvReaderFactory(tableSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  def this(tableSchema: StructType) = this(tableSchema, tableSchema)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val lines = java.nio.file.Files.readAllLines(
-      new File(p.asInstanceOf[FsKvFilePartition].file).toPath).iterator()
+    val file = new File(p.asInstanceOf[FsKvFilePartition].file)
+    // partition value served from the LAYOUT (dir name), never the data
+    val partitionName = file.getParentFile.getName
+    val lines = java.nio.file.Files.readAllLines(file.toPath).iterator()
+    // required field -> source index in the at-rest line (-1 = metadata)
+    val srcIdx = required.fields.map(f =>
+      if (f.name == "_partition") -1 else tableSchema.fieldIndex(f.name))
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!lines.hasNext) false
         else {
           val cells = lines.next().split("\t", -1).map(FsKv.unescape)
-          row = InternalRow.fromSeq(schema.fields.zipWithIndex.map {
-            case (f, i) =>
-              if (cells(i) == "\\N") null
-              else f.dataType match {
-                case LongType => cells(i).toLong
-                case StringType => UTF8String.fromString(cells(i))
+          row = InternalRow.fromSeq(required.fields.indices.map { j =>
+            if (srcIdx(j) == -1) UTF8String.fromString(partitionName)
+            else {
+              val c = cells(srcIdx(j))
+              if (c == "\\N") null
+              else required.fields(j).dataType match {
+                case LongType => c.toLong
+                case StringType => UTF8String.fromString(c)
                 case other =>
                   sys.error(s"graft FsKvCatalog: unsupported type $other")
               }
+            }
           }.toSeq)
           true
         }

@@ -270,6 +270,27 @@ class V2SourceSpec extends AnyFunSuite {
     assert(ns.sql("SELECT count(*) FROM t_cat.t3").head.getLong(0) == 20)
   }
 
+  test("fskv catalog: partition filter prunes dirs at planning; _partition from layout") {
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
+    ns.conf.set("spark.sql.catalog.t_cat.warehouse", "target/tmp/kv_cat_spec4")
+    ns.sql("DROP TABLE IF EXISTS t_cat.t4")
+    ns.sql("CREATE TABLE t_cat.t4 (k BIGINT, grp STRING) USING kv " +
+      "PARTITIONED BY (grp)")
+    ns.range(0, 90)
+      .selectExpr("id AS k", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS grp")
+      .createOrReplaceTempView("src_v4")
+    ns.sql("INSERT INTO t_cat.t4 SELECT k, grp FROM src_v4")
+    val all = ns.sql("SELECT k FROM t_cat.t4")
+    val pruned = ns.sql("SELECT k, _partition FROM t_cat.t4 WHERE grp = 'b'")
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "partition equality must prune input partitions at planning time")
+    val rows = pruned.collect()
+    assert(rows.map(_.getLong(0)).forall(_ % 3 == 1))
+    assert(rows.map(_.getString(1)).distinct.toSeq == Seq("grp=b"),
+      "_partition must come from the directory layout")
+  }
+
   test("runtime filtering: dimension predicate prunes fact partitions in-flight") {
     import graft.sources.v2.PartitionedKvSource
     PartitionedKvSource.lastRuntimePruned = None
