@@ -1,0 +1,336 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Model-evaluation analytics [N] — the metrics a training-data /
+  * model-eval warehouse computes over scored examples: ROC AUC,
+  * thresholded confusion matrices, NDCG@k ranking quality, calibration
+  * (reliability) bins, and inter-annotator agreement (Cohen's kappa).
+  * No reference anchor (the reference pipeline has no analytics
+  * engine); warehouse-parity rows per BASELINE.json's mandate, nearest
+  * SURVEY anchors §2.C and the §L stats battery.
+  *
+  * Scores/labels are DERIVED deterministically from the TPC-H columns
+  * (price bins, status flags, md5 coins) so every metric is a pure
+  * function of the testdata — the established synthesis discipline
+  * (`stats_welch_ttest`, `text_split_assign`).
+  *
+  * Float discipline (graft-verify-protocol): every statistic is
+  * assembled from EXACT integer/decimal aggregates with the IEEE
+  * operation order mirrored token-for-token in the DuckDB oracle;
+  * transcendental discounts (NDCG's 1/log2(i+1)) are pinned 6dp
+  * DECIMAL LITERALS in both engines (the `text_logprob` acceptance —
+  * never computed at runtime where libm rounding could diverge). */
+object Evaluation extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+  private def dec(c: Column): Column = c.cast("decimal(19,0)")
+
+  /** Exact ROC AUC per segment [N] — via the rank-sum identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with tie-aware AVERAGE ranks
+    * (the Mann-Whitney machinery re-used for the classifier-eval
+    * quantity). Scores bin to exact $1000 BIGINT units (declared
+    * semantics, mirrored by the oracle), so ranks live in DOUBLED
+    * integers (ties average two integers — doubling keeps every rank
+    * exact; `stats_spearman`'s trick) and the whole statistic is ONE
+    * IEEE division of exact integer aggregates.
+    *
+    * Scale shape: one hash agg into the (priority × $1000-bin) cell
+    * domain (map-side combine), rank windows over cell MARGINS only
+    * (bounded domain — the `win_skyline` class), never a window over
+    * raw rows. */
+  private def aucRank(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val cells = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        col("o_orderstatus"), cents.as("cents"))
+      .select(col("g"), expr("cents div 100000").as("v"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+      // doubled average rank of the tie-block at score bin v
+      .withColumn("t", col("before") * 2 + col("n") + 1)
+      .groupBy(col("g"))
+      .agg(sum(dec(col("np")) * dec(col("t"))).as("s2"),
+        sum(col("np")).as("npos"),
+        sum(col("n") - col("np")).as("nneg"))
+      .filter(col("npos") > 0 && col("nneg") > 0)
+      // doubled ranks: AUC = (S₂ − n⁺(n⁺+1)) / (2·n⁺·n⁻); denominator
+      // assembled in doubles (2.0·n⁺·n⁻, mirrored order) so no decimal
+      // width crosses 38 on either engine
+      .select(col("g"), col("npos"), col("nneg"),
+        (dd(col("s2") - dec(col("npos")) * dec(col("npos") + 1)) /
+          (lit(2.0) * dd(col("npos")) * dd(col("nneg")))).as("auc"))
+      .orderBy("g")
+  }
+
+  /** Thresholded confusion matrix + precision/recall/F1 per segment
+    * [N]: predicted positive = price ≥ $150k (exact cents compare),
+    * actual = order fulfilled. One conditional hash agg (map-side
+    * combine); P/R/F1 are IEEE divisions of exact counts, zero
+    * denominators guarded by mirrored CASE. */
+  private def confusion(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val agg = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        (cents >= 15000000L).as("pred"),
+        (col("o_orderstatus") === "F").as("act"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("pred") && col("act"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("act"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("act"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("act"), 1L).otherwise(0L)).as("tn"))
+    val p = when(col("tp") + col("fp") > 0,
+      dd(col("tp")) / dd(col("tp") + col("fp")))
+    val r = when(col("tp") + col("fn") > 0,
+      dd(col("tp")) / dd(col("tp") + col("fn")))
+    agg
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .select(col("g"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision"), col("recall"),
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).as("f1"))
+      .orderBy("g")
+  }
+
+  /** NDCG@10 per query [N] — ranking quality of the price-ordered list
+    * against md5-derived relevance grades (0..3). Gains 2^rel − 1 are
+    * exact integers; positional discounts 1/log2(i+1) are pinned 6dp
+    * decimal literals (identical in the oracle — log2 is never
+    * evaluated at runtime), so DCG/IDCG are exact decimal sums and
+    * NDCG is ONE IEEE division.
+    *
+    * Scale shape: two per-query top-10 ranking windows (the
+    * `win_rank_topk` TakeOrdered class — partitions are independent at
+    * any scale) over ~200 query groups, then a query-domain hash agg. */
+  private def ndcgAt10(s: SparkSession, d: String): DataFrame = {
+    // position → pinned 6dp discount, positions 1..10
+    val discounts = Seq("1.000000", "0.630930", "0.500000", "0.430677",
+      "0.386853", "0.356207", "0.333333", "0.315465", "0.301030", "0.289065")
+    val discCol = expr(
+      s"element_at(array(${discounts.map(x => s"CAST($x AS DECIMAL(8,6))").mkString(",")}), pos)")
+    val base = Tables.orders(s, d)
+      .select(pmod(col("o_custkey"), lit(200)).as("qid"),
+        col("o_orderkey").as("doc"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("score"),
+        (conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":rel"))),
+          1, 1), 16, 10).cast("int") % 4).as("rel"))
+    // gain 2^rel − 1 over rel ∈ {0..3}: exact BIGINT lookup
+    val gain = expr("element_at(array(0L, 1L, 3L, 7L), rel + 1)").as("gain")
+    val wSys = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc"))
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc"))
+    def dcgOf(ranked: DataFrame): DataFrame = ranked
+      .filter(col("pos") <= 10)
+      .select(col("qid"),
+        (dec(col("gain")).cast("decimal(19,6)") * discCol).as("c"))
+      .groupBy(col("qid")).agg(sum(col("c")).as("dcg"))
+    val sys = dcgOf(base.select(col("qid"), gain,
+      row_number().over(wSys).as("pos")))
+    val ideal = dcgOf(base.select(col("qid"), gain,
+      row_number().over(wIdeal).as("pos")))
+      .withColumnRenamed("dcg", "idcg")
+    sys.join(ideal, "qid")
+      .select(col("qid"), dd(col("dcg")).as("dcg"), dd(col("idcg")).as("idcg"),
+        when(col("idcg") > 0, dd(col("dcg")) / dd(col("idcg")))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** Calibration (reliability) bins [N]: predicted probability
+    * p = min(cents, 6e7)/6e7 against observed fulfillment rate, in 10
+    * equal-width probability bins. One hash agg into the 10-bin
+    * domain; mean-predicted and observed rates are each ONE IEEE
+    * division of exact BIGINT sums (numerators stay < 2⁵³ far past
+    * sf 100; decimal(38,0) would be the next stop). */
+  private def calibration(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    Tables.orders(s, d)
+      .select(least(cents, lit(60000000L)).as("pc"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(expr("least(pc, 59999999) div 6000000").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pc")).as("sp"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .select(col("bin"), col("n"),
+        (dd(col("sp")) / (dd(col("n")) * lit(6.0e7))).as("mean_pred"),
+        (dd(col("npos")) / dd(col("n"))).as("observed"))
+      .withColumn("gap", col("observed") - col("mean_pred"))
+      .orderBy("bin")
+  }
+
+  /** Cohen's kappa per order-year [N] — chance-corrected agreement
+    * between two derived annotators (A: priority rule, B: price rule).
+    * One conditional hash agg into the 7-year domain; po/pe/kappa are
+    * IEEE arithmetic over exact BIGINT counts and products (mirrored
+    * order; products < 2⁵³ far past sf 100). */
+  private def cohensKappa(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val agg = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("a"),
+        (cents >= 15000000L).as("b"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val po = dd(col("n11") + col("n00")) / dd(n)
+    val pe = dd((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))) /
+      (dd(n) * dd(n))
+    agg
+      .withColumn("po", po)
+      .withColumn("pe", pe)
+      .select(col("yr"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+      .orderBy("yr")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc" -> aucRank,
+    "eval_confusion" -> confusion,
+    "eval_ndcg" -> ndcgAt10,
+    "eval_calibration" -> calibration,
+    "stats_cohens_kappa" -> cohensKappa)
+
+  val oracles: Map[String, String] = Map(
+    "eval_auc" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS g,
+        |         (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100000 AS v,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT g, v, np, n,
+        |         coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM cells),
+        |sums AS (
+        |  SELECT g,
+        |         sum(CAST(np AS DECIMAL(19,0)) *
+        |             CAST(before * 2 + n + 1 AS DECIMAL(19,0))) AS s2,
+        |         CAST(sum(np) AS BIGINT) AS npos,
+        |         CAST(sum(n - np) AS BIGINT) AS nneg
+        |  FROM ranked GROUP BY g)
+        |SELECT g, npos, nneg,
+        |       CAST(s2 - CAST(npos AS DECIMAL(19,0)) * CAST(npos + 1 AS DECIMAL(19,0)) AS DOUBLE)
+        |         / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
+        |FROM sums WHERE npos > 0 AND nneg > 0 ORDER BY g""".stripMargin,
+    "eval_confusion" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority AS g,
+        |    sum(CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) >= 15000000
+        |              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) >= 15000000
+        |              AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) < 15000000
+        |              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fn,
+        |    sum(CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) < 15000000
+        |              AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS tn
+        |  FROM orders GROUP BY 1),
+        |pr AS (
+        |  SELECT g, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |         CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |  FROM agg)
+        |SELECT g, tp, fp, fn, tn, precision, recall,
+        |  CASE WHEN precision + recall > 0
+        |       THEN 2.0 * precision * recall / (precision + recall) END AS f1
+        |FROM pr ORDER BY g""".stripMargin,
+    "eval_ndcg" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 200 AS qid, o_orderkey AS doc,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(CAST(o_orderkey AS VARCHAR) || ':rel'), 1, 1)) - 1) % 4 AS rel
+        |  FROM orders),
+        |disc AS (
+        |  SELECT * FROM (VALUES
+        |    (1, CAST(1.000000 AS DECIMAL(8,6))), (2, CAST(0.630930 AS DECIMAL(8,6))),
+        |    (3, CAST(0.500000 AS DECIMAL(8,6))), (4, CAST(0.430677 AS DECIMAL(8,6))),
+        |    (5, CAST(0.386853 AS DECIMAL(8,6))), (6, CAST(0.356207 AS DECIMAL(8,6))),
+        |    (7, CAST(0.333333 AS DECIMAL(8,6))), (8, CAST(0.315465 AS DECIMAL(8,6))),
+        |    (9, CAST(0.301030 AS DECIMAL(8,6))), (10, CAST(0.289065 AS DECIMAL(8,6)))
+        |  ) t(pos, d)),
+        |sys AS (
+        |  SELECT qid, sum(CAST(CAST((1 << rel) - 1 AS DECIMAL(19,0)) AS DECIMAL(19,6)) * d) AS dcg
+        |  FROM (SELECT qid, rel,
+        |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS pos
+        |        FROM base) r JOIN disc USING (pos)
+        |  WHERE pos <= 10 GROUP BY qid),
+        |ideal AS (
+        |  SELECT qid, sum(CAST(CAST((1 << rel) - 1 AS DECIMAL(19,0)) AS DECIMAL(19,6)) * d) AS idcg
+        |  FROM (SELECT qid, rel,
+        |          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc) AS pos
+        |        FROM base) r JOIN disc USING (pos)
+        |  WHERE pos <= 10 GROUP BY qid)
+        |SELECT qid, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+        |       CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+        |            ELSE 0.0 END AS ndcg
+        |FROM sys JOIN ideal USING (qid) ORDER BY qid""".stripMargin,
+    "eval_calibration" ->
+      """WITH b AS (
+        |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 60000000) AS pc,
+        |         o_orderstatus = 'F' AS pos
+        |  FROM orders),
+        |agg AS (
+        |  SELECT least(pc, 59999999) // 6000000 AS bin, count(*) AS n,
+        |         sum(pc) AS sp,
+        |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n,
+        |       CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7) AS mean_pred,
+        |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+        |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7) AS gap
+        |FROM agg ORDER BY bin""".stripMargin,
+    "stats_cohens_kappa" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |              AND (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) >= 15000000
+        |             THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |              AND (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) < 15000000
+        |             THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |              AND (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) >= 15000000
+        |             THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |              AND (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) < 15000000
+        |             THEN 1 ELSE 0 END) AS n00
+        |  FROM orders GROUP BY 1),
+        |k AS (
+        |  SELECT yr, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |         CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |    CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+        |    CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+        |         * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe
+        |  FROM agg)
+        |SELECT yr, n11, n10, n01, n00, po, pe,
+        |       CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+        |FROM k ORDER BY yr""".stripMargin)
+}

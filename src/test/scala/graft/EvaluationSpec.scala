@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the model-evaluation and preference-
+  * analytics families (`ops.Evaluation`, `ops.Preference`) — the
+  * cross-engine hash equality lives in the driver's oracle gate;
+  * here we pin the METRIC laws the synthesized data must satisfy. */
+class EvaluationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("eval_auc: every segment AUC is a proper probability") {
+    val rows = SparkEntry.queries("eval_auc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc > 0.0 && auc < 1.0, s"AUC out of range: $r")
+      assert(r.getAs[Long]("npos") > 0 && r.getAs[Long]("nneg") > 0)
+    }
+  }
+
+  test("eval_confusion: counts partition the segment; F1 between min and max of P/R") {
+    val byPriority = graft.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("eval_confusion")(spark, sf).collect().foreach { r =>
+      val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn")
+      assert(total == byPriority(r.getAs[String]("g")))
+      val p = r.getAs[Double]("precision")
+      val rc = r.getAs[Double]("recall")
+      val f1 = r.getAs[Double]("f1")
+      assert(f1 >= math.min(p, rc) - 1e-12 && f1 <= math.max(p, rc) + 1e-12,
+        s"F1 not between P and R: $r")
+    }
+  }
+
+  test("eval_ndcg: system DCG never exceeds ideal DCG; NDCG in [0,1]") {
+    val rows = SparkEntry.queries("eval_ndcg")(spark, sf).collect()
+    assert(rows.length == 200) // one row per query bucket
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dcg") <= r.getAs[Double]("idcg") + 1e-12, r.toString)
+      val n = r.getAs[Double]("ndcg")
+      assert(n >= 0.0 && n <= 1.0 + 1e-12, r.toString)
+    }
+  }
+
+  test("eval_calibration: bins cover all orders; rates are probabilities") {
+    val rows = SparkEntry.queries("eval_calibration")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_pred") >= 0.0 && r.getAs[Double]("mean_pred") <= 1.0)
+      assert(r.getAs[Double]("observed") >= 0.0 && r.getAs[Double]("observed") <= 1.0)
+    }
+  }
+
+  test("stats_cohens_kappa: kappa within [-1, 1] for every year") {
+    val rows = SparkEntry.queries("stats_cohens_kappa")(spark, sf).collect()
+    assert(rows.length == 7) // o_orderdate spans 1992..1998
+    rows.foreach { r =>
+      val k = r.getAs[Double]("kappa")
+      assert(k >= -1.0 && k <= 1.0, r.toString)
+    }
+  }
+
+  test("pref_winrate: the lower-indexed (weaker) model loses every pairing") {
+    val rows = SparkEntry.queries("pref_winrate")(spark, sf).collect()
+    assert(rows.length == 6) // C(4,2) unordered pairs
+    rows.foreach { r =>
+      assert(r.getAs[Double]("winrate_1") < 0.5,
+        s"weaker model should lose the majority: $r")
+    }
+  }
+
+  test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
+    val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
+    assert(rows.length == 4)
+    val s = rows.sortBy(_.getAs[Long]("model")).map(_.getAs[Double]("strength"))
+    assert(s.sliding(2).forall(w => w(0) < w(1)),
+      s"strengths must increase with the planted model index: ${s.toSeq}")
+    // each normalization re-pins at 12dp, so the sum is 1 ± 4 ulp-ish
+    assert(math.abs(s.sum - 1.0) < 1e-9, s"strengths should normalize: ${s.sum}")
+  }
+}

@@ -45,6 +45,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "aggregates are checkpointed; the final normalize stays lazy)"),
     "graph_modularity" -> "1-row edge-count crossJoin at the root",
     "text_dsir_weights" -> "1-row corpus-total crossJoin")
+  // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
+  // round, but each round ends in a localCheckpoint, so the declared plan
+  // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
   // text_bpe_train / sim_search_mmr also use 1-row best-pick crossJoins,
   // but those run during per-round localCheckpoint materialization — the
   // final plans the sweep sees are clean, like emb_pca_*.
