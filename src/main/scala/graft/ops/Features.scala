@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Feature-engineering and distribution-drift operators [N] — the
+  * supervised-ML data-prep family a training warehouse runs before any
+  * model sees the data: smoothed target encoding, weight-of-evidence /
+  * information value, per-group min-max scaling, equal-frequency
+  * bucketing, and the population stability index (PSI) drift monitor.
+  * No reference anchor; warehouse-parity rows per BASELINE.json's
+  * mandate, nearest SURVEY anchors §2.C and the §L stats battery.
+  *
+  * Float discipline: ratios assemble from exact integer aggregates in
+  * mirrored IEEE order; every `ln` is pinned at 6dp the moment it is
+  * computed (`bround(log x, 6)` ↔ `round_even(ln x, 6)` — the
+  * `text_logprob` acceptance), and PSI's per-bin contributions re-pin
+  * at 12dp and sum as decimal(24,12) so the total is order-invariant
+  * (the `graph_pagerank` discipline). */
+object Features extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  private def orderCents: Column =
+    (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+
+  /** Smoothed target (mean) encoding [N] — per priority category, the
+    * Bayesian-smoothed positive rate enc = (pos + m·prior)/(n + m)
+    * with m = 100 and the global prior from a 1-row broadcast. One
+    * conditional hash agg into the 5-category domain; enc is IEEE
+    * arithmetic over exact counts in mirrored order. */
+  private def targetEncode(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("category"),
+        (col("o_orderstatus") === "F").as("y"))
+    val g = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val tot = base.agg(count(lit(1)).as("nt"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("post"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("prior", dd(col("post")) / dd(col("nt")))
+      .select(col("category"), col("n"), col("pos"), col("prior"),
+        ((dd(col("pos")) + lit(100.0) * col("prior")) /
+          (dd(col("n")) + lit(100.0))).as("enc"))
+      .orderBy("category")
+  }
+
+  /** Weight of evidence + information value terms [N] — per category,
+    * woe = ln((pos_i/POS)/(neg_i/NEG)) pinned at 6dp, and the IV
+    * contribution (pos_i/POS − neg_i/NEG)·woe. The credit-scoring
+    * feature screen; same 7-category domain agg as target encoding. */
+  private def woeIv(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("category"),
+        (col("o_orderstatus") === "F").as("y"))
+    val g = base.groupBy(col("category"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("neg"))
+    val tot = base.agg(sum(when(col("y"), 1L).otherwise(0L)).as("post"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("negt"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("p", dd(col("pos")) / dd(col("post")))
+      .withColumn("q", dd(col("neg")) / dd(col("negt")))
+      .withColumn("woe", bround(log(col("p") / col("q")), 6))
+      .select(col("category"), col("pos"), col("neg"), col("woe"),
+        ((col("p") - col("q")) * col("woe")).as("iv_term"))
+      .orderBy("category")
+  }
+
+  /** Per-group min-max scaling [N] — each order's price rescaled to
+    * [0,1] within its priority group, on exact cents. One domain agg +
+    * broadcast join + pure projection (zero extra shuffles at any
+    * scale); the scale is ONE IEEE division of exact integer spans. */
+  private def minmaxScale(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+        orderCents.as("cents"))
+    val ranges = base.groupBy(col("g"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    base.join(broadcast(ranges), "g")
+      .filter(col("hi") > col("lo"))
+      .select(col("o_orderkey"), col("g"),
+        (dd(col("cents") - col("lo")) / dd(col("hi") - col("lo")))
+          .as("scaled"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Equal-frequency (quartile) bucketing [N] at $100 granularity:
+    * every $100 price bin is assigned the quartile its cumulative
+    * position falls in — the declared tie semantics (all rows of a bin
+    * share a bucket). Cumulative counts run over the BOUNDED bin
+    * domain (the `win_skyline` class), never over raw rows. */
+  private def quantileBucket(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = Tables.orders(s, d)
+      .groupBy(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 10000"
+      ).as("v"))
+      .agg(count(lit(1)).as("n"))
+    val tot = bins.agg(sum(col("n")).as("nt"))
+    bins
+      .withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n"),
+        least(lit(3L), expr("(before * 4) div nt")).as("bucket"))
+      .orderBy("v")
+  }
+
+  /** Population stability index [N] — the model-monitoring drift
+    * metric between open ('O') and fulfilled ('F') order prices over
+    * $10k bins (coarse on purpose: PSI's add-one smoothing must stay
+    * a small correction, which needs bins ≫ 1 expected count — at
+    * $100 granularity the smoothing mass dominates the statistic):
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i). Each bin's ln is pinned at 6dp,
+    * each contribution re-pins at 12dp and sums as decimal(24,12) —
+    * the total is order-invariant, one final 6dp rounding. One hash
+    * agg into the bin domain; bin count B is a 1-row broadcast. */
+  private def psi(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 1000000"
+      ).as("v"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
+    val tot = cells.agg(count(lit(1)).as("b"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("p", dd(col("c1") + 1) / dd(col("n1") + col("b")))
+      .withColumn("q", dd(col("c2") + 1) / dd(col("n2") + col("b")))
+      .select(bround((col("p") - col("q")) * bround(log(col("p") / col("q")), 6), 12)
+        .cast("decimal(24,12)").as("t"))
+      .agg(bround(dd(sum(col("t"))), 6).as("psi"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_target_encode" -> targetEncode,
+    "feat_woe_iv" -> woeIv,
+    "feat_minmax_scale" -> minmaxScale,
+    "feat_quantile_bucket" -> quantileBucket,
+    "stats_psi" -> psi)
+
+  val oracles: Map[String, String] = Map(
+    "feat_target_encode" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS category, count(*) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS post
+        |  FROM orders)
+        |SELECT category, n, pos,
+        |       CAST(post AS DOUBLE) / CAST(nt AS DOUBLE) AS prior,
+        |       (CAST(pos AS DOUBLE) + 100.0 * (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)))
+        |         / (CAST(n AS DOUBLE) + 100.0) AS enc
+        |FROM g, tot ORDER BY category""".stripMargin,
+    "feat_woe_iv" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS category,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS post,
+        |         CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS negt
+        |  FROM orders),
+        |r AS (
+        |  SELECT category, pos, neg,
+        |         CAST(pos AS DOUBLE) / CAST(post AS DOUBLE) AS p,
+        |         CAST(neg AS DOUBLE) / CAST(negt AS DOUBLE) AS q
+        |  FROM g, tot)
+        |SELECT category, pos, neg,
+        |       round_even(ln(p / q), 6) AS woe,
+        |       (p - q) * round_even(ln(p / q), 6) AS iv_term
+        |FROM r ORDER BY category""".stripMargin,
+    "feat_minmax_scale" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority AS g,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |ranges AS (
+        |  SELECT g, min(cents) AS lo, max(cents) AS hi FROM base GROUP BY g)
+        |SELECT b.o_orderkey, b.g,
+        |       CAST(b.cents - r.lo AS DOUBLE) / CAST(r.hi - r.lo AS DOUBLE) AS scaled
+        |FROM base b JOIN ranges r USING (g)
+        |WHERE r.hi > r.lo ORDER BY o_orderkey""".stripMargin,
+    "feat_quantile_bucket" ->
+      """WITH bins AS (
+        |  SELECT (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 10000 AS v,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
+        |c AS (
+        |  SELECT v, n,
+        |         coalesce(sum(n) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM bins)
+        |SELECT v, n, CAST(least(3, (before * 4) // nt) AS BIGINT) AS bucket
+        |FROM c, tot ORDER BY v""".stripMargin,
+    "stats_psi" ->
+      """WITH cells AS (
+        |  SELECT (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 1000000 AS v,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+        |  FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS b,
+        |         CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM cells),
+        |terms AS (
+        |  SELECT CAST(round_even(
+        |           (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + b AS DOUBLE)
+        |            - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + b AS DOUBLE))
+        |           * round_even(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + b AS DOUBLE))
+        |                           / (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + b AS DOUBLE))), 6),
+        |           12) AS DECIMAL(24,12)) AS t
+        |  FROM cells, tot)
+        |SELECT round_even(CAST(sum(t) AS DOUBLE), 6) AS psi FROM terms""".stripMargin)
+}

@@ -44,7 +44,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "graph_hits" -> ("1-row max-score normalization crossJoins (the raw " +
       "aggregates are checkpointed; the final normalize stays lazy)"),
     "graph_modularity" -> "1-row edge-count crossJoin at the root",
-    "text_dsir_weights" -> "1-row corpus-total crossJoin")
+    "text_dsir_weights" -> "1-row corpus-total crossJoin",
+    "feat_target_encode" -> "1-row global-prior crossJoin",
+    "feat_woe_iv" -> "1-row class-totals crossJoin",
+    "feat_quantile_bucket" -> "1-row row-total crossJoin over the bin domain",
+    "stats_psi" -> "1-row bin/population-totals crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
