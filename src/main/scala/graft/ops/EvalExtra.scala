@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second evaluation/semantics batch [N]: average precision (PR-AUC),
+  * true null-aware NOT IN anti-join semantics, a corpus bigram
+  * language-model quality score, and l-diversity — rounding out the
+  * eval, join-semantics, privacy, and text-quality families. */
+object EvalExtra extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** Average precision (the PR-AUC summary) per segment [N] — block-
+    * tie definition over the bounded $1000 score-bin domain: bins are
+    * visited in DESCENDING score order; a bin contributes
+    * (pos_in_bin / total_pos) · (cumTP / cumN), i.e. recall gained
+    * times precision at the block end — the deterministic tie
+    * handling a bounded-bin AP needs (row-level AP is ill-defined
+    * under ties). Each term re-pins at 12dp and sums as
+    * decimal(24,12) (order-invariant); cum counts are exact window
+    * sums over the bin domain, never raw rows. */
+  private def averagePrecision(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val cells = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        col("o_orderstatus"), cents.as("cents"))
+      .select(col("g"), expr("cents div 100000").as("v"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("g"))
+    cells
+      .withColumn("ctp", sum(col("np")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("ptot", sum(col("np")).over(wtot))
+      .filter(col("ptot") > 0)
+      .select(col("g"), col("ptot"),
+        bround((dd(col("np")) / dd(col("ptot"))) *
+          (dd(col("ctp")) / dd(col("cn"))), 12)
+          .cast("decimal(24,12)").as("t"))
+      .groupBy(col("g"))
+      .agg(max(col("ptot")).as("npos"),
+        bround(dd(sum(col("t"))), 6).as("avg_precision"))
+      .orderBy("g")
+  }
+
+  /** True NOT IN (null-aware anti join) semantics [N]: customers whose
+    * possibly-NULL key is NOT IN a non-empty subquery list. NULL probe
+    * keys are dropped (NULL NOT IN (...) is never TRUE) — the exact
+    * SQL semantics a plain left_anti rewrite gets wrong (the Q16
+    * precondition, here exercised rather than assumed). Declared
+    * through `spark.sql` so Catalyst plans its single-column
+    * null-aware anti join (broadcast-able at any corpus scale: the
+    * list side is dimension-bounded). */
+  private def nullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_naaj_customer")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_naaj_supplier")
+    s.sql(
+      """SELECT c_custkey, c_nationkey
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             nullif(c_nationkey, 5) AS k
+        |      FROM graft_naaj_customer)
+        |WHERE k NOT IN (SELECT s_nationkey FROM graft_naaj_supplier
+        |                WHERE s_nationkey < 10)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Corpus bigram language model score [N] (the CCNet-style LM
+    * quality filter, one level up from `text_logprob`'s unigram):
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V) with add-one smoothing
+    * over the observed vocabulary V; each conditional log prob pins
+    * at 6dp, the per-doc mean rounds at 4dp (the `text_logprob`
+    * acceptance). Scale shape: one explode into adjacent pairs, one
+    * equi-join against the bigram count relation (vocabulary-scale,
+    * not corpus-scale), unigram totals and V as broadcasts. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // guard: Spark's sequence(1, 0) counts DOWN, so a 1-word doc
+      // would fabricate a pair — DuckDB's generate_series is empty there
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+      )).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        bround(log(dd(col("cb") + 1) / dd(col("cu") + col("v"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        bround(sum(col("lp")) / count(lit(1)), 4).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** l-diversity audit [N] — the companion to `quality_k_anonymity`:
+    * per quasi-identifier group (segment × nation), the number of
+    * DISTINCT sensitive values (account-balance $100 bins); groups
+    * with fewer than l = 3 distinct values are flagged (a k-anonymous
+    * group can still leak if every member shares the sensitive
+    * value). One distinct-agg into the bounded group domain. */
+  private def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val l = 3L
+    Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nation"),
+        expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)) div 10000")
+          .as("sens"))
+      .groupBy(col("seg"), col("nation"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sens")).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= l)
+      .orderBy("seg", "nation")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_avg_precision" -> averagePrecision,
+    "join_null_aware_anti" -> nullAwareAnti,
+    "text_bigram_lm" -> bigramLm,
+    "quality_l_diversity" -> lDiversity)
+
+  val oracles: Map[String, String] = Map(
+    "eval_avg_precision" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS g,
+        |         (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100000 AS v,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, np,
+        |         sum(np) OVER (PARTITION BY g ORDER BY v DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+        |         sum(n) OVER (PARTITION BY g ORDER BY v DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |         sum(np) OVER (PARTITION BY g) AS ptot
+        |  FROM cells),
+        |t AS (
+        |  SELECT g, CAST(ptot AS BIGINT) AS ptot,
+        |         CAST(round_even((CAST(np AS DOUBLE) / CAST(ptot AS DOUBLE))
+        |                * (CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE)), 12)
+        |              AS DECIMAL(24,12)) AS t
+        |  FROM r WHERE ptot > 0)
+        |SELECT g, max(ptot) AS npos,
+        |       round_even(CAST(sum(t) AS DOUBLE), 6) AS avg_precision
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
+    "join_null_aware_anti" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             nullif(c_nationkey, 5) AS k
+        |      FROM customer)
+        |WHERE k NOT IN (SELECT s_nationkey FROM supplier
+        |                WHERE s_nationkey < 10)
+        |ORDER BY c_custkey""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT w) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |       round_even(sum(round_even(ln(CAST(b.cb + 1 AS DOUBLE)
+        |                 / CAST(u.cu + vocab.v AS DOUBLE)), 6)) / count(*), 4) AS mean_lp
+        |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1), vocab
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "quality_l_diversity" ->
+      """SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nation,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) // 10000) AS BIGINT) AS l_distinct,
+        |       count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) // 10000) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY seg, nation""".stripMargin)
+}

@@ -48,7 +48,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "feat_target_encode" -> "1-row global-prior crossJoin",
     "feat_woe_iv" -> "1-row class-totals crossJoin",
     "feat_quantile_bucket" -> "1-row row-total crossJoin over the bin domain",
-    "stats_psi" -> "1-row bin/population-totals crossJoin")
+    "stats_psi" -> "1-row bin/population-totals crossJoin",
+    "text_bigram_lm" -> "1-row vocabulary-size crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

@@ -189,4 +189,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("graft_session_id") || p.contains("sessionid"),
       s"native window function not in plan:\n$p")
   }
+
+  test("join_null_aware_anti: Catalyst plans the NULL-aware single-column anti join") {
+    val p = plan("join_null_aware_anti")
+    // NOT IN must become BroadcastHashJoin LeftAnti with the
+    // isNullAwareAntiJoin flag (the trailing `true`), NOT a
+    // BroadcastNestedLoopJoin — the nested-loop fallback re-scans the
+    // list per row and is the 100x-scale failure mode of NOT IN
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"null-aware anti join flag missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to a nested loop:\n$p")
+  }
 }
