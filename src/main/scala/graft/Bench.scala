@@ -36,7 +36,6 @@ object Bench {
     "sink_commit_partitions", // dynamic partition overwrite publish
     "src_dpp_pruned",       // dynamic partition pruning
     "win_rank_topk",        // ranking window (TakeOrderedAndProject inside)
-    "win_rolling_frame",    // rows-frame window
     "win_skyline",          // domain-sized Pareto frontier
     "setop_except",         // set op
     "stmt_pivot_wide",      // pivot
@@ -48,13 +47,14 @@ object Bench {
     "agg_q9_profit",        // TPC-H Q9 5-way profit rollup (r7)
     "agg_q17_small_qty",    // TPC-H Q17 decorrelated agg-in-predicate (r7)
     "quality_checks",       // fused expectation scan + FK anti-join
-    "merge_upsert",         // full-outer MERGE shape
     "agg_incremental",      // incremental agg maintenance
     "agg_incremental_cdc",  // retraction (I/U/D) view maintenance (r7)
     "text_pack_shards",     // 64-way bounded-shard packing
     "text_decontaminate",   // zero-shuffle 3-gram scan
     "text_tfidf",           // text analysis
-    "dedup_keep_best",      // map-side representative selection
+    "text_bigram_lm",       // bigram-LM quality scoring (r8)
+    "eval_auc",             // rank-statistic ROC AUC (r8)
+    "pref_bradley_terry",   // pinned MM preference fit (r8)
     "dedup_clusters",       // iterative min-label connected components
     "dedup_minhash",        // LSH band join
     "dedup_simhash",
