@@ -128,11 +128,83 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("seg", "nation")
   }
 
+  /** Kaplan-Meier survival estimator [N] — fulfillment "survival" per
+    * ship-delay day: subjects are lineitems, survival time is the
+    * order→ship gap in days, a death is a fulfilled line ('F'), other
+    * lines censor at their gap. Per day t: at-risk n_t = N − Σ_{u<t}
+    * (deaths+censored), hazard factor 1 − d_t/n_t pinned at 12dp, and
+    * S(t) = Π factors via the repo's `graft_product` window aggregate
+    * over the CALENDAR-BOUNDED day domain (DuckDB's `product()` window
+    * mirrors the strict ordered fold — the `fin_compound_return`
+    * acceptance). One orders⋈lineitem equi-join + one hash agg into
+    * the day-gap domain (≈4.7k distinct days across the synthetic
+    * 13-year calendar — bounded by calendar span, not data volume);
+    * everything after is domain-sized. */
+  private def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSurv = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val days = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).as("t"),
+        (col("l_linestatus") === "F").as("death"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("death"), 1L).otherwise(0L)).as("dt"),
+        count(lit(1)).as("et"))
+    val total = days.agg(sum(col("et")).as("n"))
+    days.crossJoin(broadcast(total))
+      .withColumn("n_t", col("n") - coalesce(sum(col("et")).over(wRisk), lit(0L)))
+      .withColumn("f", bround(lit(1.0) - dd(col("dt")) / dd(col("n_t")), 12))
+      .select(col("t"), col("n_t"), col("dt"),
+        bround(call_function("graft_product", col("f")).over(wSurv), 8)
+          .as("survival"))
+      .orderBy("t")
+  }
+
+  /** BM25 ranking [N] (Robertson/Lucene form, k1=1.2, b=0.75) for a
+    * fixed 3-term query over the documents corpus — the standard
+    * full-text relevance scorer the inverted-index family serves.
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) pinned at 6dp; each term's
+    * contribution re-pins at 8dp and sums as decimal(18,8) so the
+    * per-doc score is order-invariant; top 20 by (score, doc_id).
+    * Scale shape: one explode → (doc,term) tf hash agg filtered to the
+    * 3 probe terms (map-side), df/avgdl/N as 1-row broadcasts. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("stream", "query", "filter")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("toktot"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", dd(col("toktot")) / dd(col("nd")))
+      .withColumn("idf",
+        bround(log(lit(1.0) + (dd(col("nd")) - dd(col("df")) + lit(0.5)) /
+          (dd(col("df")) + lit(0.5))), 6))
+      .withColumn("c", bround(col("idf") * (dd(col("tf")) * lit(2.2)) /
+        (dd(col("tf")) + lit(1.2) *
+          (lit(0.25) + lit(0.75) * dd(col("dl")) / col("avgdl"))), 8)
+        .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), dd(sum(col("c"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_avg_precision" -> averagePrecision,
     "join_null_aware_anti" -> nullAwareAnti,
     "text_bigram_lm" -> bigramLm,
-    "quality_l_diversity" -> lDiversity)
+    "quality_l_diversity" -> lDiversity,
+    "stats_kaplan_meier" -> kaplanMeier,
+    "text_bm25" -> bm25)
 
   val oracles: Map[String, String] = Map(
     "eval_avg_precision" ->
@@ -188,5 +260,47 @@ object EvalExtra extends graft.QueryModule {
         |       count(*) AS n,
         |       CAST(count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) // 10000) AS BIGINT) AS l_distinct,
         |       count(DISTINCT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) // 10000) >= 3 AS diverse
-        |FROM customer GROUP BY 1, 2 ORDER BY seg, nation""".stripMargin)
+        |FROM customer GROUP BY 1, 2 ORDER BY seg, nation""".stripMargin,
+    "stats_kaplan_meier" ->
+      """WITH days AS (
+        |  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS t,
+        |         sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS dt,
+        |         count(*) AS et
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(et) AS BIGINT) AS n FROM days),
+        |r AS (
+        |  SELECT t, CAST(dt AS BIGINT) AS dt,
+        |         CAST(n - coalesce(sum(et) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_t
+        |  FROM days, tot),
+        |f AS (
+        |  SELECT t, n_t, dt,
+        |         round_even(1.0 - CAST(dt AS DOUBLE) / CAST(n_t AS DOUBLE), 12) AS f
+        |  FROM r)
+        |SELECT t, n_t, dt,
+        |       round_even(product(f) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8) AS survival
+        |FROM f ORDER BY t""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |                 CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |       WHERE w IN ('stream', 'query', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round_even(
+        |           round_even(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                              / (CAST(df AS DOUBLE) + 0.5)), 6)
+        |           * (CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |              / (CAST(toktot AS DOUBLE) / CAST(nd AS DOUBLE)))), 8)
+        |         AS DECIMAL(18,8)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
 }

@@ -74,6 +74,27 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_kaplan_meier: survival is monotone non-increasing from 1; risk set shrinks") {
+    val rows = SparkEntry.queries("stats_kaplan_meier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.head <= 1.0 && surv.forall(v => v > 0.0 && v <= 1.0))
+    assert(surv.sliding(2).forall(w => w.length < 2 || w(1) <= w(0) + 1e-12),
+      "survival must be non-increasing in t")
+    val nt = rows.map(_.getAs[Long]("n_t"))
+    assert(nt.sliding(2).forall(w => w.length < 2 || w(1) < w(0)),
+      "risk set must strictly shrink at every observed day")
+  }
+
+  test("text_bm25: top-20 scores are positive and sorted; term counts bounded by the query") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)))
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3))
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)

@@ -49,7 +49,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "feat_woe_iv" -> "1-row class-totals crossJoin",
     "feat_quantile_bucket" -> "1-row row-total crossJoin over the bin domain",
     "stats_psi" -> "1-row bin/population-totals crossJoin",
-    "text_bigram_lm" -> "1-row vocabulary-size crossJoin")
+    "text_bigram_lm" -> "1-row vocabulary-size crossJoin",
+    "stats_kaplan_meier" -> "1-row subject-total crossJoin over the day domain",
+    "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
