@@ -198,13 +198,44 @@ object EvalExtra extends graft.QueryModule {
       .limit(20)
   }
 
+  /** Sequential probability ratio test [N] (Wald's SPRT) — the
+    * always-valid A/B monitor: per order-day, the cumulative
+    * log-likelihood ratio for H1: P(fulfilled) = 0.55 vs H0: 0.5,
+    * with Wald boundaries ±ln(19) (α = β = 0.05). ENTIRELY exact:
+    * the two per-observation log terms and the boundary are pinned
+    * 9dp DECIMAL LITERALS (no runtime ln anywhere), so
+    * LLR = K·ln(p1/p0) + (N−K)·ln((1−p1)/(1−p0)) is exact decimal
+    * arithmetic over exact cumulative counts. Day-domain windows
+    * (calendar-bounded); one hash agg over the scan. */
+  private def sprt(s: SparkSession, d: String): DataFrame = {
+    val c1 = "CAST(0.095310180 AS DECIMAL(12,9))"   // ln(0.55/0.5)
+    val c2 = "CAST(-0.105360516 AS DECIMAL(12,9))"  // ln(0.45/0.5)
+    val bound = "CAST(2.944438979 AS DECIMAL(12,9))" // ln((1-0.05)/0.05)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f"),
+        count(lit(1)).as("n"))
+      .withColumn("k", sum(col("f")).over(w))
+      .withColumn("nn", sum(col("n")).over(w))
+      .withColumn("llr", expr(s"k * $c1 + (nn - k) * $c2"))
+      .select(col("day"), col("nn").as("n_seen"), col("k").as("k_pos"),
+        dd(col("llr")).as("llr"),
+        expr(s"""CASE WHEN llr >= $bound THEN 'accept_h1'
+                 |     WHEN llr <= -$bound THEN 'accept_h0'
+                 |     ELSE 'continue' END""".stripMargin).as("decision"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_avg_precision" -> averagePrecision,
     "join_null_aware_anti" -> nullAwareAnti,
     "text_bigram_lm" -> bigramLm,
     "quality_l_diversity" -> lDiversity,
     "stats_kaplan_meier" -> kaplanMeier,
-    "text_bm25" -> bm25)
+    "text_bm25" -> bm25,
+    "stats_sprt" -> sprt)
 
   val oracles: Map[String, String] = Map(
     "eval_avg_precision" ->
@@ -302,5 +333,28 @@ object EvalExtra extends graft.QueryModule {
         |         AS DECIMAL(18,8)) AS c
         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE) AS score
-        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "stats_sprt" ->
+      """WITH days AS (
+        |  SELECT o_orderdate AS day,
+        |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |         CAST(sum(f) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k,
+        |         CAST(sum(n) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nn
+        |  FROM days),
+        |l AS (
+        |  SELECT day, nn, k,
+        |         k * CAST(0.095310180 AS DECIMAL(12,9))
+        |           + (nn - k) * CAST(-0.105360516 AS DECIMAL(12,9)) AS llr
+        |  FROM c)
+        |SELECT day, nn AS n_seen, k AS k_pos, CAST(llr AS DOUBLE) AS llr,
+        |       CASE WHEN llr >= CAST(2.944438979 AS DECIMAL(12,9)) THEN 'accept_h1'
+        |            WHEN llr <= -CAST(2.944438979 AS DECIMAL(12,9)) THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM l ORDER BY day""".stripMargin)
 }

@@ -95,6 +95,25 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3))
   }
 
+  test("stats_sprt: the monitor reaches a decision and LLR matches the closed form") {
+    val rows = SparkEntry.queries("stats_sprt")(spark, sf).collect()
+    val last = rows.last
+    // fulfilled share in the synthetic orders is ~1/3 < 0.5, so the
+    // sequential test must end firmly in accept_h0
+    assert(last.getAs[String]("decision") == "accept_h0", last.toString)
+    val k = last.getAs[Long]("k_pos").toDouble
+    val n = last.getAs[Long]("n_seen").toDouble
+    val expected = k * 0.095310180 + (n - k) * -0.105360516
+    assert(math.abs(last.getAs[Double]("llr") - expected) < 1e-6)
+    // decisions are consistent with the boundary at every day
+    rows.foreach { r =>
+      val (llr, dec) = (r.getAs[Double]("llr"), r.getAs[String]("decision"))
+      val want = if (llr >= 2.944438979) "accept_h1"
+        else if (llr <= -2.944438979) "accept_h0" else "continue"
+      assert(dec == want, r.toString)
+    }
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)
