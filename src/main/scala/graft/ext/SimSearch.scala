@@ -57,6 +57,33 @@ object SimSearch extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
+  /** k-NN graph construction [N] (k = 3) over the embedding corpus —
+    * the backbone of semantic-dedup clustering and graph-based ANN
+    * (HNSW's layer-0 is exactly this): per vector, its 3 nearest
+    * same-label neighbors by exact cosine. The label equi-join bounds
+    * the quadratic term to block size (the `dedup_embedding_cosine`
+    * blocking discipline); at 100 TB blocks are the coarse-quantizer
+    * cells and each block's pair scan is independent. Norms computed
+    * once per vector; per-source top-k is a rank window inside the
+    * block (TakeOrdered class). Cosine doubles are bit-identical to
+    * the oracle (`cosine = dot/(√na·√nb)`, mirrored shape). */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), dot(col("embedding"), col("embedding")).as("nsq"))
+    val cos = dot(col("a.embedding"), col("b.embedding")) /
+      (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))
+    val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("i"), col("rnk"), col("j"), col("cosine"))
+      .orderBy("i", "rnk")
+  }
+
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
     * broadcast single-row probe, TakeOrderedAndProject for the top-k. */
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -999,6 +1026,7 @@ object SimSearch extends graft.QueryModule {
     "emb_quantize_int8" -> quantizeInt8,
     "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,
+    "emb_knn_graph" -> knnGraph,
     "sim_search_cosine" -> cosineTopK,
     "emb_hard_negatives" -> hardNegatives,
     "sim_search_ivf" -> ivfTopK,
@@ -1083,6 +1111,21 @@ object SimSearch extends graft.QueryModule {
          |SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine
          |FROM s WHERE d / (sqrt(na) * sqrt(nb)) >= 0.45
          |ORDER BY i, j""".stripMargin,
+    "emb_knn_graph" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
+         |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
+         |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine,
+         |         row_number() OVER (PARTITION BY i
+         |           ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, j) AS rnk
+         |  FROM s)
+         |SELECT i, CAST(rnk AS INTEGER) AS rnk, j, cosine
+         |FROM r WHERE rnk <= 3 ORDER BY i, rnk""".stripMargin,
     "sim_search_cosine" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
          |s AS (

@@ -206,11 +206,53 @@ object Evaluation extends graft.QueryModule {
       .orderBy("yr")
   }
 
+  /** Qini (uplift) curve [N] — the causal-targeting evaluation: a
+    * deterministic md5-coin experiment assigns treatment and biases
+    * the outcome (+15pp conversion when treated), and the curve
+    * reports, per cumulative score decile, the incremental
+    * conversions over the control baseline:
+    * Q(d) = Y_t(d) − Y_c(d)·N_t(d)/N_c(d). One conditional hash agg
+    * into the 10-decile domain, cumulative windows over it, IEEE
+    * assembly of exact counts in mirrored order. */
+  private def qini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def hexCoin(salt: String, chars: Int): Column =
+      conv(substring(md5(concat(col("o_orderkey").cast("string"),
+        lit(":" + salt))), 1, chars), 16, 10).cast("long")
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        least(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))" +
+          " div 6000000"), lit(9L)).as("decile"),
+        (hexCoin("t", 1) % 2).as("t"),
+        hexCoin("y", 2).as("coin"))
+      .select(col("decile"), col("t"),
+        (col("coin") < lit(102) + lit(38) * col("t")).as("y"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1 && col("y"), 1L).otherwise(0L)).as("yt"),
+        sum(when(col("t") === 0 && col("y"), 1L).otherwise(0L)).as("yc"))
+      .withColumn("cnt", sum(col("nt")).over(w))
+      .withColumn("cnc", sum(col("nc")).over(w))
+      .withColumn("cyt", sum(col("yt")).over(w))
+      .withColumn("cyc", sum(col("yc")).over(w))
+      .select(col("decile"), col("nt"), col("nc"),
+        (dd(col("cyt")) - dd(col("cyc")) * dd(col("cnt")) / dd(col("cnc")))
+          .as("qini"),
+        (dd(col("cyt")) / dd(col("cnt")) - dd(col("cyc")) / dd(col("cnc")))
+          .as("uplift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_auc" -> aucRank,
     "eval_confusion" -> confusion,
     "eval_ndcg" -> ndcgAt10,
     "eval_calibration" -> calibration,
+    "eval_qini" -> qini,
     "stats_cohens_kappa" -> cohensKappa)
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +348,40 @@ object Evaluation extends graft.QueryModule {
         |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
         |         - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7) AS gap
         |FROM agg ORDER BY bin""".stripMargin,
+    "eval_qini" ->
+      """WITH base AS (
+        |  SELECT least((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 6000000, 9) AS decile,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(CAST(o_orderkey AS VARCHAR) || ':t'), 1, 1)) - 1) % 2 AS t,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(CAST(o_orderkey AS VARCHAR) || ':y'), 1, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef',
+        |            substr(md5(CAST(o_orderkey AS VARCHAR) || ':y'), 2, 1)) - 1) AS coin
+        |  FROM orders),
+        |agg AS (
+        |  SELECT decile,
+        |         sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+        |         sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
+        |         sum(CASE WHEN t = 1 AND coin < 102 + 38 * t THEN 1 ELSE 0 END) AS yt,
+        |         sum(CASE WHEN t = 0 AND coin < 102 + 38 * t THEN 1 ELSE 0 END) AS yc
+        |  FROM base GROUP BY 1),
+        |c AS (
+        |  SELECT decile, CAST(nt AS BIGINT) AS nt, CAST(nc AS BIGINT) AS nc,
+        |         sum(yt) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cyt,
+        |         sum(yc) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cyc,
+        |         sum(nt) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+        |         sum(nc) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnc
+        |  FROM agg)
+        |SELECT decile, nt, nc,
+        |       CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |         / CAST(cnc AS DOUBLE) AS qini,
+        |       CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |         - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE) AS uplift
+        |FROM c ORDER BY decile""".stripMargin,
     "stats_cohens_kappa" ->
       """WITH agg AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -114,6 +114,29 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_qini: the planted +15pp treatment effect is recovered; curve accumulates") {
+    val rows = SparkEntry.queries("eval_qini")(spark, sf).collect()
+    rows.foreach { r =>
+      val u = r.getAs[Double]("uplift")
+      assert(u > 0.10 && u < 0.22, s"cumulative uplift should sit near the planted 15pp: $r")
+    }
+    val q = rows.map(_.getAs[Double]("qini"))
+    assert(q.sliding(2).forall(w => w.length < 2 || w(1) > w(0)),
+      "Qini must accumulate with every decile under a uniform positive effect")
+  }
+
+  test("emb_knn_graph: 3 neighbors per vector, ranked by descending cosine, no self-loops") {
+    val rows = SparkEntry.queries("emb_knn_graph")(spark, sf).collect()
+    val byI = rows.groupBy(_.getAs[Long]("i"))
+    assert(byI.values.forall(_.length == 3))
+    byI.foreach { case (i, ns) =>
+      val sorted = ns.sortBy(_.getAs[Int]("rnk"))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)), s"vec $i")
+      assert(ns.forall(_.getAs[Long]("j") != i), s"self-loop at $i")
+    }
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)
