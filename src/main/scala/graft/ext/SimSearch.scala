@@ -1017,7 +1017,33 @@ object SimSearch extends graft.QueryModule {
     s"$base,\n$rounds\n$out\nORDER BY rank"
   }
 
+  /** Semantic dedup [N] (SemDeDup, Abbas et al. 2023, re-expressed
+    * over the exact k-NN graph): cluster embeddings whose k-NN edges
+    * clear a cosine floor (0.35 here — the synthetic corpus has no
+    * planted near-dups, so the floor sits in the top tail of the
+    * observed cosine range), via the SAME min-label connected-
+    * components loop the text near-dup family uses
+    * ([[graft.ext.Dedup.connectedComponents]]); report multi-member
+    * clusters with their min-id representative. Scale shape: knn
+    * edges are label-blocked (never all-pairs), CC is the shared
+    * iterative loop, the report is one hash agg. */
+  private def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = knnGraph(s, d)
+      .filter(col("cosine") >= 0.35)
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    Dedup.connectedComponents(nodes, edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semanticClusters,
     "sim_search_mmr" -> mmrTopK,
     "emb_centroid_by_label" -> centroidByLabel,
     "emb_random_projection" -> randomProjection,
@@ -1111,6 +1137,34 @@ object SimSearch extends graft.QueryModule {
          |SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine
          |FROM s WHERE d / (sqrt(na) * sqrt(nb)) >= 0.45
          |ORDER BY i, j""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE s AS MATERIALIZED (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
+         |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
+         |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS MATERIALIZED (
+         |  SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine,
+         |         row_number() OVER (PARTITION BY i
+         |           ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, j) AS rnk
+         |  FROM s),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(i, j) AS i, greatest(i, j) AS j
+         |  FROM r WHERE rnk <= 3 AND cosine >= 0.35),
+         |edges AS MATERIALIZED (SELECT i AS src, j AS dst FROM e0
+         |         UNION ALL SELECT j, i FROM e0),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |reach(id, rr) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.rr FROM edges e JOIN reach ON e.src = reach.id),
+         |lab AS (SELECT id, min(rr) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM lab GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin,
     "emb_knn_graph" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,

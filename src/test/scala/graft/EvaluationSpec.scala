@@ -137,6 +137,19 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic: clusters are multi-member, labeled by their min member") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.length == r.getAs[Long]("cluster_size"))
+      assert(members.length >= 2)
+      assert(members.min == r.getAs[Long]("cluster_id"),
+        s"cluster label must be the min member id: $r")
+      assert(members.sorted.sameElements(members), s"members not sorted: $r")
+    }
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)
