@@ -1028,11 +1028,14 @@ object SimSearch extends graft.QueryModule {
     * edges are label-blocked (never all-pairs), CC is the shared
     * iterative loop, the report is one hash agg. */
   private def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the CC loop joins the edge list EVERY round —
+    // without the cut it would replay the blocked pair scan per round
     val edges = knnGraph(s, d)
       .filter(col("cosine") >= 0.35)
       .select(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"))
       .distinct()
+      .localCheckpoint()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     Dedup.connectedComponents(nodes, edges)
       .groupBy(col("cluster_id"))
