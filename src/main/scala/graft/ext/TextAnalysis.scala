@@ -25,6 +25,31 @@ object TextAnalysis extends graft.QueryModule {
         .as("n_subtokens"))
       .orderBy("doc_id")
 
+  /** Corpus data card [N] — the one-row "nutrition label" a training
+    * pipeline publishes with every corpus build: document/token/
+    * language/source counts, the exact-dup fingerprint rate (share of
+    * docs whose whitespace-normalized md5 collides), and mean doc
+    * length. ONE hash agg over a projected scan (distinct-counts
+    * combine map-side); the rates are IEEE divisions of exact counts.
+    * Cheap enough to run on every refresh at any corpus size. */
+  private def datacard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        (lit(1.0) - col("n_distinct_fp").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"))
+
   /** Corpus term frequency: explode → hash-agg → top-20. The 100 TB shape:
     * map-side partial counts, one shuffle on the token. */
   private def termFreq(s: SparkSession, d: String): DataFrame =
@@ -526,6 +551,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_redact" -> redact,
     "text_logprob" -> logprob,
     "text_tokens" -> tokens,
+    "text_datacard" -> datacard,
     "text_rolling_fingerprint" -> rollingFingerprint,
     "text_termfreq" -> termFreq,
     "text_langid" -> langId,
@@ -718,6 +744,24 @@ object TextAnalysis extends graft.QueryModule {
       """SELECT w, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
+    "text_datacard" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |  FROM b)
+        |SELECT n_docs, n_tokens, n_langs, n_sources,
+        |       1.0 - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+        |       CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars
+        |FROM a""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang,
         |       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
