@@ -24,16 +24,7 @@ object EvalExtra extends graft.QueryModule {
     * decimal(24,12) (order-invariant); cum counts are exact window
     * sums over the bin domain, never raw rows. */
   private def averagePrecision(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
-      .cast("long")
-    val cells = Tables.orders(s, d)
-      .select(col("o_orderpriority").as("g"),
-        col("o_orderstatus"), cents.as("cents"))
-      .select(col("g"), expr("cents div 100000").as("v"),
-        (col("o_orderstatus") === "F").as("pos"))
-      .groupBy(col("g"), col("v"))
-      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        count(lit(1)).as("n"))
+    val cells = Synth.scoreCells(s, d) // the SAME domain eval_auc ranks over
     val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wtot = Window.partitionBy(col("g"))

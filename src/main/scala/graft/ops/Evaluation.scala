@@ -44,16 +44,7 @@ object Evaluation extends graft.QueryModule {
     * (bounded domain — the `win_skyline` class), never a window over
     * raw rows. */
   private def aucRank(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
-      .cast("long")
-    val cells = Tables.orders(s, d)
-      .select(col("o_orderpriority").as("g"),
-        col("o_orderstatus"), cents.as("cents"))
-      .select(col("g"), expr("cents div 100000").as("v"),
-        (col("o_orderstatus") === "F").as("pos"))
-      .groupBy(col("g"), col("v"))
-      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-        count(lit(1)).as("n"))
+    val cells = Synth.scoreCells(s, d)
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     cells
@@ -217,17 +208,14 @@ object Evaluation extends graft.QueryModule {
   private def qini(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def hexCoin(salt: String, chars: Int): Column =
-      conv(substring(md5(concat(col("o_orderkey").cast("string"),
-        lit(":" + salt))), 1, chars), 16, 10).cast("long")
-    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
-      .cast("long")
+    def coin(salt: String, chars: Int): Column =
+      Synth.hexCoin(col("o_orderkey"), salt, chars)
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         least(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))" +
           " div 6000000"), lit(9L)).as("decile"),
-        (hexCoin("t", 1) % 2).as("t"),
-        hexCoin("y", 2).as("coin"))
+        (coin("t", 1) % 2).as("t"),
+        coin("y", 2).as("coin"))
       .select(col("decile"), col("t"),
         (col("coin") < lit(102) + lit(38) * col("t")).as("y"))
       .groupBy(col("decile"))
@@ -239,10 +227,15 @@ object Evaluation extends graft.QueryModule {
       .withColumn("cnc", sum(col("nc")).over(w))
       .withColumn("cyt", sum(col("yt")).over(w))
       .withColumn("cyc", sum(col("yc")).over(w))
+      // zero-denominator guards mirrored in the oracle: a decile slice
+      // with no control (or no treated) rows yields NULL, not Inf/NaN
+      // (DuckDB's divide-by-zero behavior is settings-dependent)
       .select(col("decile"), col("nt"), col("nc"),
-        (dd(col("cyt")) - dd(col("cyc")) * dd(col("cnt")) / dd(col("cnc")))
+        when(col("cnc") > 0,
+          dd(col("cyt")) - dd(col("cyc")) * dd(col("cnt")) / dd(col("cnc")))
           .as("qini"),
-        (dd(col("cyt")) / dd(col("cnt")) - dd(col("cyc")) / dd(col("cnc")))
+        when(col("cnt") > 0 && col("cnc") > 0,
+          dd(col("cyt")) / dd(col("cnt")) - dd(col("cyc")) / dd(col("cnc")))
           .as("uplift"))
       .orderBy("decile")
   }
@@ -377,10 +370,12 @@ object Evaluation extends graft.QueryModule {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnc
         |  FROM agg)
         |SELECT decile, nt, nc,
-        |       CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
-        |         / CAST(cnc AS DOUBLE) AS qini,
-        |       CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
-        |         - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE) AS uplift
+        |       CASE WHEN cnc > 0 THEN
+        |         CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |           / CAST(cnc AS DOUBLE) END AS qini,
+        |       CASE WHEN cnt > 0 AND cnc > 0 THEN
+        |         CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |           - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE) END AS uplift
         |FROM c ORDER BY decile""".stripMargin,
     "stats_cohens_kappa" ->
       """WITH agg AS (

@@ -52,7 +52,7 @@ object Features extends graft.QueryModule {
   /** Weight of evidence + information value terms [N] — per category,
     * woe = ln((pos_i/POS)/(neg_i/NEG)) pinned at 6dp, and the IV
     * contribution (pos_i/POS − neg_i/NEG)·woe. The credit-scoring
-    * feature screen; same 7-category domain agg as target encoding. */
+    * feature screen; same 5-category domain agg as target encoding. */
   private def woeIv(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
       .select(col("o_orderpriority").as("category"),

@@ -31,13 +31,14 @@ object Preference extends graft.QueryModule {
   private val btIters = 3
 
   /** The synthetic comparison log: (a, b, a_wins) per order.
-    * a ∈ 0..3; b uniform over the OTHER three via the +1+coin%3 trick;
-    * outcome coin (0..255 from two md5 hex chars) compared against
-    * 128 + 24·(a − b), so P(a wins) ≈ 0.5 + 0.094·(a − b). */
+    * a ∈ 0..3; b is drawn from the OTHER three via the +1+coin%3 trick
+    * (near-uniform: the nibble%3 draw weights residues 6/5/5 over 16
+    * hex values, a ~4% skew toward rb=0); outcome coin (0..255 from
+    * two md5 hex chars) compared against 128 + 24·(a − b), so
+    * P(a wins) ≈ 0.5 + 0.094·(a − b). */
   private def matches(s: SparkSession, d: String): DataFrame = {
     def hexCoin(salt: String, chars: Int): Column =
-      conv(substring(md5(concat(col("o_orderkey").cast("string"),
-        lit(":" + salt))), 1, chars), 16, 10).cast("long")
+      Synth.hexCoin(col("o_orderkey"), salt, chars)
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         (hexCoin("a", 1) % 4).as("a"),
