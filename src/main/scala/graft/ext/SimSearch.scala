@@ -1168,6 +1168,27 @@ object SimSearch extends graft.QueryModule {
          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          |FROM lab GROUP BY cluster_id HAVING count(*) >= 2
          |ORDER BY cluster_id""".stripMargin,
+    // r8: upgraded from rows-only — the int8 quantized dot products are
+    // exact integers (≤ 64·127² ≈ 10⁶, far inside double-exact range),
+    // so the quantized cosine is order-invariant and the whole query
+    // mirrors exactly. Quantization itself is deterministic IEEE
+    // (v·scale + 0.5 then floor), token-identical both engines.
+    "sim_search_quantized" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, v ->
+         |           CAST(floor(CAST(v AS DOUBLE) *
+         |             (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS FLOAT)) AS qe
+         |  FROM (SELECT vec_id, embedding,
+         |          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+         |        FROM embeddings)),
+         |p AS (SELECT qe AS probe FROM q WHERE vec_id = 0)
+         |SELECT q.vec_id,
+         |       ${dotSql.format("q.qe", "p.probe")}
+         |         / (sqrt(${dotSql.format("q.qe", "q.qe")})
+         |            * sqrt(${dotSql.format("p.probe", "p.probe")})) AS qcosine
+         |FROM q, p WHERE q.vec_id <> 0
+         |ORDER BY qcosine DESC, vec_id LIMIT 10""".stripMargin,
     "emb_knn_graph" ->
       s"""WITH s AS (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
