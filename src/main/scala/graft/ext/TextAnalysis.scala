@@ -50,6 +50,36 @@ object TextAnalysis extends graft.QueryModule {
         (col("sum_chars").cast("double") / col("n_docs").cast("double"))
           .as("mean_chars"))
 
+  /** Gopher quality rules [N] (Rae et al. 2021, §A1.1 — the canonical
+    * LLM pre-training document filter, reported rule-by-rule): word
+    * count in [5, 10000] (floor scaled to the synthetic corpus' short
+    * docs; Gopher's 50 assumes web pages), mean word length in [3, 10]
+    * chars, symbol-to-word ratio ≤ 0.1, ≥ 80% of words contain an
+    * alphabetic char, ≥ 2 stopword hits. All EXACT integer counts per
+    * doc with two IEEE ratio comparisons; a narrow map-side projection
+    * (no explode — the HOF counting runs inside the scan) at any
+    * corpus size. */
+  private def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val sumLen = expr("aggregate(transform(split(text, ' '), w -> length(w)), 0, (a, x) -> a + x)")
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]")))
+    val nSym = size(filter(words, w => w.rlike("^[#@\\$%\\^&\\*]+$")))
+    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
+    Tables.documents(s, d).select(
+      col("doc_id"), nWords.as("n_words"),
+      (nWords >= 5 && nWords <= 10000).as("r_count"),
+      (sumLen.cast("double") / nWords.cast("double") >= 3.0 &&
+        sumLen.cast("double") / nWords.cast("double") <= 10.0).as("r_wordlen"),
+      (nSym.cast("double") / nWords.cast("double") <= 0.1).as("r_symbols"),
+      (nAlpha.cast("double") / nWords.cast("double") >= 0.8).as("r_alpha"),
+      (nStop >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_count") && col("r_wordlen") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus term frequency: explode → hash-agg → top-20. The 100 TB shape:
     * map-side partial counts, one shuffle on the token. */
   private def termFreq(s: SparkSession, d: String): DataFrame =
@@ -557,6 +587,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_langid" -> langId,
     "text_tfidf" -> tfidf,
     "text_quality" -> quality,
+    "text_gopher_rules" -> gopherRules,
     "text_repetition" -> repetition,
     "text_cooccurrence" -> cooccurrence,
     "text_fingerprint" -> fingerprint)
@@ -784,6 +815,33 @@ object TextAnalysis extends graft.QueryModule {
         |       round_even(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
         |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
         |ORDER BY tfidf DESC, tf.doc_id, tf.w LIMIT 100""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |         list_sum(list_transform(string_split(text, ' '),
+        |                                 w -> length(w))) AS sumlen,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                    w -> regexp_matches(w, '[a-z]'))) AS INTEGER) AS n_alpha,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                    w -> regexp_matches(w, '^[#@$%^&*]+$'))) AS INTEGER) AS n_sym,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                    w -> w IN ('the', 'a', 'of', 'and', 'or'))) AS INTEGER) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |       n_words >= 5 AND n_words <= 10000 AS r_count,
+        |       CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |         AND CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0 AS r_wordlen,
+        |       CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1 AS r_symbols,
+        |       CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS r_alpha,
+        |       n_stop >= 2 AS r_stopwords,
+        |       (n_words >= 5 AND n_words <= 10000)
+        |         AND (CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |              AND CAST(sumlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0)
+        |         AND (CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1)
+        |         AND (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+        |         AND (n_stop >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |       least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
