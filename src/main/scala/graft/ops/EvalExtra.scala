@@ -219,7 +219,46 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("day")
   }
 
+  /** Benjamini-Hochberg FDR control [N] — the multiple-testing
+    * correction every metrics warehouse needs once it tests hundreds
+    * of segments at once. m = 100 hypotheses derived from the customer
+    * domain; the null p-values are md5-uniform on a 2^16 grid and a
+    * PLANTED 20-hypothesis signal block draws p-values 1000× smaller
+    * (the spec checks the procedure finds mostly planted signals).
+    * ENTIRELY exact: p-values are rationals num/den on known
+    * denominators, the sort key is num·(LCM/den), and the BH
+    * condition p_(k) ≤ k·α/m with α = 1/20 becomes the INTEGER
+    * comparison num·m·20 ≤ k·den — no float decision anywhere; the
+    * reported double p-value is one mirrored IEEE division. Domain-
+    * sized windows over m = 100 rows. */
+  private def benjaminiHochberg(s: SparkSession, d: String): DataFrame = {
+    val m = 100
+    val hyp = Tables.customer(s, d)
+      .select(pmod(col("c_custkey"), lit(m)).as("hid")).distinct()
+      .withColumn("planted", col("hid") < 20)
+      .withColumn("num",
+        Synth.hexCoin(col("hid"), "p", 4) + 1) // 1..65536
+      .withColumn("den",
+        when(col("planted"), lit(65536000L)).otherwise(lit(65536L)))
+    val wRank = Window.orderBy(col("okey"), col("hid"))
+    val ranked = hyp
+      // exact fraction ordering: num/den ASC == num*(LCM/den) ASC
+      .withColumn("okey", col("num") * expr("65536000 div den"))
+      .withColumn("k", row_number().over(wRank))
+      // BH: p_(k) <= k*alpha/m  <=>  num*m*20 <= k*den (alpha = 1/20)
+      .withColumn("cond",
+        col("num") * lit(m.toLong * 20) <= col("k") * col("den"))
+    val kmax = ranked.agg(
+      coalesce(max(when(col("cond"), col("k"))), lit(0)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("hid"), col("planted"),
+        (dd(col("num")) / dd(col("den"))).as("pval"),
+        col("k"), (col("k") <= col("kmax")).as("rejected"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bh_fdr" -> benjaminiHochberg,
     "eval_avg_precision" -> averagePrecision,
     "join_null_aware_anti" -> nullAwareAnti,
     "text_bigram_lm" -> bigramLm,
@@ -229,6 +268,27 @@ object EvalExtra extends graft.QueryModule {
     "stats_sprt" -> sprt)
 
   val oracles: Map[String, String] = Map(
+    "stats_bh_fdr" ->
+      """WITH hyp AS (
+        |  SELECT hid, hid < 20 AS planted,
+        |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1 AS num,
+        |         CASE WHEN hid < 20 THEN 65536000 ELSE 65536 END AS den
+        |  FROM (SELECT hid, substr(md5(CAST(hid AS VARCHAR) || ':p'), 1, 4) AS h
+        |        FROM (SELECT DISTINCT c_custkey % 100 AS hid FROM customer))),
+        |ranked AS (
+        |  SELECT hid, planted, num, den,
+        |         CAST(row_number() OVER (ORDER BY num * (65536000 // den), hid)
+        |              AS INTEGER) AS k
+        |  FROM hyp),
+        |c AS (SELECT *, num * 2000 <= k * den AS cond FROM ranked),
+        |km AS (SELECT coalesce(max(CASE WHEN cond THEN k END), 0) AS kmax FROM c)
+        |SELECT hid, planted,
+        |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pval,
+        |       k, k <= km.kmax AS rejected
+        |FROM c, km ORDER BY k""".stripMargin,
     "eval_avg_precision" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS g,

@@ -197,6 +197,35 @@ object Evaluation extends graft.QueryModule {
       .orderBy("yr")
   }
 
+  /** Mean reciprocal rank [N] — the third standard ranking metric
+    * beside NDCG and AP: per query, 1/rank of the FIRST relevant
+    * (rel ≥ 2) document in the score-ordered list; queries with no
+    * relevant document contribute 0. Each reciprocal pins at 12dp and
+    * averages as exact decimal, so the corpus MRR is order-invariant.
+    * Same per-query ranking-window shape as `eval_ndcg`. */
+  private def mrr(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(pmod(col("o_custkey"), lit(200)).as("qid"),
+        col("o_orderkey").as("doc"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("score"),
+        (conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":rel"))),
+          1, 1), 16, 10).cast("int") % 4).as("rel"))
+    val wSys = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc"))
+    val firstRel = base
+      .withColumn("pos", row_number().over(wSys))
+      .filter(col("rel") >= 2)
+      .groupBy(col("qid")).agg(min(col("pos")).as("first_rank"))
+    base.select(col("qid")).distinct()
+      .join(firstRel, Seq("qid"), "left")
+      .select(when(col("first_rank").isNotNull,
+        bround(lit(1.0) / dd(col("first_rank")), 12))
+        .otherwise(lit(0.0)).cast("decimal(14,12)").as("rr"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rr") > 0, 1L).otherwise(0L)).as("n_hit"),
+        (dd(sum(col("rr"))) / dd(count(lit(1)))).as("mrr"))
+  }
+
   /** Qini (uplift) curve [N] — the causal-targeting evaluation: a
     * deterministic md5-coin experiment assigns treatment and biases
     * the outcome (+15pp conversion when treated), and the curve
@@ -246,6 +275,7 @@ object Evaluation extends graft.QueryModule {
     "eval_ndcg" -> ndcgAt10,
     "eval_calibration" -> calibration,
     "eval_qini" -> qini,
+    "eval_mrr" -> mrr,
     "stats_cohens_kappa" -> cohensKappa)
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +371,28 @@ object Evaluation extends graft.QueryModule {
         |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
         |         - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7) AS gap
         |FROM agg ORDER BY bin""".stripMargin,
+    "eval_mrr" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 200 AS qid, o_orderkey AS doc,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(CAST(o_orderkey AS VARCHAR) || ':rel'), 1, 1)) - 1) % 4 AS rel
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT qid, rel,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS pos
+        |  FROM base),
+        |fr AS (
+        |  SELECT qid, min(pos) AS first_rank FROM ranked WHERE rel >= 2 GROUP BY qid),
+        |rr AS (
+        |  SELECT CAST(CASE WHEN fr.first_rank IS NOT NULL
+        |                   THEN round_even(1.0 / CAST(fr.first_rank AS DOUBLE), 12)
+        |                   ELSE 0.0 END AS DECIMAL(14,12)) AS rr
+        |  FROM (SELECT DISTINCT qid FROM base) q LEFT JOIN fr USING (qid))
+        |SELECT count(*) AS n_queries,
+        |       CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(sum(rr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mrr
+        |FROM rr""".stripMargin,
     "eval_qini" ->
       """WITH base AS (
         |  SELECT least((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 6000000, 9) AS decile,

@@ -150,6 +150,34 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_mrr: reciprocal-rank mean is a probability; every query found a relevant doc") {
+    val r = SparkEntry.queries("eval_mrr")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_queries") == 200)
+    val mrr = r.getAs[Double]("mrr")
+    assert(mrr > 0.0 && mrr <= 1.0)
+    // ~half the docs are relevant (rel>=2), so the first hit comes early
+    assert(mrr > 0.3, s"MRR suspiciously low for a dense relevance draw: $mrr")
+  }
+
+  test("stats_bh_fdr: step-up boundary is consistent and the planted block is found") {
+    val rows = SparkEntry.queries("stats_bh_fdr")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("k"))
+    assert(rows.length == 100)
+    // rejected == k <= kmax: the rejected set is a prefix of the p-ordering
+    val rejected = rows.takeWhile(_.getAs[Boolean]("rejected"))
+    assert(rows.drop(rejected.length).forall(!_.getAs[Boolean]("rejected")))
+    // all 20 planted signals are 1000x smaller: the procedure must find most
+    val plantedFound = rejected.count(_.getAs[Boolean]("planted"))
+    assert(plantedFound >= 15, s"only $plantedFound/20 planted signals rejected")
+    // FDR control: false discoveries stay a small share of rejections
+    val fd = rejected.count(!_.getAs[Boolean]("planted"))
+    assert(rejected.isEmpty || fd.toDouble / rejected.length <= 0.25,
+      s"false-discovery share too high: $fd/${rejected.length}")
+    // p-values nondecreasing in k
+    val ps = rows.map(_.getAs[Double]("pval"))
+    assert(ps.sliding(2).forall(w => w.length < 2 || w(1) >= w(0)))
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)

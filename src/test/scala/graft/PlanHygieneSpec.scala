@@ -51,6 +51,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_psi" -> "1-row bin/population-totals crossJoin",
     "text_bigram_lm" -> "1-row vocabulary-size crossJoin",
     "stats_kaplan_meier" -> "1-row subject-total crossJoin over the day domain",
+    "stats_bh_fdr" -> "1-row kmax crossJoin over the 100-hypothesis domain",
     "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
