@@ -197,6 +197,48 @@ object Evaluation extends graft.QueryModule {
       .orderBy("yr")
   }
 
+  /** Brier score with the Murphy decomposition [N] — the proper-score
+    * companion to `eval_calibration`: over the same 10 probability
+    * bins, REL = Σ n_k(p̄_k − ō_k)²/N (calibration error),
+    * RES = Σ n_k(ō_k − ō)²/N (discrimination), UNC = ō(1 − ō), and
+    * the bin-level Brier = REL − RES + UNC. Per-bin terms re-pin at
+    * 12dp and sum as decimal(24,12) (order-invariant); everything
+    * else is IEEE over exact BIGINT sums in mirrored order. One hash
+    * agg into the 10-bin domain + a 1-row global broadcast. */
+  private def brier(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val bins = Tables.orders(s, d)
+      .select(least(cents, lit(60000000L)).as("pc"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(expr("least(pc, 59999999) div 6000000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sp"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+    val tot = bins.agg(sum(col("n")).as("nt"), sum(col("npos")).as("post"))
+    val mp = dd(col("sp")) / (dd(col("n")) * lit(6.0e7))   // mean predicted
+    val ob = dd(col("npos")) / dd(col("n"))                // observed rate
+    val obar = dd(col("post")) / dd(col("nt"))             // base rate
+    bins.crossJoin(broadcast(tot))
+      .select(col("nt"), col("post"),
+        bround(dd(col("n")) * (mp - ob) * (mp - ob), 12)
+          .cast("decimal(24,12)").as("rel_t"),
+        bround(dd(col("n")) * (ob - obar) * (ob - obar), 12)
+          .cast("decimal(24,12)").as("res_t"))
+      .groupBy(col("nt"), col("post"))
+      .agg(sum(col("rel_t")).as("rel_s"), sum(col("res_t")).as("res_s"))
+      // outputs pinned at 10dp: the exact-decimal sums cast to double
+      // 1-ULP-differently across engines (DuckDB's int128-scaled
+      // conversion vs BigDecimal.doubleValue), so the unrounded
+      // quotient is the one place drift can enter — measured at sf0.1
+      .select(
+        bround(dd(col("rel_s")) / dd(col("nt")), 10).as("reliability"),
+        bround(dd(col("res_s")) / dd(col("nt")), 10).as("resolution"),
+        bround((dd(col("post")) / dd(col("nt"))) *
+          (lit(1.0) - dd(col("post")) / dd(col("nt"))), 10).as("uncertainty"))
+      .withColumn("brier",
+        col("reliability") - col("resolution") + col("uncertainty"))
+  }
+
   /** Mean reciprocal rank [N] — the third standard ranking metric
     * beside NDCG and AP: per query, 1/rank of the FIRST relevant
     * (rel ≥ 2) document in the score-ordered list; queries with no
@@ -274,6 +316,7 @@ object Evaluation extends graft.QueryModule {
     "eval_confusion" -> confusion,
     "eval_ndcg" -> ndcgAt10,
     "eval_calibration" -> calibration,
+    "eval_brier" -> brier,
     "eval_qini" -> qini,
     "eval_mrr" -> mrr,
     "stats_cohens_kappa" -> cohensKappa)
@@ -371,6 +414,42 @@ object Evaluation extends graft.QueryModule {
         |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
         |         - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7) AS gap
         |FROM agg ORDER BY bin""".stripMargin,
+    "eval_brier" ->
+      """WITH b AS (
+        |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 60000000) AS pc,
+        |         o_orderstatus = 'F' AS pos
+        |  FROM orders),
+        |bins AS (
+        |  SELECT least(pc, 59999999) // 6000000 AS bin, count(*) AS n,
+        |         sum(pc) AS sp, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |               CAST(sum(npos) AS BIGINT) AS post FROM bins),
+        |t AS (
+        |  SELECT nt, post,
+        |    CAST(round_even(CAST(n AS DOUBLE)
+        |      * (CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7)
+        |         - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6e7)
+        |         - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(24,12)) AS rel_t,
+        |    CAST(round_even(CAST(n AS DOUBLE)
+        |      * (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 12) AS DECIMAL(24,12)) AS res_t
+        |  FROM bins, tot),
+        |agg AS (
+        |  SELECT nt, post, sum(rel_t) AS rel_s, sum(res_t) AS res_s
+        |  FROM t GROUP BY nt, post),
+        |f AS (
+        |  SELECT round_even(CAST(rel_s AS DOUBLE) / CAST(nt AS DOUBLE), 10) AS reliability,
+        |         round_even(CAST(res_s AS DOUBLE) / CAST(nt AS DOUBLE), 10) AS resolution,
+        |         round_even((CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))
+        |           * (1.0 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)), 10) AS uncertainty
+        |  FROM agg)
+        |SELECT reliability, resolution, uncertainty,
+        |       reliability - resolution + uncertainty AS brier
+        |FROM f""".stripMargin,
     "eval_mrr" ->
       """WITH base AS (
         |  SELECT o_custkey % 200 AS qid, o_orderkey AS doc,

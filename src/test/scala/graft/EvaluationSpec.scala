@@ -150,6 +150,16 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_brier: Murphy terms are non-negative and recompose the score") {
+    val r = SparkEntry.queries("eval_brier")(spark, sf).collect().head
+    val (rel, res, unc, br) = (r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"),
+      r.getAs[Double]("brier"))
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    assert(math.abs(br - (rel - res + unc)) < 1e-12)
+    assert(br >= 0 && br <= 1, s"Brier out of range: $br")
+  }
+
   test("eval_mrr: reciprocal-rank mean is a probability; every query found a relevant doc") {
     val r = SparkEntry.queries("eval_mrr")(spark, sf).collect().head
     assert(r.getAs[Long]("n_queries") == 200)
