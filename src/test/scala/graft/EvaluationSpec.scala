@@ -188,6 +188,23 @@ class EvaluationSpec extends AnyFunSuite {
     assert(ps.sliding(2).forall(w => w.length < 2 || w(1) >= w(0)))
   }
 
+  test("stats_ipf_rake: column margins hit the target exactly; rows converge") {
+    val rows = SparkEntry.queries("stats_ipf_rake")(spark, sf).collect()
+    assert(rows.length == 15) // 5 priorities x 3 statuses
+    assert(rows.forall(_.getAs[Double]("weight") > 0))
+    val total = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val byCol = rows.groupBy(_.getAs[String]("c"))
+      .view.mapValues(_.map(_.getAs[Double]("weight")).sum)
+    byCol.values.foreach(cs =>
+      assert(math.abs(cs - total / 3.0) < 1e-4,
+        s"column margin off target after the final column step: $cs"))
+    val byRow = rows.groupBy(_.getAs[String]("p"))
+      .view.mapValues(_.map(_.getAs[Double]("weight")).sum)
+    byRow.values.foreach(rs =>
+      assert(math.abs(rs - total / 5.0) / (total / 5.0) < 1e-3,
+        s"row margin did not converge: $rs vs ${total / 5.0}"))
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)
