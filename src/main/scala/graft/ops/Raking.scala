@@ -10,8 +10,13 @@ import graft.Tables
   * (priority × status) contingency table until its margins match
   * target margins (uniform here: total/5 per priority row, total/3 per
   * status column). Three full row+column rounds with every scaled cell
-  * re-pinned at 6dp (the cell magnitude is count-scale, so a 12dp grid would sit BELOW the double ULP and the two engines' round-evens stop agreeing — the pin precision must stay coarser than ULP at the value's magnitude) and every margin summed as decimal(24,12) — the
-  * `graph_pagerank` pinned-fixpoint discipline on a 2-D problem.
+  * re-pinned at 6dp and every margin summed as decimal(24,12) — the
+  * `graph_pagerank` pinned-fixpoint discipline on a 2-D problem. The
+  * pin is 6dp (not the usual 12) because the cells are COUNT-scale: a
+  * 12dp grid sits below the double ULP at magnitude ~10³⁺, where the
+  * two engines' round-even implementations stop agreeing — the pin
+  * precision must stay coarser than ULP at the value's magnitude
+  * (measured: 12dp drifted 10/15 cells at sf0.01).
   *
   * Scale shape: ONE data-scale hash agg builds the 15-cell table; the
   * iteration is entirely domain-sized (broadcast margin joins). A
