@@ -60,8 +60,8 @@ object Raking extends graft.QueryModule {
   /** The fit's margins after the final column step: columns match the
     * target EXACTLY (the last step scaled them); rows are near-target
     * (IPF converges geometrically). Spec asserts both. */
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stats_ipf_rake" -> ipf)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ipf_rake" -> (ipf _)) ++ queries2
 
   private def ipfOracle: String = {
     val steps = (1 to ipfRounds).map { k =>
@@ -92,5 +92,71 @@ object Raking extends graft.QueryModule {
        |FROM w$ipfRounds ORDER BY p, c""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("stats_ipf_rake" -> ipfOracle)
+  /** Single-changepoint detection [N] (binary segmentation, first
+    * split — Scott & Knott / PELT's inner step): over daily revenue in
+    * exact $1000 units, choose the split day k maximizing the
+    * between-segment explained sum S₁²/n₁ + S₂²/n₂ (equivalent to
+    * minimizing within-segment SSE). Prefix sums run over the
+    * CALENDAR-BOUNDED day domain; every score input is an exact
+    * BIGINT (revenue bins keep S² < 2⁵³, double-exact), so both
+    * engines compute IEEE-identical scores and the argmax (day
+    * tie-break) is deterministic with no pinning at all. */
+  private def changepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 100000"
+      )).as("r"), count(lit(1)).as("m"))
+    val wPre = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = days
+      .withColumn("s1", sum(col("r")).over(wPre))
+      .withColumn("n1", sum(col("m")).over(wPre))
+    val tot = days.agg(sum(col("r")).as("st"), sum(col("m")).as("nt"))
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val scored = pre.crossJoin(broadcast(tot))
+      .filter(col("n1") < col("nt")) // a split must leave a right segment
+      .select(col("day"),
+        (dd(col("s1")) * dd(col("s1")) / dd(col("n1")) +
+          dd(col("st") - col("s1")) * dd(col("st") - col("s1")) /
+            dd(col("nt") - col("n1"))).as("score"),
+        (dd(col("s1")) / dd(col("n1"))).as("mean_left"),
+        (dd(col("st") - col("s1")) / dd(col("nt") - col("n1"))).as("mean_right"),
+        col("n1"), (col("nt") - col("n1")).as("n2"))
+    scored.orderBy(col("score").desc, col("day")).limit(1)
+  }
+
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> changepoint)
+
+  private val changepointOracle =
+    """WITH days AS (
+      |  SELECT o_orderdate AS day,
+      |         CAST(sum((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100000) AS BIGINT) AS r,
+      |         count(*) AS m
+      |  FROM orders GROUP BY 1),
+      |pre AS (
+      |  SELECT day, r, m,
+      |         CAST(sum(r) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+      |         CAST(sum(m) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1
+      |  FROM days),
+      |tot AS (SELECT CAST(sum(r) AS BIGINT) AS st, CAST(sum(m) AS BIGINT) AS nt FROM days),
+      |scored AS (
+      |  SELECT day,
+      |         CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |           + CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+      |             / CAST(nt - n1 AS DOUBLE) AS score,
+      |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_left,
+      |         CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE) AS mean_right,
+      |         n1, nt - n1 AS n2
+      |  FROM pre, tot WHERE n1 < nt)
+      |SELECT * FROM scored ORDER BY score DESC, day LIMIT 1""".stripMargin
+
+  val oracles2: Map[String, String] = Map("ts_changepoint" -> changepointOracle)
+
+  lazy val oracles: Map[String, String] =
+    Map("stats_ipf_rake" -> ipfOracle) ++ oracles2
 }
