@@ -53,6 +53,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_kaplan_meier" -> "1-row subject-total crossJoin over the day domain",
     "stats_bh_fdr" -> "1-row kmax crossJoin over the 100-hypothesis domain",
     "eval_brier" -> "1-row base-rate crossJoin over the 10-bin domain",
+    "ts_changepoint" -> "1-row grand-total crossJoin over the day domain",
     "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
