@@ -664,9 +664,11 @@ object SimSearch extends graft.QueryModule {
     * (cos(q_a/s_a, q_b/s_b) = cos(q_a, q_b)), so the serving path needs
     * only the int8 codes (4× less memory traffic than float32) and the
     * existing codegen cosine. int8 codes fit float32 exactly (|q| ≤
-    * 127), so the same expression serves both paths. Approximate ⇒
-    * rows-only; SimSearchRecallSpec floors recall@10 vs the full-precision
-    * answer. */
+    * 127), so the same expression serves both paths. Approximate vs
+    * the FLOAT answer (SimSearchRecallSpec floors recall@10), but
+    * DETERMINISTIC in itself: the quantized dots are exact integers,
+    * so since r8 the key is hash-checked against a token-mirrored
+    * DuckDB oracle (no longer rows-only). */
   private def quantizedTopK(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)

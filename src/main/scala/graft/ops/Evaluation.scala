@@ -113,12 +113,7 @@ object Evaluation extends graft.QueryModule {
       "0.386853", "0.356207", "0.333333", "0.315465", "0.301030", "0.289065")
     val discCol = expr(
       s"element_at(array(${discounts.map(x => s"CAST($x AS DECIMAL(8,6))").mkString(",")}), pos)")
-    val base = Tables.orders(s, d)
-      .select(pmod(col("o_custkey"), lit(200)).as("qid"),
-        col("o_orderkey").as("doc"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("score"),
-        (conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":rel"))),
-          1, 1), 16, 10).cast("int") % 4).as("rel"))
+    val base = Synth.queryRelevance(s, d)
     // gain 2^rel − 1 over rel ∈ {0..3}: exact BIGINT lookup
     val gain = expr("element_at(array(0L, 1L, 3L, 7L), rel + 1)").as("gain")
     val wSys = Window.partitionBy(col("qid"))
@@ -149,15 +144,7 @@ object Evaluation extends graft.QueryModule {
     * division of exact BIGINT sums (numerators stay < 2⁵³ far past
     * sf 100; decimal(38,0) would be the next stop). */
   private def calibration(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
-      .cast("long")
-    Tables.orders(s, d)
-      .select(least(cents, lit(60000000L)).as("pc"),
-        (col("o_orderstatus") === "F").as("pos"))
-      .groupBy(expr("least(pc, 59999999) div 6000000").as("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("pc")).as("sp"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+    Synth.calibrationBins(s, d)
       .select(col("bin"), col("n"),
         (dd(col("sp")) / (dd(col("n")) * lit(6.0e7))).as("mean_pred"),
         (dd(col("npos")) / dd(col("n"))).as("observed"))
@@ -206,14 +193,7 @@ object Evaluation extends graft.QueryModule {
     * else is IEEE over exact BIGINT sums in mirrored order. One hash
     * agg into the 10-bin domain + a 1-row global broadcast. */
   private def brier(s: SparkSession, d: String): DataFrame = {
-    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
-      .cast("long")
-    val bins = Tables.orders(s, d)
-      .select(least(cents, lit(60000000L)).as("pc"),
-        (col("o_orderstatus") === "F").as("pos"))
-      .groupBy(expr("least(pc, 59999999) div 6000000").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sp"),
-        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+    val bins = Synth.calibrationBins(s, d) // the SAME bins eval_calibration reports
     val tot = bins.agg(sum(col("n")).as("nt"), sum(col("npos")).as("post"))
     val mp = dd(col("sp")) / (dd(col("n")) * lit(6.0e7))   // mean predicted
     val ob = dd(col("npos")) / dd(col("n"))                // observed rate
@@ -246,20 +226,14 @@ object Evaluation extends graft.QueryModule {
     * averages as exact decimal, so the corpus MRR is order-invariant.
     * Same per-query ranking-window shape as `eval_ndcg`. */
   private def mrr(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
-      .select(pmod(col("o_custkey"), lit(200)).as("qid"),
-        col("o_orderkey").as("doc"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("score"),
-        (conv(substring(md5(concat(col("o_orderkey").cast("string"), lit(":rel"))),
-          1, 1), 16, 10).cast("int") % 4).as("rel"))
     val wSys = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc"))
-    val firstRel = base
+    // one pass: the conditional min over the ranked rows is null for
+    // hit-less queries — no second scan, no reinstatement join
+    Synth.queryRelevance(s, d)
       .withColumn("pos", row_number().over(wSys))
-      .filter(col("rel") >= 2)
-      .groupBy(col("qid")).agg(min(col("pos")).as("first_rank"))
-    base.select(col("qid")).distinct()
-      .join(firstRel, Seq("qid"), "left")
+      .groupBy(col("qid"))
+      .agg(min(when(col("rel") >= 2, col("pos"))).as("first_rank"))
       .select(when(col("first_rank").isNotNull,
         bround(lit(1.0) / dd(col("first_rank")), 12))
         .otherwise(lit(0.0)).cast("decimal(14,12)").as("rr"))
@@ -462,12 +436,13 @@ object Evaluation extends graft.QueryModule {
         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS pos
         |  FROM base),
         |fr AS (
-        |  SELECT qid, min(pos) AS first_rank FROM ranked WHERE rel >= 2 GROUP BY qid),
+        |  SELECT qid, min(CASE WHEN rel >= 2 THEN pos END) AS first_rank
+        |  FROM ranked GROUP BY qid),
         |rr AS (
-        |  SELECT CAST(CASE WHEN fr.first_rank IS NOT NULL
-        |                   THEN round_even(1.0 / CAST(fr.first_rank AS DOUBLE), 12)
+        |  SELECT CAST(CASE WHEN first_rank IS NOT NULL
+        |                   THEN round_even(1.0 / CAST(first_rank AS DOUBLE), 12)
         |                   ELSE 0.0 END AS DECIMAL(14,12)) AS rr
-        |  FROM (SELECT DISTINCT qid FROM base) q LEFT JOIN fr USING (qid))
+        |  FROM fr)
         |SELECT count(*) AS n_queries,
         |       CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |       CAST(sum(rr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mrr

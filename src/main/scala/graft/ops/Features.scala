@@ -24,8 +24,7 @@ object Features extends graft.QueryModule {
 
   private def dd(c: Column): Column = c.cast("double")
 
-  private def orderCents: Column =
-    (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+  private def orderCents: Column = Synth.orderCents
 
   /** Smoothed target (mean) encoding [N] — per priority category, the
     * Bayesian-smoothed positive rate enc = (pos + m·prior)/(n + m)

@@ -57,12 +57,6 @@ object Raking extends graft.QueryModule {
       .orderBy("p", "c")
   }
 
-  /** The fit's margins after the final column step: columns match the
-    * target EXACTLY (the last step scaled them); rows are near-target
-    * (IPF converges geometrically). Spec asserts both. */
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stats_ipf_rake" -> (ipf _)) ++ queries2
-
   private def ipfOracle: String = {
     val steps = (1 to ipfRounds).map { k =>
       s"""r$k AS MATERIALIZED (
@@ -127,9 +121,6 @@ object Raking extends graft.QueryModule {
     scored.orderBy(col("score").desc, col("day")).limit(1)
   }
 
-  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_changepoint" -> changepoint)
-
   private val changepointOracle =
     """WITH days AS (
       |  SELECT o_orderdate AS day,
@@ -155,8 +146,14 @@ object Raking extends graft.QueryModule {
       |  FROM pre, tot WHERE n1 < nt)
       |SELECT * FROM scored ORDER BY score DESC, day LIMIT 1""".stripMargin
 
-  val oracles2: Map[String, String] = Map("ts_changepoint" -> changepointOracle)
+  /** IPF's margins after the final column step: columns match the
+    * target EXACTLY (the last step scaled them); rows are near-target
+    * (IPF converges geometrically). Spec asserts both. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ipf_rake" -> (ipf _),
+    "ts_changepoint" -> (changepoint _))
 
-  lazy val oracles: Map[String, String] =
-    Map("stats_ipf_rake" -> ipfOracle) ++ oracles2
+  val oracles: Map[String, String] = Map(
+    "stats_ipf_rake" -> ipfOracle,
+    "ts_changepoint" -> changepointOracle)
 }

@@ -36,4 +36,28 @@ private[ops] object Synth {
       .groupBy(col("g"), col("v"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         count(lit(1)).as("n"))
+
+  /** Shared ranking corpus for `eval_ndcg` and `eval_mrr`: 200 query
+    * buckets, price as the system score, md5-derived relevance grades
+    * 0..3 — ONE definition so the two ranking metrics judge the same
+    * corpus by construction. */
+  def queryRelevance(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(pmod(col("o_custkey"), lit(200)).as("qid"),
+        col("o_orderkey").as("doc"),
+        orderCents.as("score"),
+        (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit(":rel"))), 1, 1), 16, 10).cast("int") % 4).as("rel"))
+
+  /** Shared 10-probability-bin relation for `eval_calibration` and
+    * `eval_brier` — p = min(cents, 6e7)/6e7, bins of width 0.1. A
+    * single definition makes "the same bins" structural, not
+    * copy-paste. */
+  def calibrationBins(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(orderCents, lit(60000000L)).as("pc"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(expr("least(pc, 59999999) div 6000000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sp"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
 }

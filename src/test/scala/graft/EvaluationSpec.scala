@@ -163,6 +163,8 @@ class EvaluationSpec extends AnyFunSuite {
   test("eval_mrr: reciprocal-rank mean is a probability; every query found a relevant doc") {
     val r = SparkEntry.queries("eval_mrr")(spark, sf).collect().head
     assert(r.getAs[Long]("n_queries") == 200)
+    assert(r.getAs[Long]("n_hit") == r.getAs[Long]("n_queries"),
+      "with ~half the docs relevant, every query bucket must have a hit")
     val mrr = r.getAs[Double]("mrr")
     assert(mrr > 0.0 && mrr <= 1.0)
     // ~half the docs are relevant (rel>=2), so the first hit comes early
