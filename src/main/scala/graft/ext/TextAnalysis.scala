@@ -80,6 +80,43 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit [N] — the corpus-health diagnostic: OLS slope of
+    * ln(freq) on ln(rank) over the top-500 terms (natural text sits
+    * near −1; a pile-up of near-duplicate boilerplate shows up as a
+    * flattened head). Ranks come from a window over the BOUNDED vocab
+    * domain; each ln pins at 6dp, each OLS product re-pins at 12dp and
+    * sums as decimal(28,12) — order-invariant; the slope/intercept are
+    * two IEEE divisions of exact decimal aggregates, pinned at 8dp
+    * (the decimal-past-2⁵³ cast lesson). */
+  private def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      .filter(col("rank") <= 500)
+      .select(bround(log(col("rank").cast("double")), 6).as("x"),
+        bround(log(col("f").cast("double")), 6).as("y"))
+    def dec12(c: org.apache.spark.sql.Column) =
+      bround(c, 12).cast("decimal(28,12)")
+    val a = ranked.agg(count(lit(1)).as("n"),
+      sum(dec12(col("x"))).as("sx"), sum(dec12(col("y"))).as("sy"),
+      sum(dec12(col("x") * col("x"))).as("sxx"),
+      sum(dec12(col("x") * col("y"))).as("sxy"))
+    a.select(col("n"),
+      bround((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+        (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))), 8)
+        .as("zipf_slope"),
+      bround((dd(col("sy")) - ((dd(col("n")) * dd(col("sxy")) -
+        dd(col("sx")) * dd(col("sy"))) /
+        (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))) *
+        dd(col("sx"))) / dd(col("n")), 8).as("intercept"))
+  }
+
+  private def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+
   /** Corpus term frequency: explode → hash-agg → top-20. The 100 TB shape:
     * map-side partial counts, one shuffle on the token. */
   private def termFreq(s: SparkSession, d: String): DataFrame =
@@ -587,6 +624,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_langid" -> langId,
     "text_tfidf" -> tfidf,
     "text_quality" -> quality,
+    "text_zipf_fit" -> zipfFit,
     "text_gopher_rules" -> gopherRules,
     "text_repetition" -> repetition,
     "text_cooccurrence" -> cooccurrence,
@@ -815,6 +853,36 @@ object TextAnalysis extends graft.QueryModule {
         |       round_even(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
         |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
         |ORDER BY tfidf DESC, tf.doc_id, tf.w LIMIT 100""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH freq AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |ranked AS (
+        |  SELECT round_even(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |         round_even(ln(CAST(f AS DOUBLE)), 6) AS y
+        |  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank
+        |        FROM freq)
+        |  WHERE rank <= 500),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(round_even(x, 12) AS DECIMAL(28,12))) AS sx,
+        |         sum(CAST(round_even(y, 12) AS DECIMAL(28,12))) AS sy,
+        |         sum(CAST(round_even(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+        |         sum(CAST(round_even(x * y, 12) AS DECIMAL(28,12))) AS sxy
+        |  FROM ranked)
+        |SELECT n,
+        |       round_even((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS zipf_slope,
+        |       round_even((CAST(sy AS DOUBLE)
+        |                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8) AS intercept
+        |FROM a""".stripMargin,
     "text_gopher_rules" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -146,14 +146,53 @@ object Raking extends graft.QueryModule {
       |  FROM pre, tot WHERE n1 < nt)
       |SELECT * FROM scored ORDER BY score DESC, day LIMIT 1""".stripMargin
 
+  /** Distribution-free mean confidence bounds [N] — Hoeffding's
+    * inequality per segment: the fulfilled-rate estimate ±
+    * √(ln(2/δ)/(2n)) at δ = 0.05, with ln(2/δ) a pinned 9dp literal
+    * (no runtime transcendental; sqrt is IEEE-exact). The
+    * anytime-bound companion to `stats_sprt` — what a metrics
+    * dashboard shows when it cannot assume normality. One conditional
+    * hash agg into the 5-segment domain. */
+  private def hoeffdingCi(s: SparkSession, d: String): DataFrame = {
+    val ln2OverDelta = 3.688879454 // ln(2 / 0.05), pinned
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"))
+      .withColumn("rate", dd(col("pos")) / dd(col("n")))
+      .withColumn("hw", sqrt(lit(ln2OverDelta) / (lit(2.0) * dd(col("n")))))
+      .select(col("g"), col("n"), col("rate"),
+        greatest(col("rate") - col("hw"), lit(0.0)).as("lo"),
+        least(col("rate") + col("hw"), lit(1.0)).as("hi"))
+      .orderBy("g")
+  }
+
+  private val hoeffdingOracle =
+    """WITH a AS (
+      |  SELECT o_orderpriority AS g, count(*) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT g, n,
+      |         CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |         sqrt(3.688879454 / (2.0 * CAST(n AS DOUBLE))) AS hw
+      |  FROM a)
+      |SELECT g, n, rate,
+      |       greatest(rate - hw, CAST(0.0 AS DOUBLE)) AS lo,
+      |       least(rate + hw, CAST(1.0 AS DOUBLE)) AS hi
+      |FROM r ORDER BY g""".stripMargin
+
   /** IPF's margins after the final column step: columns match the
     * target EXACTLY (the last step scaled them); rows are near-target
     * (IPF converges geometrically). Spec asserts both. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ipf_rake" -> (ipf _),
-    "ts_changepoint" -> (changepoint _))
+    "ts_changepoint" -> (changepoint _),
+    "stats_hoeffding_ci" -> (hoeffdingCi _))
 
   val oracles: Map[String, String] = Map(
     "stats_ipf_rake" -> ipfOracle,
-    "ts_changepoint" -> changepointOracle)
+    "ts_changepoint" -> changepointOracle,
+    "stats_hoeffding_ci" -> hoeffdingOracle)
 }

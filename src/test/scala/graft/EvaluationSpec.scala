@@ -207,6 +207,27 @@ class EvaluationSpec extends AnyFunSuite {
         s"row margin did not converge: $rs vs ${total / 5.0}"))
   }
 
+  test("text_zipf_fit: slope is negative (frequency decays with rank)") {
+    val r = SparkEntry.queries("text_zipf_fit")(spark, sf).collect().head
+    assert(r.getAs[Long]("n") >= 10, "need a non-trivial vocabulary to fit")
+    assert(r.getAs[Double]("zipf_slope") < 0.0,
+      s"frequency must decay with rank: $r")
+  }
+
+  test("stats_hoeffding_ci: intervals cover the rate and shrink with n") {
+    val rows = SparkEntry.queries("stats_hoeffding_ci")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (rate, lo, hi) = (r.getAs[Double]("rate"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo <= rate && rate <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+      // at sf0.01 each segment has ~3000 orders -> hw ~ 0.025
+      val hw = math.sqrt(3.688879454 / (2.0 * r.getAs[Long]("n")))
+      assert(math.abs((hi - lo) - 2 * hw) < 1e-12 || hi == 1.0 || lo == 0.0)
+    }
+  }
+
   test("pref_bradley_terry: strengths recover the planted order and sum to 1") {
     val rows = SparkEntry.queries("pref_bradley_terry")(spark, sf).collect()
     assert(rows.length == 4)
