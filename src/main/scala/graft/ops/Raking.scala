@@ -183,16 +183,140 @@ object Raking extends graft.QueryModule {
       |       least(rate + hw, CAST(1.0 AS DOUBLE)) AS hi
       |FROM r ORDER BY g""".stripMargin
 
+  /** Wald-Wolfowitz runs test [N] — is daily revenue's above/below-
+    * median sequence random, or does it trend/cluster? The sign
+    * threshold is the exact integer revenue median over the day
+    * domain (LOWER median — `stats_mad_outliers`' convention), runs
+    * are counted by a lag window over the same bounded domain, and
+    * the normal-approximation z assembles from exact counts in
+    * mirrored IEEE order (one sqrt, no transcendentals). */
+  private def runsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr(
+        "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 100000"
+      )).as("r"))
+    val med = days.select(col("r"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("r"))))
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("nd"))))
+      .filter(col("rk") === expr("(nd + 1) div 2"))
+      .select(col("r").as("median"))
+    val signed = days.crossJoin(broadcast(med))
+      .filter(col("r") =!= col("median")) // ties at the median drop out
+      .select(col("day"), (col("r") > col("median")).as("up"))
+    val wLag = Window.orderBy(col("day"))
+    val agg = signed
+      .withColumn("prev", lag(col("up"), 1).over(wLag))
+      .select(
+        when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+          .otherwise(0L).as("newrun"),
+        when(col("up"), 1L).otherwise(0L).as("isup"))
+      .agg(sum(col("newrun")).as("runs"), sum(col("isup")).as("n1"),
+        sum(lit(1L) - col("isup")).as("n2"))
+    agg.select(col("runs"), col("n1"), col("n2"),
+      // E[R] = 1 + 2 n1 n2 / (n1+n2); Var = (E-1)(E-2)/(n1+n2-1)
+      (lit(1.0) + lit(2.0) * dd(col("n1")) * dd(col("n2")) /
+        dd(col("n1") + col("n2"))).as("expected"))
+      .withColumn("z",
+        (dd(col("runs")) - col("expected")) /
+          sqrt((col("expected") - lit(1.0)) * (col("expected") - lit(2.0)) /
+            dd(col("n1") + col("n2") - 1)))
+  }
+
+  private val runsTestOracle =
+    """WITH days AS (
+      |  SELECT o_orderdate AS day,
+      |         CAST(sum((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100000) AS BIGINT) AS r
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT r AS median FROM (
+      |    SELECT r, row_number() OVER (ORDER BY r) AS rk FROM days),
+      |    (SELECT count(*) AS nd FROM days)
+      |  WHERE rk = (nd + 1) // 2),
+      |signed AS (
+      |  SELECT day, r > median AS up FROM days, med WHERE r <> median),
+      |lagged AS (
+      |  SELECT up, lag(up, 1) OVER (ORDER BY day) AS prev FROM signed),
+      |agg AS (
+      |  SELECT CAST(sum(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+      |         CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      |  FROM lagged),
+      |e AS (
+      |  SELECT runs, n1, n2,
+      |         1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |           / CAST(n1 + n2 AS DOUBLE) AS expected
+      |  FROM agg)
+      |SELECT runs, n1, n2, expected,
+      |       (CAST(runs AS DOUBLE) - expected)
+      |         / sqrt((expected - 1.0) * (expected - 2.0)
+      |                / CAST(n1 + n2 - 1 AS DOUBLE)) AS z
+      |FROM e""".stripMargin
+
+  /** ABC (Pareto) classification [N] — the inventory-analytics
+    * classic: parts ranked by revenue; A = the head covering 80% of
+    * cumulative revenue, B = the next 15%, C = the tail. Class
+    * boundaries are EXACT integer comparisons (cum·100 vs share·total
+    * — no float thresholds); cumulative sums run over the part-domain
+    * ranking window. */
+  private def abcAnalysis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("rev"))
+    val tot = parts.agg(sum(col("rev")).as("tr"))
+    val w = Window.orderBy(col("rev").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("pk"), col("rev"),
+        when(col("cum") * 100 <= col("tr") * 80, "A")
+          .when(col("cum") * 100 <= col("tr") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue"))
+      .orderBy("abc_class")
+  }
+
+  private val abcOracle =
+    """WITH parts AS (
+      |  SELECT l_partkey AS pk,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tr FROM parts),
+      |c AS (
+      |  SELECT pk, rev,
+      |         CAST(sum(rev) OVER (ORDER BY rev DESC, pk
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM parts),
+      |labeled AS (
+      |  SELECT pk, rev,
+      |         CASE WHEN cum * 100 <= tr * 80 THEN 'A'
+      |              WHEN cum * 100 <= tr * 95 THEN 'B'
+      |              ELSE 'C' END AS abc_class
+      |  FROM c, tot)
+      |SELECT abc_class, count(*) AS n_parts,
+      |       CAST(sum(rev) AS BIGINT) AS revenue
+      |FROM labeled GROUP BY 1 ORDER BY abc_class""".stripMargin
+
   /** IPF's margins after the final column step: columns match the
     * target EXACTLY (the last step scaled them); rows are near-target
     * (IPF converges geometrically). Spec asserts both. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_ipf_rake" -> (ipf _),
     "ts_changepoint" -> (changepoint _),
-    "stats_hoeffding_ci" -> (hoeffdingCi _))
+    "stats_hoeffding_ci" -> (hoeffdingCi _),
+    "stats_runs_test" -> (runsTest _),
+    "agg_abc_pareto" -> (abcAnalysis _))
 
   val oracles: Map[String, String] = Map(
     "stats_ipf_rake" -> ipfOracle,
     "ts_changepoint" -> changepointOracle,
-    "stats_hoeffding_ci" -> hoeffdingOracle)
+    "stats_hoeffding_ci" -> hoeffdingOracle,
+    "stats_runs_test" -> runsTestOracle,
+    "agg_abc_pareto" -> abcOracle)
 }

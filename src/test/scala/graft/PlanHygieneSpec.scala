@@ -54,6 +54,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_bh_fdr" -> "1-row kmax crossJoin over the 100-hypothesis domain",
     "eval_brier" -> "1-row base-rate crossJoin over the 10-bin domain",
     "ts_changepoint" -> "1-row grand-total crossJoin over the day domain",
+    "stats_runs_test" -> "1-row median/day-count crossJoins over the day domain",
+    "agg_abc_pareto" -> "1-row revenue-total crossJoin over the part domain",
     "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
