@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Iterative proportional fitting (raking) [N] — Deming & Stephan 1940,
-  * the survey-weighting workhorse: rescale the observed
+/** Extended statistics operators [N]: survey raking (IPF), changepoint
+  * detection, Hoeffding bounds, the runs test, and ABC classification.
+  *
+  * IPF (Deming & Stephan 1940) is the survey-weighting workhorse:
+  * rescale the observed
   * (priority × status) contingency table until its margins match
   * target margins (uniform here: total/5 per priority row, total/3 per
   * status column). Three full row+column rounds with every scaled cell
@@ -22,7 +25,7 @@ import graft.Tables
   * iteration is entirely domain-sized (broadcast margin joins). A
   * production rake over billions of rows has exactly this decomposition
   * — the data is touched once, the fit runs on the margins. */
-object Raking extends graft.QueryModule {
+object StatsExtra extends graft.QueryModule {
 
   private val ipfRounds = 3
 
