@@ -306,6 +306,71 @@ object StatsExtra extends graft.QueryModule {
       |       CAST(sum(rev) AS BIGINT) AS revenue
       |FROM labeled GROUP BY 1 ORDER BY abc_class""".stripMargin
 
+  /** Mutual information [N] between order priority and status — the
+    * dependency measure `agg_chisq` tests for, as an information
+    * quantity: MI = ΣΣ p_ij·ln(p_ij/(p_i·p_j)) with margin entropies
+    * and the normalized MI (mi / min(H_row, H_col)). Every ln pins at
+    * 6dp, every cell term re-pins at 12dp and sums as decimal(24,12);
+    * one hash agg into the 15-cell domain + a 1-row total. */
+  private def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rows = cells.groupBy(col("p")).agg(sum(col("n")).as("rn"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("cn"))
+    val tot = cells.agg(sum(col("n")).as("t"))
+    val mi = cells
+      .join(broadcast(rows), "p").join(broadcast(cols), "c")
+      .crossJoin(broadcast(tot))
+      .select(bround((dd(col("n")) / dd(col("t"))) *
+        bround(log((dd(col("n")) * dd(col("t"))) /
+          (dd(col("rn")) * dd(col("cn")))), 6), 12)
+        .cast("decimal(24,12)").as("term"))
+      .agg(bround(dd(sum(col("term"))), 8).as("mi"))
+    def entropy(margin: DataFrame, cnt: String): DataFrame = margin
+      .crossJoin(broadcast(tot))
+      .select(bround((dd(col(cnt)) / dd(col("t"))) *
+        bround(log(dd(col(cnt)) / dd(col("t"))), 6), 12)
+        .cast("decimal(24,12)").as("term"))
+      .agg(bround(-dd(sum(col("term"))), 8).as("h"))
+    val hr = entropy(rows, "rn").withColumnRenamed("h", "h_row")
+    val hc = entropy(cols, "cn").withColumnRenamed("h", "h_col")
+    mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+      .withColumn("nmi", bround(col("mi") / least(col("h_row"), col("h_col")), 8))
+  }
+
+  private val mutualInfoOracle =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT o_orderpriority AS p, o_orderstatus AS c, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rows_m AS (SELECT p, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY p),
+      |cols_m AS (SELECT c, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY c),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+      |mi AS (
+      |  SELECT round_even(CAST(sum(CAST(round_even(
+      |           (CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+      |           * round_even(ln((CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+      |                           / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))), 6),
+      |           12) AS DECIMAL(24,12))) AS DOUBLE), 8) AS mi
+      |  FROM cells JOIN rows_m USING (p) JOIN cols_m USING (c), tot),
+      |hr AS (
+      |  SELECT round_even(-CAST(sum(CAST(round_even(
+      |           (CAST(rn AS DOUBLE) / CAST(t AS DOUBLE))
+      |           * round_even(ln(CAST(rn AS DOUBLE) / CAST(t AS DOUBLE)), 6),
+      |           12) AS DECIMAL(24,12))) AS DOUBLE), 8) AS h_row
+      |  FROM rows_m, tot),
+      |hc AS (
+      |  SELECT round_even(-CAST(sum(CAST(round_even(
+      |           (CAST(cn AS DOUBLE) / CAST(t AS DOUBLE))
+      |           * round_even(ln(CAST(cn AS DOUBLE) / CAST(t AS DOUBLE)), 6),
+      |           12) AS DECIMAL(24,12))) AS DOUBLE), 8) AS h_col
+      |  FROM cols_m, tot)
+      |SELECT mi, h_row, h_col,
+      |       round_even(mi / least(h_row, h_col), 8) AS nmi
+      |FROM mi, hr, hc""".stripMargin
+
   /** IPF's margins after the final column step: columns match the
     * target EXACTLY (the last step scaled them); rows are near-target
     * (IPF converges geometrically). Spec asserts both. */
@@ -314,12 +379,14 @@ object StatsExtra extends graft.QueryModule {
     "ts_changepoint" -> (changepoint _),
     "stats_hoeffding_ci" -> (hoeffdingCi _),
     "stats_runs_test" -> (runsTest _),
-    "agg_abc_pareto" -> (abcAnalysis _))
+    "agg_abc_pareto" -> (abcAnalysis _),
+    "stats_mutual_info" -> (mutualInfo _))
 
   val oracles: Map[String, String] = Map(
     "stats_ipf_rake" -> ipfOracle,
     "ts_changepoint" -> changepointOracle,
     "stats_hoeffding_ci" -> hoeffdingOracle,
     "stats_runs_test" -> runsTestOracle,
-    "agg_abc_pareto" -> abcOracle)
+    "agg_abc_pareto" -> abcOracle,
+    "stats_mutual_info" -> mutualInfoOracle)
 }

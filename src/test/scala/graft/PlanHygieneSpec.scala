@@ -56,6 +56,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ts_changepoint" -> "1-row grand-total crossJoin over the day domain",
     "stats_runs_test" -> "1-row median/day-count crossJoins over the day domain",
     "agg_abc_pareto" -> "1-row revenue-total crossJoin over the part domain",
+    "stats_mutual_info" -> "1-row total/entropy crossJoins over the 15-cell domain",
     "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
