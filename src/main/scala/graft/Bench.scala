@@ -31,8 +31,8 @@ object Bench {
     "join_range_bucketed",  // binned interval join, no nested loop
     "join_salted_skew",     // salted skew join
     "sink_bucketed_join",   // bucketed write + co-located join
-    "sink_sorted_scan",     // range-clustered layout + min/max skipping
-    "sink_zorder_scan",     // z-order clustered layout
+    "sink_zorder_scan",     // z-order clustered layout (sorted_scan's
+                            // thinner sibling moved out for line budget)
     "sink_commit_partitions", // dynamic partition overwrite publish
     "src_dpp_pruned",       // dynamic partition pruning
     "win_rank_topk",        // ranking window (TakeOrderedAndProject inside)
@@ -59,6 +59,7 @@ object Bench {
     "dedup_minhash",        // LSH band join
     "dedup_simhash",
     "dedup_jarowinkler",    // native codegen JW probe scan
+    "dedup_semantic",       // knn edges -> CC clusters (SemDeDup, r8)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
     "sim_search_pq",        // product-quantization ANN
     "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
