@@ -285,7 +285,28 @@ object Evaluation extends graft.QueryModule {
       .orderBy("decile")
   }
 
+  /** Model scorecard [N] — the one-row dashboard summary composing
+    * FOUR registered metrics in one declarative plan (the eval
+    * family's `corpus_clean_pipeline`): macro-averaged segment AUC,
+    * the Brier score, MRR, and the PSI drift monitor. Built from the
+    * registered query functions themselves — and the oracle nests the
+    * same four oracle SQL texts — so scorecard and components CANNOT
+    * drift apart. Four domain-sized one-row relations crossJoined;
+    * the macro average is an exact decimal mean of 12dp-pinned AUCs. */
+  private def scorecard(s: SparkSession, d: String): DataFrame = {
+    val q = graft.SparkEntry.queries
+    val macroAuc = q("eval_auc")(s, d)
+      .select(bround(col("auc"), 12).cast("decimal(14,12)").as("a"))
+      .agg((dd(sum(col("a"))) / dd(count(lit(1)))).as("macro_auc"))
+    val b = q("eval_brier")(s, d).select(col("brier"))
+    val m = q("eval_mrr")(s, d).select(col("mrr"))
+    val p = q("stats_psi")(s, d).select(col("psi"))
+    macroAuc.crossJoin(broadcast(b)).crossJoin(broadcast(m))
+      .crossJoin(broadcast(p))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_scorecard" -> scorecard,
     "eval_auc" -> aucRank,
     "eval_confusion" -> confusion,
     "eval_ndcg" -> ndcgAt10,
@@ -295,7 +316,9 @@ object Evaluation extends graft.QueryModule {
     "eval_mrr" -> mrr,
     "stats_cohens_kappa" -> cohensKappa)
 
-  val oracles: Map[String, String] = Map(
+  /** Component oracles; the scorecard oracle below NESTS four of these
+    * texts verbatim, so a component-oracle fix propagates. */
+  private lazy val baseOracles: Map[String, String] = Map(
     "eval_auc" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS g,
@@ -510,4 +533,14 @@ object Evaluation extends graft.QueryModule {
         |SELECT yr, n11, n10, n01, n00, po, pe,
         |       CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
         |FROM k ORDER BY yr""".stripMargin)
+
+  lazy val oracles: Map[String, String] = baseOracles +
+    ("eval_scorecard" ->
+      s"""SELECT a.macro_auc, b.brier, m.mrr, p.psi
+         |FROM (SELECT CAST(sum(CAST(round_even(auc, 12) AS DECIMAL(14,12))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) AS macro_auc
+         |      FROM (${baseOracles("eval_auc")}) x) a,
+         |     (SELECT brier FROM (${baseOracles("eval_brier")}) y) b,
+         |     (SELECT mrr FROM (${baseOracles("eval_mrr")}) z) m,
+         |     (SELECT psi FROM (${Features.oracles("stats_psi")}) w) p""".stripMargin)
 }

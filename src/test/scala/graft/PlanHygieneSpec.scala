@@ -57,6 +57,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_runs_test" -> "1-row median/day-count crossJoins over the day domain",
     "agg_abc_pareto" -> "1-row revenue-total crossJoin over the part domain",
     "stats_mutual_info" -> "1-row total/entropy crossJoins over the 15-cell domain",
+    "eval_scorecard" -> ("1-row metric crossJoins (composes eval_auc/brier/" +
+      "mrr/psi, inheriting brier's and psi's allowlisted 1-row joins)"),
     "text_bm25" -> "1-row corpus-stats crossJoin")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
