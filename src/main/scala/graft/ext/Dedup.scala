@@ -59,6 +59,39 @@ object Dedup extends graft.QueryModule {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairs(docs(s, d).filter(col("doc_id") < 150), "doc_id", "text")
 
+  /** ASYMMETRIC containment dedup [N] — C(i→j) = |Aᵢ∩Aⱼ|/|Aᵢ|: the
+    * quote-inclusion case resemblance misses entirely (a paragraph
+    * copied into a much longer page has Jaccard ≈ |A|/|B| ≈ 0 but
+    * containment ≈ 1 — Broder's two measures). Same blocked word-set
+    * machinery as `dedup_ngram_jaccard` (the ≤150-doc ground-truth
+    * block; the scale path would route candidates through the LSH
+    * band join first, exactly as minhashPairs does for resemblance).
+    * The set unit is the word-3-gram shingle (not single words — the
+    * synthetic corpus' 31-word vocabulary makes word-level containment
+    * saturate near 1 for every pair; shingles restore discrimination,
+    * and they are what Broder's measures are defined over anyway).
+    * Ordered pairs: both directions emitted, threshold 0.5 on the
+    * SMALLER side's coverage. */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(ws) - 3),
+          |  i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))""".stripMargin
+      ))).as("w"))
+    val cnt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    w.as("a").join(w.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(cnt, col("i") === col("doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / col("n").cast("double")).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy("i", "j")
+  }
+
   private val NumHashes = 16
   // b=4 bands × r=4 rows: P(candidate) = 1-(1-J^r)^b ≈ 0.88 at J=0.8
   // (the old b=2/r=8 caught only ~0.31 of threshold pairs — precision
@@ -939,6 +972,7 @@ object Dedup extends graft.QueryModule {
     "dedup_jw_blocked" -> jwBlocked,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containmentPairs,
     "dedup_minhash" -> minhash,
     "dedup_clusters" -> clusters,
     "dedup_cluster_best" -> clusterBest,
@@ -949,6 +983,24 @@ object Dedup extends graft.QueryModule {
     "dedup_simhash_md5" -> simhashMd5)
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id < 150),
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+        |  WHERE len(ws) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM words a JOIN words b
+        |    ON a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS containment
+        |FROM inter JOIN cnt ON i = cnt.doc_id
+        |WHERE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) >= 0.5
+        |ORDER BY i, j""".stripMargin,
     // brute-force ground truth: the blocked candidates + exact verify
     // must equal the all-pairs answer exactly
     "dedup_editdist" ->
