@@ -1,0 +1,398 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Closed-form / pinned-iteration statistical learning [N]: one-way
+  * ANOVA, ridge regression, an integer batch perceptron, the jackknife
+  * for a ratio estimator, and the Theil–Sen robust line.
+  *
+  * Shared discipline (the `stats_ols_multi` / `graph_pagerank`
+  * lessons): every data-scale reduction is an EXACT integer/decimal
+  * sum, floats appear only in final formulas assembled from identical
+  * exact inputs, and any value that must survive a re-aggregation is
+  * pinned with `bround` at a grid coarser than the double ULP at its
+  * magnitude. The 100 TB shape is the same for all five: touch the
+  * fact table once (or once per pinned iteration), reduce to a
+  * group/domain-sized relation, finish with constant work.
+  */
+object StatsLearn extends graft.QueryModule {
+
+  /** o_totalprice as the exact $1000 bin (|v| ≤ 350 after centering at
+    * 0; here uncentered, 0..~600) — the `agg_skewkurt` integer-valued
+    * pin. */
+  private val binExprSpark = "(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 100000"
+  private val binExprDuck = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000"
+
+  // ---- one-way ANOVA --------------------------------------------------
+
+  /** One-way ANOVA of the $1000 order-value bin across the 5 priority
+    * groups. Per-group exact sums (n, Σy, Σy² — decimal(38,0), the
+    * skewKurt overflow lesson) collapse to 5 rows; the between/within
+    * decomposition needs Σ_g s_g²/n_g, a sum of per-group DOUBLES whose
+    * addition order neither engine pins — so each term is bround'ed to
+    * the integer grid (term magnitude ~10¹⁰, ULP ~10⁻⁵; relative error
+    * ~10⁻¹¹, immaterial to F) and summed as decimal(38,0), restoring
+    * order-invariance. F's final assembly is one expression over
+    * identical exact inputs. */
+  private def anova(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), expr(binExprSpark).as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sg"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("qg"))
+      .select(col("n"), col("sg"), col("qg"),
+        bround(col("sg").cast("double") * col("sg").cast("double") /
+          col("n").cast("double"), 0).cast("decimal(38,0)").as("tg"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(col("tg")).as("t"))
+      .selectExpr("cast(k as bigint) as k", "cast(n as bigint) as n",
+        "cast(s as double) as sd", "cast(q as double) as qd",
+        "cast(t as double) as td")
+      .selectExpr("k", "n",
+        "td - sd * sd / cast(n as double) as ssb",
+        "qd - td as ssw")
+      .selectExpr("k", "n", "ssb", "ssw",
+        "(ssb / cast(k - 1 as double)) / (ssw / cast(n - k as double)) as f_stat")
+  }
+
+  private val anovaOracle =
+    s"""WITH g AS (
+       |  SELECT o_orderpriority AS g, count(*) AS n,
+       |         sum($binExprDuck) AS sg,
+       |         sum(CAST($binExprDuck AS HUGEINT) * ($binExprDuck)) AS qg
+       |  FROM orders GROUP BY 1),
+       |p AS (
+       |  SELECT n, sg, qg,
+       |         CAST(round_even(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+       |              / CAST(n AS DOUBLE), 0) AS HUGEINT) AS tg
+       |  FROM g),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+       |         CAST(sum(sg) AS DOUBLE) AS sd, CAST(sum(qg) AS DOUBLE) AS qd,
+       |         CAST(sum(tg) AS DOUBLE) AS td
+       |  FROM p),
+       |b AS (
+       |  SELECT k, n, td - sd * sd / CAST(n AS DOUBLE) AS ssb, qd - td AS ssw
+       |  FROM a)
+       |SELECT k, n, ssb, ssw,
+       |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+       |FROM b""".stripMargin
+
+  // ---- ridge regression ----------------------------------------------
+
+  /** Ridge regression (λ on the feature diagonal, intercept unpenalized
+    * — the scikit-learn convention) over the `stats_ols_multi` design:
+    * price_dollars ~ quantity + discount_pct on lineitem. Identical
+    * one-pass exact power sums; Cramer's rule on the λ-shifted normal
+    * matrix [[n, sx1, sx2], [sx1, s11+λ, s12], [sx2, s12, s22+λ]].
+    * The formula STRINGS are shared between the Spark selectExpr and
+    * the DuckDB oracle so IEEE evaluation order cannot drift. */
+  private val ridgeLambda = "100000.0"
+  private val rDet =
+    s"(nn * (r11d * r22d - s12d * s12d) - sx1d * (sx1d * r22d - s12d * sx2d)" +
+      s" + sx2d * (sx1d * s12d - r11d * sx2d))"
+  private val rDet0 =
+    s"(syd * (r11d * r22d - s12d * s12d) - sx1d * (s1yd * r22d - s12d * s2yd)" +
+      s" + sx2d * (s1yd * s12d - r11d * s2yd))"
+  private val rDet1 =
+    s"(nn * (s1yd * r22d - s12d * s2yd) - syd * (sx1d * r22d - s12d * sx2d)" +
+      s" + sx2d * (sx1d * s2yd - s1yd * sx2d))"
+  private val rDet2 =
+    s"(nn * (r11d * s2yd - s1yd * s12d) - sx1d * (sx1d * s2yd - s1yd * sx2d)" +
+      s" + syd * (sx1d * s12d - r11d * sx2d))"
+  private val ridgeDoubles = Seq("nn" -> "n", "sx1d" -> "sx1",
+    "sx2d" -> "sx2", "s11d" -> "s11", "s12d" -> "s12", "s22d" -> "s22",
+    "syd" -> "sy", "s1yd" -> "s1y", "s2yd" -> "s2y")
+
+  private def ridge(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val base = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("long").as("x1"),
+      (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("x2"),
+      expr("(cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint))" +
+        " div 100").as("y"))
+    val a = base.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("sx1"), sum(dec(col("x2"))).as("sx2"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y"))).as("s2y"))
+    a.selectExpr("cast(n as bigint) as n" +:
+        ridgeDoubles.map { case (d2, src) => s"cast($src as double) as $d2" }: _*)
+      .selectExpr("n", "nn", "syd", "s1yd", "s2yd", "sx1d", "sx2d", "s12d",
+        s"s11d + $ridgeLambda as r11d", s"s22d + $ridgeLambda as r22d")
+      .selectExpr("n", s"cast($ridgeLambda as double) as lambda",
+        s"$rDet0 / $rDet as b0",
+        s"$rDet1 / $rDet as b1",
+        s"$rDet2 / $rDet as b2")
+  }
+
+  private def ridgeOracle: String = {
+    val dbls = ridgeDoubles
+      .map { case (d2, src) => s"CAST($src AS DOUBLE) AS $d2" }
+      .mkString(",\n|         ")
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+       |         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |           // 100 AS y
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x1 AS HUGEINT)) AS sx1,
+       |         sum(CAST(x2 AS HUGEINT)) AS sx2,
+       |         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+       |         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+       |         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+       |         sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+       |         sum(CAST(x2 AS HUGEINT) * y) AS s2y
+       |  FROM base),
+       |v AS (
+       |  SELECT CAST(n AS BIGINT) AS n,
+       |         $dbls
+       |  FROM a),
+       |w AS (
+       |  SELECT n, nn, syd, s1yd, s2yd, sx1d, sx2d, s12d,
+       |         s11d + $ridgeLambda AS r11d, s22d + $ridgeLambda AS r22d
+       |  FROM v)
+       |SELECT n, CAST($ridgeLambda AS DOUBLE) AS lambda,
+       |       $rDet0 / $rDet AS b0,
+       |       $rDet1 / $rDet AS b1,
+       |       $rDet2 / $rDet AS b2
+       |FROM w""".stripMargin
+  }
+
+  // ---- batch perceptron ----------------------------------------------
+
+  /** Batch perceptron, 3 epochs, learning rate 1 — the one iterative
+    * trainer that needs NO pinning at all: integer features
+    * (x1 = $1000 bin, x2 = priority rank, bias 1), label ±1
+    * (fulfilled?), so with lr=1 the weight vector stays exact BIGINT
+    * through every epoch (w ≤ Σ|y·x| ~ 10⁸ per epoch, far from 2⁶³;
+    * the oracle's HUGEINT sums cast back loudly). Each epoch is one
+    * full scan reducing to the 3 misclassified-gradient sums — the
+    * distributed-training shape (map-side combine, driver-side 3-adds),
+    * batch-exact like a single allreduce step. */
+  private val perceptronEpochs = 3
+
+  private def perceptron(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      expr(binExprSpark).as("x1"),
+      expr("cast(substring(o_orderpriority, 1, 1) as bigint)").as("x2"),
+      expr("case when o_orderstatus = 'F' then 1L else -1L end").as("y"))
+    var w = (0L, 0L, 0L)
+    for (_ <- 1 to perceptronEpochs) {
+      val du = base
+        .filter(expr(s"y * (${w._1} + ${w._2} * x1 + ${w._3} * x2) <= 0"))
+        .agg(sum(col("y")).as("d0"), sum(col("y") * col("x1")).as("d1"),
+          sum(col("y") * col("x2")).as("d2"))
+        .collect().head
+      def g(i: Int): Long = if (du.isNullAt(i)) 0L else du.getLong(i)
+      w = (w._1 + g(0), w._2 + g(1), w._3 + g(2))
+    }
+    val errs = base
+      .filter(expr(s"y * (${w._1} + ${w._2} * x1 + ${w._3} * x2) <= 0"))
+      .count()
+    val n = base.count()
+    s.range(1).selectExpr(s"${perceptronEpochs} as epochs",
+      s"${w._1}L as w0", s"${w._2}L as w1", s"${w._3}L as w2",
+      s"${errs}L as n_errors", s"${n}L as n")
+  }
+
+  private def perceptronOracle: String = {
+    val rounds = (1 to perceptronEpochs).map { k =>
+      s"""w$k AS (
+         |  SELECT w.w0 + coalesce(CAST(sum(b.y) AS BIGINT), 0) AS w0,
+         |         w.w1 + coalesce(CAST(sum(b.y * b.x1) AS BIGINT), 0) AS w1,
+         |         w.w2 + coalesce(CAST(sum(b.y * b.x2) AS BIGINT), 0) AS w2
+         |  FROM w${k - 1} w LEFT JOIN base b
+         |    ON b.y * (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) <= 0
+         |  GROUP BY w.w0, w.w1, w.w2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT $binExprDuck AS x1,
+       |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x2,
+       |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y
+       |  FROM orders),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2),
+       |$rounds
+       |SELECT $perceptronEpochs AS epochs, w.w0, w.w1, w.w2,
+       |       (SELECT count(*) FROM base b
+       |        WHERE b.y * (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) <= 0) AS n_errors,
+       |       (SELECT count(*) FROM base) AS n
+       |FROM w$perceptronEpochs w""".stripMargin
+  }
+
+  // ---- jackknife for a ratio estimator -------------------------------
+
+  /** Delete-one jackknife SE of the ratio estimator θ = Σrevenue/Σqty
+    * ($ per unit) per returnflag — the estimator whose SE has no
+    * closed form, computed WITHOUT n re-computations: each leave-one-out
+    * replicate is algebra over the broadcast group totals,
+    * θ₍ᵢ₎ = (S_r − rᵢ)/(S_q − qᵢ), one scan total. Replicates are
+    * pinned at 9dp (θ ~ 10³, ULP ~2·10⁻¹³ — grid safely coarser) and
+    * reduced as exact decimals: Σθ as decimal(38,12), Σθ² via the
+    * exact decimal(13,9)² → decimal(27,18) square, so the variance of
+    * 600k doubles is order-invariant. */
+  private def jackknife(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)").as("r"),
+      col("l_quantity").cast("long").as("q"))
+    val tot = base.groupBy(col("flag"))
+      .agg(sum(col("r")).as("sr"), sum(col("q")).as("sq"),
+        count(lit(1)).as("n"))
+    base.join(broadcast(tot), "flag")
+      .select(col("flag"), col("n"),
+        col("sr"), col("sq"),
+        bround((col("sr") - col("r")).cast("double") /
+          (col("sq") - col("q")).cast("double") / lit(100.0), 9)
+          .cast("decimal(13,9)").as("jk"))
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n"),
+        max(col("sr")).as("sr"), max(col("sq")).as("sq"),
+        sum(col("jk").cast("decimal(38,12)")).as("sjk"),
+        sum(col("jk") * col("jk")).as("sjk2"))
+      .selectExpr("flag", "cast(n as bigint) as n",
+        "cast(sr as double) / cast(sq as double) / 100.0 as theta",
+        "cast(sjk as double) / cast(n as double) as jk_mean",
+        "cast(n as double) as nd", "cast(sjk as double) as sjkd",
+        "cast(sjk2 as double) as sjk2d")
+      .selectExpr("flag", "n", "theta", "jk_mean",
+        "sqrt((nd - 1.0) / nd * (sjk2d - sjkd * sjkd / nd)) as jk_se")
+      .orderBy("flag")
+  }
+
+  private val jackknifeOracle =
+    """WITH base AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS r,
+      |         CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |tot AS (
+      |  SELECT flag, CAST(sum(r) AS BIGINT) AS sr,
+      |         CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+      |  FROM base GROUP BY flag),
+      |jk AS (
+      |  SELECT b.flag, t.n, t.sr, t.sq,
+      |         CAST(round_even(CAST(t.sr - b.r AS DOUBLE)
+      |              / CAST(t.sq - b.q AS DOUBLE) / 100.0, 9)
+      |              AS DECIMAL(13,9)) AS jk
+      |  FROM base b JOIN tot t USING (flag)),
+      |a AS (
+      |  SELECT flag, CAST(max(n) AS BIGINT) AS n,
+      |         max(sr) AS sr, max(sq) AS sq,
+      |         sum(CAST(jk AS DECIMAL(38,12))) AS sjk,
+      |         sum(CAST(jk AS DECIMAL(19,9)) * jk) AS sjk2
+      |  FROM jk GROUP BY flag),
+      |v AS (
+      |  SELECT flag, n,
+      |         CAST(sr AS DOUBLE) / CAST(sq AS DOUBLE) / 100.0 AS theta,
+      |         CAST(sjk AS DOUBLE) / CAST(n AS DOUBLE) AS jk_mean,
+      |         CAST(n AS DOUBLE) AS nd, CAST(sjk AS DOUBLE) AS sjkd,
+      |         CAST(sjk2 AS DOUBLE) AS sjk2d
+      |  FROM a)
+      |SELECT flag, n, theta, jk_mean,
+      |       sqrt((nd - 1.0) / nd * (sjk2d - sjkd * sjkd / nd)) AS jk_se
+      |FROM v ORDER BY flag""".stripMargin
+
+  // ---- Theil–Sen robust line -----------------------------------------
+
+  /** Theil–Sen estimator of the daily-revenue trend: the (lower) median
+    * of all pairwise slopes over the DAY domain, then the median
+    * intercept at the chosen slope. The pair expansion is
+    * calendar-bounded (D ≈ 2.4k days → ~2.9M pairs at ANY SF — the
+    * whole point: data scale only sharpens each day's exact revenue
+    * sum, the robust fit runs on the bounded domain). Slopes are exact
+    * int ratios evaluated once in doubles (identical IEEE on both
+    * engines); medians are rank SELECTIONS (row_number over
+    * (slope, t1, t2)), never averages — no float accumulation
+    * anywhere. */
+  private def theilSen(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr(binExprSpark)).as("r"))
+      .select(datediff(col("day"), lit("1995-01-01").cast("date")).as("t"),
+        col("r"))
+      .localCheckpoint()
+    val a = days.select(col("t").as("t1"), col("r").as("r1"))
+    val b = days.select(col("t").as("t2"), col("r").as("r2"))
+    val slopes = a.join(b, col("t1") < col("t2"))
+      .select(((col("r2") - col("r1")).cast("double") /
+        (col("t2") - col("t1")).cast("double")).as("slope"),
+        col("t1"), col("t2"))
+    val np = slopes.count()
+    val med = slopes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("slope"), col("t1"), col("t2"))))
+      .filter(col("rn") === lit((np + 1) / 2))
+      .select(col("slope"))
+    val nd = days.count()
+    val inter = days.crossJoin(broadcast(med))
+      .select((col("r").cast("double") -
+        col("slope") * col("t").cast("double")).as("ic"),
+        col("t"), col("slope"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ic"), col("t"))))
+      .filter(col("rn") === lit((nd + 1) / 2))
+    inter.select(lit(nd).as("n_days"), lit(np).as("n_pairs"),
+      col("slope"), col("ic").as("intercept"))
+  }
+
+  private val theilSenOracle =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1995-01-01',
+       |                   CAST(o_orderdate AS DATE)) AS t,
+       |         sum($binExprDuck) AS r
+       |  FROM orders GROUP BY 1),
+       |pairs AS (
+       |  SELECT CAST(b.r - a.r AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope,
+       |         a.t AS t1, b.t AS t2
+       |  FROM days a JOIN days b ON a.t < b.t),
+       |np AS (SELECT count(*) AS np FROM pairs),
+       |med AS (
+       |  SELECT slope FROM (
+       |    SELECT slope, row_number() OVER (ORDER BY slope, t1, t2) AS rn
+       |    FROM pairs) s CROSS JOIN np
+       |  WHERE rn = (np + 1) // 2),
+       |nd AS (SELECT count(*) AS nd FROM days),
+       |inter AS (
+       |  SELECT ic, slope FROM (
+       |    SELECT CAST(d.r AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE) AS ic,
+       |           m.slope,
+       |           row_number() OVER (
+       |             ORDER BY CAST(d.r AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE),
+       |                      d.t) AS rn
+       |    FROM days d CROSS JOIN med m) s CROSS JOIN nd
+       |  WHERE rn = (nd + 1) // 2)
+       |SELECT (SELECT CAST(nd AS BIGINT) FROM nd) AS n_days,
+       |       (SELECT CAST(np AS BIGINT) FROM np) AS n_pairs,
+       |       slope, ic AS intercept
+       |FROM inter""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova" -> anova,
+    "stats_ridge" -> ridge,
+    "stats_perceptron" -> perceptron,
+    "stats_jackknife" -> jackknife,
+    "stats_theil_sen" -> theilSen)
+
+  val oracles: Map[String, String] = Map(
+    "stats_anova" -> anovaOracle,
+    "stats_ridge" -> ridgeOracle,
+    "stats_perceptron" -> perceptronOracle,
+    "stats_jackknife" -> jackknifeOracle,
+    "stats_theil_sen" -> theilSenOracle)
+}

@@ -59,7 +59,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_mutual_info" -> "1-row total/entropy crossJoins over the 15-cell domain",
     "eval_scorecard" -> ("1-row metric crossJoins (composes eval_auc/brier/" +
       "mrr/psi, inheriting brier's and psi's allowlisted 1-row joins)"),
-    "text_bm25" -> "1-row corpus-stats crossJoin")
+    "text_bm25" -> "1-row corpus-stats crossJoin",
+    "stats_theil_sen" -> ("calendar-bounded day-domain pair join (t1 < t2," +
+      " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
