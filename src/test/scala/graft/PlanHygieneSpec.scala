@@ -61,7 +61,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "mrr/psi, inheriting brier's and psi's allowlisted 1-row joins)"),
     "text_bm25" -> "1-row corpus-stats crossJoin",
     "stats_theil_sen" -> ("calendar-bounded day-domain pair join (t1 < t2," +
-      " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"))
+      " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"),
+    "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
