@@ -20,9 +20,9 @@ object SparkEntry {
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ops.Retail, ops.Evaluation, ops.Preference, ops.Features, ops.EvalExtra,
-    ops.StatsExtra, ops.StatsLearn, ops.Resampling,
+    ops.StatsExtra, ops.StatsLearn, ops.Resampling, ops.Recommender,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
-    ext.Corpus, ext.Graph, ext.EmbPca)
+    ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

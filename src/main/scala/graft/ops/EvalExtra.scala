@@ -257,7 +257,56 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("k")
   }
 
+  /** The full precision/recall operating curve per segment [N] — one
+    * row per distinct score threshold (descending $1000 bin), with the
+    * exact confusion counts at "predict positive iff score ≥ t". The
+    * materialized form of what `eval_avg_precision` summarizes: window
+    * cumsums over the bounded bin domain, ratios of exact ints — no
+    * pinning needed. */
+  private def prCurve(s: SparkSession, d: String): DataFrame = {
+    val cells = Synth.scoreCells(s, d)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("g"))
+    cells
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("ptot", sum(col("np")).over(wtot))
+      .filter(col("ptot") > 0)
+      .select(col("g"), col("v").as("threshold"),
+        col("tp"), (col("cn") - col("tp")).as("fp"),
+        (col("ptot") - col("tp")).as("fn"),
+        (dd(col("tp")) / dd(col("cn"))).as("precision"),
+        (dd(col("tp")) / dd(col("ptot"))).as("recall"))
+      .orderBy(col("g"), col("threshold").desc)
+  }
+
+  private val prCurveOracle =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 100000 AS v,
+      |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+      |         count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, v,
+      |         sum(np) OVER (PARTITION BY g ORDER BY v DESC
+      |                       ROWS UNBOUNDED PRECEDING) AS tp,
+      |         sum(n) OVER (PARTITION BY g ORDER BY v DESC
+      |                      ROWS UNBOUNDED PRECEDING) AS cn,
+      |         sum(np) OVER (PARTITION BY g) AS ptot
+      |  FROM cells)
+      |SELECT g, v AS threshold, CAST(tp AS BIGINT) AS tp,
+      |       CAST(cn - tp AS BIGINT) AS fp,
+      |       CAST(ptot - tp AS BIGINT) AS fn,
+      |       CAST(tp AS DOUBLE) / CAST(cn AS DOUBLE) AS precision,
+      |       CAST(tp AS DOUBLE) / CAST(ptot AS DOUBLE) AS recall
+      |FROM c WHERE ptot > 0
+      |ORDER BY g, threshold DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pr_curve" -> prCurve,
     "stats_bh_fdr" -> benjaminiHochberg,
     "eval_avg_precision" -> averagePrecision,
     "join_null_aware_anti" -> nullAwareAnti,
@@ -268,6 +317,7 @@ object EvalExtra extends graft.QueryModule {
     "stats_sprt" -> sprt)
 
   val oracles: Map[String, String] = Map(
+    "eval_pr_curve" -> prCurveOracle,
     "stats_bh_fdr" ->
       """WITH hyp AS (
         |  SELECT hid, hid < 20 AS planted,

@@ -373,7 +373,69 @@ object Finance extends graft.QueryModule {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** CAPM-style beta per priority segment against the "market" (total
+    * daily revenue): β_g = cov(x_g, m)/var(m), α_g = x̄_g − β_g·m̄ over
+    * the CALENDAR-BOUNDED day domain. One data-scale hash agg builds
+    * the (segment, day) exact $1000-bin revenue cells; the market
+    * series is a second day-level agg joined back by day (both
+    * domain-sized); the five power sums per segment accumulate as
+    * decimal(38,0) (skewKurt overflow discipline — m_d² sums cross
+    * 2⁵³ near SF 100) and convert to double once for the closed
+    * form. */
+  private def beta(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100" +
+        " as bigint)) div 100000")).as("x"))
+      .localCheckpoint() // reused: per-segment series + the market rollup
+    val market = cells.groupBy(col("day")).agg(sum(col("x")).as("m"))
+    cells.join(market, "day")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum((col("x") * col("m")).cast("decimal(38,0)")).as("sxm"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("smm"))
+      .selectExpr("g", "cast(n as bigint) as n",
+        "cast(n as double) as nd", "cast(sx as double) as sxd",
+        "cast(sm as double) as smd", "cast(sxm as double) as sxmd",
+        "cast(smm as double) as smmd")
+      .selectExpr("g", "n",
+        "(sxmd - sxd * smd / nd) / (smmd - smd * smd / nd) as beta",
+        "sxd / nd as x_mean", "smd / nd as m_mean")
+      .selectExpr("g", "n", "beta",
+        "x_mean - beta * m_mean as alpha")
+      .orderBy("g")
+  }
+
+  private val betaOracle =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             // 100000) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |market AS (SELECT day, sum(x) AS m FROM cells GROUP BY day),
+      |a AS (
+      |  SELECT g, count(*) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(m AS HUGEINT)) AS sm,
+      |         sum(CAST(x AS HUGEINT) * m) AS sxm,
+      |         sum(CAST(m AS HUGEINT) * m) AS smm
+      |  FROM cells JOIN market USING (day) GROUP BY g),
+      |v AS (
+      |  SELECT g, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+      |         CAST(sx AS DOUBLE) AS sxd, CAST(sm AS DOUBLE) AS smd,
+      |         CAST(sxm AS DOUBLE) AS sxmd, CAST(smm AS DOUBLE) AS smmd
+      |  FROM a),
+      |b AS (
+      |  SELECT g, n,
+      |         (sxmd - sxd * smd / nd) / (smmd - smd * smd / nd) AS beta,
+      |         sxd / nd AS x_mean, smd / nd AS m_mean
+      |  FROM v)
+      |SELECT g, n, beta, x_mean - beta * m_mean AS alpha
+      |FROM b ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_beta" -> beta,
     "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
     "fin_yoy" -> yoyGrowth,
@@ -389,6 +451,7 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "fin_beta" -> betaOracle,
     "fin_rsi" ->
       """WITH v AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic laws for the applied-analytics batch: item-item CF,
+  * CAPM beta, RAKE keywords, and the PR operating curve. */
+class AppliedAnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("rec_item_cosine: cosine in (0,1]; at most 3 neighbors per item; symmetric pairs agree") {
+    val rows = SparkEntry.queries("rec_item_cosine")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perItem = rows.groupBy(_.getAs[Long]("item"))
+    perItem.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0, r.toString)
+      assert(r.getAs[Long]("cooc") >= 1)
+    }
+  }
+
+  test("fin_beta: segment betas average to ~1 under the market definition") {
+    val rows = SparkEntry.queries("fin_beta")(spark, sf).collect()
+    assert(rows.length == 5)
+    // the market is the SUM of the segments measured on the same days;
+    // betas of parts against their own sum must be positive and O(1/5)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("beta")
+      assert(b > 0.0 && b < 1.0, s"implausible beta: $r")
+    }
+  }
+
+  test("text_rake: degree >= freq * min phrase len 1; stopwords absent; score = degree/freq") {
+    val rows = SparkEntry.queries("text_rake")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val words = rows.map(_.getAs[String]("word")).toSet
+    assert(!words.contains("a") && !words.contains("the"))
+    rows.foreach { r =>
+      val f = r.getAs[Long]("freq"); val deg = r.getAs[Long]("degree")
+      assert(deg >= f, s"degree below freq: $r") // every phrase has len >= 1
+      assert(math.abs(r.getAs[Double]("score") - deg.toDouble / f) < 1e-12)
+    }
+  }
+
+  test("eval_pr_curve: recall monotone non-decreasing as threshold falls; ends at 1") {
+    val rows = SparkEntry.queries("eval_pr_curve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("g")).values.foreach { rs =>
+      val sorted = rs.sortBy(-_.getAs[Long]("threshold"))
+      val recalls = sorted.map(_.getAs[Double]("recall"))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-15 })
+      assert(math.abs(recalls.last - 1.0) < 1e-15) // lowest threshold captures all positives
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") ==
+          sorted.head.getAs[Long]("tp") + sorted.head.getAs[Long]("fn"))
+      }
+    }
+  }
+}
