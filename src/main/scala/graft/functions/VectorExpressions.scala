@@ -293,5 +293,8 @@ object VectorFunctions {
       exprs => ProductAgg(exprs(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_session_id",
       exprs => SessionId(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_theta",
+      exprs => ThetaSketchAgg(exprs(0),
+        constIntArg("graft_theta", "lg_k", exprs(1))).toAggregateExpression(), "built-in")
   }
 }

@@ -171,6 +171,72 @@ object Aggs extends graft.QueryModule {
         count(lit(1)).cast("int").as("cells"))
   }
 
+  /** Distinct-set ALGEBRA via theta sketches [N]
+    * ([[graft.functions.ThetaSketchAgg]]) — the question HLL cannot
+    * answer: sketch once per event_type, then intersect/difference the
+    * SKETCHES ("users who clicked AND viewed") without rescanning raw
+    * events. One data-scale hash agg builds the per-type sketches
+    * (bounded ~2^12 entries each, map-side mergeable); the set algebra
+    * runs on the collected type-domain sketches (metadata-scale). At
+    * the tested SFs the user domain sits far below the nominal 4096
+    * entries, so every sketch is in EXACT mode and the key is fully
+    * oracle-checked; past ~4k distinct users the identical plan
+    * degrades gracefully to bounded-error estimates
+    * (ThetaSketchSpec pins that regime). */
+  private def thetaSetOps(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sk = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("long").as("u"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_theta(u, 12)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    import graft.functions.ThetaOps
+    val per = sk.toSeq.sortBy(_._1)
+      .map { case (t, b) => (s"users_$t", ThetaOps.estimate(b)) }
+    val rows = per ++ Seq(
+      ("click_and_view", ThetaOps.intersect(sk("click"), sk("view"))),
+      ("click_not_view", ThetaOps.aNotB(sk("click"), sk("view"))),
+      ("any", ThetaOps.unionAll(sk.values.toSeq, 12)))
+    s.createDataFrame(rows.map { case (op, e) => (op, math.rint(e).toLong) })
+      .toDF("set_op", "n_users").orderBy("set_op")
+  }
+
+  /** Cramér's V [N] — the normalized effect size on top of the
+    * [[chiSquare]] statistic: V = √(χ²/(N·(min(r,c)−1))), the
+    * association measure that stays comparable across table shapes.
+    * Same exact-decimal cell terms and SORTED sequential fold as
+    * `agg_chisq` (a parallel double sum is partition-order-dependent);
+    * the normalization is constant work on the one-row result. */
+  private def cramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("r").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("c").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("n"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val terms = cells
+      .join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(n))
+      .withColumn("a", dec(col("obs")) * dec(col("n")) - dec(col("rt")) * dec(col("ct")))
+      .withColumn("term",
+        (col("a") * col("a")).cast("double") /
+          (dec(col("n")) * dec(col("rt")) * dec(col("ct"))).cast("double"))
+    terms
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("r"), col("c"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"),
+        least(countDistinct(col("r")), countDistinct(col("c")))
+          .cast("bigint").as("kmin"),
+        max(col("n")).cast("bigint").as("n"))
+      .selectExpr("chi2", "kmin", "n",
+        "sqrt(chi2 / (cast(n as double) * cast(kmin - 1 as double)))" +
+          " as cramers_v")
+  }
+
   /** Cross-list dedup to a unique key set (`fetch_data.py:282,296`). */
   private def aggDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(col("o_custkey")).distinct().orderBy("o_custkey")
@@ -819,6 +885,8 @@ object Aggs extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_string_agg" -> stringAgg,
     "agg_chisq" -> chiSquare,
+    "stats_cramers_v" -> cramersV,
+    "agg_theta_setops" -> thetaSetOps,
     "agg_cube" -> cubeAgg,
     "agg_hll_reaggregate" -> hllReaggregate,
     "agg_bitmap_distinct" -> bitmapDistinct,
@@ -970,6 +1038,53 @@ object Aggs extends graft.QueryModule {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // exact hugeint cell terms, summed by the same sorted sequential
     // fold the Spark side uses (zero-init + IEEE add ≡ first-elem-init)
+    // exact-mode regime: sketch estimates == exact distinct counts
+    "agg_theta_setops" ->
+      """WITH e AS (SELECT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL)
+        |SELECT 'users_' || event_type AS set_op,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY event_type
+        |UNION ALL
+        |SELECT 'click_and_view', count(*)
+        |FROM (SELECT DISTINCT user_id FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT DISTINCT user_id FROM e WHERE event_type = 'view') v
+        |  USING (user_id)
+        |UNION ALL
+        |SELECT 'click_not_view', count(*)
+        |FROM (SELECT DISTINCT user_id FROM e WHERE event_type = 'click') c
+        |WHERE user_id NOT IN (SELECT user_id FROM e WHERE event_type = 'view')
+        |UNION ALL
+        |SELECT 'any', count(DISTINCT user_id) FROM e
+        |ORDER BY set_op""".stripMargin,
+    "stats_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |         count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(obs) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, sum(obs) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(obs) AS n FROM cells),
+        |t AS (
+        |  SELECT r, c,
+        |         CAST((CAST(obs AS HUGEINT) * n.n - rt.rt * ct.ct)
+        |              * (CAST(obs AS HUGEINT) * n.n - rt.rt * ct.ct)
+        |              AS DOUBLE)
+        |           / CAST(CAST(n.n AS HUGEINT) * rt.rt * ct.ct AS DOUBLE)
+        |           AS term
+        |  FROM cells JOIN rt USING (r) JOIN ct USING (c), n),
+        |a AS (
+        |  SELECT list_reduce(list(term ORDER BY r, c),
+        |                     (acc, x) -> acc + x) AS chi2,
+        |         CAST(least((SELECT count(DISTINCT r) FROM cells),
+        |                    (SELECT count(DISTINCT c) FROM cells))
+        |              AS BIGINT) AS kmin,
+        |         (SELECT CAST(n AS BIGINT) FROM n) AS n
+        |  FROM t)
+        |SELECT chi2, kmin, n,
+        |       sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(kmin - 1 AS DOUBLE)))
+        |         AS cramers_v
+        |FROM a""".stripMargin,
     "agg_chisq" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS r, o_orderstatus AS c,

@@ -434,7 +434,65 @@ object Finance extends graft.QueryModule {
       |SELECT g, n, beta, x_mean - beta * m_mean AS alpha
       |FROM b ORDER BY g""".stripMargin
 
+  /** Sharpe and Sortino ratios per priority segment [N] over the
+    * day-level revenue-change series (rf = 0): Sharpe divides the mean
+    * change by the sample stddev; Sortino divides by the downside
+    * deviation (RMS of the negative changes against a 0 target). The
+    * series lives on the calendar-bounded day domain; power sums are
+    * exact (decimal(38,0) — the skewKurt discipline), one double
+    * assembly per group. */
+  private def sharpe(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val rets = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100" +
+        " as bigint)) div 100000")).as("r"))
+      .withColumn("ret", col("r") - lag(col("r"), 1).over(w))
+      .filter(col("ret").isNotNull)
+    rets.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("sr"),
+        sum((col("ret") * col("ret")).cast("decimal(38,0)")).as("q"),
+        sum(when(col("ret") < 0, (col("ret") * col("ret"))
+          .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("qn"))
+      .selectExpr("g", "cast(n as bigint) as n",
+        "cast(n as double) as nd", "cast(sr as double) as srd",
+        "cast(q as double) as qd", "cast(qn as double) as qnd")
+      .selectExpr("g", "n",
+        "(srd / nd) / sqrt((qd - srd * srd / nd) / (nd - 1.0)) as sharpe",
+        "(srd / nd) / sqrt(qnd / nd) as sortino")
+      .orderBy("g")
+  }
+
+  private val sharpeOracle =
+    """WITH days AS (
+      |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             // 100000) AS r
+      |  FROM orders GROUP BY 1, 2),
+      |rets AS (
+      |  SELECT g, r - lag(r) OVER (PARTITION BY g ORDER BY day) AS ret
+      |  FROM days),
+      |a AS (
+      |  SELECT g, count(*) AS n,
+      |         sum(CAST(ret AS HUGEINT)) AS sr,
+      |         sum(CAST(ret AS HUGEINT) * ret) AS q,
+      |         sum(CASE WHEN ret < 0 THEN CAST(ret AS HUGEINT) * ret
+      |                  ELSE 0 END) AS qn
+      |  FROM rets WHERE ret IS NOT NULL GROUP BY g),
+      |v AS (
+      |  SELECT g, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+      |         CAST(sr AS DOUBLE) AS srd, CAST(q AS DOUBLE) AS qd,
+      |         CAST(qn AS DOUBLE) AS qnd
+      |  FROM a)
+      |SELECT g, n,
+      |       (srd / nd) / sqrt((qd - srd * srd / nd) / (nd - 1.0)) AS sharpe,
+      |       (srd / nd) / sqrt(qnd / nd) AS sortino
+      |FROM v ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_sharpe" -> sharpe,
     "fin_beta" -> beta,
     "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
@@ -451,6 +509,7 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "fin_sharpe" -> sharpeOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->
       """WITH v AS (

@@ -46,6 +46,27 @@ class AppliedAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("fin_sharpe: sortino magnitude at least sharpe's when mean is positive") {
+    val rows = SparkEntry.queries("fin_sharpe")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("sharpe"); val so = r.getAs[Double]("sortino")
+      assert(!sh.isNaN && !so.isNaN, r.toString)
+      // downside deviation <= full stddev only when downside mass is
+      // smaller; both ratios share the numerator, so signs agree
+      assert(sh * so >= 0.0, s"sign mismatch: $r")
+    }
+  }
+
+  test("stats_cramers_v: V in [0,1] and consistent with agg_chisq") {
+    val v = SparkEntry.queries("stats_cramers_v")(spark, sf).collect().head
+    val chi = SparkEntry.queries("agg_chisq")(spark, sf).collect().head
+    assert(math.abs(v.getAs[Double]("chi2") - chi.getAs[Double]("chi2")) < 1e-9)
+    val cv = v.getAs[Double]("cramers_v")
+    assert(cv >= 0.0 && cv <= 1.0)
+    assert(v.getAs[Long]("kmin") == 3)
+  }
+
   test("eval_pr_curve: recall monotone non-decreasing as threshold falls; ends at 1") {
     val rows = SparkEntry.queries("eval_pr_curve")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -62,7 +62,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_bm25" -> "1-row corpus-stats crossJoin",
     "stats_theil_sen" -> ("calendar-bounded day-domain pair join (t1 < t2," +
       " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"),
-    "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain")
+    "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain",
+    "stats_cramers_v" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
