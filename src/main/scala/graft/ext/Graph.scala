@@ -428,6 +428,66 @@ object Graph extends graft.QueryModule {
     * the |E| side never moves, the 100 TB posture shared with
     * [[pageRank]]. Each round is one equi-join + one min-agg; the
     * frontier stays ≤|V| rows because min-dist collapses paths. */
+  /** Closeness centrality [N] for the sampled source set (the same
+    * `node % 101 = 0` sources [[bfs]] expands), DEFINED within
+    * `bfsRounds` hops — the bounded-frontier contract that makes the
+    * measure computable in fixed rounds at any scale: per round one
+    * equi-join + one (src, node) min-aggregate, state ≤ sources×|V|.
+    * Unlike [[bfs]] the frontier keys on (source, node), so each
+    * source's distance field stays separate; closeness is the exact
+    * integer ratio (reached−1)/Σdist per source, one IEEE division —
+    * the harmonic variant would sum double reciprocals (partition-
+    * order-dependent), so the classic definition is the deterministic
+    * one. */
+  private def closeness(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = coPurchaseEdges(s, d)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val dir =
+      if (bcast) dirRaw.localCheckpoint()
+      else dirRaw.repartition(col("src")).localCheckpoint()
+    var reach = dir.select(col("src").as("s0")).distinct()
+      .filter(pmod(col("s0"), lit(101)) === 0)
+      .select(col("s0"), col("s0").as("node"), lit(0).as("dist"))
+    for (_ <- 1 to bfsRounds) {
+      val next = (if (bcast) broadcast(reach) else reach)
+        .join(dir, col("node") === col("src"))
+        .select(col("s0"), col("dst").as("node"), (col("dist") + 1).as("dist"))
+      reach = reach.unionAll(next)
+        .groupBy(col("s0"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    reach.groupBy(col("s0").as("source"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("total_dist"))
+      .selectExpr("source", "cast(n_reached as bigint) as n_reached",
+        "cast(total_dist as bigint) as total_dist",
+        "cast(n_reached - 1 as double) / cast(total_dist as double)" +
+          " as closeness")
+      .orderBy("source")
+  }
+
+  private def closenessOracle: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |dir AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |walk(s0, node, dist) AS (
+       |  SELECT DISTINCT src, src, 0 FROM dir WHERE src % 101 = 0
+       |  UNION
+       |  SELECT w.s0, dir.dst, w.dist + 1
+       |  FROM walk w JOIN dir ON w.node = dir.src
+       |  WHERE w.dist < $bfsRounds),
+       |md AS (
+       |  SELECT s0, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+       |SELECT s0 AS source, count(*) AS n_reached,
+       |       CAST(sum(dist) AS BIGINT) AS total_dist,
+       |       CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
+       |         AS closeness
+       |FROM md GROUP BY s0 ORDER BY source""".stripMargin
+
   private def bfs(s: SparkSession, d: String): DataFrame = {
     val bcast = vertexBroadcast(s)
     val e = coPurchaseEdges(s, d)
@@ -808,9 +868,11 @@ object Graph extends graft.QueryModule {
     "graph_triangles" -> triangleCount,
     "graph_pagerank" -> pageRank,
     "graph_bfs" -> bfs,
+    "graph_closeness" -> closeness,
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_closeness" -> closenessOracle,
     "graph_hits" -> hitsOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_labelprop" -> labelPropOracle,

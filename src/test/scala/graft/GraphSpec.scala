@@ -103,7 +103,8 @@ class GraphSpec extends AnyFunSuite {
 
   test("bfs, sssp, and labelprop are identical in broadcast and shuffle modes") {
     for (key <- Seq("graph_bfs", "graph_sssp", "graph_labelprop", "graph_kcore",
-        "graph_hits", "graph_modularity", "graph_assortativity")) {
+        "graph_hits", "graph_modularity", "graph_assortativity",
+        "graph_closeness")) {
       val on = SparkEntry.queries(key)(spark, TestSpark.sf0001)
         .collect().map(_.toString).toSeq
       for (parts <- Seq("4", "32")) {
@@ -115,6 +116,23 @@ class GraphSpec extends AnyFunSuite {
         assert(off == on, s"$key differs in shuffle mode at $parts partitions")
       }
     }
+  }
+
+  test("closeness: consistent with the merged-bfs reach; ratio law holds") {
+    val close = SparkEntry.queries("graph_closeness")(spark, TestSpark.sf0001)
+      .collect()
+    assert(close.nonEmpty)
+    close.foreach { r =>
+      val n = r.getAs[Long]("n_reached"); val t = r.getAs[Long]("total_dist")
+      assert(n >= 1 && t >= n - 1, r.toString) // every non-source is >= 1 away
+      assert(math.abs(r.getAs[Double]("closeness") - (n - 1).toDouble / t) < 1e-15)
+    }
+    // the per-source reach unioned over sources covers at least the
+    // merged multi-source bfs frontier's node set
+    val bfsNodes = SparkEntry.queries("graph_bfs")(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val closeSources = close.map(_.getAs[Long]("source")).toSet
+    assert(closeSources.subsetOf(bfsNodes))
   }
 
   test("modularity tallies are consistent: sum(d_sum) = 2m, Q in (-1, 1]") {
