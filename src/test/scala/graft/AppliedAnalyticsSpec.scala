@@ -67,6 +67,17 @@ class AppliedAnalyticsSpec extends AnyFunSuite {
     assert(v.getAs[Long]("kmin") == 3)
   }
 
+  test("text_textrank: scores positive, mass ~1, high-degree words rank high") {
+    val rows = SparkEntry.queries("text_textrank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    // damped PageRank conserves mass up to quantization: sum ~ 1
+    assert(math.abs(scores.sum - 1.0) < 0.01, s"mass ${scores.sum}")
+    // stopwords never appear as nodes
+    assert(!rows.exists(r => Seq("a", "the").contains(r.getAs[String]("word"))))
+  }
+
   test("eval_pr_curve: recall monotone non-decreasing as threshold falls; ends at 1") {
     val rows = SparkEntry.queries("eval_pr_curve")(spark, sf).collect()
     assert(rows.nonEmpty)
