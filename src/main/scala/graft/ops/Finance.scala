@@ -342,6 +342,89 @@ object Finance extends graft.QueryModule {
       .orderBy("month")
   }
 
+  private val seasonalDecomposeOracle =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |              AS DECIMAL(20,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT month, rev,
+      |         CAST(sum(rev) OVER w AS DECIMAL(24,2)) AS tsum,
+      |         count(rev) OVER w AS tcnt
+      |  FROM monthly
+      |  WINDOW w AS (ORDER BY month
+      |               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+      |t2 AS (
+      |  SELECT month, rev,
+      |         CASE WHEN tcnt = 12
+      |              THEN CAST(tsum AS DOUBLE) / 12.0 END AS trend,
+      |         CASE WHEN tcnt = 12
+      |              THEN CAST(rev * 12 - tsum AS DECIMAL(24,2)) END AS dnum
+      |  FROM t),
+      |seas AS (
+      |  SELECT month(month) AS moy,
+      |         CAST(sum(dnum) AS DOUBLE) / (12.0 * count(*)) AS seasonal
+      |  FROM t2 WHERE dnum IS NOT NULL GROUP BY 1)
+      |SELECT CAST(t2.month AS DATE) AS month, CAST(rev AS DOUBLE) AS rev,
+      |       trend, seasonal,
+      |       CAST(rev AS DOUBLE) - trend - seasonal AS remainder
+      |FROM t2 JOIN seas ON month(t2.month) = seas.moy
+      |ORDER BY month""".stripMargin
+
+  /** STL-style anomaly flags [N] — the composition a monitoring
+    * pipeline actually ships: deseasonalize ([[seasonalDecompose]]),
+    * then flag months whose remainder sits beyond 3 robust sigmas
+    * (MAD), with both medians as rank SELECTIONS over the bounded
+    * month domain (no float accumulation anywhere — the remainder
+    * doubles are identical on both engines, so selections and the
+    * 3·MAD compare agree exactly). The oracle NESTS the decompose
+    * oracle text (the eval_scorecard discipline), so the two keys
+    * cannot drift apart. */
+  private def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val dec = seasonalDecompose(s, d)
+      .filter(col("trend").isNotNull)
+      .select(col("month"), col("remainder"))
+      .localCheckpoint()
+    val n = dec.count()
+    val med = dec.withColumn("rn", row_number().over(
+        Window.orderBy(col("remainder"), col("month"))))
+      .filter(col("rn") === lit((n + 1) / 2))
+      .select(col("remainder").as("med"))
+    val dev = dec.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("remainder") - col("med")))
+    val mad = dev.withColumn("rn", row_number().over(
+        Window.orderBy(col("dev"), col("month"))))
+      .filter(col("rn") === lit((n + 1) / 2))
+      .select(col("dev").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("month"), col("remainder"), col("med"), col("mad"),
+        (col("dev") > col("mad") * 3).as("is_anomaly"))
+      .orderBy("month")
+  }
+
+  private val tsAnomalyOracle =
+    s"""WITH dec AS MATERIALIZED (
+       |${seasonalDecomposeOracle.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |d2 AS (SELECT month, remainder FROM dec WHERE trend IS NOT NULL),
+       |nn AS (SELECT count(*) AS n FROM d2),
+       |med AS (
+       |  SELECT remainder AS med FROM (
+       |    SELECT remainder,
+       |           row_number() OVER (ORDER BY remainder, month) AS rn
+       |    FROM d2) s CROSS JOIN nn WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT month, remainder, med, abs(remainder - med) AS dev
+       |  FROM d2 CROSS JOIN med),
+       |mad AS (
+       |  SELECT dev AS mad FROM (
+       |    SELECT dev, row_number() OVER (ORDER BY dev, month) AS rn
+       |    FROM dev) s CROSS JOIN nn WHERE rn = (n + 1) // 2)
+       |SELECT month, remainder, med, mad, dev > mad * 3 AS is_anomaly
+       |FROM dev CROSS JOIN mad
+       |ORDER BY month""".stripMargin
+
   /** Relative Strength Index [N] (Wilder's RSI, simple-average form over
     * a 14-tick window): gains/losses from consecutive value diffs, then
     * RSI = 100·Σgain/(Σgain+Σloss) — algebraically equal to
@@ -492,6 +575,7 @@ object Finance extends graft.QueryModule {
       |FROM v ORDER BY g""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
     "fin_beta" -> beta,
     "fin_rsi" -> rsi,
@@ -539,35 +623,8 @@ object Finance extends graft.QueryModule {
         |       100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) AS rsi
         |FROM f WHERE n_diffs = 14 AND sg + sl > 0
         |ORDER BY user_id, ts, event_id""".stripMargin,
-    "ts_seasonal_decompose" ->
-      """WITH monthly AS (
-        |  SELECT date_trunc('month', o_orderdate) AS month,
-        |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-        |              AS DECIMAL(20,2)) AS rev
-        |  FROM orders GROUP BY 1),
-        |t AS (
-        |  SELECT month, rev,
-        |         CAST(sum(rev) OVER w AS DECIMAL(24,2)) AS tsum,
-        |         count(rev) OVER w AS tcnt
-        |  FROM monthly
-        |  WINDOW w AS (ORDER BY month
-        |               ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
-        |t2 AS (
-        |  SELECT month, rev,
-        |         CASE WHEN tcnt = 12
-        |              THEN CAST(tsum AS DOUBLE) / 12.0 END AS trend,
-        |         CASE WHEN tcnt = 12
-        |              THEN CAST(rev * 12 - tsum AS DECIMAL(24,2)) END AS dnum
-        |  FROM t),
-        |seas AS (
-        |  SELECT month(month) AS moy,
-        |         CAST(sum(dnum) AS DOUBLE) / (12.0 * count(*)) AS seasonal
-        |  FROM t2 WHERE dnum IS NOT NULL GROUP BY 1)
-        |SELECT CAST(t2.month AS DATE) AS month, CAST(rev AS DOUBLE) AS rev,
-        |       trend, seasonal,
-        |       CAST(rev AS DOUBLE) - trend - seasonal AS remainder
-        |FROM t2 JOIN seas ON month(t2.month) = seas.moy
-        |ORDER BY month""".stripMargin,
+    "ts_seasonal_decompose" -> seasonalDecomposeOracle,
+    "ts_anomaly" -> tsAnomalyOracle,
     "fin_var_cvar" ->
       """WITH vals AS (
         |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v

@@ -374,7 +374,109 @@ object Retail extends graft.QueryModule {
       .selectExpr("n", "b0", "b1", "b2", s"$olsR2 as r2")
   }
 
+  /** Train-and-APPLY [N]: fit the [[olsMulti]] model, then score every
+    * lineitem row and report per-returnflag residual diagnostics
+    * (RMSE / MAE / mean bias) — the batch-inference half of the
+    * closed-form-training story (one broadcast of the 1-row model onto
+    * the fact scan; predictions never leave the executors). Residual
+    * reductions are order-invariant: resid² pins to the integer grid
+    * (magnitude ~10¹⁰, ULP ~10⁻⁵ — same trade as stats_anova), |resid|
+    * and resid pin at 6dp, all three sum as exact decimals. */
+  private def olsResiduals(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("x1"),
+      (col("l_discount").cast("decimal(4,2)") * 100).cast("long").as("x2"),
+      expr("(cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint))" +
+        " div 100").as("y"))
+    val a = base.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("sx1"), sum(dec(col("x2"))).as("sx2"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val model = a
+      .selectExpr(olsDoubles.map { case (d2, src) =>
+        s"cast($src as double) as $d2" }: _*)
+      .selectExpr(s"$olsDet0 / $olsDet as b0",
+        s"$olsDet1 / $olsDet as b1", s"$olsDet2 / $olsDet as b2")
+    base.crossJoin(broadcast(model))
+      .selectExpr("flag",
+        "cast(y as double) - (b0 + b1 * cast(x1 as double)" +
+          " + b2 * cast(x2 as double)) as resid")
+      .selectExpr("flag",
+        "cast(bround(resid * resid, 0) as decimal(38,0)) as r2i",
+        "cast(bround(abs(resid), 6) as decimal(24,6)) as ra",
+        "cast(bround(resid, 6) as decimal(24,6)) as rs")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("r2i")).as("sq"),
+        sum(col("ra")).as("sa"), sum(col("rs")).as("sb"))
+      .selectExpr("flag", "cast(n as bigint) as n",
+        "sqrt(cast(sq as double) / cast(n as double)) as rmse",
+        "cast(sa as double) / cast(n as double) as mae",
+        "cast(sb as double) / cast(n as double) as mean_bias")
+      .orderBy("flag")
+  }
+
+  private def olsResidualsOracle: String = {
+    val dbls = olsDoubles
+      .map { case (d2, src) => s"CAST($src AS DOUBLE) AS $d2" }
+      .mkString(",\n|         ")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x1,
+       |         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |           // 100 AS y
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x1 AS HUGEINT)) AS sx1,
+       |         sum(CAST(x2 AS HUGEINT)) AS sx2,
+       |         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+       |         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+       |         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+       |         sum(CAST(y AS HUGEINT)) AS sy,
+       |         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+       |         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+       |         sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM base),
+       |v AS (
+       |  SELECT $dbls
+       |  FROM a),
+       |m AS (
+       |  SELECT $olsDet0 / $olsDet AS b0,
+       |         $olsDet1 / $olsDet AS b1,
+       |         $olsDet2 / $olsDet AS b2
+       |  FROM v),
+       |r AS (
+       |  SELECT flag,
+       |         CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE)
+       |           + b2 * CAST(x2 AS DOUBLE)) AS resid
+       |  FROM base CROSS JOIN m),
+       |p AS (
+       |  SELECT flag,
+       |         CAST(round_even(resid * resid, 0) AS HUGEINT) AS r2i,
+       |         CAST(round_even(abs(resid), 6) AS DECIMAL(24,6)) AS ra,
+       |         CAST(round_even(resid, 6) AS DECIMAL(24,6)) AS rs
+       |  FROM r),
+       |g AS (
+       |  SELECT flag, count(*) AS n, sum(r2i) AS sq, sum(ra) AS sa,
+       |         sum(rs) AS sb
+       |  FROM p GROUP BY flag)
+       |SELECT flag, CAST(n AS BIGINT) AS n,
+       |       sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |       CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+       |       CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS mean_bias
+       |FROM g ORDER BY flag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ols_residuals" -> olsResiduals,
     "stats_ols_multi" -> olsMulti,
     "stats_mad_outliers" -> madOutliers,
     "stats_spearman" -> spearman,
@@ -420,6 +522,7 @@ object Retail extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "stats_ols_residuals" -> olsResidualsOracle,
     "stats_ols_multi" -> olsOracle,
     "stats_mad_outliers" ->
       """WITH cells AS (

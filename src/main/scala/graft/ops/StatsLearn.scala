@@ -382,7 +382,91 @@ object StatsLearn extends graft.QueryModule {
        |       slope, ic AS intercept
        |FROM inter""".stripMargin
 
+  // ---- Fleiss' kappa -------------------------------------------------
+
+  /** Per-(item, rater) synthetic label: base category from the order
+    * status, flipped to an md5-coin category with p = 1/5 — three
+    * raters whose planted agreement Fleiss' κ must recover. The hex
+    * decode differs per engine (conv vs strpos polynomial); everything
+    * downstream is the same integer arithmetic. */
+  private def fleissLabel(r: Int, hex4: String, intDiv: String): String = {
+    val base = "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"
+    s"CASE WHEN ($hex4) % 5 = 0 THEN (($hex4) $intDiv 5) % 3 ELSE $base END"
+  }
+
+  private def fleissCore(lab: Int => String): Seq[String] = {
+    val njs = (0 to 2).map { j =>
+      s"(CASE WHEN ${lab(0)} = $j THEN 1 ELSE 0 END" +
+        s" + CASE WHEN ${lab(1)} = $j THEN 1 ELSE 0 END" +
+        s" + CASE WHEN ${lab(2)} = $j THEN 1 ELSE 0 END)"
+    }
+    njs
+  }
+
+  /** Fleiss' kappa [N] — chance-corrected agreement for n=3 raters
+    * over k=3 categories (the multi-rater generalization of
+    * `stats_cohens_kappa`, the metric label-quality audits over LLM/
+    * human annotator pools report). EXACT end to end: per-item
+    * agreement 6·P_i = Σ_j n_ij(n_ij−1) is integer, margins are
+    * integer sums, and P̄/P_e/κ assemble in one mirrored IEEE
+    * expression each — the only doubles are the final three. One
+    * conditional hash agg over one scan. */
+  private def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    def hex4(r: Int) =
+      s"cast(conv(substring(md5(concat(cast(o_orderkey as string), '#$r', ':fk')), 1, 4), 16, 10) as bigint)"
+    val njs = fleissCore(r => fleissLabel(r, hex4(r), "div"))
+    val p6 = njs.map(nj => s"$nj * ($nj - 1)").mkString(" + ")
+    Tables.orders(s, d)
+      .selectExpr(s"$p6 as p6" +: njs.zipWithIndex.map {
+        case (nj, j) => s"$nj as n$j" }: _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("p6")).as("s6"),
+        sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+        sum(col("n2")).as("t2"))
+      .selectExpr("cast(n_items as bigint) as n_items",
+        "cast(s6 as double) / (6.0 * cast(n_items as double)) as p_bar",
+        "cast(t0 as double) / (3.0 * cast(n_items as double)) as p0",
+        "cast(t1 as double) / (3.0 * cast(n_items as double)) as p1",
+        "cast(t2 as double) / (3.0 * cast(n_items as double)) as p2")
+      .selectExpr("n_items", "p_bar",
+        "p0 * p0 + p1 * p1 + p2 * p2 as p_e")
+      .selectExpr("n_items", "p_bar", "p_e",
+        "(p_bar - p_e) / (1.0 - p_e) as kappa")
+  }
+
+  private def fleissOracle: String = {
+    def hex4(r: Int) = (0 until 4).map { i =>
+      val f = 1L << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)" +
+        s" || '#$r' || ':fk'), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", " + ", ")")
+    val njs = fleissCore(r => fleissLabel(r, hex4(r), "//"))
+    val p6 = njs.map(nj => s"$nj * ($nj - 1)").mkString(" + ")
+    val njSel = njs.zipWithIndex
+      .map { case (nj, j) => s"$nj AS n$j" }.mkString(",\n|         ")
+    s"""WITH rows0 AS (
+       |  SELECT $p6 AS p6,
+       |         $njSel
+       |  FROM orders),
+       |a AS (
+       |  SELECT count(*) AS n_items, sum(p6) AS s6,
+       |         sum(n0) AS t0, sum(n1) AS t1, sum(n2) AS t2
+       |  FROM rows0),
+       |v AS (
+       |  SELECT CAST(n_items AS BIGINT) AS n_items,
+       |         CAST(s6 AS DOUBLE) / (6.0 * CAST(n_items AS DOUBLE)) AS p_bar,
+       |         CAST(t0 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)) AS p0,
+       |         CAST(t1 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)) AS p1,
+       |         CAST(t2 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)) AS p2
+       |  FROM a),
+       |e AS (
+       |  SELECT n_items, p_bar, p0 * p0 + p1 * p1 + p2 * p2 AS p_e FROM v)
+       |SELECT n_items, p_bar, p_e,
+       |       (p_bar - p_e) / (1.0 - p_e) AS kappa
+       |FROM e""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_fleiss_kappa" -> fleissKappa,
     "stats_anova" -> anova,
     "stats_ridge" -> ridge,
     "stats_perceptron" -> perceptron,
@@ -390,6 +474,7 @@ object StatsLearn extends graft.QueryModule {
     "stats_theil_sen" -> theilSen)
 
   val oracles: Map[String, String] = Map(
+    "stats_fleiss_kappa" -> fleissOracle,
     "stats_anova" -> anovaOracle,
     "stats_ridge" -> ridgeOracle,
     "stats_perceptron" -> perceptronOracle,

@@ -13,6 +13,56 @@ import graft.pipeline.Snapshots
   */
 object Warehouse extends graft.QueryModule {
 
+  /** Order-invariant table fingerprint [N] — the replication/migration
+    * audit primitive ("is the copy byte-equivalent?") that never sorts:
+    * each row canonicalizes to a pipe-joined string (ints + fixed-scale
+    * decimal renderings, identical across engines), hashes through md5
+    * to a 32-bit value, and the per-group checksum is the XOR aggregate
+    * — commutative and associative, so ANY partitioning/order yields
+    * the same fingerprint, and group checksums XOR into the grand
+    * total without rescanning (the mergeable-rollup shape). One scan,
+    * map-side combinable, zero sorts at any scale. */
+  private def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    val rowHash = expr(
+      "cast(conv(substring(md5(concat_ws('|', " +
+        "cast(l_orderkey as string), cast(l_linenumber as string), " +
+        "cast(cast(l_quantity as bigint) as string), " +
+        "cast(cast(l_extendedprice as decimal(12,2)) as string)" +
+        ")), 1, 8), 16, 10) as bigint)")
+    val per = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), rowHash.as("h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+    val all = per.agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(checksum)").as("checksum"))
+      .select(lit("ALL").as("grp"), col("n_rows"), col("checksum"))
+    per.unionByName(all).orderBy("grp")
+  }
+
+  private val tableChecksumOracle = {
+    val canon = "md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+      "CAST(l_linenumber AS VARCHAR), " +
+      "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)))"
+    val poly = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - i))}"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH hx0 AS (SELECT l_returnflag AS grp, $canon AS hx FROM lineitem),
+       |h AS (SELECT grp, $poly AS h FROM hx0),
+       |per AS (
+       |  SELECT grp, count(*) AS n_rows, bit_xor(h) AS checksum
+       |  FROM h GROUP BY grp)
+       |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+       |       CAST(checksum AS BIGINT) AS checksum
+       |FROM per
+       |UNION ALL
+       |SELECT 'ALL', CAST(sum(n_rows) AS BIGINT),
+       |       CAST(bit_xor(checksum) AS BIGINT)
+       |FROM per
+       |ORDER BY grp""".stripMargin
+  }
+
   /** Declarative data-quality expectations over the star schema — range
     * checks, null checks, PK uniqueness, FK referential integrity — as
     * ONE report of violation counts (the dbt-test / Deequ shape).
@@ -427,6 +477,7 @@ object Warehouse extends graft.QueryModule {
     "sink_time_travel" -> sinkTimeTravel,
     "join_incremental" -> joinIncremental,
     "quality_checks" -> qualityChecks,
+    "quality_table_checksum" -> tableChecksum,
     "scd2_intervals" -> scd2Intervals,
     "merge_upsert" -> mergeUpsert)
 
@@ -554,6 +605,7 @@ object Warehouse extends graft.QueryModule {
         |       END AS recovered
         |FROM events WHERE value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "quality_table_checksum" -> tableChecksumOracle,
     "quality_checks" ->
       """SELECT 'lineitem_qty_range' AS check_name,
         |       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS n_violations

@@ -78,6 +78,32 @@ class AppliedAnalyticsSpec extends AnyFunSuite {
     assert(!rows.exists(r => Seq("a", "the").contains(r.getAs[String]("word"))))
   }
 
+  test("ts_anomaly: flags exactly the months beyond 3 MAD; med/mad constant") {
+    val rows = SparkEntry.queries("ts_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val med = rows.head.getAs[Double]("med")
+    val mad = rows.head.getAs[Double]("mad")
+    assert(mad >= 0.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("med") == med && r.getAs[Double]("mad") == mad)
+      val dev = math.abs(r.getAs[Double]("remainder") - med)
+      assert(r.getAs[Boolean]("is_anomaly") == (dev > 3 * mad), r.toString)
+    }
+  }
+
+  test("quality_table_checksum: group checksums XOR into the ALL row; order-invariant") {
+    val rows = SparkEntry.queries("quality_table_checksum")(spark, sf).collect()
+    val (all, per) = rows.partition(_.getAs[String]("grp") == "ALL")
+    assert(all.length == 1 && per.length == 3)
+    assert(all.head.getAs[Long]("n_rows") == per.map(_.getAs[Long]("n_rows")).sum)
+    assert(all.head.getAs[Long]("checksum") ==
+      per.map(_.getAs[Long]("checksum")).reduce(_ ^ _))
+    // rerun on a different partitioning: fingerprints must not move
+    val again = SparkEntry.queries("quality_table_checksum")(spark, sf)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("checksum")).toMap
+    rows.foreach(r => assert(again(r.getAs[String]("grp")) == r.getAs[Long]("checksum")))
+  }
+
   test("eval_pr_curve: recall monotone non-decreasing as threshold falls; ends at 1") {
     val rows = SparkEntry.queries("eval_pr_curve")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -63,7 +63,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_theil_sen" -> ("calendar-bounded day-domain pair join (t1 < t2," +
       " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"),
     "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain",
-    "stats_cramers_v" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)")
+    "stats_cramers_v" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)",
+    "ts_anomaly" -> "1-row median/MAD crossJoins over the bounded month domain",
+    "stats_ols_residuals" -> "1-row model-coefficients crossJoin (train + apply)")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

@@ -54,6 +54,29 @@ class StatsLearnSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_fleiss_kappa: planted 80% agreement yields kappa well above chance") {
+    val r = SparkEntry.queries("stats_fleiss_kappa")(spark, sf).collect().head
+    val pBar = r.getAs[Double]("p_bar"); val pe = r.getAs[Double]("p_e")
+    val k = r.getAs[Double]("kappa")
+    assert(pBar > pe, s"agreement below chance: $r")
+    assert(k > 0.3 && k < 1.0, s"planted agreement not recovered: $r")
+    assert(math.abs(k - (pBar - pe) / (1.0 - pe)) < 1e-12)
+  }
+
+  test("stats_ols_residuals: rmse >= mae, bias ~ 0 overall (least squares)") {
+    val rows = SparkEntry.queries("stats_ols_residuals")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rmse") >= r.getAs[Double]("mae") - 1e-9, r.toString)
+    }
+    // OLS residuals sum to ~zero over the WHOLE table (per-group bias
+    // can be nonzero); weight the group means back together
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val bias = rows.map(r => r.getAs[Double]("mean_bias") * r.getAs[Long]("n")).sum / n
+    val scale = rows.map(_.getAs[Double]("rmse")).max
+    assert(math.abs(bias) < scale / 100.0, s"global bias $bias vs rmse $scale")
+  }
+
   test("stats_theil_sen: slope is the lower-median pairwise slope; pair count matches") {
     val r = SparkEntry.queries("stats_theil_sen")(spark, sf).collect().head
     val nDays = r.getAs[Long]("n_days"); val nPairs = r.getAs[Long]("n_pairs")
