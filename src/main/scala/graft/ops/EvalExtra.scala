@@ -305,7 +305,63 @@ object EvalExtra extends graft.QueryModule {
       |FROM c WHERE ptot > 0
       |ORDER BY g, threshold DESC""".stripMargin
 
+  /** Group-fairness audit [N] — demographic parity over the market
+    * segments: selection rate of the "high-value order" decision per
+    * segment, statistical parity difference vs the overall rate, and
+    * the disparate-impact ratio vs the best-treated segment (the
+    * EEOC four-fifths-rule denominator, chosen deterministically by
+    * (rate, segment)). Exact counts through one broadcast dim join +
+    * hash agg; every rate is ONE IEEE division. */
+  private def demographicParity(s: SparkSession, d: String): DataFrame = {
+    val dec = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        (col("o_totalprice").cast("decimal(12,2)") >= 250000).as("pos"))
+    val per = dec.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val tot = per.agg(sum(col("n")).as("tn"), sum(col("np")).as("tnp"))
+    val best = per
+      .select(max(struct((col("np").cast("double") / col("n").cast("double"))
+        .as("rate"), col("seg"))).as("b"))
+      .select(col("b.rate").as("best_rate"))
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(best))
+      .selectExpr("seg", "cast(n as bigint) as n", "cast(np as bigint) as n_pos",
+        "cast(np as double) / cast(n as double) as rate",
+        "cast(np as double) / cast(n as double)" +
+          " - cast(tnp as double) / cast(tn as double) as parity_diff",
+        "(cast(np as double) / cast(n as double)) / best_rate" +
+          " as disparate_impact")
+      .orderBy("seg")
+  }
+
+  private val demographicParityOracle =
+    """WITH dec AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) >= 250000 AS pos
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |per AS (
+      |  SELECT seg, count(*) AS n,
+      |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+      |  FROM dec GROUP BY seg),
+      |tot AS (SELECT sum(n) AS tn, sum(np) AS tnp FROM per),
+      |best AS (
+      |  SELECT max(struct_pack(rate := CAST(np AS DOUBLE) / CAST(n AS DOUBLE),
+      |                         seg := seg)).rate AS best_rate
+      |  FROM per)
+      |SELECT seg, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+      |       CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |       CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(tnp AS DOUBLE) / CAST(tn AS DOUBLE) AS parity_diff,
+      |       (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) / best_rate
+      |         AS disparate_impact
+      |FROM per CROSS JOIN tot CROSS JOIN best
+      |ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_demographic_parity" -> demographicParity,
     "eval_pr_curve" -> prCurve,
     "stats_bh_fdr" -> benjaminiHochberg,
     "eval_avg_precision" -> averagePrecision,
@@ -317,6 +373,7 @@ object EvalExtra extends graft.QueryModule {
     "stats_sprt" -> sprt)
 
   val oracles: Map[String, String] = Map(
+    "eval_demographic_parity" -> demographicParityOracle,
     "eval_pr_curve" -> prCurveOracle,
     "stats_bh_fdr" ->
       """WITH hyp AS (

@@ -175,7 +175,34 @@ object Exprs extends graft.QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** Deterministic surrogate keys [N] — the dimensional-load primitive:
+    * a stable 60-bit key from the md5 of the natural key, so any
+    * executor (or engine) derives the SAME surrogate with no sequence,
+    * no coordination, and idempotent reloads. 15 hex chars keep the
+    * value positive in an int64; ExprsSpec audits collision-freedom on
+    * the customer dimension. */
+  private def surrogateKey(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .selectExpr("c_custkey",
+        "cast(conv(substring(md5(concat('cust:', cast(c_custkey as string)))," +
+          " 1, 15), 16, 10) as bigint) as sk")
+      .orderBy("c_custkey")
+
+  private val surrogateKeyOracle = {
+    val poly = (0 until 15).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (14 - i))}"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH h AS (
+       |  SELECT c_custkey,
+       |         md5('cust:' || CAST(c_custkey AS VARCHAR)) AS hx
+       |  FROM customer)
+       |SELECT c_custkey, $poly AS sk
+       |FROM h ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "expr_surrogate_key" -> surrogateKey,
     "expr_zorder_value" -> zorderValue,
     "proj_snapshot" -> projSnapshot,
     "filter_positive" -> filterPositive,
@@ -193,6 +220,7 @@ object Exprs extends graft.QueryModule {
     "expr_add_liquidity" -> addLiquidity)
 
   val oracles: Map[String, String] = Map(
+    "expr_surrogate_key" -> surrogateKeyOracle,
     // arithmetic Morton interleave: bit i of x -> bit 2i, bit i of y ->
     // bit 2i+1; 16 terms cover the 16-bit demo domain (max shift 31)
     "expr_zorder_value" ->

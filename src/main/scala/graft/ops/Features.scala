@@ -137,7 +137,47 @@ object Features extends graft.QueryModule {
       .agg(bround(dd(sum(col("t"))), 6).as("psi"))
   }
 
+  /** The feature hashing trick [N] (Weinberger et al. 2009 — the
+    * vocabulary-free featurizer a 100 TB text pipeline needs: no
+    * dictionary to build, broadcast, or keep consistent): every word
+    * hashes to one of D=64 buckets, a second hash bit supplies the ±1
+    * sign that keeps collisions unbiased, and the per-(doc, bucket)
+    * signed count is one explode + hash agg. Index and sign both come
+    * from md5 hex (conv here, strpos polynomial in the oracle). */
+  private def hashingTrick(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .selectExpr("doc_id",
+        "cast(conv(substring(md5(concat(w, ':hash')), 1, 4), 16, 10)" +
+          " as bigint) % 64 as idx",
+        "case when cast(conv(substring(md5(concat(w, ':hash')), 5, 1)," +
+          " 16, 10) as bigint) % 2 = 0 then 1L else -1L end as sign")
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sign")).as("val"))
+      .orderBy("doc_id", "idx")
+  }
+
+  private val hashingTrickOracle = {
+    val hex4 = (0 until 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(w || ':hash'), ${i + 1}, 1))" +
+        s" - 1) * ${1L << (4 * (3 - i))}"
+    }.mkString("(", " + ", ")")
+    val sign = "(strpos('0123456789abcdef', substr(md5(w || ':hash'), 5, 1)) - 1)"
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, $hex4 % 64 AS idx,
+       |         CASE WHEN $sign % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM words WHERE w <> '')
+       |SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS val
+       |FROM h GROUP BY doc_id, idx
+       |ORDER BY doc_id, idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_hashing_trick" -> hashingTrick,
     "feat_target_encode" -> targetEncode,
     "feat_woe_iv" -> woeIv,
     "feat_minmax_scale" -> minmaxScale,
@@ -145,6 +185,7 @@ object Features extends graft.QueryModule {
     "stats_psi" -> psi)
 
   val oracles: Map[String, String] = Map(
+    "feat_hashing_trick" -> hashingTrickOracle,
     "feat_target_encode" ->
       """WITH g AS (
         |  SELECT o_orderpriority AS category, count(*) AS n,

@@ -465,7 +465,77 @@ object StatsLearn extends graft.QueryModule {
        |FROM e""".stripMargin
   }
 
+  // ---- TOST equivalence ----------------------------------------------
+
+  /** TOST equivalence test [N] (Schuirmann's two one-sided tests — the
+    * A/B question stats_welch_ttest cannot answer: "are these two arms
+    * the SAME to within δ?"). Mean $1000 order-value bins, fulfilled vs
+    * open; margin δ = 5 bins; Welch SE from exact power sums; both
+    * one-sided t statistics against the pinned large-df critical value
+    * 1.645. Everything is doubles assembled once from exact integers —
+    * identical IEEE on both engines, so even the boolean decision
+    * agrees exactly. */
+  private def tost(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(expr("case when o_orderstatus = 'F' then 1 else 0 end").as("g"),
+        expr(binExprSpark).as("v"))
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q"))
+      .agg(
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 1, col("s"))).as("s1"),
+        max(when(col("g") === 1, col("q"))).as("q1"),
+        max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 0, col("s"))).as("s0"),
+        max(when(col("g") === 0, col("q"))).as("q0"))
+      .selectExpr(
+        "cast(n1 as double) as n1d", "cast(s1 as double) as s1d",
+        "cast(q1 as double) as q1d", "cast(n0 as double) as n0d",
+        "cast(s0 as double) as s0d", "cast(q0 as double) as q0d")
+      .selectExpr(
+        "s1d / n1d - s0d / n0d as diff",
+        "sqrt(((q1d - s1d * s1d / n1d) / (n1d - 1.0)) / n1d" +
+          " + ((q0d - s0d * s0d / n0d) / (n0d - 1.0)) / n0d) as se")
+      .selectExpr("diff", "se",
+        "(diff + 5.0) / se as t_lower",
+        "(5.0 - diff) / se as t_upper")
+      .selectExpr("diff", "se", "t_lower", "t_upper",
+        "t_lower > 1.645 and t_upper > 1.645 as equivalent")
+  }
+
+  private val tostOracle =
+    s"""WITH base AS (
+       |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g,
+       |         $binExprDuck AS v
+       |  FROM orders),
+       |a AS (
+       |  SELECT g, count(*) AS n, sum(v) AS s,
+       |         sum(CAST(v AS HUGEINT) * v) AS q
+       |  FROM base GROUP BY g),
+       |w AS (
+       |  SELECT max(CASE WHEN g = 1 THEN CAST(n AS DOUBLE) END) AS n1d,
+       |         max(CASE WHEN g = 1 THEN CAST(s AS DOUBLE) END) AS s1d,
+       |         max(CASE WHEN g = 1 THEN CAST(q AS DOUBLE) END) AS q1d,
+       |         max(CASE WHEN g = 0 THEN CAST(n AS DOUBLE) END) AS n0d,
+       |         max(CASE WHEN g = 0 THEN CAST(s AS DOUBLE) END) AS s0d,
+       |         max(CASE WHEN g = 0 THEN CAST(q AS DOUBLE) END) AS q0d
+       |  FROM a),
+       |c AS (
+       |  SELECT s1d / n1d - s0d / n0d AS diff,
+       |         sqrt(((q1d - s1d * s1d / n1d) / (n1d - 1.0)) / n1d
+       |           + ((q0d - s0d * s0d / n0d) / (n0d - 1.0)) / n0d) AS se
+       |  FROM w),
+       |t AS (
+       |  SELECT diff, se, (diff + 5.0) / se AS t_lower,
+       |         (5.0 - diff) / se AS t_upper
+       |  FROM c)
+       |SELECT diff, se, t_lower, t_upper,
+       |       t_lower > 1.645 AND t_upper > 1.645 AS equivalent
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_tost" -> tost,
     "stats_fleiss_kappa" -> fleissKappa,
     "stats_anova" -> anova,
     "stats_ridge" -> ridge,
@@ -474,6 +544,7 @@ object StatsLearn extends graft.QueryModule {
     "stats_theil_sen" -> theilSen)
 
   val oracles: Map[String, String] = Map(
+    "stats_tost" -> tostOracle,
     "stats_fleiss_kappa" -> fleissOracle,
     "stats_anova" -> anovaOracle,
     "stats_ridge" -> ridgeOracle,

@@ -104,6 +104,54 @@ class AppliedAnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(again(r.getAs[String]("grp")) == r.getAs[Long]("checksum")))
   }
 
+  test("eval_demographic_parity: rates proper, parity diffs sum to ~0 weighted, DI <= 1") {
+    val rows = SparkEntry.queries("eval_demographic_parity")(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val wsum = rows.map(r => r.getAs[Double]("parity_diff") * r.getAs[Long]("n")).sum / n
+    assert(math.abs(wsum) < 1e-12, s"weighted parity diffs must cancel: $wsum")
+    rows.foreach { r =>
+      val di = r.getAs[Double]("disparate_impact")
+      assert(di > 0.0 && di <= 1.0 + 1e-12, r.toString)
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(rows.exists(r => math.abs(r.getAs[Double]("disparate_impact") - 1.0) < 1e-12))
+  }
+
+  test("stats_tost: t statistics consistent with diff/se and the margin") {
+    val r = SparkEntry.queries("stats_tost")(spark, sf).collect().head
+    val diff = r.getAs[Double]("diff"); val se = r.getAs[Double]("se")
+    assert(se > 0.0)
+    assert(math.abs(r.getAs[Double]("t_lower") - (diff + 5.0) / se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_upper") - (5.0 - diff) / se) < 1e-12)
+    assert(r.getAs[Boolean]("equivalent") ==
+      (r.getAs[Double]("t_lower") > 1.645 && r.getAs[Double]("t_upper") > 1.645))
+  }
+
+  test("feat_hashing_trick: indices in [0,64); values bounded by doc word count") {
+    val rows = SparkEntry.queries("feat_hashing_trick")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("idx") >= 0 && r.getAs[Long]("idx") < 64))
+    // one row per (doc, bucket): at most D rows per doc, and signed
+    // counts can never exceed the doc's word count in magnitude
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length <= 64))
+    val nChars = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) as nw")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("nw")).toMap
+    perDoc.foreach { case (doc, rs) =>
+      assert(rs.map(r => math.abs(r.getAs[Long]("val"))).sum <= nChars(doc))
+    }
+  }
+
+  test("expr_surrogate_key: 60-bit keys positive and collision-free on the dim") {
+    val rows = SparkEntry.queries("expr_surrogate_key")(spark, sf).collect()
+    val sks = rows.map(_.getAs[Long]("sk"))
+    assert(sks.forall(_ >= 0))
+    assert(sks.distinct.length == sks.length, "surrogate collision on customer dim")
+  }
+
   test("eval_pr_curve: recall monotone non-decreasing as threshold falls; ends at 1") {
     val rows = SparkEntry.queries("eval_pr_curve")(spark, sf).collect()
     assert(rows.nonEmpty)

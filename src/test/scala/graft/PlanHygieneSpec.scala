@@ -65,7 +65,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain",
     "stats_cramers_v" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)",
     "ts_anomaly" -> "1-row median/MAD crossJoins over the bounded month domain",
-    "stats_ols_residuals" -> "1-row model-coefficients crossJoin (train + apply)")
+    "stats_ols_residuals" -> "1-row model-coefficients crossJoin (train + apply)",
+    "eval_demographic_parity" -> "1-row overall/best-rate crossJoins over the 5-segment domain")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
