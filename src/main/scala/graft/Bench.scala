@@ -35,10 +35,13 @@ object Bench {
                             // thinner sibling moved out for line budget)
     "sink_commit_partitions", // dynamic partition overwrite publish
     "src_dpp_pruned",       // dynamic partition pruning
-    "win_rank_topk",        // ranking window (TakeOrderedAndProject inside)
+    "stats_bootstrap",      // Poisson-bootstrap md5-coin resampling (r9;
+                            // win_rank_topk's thinner window moved out)
     "win_skyline",          // domain-sized Pareto frontier
-    "setop_except",         // set op
-    "stmt_pivot_wide",      // pivot
+    "text_textrank",        // integer-fixpoint keyword PageRank (r9;
+                            // setop_except's thin set op moved out)
+    "rec_item_cosine",      // basket-bounded item-item CF top-k (r9;
+                            // stmt_pivot_wide's thin reshape moved out)
     "expr_fx_normalize",    // expression-heavy projection
     "fn_math",              // scalar function battery
     "agg_q1_pricing",       // TPC-H Q1, exact-decimal
@@ -65,8 +68,9 @@ object Bench {
     "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
     "sql_asof",             // native as-of through the SQL TVF surface
     "mm_decode",            // real javax.imageio PNG decode (r7)
-    "mm_audio_decode",      // real javax.sound WAV decode (r8; mm_binary's
-                            // thin scan moved out for the line budget)
+    "attr_markov_removal",  // Markov removal-effect attribution (r9;
+                            // mm_audio_decode moved out - mm_decode stays
+                            // as the multimodal rep)
     "stream_sliding_agg",   // streaming (batch-replay) agg
     "fin_twap",             // time-weighted average price
     "graph_triangles",      // degree-oriented triangle counting

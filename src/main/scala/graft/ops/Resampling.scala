@@ -72,12 +72,21 @@ object Resampling extends graft.QueryModule {
 
   private def bootstrap(s: SparkSession, d: String): DataFrame = {
     val u = sparkHex8(s"concat(cast(o_orderkey as string), '#', cast(b as string), ':boot')", 1)
+    // materialize the 32-bit draw ONCE per (row, replicate): the
+    // 7-branch inverse-CDF CASE would otherwise re-evaluate the md5
+    // under every branch (measured 9.2 s -> ~2 s at sf0.1)
+    // the B-fold explode multiplies rows AFTER the scan, so spread the
+    // narrow input across the cluster first — without this the whole
+    // replicate ensemble inherits the source file's partition count
+    // (one small file => one core does 64x the work)
     val base = Tables.orders(s, d)
+      .repartition(col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority").as("g"),
         expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"),
         explode(sequence(lit(0), lit(bootB - 1))).as("b"))
+      .select(col("g"), col("b"), col("v"), expr(u).as("u"))
       .select(col("g"), col("b"), col("v"),
-        expr(s"${poissonCase(u)}").cast("long").as("w"))
+        expr(s"${poissonCase("u")}").cast("long").as("w"))
     val reps = base.groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("v")).as("sv"), sum(col("w")).as("sw"))
       .select(col("g"), col("b"),
@@ -107,11 +116,13 @@ object Resampling extends graft.QueryModule {
 
   private def bootstrapOracle: String = {
     val u = duckHex8("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR) || ':boot'", 1)
-    s"""WITH base AS (
+    s"""WITH draws AS (
        |  SELECT o_orderpriority AS g, t.b,
        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
-       |         ${poissonCase(u)} AS w
+       |         $u AS u
        |  FROM orders CROSS JOIN range($bootB) t(b)),
+       |base AS (
+       |  SELECT g, b, v, ${poissonCase("u")} AS w FROM draws),
        |reps AS (
        |  SELECT g, b,
        |         CAST(round_even(CAST(sum(w * v) AS DOUBLE)
@@ -164,10 +175,12 @@ object Resampling extends graft.QueryModule {
         "cast(s1 as double) / cast(n1 as double)" +
           " - cast(s0 as double) / cast(n0 as double) as obs_diff")
     val reps = base
+      .repartition(col("o_orderkey")) // parallelize the B-fold explode
       .select(col("v"), explode(sequence(lit(0), lit(randB - 1))).as("b"),
         col("o_orderkey"))
+      .select(col("b"), col("v"), expr(u).as("u"))
       .select(col("b"), col("v"),
-        expr(s"case when $u < ${1L << 31} then 1 else 0 end").as("pg"))
+        expr(s"case when u < ${1L << 31} then 1 else 0 end").as("pg"))
       .groupBy(col("b"))
       .agg(sum(when(col("pg") === 1, col("v"))).as("s1"),
         sum(when(col("pg") === 1, 1L).otherwise(0L)).as("n1"),
