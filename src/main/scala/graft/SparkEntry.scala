@@ -21,7 +21,7 @@ object SparkEntry {
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ops.Retail, ops.Evaluation, ops.Preference, ops.Features, ops.EvalExtra,
     ops.StatsExtra, ops.StatsLearn, ops.Resampling, ops.Recommender,
-    ops.Attribution,
+    ops.Attribution, ops.EntityResolution,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
     ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake)
 

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Probabilistic record linkage [N] — the Fellegi–Sunter model (1969),
+  * the entity-resolution decision layer the string-similarity dedup
+  * family feeds into: candidate pairs from BLOCKING, per-field
+  * agreement weights log₂(m/u) (m = P(agree | match), u = P(agree |
+  * non-match)), linkage decision by total-score threshold.
+  *
+  * The corpus plants its own ground truth: every 5th customer gets a
+  * "dirty" duplicate (md5-derived pseudo-name with the last two chars
+  * transposed, balance nudged +0.37, same segment/nation), so the
+  * linkage must find exactly those pairs among all same-nation
+  * candidates — and ErSpec asserts it does, at perfect precision and
+  * recall on the planted set.
+  *
+  * Scale + determinism shape: blocking on nation bounds the pair
+  * expansion (never |A|×|B|); the name comparator is the codegen
+  * [[graft.functions.JaroWinkler]] expression proven IEEE-bit-identical
+  * to DuckDB's, so threshold compares agree exactly; all m/u weights
+  * are PINNED 4dp literals and the score is their exact decimal sum —
+  * no runtime logs, no float accumulation. */
+object EntityResolution extends graft.QueryModule {
+
+  // log2(m/u) agreement / disagreement weights (pinned literals):
+  //   name  m=.9  u=.01 -> +6.4919 ; disagree log2(.1/.99) -> -3.3099
+  //   seg   m=.95 u=.20 -> +2.2479 ; disagree log2(.05/.8) -> -4.0000
+  //   bal   m=.9  u=.05 -> +4.1699 ; disagree log2(.1/.95) -> -3.2479
+  private val wName = ("6.4919", "-3.3099")
+  private val wSeg = ("2.2479", "-4.0000")
+  private val wBal = ("4.1699", "-3.2479")
+  private val threshold = "6.0"
+
+  private def fellegiSunter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = Tables.customer(s, d).selectExpr(
+      "c_custkey as id",
+      "substring(md5(concat('nm:', cast(c_custkey as string))), 1, 12) as nm",
+      "c_mktsegment as seg",
+      "cast(c_acctbal as decimal(12,2)) as bal",
+      "c_nationkey as blk")
+    val dups = base.filter(col("id") % 5 === 0).selectExpr(
+      "id + 1000000 as id",
+      "concat(substring(nm, 1, 10), substring(nm, 12, 1)," +
+        " substring(nm, 11, 1)) as nm",
+      "seg", "cast(bal + 0.37 as decimal(12,2)) as bal", "blk")
+    val cand = base.as("a").join(dups.as("b"), col("a.blk") === col("b.blk"))
+      .selectExpr("a.id as a_id", "b.id - 1000000 as b_src", "b.id as b_id",
+        "graft_jaro_winkler(a.nm, b.nm) as jw",
+        "a.seg = b.seg as seg_eq",
+        "abs(a.bal - b.bal) <= 1.00 as bal_near")
+    cand.selectExpr("a_id", "b_src", "jw",
+        s"cast(case when jw >= 0.92 then ${wName._1} else ${wName._2} end" +
+          s" as decimal(8,4))" +
+          s" + cast(case when seg_eq then ${wSeg._1} else ${wSeg._2} end" +
+          s" as decimal(8,4))" +
+          s" + cast(case when bal_near then ${wBal._1} else ${wBal._2} end" +
+          s" as decimal(8,4)) as score")
+      .filter(expr(s"score > $threshold"))
+      .selectExpr("a_id", "b_src", "jw", "cast(score as double) as score")
+      .orderBy("a_id", "b_src")
+  }
+
+  private val fellegiSunterOracle =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id,
+       |         substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS nm,
+       |         c_mktsegment AS seg,
+       |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+       |         c_nationkey AS blk
+       |  FROM customer),
+       |dups AS (
+       |  SELECT id + 1000000 AS id,
+       |         substr(nm, 1, 10) || substr(nm, 12, 1) || substr(nm, 11, 1)
+       |           AS nm,
+       |         seg, CAST(bal + 0.37 AS DECIMAL(12,2)) AS bal, blk
+       |  FROM base WHERE id % 5 = 0),
+       |cand AS (
+       |  SELECT a.id AS a_id, b.id - 1000000 AS b_src,
+       |         jaro_winkler_similarity(a.nm, b.nm) AS jw,
+       |         a.seg = b.seg AS seg_eq,
+       |         abs(a.bal - b.bal) <= 1.00 AS bal_near
+       |  FROM base a JOIN dups b ON a.blk = b.blk),
+       |scored AS (
+       |  SELECT a_id, b_src, jw,
+       |         CAST(CASE WHEN jw >= 0.92 THEN ${wName._1}
+       |              ELSE ${wName._2} END AS DECIMAL(8,4))
+       |         + CAST(CASE WHEN seg_eq THEN ${wSeg._1}
+       |                ELSE ${wSeg._2} END AS DECIMAL(8,4))
+       |         + CAST(CASE WHEN bal_near THEN ${wBal._1}
+       |                ELSE ${wBal._2} END AS DECIMAL(8,4)) AS score
+       |  FROM cand)
+       |SELECT a_id, b_src, jw, CAST(score AS DOUBLE) AS score
+       |FROM scored WHERE score > $threshold
+       |ORDER BY a_id, b_src""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fellegi_sunter" -> fellegiSunter)
+
+  val oracles: Map[String, String] = Map(
+    "er_fellegi_sunter" -> fellegiSunterOracle)
+}
