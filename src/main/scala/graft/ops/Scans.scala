@@ -366,6 +366,38 @@ object Scans extends graft.QueryModule {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
   }
 
+  /** Parquet BLOOM-FILTER point-lookup pruning [N] — the format-level
+    * companion to the min/max zone map: range clustering makes
+    * min/max stats useless for a point predicate on an UNCLUSTERED
+    * high-cardinality key, which is exactly where parquet's per-row-
+    * group split-block bloom filters (parquet-format BloomFilter.md)
+    * prune instead. Written via the standard
+    * `parquet.bloom.filter.enabled#col` write option, probed with an
+    * IN-list of mostly-absent suppliers; the reader consults the bloom
+    * before decoding any page. The residual filter keeps the result
+    * exact, so the key hash-matches a plain filtered scan;
+    * BloomParquetSpec asserts the filters actually exist in the
+    * written footers. */
+  private def sinkBloomScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = "target/tmp/lineitem_bloom"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey")) // clustered on the WRONG key
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_suppkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_suppkey", "20000")
+      // parquet-mr drops the bloom when a column stays fully
+      // dictionary-encoded (the dictionary already is an exact filter);
+      // at production NDV the dictionary overflows and the bloom takes
+      // over — disabling the dictionary here exercises that regime
+      .option("parquet.enable.dictionary#l_suppkey", "false")
+      .parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("l_suppkey").isin(7L, 77L, 777L))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Zone-map (manifest) file pruning [N] — see [[ZoneMap]]: orders
     * range-clustered by o_totalprice into 8 files, per-file min/max
     * manifest, and a band predicate that should touch ~1 of the 8 files
@@ -696,6 +728,7 @@ object Scans extends graft.QueryModule {
     "sink_hilbert_scan" -> sinkHilbertScan,
     "sink_compact_files" -> sinkCompactFiles,
     "src_zonemap_pruned" -> srcZonemapPruned,
+    "sink_bloom_scan" -> sinkBloomScan,
     "sink_sorted_scan" -> sinkSortedScan,
     "src_list_scan" -> srcListScan,
     "src_json_records" -> srcJsonRecords,
@@ -826,6 +859,11 @@ object Scans extends graft.QueryModule {
         |FROM orders
         |WHERE o_totalprice BETWEEN 450000.0 AND 500000.0
         |ORDER BY o_orderkey""".stripMargin,
+    "sink_bloom_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_suppkey IN (7, 77, 777)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_sorted_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
