@@ -23,7 +23,7 @@ object SparkEntry {
     ops.StatsExtra, ops.StatsLearn, ops.Resampling, ops.Recommender,
     ops.Attribution, ops.EntityResolution,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
-    ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake)
+    ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake, ext.SubstrDedup)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -98,9 +98,88 @@ object EntityResolution extends graft.QueryModule {
        |FROM scored WHERE score > $threshold
        |ORDER BY a_id, b_src""".stripMargin
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) [N] — the
+    * other classic ER candidate generator: sort all records by a key
+    * that places near-duplicates adjacently, then only compare each
+    * record to its `w-1` successors in sort order. Candidates are
+    * O(n·w) instead of the O(n²/blocks) of equality blocking, and it
+    * catches pairs equality blocking misses (records whose block key
+    * itself is dirty).
+    *
+    * Same planted-duplicate corpus as [[fellegiSunter]]: the dirty
+    * twin transposes the last two name chars, so the first 10 chars
+    * agree and the sort places the pair adjacently.
+    *
+    * Scale shape: the textbook global sort is replaced by the
+    * two-level form real systems use — records hash into bounded
+    * PREFIX blocks (first hex char of the sort key; a real pipeline
+    * uses more prefix chars as n grows) and the neighborhood is
+    * confined to the block, so ranking is a per-block window, never a
+    * single-partition global sort. Pairing is an EQUI-join on
+    * (block, rank + offset) with the offsets exploded — no range join,
+    * no n² — and the comparator is the codegen IEEE-bit-identical
+    * [[graft.functions.JaroWinkler]]. */
+  private def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val win = 4 // neighborhood width w: compare to the 3 successors
+    val base = Tables.customer(s, d).selectExpr(
+      "c_custkey as id",
+      "substring(md5(concat('nm:', cast(c_custkey as string))), 1, 12) as nm")
+    val dups = base.filter(col("id") % 5 === 0).selectExpr(
+      "id + 1000000 as id",
+      "concat(substring(nm, 1, 10), substring(nm, 12, 1)," +
+        " substring(nm, 11, 1)) as nm")
+    val all = base.unionByName(dups)
+      .withColumn("pfx", expr("substring(nm, 1, 1)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pfx")).orderBy(col("nm"), col("id"))
+    val ranked = all.withColumn("rk", row_number().over(w))
+    val offs = ranked.select(col("pfx"), col("rk"), col("id"), col("nm"),
+      explode(expr(s"sequence(1, ${win - 1})")).as("off"))
+      .withColumn("rk2", col("rk") + col("off"))
+    offs.as("a")
+      .join(ranked.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.rk2") === col("b.rk"))
+      .selectExpr(
+        "least(a.id, b.id) as a_id", "greatest(a.id, b.id) as b_id",
+        "graft_jaro_winkler(a.nm, b.nm) as jw")
+      .filter(col("jw") >= 0.92)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val sortedNeighborhoodOracle =
+    """WITH base AS (
+      |  SELECT c_custkey AS id,
+      |         substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS nm
+      |  FROM customer),
+      |dups AS (
+      |  SELECT id + 1000000 AS id,
+      |         substr(nm, 1, 10) || substr(nm, 12, 1) || substr(nm, 11, 1)
+      |           AS nm
+      |  FROM base WHERE id % 5 = 0),
+      |allr AS (
+      |  SELECT id, nm, substr(nm, 1, 1) AS pfx FROM base
+      |  UNION ALL
+      |  SELECT id, nm, substr(nm, 1, 1) AS pfx FROM dups),
+      |ranked AS (
+      |  SELECT id, nm, pfx,
+      |         row_number() OVER (PARTITION BY pfx ORDER BY nm, id) AS rk
+      |  FROM allr),
+      |pairs AS (
+      |  SELECT a.id AS ida, b.id AS idb,
+      |         jaro_winkler_similarity(a.nm, b.nm) AS jw
+      |  FROM ranked a
+      |  JOIN ranked b
+      |    ON a.pfx = b.pfx AND b.rk - a.rk BETWEEN 1 AND 3)
+      |SELECT least(ida, idb) AS a_id, greatest(ida, idb) AS b_id, jw
+      |FROM pairs WHERE jw >= 0.92
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "er_fellegi_sunter" -> fellegiSunter)
+    "er_fellegi_sunter" -> fellegiSunter,
+    "er_sorted_neighborhood" -> sortedNeighborhood)
 
   val oracles: Map[String, String] = Map(
-    "er_fellegi_sunter" -> fellegiSunterOracle)
+    "er_fellegi_sunter" -> fellegiSunterOracle,
+    "er_sorted_neighborhood" -> sortedNeighborhoodOracle)
 }

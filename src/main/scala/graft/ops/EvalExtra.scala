@@ -119,6 +119,90 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("seg", "nation")
   }
 
+  /** t-closeness audit [N] — completes the k-anonymity / l-diversity
+    * privacy battery (Li, Li & Venkatasubramanian 2007): a
+    * quasi-identifier group leaks if its SENSITIVE-value distribution
+    * diverges from the global one, measured by Earth Mover's Distance.
+    * For an ordered attribute with m distinct values, EMD is the
+    * normalized sum of absolute cumulative differences:
+    * (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)|. Everything stays RATIONAL:
+    * per-value cumulative residuals r_i = Σ(cnt_gj·N − cnt_j·n_g) are
+    * exact bigints (|r| ≤ n_g·N, ~2·10¹⁴ even at SF100 — inside
+    * int64), the t ≤ 0.2 flag is the cross-multiplied integer compare
+    * 5·Σ|r_i| ≤ n_g·N·(m−1), and the reported emd is ONE double
+    * division of identical exact operands — bit-equal on both engines.
+    *
+    * Scale shape: two hash aggs into bounded domains (groups × values;
+    * the sensitive bins are $1000 buckets, ≤ a dozen values), then all
+    * arithmetic on dimension-sized relations via broadcast. The only
+    * corpus-scale work is the counting scan. */
+  private def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val sens =
+      expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)) div 100000")
+    val rows = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nation"), sens.as("sens"))
+    val glob = rows.groupBy(col("sens")).agg(count(lit(1)).as("cnt_all"))
+    val tot = rows.agg(count(lit(1)).as("n_all"),
+      countDistinct(col("sens")).as("m"))
+    val grp = rows.groupBy(col("seg"), col("nation"))
+      .agg(count(lit(1)).as("n_g"))
+    val gsv = rows.groupBy(col("seg"), col("nation"), col("sens"))
+      .agg(count(lit(1)).as("cnt_g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg"), col("nation")).orderBy(col("sens"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grp.crossJoin(broadcast(glob))
+      .join(gsv, Seq("seg", "nation", "sens"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        coalesce(col("cnt_g"), lit(0L)) * col("n_all")
+          - col("cnt_all") * col("n_g"))
+      .withColumn("r", sum(col("diff")).over(w))
+      .groupBy(col("seg"), col("nation"))
+      .agg(max(col("n_g")).as("n"), max(col("n_all")).as("n_all"),
+        max(col("m")).as("m"), sum(abs(col("r"))).as("num"))
+      .select(col("seg"), col("nation"), col("n"),
+        (col("num").cast("double") /
+          (col("n") * col("n_all") * (col("m") - 1)).cast("double"))
+          .as("emd"),
+        (col("num") * 5 <= col("n") * col("n_all") * (col("m") - 1))
+          .as("t_close"))
+      .orderBy("seg", "nation")
+  }
+
+  private val tClosenessOracle =
+    """WITH rows_ AS (
+      |  SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nation,
+      |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |           // 100000 AS sens
+      |  FROM customer),
+      |gdist AS (SELECT sens, count(*) AS cnt_all FROM rows_ GROUP BY sens),
+      |tot AS (SELECT count(*) AS n_all, count(DISTINCT sens) AS m FROM rows_),
+      |grp AS (SELECT seg, nation, count(*) AS n_g FROM rows_ GROUP BY 1, 2),
+      |gsv AS (SELECT seg, nation, sens, count(*) AS cnt_g
+      |        FROM rows_ GROUP BY 1, 2, 3),
+      |dom AS (
+      |  SELECT g.seg, g.nation, g.n_g, gl.sens, gl.cnt_all,
+      |         COALESCE(v.cnt_g, 0) AS cnt_g, t.n_all, t.m
+      |  FROM grp g CROSS JOIN gdist gl
+      |  LEFT JOIN gsv v ON v.seg = g.seg AND v.nation = g.nation
+      |                 AND v.sens = gl.sens
+      |  CROSS JOIN tot t),
+      |cum AS (
+      |  SELECT seg, nation, n_g, n_all, m,
+      |         sum(cnt_g * n_all - cnt_all * n_g) OVER (
+      |           PARTITION BY seg, nation ORDER BY sens
+      |           ROWS UNBOUNDED PRECEDING) AS r
+      |  FROM dom)
+      |SELECT seg, nation, max(n_g) AS n,
+      |       CAST(sum(abs(r)) AS DOUBLE) /
+      |         CAST(max(n_g) * max(n_all) * (max(m) - 1) AS DOUBLE) AS emd,
+      |       sum(abs(r)) * 5 <= max(n_g) * max(n_all) * (max(m) - 1)
+      |         AS t_close
+      |FROM cum GROUP BY seg, nation
+      |ORDER BY seg, nation""".stripMargin
+
   /** Kaplan-Meier survival estimator [N] — fulfillment "survival" per
     * ship-delay day: subjects are lineitems, survival time is the
     * order→ship gap in days, a death is a fulfilled line ('F'), other
@@ -368,6 +452,7 @@ object EvalExtra extends graft.QueryModule {
     "join_null_aware_anti" -> nullAwareAnti,
     "text_bigram_lm" -> bigramLm,
     "quality_l_diversity" -> lDiversity,
+    "quality_t_closeness" -> tCloseness,
     "stats_kaplan_meier" -> kaplanMeier,
     "text_bm25" -> bm25,
     "stats_sprt" -> sprt)
@@ -444,6 +529,7 @@ object EvalExtra extends graft.QueryModule {
         |                 / CAST(u.cu + vocab.v AS DOUBLE)), 6)) / count(*), 4) AS mean_lp
         |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1), vocab
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "quality_t_closeness" -> tClosenessOracle,
     "quality_l_diversity" ->
       """SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nation,
         |       count(*) AS n,

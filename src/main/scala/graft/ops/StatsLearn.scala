@@ -534,7 +534,199 @@ object StatsLearn extends graft.QueryModule {
        |       t_lower > 1.645 AND t_upper > 1.645 AS equivalent
        |FROM t""".stripMargin
 
+  // ---- multinomial naive Bayes ---------------------------------------
+
+  /** Multinomial naive Bayes over `documents`: train on even doc_ids
+    * (tokens -> language), classify the odd ones. The whole model is
+    * counting — class priors, per-(class, token) counts, per-class token
+    * totals, vocabulary size — so training is two hash aggregations; the
+    * classifier is Σ ln((cnt+1)/(T_c+V)) + ln(n_c/N) with add-one
+    * smoothing, each ln pinned at 6dp BEFORE the sum (the `text_logprob`
+    * discipline: identical addends on both engines despite libm
+    * differences) and accumulated as decimal(18,6) (exact,
+    * order-invariant). argmax per doc is a rank-1 window ordered by
+    * (score DESC, class ASC) — a total order, so ties cannot flip
+    * between engines.
+    *
+    * 100 TB shape: the model relations are vocabulary-bounded (real
+    * pipelines cap V at the tokenizer vocab), so they broadcast; scoring
+    * is explode -> broadcast joins -> ONE hash exchange on (doc, class).
+    * The only corpus-scale shuffle is the training count itself. */
+  private def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val trainToks = train.select(col("lang").as("c"), explode(col("ws")).as("w"))
+    val cnt = trainToks.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+    val tTot = trainToks.groupBy(col("c")).agg(count(lit(1)).as("t_c"))
+    val vocab = trainToks.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val nDocs = train.agg(count(lit(1)).as("n_all"))
+    val priors = train.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("c"),
+        bround(log(col("n_c").cast("double") / col("n_all").cast("double")), 6)
+          .cast("decimal(18,6)").as("prior_lp"))
+    val classDim = tTot.crossJoin(broadcast(vocab))
+    val scored = test.select(col("doc_id"), explode(col("ws")).as("w"))
+      .crossJoin(broadcast(classDim))
+      .join(broadcast(cnt), Seq("c", "w"), "left")
+      .withColumn("lp", bround(log(
+        (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("t_c") + col("v")).cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("lp")).cast("decimal(18,6)").as("tok_lp"))
+      .join(broadcast(priors), "c")
+      .withColumn("score",
+        (col("prior_lp") + col("tok_lp")).cast("decimal(18,6)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("c").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("c").as("pred_lang"), col("lang"),
+        (col("c") === col("lang")).as("correct"),
+        col("score").cast("double").as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val naiveBayesOracle =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+      |ttoks AS (SELECT lang AS c, unnest(ws) AS w FROM train),
+      |cnt AS (SELECT c, w, count(*) AS cnt FROM ttoks GROUP BY c, w),
+      |ttot AS (SELECT c, count(*) AS t_c FROM ttoks GROUP BY c),
+      |vocab AS (SELECT count(DISTINCT w) AS v FROM ttoks),
+      |ndocs AS (SELECT count(*) AS n_all FROM train),
+      |priors AS (
+      |  SELECT lang AS c,
+      |         CAST(round_even(ln(CAST(count(*) AS DOUBLE) /
+      |           (SELECT CAST(n_all AS DOUBLE) FROM ndocs)), 6)
+      |           AS DECIMAL(18,6)) AS prior_lp
+      |  FROM train GROUP BY lang),
+      |stoks AS (SELECT doc_id, unnest(ws) AS w FROM test),
+      |terms AS (
+      |  SELECT s.doc_id, cd.c,
+      |         CAST(round_even(ln(
+      |           CAST(COALESCE(cnt.cnt, 0) + 1 AS DOUBLE) /
+      |           CAST(cd.t_c + cd.v AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS lp
+      |  FROM stoks s
+      |  CROSS JOIN (SELECT c, t_c, v FROM ttot, vocab) cd
+      |  LEFT JOIN cnt ON cnt.c = cd.c AND cnt.w = s.w),
+      |scored AS (
+      |  SELECT t.doc_id, t.c,
+      |         CAST(p.prior_lp + CAST(sum(t.lp) AS DECIMAL(18,6))
+      |           AS DECIMAL(18,6)) AS score
+      |  FROM terms t JOIN priors p ON p.c = t.c
+      |  GROUP BY t.doc_id, t.c, p.prior_lp),
+      |ranked AS (
+      |  SELECT doc_id, c, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, c ASC) AS rk
+      |  FROM scored)
+      |SELECT r.doc_id, r.c AS pred_lang, te.lang,
+      |       r.c = te.lang AS correct, CAST(r.score AS DOUBLE) AS score
+      |FROM ranked r JOIN test te ON te.doc_id = r.doc_id
+      |WHERE r.rk = 1
+      |ORDER BY r.doc_id""".stripMargin
+
+  // ---- decision stump (CART depth-1) ---------------------------------
+
+  /** Depth-1 CART: the Gini-optimal binary split of the $1000
+    * order-value bin predicting fulfillment (o_orderstatus = 'F') —
+    * the base learner of every tree ensemble, trained entirely in SQL.
+    * For each candidate threshold t (left: bin ≤ t), weighted Gini
+    * impurity is the RATIONAL
+    *   G(t) = [nL²·nR + nL·nR² − nR·(pL²+qL²) − nL·(pR²+qR²)] / (nL·nR)
+    * with all counts from ONE cumulative window over the bounded bin
+    * domain (~600 bins — candidate generation never touches row
+    * scale), normalized by n into the usual [0, 0.5] weighted form.
+    * Numerator/denominator are exact decimal(38,0); each
+    * converts to double once (exact below 2⁵³, i.e. any SF ≤ ~10⁴ —
+    * no rounding at all), so the quotient is the SAME IEEE double on
+    * both engines and argmin by (gini ASC, t ASC) is a total order
+    * that cannot flip. Leaf predictions are exact majority votes
+    * (2·pos ≥ n). */
+  private def treeStump(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.orders(s, d)
+      .select(expr(binExprSpark).as("t"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("nb"), sum(col("pos")).as("pb"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum(col("nb")).as("n_all"), sum(col("pb")).as("p_all"))
+    val cand = bins
+      .withColumn("n_l", sum(col("nb")).over(wc))
+      .withColumn("p_l", sum(col("pb")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_l") < col("n_all"))
+      .selectExpr("t", "n_l", "p_l", "n_l - p_l as q_l",
+        "n_all - n_l as n_r", "p_all - p_l as p_r",
+        "(n_all - n_l) - (p_all - p_l) as q_r")
+      .selectExpr("t", "n_l", "n_r", "p_l", "p_r",
+        "cast(cast(n_l as decimal(38,0)) * n_l * n_r" +
+          " + cast(n_l as decimal(38,0)) * n_r * n_r" +
+          " - cast(n_r as decimal(38,0)) * (p_l * p_l + q_l * q_l)" +
+          " - cast(n_l as decimal(38,0)) * (p_r * p_r + q_r * q_r)" +
+          " as decimal(38,0)) as num",
+        "cast(cast(n_l as decimal(38,0)) * n_r * (n_l + n_r)" +
+          " as decimal(38,0)) as den")
+      .withColumn("gini",
+        col("num").cast("double") / col("den").cast("double"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gini").asc, col("t").asc)
+    cand.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+      .selectExpr("t as split_bin", "n_l", "n_r", "p_l", "p_r", "gini",
+        "2 * p_l >= n_l as pred_left", "2 * p_r >= n_r as pred_right")
+  }
+
+  private val treeStumpOracle =
+    s"""WITH bins AS (
+       |  SELECT $binExprDuck AS t, count(*) AS nb,
+       |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pb
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT sum(nb) AS n_all, sum(pb) AS p_all FROM bins),
+       |cum AS (
+       |  SELECT t,
+       |         sum(nb) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS n_l,
+       |         sum(pb) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p_l
+       |  FROM bins),
+       |cand AS (
+       |  SELECT t, n_l, p_l, n_l - p_l AS q_l,
+       |         tot.n_all - n_l AS n_r, tot.p_all - p_l AS p_r,
+       |         (tot.n_all - n_l) - (tot.p_all - p_l) AS q_r
+       |  FROM cum, tot WHERE n_l < tot.n_all),
+       |scored AS (
+       |  SELECT t, n_l, n_r, p_l, p_r,
+       |         CAST(CAST(n_l AS DECIMAL(38,0)) * n_l * n_r
+       |              + CAST(n_l AS DECIMAL(38,0)) * n_r * n_r
+       |              - CAST(n_r AS DECIMAL(38,0)) * (p_l * p_l + q_l * q_l)
+       |              - CAST(n_l AS DECIMAL(38,0)) * (p_r * p_r + q_r * q_r)
+       |           AS DECIMAL(38,0)) AS num,
+       |         CAST(CAST(n_l AS DECIMAL(38,0)) * n_r * (n_l + n_r)
+       |           AS DECIMAL(38,0)) AS den
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT t, n_l, n_r, p_l, p_r,
+       |         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS gini,
+       |         row_number() OVER (
+       |           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ASC,
+       |                    t ASC) AS rk
+       |  FROM scored)
+       |SELECT t AS split_bin, CAST(n_l AS BIGINT) AS n_l,
+       |       CAST(n_r AS BIGINT) AS n_r, CAST(p_l AS BIGINT) AS p_l,
+       |       CAST(p_r AS BIGINT) AS p_r, gini,
+       |       2 * p_l >= n_l AS pred_left, 2 * p_r >= n_r AS pred_right
+       |FROM ranked WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_naive_bayes" -> naiveBayes,
+    "stats_tree_stump" -> treeStump,
     "stats_tost" -> tost,
     "stats_fleiss_kappa" -> fleissKappa,
     "stats_anova" -> anova,
@@ -544,6 +736,8 @@ object StatsLearn extends graft.QueryModule {
     "stats_theil_sen" -> theilSen)
 
   val oracles: Map[String, String] = Map(
+    "stats_naive_bayes" -> naiveBayesOracle,
+    "stats_tree_stump" -> treeStumpOracle,
     "stats_tost" -> tostOracle,
     "stats_fleiss_kappa" -> fleissOracle,
     "stats_anova" -> anovaOracle,

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 operator batch: exact duplicated-substring removal,
+  * sorted-neighborhood blocking, naive Bayes, t-closeness, and the
+  * Gini decision stump. */
+class Round8Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("text_substring_dedup: removes planted spans, leaves unique docs intact") {
+    val out = SparkEntry.queries("text_substring_dedup")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    val touched = rows.filter(_.getAs[Long]("n_removed") > 0)
+    assert(touched.nonEmpty, "the synthetic corpus plants duplicate spans")
+    // untouched docs keep their exact original token sequence
+    val untouchedMd5 = out.filter(col("n_removed") === 0)
+      .select(col("doc_id"), col("clean_md5"))
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(expr("array_join(split(text, ' '), ' ')")).as("orig_md5"))
+    val mismatched = untouchedMd5.join(orig, "doc_id")
+      .filter(col("clean_md5") =!= col("orig_md5")).count()
+    assert(mismatched == 0, "an untouched doc's text changed")
+    // no doc loses more tokens than it has
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("text_substring_dedup: a duplicated 8-gram is cut from BOTH docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h unique tail one"),
+      (2L, "other prefix a b c d e f g h two"),
+      (3L, "completely different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = ext.SubstrDedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 8)
+    assert(out(1).getAs[Long]("n_removed") == 8)
+    assert(out(2).getAs[Long]("n_removed") == 0)
+  }
+
+  test("er_sorted_neighborhood: perfect recall on planted transposed names") {
+    val rows = SparkEntry.queries("er_sorted_neighborhood")(spark, sf).collect()
+    val planted = Tables.customer(spark, sf).filter("c_custkey % 5 = 0").count()
+    assert(rows.length.toLong == planted, s"${rows.length} vs $planted")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 1000000L,
+        s"false positive pair: $r")
+    }
+  }
+
+  test("stats_naive_bayes: counting classifier beats chance on 5 classes") {
+    val rows = SparkEntry.queries("stats_naive_bayes")(spark, sf).collect()
+    assert(rows.length == 250)
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    info(s"naive Bayes accuracy = $acc")
+    assert(acc > 0.2, s"no better than 5-class chance: $acc")
+  }
+
+  test("quality_t_closeness: emd in [0,1] and flag matches threshold") {
+    val rows = SparkEntry.queries("quality_t_closeness")(spark, sf).collect()
+    assert(rows.length == 125)
+    rows.foreach { r =>
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0, s"emd out of range: $r")
+      assert(r.getAs[Boolean]("t_close") == (emd <= 0.2 + 1e-12), s"flag drift: $r")
+    }
+    assert(rows.exists(!_.getAs[Boolean]("t_close")),
+      "expected at least one t-closeness violation in the synthetic data")
+  }
+
+  test("stats_tree_stump: split beats the trivial root impurity") {
+    val r = SparkEntry.queries("stats_tree_stump")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nl, nr) = (row.getAs[Long]("n_l"), row.getAs[Long]("n_r"))
+    val (pl, pr) = (row.getAs[Long]("p_l"), row.getAs[Long]("p_r"))
+    val gini = row.getAs[Double]("gini")
+    assert(nl > 0 && nr > 0)
+    val n = (nl + nr).toDouble
+    val p = (pl + pr).toDouble / n
+    val rootGini = 2 * p * (1 - p) // binary Gini of the unsplit node
+    info(s"stump gini=$gini root=$rootGini split=${row.getAs[Long]("split_bin")}")
+    assert(gini >= 0.0 && gini <= 0.5 + 1e-12)
+    assert(gini <= rootGini + 1e-12, "best split cannot be worse than no split")
+  }
+}
