@@ -85,6 +85,7 @@ object Bench {
     "graph_hits",           // pinned hubs/authorities alternation (r8)
     "emb_pca_power",        // distributed Gram + pinned power iteration (r8)
     "text_bpe_train",       // iterative vocab-bounded BPE merge rounds (r8)
+    "text_substring_dedup", // ExactSubstr duplicated-span removal (r10)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {

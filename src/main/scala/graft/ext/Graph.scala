@@ -857,7 +857,162 @@ object Graph extends graft.QueryModule {
         .as("r"))
   }
 
+  // ---- betweenness centrality ----------------------------------------
+
+  /** Half-even ×10¹² scaled-integer division, the shared dialect of the
+    * textrank/markov fixpoint discipline, as a SQL fragment (num/den
+    * referenced by name; all operands non-negative). */
+  private def divHE(num: String, den: String): String =
+    s"(($num) div ($den)) + (case when (($num) % ($den)) * 2 > ($den) then 1 " +
+      s"when (($num) % ($den)) * 2 = ($den) then ((($num) div ($den))) % 2 " +
+      s"else 0 end)"
+
+  private def divHEDuck(num: String, den: String): String =
+    s"(($num) // ($den)) + (CASE WHEN (($num) % ($den)) * 2 > ($den) THEN 1 " +
+      s"WHEN (($num) % ($den)) * 2 = ($den) THEN ((($num) // ($den))) % 2 " +
+      s"ELSE 0 END)"
+
+  /** Betweenness centrality [N] — truncated Brandes (2001) from the
+    * sampled source set (`node % 101 = 0`, the [[bfs]]/[[closeness]]
+    * seeds), paths bounded at `bfsRounds` hops: the standard
+    * sampled+bounded estimator used at scale (exact betweenness is
+    * all-pairs). Forward pass: level-synchronous BFS carrying EXACT
+    * integer shortest-path counts σ (decimal(38,0) — σ is a pure sum
+    * over predecessor levels, no floats). Backward pass: the Brandes
+    * dependency δ(v) = Σ_w (σ_v/σ_w)(1+δ(w)) over successor-DAG edges,
+    * run on the ×10¹² integer grid with explicit half-even division —
+    * both engines execute the identical integer recurrence, so the
+    * accumulation is bit-exact (the textrank/markov discipline, here on
+    * DISTRIBUTED frames rather than a collected matrix). Output
+    * downscales to the ×10⁶ grid (bc6 < 2⁵³ at any tested SF) so the
+    * final double is an exact conversion on both engines.
+    *
+    * Scale shape: per level one frontier⋈edges equi-join + one
+    * (source, node) hash agg — frontier ≤ sources×|V|, the edge side
+    * never re-shuffles in shuffle mode (same dual layout as
+    * [[pageRank]]/[[closeness]] behind [[BroadcastConf]]). Levels are
+    * bounded (4), sources are a fixed 1/101 sample: the whole pass is
+    * 7 bounded rounds of joins at any corpus size. */
+  private def betweenness(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = coPurchaseEdges(s, d)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val dir = if (bcast) dirRaw.localCheckpoint()
+              else dirRaw.repartition(col("src")).localCheckpoint()
+    val lev0 = dir.select(col("src").as("s0")).distinct()
+      .filter(pmod(col("s0"), lit(101)) === 0)
+      .select(col("s0"), col("s0").as("node"), lit(1).cast("decimal(38,0)").as("sigma"))
+      .localCheckpoint()
+    // forward: byDist(l) = nodes first reached at hop l, with exact σ
+    val byDist = scala.collection.mutable.ArrayBuffer(lev0)
+    var settled = lev0.select(col("s0"), col("node"))
+    for (_ <- 1 to bfsRounds) {
+      val frontier = byDist.last
+      val cand = (if (bcast) broadcast(frontier) else frontier)
+        .join(dir, col("node") === col("src"))
+        .groupBy(col("s0"), col("dst"))
+        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+        .withColumnRenamed("dst", "node")
+      val levL = cand.join(settled, Seq("s0", "node"), "left_anti")
+        .localCheckpoint()
+      byDist += levL
+      settled = settled.unionAll(levL.select(col("s0"), col("node")))
+        .localCheckpoint()
+    }
+    // backward: δ on the ×10^12 grid, deepest level seeds δ = 0
+    val zero = lit(0).cast("decimal(38,0)")
+    var deeper = byDist(bfsRounds).withColumn("delta12", zero)
+    val acc = scala.collection.mutable.ArrayBuffer(
+      deeper.select(col("node"), col("delta12")))
+    for (dl <- (bfsRounds - 1) to 1 by -1) {
+      val vs = byDist(dl)
+      val contrib = vs
+        .select(col("s0"), col("node").as("v"), col("sigma").as("sv"))
+        .join(dir, col("v") === col("src"))
+        .join(deeper.select(col("s0").as("s1"), col("node").as("w"),
+          col("sigma").as("sw"), col("delta12")),
+          col("s0") === col("s1") && col("dst") === col("w"))
+        .selectExpr("s0", "v",
+          "cast(sv * (cast(1000000000000 as decimal(38,0)) + delta12)" +
+            " as decimal(38,0)) as num",
+          "sw as den")
+        .selectExpr("s0", "v", s"${divHE("num", "den")} as term")
+        .groupBy(col("s0"), col("v"))
+        .agg(sum(col("term")).cast("decimal(38,0)").as("delta12"))
+        .withColumnRenamed("v", "node")
+      deeper = vs.join(contrib, Seq("s0", "node"), "left")
+        .withColumn("delta12", coalesce(col("delta12"), zero))
+        .localCheckpoint()
+      acc += deeper.select(col("node"), col("delta12"))
+    }
+    acc.reduce(_ unionAll _)
+      .groupBy(col("node"))
+      .agg(sum(col("delta12")).cast("decimal(38,0)").as("bc12"))
+      .selectExpr("node",
+        s"cast(${divHE("bc12", "cast(1000000 as decimal(38,0))")} as bigint)" +
+          " as bc6")
+      .selectExpr("node", "bc6", "cast(bc6 as double) / 1e6 as bc")
+      .orderBy("node")
+  }
+
+  private def betweennessOracle: String = {
+    val numE = "v.sigma * (1000000000000::HUGEINT + w.delta12)"
+    val fwd = (1 to bfsRounds).map { l =>
+      s"""cand$l AS (
+         |  SELECT f.s0, dir.dst AS node, sum(f.sigma) AS sigma
+         |  FROM lev${l - 1} f JOIN dir ON f.node = dir.src GROUP BY 1, 2),
+         |lev$l AS MATERIALIZED (
+         |  SELECT c.s0, c.node, c.sigma FROM cand$l c
+         |  WHERE NOT EXISTS (SELECT 1 FROM set${l - 1} x
+         |                    WHERE x.s0 = c.s0 AND x.node = c.node)),
+         |set$l AS MATERIALIZED (
+         |  SELECT * FROM set${l - 1}
+         |  UNION ALL SELECT s0, node FROM lev$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((bfsRounds - 1) to 1 by -1).map { dl =>
+      s"""c$dl AS (
+         |  SELECT v.s0, v.node,
+         |         sum(${divHEDuck(numE, "w.sigma")}) AS delta12
+         |  FROM lev$dl v JOIN dir ON v.node = dir.src
+         |  JOIN d${dl + 1} w ON w.s0 = v.s0 AND w.node = dir.dst
+         |  GROUP BY 1, 2),
+         |d$dl AS MATERIALIZED (
+         |  SELECT v.s0, v.node, v.sigma,
+         |         CAST(COALESCE(c.delta12, 0) AS HUGEINT) AS delta12
+         |  FROM lev$dl v LEFT JOIN c$dl c
+         |    ON c.s0 = v.s0 AND c.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    val levels = (1 to bfsRounds)
+      .map(l => s"SELECT node, delta12 FROM d$l").mkString("\n  UNION ALL ")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |dir AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION ALL SELECT b, a FROM edges),
+       |lev0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS s0, src AS node, CAST(1 AS HUGEINT) AS sigma
+       |  FROM dir WHERE src % 101 = 0),
+       |set0 AS (SELECT s0, node FROM lev0),
+       |$fwd,
+       |d$bfsRounds AS (
+       |  SELECT s0, node, sigma, CAST(0 AS HUGEINT) AS delta12
+       |  FROM lev$bfsRounds),
+       |$bwd,
+       |agg AS (
+       |  SELECT node, sum(delta12) AS bc12 FROM (
+       |  $levels) u GROUP BY node)
+       |SELECT node,
+       |       CAST(${divHEDuck("bc12", "1000000::HUGEINT")} AS BIGINT) AS bc6,
+       |       CAST(CAST(${divHEDuck("bc12", "1000000::HUGEINT")} AS BIGINT)
+       |            AS DOUBLE) / 1e6 AS bc
+       |FROM agg ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness" -> betweenness,
     "graph_assortativity" -> assortativity,
     "graph_hits" -> hits,
     "graph_kcore" -> kcore,
@@ -872,6 +1027,7 @@ object Graph extends graft.QueryModule {
     "graph_degree_dist" -> degreeDistribution)
 
   val oracles: Map[String, String] = Map(
+    "graph_betweenness" -> betweennessOracle,
     "graph_closeness" -> closenessOracle,
     "graph_hits" -> hitsOracle,
     "graph_kcore" -> kcoreOracle,

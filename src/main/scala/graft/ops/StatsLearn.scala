@@ -724,9 +724,115 @@ object StatsLearn extends graft.QueryModule {
        |       2 * p_l >= n_l AS pred_left, 2 * p_r >= n_r AS pred_right
        |FROM ranked WHERE rk = 1""".stripMargin
 
+  // ---- logistic regression (pinned gradient descent) ------------------
+
+  private val lgdIters = 3
+  private val lgdLr = "0.5"
+
+  /** Logistic regression by batch gradient descent — the iterative
+    * FLOAT trainer the perceptron (integer) and ridge (closed-form)
+    * rows don't cover, made cross-engine exact with the pinning
+    * discipline: the sigmoid is evaluated per $1000 BIN (the bounded
+    * feature domain, never per row), pinned at 6dp before entering any
+    * sum; residual sums n_b·σ₆ − p_b and their (b−250)-weighted twins
+    * are exact decimals; each weight update re-pins at 12dp, so all
+    * three iterations run on identical numbers in both engines. The
+    * feature standardizes as x = (bin−250)/100 (exact-int inputs,
+    * identically rounded IEEE division). Log-loss before/after is the
+    * convergence witness (StatsLearnSpec-style assert lives in
+    * Round8Spec); σ stays in (0,1) at these weights so ln never sees 0.
+    *
+    * 100 TB shape: ONE corpus-scale hash agg into the ~600-bin domain,
+    * then 3 rounds of domain-sized crossJoin(1-row weights) — the
+    * allreduce-gradient shape with the reduce done by the engine. */
+  private def logisticGd(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val bins = Tables.orders(s, d)
+      .select(expr(binExprSpark).as("b"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+      .withColumn("x", (col("b") - 250).cast("double") / 100.0)
+      .localCheckpoint()
+    val tot = bins.agg(sum(col("nb")).cast("double").as("nd"))
+    val sigExpr = "cast(bround(1 / (1 + exp(-(cast(w0 as double)" +
+      " + cast(w1 as double) * x))), 6) as decimal(18,6))"
+    val wInit = s.sql(
+      "select cast(0 as decimal(28,12)) as w0, cast(0 as decimal(28,12)) as w1")
+    def logloss(wf: DataFrame, alias: String): DataFrame =
+      bins.crossJoin(broadcast(wf))
+        .selectExpr("pb", "nb", s"$sigExpr as sig")
+        .selectExpr(
+          "cast(pb * cast(bround(ln(cast(sig as double)), 6) as decimal(18,6))" +
+            " + (nb - pb) * cast(bround(ln(1 - cast(sig as double)), 6)" +
+            " as decimal(18,6)) as decimal(38,6)) as t")
+        .agg(sum(col("t")).cast("decimal(38,6)").as(alias))
+    var w = wInit
+    for (_ <- 1 to lgdIters) {
+      w = bins.crossJoin(broadcast(w)).crossJoin(broadcast(tot))
+        .selectExpr("b", "nb", "pb", "w0", "w1", "nd", s"$sigExpr as sig")
+        .selectExpr("w0", "w1", "nd",
+          "cast(nb * sig - pb as decimal(38,6)) as resid",
+          "cast((b - 250) * (nb * sig - pb) as decimal(38,6)) as resid_x")
+        .groupBy(col("w0"), col("w1"), col("nd"))
+        .agg(sum(col("resid")).cast("decimal(38,6)").as("g0"),
+          sum(col("resid_x")).cast("decimal(38,6)").as("g1"))
+        .selectExpr(
+          s"cast(bround(cast(w0 as double) - $lgdLr * (cast(g0 as double) / nd)," +
+            " 12) as decimal(28,12)) as w0",
+          s"cast(bround(cast(w1 as double) - $lgdLr * (cast(g1 as double)" +
+            " / 100.0 / nd), 12) as decimal(28,12)) as w1")
+        .localCheckpoint()
+    }
+    w.selectExpr("cast(w0 as double) as w0", "cast(w1 as double) as w1")
+      .crossJoin(broadcast(
+        logloss(wInit, "l0").selectExpr("cast(l0 as double) as ll_init")))
+      .crossJoin(broadcast(
+        logloss(w, "lf").selectExpr("cast(lf as double) as ll_final")))
+  }
+
+  private def logisticGdOracle: String = {
+    val sig = "CAST(round_even(1/(1+exp(-(CAST(w.w0 AS DOUBLE)" +
+      " + CAST(w.w1 AS DOUBLE) * b.x))), 6) AS DECIMAL(18,6))"
+    def it(k: Int) =
+      s"""it$k AS (
+         |  SELECT CAST(round_even(CAST(w.w0 AS DOUBLE) - $lgdLr *
+         |           (CAST(sum(b.nb * $sig - b.pb) AS DOUBLE) / t.nd), 12)
+         |           AS DECIMAL(28,12)) AS w0,
+         |         CAST(round_even(CAST(w.w1 AS DOUBLE) - $lgdLr *
+         |           (CAST(sum((b.b - 250) * (b.nb * $sig - b.pb)) AS DOUBLE)
+         |            / 100.0 / t.nd), 12) AS DECIMAL(28,12)) AS w1
+         |  FROM bins b CROSS JOIN it${k - 1} w CROSS JOIN tot t
+         |  GROUP BY w.w0, w.w1, t.nd)""".stripMargin
+    def ll(k: Int) =
+      s"""ll$k AS (
+         |  SELECT CAST(sum(b.pb * CAST(round_even(ln(CAST($sig AS DOUBLE)), 6)
+         |           AS DECIMAL(18,6))
+         |         + (b.nb - b.pb) * CAST(round_even(ln(1 - CAST($sig
+         |           AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS ll
+         |  FROM bins b CROSS JOIN it$k w)""".stripMargin
+    val iters = (1 to lgdIters).map(it).mkString(",\n")
+    s"""WITH binsraw AS (
+       |  SELECT $binExprDuck AS b, count(*) AS nb,
+       |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pb
+       |  FROM orders GROUP BY 1),
+       |bins AS (SELECT b, nb, pb, CAST(b - 250 AS DOUBLE) / 100.0 AS x
+       |         FROM binsraw),
+       |tot AS (SELECT CAST(sum(nb) AS DOUBLE) AS nd FROM bins),
+       |it0 AS (SELECT CAST(0 AS DECIMAL(28,12)) AS w0,
+       |               CAST(0 AS DECIMAL(28,12)) AS w1),
+       |$iters,
+       |${ll(0)},
+       |${ll(lgdIters)}
+       |SELECT CAST(f.w0 AS DOUBLE) AS w0, CAST(f.w1 AS DOUBLE) AS w1,
+       |       l0.ll AS ll_init, lf.ll AS ll_final
+       |FROM it$lgdIters f, ll0 l0, ll$lgdIters lf""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_naive_bayes" -> naiveBayes,
     "stats_tree_stump" -> treeStump,
+    "stats_logistic_gd" -> logisticGd,
     "stats_tost" -> tost,
     "stats_fleiss_kappa" -> fleissKappa,
     "stats_anova" -> anova,
@@ -738,6 +844,7 @@ object StatsLearn extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "stats_naive_bayes" -> naiveBayesOracle,
     "stats_tree_stump" -> treeStumpOracle,
+    "stats_logistic_gd" -> logisticGdOracle,
     "stats_tost" -> tostOracle,
     "stats_fleiss_kappa" -> fleissOracle,
     "stats_anova" -> anovaOracle,
