@@ -305,8 +305,59 @@ object Corpus extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement [N] — Efraimidis–Spirakis
+    * A-Res (2006), the length-weighted document sampler a training-mix
+    * builder uses when long documents should be proportionally more
+    * likely: each doc draws E_i = −ln(u_i)/w_i (an Exponential(w_i)
+    * jitter; w = n_chars) and the k SMALLEST per language win.
+    * Determinism: u comes from md5 hex (exact (h+1)/2³² — a power-of-two
+    * division, so u is the SAME double on both engines), ln pins at 9dp
+    * before the weight division, and the rank order ties-break on
+    * doc_id — a total order.
+    *
+    * Scale shape: stateless map to priorities + one per-stratum top-k
+    * window (TakeOrdered-class); no corpus-scale sort, no shuffle
+    * beyond the stratum key. */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .selectExpr("doc_id", "lang", "n_chars",
+        "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 8)," +
+          " 16, 10) as bigint) as h")
+      .selectExpr("doc_id", "lang", "n_chars",
+        "-bround(ln((h + 1) / 4294967296.0), 9) / n_chars as priority")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        col("priority"))
+      .orderBy("lang", "rk")
+  }
+
+  private val sampleWeightedOracle = {
+    val hex8 = (0 until 8).map { i =>
+      val f = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH pri AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         -round_even(ln(($hex8 + 1) / 4294967296.0), 9) / n_chars
+       |           AS priority
+       |  FROM documents WHERE n_chars > 0),
+       |ranked AS (
+       |  SELECT lang, doc_id, n_chars, priority,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY priority ASC, doc_id ASC) AS INTEGER) AS rk
+       |  FROM pri)
+       |SELECT lang, rk, doc_id, n_chars, priority
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean_pipeline" -> cleanPipeline,
+    "text_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "text_split_assign" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id").orderBy("doc_id")),
     "text_mix_budget" -> ((s, d) => {
@@ -347,6 +398,7 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "text_sample_weighted" -> sampleWeightedOracle,
     "corpus_clean_pipeline" ->
       s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id, lang, text FROM documents

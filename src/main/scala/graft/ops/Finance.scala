@@ -574,7 +574,94 @@ object Finance extends graft.QueryModule {
       |       (srd / nd) / sqrt(qnd / nd) AS sortino
       |FROM v ORDER BY g""".stripMargin
 
+  // ---- Holt linear (double-exponential) smoothing --------------------
+
+  /** Signed half-even division by a positive constant, written so both
+    * engines apply half-even to the MAGNITUDE — sidestepping the
+    * truncate-vs-floor divergence Spark `div` / DuckDB `//` have on
+    * negative numerators. */
+  private def divHESigned(n: String, den: Long, div: String): String = {
+    def pos(m: String) =
+      s"(($m) $div $den + (case when (($m) % $den) * 2 > $den then 1 " +
+        s"when (($m) % $den) * 2 = $den then ((($m) $div $den)) % 2 " +
+        s"else 0 end))"
+    s"(case when ($n) < 0 then -${pos(s"-($n)")} else ${pos(n)} end)"
+  }
+
+  /** Holt's linear-trend (double-exponential) smoothing [N] over the
+    * monthly revenue series — the forecasting layer above `fin_ewma`
+    * (level only) and `ts_seasonal_decompose` (non-recursive): with
+    * α=0.3, β=0.1,
+    *   level_m = 0.3·y_m + 0.7·(level+trend),
+    *   trend_m = 0.1·(level_m − level) + 0.9·trend,
+    * forecast = level + trend. The recursion is inherently sequential,
+    * so it runs on the CALENDAR-BOUNDED month domain (~84 rows at any
+    * SF — the textrank collected-fixpoint precedent): one corpus-scale
+    * hash agg to monthly cents, then a driver-side exact-integer walk.
+    * ALL state is integer cents with signed half-even division (trend
+    * goes negative; truncate-vs-floor would diverge between engines) —
+    * zero floats anywhere, so the series is bit-identical to the
+    * oracle's recursive CTE by construction. */
+  private def holtLinear(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("y"))
+      .orderBy("month")
+      .collect() // calendar-bounded (~84 months at every SF)
+    def divHE(n: BigInt, den: BigInt): BigInt = {
+      val a = n.abs
+      val b0 = a / den; val r2 = (a % den) * 2
+      val q = b0 + (if (r2 > den) BigInt(1)
+                    else if (r2 == den) b0 % 2 else BigInt(0))
+      if (n < 0) -q else q
+    }
+    val ys = monthly.map(r =>
+      (r.getAs[java.sql.Date]("month"), BigInt(r.getAs[Long]("y"))))
+    val out = Array.newBuilder[(java.sql.Date, Long, Long, Long, Long)]
+    var level = ys(0)._2
+    var trend = if (ys.length > 1) ys(1)._2 - ys(0)._2 else BigInt(0)
+    out += ((ys(0)._1, ys(0)._2.toLong, level.toLong, trend.toLong,
+      (level + trend).toLong))
+    for (i <- 1 until ys.length) {
+      val y = ys(i)._2
+      val nl = divHE(y * 3 + (level + trend) * 7, 10)
+      val nt = divHE((nl - level) + trend * 9, 10)
+      level = nl; trend = nt
+      out += ((ys(i)._1, y.toLong, level.toLong, trend.toLong,
+        (level + trend).toLong))
+    }
+    s.createDataFrame(out.result().toSeq)
+      .toDF("month", "y_cents", "level", "trend", "forecast_next")
+      .orderBy("month")
+  }
+
+  private def holtLinearOracle: String = {
+    val lvl = divHESigned("3 * m.y + 7 * (w.level + w.trend)", 10, "//")
+    val trd = divHESigned(s"($lvl - w.level) + 9 * w.trend", 10, "//")
+    s"""WITH RECURSIVE monthly AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |           AS BIGINT)) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |mon AS (
+       |  SELECT month, y,
+       |         CAST(row_number() OVER (ORDER BY month) AS INTEGER) AS idx
+       |  FROM monthly),
+       |walk(i, month, y, level, trend) AS (
+       |  SELECT 1, m.month, m.y, m.y,
+       |         COALESCE((SELECT y FROM mon WHERE idx = 2), 0) - m.y
+       |  FROM mon m WHERE m.idx = 1
+       |  UNION ALL
+       |  SELECT w.i + 1, m.month, m.y, $lvl, $trd
+       |  FROM walk w JOIN mon m ON m.idx = w.i + 1)
+       |SELECT month, y AS y_cents, level, trend,
+       |       level + trend AS forecast_next
+       |FROM walk ORDER BY month""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt_linear" -> holtLinear,
     "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
     "fin_beta" -> beta,
@@ -593,6 +680,7 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "ts_holt_linear" -> holtLinearOracle,
     "fin_sharpe" -> sharpeOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->

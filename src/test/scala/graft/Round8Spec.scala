@@ -113,6 +113,40 @@ class Round8Spec extends AnyFunSuite {
     assert(!row.getAs[Double]("w0").isNaN && !row.getAs[Double]("w1").isNaN)
   }
 
+  test("ts_holt_linear: pure-integer recursion invariants hold") {
+    val rows = SparkEntry.queries("ts_holt_linear")(spark, sf).collect()
+    assert(rows.length > 24, "expected a multi-year monthly series")
+    assert(rows.head.getAs[Long]("level") == rows.head.getAs[Long]("y_cents"),
+      "level must initialize to the first observation")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast_next") ==
+        r.getAs[Long]("level") + r.getAs[Long]("trend"))
+    }
+    // smoothing: the level series is strictly less volatile than the raw one
+    def vol(xs: Seq[Long]): Long =
+      xs.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum
+    val ys = rows.map(_.getAs[Long]("y_cents")).toSeq
+    val ls = rows.map(_.getAs[Long]("level")).toSeq
+    assert(vol(ls) < vol(ys), "smoothed level should damp month-to-month jumps")
+  }
+
+  test("text_sample_weighted: per-language top-k, biased toward long docs") {
+    val rows = SparkEntry.queries("text_sample_weighted")(spark, sf).collect()
+    assert(rows.length == 50, "5 languages x k=10")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 50)
+    val grouped = rows.groupBy(_.getAs[String]("lang"))
+    assert(grouped.size == 5)
+    grouped.values.foreach(g =>
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10)))
+    // E-S weighting: expected sample length-bias (deterministic on the
+    // fixed testdata: 357.7 vs corpus mean 298.3)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / 50
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample not longer on average: $sampleMean vs $corpusMean")
+  }
+
   test("stats_tree_stump: split beats the trivial root impurity") {
     val r = SparkEntry.queries("stats_tree_stump")(spark, sf).collect()
     assert(r.length == 1)
