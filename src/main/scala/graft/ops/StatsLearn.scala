@@ -829,10 +829,171 @@ object StatsLearn extends graft.QueryModule {
        |FROM it$lgdIters f, ll0 l0, ll$lgdIters lf""".stripMargin
   }
 
+  // ---- EM for a 2-component Gaussian mixture --------------------------
+
+  private val emIters = 3
+
+  /** 2-component Gaussian-mixture EM over the standardized $1000 bin —
+    * the UNSUPERVISED trainer completing the stats-learn family
+    * (perceptron: integer online; ridge: closed form; logistic: pinned
+    * GD; stump: exact rational; this: pinned fixpoint with latent
+    * variables). Pinning discipline per E-step: densities φ_c pin at
+    * 9dp (values < 1, so their decimal→double casts are EXACT);
+    * responsibilities r are ONE double ratio of those pinned values,
+    * re-pinned at 9dp; the variance products r·(x−μ)² re-pin at 9dp
+    * BEFORE multiplying by counts so every M-step sum keeps scale 9 and
+    * stays under 2⁵³ unscaled (a scale-18 product would round in the
+    * decimal→double cast, where DuckDB and the JVM can differ a ULP).
+    * M-step parameters re-pin at 12dp. Variances floor at 0.01
+    * (collapse guard, both engines).
+    *
+    * 100 TB shape: ONE corpus-scale hash agg into the ~600-bin domain;
+    * each EM round is a domain-sized crossJoin(1-row params) + one
+    * 5-sum aggregate — the classic distributed-EM allreduce. */
+  private def gmmEm(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.orders(s, d)
+      .select(expr(binExprSpark).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      .withColumn("x", (col("b") - 250).cast("double") / 100.0)
+      .localCheckpoint()
+    val tot = bins.agg(sum(col("nb")).cast("double").as("nd"))
+    def dens(mu: String, v: String) =
+      s"cast(bround(exp(-((x - cast($mu as double)) * (x - cast($mu as double)))" +
+        s" / (2 * cast($v as double))) / sqrt(cast($v as double)), 9)" +
+        " as decimal(18,9))"
+    var w = s.sql(
+      "select cast(0.5 as decimal(28,12)) as p1," +
+        " cast(-1 as decimal(28,12)) as mu1, cast(1 as decimal(28,12)) as mu2," +
+        " cast(1 as decimal(28,12)) as v1, cast(1 as decimal(28,12)) as v2")
+    for (_ <- 1 to emIters) {
+      w = bins.crossJoin(broadcast(w))
+        .selectExpr("b", "nb", "x",
+          "cast(p1 as double) as p1d",
+          s"cast(${dens("mu1", "v1")} as double) as f1d",
+          s"cast(${dens("mu2", "v2")} as double) as f2d",
+          "cast(bround((x - cast(mu1 as double)) * (x - cast(mu1 as double)), 9)" +
+            " as decimal(18,9)) as t1",
+          "cast(bround((x - cast(mu2 as double)) * (x - cast(mu2 as double)), 9)" +
+            " as decimal(18,9)) as t2")
+        .selectExpr("b", "nb", "t1", "t2",
+          "cast(bround((p1d * f1d) / (p1d * f1d + (1 - p1d) * f2d), 9)" +
+            " as decimal(18,9)) as r")
+        .selectExpr("b", "nb", "r",
+          "cast(1 - r as decimal(18,9)) as r2",
+          "cast(bround(cast(r as double) * cast(t1 as double), 9)" +
+            " as decimal(18,9)) as rt1",
+          "cast(bround((1 - cast(r as double)) * cast(t2 as double), 9)" +
+            " as decimal(18,9)) as rt2")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("nd"))
+        // width-controlled operands: a bare long * decimal(18,9) * int chain
+        // exceeds precision 38 and Spark silently CUTS THE SCALE of the
+        // product (allowPrecisionLoss) while DuckDB would flip to DOUBLE —
+        // both en route to 1e-10 drift. decimal(14,0) * (18,9) * (4,0)
+        // peaks at exactly (38,9): every product stays exact.
+        .agg(
+          sum(expr("cast(nb as decimal(14,0)) * r"))
+            .cast("decimal(28,9)").as("w1"),
+          sum(expr("cast(nb as decimal(14,0)) * r2"))
+            .cast("decimal(28,9)").as("w2"),
+          sum(expr("cast(nb as decimal(14,0)) * r * cast(b - 250 as decimal(4,0))"))
+            .cast("decimal(28,9)").as("wx1"),
+          sum(expr("cast(nb as decimal(14,0)) * r2 * cast(b - 250 as decimal(4,0))"))
+            .cast("decimal(28,9)").as("wx2"),
+          sum(expr("cast(nb as decimal(14,0)) * rt1"))
+            .cast("decimal(28,9)").as("s1"),
+          sum(expr("cast(nb as decimal(14,0)) * rt2"))
+            .cast("decimal(28,9)").as("s2"))
+        .selectExpr(
+          "cast(bround(cast(w1 as double) / nd, 12) as decimal(28,12)) as p1",
+          "cast(bround(cast(wx1 as double) / 100.0 / cast(w1 as double), 12)" +
+            " as decimal(28,12)) as mu1",
+          "cast(bround(cast(wx2 as double) / 100.0 / cast(w2 as double), 12)" +
+            " as decimal(28,12)) as mu2",
+          "cast(bround(greatest(cast(s1 as double) / cast(w1 as double), 0.01)," +
+            " 12) as decimal(28,12)) as v1",
+          "cast(bround(greatest(cast(s2 as double) / cast(w2 as double), 0.01)," +
+            " 12) as decimal(28,12)) as v2")
+        .localCheckpoint()
+    }
+    w.selectExpr("cast(p1 as double) as p1", "cast(mu1 as double) as mu1",
+      "cast(mu2 as double) as mu2", "cast(v1 as double) as v1",
+      "cast(v2 as double) as v2")
+  }
+
+  private def gmmEmOracle: String = {
+    def dens(mu: String, v: String) =
+      s"CAST(round_even(exp(-((x - CAST($mu AS DOUBLE)) * (x - CAST($mu AS DOUBLE)))" +
+        s" / (2 * CAST($v AS DOUBLE))) / sqrt(CAST($v AS DOUBLE)), 9)" +
+        " AS DECIMAL(18,9))"
+    def it(k: Int) =
+      s"""it$k AS (
+         |  SELECT CAST(round_even(CAST(w1 AS DOUBLE) / nd, 12)
+         |           AS DECIMAL(28,12)) AS p1,
+         |         CAST(round_even(CAST(wx1 AS DOUBLE) / 100.0
+         |           / CAST(w1 AS DOUBLE), 12) AS DECIMAL(28,12)) AS mu1,
+         |         CAST(round_even(CAST(wx2 AS DOUBLE) / 100.0
+         |           / CAST(w2 AS DOUBLE), 12) AS DECIMAL(28,12)) AS mu2,
+         |         CAST(round_even(greatest(CAST(s1 AS DOUBLE)
+         |           / CAST(w1 AS DOUBLE), 0.01), 12) AS DECIMAL(28,12)) AS v1,
+         |         CAST(round_even(greatest(CAST(s2 AS DOUBLE)
+         |           / CAST(w2 AS DOUBLE), 0.01), 12) AS DECIMAL(28,12)) AS v2
+         |  FROM (
+         |    SELECT t.nd,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * r) AS w1,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * r2) AS w2,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * r
+         |               * CAST(b - 250 AS DECIMAL(4,0))) AS wx1,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * r2
+         |               * CAST(b - 250 AS DECIMAL(4,0))) AS wx2,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * rt1) AS s1,
+         |           sum(CAST(nb AS DECIMAL(14,0)) * rt2) AS s2
+         |    FROM (
+         |      SELECT b, nb, r, CAST(1 - r AS DECIMAL(18,9)) AS r2,
+         |             CAST(round_even(CAST(r AS DOUBLE) * CAST(t1 AS DOUBLE), 9)
+         |               AS DECIMAL(18,9)) AS rt1,
+         |             CAST(round_even((1 - CAST(r AS DOUBLE))
+         |               * CAST(t2 AS DOUBLE), 9) AS DECIMAL(18,9)) AS rt2
+         |      FROM (
+         |        SELECT b, nb, t1, t2,
+         |               CAST(round_even((p1d * f1d)
+         |                 / (p1d * f1d + (1 - p1d) * f2d), 9)
+         |                 AS DECIMAL(18,9)) AS r
+         |        FROM (
+         |          SELECT b.b, b.nb, b.x, CAST(w.p1 AS DOUBLE) AS p1d,
+         |                 CAST(${dens("w.mu1", "w.v1")} AS DOUBLE) AS f1d,
+         |                 CAST(${dens("w.mu2", "w.v2")} AS DOUBLE) AS f2d,
+         |                 CAST(round_even((x - CAST(w.mu1 AS DOUBLE))
+         |                   * (x - CAST(w.mu1 AS DOUBLE)), 9)
+         |                   AS DECIMAL(18,9)) AS t1,
+         |                 CAST(round_even((x - CAST(w.mu2 AS DOUBLE))
+         |                   * (x - CAST(w.mu2 AS DOUBLE)), 9)
+         |                   AS DECIMAL(18,9)) AS t2
+         |          FROM bins b CROSS JOIN it${k - 1} w) s1) s2) s3
+         |    CROSS JOIN tot t GROUP BY t.nd) agg$k)""".stripMargin
+    val iters = (1 to emIters).map(it).mkString(",\n")
+    s"""WITH binsraw AS (
+       |  SELECT $binExprDuck AS b, count(*) AS nb FROM orders GROUP BY 1),
+       |bins AS (SELECT b, nb, CAST(b - 250 AS DOUBLE) / 100.0 AS x
+       |         FROM binsraw),
+       |tot AS (SELECT CAST(sum(nb) AS DOUBLE) AS nd FROM bins),
+       |it0 AS (SELECT CAST(0.5 AS DECIMAL(28,12)) AS p1,
+       |               CAST(-1 AS DECIMAL(28,12)) AS mu1,
+       |               CAST(1 AS DECIMAL(28,12)) AS mu2,
+       |               CAST(1 AS DECIMAL(28,12)) AS v1,
+       |               CAST(1 AS DECIMAL(28,12)) AS v2),
+       |$iters
+       |SELECT CAST(p1 AS DOUBLE) AS p1, CAST(mu1 AS DOUBLE) AS mu1,
+       |       CAST(mu2 AS DOUBLE) AS mu2, CAST(v1 AS DOUBLE) AS v1,
+       |       CAST(v2 AS DOUBLE) AS v2
+       |FROM it$emIters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_naive_bayes" -> naiveBayes,
     "stats_tree_stump" -> treeStump,
     "stats_logistic_gd" -> logisticGd,
+    "stats_gmm_em" -> gmmEm,
     "stats_tost" -> tost,
     "stats_fleiss_kappa" -> fleissKappa,
     "stats_anova" -> anova,
@@ -845,6 +1006,7 @@ object StatsLearn extends graft.QueryModule {
     "stats_naive_bayes" -> naiveBayesOracle,
     "stats_tree_stump" -> treeStumpOracle,
     "stats_logistic_gd" -> logisticGdOracle,
+    "stats_gmm_em" -> gmmEmOracle,
     "stats_tost" -> tostOracle,
     "stats_fleiss_kappa" -> fleissOracle,
     "stats_anova" -> anovaOracle,

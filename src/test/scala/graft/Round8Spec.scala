@@ -147,6 +147,18 @@ class Round8Spec extends AnyFunSuite {
       s"length-weighted sample not longer on average: $sampleMean vs $corpusMean")
   }
 
+  test("stats_gmm_em: components separate and weights stay a partition") {
+    val r = SparkEntry.queries("stats_gmm_em")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (p1, mu1, mu2) = (row.getAs[Double]("p1"),
+      row.getAs[Double]("mu1"), row.getAs[Double]("mu2"))
+    info(s"gmm p1=$p1 mu=($mu1, $mu2) v=(${row.getAs[Double]("v1")}, ${row.getAs[Double]("v2")})")
+    assert(p1 > 0.0 && p1 < 1.0)
+    assert(mu1 < mu2, "components collapsed or swapped")
+    assert(row.getAs[Double]("v1") >= 0.01 && row.getAs[Double]("v2") >= 0.01)
+  }
+
   test("stats_tree_stump: split beats the trivial root impurity") {
     val r = SparkEntry.queries("stats_tree_stump")(spark, sf).collect()
     assert(r.length == 1)
