@@ -42,7 +42,6 @@ object Bench {
                             // setop_except's thin set op moved out)
     "rec_item_cosine",      // basket-bounded item-item CF top-k (r9;
                             // stmt_pivot_wide's thin reshape moved out)
-    "expr_fx_normalize",    // expression-heavy projection
     "fn_math",              // scalar function battery
     "agg_q1_pricing",       // TPC-H Q1, exact-decimal
     "join_q10_returns",     // TPC-H Q10

@@ -175,11 +175,77 @@ object EntityResolution extends graft.QueryModule {
       |FROM pairs WHERE jw >= 0.92
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** End-to-end entity resolution [N]: the sorted-neighborhood candidate
+    * pairs ([[sortedNeighborhood]], jw ≥ 0.92) become match edges, and
+    * transitive closure over them — [[graft.ext.Dedup.connectedComponents]],
+    * the same min-label loop the near-dup family ships — merges records
+    * into ENTITIES. This is the layer the pair generators feed in a real
+    * MDM pipeline: pairs alone under-merge (A~B, B~C but A≁C directly).
+    * Output is one row per multi-record entity: representative id (min),
+    * size, sorted member list.
+    *
+    * Scale shape: candidate generation is the O(n·w) block-window pass;
+    * closure is the dense-shallow min-label loop (entity clusters have
+    * diameter ~1-2); the final collect_list is bounded by cluster size —
+    * entities are small by construction. */
+  private def resolutionClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = sortedNeighborhood(s, d)
+      .select(col("a_id").as("i"), col("b_id").as("j"))
+    val base = Tables.customer(s, d).selectExpr("c_custkey as id")
+    val nodes = base.unionByName(
+      base.filter(col("id") % 5 === 0).selectExpr("id + 1000000 as id"))
+    graft.ext.Dedup.connectedComponents(nodes, pairs, "id", "i", "j")
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        expr("array_join(transform(sort_array(collect_list(id))," +
+          " x -> cast(x as string)), ',')").as("members"))
+      .filter(col("n_records") >= 2)
+      .orderBy("entity_id")
+  }
+
+  private val resolutionClustersOracle =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey AS id,
+      |         substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS nm
+      |  FROM customer),
+      |dups AS (
+      |  SELECT id + 1000000 AS id,
+      |         substr(nm, 1, 10) || substr(nm, 12, 1) || substr(nm, 11, 1)
+      |           AS nm
+      |  FROM base WHERE id % 5 = 0),
+      |allr AS (
+      |  SELECT id, nm, substr(nm, 1, 1) AS pfx FROM base
+      |  UNION ALL
+      |  SELECT id, nm, substr(nm, 1, 1) AS pfx FROM dups),
+      |ranked AS (
+      |  SELECT id, nm, pfx,
+      |         row_number() OVER (PARTITION BY pfx ORDER BY nm, id) AS rk
+      |  FROM allr),
+      |pairs AS (
+      |  SELECT least(a.id, b.id) AS i, greatest(a.id, b.id) AS j
+      |  FROM ranked a JOIN ranked b
+      |    ON a.pfx = b.pfx AND b.rk - a.rk BETWEEN 1 AND 3
+      |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.92),
+      |edges AS (SELECT i AS src, j AS dst FROM pairs
+      |          UNION ALL SELECT j, i FROM pairs),
+      |nodes AS (SELECT id FROM allr),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+      |lab AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id)
+      |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+      |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      |FROM lab GROUP BY entity_id HAVING count(*) >= 2
+      |ORDER BY entity_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fellegi_sunter" -> fellegiSunter,
-    "er_sorted_neighborhood" -> sortedNeighborhood)
+    "er_sorted_neighborhood" -> sortedNeighborhood,
+    "er_resolution_clusters" -> resolutionClusters)
 
   val oracles: Map[String, String] = Map(
     "er_fellegi_sunter" -> fellegiSunterOracle,
-    "er_sorted_neighborhood" -> sortedNeighborhoodOracle)
+    "er_sorted_neighborhood" -> sortedNeighborhoodOracle,
+    "er_resolution_clusters" -> resolutionClustersOracle)
 }

@@ -660,7 +660,72 @@ object Finance extends graft.QueryModule {
        |FROM walk ORDER BY month""".stripMargin
   }
 
+  /** Mann–Kendall trend test [N] over the monthly revenue series — the
+    * standard nonparametric "is this metric trending" monitor (Mann
+    * 1945, Kendall 1975): S = Σ_{i<j} sign(y_j − y_i) with the
+    * tie-corrected variance Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18
+    * and Z = (S ∓ 1)/√Var. S, n, and the tie term are EXACT integers
+    * (the pair expansion runs on the calendar-bounded month domain,
+    * ~84² /2 pairs — never data-scale); Z is one double expression over
+    * identical exact operands. |Z| > 1.96 flags a trend at 5%. */
+  private def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("y"))
+      .localCheckpoint()
+    val pairs = monthly.as("a").join(monthly.as("b"),
+        col("a.month") < col("b.month"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+    val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"), count(lit(1)).as("n_distinct"))
+    val n = monthly.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .selectExpr("n", "s",
+        "(n * (n - 1) * (2 * n + 5) - tie_term) as var18")
+      .selectExpr("n", "s", "cast(var18 as double) / 18.0 as var_s",
+        "case when s > 0 then (cast(s as double) - 1)" +
+          " / sqrt(cast(var18 as double) / 18.0)" +
+          " when s < 0 then (cast(s as double) + 1)" +
+          " / sqrt(cast(var18 as double) / 18.0) else 0.0 end as z")
+      .selectExpr("n", "s", "var_s", "z", "abs(z) > 1.96 as trending")
+  }
+
+  private val mannKendallOracle =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |           AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+      |                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+      |           AS s
+      |  FROM monthly a JOIN monthly b ON a.month < b.month),
+      |t AS (
+      |  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |           AS tie_term
+      |  FROM (SELECT count(*) AS t FROM monthly GROUP BY y)),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM monthly),
+      |v AS (
+      |  SELECT n, s, (n * (n - 1) * (2 * n + 5) - tie_term) AS var18
+      |  FROM p, t, nn)
+      |SELECT n, s, CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+      |       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+      |                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+      |                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |            ELSE 0.0 END AS z,
+      |       abs(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+      |                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+      |                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |                ELSE 0.0 END) > 1.96 AS trending
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mann_kendall" -> mannKendall,
     "ts_holt_linear" -> holtLinear,
     "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
@@ -680,6 +745,7 @@ object Finance extends graft.QueryModule {
     "fin_var_cvar" -> varCvar)
 
   val oracles: Map[String, String] = Map(
+    "ts_mann_kendall" -> mannKendallOracle,
     "ts_holt_linear" -> holtLinearOracle,
     "fin_sharpe" -> sharpeOracle,
     "fin_beta" -> betaOracle,

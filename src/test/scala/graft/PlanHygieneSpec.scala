@@ -66,7 +66,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_cramers_v" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)",
     "ts_anomaly" -> "1-row median/MAD crossJoins over the bounded month domain",
     "stats_ols_residuals" -> "1-row model-coefficients crossJoin (train + apply)",
-    "eval_demographic_parity" -> "1-row overall/best-rate crossJoins over the 5-segment domain")
+    "eval_demographic_parity" -> "1-row overall/best-rate crossJoins over the 5-segment domain",
+    "stats_naive_bayes" -> ("|classes|-row classDim broadcast over test " +
+      "tokens + 1-row doc-count crossJoin (lang domain is bounded)"),
+    "stats_tree_stump" -> "1-row total crossJoin over the threshold grid",
+    "stats_logistic_gd" -> "1-row pinned-weights crossJoin per GD round",
+    "quality_t_closeness" -> ("1-row global-distribution/total crossJoins " +
+      "over the bounded sensitive-value domain"),
+    "ts_mann_kendall" -> ("calendar-bounded month-domain pair join " +
+      "(~84^2/2 pairs at ANY SF) + 1-row n/tie-term crossJoins"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
