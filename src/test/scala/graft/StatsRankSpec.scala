@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rank-based nonparametric tests: bound checks on the real tables plus
+  * planted-signal sanity on tiny hand-built frames. */
+class StatsRankSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("stats_kendall_tau: tau_b in [-1,1], pair accounting consistent") {
+    val r = SparkEntry.queries("stats_kendall_tau")(spark, sf).collect().head
+    val (n, conc, disc) =
+      (r.getAs[Long]("n"), r.getAs[Long]("conc"), r.getAs[Long]("disc"))
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // concordant + discordant can never exceed the total pair count
+    assert(conc + disc <= n * (n - 1) / 2)
+    // price bin vs order month carries no real trend: |tau| small
+    assert(math.abs(tau) < 0.1, s"unexpected strong association: $tau")
+  }
+
+  test("stats_wilcoxon_signed: W+ is within the doubled-rank range") {
+    val r = SparkEntry.queries("stats_wilcoxon_signed")(spark, sf)
+      .collect().head
+    val n = r.getAs[Long]("n")
+    val w2 = r.getAs[Long]("w_plus2")
+    // doubled signed-rank sum of the positive part: 0 <= W2+ <= n(n+1)
+    assert(w2 >= 0 && w2 <= n * (n + 1))
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("stats_kruskal_wallis: H >= 0, dof = groups - 1; priority carries" +
+    " no price signal") {
+    val r = SparkEntry.queries("stats_kruskal_wallis")(spark, sf)
+      .collect().head
+    assert(r.getAs[Int]("dof") == 4)
+    val h = r.getAs[Double]("h")
+    // H is a ratio of sums of squares: nonnegative, bounded by N-1
+    assert(h >= 0.0 && h <= (r.getAs[Long]("n") - 1).toDouble)
+    // priorities are assigned independently of price: H ~ chi2(4), so
+    // far below e.g. 50 (p would be astronomically small)
+    assert(h < 50.0, s"priority/price dependence where none is planted: $h")
+  }
+
+  test("stats_mcnemar: discordant counts partition the changed pairs") {
+    val r = SparkEntry.queries("stats_mcnemar")(spark, sf).collect().head
+    val (b, c) = (r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(b >= 0 && c >= 0 && b + c > 0)
+    val chi2 = r.getAs[Double]("chi2_cc")
+    val expected =
+      math.pow(math.abs(b - c).toDouble - 1.0, 2) / (b + c).toDouble
+    assert(math.abs(chi2 - expected) < 1e-12)
+  }
+}
