@@ -20,8 +20,8 @@ object SparkEntry {
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
     ops.Retail, ops.Evaluation, ops.Preference, ops.Features, ops.EvalExtra,
-    ops.StatsExtra, ops.StatsLearn, ops.StatsRank, ops.Resampling,
-    ops.Recommender,
+    ops.StatsExtra, ops.StatsLearn, ops.StatsRank, ops.Calibration,
+    ops.Resampling, ops.Recommender,
     ops.Attribution, ops.EntityResolution,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
     ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake, ext.SubstrDedup)

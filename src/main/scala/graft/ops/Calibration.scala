@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Probability-calibration operators [N] on the shared
+  * [[Synth.calibrationBins]] relation (the same 10 bins `eval_calibration`
+  * and `eval_brier` report on): expected calibration error, and isotonic
+  * regression (pool-adjacent-violators) — the standard recalibration fit
+  * served next to a model scorecard.
+  *
+  * Scale shape: ONE data-scale hash agg builds the 10-bin relation;
+  * everything after is bin-domain arithmetic. PAV runs as 9 unrolled
+  * first-violator merge rounds over ≤10 pool rows — pool means are
+  * compared by exact integer cross-multiplication (np_i·n_j vs np_j·n_i),
+  * so the merge sequence is bit-identical on both engines and the only
+  * floats anywhere are the final one-division fitted values. */
+object Calibration extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+  private val pavRounds = 9 // 10 bins → at most 9 merges; extra rounds no-op
+
+  /** Isotonic (nondecreasing) fit of P(fulfilled) against the predicted-
+    * probability bin: PAV, first-violator-per-round variant (the final
+    * partition is PAV's unique solution; one merge per round keeps the
+    * round deterministic without chain-merge ambiguity). */
+  private def isotonic(s: SparkSession, d: String): DataFrame = {
+    val bins = Synth.calibrationBins(s, d)
+      .select(col("bin"), col("npos").as("np"), col("n"))
+      .localCheckpoint() // 10 rows; feeds every round + the final map-back
+    var pools = bins.select(col("bin").as("pool"), col("np"), col("n"))
+    for (_ <- 1 to pavRounds) {
+      val w = Window.orderBy(col("pool"))
+      val flagged = pools
+        .withColumn("nnp", lead(col("np"), 1).over(w))
+        .withColumn("nn", lead(col("n"), 1).over(w))
+      val viol = flagged
+        .filter(col("nnp").isNotNull &&
+          col("np") * col("nn") > col("nnp") * col("n"))
+        .agg(min(col("pool")).as("vp"))
+      pools = pools
+        .withColumn("prev", lag(col("pool"), 1).over(Window.orderBy(col("pool"))))
+        .crossJoin(broadcast(viol))
+        .select(when(col("prev") === col("vp"), col("vp"))
+          .otherwise(col("pool")).as("pool"), col("np"), col("n"))
+        .groupBy("pool")
+        .agg(sum("np").as("np"), sum("n").as("n"))
+        .localCheckpoint() // ≤10 rows; cut the per-round lineage
+    }
+    bins.crossJoin(broadcast(pools.select(col("pool"),
+        col("np").as("pnp"), col("n").as("pn"))))
+      .filter(col("pool") <= col("bin"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("bin")).orderBy(col("pool").desc)))
+      .filter(col("r") === 1)
+      .select(col("bin"), col("pool"),
+        (dd(col("pnp")) / dd(col("pn"))).as("iso"))
+      .orderBy("bin")
+  }
+
+  private def isotonicOracle: String = {
+    val steps = (1 to pavRounds).map { k =>
+      s"""v$k AS (
+         |  SELECT min(pool) AS vp FROM (
+         |    SELECT pool, np, n,
+         |           lead(np) OVER (ORDER BY pool) AS nnp,
+         |           lead(n) OVER (ORDER BY pool) AS nn
+         |    FROM p${k - 1})
+         |  WHERE nnp IS NOT NULL AND np * nn > nnp * n),
+         |p$k AS MATERIALIZED (
+         |  SELECT pool, sum(np) AS np, sum(n) AS n FROM (
+         |    SELECT CASE WHEN lag(pool) OVER (ORDER BY pool) = v$k.vp
+         |                THEN v$k.vp ELSE pool END AS pool, np, n
+         |    FROM p${k - 1}, v$k)
+         |  GROUP BY pool)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bins AS MATERIALIZED (
+       |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |               AS BIGINT), 59999999) // 6000000 AS bin,
+       |         count(*) AS n,
+       |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np
+       |  FROM orders GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT bin AS pool, np, n FROM bins),
+       |$steps
+       |SELECT b.bin, p.pool,
+       |       CAST(p.np AS DOUBLE) / CAST(p.n AS DOUBLE) AS iso
+       |FROM bins b
+       |JOIN LATERAL (SELECT pool, np, n FROM p$pavRounds
+       |              WHERE pool <= b.bin
+       |              ORDER BY pool DESC LIMIT 1) p ON true
+       |ORDER BY b.bin""".stripMargin
+  }
+
+  /** Expected calibration error: Σ_b n_b·|acc_b − conf_b| / N. The
+    * per-bin term is pinned at 8dp (term ≤ n_b ≈ 2e4 at sf0.1 — 8dp
+    * sits far above the double ULP at that magnitude) so the 10-term
+    * sum is an exact decimal in any order. */
+  private def ece(s: SparkSession, d: String): DataFrame = {
+    Synth.calibrationBins(s, d)
+      .select(col("bin"), col("n"), col("npos"), col("sp"),
+        (dd(col("n")) * abs(dd(col("npos")) / dd(col("n")) -
+          dd(col("sp")) / (dd(col("n")) * lit(6.0e7)))).as("term"))
+      .agg(sum(col("n")).as("n"),
+        sum(bround(col("term"), 8).cast("decimal(24,8)")).as("terms"))
+      .select(col("n"), (dd(col("terms")) / dd(col("n"))).as("ece"))
+  }
+
+  private def eceOracle: String =
+    """WITH bins AS (
+      |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |               AS BIGINT), 59999999) // 6000000 AS bin,
+      |         count(*) AS n,
+      |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+      |         sum(least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |             AS BIGINT), 60000000)) AS sp
+      |  FROM orders GROUP BY 1),
+      |terms AS (
+      |  SELECT n, CAST(round_even(
+      |           CAST(n AS DOUBLE) * abs(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+      |             - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0e7)), 8)
+      |         AS DECIMAL(24,8)) AS term
+      |  FROM bins)
+      |SELECT CAST(sum(n) AS BIGINT) AS n,
+      |       CAST(sum(term) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece
+      |FROM terms""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_isotonic" -> isotonic,
+    "eval_ece" -> ece)
+
+  def oracles: Map[String, String] = Map(
+    "stats_isotonic" -> isotonicOracle,
+    "eval_ece" -> eceOracle)
+}
