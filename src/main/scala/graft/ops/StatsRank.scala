@@ -90,7 +90,7 @@ object StatsRank extends graft.QueryModule {
       |                * CAST(tot.n0 - ty.n1y AS DOUBLE)) AS tau_b
       |FROM p, tx, ty, tot""".stripMargin
 
-  /** Wilcoxon signed-rank: per-customer 1995-vs-1994 spend (paired by
+  /** Wilcoxon signed-rank: per-customer 1997-vs-1996 spend (paired by
     * construction), zero diffs dropped per the classic test. |d| is in
     * exact cents so tie blocks are well-defined; W⁺ accumulates in
     * DOUBLED rank units (exact). Variance uses the tie-corrected
@@ -98,12 +98,12 @@ object StatsRank extends graft.QueryModule {
     * z mirrored token for token. */
   private def wilcoxonSigned(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
-      .filter(year(col("o_orderdate")).isin(1994, 1995))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
       .agg(sum(cents).as("sp"))
-    val a = spend.filter(col("yr") === 1994)
+    val a = spend.filter(col("yr") === 1996)
       .select(col("o_custkey").as("k"), col("sp").as("sa"))
-    val b = spend.filter(col("yr") === 1995)
+    val b = spend.filter(col("yr") === 1997)
       .select(col("o_custkey").as("k"), col("sp").as("sb"))
     val blocks = a.join(b, "k")
       .select((col("sb") - col("sa")).as("diff"))
@@ -131,13 +131,13 @@ object StatsRank extends graft.QueryModule {
       |  SELECT o_custkey AS k, year(o_orderdate) AS yr,
       |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
       |             AS BIGINT)) AS sp
-      |  FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
       |  GROUP BY 1, 2),
       |blocks AS (
       |  SELECT abs(b.sp - a.sp) AS ad, count(*) AS cnt,
       |         sum(CASE WHEN b.sp - a.sp > 0 THEN 1 ELSE 0 END) AS pos
-      |  FROM (SELECT k, sp FROM spend WHERE yr = 1994) a
-      |  JOIN (SELECT k, sp FROM spend WHERE yr = 1995) b USING (k)
+      |  FROM (SELECT k, sp FROM spend WHERE yr = 1996) a
+      |  JOIN (SELECT k, sp FROM spend WHERE yr = 1997) b USING (k)
       |  WHERE b.sp - a.sp <> 0
       |  GROUP BY 1),
       |ranked AS (
@@ -235,16 +235,16 @@ object StatsRank extends graft.QueryModule {
       |FROM num, den""".stripMargin
 
   /** McNemar's test (continuity-corrected) on paired binary outcomes:
-    * per customer, "had a fulfilled order" before vs from 1995. The
+    * per customer, "had a fulfilled order" before vs from mid-1998 (the data midpoint). The
     * discordant counts b (yes→no) and c (no→yes) are exact; the
     * statistic (|b−c|−1)²/(b+c) is one division of exact-int doubles. */
   private def mcnemar(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(
-        max(when(col("o_orderdate") < lit("1995-01-01") &&
+        max(when(col("o_orderdate") < lit("1998-07-01") &&
           col("o_orderstatus") === "F", 1).otherwise(0)).as("pre"),
-        max(when(col("o_orderdate") >= lit("1995-01-01") &&
+        max(when(col("o_orderdate") >= lit("1998-07-01") &&
           col("o_orderstatus") === "F", 1).otherwise(0)).as("post"))
     per.agg(count(lit(1)).as("n_pairs"),
       sum(when(col("pre") === 1 && col("post") === 0, 1L).otherwise(0L))
@@ -260,9 +260,9 @@ object StatsRank extends graft.QueryModule {
   private def mcnemarOracle: String =
     """WITH per AS (
       |  SELECT o_custkey,
-      |         max(CASE WHEN o_orderdate < DATE '1995-01-01'
+      |         max(CASE WHEN o_orderdate < DATE '1998-07-01'
       |                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pre,
-      |         max(CASE WHEN o_orderdate >= DATE '1995-01-01'
+      |         max(CASE WHEN o_orderdate >= DATE '1998-07-01'
       |                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS post
       |  FROM orders GROUP BY 1),
       |agg AS (
