@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Technical-indicator operators [N] over the daily revenue series —
+  * the chartist layer above `fin_rsi`/`fin_ewma`: MACD (12/26/9 EMA
+  * crossover), Bollinger bands (20-day mean ± 2σ), and the stochastic
+  * oscillator (14-day %K, 3-day %D).
+  *
+  * The series is CALENDAR-BOUNDED (~2.4k days at every SF): the daily
+  * rollup is the only data-scale stage; the indicators run on the day
+  * domain. MACD's EMA recursion is inherently sequential, so it runs
+  * as the `ts_holt_linear` exact-integer walk (BigInt + half-even
+  * integer division on cents; the oracle replays it as a recursive CTE
+  * in HUGEINT) — zero float accumulation, bit-identical on both
+  * engines. Bollinger/stochastic are pure window algebra over exact
+  * $1000-unit integers with one mirrored float step per row. */
+object Technicals extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** Daily revenue in $1000 units (exact BIGINT — keeps every rolling
+    * power sum double-exact far past sf0.1; see `agg_skewkurt` bound
+    * discipline). */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)" +
+          " div 100000")).as("r"))
+
+  private val dailySql =
+    """SELECT o_orderdate AS day,
+      |       sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 100000) AS r
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Signed half-even integer division (mirrors Finance.divHE — the
+    * Spark-side walk arithmetic the oracles replay). */
+  private def divHE(n: BigInt, den: BigInt): BigInt = {
+    val a = n.abs
+    val b0 = a / den; val r2 = (a % den) * 2
+    val q = b0 + (if (r2 > den) BigInt(1)
+                  else if (r2 == den) b0 % 2 else BigInt(0))
+    if (n < 0) -q else q
+  }
+
+  private def divHESql(n: String, den: Long): String = {
+    def pos(m: String) =
+      s"(($m) // $den + (case when (($m) % $den) * 2 > $den then 1 " +
+        s"when (($m) % $den) * 2 = $den then ((($m) // $den)) % 2 " +
+        s"else 0 end))"
+    s"(case when ($n) < 0 then -${pos(s"-($n)")} else ${pos(n)} end)"
+  }
+
+  /** MACD over daily revenue CENTS: EMA12/EMA26 with α=2/(N+1) as the
+    * exact-integer recursions ema' = divHE(2y + (N−1)·ema, N+1), the
+    * MACD line their difference, and the 9-day signal EMA of the MACD
+    * line (init: first MACD value). hist = macd − signal is what the
+    * crossover alert fires on. */
+  private def macd(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
+        .as("y"))
+      .orderBy("day")
+      .collect() // calendar-bounded (~2.4k days at every SF)
+    val out =
+      Array.newBuilder[(java.time.LocalDateTime, Long, Long, Long, Long)]
+    var e12, e26, sig = BigInt(0)
+    days.zipWithIndex.foreach { case (row, i) =>
+      val day = row.getAs[java.time.LocalDateTime]("day")
+      val y = BigInt(row.getAs[Long]("y"))
+      if (i == 0) { e12 = y; e26 = y } else {
+        e12 = divHE(y * 2 + e12 * 11, 13)
+        e26 = divHE(y * 2 + e26 * 25, 27)
+      }
+      val m = e12 - e26
+      sig = if (i == 0) m else divHE(m * 2 + sig * 8, 10)
+      out += ((day, y.toLong, m.toLong, sig.toLong, (m - sig).toLong))
+    }
+    s.createDataFrame(out.result().toSeq)
+      .toDF("day", "y_cents", "macd", "signal", "hist")
+      .orderBy("day")
+  }
+
+  private def macdOracle: String = {
+    val e12 = divHESql("2 * m.y + 11 * w.e12", 13)
+    val e26 = divHESql("2 * m.y + 25 * w.e26", 27)
+    val sg = divHESql(s"2 * (($e12) - ($e26)) + 8 * w.sig", 10)
+    s"""WITH RECURSIVE dd AS (
+       |  SELECT o_orderdate AS day,
+       |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |           AS BIGINT)) AS HUGEINT) AS y
+       |  FROM orders GROUP BY 1),
+       |mon AS (
+       |  SELECT day, y,
+       |         CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS idx
+       |  FROM dd),
+       |walk(i, day, y, e12, e26, sig) AS (
+       |  SELECT 1, day, y, y, y, CAST(0 AS HUGEINT)
+       |  FROM mon WHERE idx = 1
+       |  UNION ALL
+       |  SELECT w.i + 1, m.day, m.y, $e12, $e26, $sg
+       |  FROM walk w JOIN mon m ON m.idx = w.i + 1)
+       |SELECT day, CAST(y AS BIGINT) AS y_cents,
+       |       CAST(e12 - e26 AS BIGINT) AS macd,
+       |       CAST(CASE WHEN i = 1 THEN e12 - e26 ELSE sig END
+       |            AS BIGINT) AS signal,
+       |       CAST((e12 - e26) - CASE WHEN i = 1 THEN e12 - e26
+       |                               ELSE sig END AS BIGINT) AS hist
+       |FROM walk ORDER BY day""".stripMargin
+  }
+
+  /** Bollinger bands: 20-day rolling mean ± 2 sample standard
+    * deviations over daily $1000 revenue. Variance from the exact
+    * integer power sums (20·Σx² − (Σx)² — double-exact), one sqrt,
+    * mirrored. Only full 20-day windows emit. */
+  private def bollinger(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-19, 0)
+    daily(s, d)
+      .withColumn("s1", sum(col("r")).over(w))
+      .withColumn("s2", sum(col("r") * col("r")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("m") === 20)
+      .withColumn("mid", dd(col("s1")) / lit(20.0))
+      .withColumn("sd", sqrt(dd(col("s1") * col("s1")).multiply(-1)
+        .plus(dd(col("s2")) * lit(20.0)) / lit(380.0)))
+      .select(col("day"), col("r"), col("mid"),
+        (col("mid") + lit(2.0) * col("sd")).as("upper"),
+        (col("mid") - lit(2.0) * col("sd")).as("lower"))
+      .orderBy("day")
+  }
+
+  private def bollingerOracle: String =
+    s"""WITH dd AS ($dailySql),
+       |win AS (
+       |  SELECT day, r,
+       |         sum(r) OVER w AS s1,
+       |         sum(r * r) OVER w AS s2,
+       |         count(*) OVER w AS m
+       |  FROM dd
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING
+       |               AND CURRENT ROW)),
+       |full20 AS (
+       |  SELECT day, r, CAST(s1 AS DOUBLE) / 20.0 AS mid,
+       |         sqrt((CAST(s1 * s1 AS DOUBLE) * -1 + CAST(s2 AS DOUBLE)
+       |               * 20.0) / 380.0) AS sd
+       |  FROM win WHERE m = 20)
+       |SELECT day, CAST(r AS BIGINT) AS r, mid,
+       |       mid + 2.0 * sd AS upper, mid - 2.0 * sd AS lower
+       |FROM full20 ORDER BY day""".stripMargin
+
+  /** Stochastic oscillator: %K = 100·(close − min₁₄)/(max₁₄ − min₁₄)
+    * (exact-int numerator/denominator, one division), %D = 3-row mean
+    * of %K with each %K pinned at 8dp so the 3-term sum is an exact
+    * decimal in any order. Flat 14-day windows (max = min) are skipped
+    * before %D, matching the oracle row-for-row. */
+  private def stochastic(s: SparkSession, d: String): DataFrame = {
+    val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    val k = daily(s, d)
+      .withColumn("lo", min(col("r")).over(w14))
+      .withColumn("hi", max(col("r")).over(w14))
+      .withColumn("m", count(lit(1)).over(w14))
+      .filter(col("m") === 14 && col("hi") > col("lo"))
+      .select(col("day"),
+        bround(lit(100.0) * dd(col("r") - col("lo")) /
+          dd(col("hi") - col("lo")), 8).as("k"))
+    val w3 = Window.orderBy(col("day")).rowsBetween(-2, 0)
+    k.withColumn("ks",
+        sum(col("k").cast("decimal(16,8)")).over(w3))
+      .withColumn("m3", count(lit(1)).over(w3))
+      .filter(col("m3") === 3)
+      .select(col("day"), col("k"),
+        (dd(col("ks")) / lit(3.0)).as("d"))
+      .orderBy("day")
+  }
+
+  private def stochasticOracle: String =
+    s"""WITH dd AS ($dailySql),
+       |win AS (
+       |  SELECT day, r,
+       |         min(r) OVER w AS lo, max(r) OVER w AS hi,
+       |         count(*) OVER w AS m
+       |  FROM dd
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+       |               AND CURRENT ROW)),
+       |pk AS (
+       |  SELECT day,
+       |         round_even(100.0 * CAST(r - lo AS DOUBLE)
+       |                    / CAST(hi - lo AS DOUBLE), 8) AS k
+       |  FROM win WHERE m = 14 AND hi > lo),
+       |pd AS (
+       |  SELECT day, k,
+       |         sum(CAST(k AS DECIMAL(16,8))) OVER w3 AS ks,
+       |         count(*) OVER w3 AS m3
+       |  FROM pk
+       |  WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+       |                AND CURRENT ROW))
+       |SELECT day, k, CAST(ks AS DOUBLE) / 3.0 AS d
+       |FROM pd WHERE m3 = 3 ORDER BY day""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_macd" -> macd,
+    "fin_bollinger" -> bollinger,
+    "fin_stochastic" -> stochastic)
+
+  def oracles: Map[String, String] = Map(
+    "fin_macd" -> macdOracle,
+    "fin_bollinger" -> bollingerOracle,
+    "fin_stochastic" -> stochasticOracle)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Technical indicators: structural invariants on the daily series. */
+class TechnicalsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("fin_bollinger: bands bracket the midline; mid is the window mean") {
+    val rows = SparkEntry.queries("fin_bollinger")(spark, sf).collect()
+    assert(rows.length > 2000)
+    rows.foreach { r =>
+      val (mid, up, lo) = (r.getAs[Double]("mid"),
+        r.getAs[Double]("upper"), r.getAs[Double]("lower"))
+      assert(up >= mid && mid >= lo)
+      // band is symmetric about the midline
+      assert(math.abs((up - mid) - (mid - lo)) < 1e-9)
+    }
+    // ~95% of closes sit inside a 2-sigma band on anything bell-ish;
+    // assert a loose floor that still catches a broken sd
+    val inside = rows.count { r =>
+      val c = r.getAs[Long]("r").toDouble
+      c >= r.getAs[Double]("lower") && c <= r.getAs[Double]("upper")
+    }
+    assert(inside.toDouble / rows.length > 0.8)
+  }
+
+  test("fin_stochastic: %K and %D stay in [0, 100]") {
+    val rows = SparkEntry.queries("fin_stochastic")(spark, sf).collect()
+    assert(rows.length > 2000)
+    rows.foreach { r =>
+      val (k, dv) = (r.getAs[Double]("k"), r.getAs[Double]("d"))
+      assert(k >= 0.0 && k <= 100.0)
+      assert(dv >= 0.0 && dv <= 100.0)
+    }
+  }
+
+  test("fin_macd: hist = macd - signal; EMAs track the series level") {
+    val rows = SparkEntry.queries("fin_macd")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length > 2000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hist") ==
+        r.getAs[Long]("macd") - r.getAs[Long]("signal"))
+    }
+    // MACD is a difference of two smoothed versions of the same series:
+    // it stays well inside the raw series' range
+    val maxAbsMacd = rows.map(r => math.abs(r.getAs[Long]("macd"))).max
+    val maxY = rows.map(r => r.getAs[Long]("y_cents")).max
+    assert(maxAbsMacd < maxY)
+  }
+}
