@@ -629,6 +629,48 @@ object Graph extends graft.QueryModule {
       .limit(100)
   }
 
+  /** Adamic-Adar link prediction [N] over the same capped subgraph as
+    * [[jaccardNeighbors]]: score(x,y) = Σ_{w ∈ Γ(x)∩Γ(y)} 1/ln(deg w)
+    * — common neighbors, discounted by how promiscuous they are. The
+    * wedge explode already visits every (x, w, y) once, so the score
+    * is a per-wedge weight summed per pair: 1/ln is pinned at 6dp (the
+    * `eval_ndcg` log-literal discipline — Spark's Math.log and
+    * DuckDB's ln may differ a ULP) and accumulates as an exact
+    * decimal, order-invariant; the output cast to double is exact at
+    * this magnitude. Same scale shape as jaccard: wedges are bounded
+    * by |V|·C(cap,2), never by part popularity. */
+  private def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val und = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") <= JaccardDegCap).select(col("v"))
+    val undF = und
+      .join(maybeBroadcast(s, keep), "v")
+      .join(maybeBroadcast(s, keep.withColumnRenamed("v", "n")), "n")
+      .select(col("v"), col("n"))
+    val pairs = undF
+      .groupBy(col("v"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .select(
+        bround(lit(1.0) / log(size(col("ns")).cast("double")), 6)
+          .cast("decimal(16,6)").as("w"),
+        explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("x"), col("p.b").as("y"), col("w"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa"))
+    pairs
+      .join(e, pairs("x") === e("a") && pairs("y") === e("b"), "left_anti")
+      .select(col("x"), col("y"), col("common"),
+        col("aa").cast("double").as("adamic_adar"))
+      .orderBy(desc("adamic_adar"), col("x"), col("y"))
+      .limit(100)
+  }
+
   /** Keeps the low-degree fringe of the (dense) co-purchase graph:
     * the synthetic graph's median degree is ~115 at every SF, so 80
     * retains ~5% of vertices with a hard |V|·C(cap,2) wedge bound —
@@ -1019,6 +1061,7 @@ object Graph extends graft.QueryModule {
     "graph_labelprop" -> labelProp,
     "graph_modularity" -> modularity,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
+    "graph_adamic_adar" -> adamicAdar,
     "graph_sssp" -> sssp,
     "graph_triangles" -> triangleCount,
     "graph_pagerank" -> pageRank,
@@ -1081,6 +1124,33 @@ object Graph extends graft.QueryModule {
          |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.x AND e.b = p.y))
          |SELECT x, y, common, jaccard FROM cand
          |ORDER BY jaccard DESC, x, y LIMIT 100""".stripMargin,
+    "graph_adamic_adar" ->
+      s"""WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |      FROM pr x JOIN pr y ON x.l_orderkey = y.l_orderkey
+         |                         AND x.l_partkey < y.l_partkey),
+         |und AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT v, count(*) AS deg FROM und GROUP BY v),
+         |keep AS (SELECT v FROM deg WHERE deg <= $JaccardDegCap),
+         |undf AS (SELECT u.v, u.n FROM und u
+         |         JOIN keep k1 ON u.v = k1.v JOIN keep k2 ON u.n = k2.v),
+         |degf AS (SELECT v, count(*) AS degf FROM undf GROUP BY v),
+         |wt AS (SELECT v, CAST(round_even(
+         |           1.0 / ln(CAST(degf AS DOUBLE)), 6)
+         |         AS DECIMAL(16,6)) AS w
+         |       FROM degf WHERE degf >= 2),
+         |pairs AS (
+         |  SELECT u1.n AS x, u2.n AS y, CAST(count(*) AS BIGINT) AS common,
+         |         sum(wt.w) AS aa
+         |  FROM undf u1 JOIN undf u2 ON u1.v = u2.v AND u1.n < u2.n
+         |  JOIN wt ON wt.v = u1.v
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT x, y, common, CAST(aa AS DOUBLE) AS adamic_adar
+         |  FROM pairs p
+         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.x AND e.b = p.y))
+         |SELECT x, y, common, adamic_adar FROM cand
+         |ORDER BY adamic_adar DESC, x, y LIMIT 100""".stripMargin,
     // the oracle is the textbook canonical a<b<c triangle join — no
     // orientation — so hash equality proves the oriented plan exact
     "graph_triangles" ->
