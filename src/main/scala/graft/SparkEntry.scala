@@ -25,7 +25,8 @@ object SparkEntry {
     ops.Resampling, ops.Recommender,
     ops.Attribution, ops.EntityResolution,
     ext.Dedup, ext.SimSearch, ext.TextAnalysis, ext.Multimodal, ext.Audio,
-    ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake, ext.SubstrDedup)
+    ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake, ext.SubstrDedup,
+    ext.Retrieval)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
