@@ -205,13 +205,103 @@ object Technicals extends graft.QueryModule {
        |SELECT day, k, CAST(ks AS DOUBLE) / 3.0 AS d
        |FROM pd WHERE m3 = 3 ORDER BY day""".stripMargin
 
+  /** Holt-Winters additive seasonal smoothing [N] over the monthly
+    * revenue series (season m = 12) — the seasonal layer above
+    * `ts_holt_linear`: with α=0.2, β=0.1, γ=0.1,
+    *   level_t = 0.2·(y_t − s_{t−12}) + 0.8·(level + trend)
+    *   trend_t = 0.1·(level_t − level) + 0.9·trend
+    *   s_t     = 0.1·(y_t − level_t) + 0.9·s_{t−12}
+    * initialized classically from the first two years (level = mean of
+    * year 1, trend = (Σyear2 − Σyear1)/144, s_j = y_j − level). Exact-
+    * integer walk on cents (divHE per smoothing step); the oracle
+    * replays it as a recursive CTE whose 12-slot seasonal state
+    * rotates through scalar columns s1..s12 — no float accumulation
+    * anywhere. Emits the warm months (13+). */
+  private def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val months = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
+        .as("y"))
+      .orderBy("month")
+      .collect() // calendar-bounded (~84 months at every SF)
+    val ys = months.map(r =>
+      (r.getAs[java.sql.Date]("month"), BigInt(r.getAs[Long]("y"))))
+    require(ys.length >= 24, "Holt-Winters needs two full seasons")
+    var level = divHE(ys.take(12).map(_._2).sum, 12)
+    var trend = divHE(
+      ys.slice(12, 24).map(_._2).sum - ys.take(12).map(_._2).sum, 144)
+    val season = scala.collection.mutable.Queue(
+      ys.take(12).map(_._2 - level): _*)
+    val out =
+      Array.newBuilder[(java.sql.Date, Long, Long, Long, Long, Long)]
+    for (i <- 12 until ys.length) {
+      val (mth, y) = ys(i)
+      val sOld = season.dequeue()
+      val fit = level + trend + sOld
+      val nl = divHE((y - sOld) * 2 + (level + trend) * 8, 10)
+      val nt = divHE((nl - level) + trend * 9, 10)
+      val sNew = divHE((y - nl) + sOld * 9, 10)
+      level = nl; trend = nt; season.enqueue(sNew)
+      out += ((mth, y.toLong, fit.toLong, nl.toLong, nt.toLong,
+        sNew.toLong))
+    }
+    s.createDataFrame(out.result().toSeq)
+      .toDF("month", "y_cents", "fitted", "level", "trend", "seasonal")
+      .orderBy("month")
+  }
+
+  private def holtWintersOracle: String = {
+    val sumY = (a: Int, b: Int) =>
+      s"(SELECT sum(y) FROM mon WHERE idx BETWEEN $a AND $b)"
+    val initS = (1 to 12).map(j =>
+      s"(SELECT y FROM mon WHERE idx = $j) - l AS s$j").mkString(",\n       ")
+    val lvl = divHESql("2 * (m.y - w.s1) + 8 * (w.level + w.trend)", 10)
+    val trd = divHESql(s"(($lvl) - w.level) + 9 * w.trend", 10)
+    val snew = divHESql(s"(m.y - ($lvl)) + 9 * w.s1", 10)
+    val shift = (2 to 12).map(j => s"w.s$j").mkString(", ")
+    val sCols = (1 to 12).map(j => s"s$j").mkString(", ")
+    s"""WITH RECURSIVE monthly AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |           AS BIGINT)) AS HUGEINT) AS y
+       |  FROM orders GROUP BY 1),
+       |mon AS (
+       |  SELECT month, y,
+       |         CAST(row_number() OVER (ORDER BY month) AS INTEGER) AS idx
+       |  FROM monthly),
+       |init AS (
+       |  SELECT l, ${divHESql(s"${sumY(13, 24)} - ${sumY(1, 12)}", 144)}
+       |           AS tr,
+       |       $initS
+       |  FROM (SELECT ${divHESql(sumY(1, 12), 12)} AS l)),
+       |walk(i, month, y, fit, level, trend, $sCols) AS (
+       |  SELECT 12, m.month, m.y, CAST(0 AS HUGEINT), init.l, init.tr,
+       |         ${(1 to 12).map(j => s"init.s$j").mkString(", ")}
+       |  FROM mon m, init WHERE m.idx = 12
+       |  UNION ALL
+       |  SELECT w.i + 1, m.month, m.y,
+       |         w.level + w.trend + w.s1,
+       |         $lvl, $trd,
+       |         $shift, $snew
+       |  FROM walk w JOIN mon m ON m.idx = w.i + 1)
+       |SELECT month, CAST(y AS BIGINT) AS y_cents,
+       |       CAST(fit AS BIGINT) AS fitted,
+       |       CAST(level AS BIGINT) AS level,
+       |       CAST(trend AS BIGINT) AS trend,
+       |       CAST(s12 AS BIGINT) AS seasonal
+       |FROM walk WHERE i >= 13 ORDER BY month""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_macd" -> macd,
     "fin_bollinger" -> bollinger,
-    "fin_stochastic" -> stochastic)
+    "fin_stochastic" -> stochastic,
+    "ts_holt_winters" -> holtWinters)
 
   def oracles: Map[String, String] = Map(
     "fin_macd" -> macdOracle,
     "fin_bollinger" -> bollingerOracle,
-    "fin_stochastic" -> stochasticOracle)
+    "fin_stochastic" -> stochasticOracle,
+    "ts_holt_winters" -> holtWintersOracle)
 }

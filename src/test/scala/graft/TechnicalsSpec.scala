@@ -36,6 +36,22 @@ class TechnicalsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_holt_winters: fitted tracks the series; seasonal sums stay" +
+    " near zero over a season") {
+    val rows = SparkEntry.queries("ts_holt_winters")(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.length > 60)
+    // one-step-ahead fit: mean absolute error well below the mean level
+    val mae = rows.map(r => math.abs(
+      r.getAs[Long]("y_cents") - r.getAs[Long]("fitted")).toDouble).sum /
+      rows.length
+    val meanY = rows.map(_.getAs[Long]("y_cents").toDouble).sum / rows.length
+    assert(mae < 0.5 * meanY, s"fit no better than noise: mae=$mae")
+    // additive seasonals oscillate around zero: |mean| << mean level
+    val meanS = rows.map(_.getAs[Long]("seasonal").toDouble).sum / rows.length
+    assert(math.abs(meanS) < 0.25 * meanY)
+  }
+
   test("fin_macd: hist = macd - signal; EMAs track the series level") {
     val rows = SparkEntry.queries("fin_macd")(spark, sf)
       .orderBy("day").collect()
