@@ -127,11 +127,59 @@ object Calibration extends graft.QueryModule {
       |       CAST(sum(term) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece
       |FROM terms""".stripMargin
 
+  /** Cumulative gains / lift table over the 10 score bins, highest
+    * score first — the credit-scoring "top decile captures X% of
+    * positives at Y× lift" report. Cumulative counts are exact window
+    * sums over the 10-bin domain; capture and lift are single mirrored
+    * double expressions of exact integers (lift as one a·b/(c·d) —
+    * never two stacked divisions). */
+  private def liftDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Synth.calibrationBins(s, d)
+      .select(col("bin"), col("n"), col("npos"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("npos")).over(w))
+      .withColumn("tot_n", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("tot_pos", sum(col("npos")).over(Window.partitionBy()))
+      .select(col("bin"), col("n"), col("npos"), col("cum_n"),
+        col("cum_pos"),
+        (dd(col("cum_pos")) / dd(col("tot_pos"))).as("capture"),
+        (dd(col("cum_pos")) * dd(col("tot_n")) /
+          (dd(col("cum_n")) * dd(col("tot_pos")))).as("lift"))
+      .orderBy(col("bin").desc)
+  }
+
+  private def liftDecilesOracle: String =
+    """WITH bins AS (
+      |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |               AS BIGINT), 59999999) // 6000000 AS bin,
+      |         count(*) AS n,
+      |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, n, np,
+      |         sum(n) OVER (ORDER BY bin DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |         sum(np) OVER (ORDER BY bin DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+      |         sum(n) OVER () AS tot_n, sum(np) OVER () AS tot_pos
+      |  FROM bins)
+      |SELECT bin, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS npos,
+      |       CAST(cum_n AS BIGINT) AS cum_n,
+      |       CAST(cum_pos AS BIGINT) AS cum_pos,
+      |       CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS capture,
+      |       CAST(cum_pos AS DOUBLE) * CAST(tot_n AS DOUBLE)
+      |         / (CAST(cum_n AS DOUBLE) * CAST(tot_pos AS DOUBLE)) AS lift
+      |FROM cum ORDER BY bin DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_isotonic" -> isotonic,
-    "eval_ece" -> ece)
+    "eval_ece" -> ece,
+    "eval_lift_deciles" -> liftDeciles)
 
   def oracles: Map[String, String] = Map(
     "stats_isotonic" -> isotonicOracle,
-    "eval_ece" -> eceOracle)
+    "eval_ece" -> eceOracle,
+    "eval_lift_deciles" -> liftDecilesOracle)
 }

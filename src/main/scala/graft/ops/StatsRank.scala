@@ -276,15 +276,169 @@ object StatsRank extends graft.QueryModule {
       |         / CAST(b + c AS DOUBLE) AS chi2_cc
       |FROM agg""".stripMargin
 
+  /** Friedman test: blocks = months, treatments = the 5 priorities,
+    * observation = that priority's revenue in that month (complete
+    * blocks only). Within-block doubled ranks (k = 5 rows per block —
+    * the rank window is block-bounded, never data-wide); the statistic
+    * Q = 3·ΣR2_j²/(n·k·(k+1)) − 3n(k+1) uses the doubled-rank column
+    * sums R2_j, all exact BIGINTs, in one mirrored double expression.
+    * (With doubled ranks ΣR2² = 4ΣR², so the leading 12 becomes 3.) */
+  private def friedman(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum(cents).as("v"))
+    val complete = obs.groupBy("blk").agg(count(lit(1)).as("kk"))
+      .filter(col("kk") === 5).select("blk")
+    // RANGE frame: "before" must count strictly-smaller v only — a ROWS
+    // frame would split tie blocks by Spark's unstable within-tie order
+    val wBefore = Window.partitionBy(col("blk")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ranked = obs.join(broadcast(complete), "blk")
+      .withColumn("tcnt", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("v"))))
+      .withColumn("before", coalesce(count(lit(1)).over(wBefore), lit(0L)))
+    // doubled mean rank of the tie block within the month
+    val r2 = ranked
+      .withColumn("t2", col("before") * 2 + col("tcnt") + 1)
+      .groupBy(col("trt")).agg(sum(col("t2")).as("r2j"))
+    val nBlocks = complete.agg(count(lit(1)).as("n"))
+    r2.crossJoin(broadcast(nBlocks))
+      .agg(max(col("n")).as("n_blocks"),
+        sum(col("r2j") * col("r2j")).as("sr2"))
+      .select(col("n_blocks"),
+        (lit(3.0) * dd(col("sr2")) /
+          (dd(col("n_blocks")) * lit(30.0)) -
+          lit(3.0) * dd(col("n_blocks")) * lit(6.0)).as("q"),
+        lit(4).as("dof"))
+  }
+
+  private def friedmanOracle: String =
+    """WITH obs AS (
+      |  SELECT date_trunc('month', o_orderdate) AS blk,
+      |         o_orderpriority AS trt,
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |             AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (
+      |  SELECT blk FROM obs GROUP BY blk HAVING count(*) = 5),
+      |ranked AS (
+      |  SELECT o.trt,
+      |         2 * COALESCE(count(*) OVER (
+      |             PARTITION BY o.blk ORDER BY o.v
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + count(*) OVER (PARTITION BY o.blk, o.v) + 1 AS t2
+      |  FROM obs o JOIN complete USING (blk)),
+      |r2 AS (SELECT trt, sum(t2) AS r2j FROM ranked GROUP BY trt),
+      |nb AS (SELECT count(*) AS n FROM complete)
+      |SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+      |       3.0 * CAST(sum(r2j * r2j) AS DOUBLE)
+      |         / (CAST(max(n) AS DOUBLE) * 30.0)
+      |         - 3.0 * CAST(max(n) AS DOUBLE) * 6.0 AS q,
+      |       4 AS dof
+      |FROM r2, nb""".stripMargin
+
+  /** Brown-Forsythe (median-based Levene) homogeneity-of-variance test
+    * across the 5 priorities on $1000 price bins: spreads z = |2x −
+    * med2_g| use the DOUBLED group median (sum of the two central
+    * order statistics — exact integers via cumulative bin counts, no
+    * row-level sort), and the one-way-ANOVA F on z comes from exact
+    * integer power sums; the five S_g²/n_g terms fold in sorted group
+    * order (`agg_chisq` discipline), everything else is one mirrored
+    * double expression. */
+  private def brownForsythe(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)" +
+          " div 100000").as("v"))
+    val gv = rows.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // bounded: 5 groups × ~600 bins
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = gv
+      .withColumn("cumc", sum(col("cnt")).over(wCum))
+      .withColumn("ng", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+    // doubled median: x(floor((n+1)/2)) + x(ceil((n+1)/2)) via the
+    // first bins whose cumulative count reaches each order statistic
+    val lo = cum.filter(col("cumc") >= expr("(ng + 1) div 2"))
+      .groupBy("g").agg(min(col("v")).as("mlo"))
+    val hi = cum.filter(col("cumc") >= expr("(ng + 2) div 2"))
+      .groupBy("g").agg(min(col("v")).as("mhi"))
+    val med = lo.join(hi, "g")
+      .select(col("g"), (col("mlo") + col("mhi")).as("med2"))
+    val z = gv.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") * 2 - col("med2")).as("z"),
+        col("cnt"))
+    val perG = z.groupBy("g")
+      .agg(sum(col("z") * col("cnt")).as("sg"),
+        sum(col("z") * col("z") * col("cnt")).as("sg2"),
+        sum(col("cnt")).as("ng"))
+    val terms = perG
+      .withColumn("term", dd(col("sg")) * dd(col("sg")) / dd(col("ng")))
+    terms.agg(
+        aggregate(array_sort(collect_list(struct(col("g"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("sq"),
+        sum(col("sg")).as("st"), sum(col("sg2")).as("st2"),
+        sum(col("ng")).as("n"), count(lit(1)).cast("int").as("k"))
+      .select(col("n"), (col("k") - 1).as("dof1"),
+        (col("n") - col("k")).as("dof2"),
+        (((col("sq") - dd(col("st")) * dd(col("st")) / dd(col("n"))) /
+          dd(col("k") - 1)) /
+          ((dd(col("st2")) - col("sq")) / dd(col("n") - col("k"))))
+          .as("f"))
+  }
+
+  private def brownForsytheOracle: String =
+    """WITH gv AS MATERIALIZED (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 100000 AS v,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, cnt,
+      |         sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+      |         sum(cnt) OVER (PARTITION BY g) AS ng
+      |  FROM gv),
+      |lo AS (SELECT g, min(v) AS mlo FROM cum
+      |       WHERE cumc >= (ng + 1) // 2 GROUP BY g),
+      |hi AS (SELECT g, min(v) AS mhi FROM cum
+      |       WHERE cumc >= (ng + 2) // 2 GROUP BY g),
+      |med AS (SELECT g, mlo + mhi AS med2 FROM lo JOIN hi USING (g)),
+      |z AS (SELECT g, abs(v * 2 - med2) AS z, cnt
+      |      FROM gv JOIN med USING (g)),
+      |perg AS (
+      |  SELECT g, sum(z * cnt) AS sg, sum(z * z * cnt) AS sg2,
+      |         sum(cnt) AS ng
+      |  FROM z GROUP BY g),
+      |agg AS (
+      |  SELECT list_reduce(list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |                          / CAST(ng AS DOUBLE) ORDER BY g),
+      |                     (acc, x) -> acc + x) AS sq,
+      |         sum(sg) AS st, sum(sg2) AS st2, sum(ng) AS n,
+      |         CAST(count(*) AS INTEGER) AS k
+      |  FROM perg)
+      |SELECT CAST(n AS BIGINT) AS n, k - 1 AS dof1,
+      |       CAST(n - k AS BIGINT) AS dof2,
+      |       ((sq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |          / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+      |       / ((CAST(st2 AS DOUBLE) - sq) / CAST(n - k AS DOUBLE)) AS f
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_kendall_tau" -> kendallTau,
     "stats_wilcoxon_signed" -> wilcoxonSigned,
     "stats_kruskal_wallis" -> kruskalWallis,
-    "stats_mcnemar" -> mcnemar)
+    "stats_mcnemar" -> mcnemar,
+    "stats_friedman" -> friedman,
+    "stats_brown_forsythe" -> brownForsythe)
 
   def oracles: Map[String, String] = Map(
     "stats_kendall_tau" -> kendallTauOracle,
     "stats_wilcoxon_signed" -> wilcoxonSignedOracle,
     "stats_kruskal_wallis" -> kruskalWallisOracle,
-    "stats_mcnemar" -> mcnemarOracle)
+    "stats_mcnemar" -> mcnemarOracle,
+    "stats_friedman" -> friedmanOracle,
+    "stats_brown_forsythe" -> brownForsytheOracle)
 }

@@ -46,6 +46,35 @@ class StatsRankSpec extends AnyFunSuite {
     assert(h < 50.0, s"priority/price dependence where none is planted: $h")
   }
 
+  test("stats_friedman: Q >= 0 on complete blocks; dof = k - 1") {
+    val r = SparkEntry.queries("stats_friedman")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_blocks") > 50)
+    assert(r.getAs[Int]("dof") == 4)
+    // Q is a scaled sum of squared deviations from the mean rank sum
+    assert(r.getAs[Double]("q") >= 0.0)
+  }
+
+  test("stats_brown_forsythe: F >= 0 with the right degrees of freedom") {
+    val r = SparkEntry.queries("stats_brown_forsythe")(spark, sf)
+      .collect().head
+    assert(r.getAs[Int]("dof1") == 4)
+    assert(r.getAs[Long]("dof2") == r.getAs[Long]("n") - 5)
+    assert(r.getAs[Double]("f") >= 0.0)
+  }
+
+  test("eval_lift_deciles: monotone cumulative counts; final lift = 1") {
+    val rows = SparkEntry.queries("eval_lift_deciles")(spark, sf).collect()
+    // bins ordered best-first: cum counts nondecreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_n") <= b.getAs[Long]("cum_n"))
+      assert(a.getAs[Long]("cum_pos") <= b.getAs[Long]("cum_pos"))
+    }
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("lift") - 1.0) < 1e-12)
+    assert(math.abs(last.getAs[Double]("capture") - 1.0) < 1e-12)
+    rows.foreach(r => assert(r.getAs[Double]("lift") > 0.0))
+  }
+
   test("stats_mcnemar: discordant counts partition the changed pairs") {
     val r = SparkEntry.queries("stats_mcnemar")(spark, sf).collect().head
     val (b, c) = (r.getAs[Long]("b"), r.getAs[Long]("c"))
