@@ -97,6 +97,24 @@ object SimSearch extends graft.QueryModule {
       .limit(10)
   }
 
+  /** Matryoshka-style truncated serving [N]: the same exact top-k, but
+    * on the FIRST 16 of 64 dimensions (MRL-trained embeddings front-
+    * load information, so the prefix is the cheap serving tier — 4×
+    * less compute and bandwidth per comparison at 100 TB scan scale).
+    * Exact over the truncated space → fully oracle-checked; the
+    * recall-vs-full-space tradeoff is SimSearchRecallSpec's concern. */
+  private def truncatedTopK(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("emb16"))
+    val probe = e.filter(col("vec_id") === 0).select(col("emb16").as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("emb16"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** LSH-bucketed approximate NN — the scale path. 4 deterministic
     * pseudo-random hyperplanes (components derived from xxhash64 of
     * (plane, dim)), bucket = sign bits (16 buckets); MULTI-PROBE: the
@@ -1059,6 +1077,7 @@ object SimSearch extends graft.QueryModule {
     "dedup_embedding_cosine" -> embCosinePairs,
     "emb_knn_graph" -> knnGraph,
     "sim_search_cosine" -> cosineTopK,
+    "sim_search_truncated" -> truncatedTopK,
     "emb_hard_negatives" -> hardNegatives,
     "sim_search_ivf" -> ivfTopK,
     "sim_search_ivf_kmeans" -> ivfKmeans,
@@ -1214,6 +1233,19 @@ object SimSearch extends graft.QueryModule {
          |         ${dotSql.format("e.embedding", "e.embedding")} AS na,
          |         ${dotSql.format("p.pe", "p.pe")} AS np
          |  FROM embeddings e, p WHERE e.vec_id <> 0)
+         |SELECT vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_search_truncated" ->
+      s"""WITH p AS (SELECT list_slice(embedding, 1, 16) AS pe
+         |           FROM embeddings WHERE vec_id = 0),
+         |t AS (SELECT vec_id, list_slice(embedding, 1, 16) AS e16
+         |      FROM embeddings WHERE vec_id <> 0),
+         |s AS (
+         |  SELECT t.vec_id,
+         |         ${dotSql.format("t.e16", "p.pe")} AS d,
+         |         ${dotSql.format("t.e16", "t.e16")} AS na,
+         |         ${dotSql.format("p.pe", "p.pe")} AS np
+         |  FROM t, p)
          |SELECT vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
          |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // hard negatives: same bit-identical cosine, restricted to rows with

@@ -223,9 +223,89 @@ object Attribution extends graft.QueryModule {
        |ORDER BY channel""".stripMargin
   }
 
+  /** Shapley-value attribution [N] (Shapley 1953 applied to channel
+    * coalitions — the other standard multi-touch model next to Markov
+    * removal): with coalition value v(S) = converted users whose touch
+    * set ⊆ S, channel c earns φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! ·
+    * (v(S∪c) − v(S)). k = 4 channels → the weights ×24 are the exact
+    * integers {6, 2, 2, 6}, so φ·24 is an exact BIGINT and the only
+    * float is the final /24.0 display division. Efficiency axiom
+    * (Σφ = v(all) − v(∅)) is spec-pinned.
+    *
+    * Scale shape: ONE data-scale hash agg folds events into a per-user
+    * 4-bit channel mask + conversion flag; everything after runs on
+    * the 16-subset lattice (broadcast joins over `range(16)`). */
+  private def shapley(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("hc"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("he"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("hs"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("hv"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+    val cnt = per.filter(col("conv") === 1)
+      .select((col("hc") + col("he") * 2 + col("hs") * 4 + col("hv") * 8)
+        .as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cm"))
+    val subsets = s.range(16).select(col("id").cast("int").as("st"))
+    val v = subsets.join(broadcast(cnt), expr("(m & st) = m"), "left")
+      .groupBy("st").agg(coalesce(sum(col("cm")), lit(0L)).as("v"))
+      .localCheckpoint() // 16 rows, joined twice below
+    val chan = s.createDataFrame(Seq(
+      ("click", 1), ("error", 2), ("signup", 4), ("view", 8)))
+      .toDF("channel", "bit")
+    chan
+      .join(broadcast(v), expr("(st & bit) = 0"))
+      .join(broadcast(v.select(col("st").as("st2"), col("v").as("v2"))),
+        expr("st2 = st + bit"))
+      .withColumn("w", expr(
+        "case bit_count(st) when 0 then 6 when 1 then 2" +
+          " when 2 then 2 else 6 end"))
+      .groupBy("channel")
+      .agg(sum(col("w") * (col("v2") - col("v"))).as("phi24"))
+      .select(col("channel"), col("phi24"),
+        (col("phi24").cast("double") / lit(24.0)).as("shapley"))
+      .orderBy("channel")
+  }
+
+  private def shapleyOracle: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+      |         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS he,
+      |         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+      |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |cnt AS (
+      |  SELECT hc + he * 2 + hs * 4 + hv * 8 AS m, count(*) AS cm
+      |  FROM per WHERE conv = 1 GROUP BY 1),
+      |subsets AS (SELECT unnest(generate_series(0, 15)) AS st),
+      |v AS (
+      |  SELECT st, COALESCE(sum(cm), 0) AS v
+      |  FROM subsets LEFT JOIN cnt ON (m & st) = m GROUP BY st),
+      |chan(channel, bit) AS (VALUES ('click', 1), ('error', 2),
+      |                              ('signup', 4), ('view', 8)),
+      |d AS (
+      |  SELECT channel,
+      |         sum((CASE bit_count(a.st) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |              WHEN 2 THEN 2 ELSE 6 END) * (b.v - a.v)) AS phi24
+      |  FROM chan JOIN v a ON (a.st & bit) = 0
+      |  JOIN v b ON b.st = a.st + bit
+      |  GROUP BY 1)
+      |SELECT channel, CAST(phi24 AS BIGINT) AS phi24,
+      |       CAST(phi24 AS DOUBLE) / 24.0 AS shapley
+      |FROM d ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "attr_markov_removal" -> markovRemoval)
+    "attr_markov_removal" -> markovRemoval,
+    "attr_shapley" -> shapley)
 
   val oracles: Map[String, String] = Map(
-    "attr_markov_removal" -> markovOracle)
+    "attr_markov_removal" -> markovOracle,
+    "attr_shapley" -> shapleyOracle)
 }

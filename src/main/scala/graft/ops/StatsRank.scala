@@ -426,7 +426,57 @@ object StatsRank extends graft.QueryModule {
       |       / ((CAST(st2 AS DOUBLE) - sq) / CAST(n - k AS DOUBLE)) AS f
       |FROM agg""".stripMargin
 
+  /** Cochran's Q: k = 3 repeated binary measures per customer (had a
+    * fulfilled order in 1996 / 1997 / 1998). Q = (k−1)·(k·ΣC_j² − N²)
+    * / (k·N − ΣR_i²) — column totals, grand total, and row-sum squares
+    * are all exact BIGINTs from ONE hash agg; Q is a single mirrored
+    * division. The k-treatment generalization of [[mcnemar]]. */
+  private def cochranQ(s: SparkSession, d: String): DataFrame = {
+    def hadF(y: Int) =
+      max(when(year(col("o_orderdate")) === y &&
+        col("o_orderstatus") === "F", 1).otherwise(0))
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(hadF(1996).as("y1"), hadF(1997).as("y2"), hadF(1998).as("y3"))
+    per.agg(count(lit(1)).as("subjects"),
+        sum(col("y1")).as("c1"), sum(col("y2")).as("c2"),
+        sum(col("y3")).as("c3"),
+        sum((col("y1") + col("y2") + col("y3")) *
+          (col("y1") + col("y2") + col("y3"))).as("sr2"))
+      .select(col("subjects"),
+        (dd(lit(2) * (lit(3) * (col("c1") * col("c1") +
+          col("c2") * col("c2") + col("c3") * col("c3")) -
+          (col("c1") + col("c2") + col("c3")) *
+            (col("c1") + col("c2") + col("c3")))) /
+          dd(lit(3) * (col("c1") + col("c2") + col("c3")) - col("sr2")))
+          .as("q"),
+        lit(2).as("dof"))
+  }
+
+  private def cochranQOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         max(CASE WHEN year(o_orderdate) = 1996
+      |                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y1,
+      |         max(CASE WHEN year(o_orderdate) = 1997
+      |                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y2,
+      |         max(CASE WHEN year(o_orderdate) = 1998
+      |                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y3
+      |  FROM orders GROUP BY 1),
+      |agg AS (
+      |  SELECT count(*) AS subjects, sum(y1) AS c1, sum(y2) AS c2,
+      |         sum(y3) AS c3,
+      |         sum((y1 + y2 + y3) * (y1 + y2 + y3)) AS sr2
+      |  FROM per)
+      |SELECT CAST(subjects AS BIGINT) AS subjects,
+      |       CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+      |            - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+      |         / CAST(3 * (c1 + c2 + c3) - sr2 AS DOUBLE) AS q,
+      |       2 AS dof
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cochran_q" -> cochranQ,
     "stats_kendall_tau" -> kendallTau,
     "stats_wilcoxon_signed" -> wilcoxonSigned,
     "stats_kruskal_wallis" -> kruskalWallis,
@@ -435,6 +485,7 @@ object StatsRank extends graft.QueryModule {
     "stats_brown_forsythe" -> brownForsythe)
 
   def oracles: Map[String, String] = Map(
+    "stats_cochran_q" -> cochranQOracle,
     "stats_kendall_tau" -> kendallTauOracle,
     "stats_wilcoxon_signed" -> wilcoxonSignedOracle,
     "stats_kruskal_wallis" -> kruskalWallisOracle,

@@ -74,7 +74,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     "quality_t_closeness" -> ("1-row global-distribution/total crossJoins " +
       "over the bounded sensitive-value domain"),
     "ts_mann_kendall" -> ("calendar-bounded month-domain pair join " +
-      "(~84^2/2 pairs at ANY SF) + 1-row n/tie-term crossJoins"))
+      "(~84^2/2 pairs at ANY SF) + 1-row n/tie-term crossJoins"),
+    "stats_kendall_tau" -> ("bounded cell-domain pair join (price bins x " +
+      "months, ≤ ~2.6k cells at ANY SF — the mann_kendall/theil_sen " +
+      "pattern) + 1-row margin/total crossJoins"),
+    "stats_kruskal_wallis" -> ("1-row N crossJoins over the bounded " +
+      "(group x price-bin) rank domain"),
+    "stats_friedman" -> "1-row block-count crossJoin over the 5-treatment domain",
+    "stats_isotonic" -> ("10-bin PAV: 1-row first-violator crossJoin per " +
+      "merge round + the bounded pool<=bin map-back join"),
+    "attr_shapley" -> ("16-subset lattice mask joins ((m & st) = m — " +
+      "domain fixed at 2^k regardless of SF) + channel-bit join"),
+    "sim_search_truncated" -> "single-row probe crossJoin (cosineTopK twin)",
+    "text_rag_retrieve" -> "1-row corpus-stats crossJoin (text_bm25 twin)")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
