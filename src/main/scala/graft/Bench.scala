@@ -65,7 +65,6 @@ object Bench {
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
     "sim_search_pq",        // product-quantization ANN
     "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
-    "sql_asof",             // native as-of through the SQL TVF surface
     "mm_decode",            // real javax.imageio PNG decode (r7)
     "attr_markov_removal",  // Markov removal-effect attribution (r9;
                             // mm_audio_decode moved out - mm_decode stays
@@ -79,12 +78,18 @@ object Bench {
     "graph_jaccard_neighbors", // capped wedge link prediction (r8)
     "basket_rules",         // market-basket support/confidence/lift (r8)
     "agg_mv_rewrite",       // materialized-view rewrite serving (r8)
-    "agg_bitmap_distinct",  // mergeable exact-distinct rollup (r8)
-    "text_inverted_index",  // index build + conjunctive serve (r8)
     "graph_hits",           // pinned hubs/authorities alternation (r8)
     "emb_pca_power",        // distributed Gram + pinned power iteration (r8)
     "text_bpe_train",       // iterative vocab-bounded BPE merge rounds (r8)
     "text_substring_dedup", // ExactSubstr duplicated-span removal (r10)
+    "stats_kruskal_wallis", // doubled-rank nonparametric family rep (r11;
+                            // sql_asof's thin twin moved out - the asof
+                            // family keeps join_asof_native)
+    "text_rag_retrieve",    // chunk+BM25+top-k retrieval composition (r11;
+                            // text_inverted_index moved out - the text
+                            // family keeps 7 heavier reps)
+    "graph_adamic_adar",    // capped-wedge link prediction scoring (r11;
+                            // agg_bitmap_distinct's thin rollup moved out)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
   def main(args: Array[String]): Unit = {
