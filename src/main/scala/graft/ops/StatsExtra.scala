@@ -374,7 +374,108 @@ object StatsExtra extends graft.QueryModule {
   /** IPF's margins after the final column step: columns match the
     * target EXACTLY (the last step scaled them); rows are near-target
     * (IPF converges geometrically). Spec asserts both. */
+  /** Lincoln-Petersen / Chapman capture-recapture [N] — the coverage
+    * estimator a dedup pipeline uses to judge how much of the true
+    * population two overlapping samples saw: capture 1 = customers
+    * ordering in 1996, capture 2 = in 1997, recaptures = both. Chapman
+    * N̂ = (n1+1)(n2+1)/(m+1) − 1 with its variance, both single
+    * mirrored expressions of exact counts; the true distinct-customer
+    * count rides along so the spec can pin estimator quality. */
+  private def captureRecapture(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0))
+        .as("c1"),
+        max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0))
+          .as("c2"))
+    per.agg(count(lit(1)).as("n_true"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        (dd((col("n1") + 1) * (col("n2") + 1)) / dd(col("m") + 1) -
+          lit(1.0)).as("chapman"),
+        (dd((col("n1") + 1) * (col("n2") + 1)) *
+          dd((col("n1") - col("m")) * (col("n2") - col("m"))) /
+          (dd((col("m") + 1) * (col("m") + 1)) * dd(col("m") + 2)))
+          .as("variance"))
+  }
+
+  private def captureRecaptureOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+      |           AS c1,
+      |         max(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+      |           AS c2
+      |  FROM orders GROUP BY 1),
+      |agg AS (
+      |  SELECT count(*) AS n_true, sum(c1) AS n1, sum(c2) AS n2,
+      |         sum(c1 * c2) AS m
+      |  FROM per)
+      |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n1 AS BIGINT) AS n1,
+      |       CAST(n2 AS BIGINT) AS n2, CAST(m AS BIGINT) AS m,
+      |       CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+      |         - 1.0 AS chapman,
+      |       CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+      |         * CAST((n1 - m) * (n2 - m) AS DOUBLE)
+      |         / (CAST((m + 1) * (m + 1) AS DOUBLE)
+      |            * CAST(m + 2 AS DOUBLE)) AS variance
+      |FROM agg""".stripMargin
+
+  /** Two-proportion z-test [N] (pooled): fulfilled-order rate of the
+    * URGENT priorities vs the rest. Counts exact; z is one mirrored
+    * expression (pooled p̂, single sqrt). The proportions companion to
+    * `stats_welch_ttest`. */
+  private def propZtest(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val flag = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+      .otherwise(0)
+    val pos = when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+    Tables.orders(s, d)
+      .select(flag.as("g"), pos.as("y"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .agg(
+        sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 1, col("k")).otherwise(0L)).as("k1"),
+        sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 0, col("k")).otherwise(0L)).as("k2"))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"),
+        ((dd(col("k1")) / dd(col("n1")) - dd(col("k2")) / dd(col("n2"))) /
+          sqrt(dd(col("k1") + col("k2")) / dd(col("n1") + col("n2")) *
+            (lit(1.0) - dd(col("k1") + col("k2")) /
+              dd(col("n1") + col("n2"))) *
+            (lit(1.0) / dd(col("n1")) + lit(1.0) / dd(col("n2")))))
+          .as("z"))
+  }
+
+  private def propZtestOracle: String =
+    """WITH g AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN 1 ELSE 0 END AS g,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |per AS (SELECT g, count(*) AS n, sum(y) AS k FROM g GROUP BY g),
+      |agg AS (
+      |  SELECT sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS n1,
+      |         sum(CASE WHEN g = 1 THEN k ELSE 0 END) AS k1,
+      |         sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS n2,
+      |         sum(CASE WHEN g = 0 THEN k ELSE 0 END) AS k2
+      |  FROM per)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+      |       CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+      |       (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |       / sqrt(CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+      |              * (1.0 - CAST(k1 + k2 AS DOUBLE)
+      |                 / CAST(n1 + n2 AS DOUBLE))
+      |              * (1.0 / CAST(n1 AS DOUBLE)
+      |                 + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_capture_recapture" -> (captureRecapture _),
+    "stats_prop_ztest" -> (propZtest _),
     "stats_ipf_rake" -> (ipf _),
     "ts_changepoint" -> (changepoint _),
     "stats_hoeffding_ci" -> (hoeffdingCi _),
@@ -383,6 +484,8 @@ object StatsExtra extends graft.QueryModule {
     "stats_mutual_info" -> (mutualInfo _))
 
   val oracles: Map[String, String] = Map(
+    "stats_capture_recapture" -> captureRecaptureOracle,
+    "stats_prop_ztest" -> propZtestOracle,
     "stats_ipf_rake" -> ipfOracle,
     "ts_changepoint" -> changepointOracle,
     "stats_hoeffding_ci" -> hoeffdingOracle,

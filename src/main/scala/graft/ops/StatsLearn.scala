@@ -989,7 +989,88 @@ object StatsLearn extends graft.QueryModule {
        |FROM it$emIters""".stripMargin
   }
 
+  /** Krippendorff's alpha [N] (nominal, with MISSING ratings — the
+    * generalization `stats_fleiss_kappa` can't do): the same 3
+    * md5-derived annotators, but each rater skips ~1/7 of items
+    * (hex % 7 = 0 → missing). Per unit with m ≥ 2 ratings, the
+    * disagreement contribution dis/(m−1) has denominator 1 or 2 only,
+    * so DOUBLED it is an exact integer (2·(m² − Σcount_c²) div (m−1));
+    * expected disagreement comes from the marginals (n² − Σn_c²).
+    * α = 1 − (n−1)·Do2 / (2·(n² − Σn_c²)) — one mirrored division of
+    * exact BIGINTs. ONE data-scale projection + one hash agg. */
+  private def krippendorff(s: SparkSession, d: String): DataFrame = {
+    def hex4(r: Int) =
+      s"cast(conv(substring(md5(concat(cast(o_orderkey as string), " +
+        s"'#$r', ':ka')), 1, 4), 16, 10) as bigint)"
+    def lab(r: Int) = {
+      val h = hex4(r)
+      val base = "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"
+      // missing when h % 7 = 0, else the fleiss-style noisy label
+      s"CASE WHEN ($h) % 7 = 0 THEN NULL " +
+        s"WHEN ($h) % 5 = 0 THEN (($h) div 5) % 3 ELSE $base END"
+    }
+    val labs = (0 to 2).map(lab)
+    val cnt = (j: Int) => labs.map(l =>
+      s"CASE WHEN ($l) = $j THEN 1 ELSE 0 END").mkString("(", " + ", ")")
+    val cs = (0 to 2).map(cnt)
+    val mU = labs.map(l => s"CASE WHEN ($l) IS NULL THEN 0 ELSE 1 END")
+      .mkString("(", " + ", ")")
+    val s2 = cs.map(c => s"$c * $c").mkString(" + ")
+    Tables.orders(s, d)
+      .selectExpr(Seq(s"$mU as mu", s"($mU) * ($mU) - ($s2) as dis") ++
+        cs.zipWithIndex.map { case (c, j) => s"$c as c$j" }: _*)
+      .filter(col("mu") >= 2)
+      .agg(sum(col("mu")).as("n"),
+        sum(expr("(2 * dis) div (mu - 1)")).as("do2"),
+        sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
+      .selectExpr("cast(n as bigint) as n", "cast(do2 as bigint) as do2",
+        "cast(n0 as bigint) as n0", "cast(n1 as bigint) as n1",
+        "cast(n2 as bigint) as n2",
+        "1.0D - cast((n - 1) * do2 as double)" +
+          " / (2.0D * cast(n * n - (n0 * n0 + n1 * n1 + n2 * n2)" +
+          " as double)) as alpha")
+  }
+
+  private def krippendorffOracle: String = {
+    def hex4(r: Int) = (0 until 4).map { i =>
+      val f = 1L << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)" +
+        s" || '#$r' || ':ka'), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", " + ", ")")
+    def lab(r: Int) = {
+      val h = hex4(r)
+      val base = "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"
+      s"CASE WHEN ($h) % 7 = 0 THEN NULL " +
+        s"WHEN ($h) % 5 = 0 THEN (($h) // 5) % 3 ELSE $base END"
+    }
+    val labs = (0 to 2).map(lab)
+    val cnt = (j: Int) => labs.map(l =>
+      s"CASE WHEN ($l) = $j THEN 1 ELSE 0 END").mkString("(", " + ", ")")
+    val cs = (0 to 2).map(cnt)
+    val mU = labs.map(l => s"CASE WHEN ($l) IS NULL THEN 0 ELSE 1 END")
+      .mkString("(", " + ", ")")
+    val s2 = cs.map(c => s"$c * $c").mkString(" + ")
+    s"""WITH units AS (
+       |  SELECT $mU AS mu, ($mU) * ($mU) - ($s2) AS dis,
+       |         ${cs.zipWithIndex.map { case (c, j) => s"$c AS c$j" }
+            .mkString(",\n|         ")}
+       |  FROM orders),
+       |agg AS (
+       |  SELECT sum(mu) AS n, sum((2 * dis) // (mu - 1)) AS do2,
+       |         sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2
+       |  FROM units WHERE mu >= 2)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(do2 AS BIGINT) AS do2,
+       |       CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       |       CAST(n2 AS BIGINT) AS n2,
+       |       1.0 - CAST((n - 1) * do2 AS DOUBLE)
+       |         / (2.0 * CAST(n * n - (n0 * n0 + n1 * n1 + n2 * n2)
+       |            AS DOUBLE)) AS alpha
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_krippendorff" -> krippendorff,
     "stats_naive_bayes" -> naiveBayes,
     "stats_tree_stump" -> treeStump,
     "stats_logistic_gd" -> logisticGd,
@@ -1003,6 +1084,7 @@ object StatsLearn extends graft.QueryModule {
     "stats_theil_sen" -> theilSen)
 
   val oracles: Map[String, String] = Map(
+    "stats_krippendorff" -> krippendorffOracle,
     "stats_naive_bayes" -> naiveBayesOracle,
     "stats_tree_stump" -> treeStumpOracle,
     "stats_logistic_gd" -> logisticGdOracle,

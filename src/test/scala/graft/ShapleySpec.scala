@@ -29,6 +29,40 @@ class ShapleySpec extends AnyFunSuite {
       s"sum(phi24)=$phiSum vs 24*(v(C)-v(empty))=${24 * (vAll - vEmpty)}")
   }
 
+  test("stats_capture_recapture: Chapman estimate lands within 3 SE of" +
+    " the true population") {
+    val r = SparkEntry.queries("stats_capture_recapture")(spark, sf)
+      .collect().head
+    val (nTrue, est, v) = (r.getAs[Long]("n_true"),
+      r.getAs[Double]("chapman"), r.getAs[Double]("variance"))
+    assert(est > 0 && v > 0)
+    // customers order near-independently across years, so the
+    // capture-recapture assumptions hold and the estimator is tight
+    assert(math.abs(est - nTrue) <= 3 * math.sqrt(v) + 1,
+      s"Chapman $est vs true $nTrue (se=${math.sqrt(v)})")
+  }
+
+  test("stats_prop_ztest: group counts partition the orders") {
+    val r = SparkEntry.queries("stats_prop_ztest")(spark, sf).collect().head
+    val total = r.getAs[Long]("n1") + r.getAs[Long]("n2")
+    assert(total == Tables.orders(spark, sf).count())
+    assert(!r.getAs[Double]("z").isNaN)
+    // priorities are independent of status: |z| small
+    assert(math.abs(r.getAs[Double]("z")) < 5.0)
+  }
+
+  test("stats_krippendorff: alpha in (0,1) — better than chance, worse" +
+    " than perfect (noise + missing are planted)") {
+    val r = SparkEntry.queries("stats_krippendorff")(spark, sf)
+      .collect().head
+    val alpha = r.getAs[Double]("alpha")
+    assert(alpha > 0.3 && alpha < 0.95, s"alpha=$alpha")
+    // ~1/7 of ratings missing: n well below 3x items but above 2x
+    val items = Tables.orders(spark, sf).count()
+    val n = r.getAs[Long]("n")
+    assert(n < 3 * items && n > 2 * items)
+  }
+
   test("stats_cochran_q: Q >= 0, dof = k - 1") {
     val r = SparkEntry.queries("stats_cochran_q")(spark, sf).collect().head
     assert(r.getAs[Long]("subjects") > 1000)
