@@ -176,7 +176,97 @@ object Features extends graft.QueryModule {
        |ORDER BY doc_id, idx""".stripMargin
   }
 
+  /** Point-in-time-correct training-set assembly [N] — the feature-
+    * store flagship: for every 1998 order (the example spine), build
+    * leak-free customer features from STRICTLY PRIOR history (running
+    * spend, order count, recency via window frames ending at −1), a
+    * FUTURE label (next order within 90 days, via lead), and an
+    * md5-coin train/valid/test split keyed on the ENTITY (customer —
+    * so no customer straddles splits and leaks their own history).
+    * The whole set is ONE declarative plan: a single shuffle on
+    * custkey drives every feature window AND the label — no
+    * per-example point lookups, which is exactly what makes the shape
+    * scale (the per-example-join formulation re-shuffles the history
+    * once per feature).
+    *
+    * Same-day earlier orders (tie-broken by orderkey) count as
+    * "prior": the ordering is total, so the feature values are
+    * deterministic and the oracle replays them row-for-row. */
+  private def trainingSet(s: SparkSession, d: String): DataFrame = {
+    val cents = "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr(cents).as("cts"))
+      .withColumn("spend_prior",
+        coalesce(sum(col("cts")).over(wPrior), lit(0L)))
+      .withColumn("orders_prior", count(lit(1)).over(wPrior))
+      .withColumn("recency_days", coalesce(
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)), lit(-1)))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("spend_prior"), col("orders_prior"), col("recency_days"),
+        when(col("next_date").isNotNull &&
+          datediff(col("next_date"), col("o_orderdate")) <= 90, 1)
+          .otherwise(0).as("label"),
+        expr("cast(conv(substring(md5(concat(cast(o_custkey as string)," +
+          " ':ts')), 1, 4), 16, 10) as int) % 100").as("bucket"))
+      .select(col("o_orderkey"), col("o_custkey"), col("spend_prior"),
+        col("orders_prior"), col("recency_days"), col("label"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("o_orderkey")
+  }
+
+  private def trainingSetOracle: String =
+    """WITH hist AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           AS cts,
+      |         COALESCE(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |             AS BIGINT)) OVER w1, 0) AS spend_prior,
+      |         count(*) OVER w1 AS orders_prior,
+      |         COALESCE(date_diff('day',
+      |           lag(o_orderdate) OVER w2, o_orderdate), -1) AS recency_days,
+      |         lead(o_orderdate) OVER w2 AS next_date
+      |  FROM orders
+      |  WINDOW w1 AS (PARTITION BY o_custkey
+      |                ORDER BY o_orderdate, o_orderkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         w2 AS (PARTITION BY o_custkey
+      |                ORDER BY o_orderdate, o_orderkey)),
+      |spine AS (
+      |  SELECT o_orderkey, o_custkey, spend_prior, orders_prior,
+      |         CAST(recency_days AS INTEGER) AS recency_days,
+      |         CASE WHEN next_date IS NOT NULL
+      |               AND date_diff('day', o_orderdate, next_date) <= 90
+      |              THEN 1 ELSE 0 END AS label,
+      |         CAST((
+      |             (strpos('0123456789abcdef', substr(md5(
+      |               CAST(o_custkey AS VARCHAR) || ':ts'), 1, 1)) - 1) * 4096
+      |           + (strpos('0123456789abcdef', substr(md5(
+      |               CAST(o_custkey AS VARCHAR) || ':ts'), 2, 1)) - 1) * 256
+      |           + (strpos('0123456789abcdef', substr(md5(
+      |               CAST(o_custkey AS VARCHAR) || ':ts'), 3, 1)) - 1) * 16
+      |           + (strpos('0123456789abcdef', substr(md5(
+      |               CAST(o_custkey AS VARCHAR) || ':ts'), 4, 1)) - 1)) % 100
+      |           AS INTEGER) AS bucket
+      |  FROM hist WHERE year(o_orderdate) = 1998)
+      |SELECT o_orderkey, o_custkey, CAST(spend_prior AS BIGINT)
+      |         AS spend_prior,
+      |       CAST(orders_prior AS BIGINT) AS orders_prior, recency_days,
+      |       label,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM spine ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_training_set" -> trainingSet,
     "feat_hashing_trick" -> hashingTrick,
     "feat_target_encode" -> targetEncode,
     "feat_woe_iv" -> woeIv,
@@ -185,6 +275,7 @@ object Features extends graft.QueryModule {
     "stats_psi" -> psi)
 
   val oracles: Map[String, String] = Map(
+    "feat_training_set" -> trainingSetOracle,
     "feat_hashing_trick" -> hashingTrickOracle,
     "feat_target_encode" ->
       """WITH g AS (
