@@ -201,4 +201,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"NOT IN fell back to a nested loop:\n$p")
   }
+
+  test("feat_training_set: ONE history shuffle drives all features, the" +
+    " label, and the split") {
+    val p = plan("feat_training_set")
+    // the scale claim: every feature window + lead/lag label hangs off
+    // a single hashpartitioning(o_custkey) exchange — a per-feature
+    // point-join formulation would add one exchange per feature
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (the custkey history shuffle)," +
+        s" got $hashExchanges:\n$p")
+    // no join anywhere: features come from window frames, not lookups
+    assert(!p.contains("Join"), s"training set should not join:\n$p")
+  }
 }
