@@ -78,9 +78,74 @@ object Recommender extends graft.QueryModule {
       |       CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin
 
+  /** One rank-1 ALS alternation [N] (Koren/Bell/Volinsky's alternating
+    * least squares, the distributed-MF workhorse) over the
+    * customer×part quantity matrix, v initialized to 1:
+    *   user step:  u_i = Σ_j r_ij / n_i            (since v ≡ 1)
+    *   item step:  v_j = Σ_i r_ij·u_i / Σ_i u_i²   (over item j's raters)
+    * Both solves land on a ×10⁶ integer grid via half-even integer
+    * division (the `text_ccnet_buckets` lesson: a ratio of exact sums
+    * must divide on the grid, never round after a float divide). The
+    * item-step denominator Σu6² reaches ~2.5e17 — past 2⁵³ — so it
+    * accumulates as decimal(38,0)/HUGEINT and the division stays
+    * integral end to end; the only floats are the /1e6 display casts.
+    *
+    * Scale shape: exactly distributed ALS — ratings shuffle once per
+    * half-step on the side being solved (custkey, then partkey), the
+    * factor table rides the join. Top-50 items by factor emit. */
+  private def alsRank1(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("r"))
+    val users = ratings.groupBy("cust")
+      .agg(sum(col("r")).as("sr"), count(lit(1)).as("nr"))
+      .selectExpr("cust",
+        graft.ops.Technicals.divHESparkSql("sr * 1000000", "nr") + " as u6")
+    val items = ratings.join(users, "cust")
+      .groupBy("item")
+      .agg(sum(col("r") * col("u6")).as("num"),
+        sum((col("u6") * col("u6")).cast("decimal(38,0)")).as("den"),
+        count(lit(1)).as("n_raters"))
+      .selectExpr("item", "n_raters",
+        graft.ops.Technicals.divHESparkSql(
+          "cast(num as decimal(38,0)) * 1000000", "den") + " as v6")
+    items
+      .select(col("item"), col("n_raters"),
+        (col("v6").cast("double") / lit(1.0e6)).as("v"))
+      .orderBy(col("v").desc, col("item"))
+      .limit(50)
+  }
+
+  private def alsRank1Oracle: String = {
+    val u6 = Technicals.divHEDuckSql("sr * 1000000", "nr")
+    val v6 = Technicals.divHEDuckSql(
+      "CAST(num AS HUGEINT) * 1000000", "den")
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS cust, l_partkey AS item,
+       |         sum(CAST(l_quantity AS BIGINT)) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |users AS (
+       |  SELECT cust, $u6 AS u6
+       |  FROM (SELECT cust, sum(r) AS sr, count(*) AS nr
+       |        FROM ratings GROUP BY cust)),
+       |items AS (
+       |  SELECT item, count(*) AS n_raters,
+       |         sum(r * u6) AS num,
+       |         sum(CAST(u6 AS HUGEINT) * u6) AS den
+       |  FROM ratings JOIN users USING (cust) GROUP BY item)
+       |SELECT item, CAST(n_raters AS BIGINT) AS n_raters,
+       |       CAST($v6 AS DOUBLE) / 1.0e6 AS v
+       |FROM items ORDER BY v DESC, item LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_item_cosine" -> itemCosine)
+    "rec_item_cosine" -> itemCosine,
+    "rec_als_rank1" -> alsRank1)
 
   val oracles: Map[String, String] = Map(
-    "rec_item_cosine" -> itemCosineOracle)
+    "rec_item_cosine" -> itemCosineOracle,
+    "rec_als_rank1" -> alsRank1Oracle)
 }

@@ -49,10 +49,23 @@ object Technicals extends graft.QueryModule {
     if (n < 0) -q else q
   }
 
-  private def divHESql(n: String, den: Long): String = {
+  private def divHESql(n: String, den: Long): String =
+    divHEDuckSql(n, den.toString)
+
+  /** Shared signed half-even-division SQL fragments with EXPRESSION
+    * denominators — Spark (`div`) and DuckDB (`//`) spellings of the
+    * same arithmetic, for modules whose grid divisions have column
+    * denominators (rec_als_rank1's per-entity counts). */
+  private[ops] def divHESparkSql(n: String, den: String): String =
+    divHEFrag(n, den, "div")
+
+  private[ops] def divHEDuckSql(n: String, den: String): String =
+    divHEFrag(n, den, "//")
+
+  private def divHEFrag(n: String, den: String, div: String): String = {
     def pos(m: String) =
-      s"(($m) // $den + (case when (($m) % $den) * 2 > $den then 1 " +
-        s"when (($m) % $den) * 2 = $den then ((($m) // $den)) % 2 " +
+      s"(($m) $div ($den) + (case when (($m) % ($den)) * 2 > ($den) then 1 " +
+        s"when (($m) % ($den)) * 2 = ($den) then ((($m) $div ($den))) % 2 " +
         s"else 0 end))"
     s"(case when ($n) < 0 then -${pos(s"-($n)")} else ${pos(n)} end)"
   }
@@ -293,15 +306,58 @@ object Technicals extends graft.QueryModule {
        |FROM walk WHERE i >= 13 ORDER BY month""".stripMargin
   }
 
+  /** Rolling 30-row OLS slope of daily revenue against the day index —
+    * the "local trend" a momentum screen reads: slope = (nΣxy − ΣxΣy)
+    * / (nΣx² − (Σx)²) per window, every power sum an exact integer
+    * (x = days since 1995-01-01 ≤ ~2.4k, y in $1000 units → nΣxy ≤
+    * ~30·2.4e3·2.3e4·30 ≈ 5e10, double-exact at any SF), one mirrored
+    * division per row. */
+  private def rollingSlope(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-29, 0)
+    daily(s, d)
+      .withColumn("x", datediff(col("day"), lit("1995-01-01")))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("r")).over(w))
+      .withColumn("sxy", sum(col("x") * col("r")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("m") === 30)
+      .select(col("day"), col("r"),
+        (dd(col("sxy") * 30 - col("sx") * col("sy")) /
+          dd(col("sxx") * 30 - col("sx") * col("sx"))).as("slope"))
+      .orderBy("day")
+  }
+
+  private def rollingSlopeOracle: String =
+    s"""WITH dd AS ($dailySql),
+       |xy AS (
+       |  SELECT day, r,
+       |         date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS x
+       |  FROM dd),
+       |win AS (
+       |  SELECT day, r,
+       |         sum(x) OVER w AS sx, sum(r) OVER w AS sy,
+       |         sum(x * r) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+       |         count(*) OVER w AS m
+       |  FROM xy
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+       |               AND CURRENT ROW))
+       |SELECT day, CAST(r AS BIGINT) AS r,
+       |       CAST(sxy * 30 - sx * sy AS DOUBLE)
+       |         / CAST(sxx * 30 - sx * sx AS DOUBLE) AS slope
+       |FROM win WHERE m = 30 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_macd" -> macd,
     "fin_bollinger" -> bollinger,
     "fin_stochastic" -> stochastic,
+    "win_rolling_slope" -> rollingSlope,
     "ts_holt_winters" -> holtWinters)
 
   def oracles: Map[String, String] = Map(
     "fin_macd" -> macdOracle,
     "fin_bollinger" -> bollingerOracle,
     "fin_stochastic" -> stochasticOracle,
+    "win_rolling_slope" -> rollingSlopeOracle,
     "ts_holt_winters" -> holtWintersOracle)
 }

@@ -52,6 +52,35 @@ class TechnicalsSpec extends AnyFunSuite {
     assert(math.abs(meanS) < 0.25 * meanY)
   }
 
+  test("win_rolling_slope: slopes bounded by the series' own range") {
+    val rows = SparkEntry.queries("win_rolling_slope")(spark, sf).collect()
+    assert(rows.length > 2000)
+    // a 30-day local trend can't exceed the total range per day
+    val ys = rows.map(_.getAs[Long]("r").toDouble)
+    val bound = (ys.max - ys.min)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("slope")) <= bound))
+    // slopes take both signs on a mean-reverting series
+    assert(rows.exists(_.getAs[Double]("slope") > 0))
+    assert(rows.exists(_.getAs[Double]("slope") < 0))
+  }
+
+  test("rec_als_rank1: factors positive and near the rating scale;" +
+    " top item factor exceeds the median") {
+    val rows = SparkEntry.queries("rec_als_rank1")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_raters") >= 1)
+      // with v init 1 and u = per-user mean quantity, the item factor
+      // is a weighted regression of r on u: positive, order of the
+      // rating scale (quantities are 1..50 per line)
+      val v = r.getAs[Double]("v")
+      assert(v > 0.0 && v < 100.0, s"factor off-scale: $v")
+    }
+    // the list is sorted by factor
+    rows.map(_.getAs[Double]("v")).sliding(2)
+      .foreach { case Array(a, b) => assert(a >= b) }
+  }
+
   test("fin_macd: hist = macd - signal; EMAs track the series level") {
     val rows = SparkEntry.queries("fin_macd")(spark, sf)
       .orderBy("day").collect()
