@@ -347,7 +347,79 @@ object Technicals extends graft.QueryModule {
        |         / CAST(sxx * 30 - sx * sx AS DOUBLE) AS slope
        |FROM win WHERE m = 30 ORDER BY day""".stripMargin
 
+  /** Exponentially time-decayed counters [N] (0.99/day half-life ≈ 69
+    * days) — the "trending now" scoring a feed ranker runs nightly:
+    * per priority, Σ_days n_d · 0.99^Δ_d with Δ = days before the
+    * corpus max date. The decay curve is NOT computed with pow()
+    * (cross-engine ULP drift compounds over thousands of days);
+    * instead 0.99^Δ lives on the ×10¹² integer grid via the recursion
+    * w(Δ) = divHE(w(Δ−1)·99·10¹⁰, 10¹²) — exact and bit-identical by
+    * construction (Spark: a calendar-bounded driver-built dimension,
+    * broadcast; oracle: the same recursion as a recursive CTE). The
+    * weighted sum n·w accumulates as decimal(38,0) (reaches ~2.4e19 —
+    * past int64); one /1e12 display division per group. */
+  private def timeDecay(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val maxDay = days.agg(max(col("day")).as("mx"))
+    val horizon = days.crossJoin(broadcast(maxDay))
+      .agg(max(datediff(col("mx"), col("day"))).as("h"))
+      .collect().head.getInt(0) // calendar-bounded scalar
+    var w = BigInt("1000000000000")
+    val weights = (0 to horizon).map { delta =>
+      val row = (delta, w.toLong)
+      w = divHE(w * BigInt("990000000000"), BigInt("1000000000000"))
+      row
+    }
+    val wDf = s.createDataFrame(weights).toDF("delta", "w12")
+    days.crossJoin(broadcast(maxDay))
+      .withColumn("delta", datediff(col("mx"), col("day")))
+      .join(broadcast(wDf), "delta")
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum((col("n") * col("w12")).cast("decimal(38,0)")).as("dw"))
+      // grid-divide BEFORE the double cast: dw crosses 2^53, and a wide
+      // decimal/HUGEINT -> double cast is the engine-divergent step
+      .selectExpr("g", "n_orders",
+        divHESparkSql("dw", "1000000") + " as d6")
+      .select(col("g"), col("n_orders"),
+        (col("d6").cast("double") / lit(1.0e6)).as("decayed"))
+      .orderBy("g")
+  }
+
+  private def timeDecayOracle: String = {
+    val step = divHESql("w.w12 * 990000000000", 1000000000000L)
+    s"""WITH RECURSIVE days AS MATERIALIZED (
+       |  SELECT o_orderpriority AS g, o_orderdate AS day, count(*) AS n
+       |  FROM orders GROUP BY 1, 2),
+       |mx AS (SELECT max(day) AS mx FROM days),
+       |h AS (SELECT max(date_diff('day', CAST(day AS DATE),
+       |               CAST(mx AS DATE))) AS h FROM days, mx),
+       |w(delta, w12) AS (
+       |  SELECT 0, CAST(1000000000000 AS HUGEINT)
+       |  UNION ALL
+       |  SELECT w.delta + 1, $step
+       |  FROM w, h WHERE w.delta < h.h),
+       |joined AS (
+       |  SELECT g, n,
+       |         date_diff('day', CAST(day AS DATE), CAST(mx AS DATE))
+       |           AS delta
+       |  FROM days, mx),
+       |agg AS (
+       |  SELECT g, sum(n) AS n_orders,
+       |         sum(CAST(n AS HUGEINT) * w.w12) AS dw
+       |  FROM joined JOIN w USING (delta)
+       |  GROUP BY g)
+       |SELECT g, CAST(n_orders AS BIGINT) AS n_orders,
+       |       CAST(__D6__ AS DOUBLE) / 1.0e6 AS decayed
+       |FROM agg ORDER BY g""".stripMargin
+      .replace("__D6__", divHEDuckSql("dw", "1000000"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_time_decay" -> timeDecay,
     "fin_macd" -> macd,
     "fin_bollinger" -> bollinger,
     "fin_stochastic" -> stochastic,
@@ -355,6 +427,7 @@ object Technicals extends graft.QueryModule {
     "ts_holt_winters" -> holtWinters)
 
   def oracles: Map[String, String] = Map(
+    "agg_time_decay" -> timeDecayOracle,
     "fin_macd" -> macdOracle,
     "fin_bollinger" -> bollingerOracle,
     "fin_stochastic" -> stochasticOracle,

@@ -86,6 +86,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "attr_shapley" -> ("16-subset lattice mask joins ((m & st) = m — " +
       "domain fixed at 2^k regardless of SF) + channel-bit join"),
     "sim_search_truncated" -> "single-row probe crossJoin (cosineTopK twin)",
+    "agg_time_decay" -> ("1-row max-date crossJoins over the calendar-" +
+      "bounded day domain (the decay-weight dim itself broadcasts)"),
     "text_rag_retrieve" -> "1-row corpus-stats crossJoin (text_bm25 twin)")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan

