@@ -201,11 +201,67 @@ object Retrieval extends graft.QueryModule {
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** LLM-watermark detection [N] (Kirchenbauer et al. 2023's green-list
+    * scheme, detection side): a watermarking sampler seeds a "green"
+    * half of the vocabulary from each previous token; watermarked text
+    * over-selects green tokens. Detection needs only the hash: per
+    * bigram, green = md5(w1 ‖ w2) parity; per doc
+    * z = (2g − n)/√n (the binomial z against p = ½ — exact integers,
+    * one mirrored sqrt/divide). Over an UNWATERMARKED corpus the spec
+    * expects a centered z distribution and no 4σ flags — this is the
+    * filter a training pipeline runs to keep synthetic text out. */
+  private def watermarkDetect(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("p"))
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(concat(p.w1, ':wm:', p.w2)), 1, 4)," +
+          " 16, 10) as int)") % 2).as("green"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("green") === 0, 1L).otherwise(0L)).as("g"))
+      .select(col("doc_id"), col("n"), col("g"),
+        (dd(col("g") * 2 - col("n")) / sqrt(dd(col("n")))).as("z"))
+      .withColumn("flagged", col("z") > 4.0)
+      .orderBy("doc_id")
+  }
+
+  private def watermarkDetectOracle: String =
+    """WITH pairs AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+      |scored AS (
+      |  SELECT doc_id,
+      |         ((strpos('0123456789abcdef', substr(md5(w1 || ':wm:' || w2),
+      |             1, 1)) - 1) * 4096
+      |          + (strpos('0123456789abcdef', substr(md5(w1 || ':wm:' || w2),
+      |             2, 1)) - 1) * 256
+      |          + (strpos('0123456789abcdef', substr(md5(w1 || ':wm:' || w2),
+      |             3, 1)) - 1) * 16
+      |          + (strpos('0123456789abcdef', substr(md5(w1 || ':wm:' || w2),
+      |             4, 1)) - 1)) % 2 AS green
+      |  FROM pairs),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n,
+      |         sum(CASE WHEN green = 0 THEN 1 ELSE 0 END) AS g
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(g AS BIGINT) AS g,
+      |       CAST(g * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z,
+      |       CAST(g * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) > 4.0
+      |         AS flagged
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ccnet_buckets" -> ccnetBuckets,
+    "text_watermark_detect" -> watermarkDetect,
     "text_rag_retrieve" -> ragRetrieve)
 
   def oracles: Map[String, String] = Map(
     "text_ccnet_buckets" -> ccnetBucketsOracle,
+    "text_watermark_detect" -> watermarkDetectOracle,
     "text_rag_retrieve" -> ragRetrieveOracle)
 }

@@ -173,13 +173,105 @@ object Calibration extends graft.QueryModule {
       |         / (CAST(cum_n AS DOUBLE) * CAST(tot_pos AS DOUBLE)) AS lift
       |FROM cum ORDER BY bin DESC""".stripMargin
 
+  /** Split-conformal prediction interval [N] (Vovk; the
+    * distribution-free coverage guarantee a model-serving layer wraps
+    * around ANY point predictor): predictor = per-priority mean price
+    * trained on ≤1997 (pinned to a ×10⁶ grid by half-even integer
+    * division), calibration = 1998 H1 absolute residuals, q = the
+    * ⌈0.9·(n+1)⌉-th order statistic of the calibration residuals —
+    * taken over $100 residual BINS via cumulative counts (the exact
+    * order-statistic-without-a-sort trick from `stats_brown_forsythe`;
+    * the bin's upper edge keeps the guarantee conservative), then
+    * coverage measured on the held-out 1998 H2. Everything is exact
+    * integers; coverage is one division. */
+  private def conformal(s: SparkSession, d: String): DataFrame = {
+    val cents = "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), expr(cents).as("c"),
+        col("o_orderdate").as("dt"))
+    val mu = base.filter(col("dt") < lit("1998-01-01"))
+      .groupBy("g").agg(sum(col("c")).as("sc"), count(lit(1)).as("nc"))
+      .selectExpr("g",
+        Technicals.divHESparkSql("sc * 1000000", "nc") + " as mu6")
+    val calib = base
+      .filter(col("dt") >= lit("1998-01-01") && col("dt") < lit("1998-07-01"))
+      .join(broadcast(mu), "g")
+      .select(expr("abs(c * 1000000 - mu6) div 10000000000")
+        .as("rb")) // $100 residual bins
+      .groupBy("rb").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("rb"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = calib.agg(sum("cnt").as("n_cal"))
+    val qBin = calib.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 10 >= (col("n_cal") + 1) * 9)
+      .agg(min(col("rb")).as("qb"), max(col("n_cal")).as("n_cal"))
+    val test = base
+      .filter(col("dt") >= lit("1998-07-01") && col("dt") < lit("1999-01-01"))
+      .join(broadcast(mu), "g")
+      .crossJoin(broadcast(qBin))
+      .select(col("n_cal"), col("qb"),
+        (abs(col("c") * 1000000L - col("mu6")) <=
+          (col("qb") + 1) * 10000000000L).as("covered"))
+    test.groupBy(col("n_cal"), col("qb"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("qb").as("q_bin_100usd"), col("n_test"),
+        col("n_covered"),
+        (dd(col("n_covered")) / dd(col("n_test"))).as("coverage"))
+  }
+
+  private def conformalOracle: String = {
+    val mu6 = Technicals.divHEDuckSql("sc * 1000000", "nc")
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS g,
+       |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |           AS c,
+       |         o_orderdate AS dt
+       |  FROM orders),
+       |mu AS (
+       |  SELECT g, $mu6 AS mu6
+       |  FROM (SELECT g, sum(c) AS sc, count(*) AS nc FROM base
+       |        WHERE dt < DATE '1998-01-01' GROUP BY g)),
+       |calib AS (
+       |  SELECT abs(b.c * 1000000 - mu.mu6) // 10000000000 AS rb,
+       |         count(*) AS cnt
+       |  FROM base b JOIN mu USING (g)
+       |  WHERE dt >= DATE '1998-01-01' AND dt < DATE '1998-07-01'
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_cal FROM calib),
+       |qbin AS (
+       |  SELECT min(rb) AS qb, max(n_cal) AS n_cal FROM (
+       |    SELECT rb, sum(cnt) OVER (ORDER BY rb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      n_cal
+       |    FROM calib, tot)
+       |  WHERE cum * 10 >= (n_cal + 1) * 9),
+       |test AS (
+       |  SELECT qbin.n_cal, qbin.qb,
+       |         abs(b.c * 1000000 - mu.mu6)
+       |           <= (qbin.qb + 1) * 10000000000 AS covered
+       |  FROM base b JOIN mu USING (g), qbin
+       |  WHERE dt >= DATE '1998-07-01' AND dt < DATE '1999-01-01')
+       |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+       |       CAST(qb AS BIGINT) AS q_bin_100usd,
+       |       CAST(count(*) AS BIGINT) AS n_test,
+       |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_covered,
+       |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS coverage
+       |FROM test GROUP BY n_cal, qb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_isotonic" -> isotonic,
     "eval_ece" -> ece,
+    "eval_conformal" -> conformal,
     "eval_lift_deciles" -> liftDeciles)
 
   def oracles: Map[String, String] = Map(
     "stats_isotonic" -> isotonicOracle,
     "eval_ece" -> eceOracle,
+    "eval_conformal" -> conformalOracle,
     "eval_lift_deciles" -> liftDecilesOracle)
 }

@@ -34,6 +34,27 @@ class CalibrationSpec extends AnyFunSuite {
       s"PAV must preserve total positive mass: $fitMass vs $posMass")
   }
 
+  test("eval_conformal: held-out coverage honors the 90% guarantee") {
+    val r = SparkEntry.queries("eval_conformal")(spark, sf).collect().head
+    val cov = r.getAs[Double]("coverage")
+    // split-conformal guarantees E[coverage] >= 0.9; the bin upper
+    // edge adds a little slack, exchangeability variance subtracts a
+    // little — both small at n_cal ~ 1e3
+    assert(cov >= 0.87 && cov <= 0.97, s"coverage off-guarantee: $cov")
+    assert(r.getAs[Long]("n_cal") > 500 && r.getAs[Long]("n_test") > 500)
+  }
+
+  test("text_watermark_detect: unwatermarked corpus — centered z, no" +
+    " 4-sigma flags") {
+    val rows = SparkEntry.queries("text_watermark_detect")(spark, sf)
+      .collect()
+    assert(rows.length == 500)
+    assert(!rows.exists(_.getAs[Boolean]("flagged")),
+      "false positive on clean text")
+    val meanZ = rows.map(_.getAs[Double]("z")).sum / rows.length
+    assert(math.abs(meanZ) < 0.5, s"green-list parity biased: $meanZ")
+  }
+
   test("eval_ece: matches the n-weighted |gap| of eval_calibration") {
     val ece = SparkEntry.queries("eval_ece")(spark, sf)
       .collect().head.getAs[Double]("ece")
