@@ -301,11 +301,44 @@ object Attribution extends graft.QueryModule {
       |       CAST(phi24 AS DOUBLE) / 24.0 AS shapley
       |FROM d ORDER BY channel""".stripMargin
 
+  /** Top user-journey path prefixes [N] — the "what do people actually
+    * do first" report next to the Markov/Shapley models: each user's
+    * first five events (totally ordered by ts, event_id — ties can't
+    * reorder the path) joined as a `>` path string, counted, top-20.
+    * One hash agg per user with a bounded sorted collect (per-user
+    * event counts are small); no window over the global stream. */
+  private def topPaths(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """array_join(transform(
+          |  slice(array_sort(collect_list(
+          |    struct(ts, event_id, event_type))), 1, 5),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  private def topPathsOracle: String =
+    """WITH paths AS (
+      |  SELECT array_to_string(
+      |           (list(event_type ORDER BY ts, event_id))[1:5], '>')
+      |           AS path
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attr_markov_removal" -> markovRemoval,
+    "attr_top_paths" -> topPaths,
     "attr_shapley" -> shapley)
 
   val oracles: Map[String, String] = Map(
     "attr_markov_removal" -> markovOracle,
+    "attr_top_paths" -> topPathsOracle,
     "attr_shapley" -> shapleyOracle)
 }

@@ -147,9 +147,124 @@ object Autocorr extends graft.QueryModule {
        |ORDER BY lag""".stripMargin
   }
 
+  // ×1e6 integer log-probability literals for the fixed 2-state HMM —
+  // computed offline, NOT at runtime (ln across engines drifts a ULP;
+  // literals cannot): A = [[.9,.1],[.1,.9]], B(high|H)=.7, B(high|L)=.3,
+  // π = [.5,.5]
+  private val LnStay = -105361L // ln(0.9)·1e6
+  private val LnSwitch = -2302585L // ln(0.1)·1e6
+  private val LnHiH = -356675L // ln(0.7)·1e6
+  private val LnLoH = -1203973L // ln(0.3)·1e6
+  private val LnInit = -693147L // ln(0.5)·1e6
+
+  /** 2-state HMM regime decoding [N] (Viterbi — the volatility/demand
+    * regime detector): observation = daily revenue above/below its
+    * lower median (SF-invariant), fixed transition/emission
+    * parameters whose LOG-probabilities are ×10⁶ integer LITERALS —
+    * the whole Viterbi recursion is integer max-plus arithmetic
+    * (δ'_j = max_i(δ_i + a_ij) + b_j(y)), ties broken toward state H,
+    * so the decoded path is bit-identical by construction with zero
+    * runtime transcendentals. Forward pass + backtrace run driver-side
+    * over the calendar-bounded series (the `ts_holt_linear` walk
+    * precedent); the oracle replays BOTH passes as recursive CTEs
+    * (forward with backpointers, then a backward walk). */
+  private def hmmViterbi(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)" +
+          " div 100000")).as("r"))
+      .orderBy("day")
+      .collect()
+    val rs = days.map(_.getAs[Long]("r"))
+    val sorted = rs.sorted
+    val med = sorted((rs.length - 1) / 2) // lower median
+    val obs = rs.map(r => if (r > med) 1 else 0)
+    // forward: δ(H), δ(L) + backpointers
+    val n = obs.length
+    val bpH = new Array[Int](n); val bpL = new Array[Int](n)
+    var dH = LnInit + (if (obs(0) == 1) LnHiH else LnLoH)
+    var dL = LnInit + (if (obs(0) == 1) LnLoH else LnHiH)
+    for (t <- 1 until n) {
+      val fromHtoH = dH + LnStay; val fromLtoH = dL + LnSwitch
+      val fromHtoL = dH + LnSwitch; val fromLtoL = dL + LnStay
+      // ties prefer H (the lower state index) — mirrored in the oracle
+      val (nH, bh) =
+        if (fromHtoH >= fromLtoH) (fromHtoH, 0) else (fromLtoH, 1)
+      val (nL, bl) =
+        if (fromHtoL >= fromLtoL) (fromHtoL, 0) else (fromLtoL, 1)
+      bpH(t) = bh; bpL(t) = bl
+      dH = nH + (if (obs(t) == 1) LnHiH else LnLoH)
+      dL = nL + (if (obs(t) == 1) LnLoH else LnHiH)
+    }
+    // backtrace
+    val states = new Array[Int](n)
+    states(n - 1) = if (dH >= dL) 0 else 1
+    for (t <- n - 1 to 1 by -1)
+      states(t - 1) = if (states(t) == 0) bpH(t) else bpL(t)
+    val out = days.zipWithIndex.map { case (row, i) =>
+      (row.getAs[java.time.LocalDateTime]("day"), rs(i), obs(i),
+        if (states(i) == 0) "H" else "L")
+    }
+    s.createDataFrame(out.toSeq).toDF("day", "r", "obs", "regime")
+      .orderBy("day")
+  }
+
+  /** The oracle carries the two SURVIVOR PATHS ('H'/'L' strings) through
+    * ONE forward recursion instead of a second backtrace recursion — a
+    * recursive CTE referencing another recursive CTE is inlined by
+    * DuckDB and re-runs the whole forward pass per backward step
+    * (measured: minutes at 2.4k days). Survivor-path Viterbi is
+    * algebraically identical to backpointer+backtrace under the same
+    * tie-breaks. */
+  private def hmmViterbiOracle: String =
+    s"""WITH RECURSIVE dd AS MATERIALIZED (
+       |  SELECT o_orderdate AS day,
+       |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |             AS BIGINT) // 100000) AS r
+       |  FROM orders GROUP BY 1),
+       |med AS (
+       |  SELECT min(r) AS med FROM (
+       |    SELECT r, sum(cnt) OVER (ORDER BY r
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, t
+       |    FROM (SELECT r, count(*) AS cnt FROM dd GROUP BY r),
+       |         (SELECT count(*) AS t FROM dd))
+       |  WHERE cum >= (t + 1) // 2),
+       |s AS MATERIALIZED (
+       |  SELECT day, r,
+       |         CASE WHEN r > med.med THEN 1 ELSE 0 END AS obs,
+       |         CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS idx
+       |  FROM dd, med),
+       |fwd(i, dh, dl, ph, pl) AS (
+       |  SELECT 1,
+       |         $LnInit + CASE WHEN obs = 1 THEN $LnHiH ELSE $LnLoH END,
+       |         $LnInit + CASE WHEN obs = 1 THEN $LnLoH ELSE $LnHiH END,
+       |         CAST('H' AS VARCHAR), CAST('L' AS VARCHAR)
+       |  FROM s WHERE idx = 1
+       |  UNION ALL
+       |  SELECT w.i + 1,
+       |         greatest(w.dh + $LnStay, w.dl + $LnSwitch)
+       |           + CASE WHEN m.obs = 1 THEN $LnHiH ELSE $LnLoH END,
+       |         greatest(w.dh + $LnSwitch, w.dl + $LnStay)
+       |           + CASE WHEN m.obs = 1 THEN $LnLoH ELSE $LnHiH END,
+       |         (CASE WHEN w.dh + $LnStay >= w.dl + $LnSwitch
+       |               THEN w.ph ELSE w.pl END) || 'H',
+       |         (CASE WHEN w.dh + $LnSwitch >= w.dl + $LnStay
+       |               THEN w.ph ELSE w.pl END) || 'L'
+       |  FROM fwd w JOIN s m ON m.idx = w.i + 1),
+       |best AS (
+       |  SELECT CASE WHEN dh >= dl THEN ph ELSE pl END AS path
+       |  FROM fwd, (SELECT max(idx) AS n FROM s) nm WHERE fwd.i = nm.n)
+       |SELECT s.day, CAST(s.r AS BIGINT) AS r, s.obs,
+       |       substr(best.path, s.idx, 1) AS regime
+       |FROM s, best
+       |ORDER BY s.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_pacf" -> pacf)
+    "ts_pacf" -> pacf,
+    "ts_hmm_viterbi" -> hmmViterbi)
 
   def oracles: Map[String, String] = Map(
-    "ts_pacf" -> pacfOracle)
+    "ts_pacf" -> pacfOracle,
+    "ts_hmm_viterbi" -> hmmViterbiOracle)
 }
