@@ -283,13 +283,114 @@ object Resampling extends graft.QueryModule {
        |FROM k ORDER BY event_type""".stripMargin
   }
 
+  /** Bootstrap confidence interval on the ROC AUC [N] — the metric CI
+    * every model report should carry: Poisson(1) md5-coin weights per
+    * (order, replicate), per-replicate AUC via the `eval_auc` doubled-
+    * rank identity over WEIGHTED bin counts (every rank sum stays an
+    * exact integer per replicate — the resampled AUC needs no pinning
+    * at all), then the 2nd/(B−1)th order statistics of the B = 64
+    * replicate AUCs (the `stats_bootstrap` percentile convention,
+    * ≈ a 97% interval). Scale shape: the B-fold explode is the only expansion, the
+    * rank cumsum windows run per (replicate × score-bin) — bounded —
+    * and the final selection ranks B rows. */
+  private def aucCi(s: SparkSession, d: String): DataFrame = {
+    val u = sparkHex8(
+      s"concat(cast(o_orderkey as string), '#', cast(b as string), ':auc')",
+      1)
+    val base = Tables.orders(s, d)
+      .repartition(col("o_orderkey"))
+      .select(col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)" +
+          " div 100000").as("v"),
+        (col("o_orderstatus") === "F").as("pos"),
+        explode(sequence(lit(0), lit(bootB - 1))).as("b"))
+      .select(col("b"), col("v"), col("pos"), expr(u).as("u"))
+      .select(col("b"), col("v"), col("pos"),
+        expr(s"${poissonCase("u")}").cast("long").as("w"))
+    val cells = base.groupBy(col("b"), col("v"))
+      .agg(sum(when(col("pos"), col("w")).otherwise(0L)).as("np"),
+        sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val aucs = cells
+      .withColumn("before", coalesce(sum(col("n")).over(wBefore), lit(0L)))
+      .withColumn("t", col("before") * 2 + col("n") + 1)
+      .groupBy(col("b"))
+      .agg(sum(col("np").cast("decimal(19,0)") *
+          col("t").cast("decimal(19,0)")).as("s2"),
+        sum(col("np")).as("npos"), sum(col("n") - col("np")).as("nneg"))
+      .filter(col("npos") > 0 && col("nneg") > 0)
+      .select(col("b"),
+        ((col("s2") - col("npos").cast("decimal(19,0)") *
+          (col("npos") + 1).cast("decimal(19,0)")).cast("double") /
+          (lit(2.0) * col("npos").cast("double") *
+            col("nneg").cast("double"))).as("auc"))
+    val ranked = aucs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("auc"), col("b"))))
+    ranked.agg(count(lit(1)).as("b_cnt"),
+        max(when(col("rn") === 2, col("auc"))).as("ci_lo"),
+        max(when(col("rn") === bootB - 1, col("auc"))).as("ci_hi"))
+      .select(col("b_cnt"), col("ci_lo"), col("ci_hi"),
+        (col("ci_hi") - col("ci_lo")).as("ci_width"))
+  }
+
+  private def aucCiOracle: String = {
+    val u = duckHex8(
+      "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR) || ':auc'",
+      1)
+    s"""WITH draws AS (
+       |  SELECT t.b,
+       |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |           // 100000 AS v,
+       |         o_orderstatus = 'F' AS pos,
+       |         $u AS u
+       |  FROM orders CROSS JOIN range($bootB) t(b)),
+       |wts AS (SELECT b, v, pos, ${poissonCase("u")} AS w FROM draws),
+       |cells AS (
+       |  SELECT b, v, sum(CASE WHEN pos THEN w ELSE 0 END) AS np,
+       |         sum(w) AS n
+       |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+       |ranked AS (
+       |  SELECT b, np, n,
+       |         2 * COALESCE(sum(n) OVER (PARTITION BY b ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           + n + 1 AS t
+       |  FROM cells),
+       |aucs AS (
+       |  SELECT b,
+       |         CAST(sum(CAST(np AS DECIMAL(19,0))
+       |                  * CAST(t AS DECIMAL(19,0)))
+       |              - CAST(sum(np) AS DECIMAL(19,0))
+       |                * CAST(sum(np) + 1 AS DECIMAL(19,0)) AS DOUBLE)
+       |           / (2.0 * CAST(sum(np) AS DOUBLE)
+       |              * CAST(sum(n - np) AS DOUBLE)) AS auc
+       |  FROM ranked GROUP BY b
+       |  HAVING sum(np) > 0 AND sum(n - np) > 0),
+       |rk AS (
+       |  SELECT auc, row_number() OVER (ORDER BY auc, b) AS rn,
+       |         count(*) OVER () AS b_cnt
+       |  FROM aucs)
+       |SELECT CAST(max(b_cnt) AS BIGINT) AS b_cnt,
+       |       max(CASE WHEN rn = 2 THEN auc END) AS ci_lo,
+       |       max(CASE WHEN rn = ${bootB - 1} THEN auc END) AS ci_hi,
+       |       max(CASE WHEN rn = ${bootB - 1} THEN auc END)
+       |         - max(CASE WHEN rn = 2 THEN auc END) AS ci_width
+       |FROM rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_bootstrap" -> bootstrap,
     "stats_randomization" -> randomization,
+    "eval_auc_ci" -> aucCi,
     "quality_dp_counts" -> dpCounts)
 
   val oracles: Map[String, String] = Map(
     "stats_bootstrap" -> bootstrapOracle,
     "stats_randomization" -> randomizationOracle,
+    "eval_auc_ci" -> aucCiOracle,
     "quality_dp_counts" -> dpCountsOracle)
 }

@@ -63,6 +63,16 @@ class ShapleySpec extends AnyFunSuite {
     assert(n < 3 * items && n > 2 * items)
   }
 
+  test("eval_auc_ci: interval brackets the null AUC of an uninformative" +
+    " score") {
+    val r = SparkEntry.queries("eval_auc_ci")(spark, sf).collect().head
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < hi && r.getAs[Double]("ci_width") > 0)
+    // price is independent of fulfillment: the CI must cover 0.5
+    assert(lo <= 0.5 && hi >= 0.5, s"null AUC outside [$lo, $hi]")
+    assert(hi - lo < 0.15, s"implausibly wide CI: ${hi - lo}")
+  }
+
   test("stats_cochran_q: Q >= 0, dof = k - 1") {
     val r = SparkEntry.queries("stats_cochran_q")(spark, sf).collect().head
     assert(r.getAs[Long]("subjects") > 1000)
