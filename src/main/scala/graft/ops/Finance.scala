@@ -660,6 +660,59 @@ object Finance extends graft.QueryModule {
        |FROM walk ORDER BY month""".stripMargin
   }
 
+  /** Rolling-origin forecast backtest [N]: one-step-ahead MAE of the
+    * `ts_holt_linear` forecast vs the naive (last value) baseline over
+    * the monthly series — the skill check that decides whether a
+    * forecasting model ships. Both error sums are exact cents; the
+    * means divide on the ×10⁶ integer grid (the ccnet-buckets half-grid
+    * lesson), and the skill ratio is one mirrored double division.
+    * Reuses the exact Holt walk; everything is month-domain sized. */
+  private def backtestMae(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    val hl = holtLinear(s, d)
+      .withColumn("fc_prev", lag(col("forecast_next"), 1).over(w))
+      .withColumn("y_prev", lag(col("y_cents"), 1).over(w))
+      .filter(col("fc_prev").isNotNull)
+      .select(
+        abs(col("y_cents") - col("fc_prev")).as("e_holt"),
+        abs(col("y_cents") - col("y_prev")).as("e_naive"))
+    hl.agg(count(lit(1)).as("n"),
+        sum(col("e_holt")).as("sh"), sum(col("e_naive")).as("sn"))
+      .selectExpr("cast(n as bigint) as n",
+        graft.ops.Technicals.divHESparkSql("sh * 1000000", "n")
+          + " as mh6",
+        graft.ops.Technicals.divHESparkSql("sn * 1000000", "n")
+          + " as mn6")
+      .select(col("n"),
+        (col("mh6").cast("double") / lit(1.0e6)).as("mae_holt_cents"),
+        (col("mn6").cast("double") / lit(1.0e6)).as("mae_naive_cents"),
+        (col("mh6").cast("double") / col("mn6").cast("double"))
+          .as("skill_ratio"))
+  }
+
+  private def backtestMaeOracle: String = {
+    val mh6 = graft.ops.Technicals.divHEDuckSql("sh * 1000000", "n")
+    val mn6 = graft.ops.Technicals.divHEDuckSql("sn * 1000000", "n")
+    s"""WITH hl AS MATERIALIZED (
+       |${holtLinearOracle}
+       |),
+       |lagged AS (
+       |  SELECT y_cents,
+       |         lag(forecast_next) OVER (ORDER BY month) AS fc_prev,
+       |         lag(y_cents) OVER (ORDER BY month) AS y_prev
+       |  FROM hl),
+       |agg AS (
+       |  SELECT count(*) AS n,
+       |         sum(abs(y_cents - fc_prev)) AS sh,
+       |         sum(abs(y_cents - y_prev)) AS sn
+       |  FROM lagged WHERE fc_prev IS NOT NULL)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST($mh6 AS DOUBLE) / 1.0e6 AS mae_holt_cents,
+       |       CAST($mn6 AS DOUBLE) / 1.0e6 AS mae_naive_cents,
+       |       CAST($mh6 AS DOUBLE) / CAST($mn6 AS DOUBLE) AS skill_ratio
+       |FROM agg""".stripMargin
+  }
+
   /** Mann–Kendall trend test [N] over the monthly revenue series — the
     * standard nonparametric "is this metric trending" monitor (Mann
     * 1945, Kendall 1975): S = Σ_{i<j} sign(y_j − y_i) with the
@@ -727,6 +780,7 @@ object Finance extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_mann_kendall" -> mannKendall,
     "ts_holt_linear" -> holtLinear,
+    "ts_backtest_mae" -> backtestMae,
     "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
     "fin_beta" -> beta,
@@ -747,6 +801,7 @@ object Finance extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "ts_mann_kendall" -> mannKendallOracle,
     "ts_holt_linear" -> holtLinearOracle,
+    "ts_backtest_mae" -> backtestMaeOracle,
     "fin_sharpe" -> sharpeOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->

@@ -52,6 +52,16 @@ class TechnicalsSpec extends AnyFunSuite {
     assert(math.abs(meanS) < 0.25 * meanY)
   }
 
+  test("ts_backtest_mae: Holt beats the naive baseline on the monthly" +
+    " series (skill < 1)") {
+    val r = SparkEntry.queries("ts_backtest_mae")(spark, sf).collect().head
+    assert(r.getAs[Long]("n") > 60)
+    val skill = r.getAs[Double]("skill_ratio")
+    assert(skill > 0.0 && skill < 1.05,
+      s"trend-aware forecast should not lose badly to naive: $skill")
+    assert(r.getAs[Double]("mae_holt_cents") > 0)
+  }
+
   test("agg_time_decay: decayed count below the raw count and above the" +
     " last-69-days floor") {
     val rows = SparkEntry.queries("agg_time_decay")(spark, sf).collect()
