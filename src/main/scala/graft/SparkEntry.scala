@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Flagship, ops.Scans, ops.Exprs, ops.Aggs, ops.Joins,
     ops.Windows, ops.SetOps, ops.Funcs, ops.StreamBatch, ops.SqlSurface,
     ops.Statements, ops.TpchDeep, ops.TpchClose, ops.Warehouse, ops.Finance,
-    ops.Technicals, ops.Autocorr,
+    ops.Technicals, ops.Autocorr, ops.TsTests,
     ops.Retail, ops.Evaluation, ops.Preference, ops.Features, ops.EvalExtra,
     ops.StatsExtra, ops.StatsLearn, ops.StatsRank, ops.Calibration,
     ops.Resampling, ops.Recommender,

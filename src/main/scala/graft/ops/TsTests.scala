@@ -1,0 +1,307 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Econometric time-series tests [N] — the two diagnostics a market
+  * warehouse runs over its price/revenue series that the existing ts_*
+  * family does not yet cover: Engle–Granger cointegration (the pairs-
+  * trading question: "do these two series share a long-run equilibrium,
+  * i.e. is a spread trade mean-reverting?") and the Ljung–Box
+  * portmanteau test ("are these residuals white noise?" — the standard
+  * post-fit check of Box–Jenkins modelling, complementing `ts_pacf`'s
+  * identification step and `ts_backtest_mae`'s accuracy step).
+  *
+  * No reference anchor (the reference pipeline has no analytics
+  * engine); warehouse-parity rows per BASELINE.json's mandate, nearest
+  * SURVEY anchors §2.L's ts_* battery.
+  *
+  * Float discipline (graft-verify-protocol, the `stats_ols_multi` /
+  * `ts_pacf` lessons): every data-scale reduction is an EXACT
+  * integer/decimal sum; means land on a ×10⁶ integer grid by half-even
+  * INTEGER division (never round a float quotient); the second-stage
+  * regressions pin their double inputs at 6dp and multiply as exact
+  * decimals; final statistics assemble in doubles with the expression
+  * order mirrored token-for-token in the DuckDB oracle. SSE uses the
+  * algebraic expansion sdd − 2γ·sud + γ²·suu so no second data pass
+  * (and no float re-accumulation) is ever needed.
+  *
+  * Scale shape: each key touches the fact table ONCE (one hash agg
+  * into the calendar-bounded month domain); everything after runs on
+  * ~84 rows — window lags, 1-row model broadcasts, constant-work
+  * formula assembly. The same shape survives 100 TB because the month
+  * domain does not grow with data volume. */
+object TsTests extends graft.QueryModule {
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** Half-even integer division over NAMED bigint columns (POSITIVE
+    * operands only — cents and counts here). Mirrors Autocorr's
+    * divHESql, which is the DuckDB-side text of the same algebra. */
+  private def heDiv(n: String, den: String): Column = expr(
+    s"($n div $den) + (case when ($n % $den) * 2 > $den then 1L " +
+      s"when ($n % $den) * 2 = $den then ($n div $den) % 2 " +
+      s"else 0L end)")
+
+  /** Engle–Granger cointegration test [N] (Engle & Granger 1987) on the
+    * monthly mean order price of priority 1-URGENT (y) vs 2-HIGH (x):
+    *
+    *  1. SERIES: per-month mean price per leg on a ×10⁶ integer grid —
+    *     exact cent sums, half-even integer division by the count
+    *     (never a rounded float quotient), both legs from ONE
+    *     conditional hash agg over the fact scan.
+    *  2. HEDGE: OLS y = α + βx by normal equations from exact decimal
+    *     power sums; α, β are the only doubles, assembled once.
+    *  3. SPREAD: u_t = y − α − βx in doubles (identical IEEE inputs →
+    *     identical u_t on both engines).
+    *  4. DICKEY–FULLER on the spread: Δu_t regressed on u_{t−1}
+    *     (no intercept, lag-0 — the Engle–Granger second step); inputs
+    *     pin at 6dp and multiply as exact decimal(18,6) so the three
+    *     regression sums are order-invariant, then γ, SSE (algebraic
+    *     expansion), se(γ) and the DF t-statistic assemble in mirrored
+    *     doubles. t below the 5% Engle–Granger critical value −3.37
+    *     (two variables, estimated constant) flags cointegration.
+    *
+    * The two legs ride the same order flow, so the spread is strongly
+    * mean-reverting by construction and the flag fires — CointSpec
+    * asserts it, plus β ≈ 1 on the symmetric legs. */
+  private def cointegration(s: SparkSession, d: String): DataFrame = {
+    val dec19 = (c: Column) => c.cast("decimal(19,0)")
+    val cents = expr(
+      "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")
+    val monthly = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", cents)).as("yc"),
+        count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("yn"),
+        sum(when(col("o_orderpriority") === "2-HIGH", cents)).as("xc"),
+        count(when(col("o_orderpriority") === "2-HIGH", lit(1))).as("xn"))
+      .filter(col("yn") > 0 && col("xn") > 0)
+      .select(col("month"), (col("yc") * 10000L).as("yc4"), col("yn"),
+        (col("xc") * 10000L).as("xc4"), col("xn"))
+      .select(col("month"), heDiv("yc4", "yn").as("y6"),
+        heDiv("xc4", "xn").as("x6"))
+    val sums = monthly.agg(
+      count(lit(1)).as("n"),
+      sum(dec19(col("x6"))).as("sx"), sum(dec19(col("y6"))).as("sy"),
+      sum(dec19(col("x6")) * dec19(col("x6"))).as("sxx"),
+      sum(dec19(col("x6")) * dec19(col("y6"))).as("sxy"))
+    val model = sums.select(col("n").as("nm"),
+        ((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))))
+          .as("beta"),
+        dd(col("sx")).as("sxd"), dd(col("sy")).as("syd"),
+        dd(col("n")).as("nd"))
+      .select(col("nm"), col("beta"),
+        ((col("syd") - col("beta") * col("sxd")) / col("nd")).as("alpha"))
+    val w = Window.orderBy(col("month"))
+    val spread = monthly.join(broadcast(model), expr("true"))
+      .select(col("month"), col("nm"), col("beta"), col("alpha"),
+        (dd(col("y6")) - (col("alpha") + col("beta") * dd(col("x6"))))
+          .as("u"))
+    val df = spread
+      .withColumn("up", lag(col("u"), 1).over(w))
+      .filter(col("up").isNotNull)
+      .select(col("nm"), col("beta"), col("alpha"),
+        bround(col("up"), 6).cast("decimal(18,6)").as("upp"),
+        bround(col("u") - col("up"), 6).cast("decimal(18,6)").as("dup"))
+      .groupBy(col("nm"), col("beta"), col("alpha"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("upp") * col("upp")).as("suu"),
+        sum(col("upp") * col("dup")).as("sud"),
+        sum(col("dup") * col("dup")).as("sdd"))
+    df.select(col("nm").as("n_months"), col("beta"), col("alpha"),
+        (dd(col("sud")) / dd(col("suu"))).as("gamma"),
+        col("m"), dd(col("suu")).as("suud"), dd(col("sud")).as("sudd"),
+        dd(col("sdd")).as("sddd"))
+      .select(col("n_months"), col("beta"), col("alpha"), col("gamma"),
+        (col("gamma") /
+          sqrt(((col("sddd") - lit(2.0) * col("gamma") * col("sudd") +
+            col("gamma") * col("gamma") * col("suud")) /
+            dd(col("m") - 1)) / col("suud"))).as("df_t"))
+      .select(col("n_months"), col("beta"), col("alpha"), col("gamma"),
+        col("df_t"), (col("df_t") < lit(-3.37)).as("cointegrated"))
+  }
+
+  private def divHESqlTxt(n: String, den: String): String =
+    s"(($n) // ($den) + (case when (($n) % ($den)) * 2 > ($den) then 1 " +
+      s"when (($n) % ($den)) * 2 = ($den) then (($n) // ($den)) % 2 " +
+      s"else 0 end))"
+
+  private def cointegrationOracle: String =
+    s"""WITH monthly0 AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN
+       |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |             END) AS yc,
+       |         count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS yn,
+       |         sum(CASE WHEN o_orderpriority = '2-HIGH' THEN
+       |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |             END) AS xc,
+       |         count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS xn
+       |  FROM orders
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  GROUP BY 1),
+       |monthly AS (
+       |  SELECT month,
+       |         ${divHESqlTxt("yc * 10000", "yn")} AS y6,
+       |         ${divHESqlTxt("xc * 10000", "xn")} AS x6
+       |  FROM monthly0 WHERE yn > 0 AND xn > 0),
+       |sums AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x6 AS HUGEINT)) AS sx, sum(CAST(y6 AS HUGEINT)) AS sy,
+       |         sum(CAST(x6 AS HUGEINT) * x6) AS sxx,
+       |         sum(CAST(x6 AS HUGEINT) * y6) AS sxy
+       |  FROM monthly),
+       |model AS (
+       |  SELECT n AS nm,
+       |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+       |         sx, sy, n FROM sums),
+       |model2 AS (
+       |  SELECT nm, beta,
+       |         (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+       |           / CAST(n AS DOUBLE) AS alpha
+       |  FROM model),
+       |spread AS (
+       |  SELECT month, nm, beta, alpha,
+       |         CAST(y6 AS DOUBLE) - (alpha + beta * CAST(x6 AS DOUBLE)) AS u
+       |  FROM monthly CROSS JOIN model2),
+       |lagged AS (
+       |  SELECT nm, beta, alpha, u,
+       |         lag(u) OVER (ORDER BY month) AS up
+       |  FROM spread),
+       |pinned AS (
+       |  SELECT nm, beta, alpha,
+       |         CAST(round_even(up, 6) AS DECIMAL(19,6)) AS upp,
+       |         CAST(round_even(u - up, 6) AS DECIMAL(19,6)) AS dup
+       |  FROM lagged WHERE up IS NOT NULL),
+       |reg AS (
+       |  SELECT nm, beta, alpha, count(*) AS m,
+       |         sum(upp * upp) AS suu, sum(upp * dup) AS sud,
+       |         sum(dup * dup) AS sdd
+       |  FROM pinned GROUP BY nm, beta, alpha),
+       |g AS (
+       |  SELECT nm AS n_months, beta, alpha,
+       |         CAST(sud AS DOUBLE) / CAST(suu AS DOUBLE) AS gamma,
+       |         m, CAST(suu AS DOUBLE) AS suud, CAST(sud AS DOUBLE) AS sudd,
+       |         CAST(sdd AS DOUBLE) AS sddd
+       |  FROM reg),
+       |t AS (
+       |  SELECT n_months, beta, alpha, gamma,
+       |         gamma / sqrt(((sddd - 2.0 * gamma * sudd
+       |             + gamma * gamma * suud) / CAST(m - 1 AS DOUBLE)) / suud)
+       |           AS df_t
+       |  FROM g)
+       |SELECT n_months, beta, alpha, gamma, df_t,
+       |       df_t < -3.37 AS cointegrated
+       |FROM t""".stripMargin
+
+  private val lbLags = 6
+
+  /** Ljung–Box portmanteau test [N] (Ljung & Box 1978) on the
+    * month-over-month revenue CHANGES — "is the differenced series
+    * white noise?", the decision between modelling and not modelling:
+    *
+    * Q = m(m+2) Σ_{k=1..6} ρ̂²_k / (m−k),  vs  χ²₆ at 5% (12.592).
+    *
+    * EXACT end to end: monthly cent sums are exact integers, diffs are
+    * exact, centering multiplies through by m (c_t = m·d_t − S — no
+    * float mean anywhere), and every ACF numerator/denominator is a
+    * decimal(38,0) sum of integer products. The six ρ̂_k are single
+    * IEEE divisions; Q is ONE mirrored expression whose addition order
+    * is fixed by the SQL text, so even the white-noise boolean agrees
+    * across engines.
+    *
+    * Scale shape: one fact-scan hash agg into the month domain, then
+    * window lags and a 1-row reduction over ~84 rows. */
+  private def ljungBox(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val monthly = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(12,2))) * 100" +
+        " as decimal(38,0))").as("cents"))
+    val w = Window.orderBy(col("month"))
+    val diffs = monthly
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .select(col("month"), col("d"))
+    val st = diffs.agg(count(lit(1)).as("m"), sum(col("d")).as("sd"))
+    val cser = diffs.join(broadcast(st), expr("true"))
+      .select(col("month"), col("m"),
+        dec38(col("m") * col("d") - col("sd")).as("c"))
+    val lagged = (1 to lbLags).foldLeft(cser) { (acc, k) =>
+      acc.withColumn(s"c$k", lag(col("c"), k).over(w))
+    }
+    val numAggs = (1 to lbLags).map(k =>
+      sum(col("c") * col(s"c$k")).as(s"n$k"))
+    val sums = lagged.groupBy(col("m"))
+      .agg(sum(col("c") * col("c")).as("den"), numAggs: _*)
+    val rhoCols = (1 to lbLags).map(k =>
+      (dd(col(s"n$k")) / dd(col("den"))).as(s"rho$k"))
+    val withRho = sums.select((col("m") +: rhoCols): _*)
+    val qExpr = (1 to lbLags).map(k =>
+      s"rho$k * rho$k / cast(m - $k as double)").mkString(" + ")
+    withRho
+      .select((col("m").as("n_diffs") +:
+        (1 to lbLags).map(k => col(s"rho$k")) :+
+        expr(s"cast(m as double) * cast(m + 2 as double) * ($qExpr)")
+          .as("q")): _*)
+      .withColumn("white_noise", col("q") <= lit(12.592))
+  }
+
+  private def ljungBoxOracle: String = {
+    val lagSel = (1 to lbLags).map(k =>
+      s"lag(c, $k) OVER (ORDER BY month) AS c$k").mkString(",\n|         ")
+    val numSel = (1 to lbLags).map(k =>
+      s"sum(c * c$k) AS n$k").mkString(", ")
+    val rhoSel = (1 to lbLags).map(k =>
+      s"CAST(n$k AS DOUBLE) / CAST(den AS DOUBLE) AS rho$k").mkString(",\n|         ")
+    val qTxt = (1 to lbLags).map(k =>
+      s"rho$k * rho$k / CAST(m - $k AS DOUBLE)").mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+       |           AS HUGEINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |diffs AS (
+       |  SELECT month, cents - lag(cents) OVER (ORDER BY month) AS d
+       |  FROM monthly),
+       |dd2 AS (SELECT month, d FROM diffs WHERE d IS NOT NULL),
+       |st AS (SELECT count(*) AS m, sum(d) AS sd FROM dd2),
+       |cser AS (
+       |  SELECT month, m, CAST(m AS HUGEINT) * d - sd AS c
+       |  FROM dd2 CROSS JOIN st),
+       |lagged AS (
+       |  SELECT month, m, c,
+       |         $lagSel
+       |  FROM cser),
+       |sums AS (
+       |  SELECT m, sum(c * c) AS den, $numSel
+       |  FROM lagged GROUP BY m),
+       |rho AS (
+       |  SELECT m,
+       |         $rhoSel
+       |  FROM sums),
+       |q AS (
+       |  SELECT m AS n_diffs, ${(1 to lbLags).map(k => s"rho$k").mkString(", ")},
+       |         CAST(m AS DOUBLE) * CAST(m + 2 AS DOUBLE) * ($qTxt) AS q
+       |  FROM rho)
+       |SELECT n_diffs, ${(1 to lbLags).map(k => s"rho$k").mkString(", ")}, q,
+       |       q <= 12.592 AS white_noise
+       |FROM q""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fin_cointegration" -> cointegration,
+    "ts_ljung_box" -> ljungBox)
+
+  def oracles: Map[String, String] = Map(
+    "fin_cointegration" -> cointegrationOracle,
+    "ts_ljung_box" -> ljungBoxOracle)
+}

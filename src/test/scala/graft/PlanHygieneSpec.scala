@@ -88,7 +88,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_truncated" -> "single-row probe crossJoin (cosineTopK twin)",
     "agg_time_decay" -> ("1-row max-date crossJoins over the calendar-" +
       "bounded day domain (the decay-weight dim itself broadcasts)"),
-    "text_rag_retrieve" -> "1-row corpus-stats crossJoin (text_bm25 twin)")
+    "text_rag_retrieve" -> "1-row corpus-stats crossJoin (text_bm25 twin)",
+    "fin_cointegration" -> ("1-row hedge-model crossJoin over the bounded " +
+      "month domain (Engle-Granger second stage)"),
+    "ts_ljung_box" -> "1-row diff-stats crossJoin over the bounded month domain")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.
