@@ -21,7 +21,9 @@ object Bench {
     * and every key still runs under Verify. BenchLineSpec asserts the
     * worst-case line stays ≤ 1600 bytes. */
   val headline: Seq[String] = Seq(
-    "filter_positive",      // scan+filter pushdown
+    // filter_positive (thin scan+filter) moved out r9 for the calib
+    // field's line budget — the scan family keeps src_dpp_pruned and
+    // sink_zorder_scan as heavier representatives
     "agg_grouping_sets",    // rollup/cube hash agg
     "join_star_q5",         // multi-way star join
     "join_equi_large",      // fact-fact shuffle join
@@ -141,11 +143,24 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Load-calibration probe (r9, VERDICT item 5): fixed synthetic CPU
+    // work timed at sweep start and end. The r8 driver sweep was 3x
+    // distorted by box load (24x on Q1) and the line carried no way to
+    // tell regression from noise — `"calib":[a,b]` makes that
+    // self-diagnosing: a calm box reads ~[0.3,0.3]; a loaded box reads
+    // multiples of that, scaling the sweep numbers accordingly.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibOnce()
     val results = keys.map { name =>
       val t1 = timeOnce(name)
       val t2 = timeOnce(name)
       name -> math.min(t1, t2)
     }
+    val calibEnd = calibOnce()
     // 2 dp: 10 ms resolution is ample for multi-second keys, and the
     // driver's ~2 KB stdout-tail capture must fit the whole line — at 66
     // keys the line is ~1.8 KB, so every char per key matters
@@ -157,7 +172,7 @@ object Bench {
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val errs = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -297,7 +297,9 @@ object Funcs extends graft.QueryModule {
         expr("xpath_string(xml, '/cust/name')").as("xp_name"),
         expr("xpath_int(xml, '/cust/nation')").as("xp_nation"))
       .select(col("c_custkey"), col("p.name").as("name"),
-        col("p.bal").as("bal"), col("p.nation").as("nation"),
+        // decimals stay internal (XML text + typed parse); the output
+        // boundary is double, per the repo-wide no-DecimalType convention
+        col("p.bal").cast("double").as("bal"), col("p.nation").as("nation"),
         col("xp_name"), col("xp_nation"))
       .orderBy("c_custkey")
   }
@@ -396,7 +398,7 @@ object Funcs extends graft.QueryModule {
     "fn_xml" ->
       """SELECT c_custkey,
         |       c_name AS name,
-        |       CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+        |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
         |       CAST(c_nationkey AS INTEGER) AS nation,
         |       c_name AS xp_name,
         |       CAST(c_nationkey AS INTEGER) AS xp_nation

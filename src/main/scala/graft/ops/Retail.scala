@@ -218,9 +218,11 @@ object Retail extends graft.QueryModule {
         (col("r1") - (col("n1").cast("decimal(20,1)") * (col("n1") + 1)) / 2)
           .cast("decimal(28,1)").as("u1"),
         col("t3"))
-      .select(col("n1"), col("n2"), col("u1"),
+      // u1/u2 leave as double (exact: half-integers far below 2^53) —
+      // decimals stay internal per the boundary convention
+      .select(col("n1"), col("n2"), col("u1").cast("double").as("u1"),
         ((col("n1") * col("n2")).cast("decimal(28,1)") - col("u1"))
-          .cast("decimal(28,1)").as("u2"),
+          .cast("decimal(28,1)").cast("double").as("u2"),
         bround((dd(col("u1")) - dd(col("n1")) * dd(col("n2")) / lit(2.0)) /
           sqrt(dd(col("n1")) * dd(col("n2")) / lit(12.0) *
             ((dd(col("n1")) + dd(col("n2")) + 1.0) -
@@ -618,9 +620,9 @@ object Retail extends graft.QueryModule {
         |         CAST(r1 - (CAST(n1 AS DECIMAL(20,1)) * (n1 + 1)) / 2
         |              AS DECIMAL(28,1)) AS u1
         |  FROM a)
-        |SELECT n1, n2, u1,
-        |       CAST(CAST(n1 * n2 AS DECIMAL(28,1)) - u1 AS DECIMAL(28,1))
-        |         AS u2,
+        |SELECT n1, n2, CAST(u1 AS DOUBLE) AS u1,
+        |       CAST(CAST(CAST(n1 * n2 AS DECIMAL(28,1)) - u1 AS DECIMAL(28,1))
+        |            AS DOUBLE) AS u2,
         |       round_even(
         |         (CAST(u1 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
         |            / 2.0) /

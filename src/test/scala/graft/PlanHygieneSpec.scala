@@ -91,7 +91,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_rag_retrieve" -> "1-row corpus-stats crossJoin (text_bm25 twin)",
     "fin_cointegration" -> ("1-row hedge-model crossJoin over the bounded " +
       "month domain (Engle-Granger second stage)"),
-    "ts_ljung_box" -> "1-row diff-stats crossJoin over the bounded month domain")
+    "ts_ljung_box" -> "1-row diff-stats crossJoin over the bounded month domain",
+    "eval_conformal" -> ("1-row margin/total crossJoins (calibration " +
+      "quantile + coverage totals, same class as stats_kruskal_wallis)"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

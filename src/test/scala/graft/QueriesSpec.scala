@@ -16,6 +16,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no registered output schema carries DecimalType (boundary convention)") {
+    // decimals are internal-only: the driver's hasher reads Spark parquet
+    // decimals as decimal.Decimal while DuckDB lands float64, so a raw
+    // DECIMAL column hash-fails on type even when values are exact
+    // (fn_xml, round 8). Boundary types are double/long/string/date/bool.
+    import org.apache.spark.sql.types.{DecimalType, StructType, ArrayType, MapType, DataType}
+    def hasDecimal(t: DataType): Boolean = t match {
+      case _: DecimalType => true
+      case s: StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType   => hasDecimal(a.elementType)
+      case m: MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _              => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, TestSpark.sf0001).schema.fields
+          .filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType at the output boundary: ${offenders.mkString("; ")}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, TestSpark.sf0001)

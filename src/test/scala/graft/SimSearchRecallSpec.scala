@@ -97,7 +97,7 @@ class SimSearchRecallSpec extends AnyFunSuite {
     // and the index round-trips: serving the persisted tables again is
     // deterministic (parquet floats are exact)
     val again = perProbe(
-      graft.ext.SimSearch.servedTopK(spark, "target/tmp/ivf_index",
+      graft.ext.SimSearch.servedTopKPinned(spark, "target/tmp/ivf_index_pinned",
         graft.Tables.embeddings(spark, sf).filter("vec_id < 20")
           .selectExpr("vec_id AS probe_id", "embedding AS probe")).collect())
     assert(again == served)
