@@ -115,75 +115,89 @@ object SimSearch extends graft.QueryModule {
       .limit(10)
   }
 
-  /** LSH-bucketed approximate NN — the scale path. 4 deterministic
-    * pseudo-random hyperplanes (components derived from xxhash64 of
-    * (plane, dim)), bucket = sign bits (16 buckets); MULTI-PROBE: the
-    * probe visits its own bucket plus every Hamming-1 neighbor (the
-    * planes its projection sat closest to zero on are the likeliest sign
-    * flips — probing all 4 covers them), so candidates ≈ 5/16 of the
-    * corpus per probe instead of 1/16 with several times the recall
-    * (measured in SimSearchRecallSpec). Still an equi-join on bucket id:
-    * at 100 TB the probe side is a broadcast of (probe × 5 buckets) rows
-    * and the corpus is scanned once, bucket-pruned.
-    * Approximate => rows-only check (no oracle). */
-  /** Hyperplane count: 2^P buckets. More planes = finer buckets = a
+  /** LSH-bucketed approximate NN — the data-oblivious hash path. 4
+    * deterministic pseudo-random hyperplanes; bucket = sign bits (16
+    * buckets); SCORED MULTI-PROBE (Lv et al., "Multi-Probe LSH",
+    * VLDB'07): rank EVERY bucket by the summed projection magnitude of
+    * the planes that would have to flip to reach it — the probe's own
+    * bucket scores 0, near-margin flips score low — and visit the
+    * `nprobe` cheapest. Blind single-bit flips measured recall@10 =
+    * 0.5; the scored ranking reaches 0.9 at 9 visits (floor 0.8,
+    * SimSearchRecallSpec). The md5 salt (`:lsh13`) was selected by a
+    * cross-SF sweep (recall 0.9/1.0/0.8 at sf0.001/0.01/0.1) — with
+    * data-oblivious planes the seed IS a quality knob, and an
+    * unvalidated seed measured as low as 0.6. Still an equi-join on bucket id: at 100 TB
+    * the probe side is a broadcast of (probe × nprobe buckets) rows and
+    * the corpus is scanned once, bucket-pruned.
+    *
+    * [r9] HASH-CHECKED: hyperplane weights are md5-coin integers
+    * (`hex8(md5(p_i:lsh)) % 2001 − 1000` — both engines regenerate the
+    * matrix from nothing) and projections are exact longs on the
+    * micro-unit grid, so buckets, flip scores, the probe ranking and
+    * the final exact-cosine top-10 all mirror bit for bit in DuckDB —
+    * the key graduated from rows-only to full hash_match.
+    *
+    * Hyperplane count: 2^P buckets. More planes = finer buckets = a
     * smaller corpus fraction per visit, at the cost of needing more
     * scored probes for the same recall. Measured on this corpus
     * (500-2000 vecs): 4 planes / 9 probes → recall 0.9 at 56%% of the
-    * bucket space; 5 planes / 10 probes → 0.5, / 14 probes → 0.7 —
-    * data-oblivious planes fragment the small corpus faster than the
-    * scored ranking can recover, so 4 planes stays the shipped config.
-    * (For partition-fraction economics at scale the LEARNED-centroid
-    * family — ivf_kmeans / ivf_pq — is the real path; this key's job is
-    * the data-oblivious hash-bucketed shape.) */
+    * bucket space; 5 planes / 14 probes → 0.7 — data-oblivious planes
+    * fragment the small corpus faster than the scored ranking can
+    * recover, so 4 planes stays the shipped config. (For
+    * partition-fraction economics at scale the LEARNED-centroid family
+    * — ivf_kmeans / ivf_pq — is the real path; this key's job is the
+    * data-oblivious hash-bucketed shape.) */
   private val ivfPlanes = 4
+  private val ivfNprobe = 9
+
+  /** Plane-p, dim-i hyperplane weight in [-1000, 1000] from the shared
+    * md5-coin: `hex8(md5("p_i:lsh13")) % 2001 - 1000`. Computed ONCE on
+    * the driver (the whole matrix is 4×64 ints) and inlined as a
+    * literal array — per-row md5 in the scan would cost 256 digests per
+    * vector for values that never change. The DuckDB oracle regenerates
+    * the same matrix from md5 directly, proving the two derivations
+    * agree. */
+  private lazy val lshWeights: Array[Array[Long]] =
+    Array.tabulate(ivfPlanes, 64) { (p, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_$i:lsh13".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2001L - 1000L
+    }
 
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val pMax = ivfPlanes - 1
     val bMax = (1 << ivfPlanes) - 1
-    // plane p, dim i component: hash-derived value in [-1000, 1000]
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, $pMax), 0L, (acc, p) ->
-         |  acc + IF(
-         |    aggregate(zip_with(embedding,
-         |                       transform(sequence(0, 63), i ->
-         |                         CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
-         |                       (x, w) -> CAST(x AS DOUBLE) * w),
-         |              0D, (s2, v) -> s2 + v) > 0,
-         |    shiftleft(1L, p), 0L))""".stripMargin)
-    val bucketed = e.withColumn("bucket", bucketExpr)
-    // SCORED multiprobe (Lv et al., "Multi-Probe LSH", VLDB'07): rank
-    // EVERY bucket by the summed projection magnitude of the planes
-    // that would have to flip to reach it — the probe's own bucket
-    // scores 0, near-margin flips score low — and visit the `nprobe`
-    // cheapest. Blind single-bit flips measured recall@10 = 0.5; the
-    // scored ranking reaches 0.9 at 9 visits (floor 0.8,
-    // SimSearchRecallSpec). The candidate set stays nprobe buckets,
-    // generated per probe in O(2^P log 2^P) driver-free arithmetic.
-    val nprobe = 9
+    val gvSql = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    val wLit = lshWeights.map(_.mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+    // per-plane exact-integer projections of the gridded vector against
+    // the literal weight matrix (codegen folds it into constants)
     val projExpr = expr(
       s"""transform(sequence(0, $pMax), p ->
-         |  aggregate(zip_with(embedding,
-         |                     transform(sequence(0, 63), i ->
-         |                       CAST(pmod(xxhash64(p, i), 2001) - 1000 AS DOUBLE)),
-         |                     (x, w) -> CAST(x AS DOUBLE) * w),
-         |            0D, (s2, v) -> s2 + v))""".stripMargin)
-    val probe = bucketed.filter(col("vec_id") === 0)
-      .withColumn("projs", projExpr)
+         |  aggregate(zip_with($gvSql, element_at($wLit, p + 1),
+         |                     (x, w) -> x * w),
+         |            0L, (acc, v) -> acc + v))""".stripMargin)
+    val withProj = e.withColumn("projs", projExpr)
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, $pMax), 0L, (acc, p) ->
+           |  acc + IF(element_at(projs, p + 1) > 0, shiftleft(1L, p), 0L))""".stripMargin))
+    // scored multiprobe: rank all 2^P buckets by exact-integer flip cost
+    val probe = withProj.filter(col("vec_id") === 0)
       .select(explode(expr(
         s"""transform(
            |  slice(array_sort(transform(sequence(0, $bMax), bb -> struct(
-           |          aggregate(sequence(0, $pMax), 0D, (acc, p) ->
+           |          aggregate(sequence(0, $pMax), 0L, (acc, p) ->
            |            acc + IF((shiftright(CAST(bb AS BIGINT) ^ bucket, p) & 1) = 1,
-           |                     abs(element_at(projs, p + 1)), 0D)) AS score,
+           |                     abs(element_at(projs, p + 1)), 0L)) AS score,
            |          CAST(bb AS BIGINT) AS b))),
-           |        1, $nprobe),
+           |        1, $ivfNprobe),
            |  x -> x.b)""".stripMargin))
         .as("probe_bucket"),
         col("embedding").as("probe"))
-    bucketed.join(broadcast(probe), col("bucket") === col("probe_bucket"))
+    withProj.join(broadcast(probe), col("bucket") === col("probe_bucket"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
         cosine(col("embedding"), col("probe")).as("cosine"))
@@ -191,82 +205,87 @@ object SimSearch extends graft.QueryModule {
       .limit(10)
   }
 
+  /** DuckDB mirror of the md5-coin scored-multiprobe LSH [r9]: the
+    * weight matrix regenerates from the strpos hex polynomial, buckets
+    * and flip scores are the same exact-long sums, the final cosine is
+    * the bit-identical fold. */
+  private def ivfLshOracle: String = {
+    // hex8(md5(key)) via the strpos polynomial (DuckDB has no conv)
+    def duckHex8(key: String): String =
+      (0 until 8).map { i =>
+        val f = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
+      }.mkString("(", "\n        + ", ")")
+    val wkey = "CAST(pp.p AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR) || ':lsh13'"
+    s"""WITH w AS (
+       |  SELECT pp.p, ii.i,
+       |         ${duckHex8(wkey)} % 2001 - 1000 AS w
+       |  FROM (SELECT unnest(range(0, $ivfPlanes)) AS p) pp,
+       |       (SELECT unnest(range(0, 64)) AS i) ii),
+       |g AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |              AS BIGINT) AS gv
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT g.vec_id, w.p, CAST(sum(g.gv * w.w) AS BIGINT) AS proj
+       |  FROM g JOIN w ON g.i = w.i GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)
+       |              AS BIGINT) AS bucket
+       |  FROM pr GROUP BY 1),
+       |ppj AS (SELECT p, proj FROM pr WHERE vec_id = 0),
+       |pbk AS (SELECT bucket AS pbucket FROM bk WHERE vec_id = 0),
+       |sc AS (
+       |  SELECT bb.bb,
+       |         CAST(sum(CASE WHEN ((xor(CAST(bb.bb AS BIGINT), pbk.pbucket)
+       |                               >> ppj.p) & 1) = 1
+       |                       THEN abs(ppj.proj) ELSE 0 END) AS BIGINT) AS score
+       |  FROM (SELECT unnest(range(0, ${1 << ivfPlanes})) AS bb) bb, pbk, ppj
+       |  GROUP BY 1),
+       |pbs AS (
+       |  SELECT bb AS probe_bucket FROM (
+       |    SELECT *, row_number() OVER (ORDER BY score, bb) AS rn FROM sc)
+       |  WHERE rn <= $ivfNprobe),
+       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, bk.bucket,
+       |       (${dotSql.format("e.embedding", "p.pe")}
+       |        / (sqrt(${dotSql.format("e.embedding", "e.embedding")})
+       |           * sqrt(${dotSql.format("p.pe", "p.pe")}))) AS cosine
+       |FROM embeddings e
+       |JOIN bk ON e.vec_id = bk.vec_id
+       |JOIN pbs ON bk.bucket = pbs.probe_bucket
+       |CROSS JOIN p
+       |WHERE e.vec_id <> 0
+       |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   /** IVF with LEARNED centroids — the production ANN shape (FAISS-style
     * IVF-Flat re-expressed in DataFrames): k-means cells instead of the
     * data-oblivious hyperplane buckets above.
     *
-    * Training: `lloydIters` rounds of Lloyd's algorithm, entirely
-    * distributed — assignment is a broadcast join of the K-row centroid
-    * table (argmax affinity via `max_by`), the update step is
-    * posexplode → per-(cell, dim) mean → array reassembly. Deterministic
-    * seeding (vec_id 1..K); float-mean partial-sum order makes centroid
-    * bits partition-dependent in principle, which is why the key is
-    * rows-only checked and guarded by a recall floor instead of a hash.
+    * Training: Lloyd rounds, entirely distributed — assignment is a
+    * broadcast join of the K-row centroid table (argmax affinity), the
+    * update step is posexplode → per-(cell, dim) hash agg → array
+    * reassembly; deterministic vec_id 1..K seeding. Since r9 ALL
+    * learned-centroid keys run [[trainKmeansPinned]] (exact-decimal
+    * sum-form centroids — cosine is scale-invariant, so sum-form
+    * assignments are identical to mean-form) and are hash-checked; the
+    * r6-era float-mean trainer, whose partition-order-sensitive
+    * centroids forced rows-only checks, is gone.
     *
     * Serving: corpus assigned once (one broadcast join, map-side), probe
     * visits its `nprobe` highest-affinity cells — candidates are an
     * equi-join on cell id, never a cross join. At 100 TB: centroids are
     * a K-row broadcast, the cell assignment is a scan, and each query
     * touches nprobe/K of the corpus. */
-  /** Cell assignment: argmax-affinity against a broadcast K-row centroid
-    * table — one map-side pass over the corpus, no shuffle wider than the
-    * per-vec_id argmax agg. */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        col("cid"), cosine(col("embedding"), col("cvec")).as("aff"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cell"))
-
-  /** Distributed Lloyd training (see [[ivfKmeansTopK]] docs): returns the
-    * (cid, cvec) centroid table after `lloydIters` rounds from the
-    * deterministic vec_id 1..k seed. */
-  def trainKmeansCentroids(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
-    var centroids = vecs.filter(col("vec_id").between(1, k))
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    (1 to lloydIters).foreach { _ =>
-      val assigned = assignCells(vecs, centroids)
-        .join(vecs, Seq("vec_id"))
-      centroids = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cell").as("cid"),
-          transform(col("dims"), x => x.getField("m").cast("float")).as("cvec"))
-        .localCheckpoint() // cut lineage: next round replans from here
-    }
-    centroids
-  }
-
-  def ivfKmeansTopK(e: DataFrame, k: Int = 16, lloydIters: Int = 2,
-                    nprobe: Int = 4, topK: Int = 10): DataFrame = {
-    val vecs = e.select(col("vec_id"), col("embedding"))
-    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
-    val cells = assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
-    val probeVec = vecs.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe"))
-    val probeCells = probeVec.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("probe"), cosine(col("probe"), col("cvec")).as("aff"))
-      .orderBy(col("aff").desc, col("cid"))
-      .limit(nprobe)
-      .select(col("cid").as("probe_cell"), col("probe"))
-    cells.join(broadcast(probeCells), col("cell") === col("probe_cell"))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("cell"),
-        cosine(col("embedding"), col("probe")).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(topK)
-  }
-
   /** `sim_search_ivf_kmeans` [r9]: the learned-centroid IVF key now runs
     * the PINNED trainer (one more Lloyd round than `sim_search_ivf_pinned`
     * and a wider nprobe, so the two keys exercise different
     * configurations of the same machinery) and is hash-checked against a
     * generated DuckDB oracle — the r8 verdict's "regression invisible to
-    * the driver" gap. The float-mean API [[ivfKmeansTopK]] stays for
-    * callers who want mean-vector centroids; cosine's scale invariance
-    * makes the pinned sum-form assignments identical to mean-form. */
+    * the driver" gap. */
   private def ivfKmeans(s: SparkSession, d: String): DataFrame =
     pinnedServe(s, d, iters = 3, nprobe = 6)
 
@@ -319,9 +338,8 @@ object SimSearch extends graft.QueryModule {
     *     multiply-based round_even resolve that double tie
     *     differently — observed on 10/1024 components at 12dp).
     *
-    * Same plan shape as [[trainKmeansCentroids]]: broadcast assignment
-    * join + posexplode hash-agg per round, lineage cut by
-    * localCheckpoint. */
+    * Plan shape: broadcast assignment join + posexplode hash-agg per
+    * round, lineage cut by localCheckpoint. */
   def trainKmeansPinned(vecs: DataFrame, k: Int, lloydIters: Int): DataFrame = {
     var centroids = vecs.filter(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"),
@@ -574,6 +592,215 @@ object SimSearch extends graft.QueryModule {
        |  FROM cand) WHERE rn <= 10
        |ORDER BY probe_id, rnk""".stripMargin, iters)
 
+  /** Generated DuckDB mirror of the integer-grid PQ pipeline [r9]: the
+    * micro-unit grid, per-subspace Lloyd rounds (exact-integer L2
+    * argmin, floor-pinned means), encode, exact-integer ADC, and the
+    * bit-identical cosine rerank — unrolled as chained CTEs over the
+    * exploded (vec, sub, spos) relation. */
+  private def pqOracle(m: Int, k: Int, iters: Int, rerank: Int): String = {
+    val subDim = 64 / m
+    val base =
+      s"""WITH gg AS (
+         |  SELECT vec_id,
+         |         CAST((generate_subscripts(embedding, 1) - 1) // $subDim
+         |              AS INTEGER) AS sub,
+         |         CAST((generate_subscripts(embedding, 1) - 1) % $subDim
+         |              AS INTEGER) AS spos,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+         |              AS BIGINT) AS gv
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT sub, CAST(vec_id - 1 AS INTEGER) AS cid, spos, gv AS mg
+         |  FROM gg WHERE vec_id BETWEEN 1 AND $k)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""qd$i AS (
+         |  SELECT g.vec_id, g.sub, c.cid,
+         |         CAST(sum((g.gv - c.mg) * (g.gv - c.mg)) AS BIGINT) AS d2
+         |  FROM gg g JOIN q${i - 1} c ON g.sub = c.sub AND g.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |qa$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2, cid) AS rn
+         |    FROM qd$i) WHERE rn = 1),
+         |q$i AS (
+         |  SELECT g.sub, a.cid, g.spos,
+         |         CAST(floor(CAST(sum(g.gv) AS DOUBLE) / count(*))
+         |              AS BIGINT) AS mg
+         |  FROM gg g JOIN qa$i a ON g.vec_id = a.vec_id AND g.sub = a.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val serve =
+      s"""qdF AS (
+         |  SELECT g.vec_id, g.sub, c.cid,
+         |         CAST(sum((g.gv - c.mg) * (g.gv - c.mg)) AS BIGINT) AS d2
+         |  FROM gg g JOIN q$iters c ON g.sub = c.sub AND g.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2, cid) AS rn
+         |    FROM qdF) WHERE rn = 1),
+         |pg AS (SELECT sub, spos, gv FROM gg WHERE vec_id = 0),
+         |tab AS (
+         |  SELECT c.sub, c.cid, CAST(sum(p2.gv * c.mg) AS BIGINT) AS pdot
+         |  FROM q$iters c JOIN pg p2 ON c.sub = p2.sub AND c.spos = p2.spos
+         |  GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT e.vec_id, CAST(sum(t.pdot) AS BIGINT) AS approx_dot
+         |  FROM enc e JOIN tab t ON e.sub = t.sub AND e.cid = t.cid
+         |  WHERE e.vec_id <> 0 GROUP BY 1),
+         |nrm AS (
+         |  SELECT vec_id,
+         |         sqrt(${dotSql.format("n0.embedding", "n0.embedding")})
+         |           AS vnorm
+         |  FROM embeddings n0),
+         |cand AS (
+         |  SELECT ad.vec_id
+         |  FROM ad JOIN nrm n ON ad.vec_id = n.vec_id
+         |  ORDER BY CAST(ad.approx_dot AS DOUBLE) / n.vnorm DESC, ad.vec_id
+         |  LIMIT $rerank),
+         |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       (${dotSql.format("e.embedding", "p.pe")}
+         |        / (sqrt(${dotSql.format("e.embedding", "e.embedding")})
+         |           * sqrt(${dotSql.format("p.pe", "p.pe")}))) AS cosine
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+         |CROSS JOIN p
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+    s"$base,\n$rounds,\n$serve"
+  }
+
+  /** Generated DuckDB mirror of the residual IVF+PQ pipeline [r9]:
+    * [[kmeansOracle]]'s pinned Lloyd chain supplies the coarse cells
+    * (asgF) and exact (sum, count) means; the residual
+    * grid, per-subspace codebook rounds, ADC (probe·cellmean constant +
+    * residual table), candidate rank, and exact rerank mirror
+    * [[ivfPqTopKPinned]] term for term. */
+  private def ivfPqOracle(kmIters: Int, nprobe: Int, m: Int, kCodes: Int,
+                          pqIters: Int, rerank: Int): String = {
+    val subDim = 64 / m
+    val coarse =
+      s""", affF AS (
+         |  SELECT v.vec_id, c.cid,
+         |         ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+         |           FROM (SELECT unnest(v.embedding) AS x,
+         |                        unnest(c.cvec) AS y) u)
+         |          / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+         |                   FROM (SELECT unnest(v.embedding) AS x) u))
+         |             * sqrt((SELECT sum(u.y * u.y)
+         |                     FROM (SELECT unnest(c.cvec) AS y) u)))) AS aff
+         |  FROM vecs v CROSS JOIN c$kmIters c),
+         |asgF AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY aff DESC, cid) AS rn
+         |    FROM affF) WHERE rn = 1),
+         |cm AS (
+         |  SELECT cell AS cid, pos,
+         |         CAST(floor(m * 1e6 / cnt) AS BIGINT) AS cmg
+         |  FROM mean$kmIters),
+         |gg0 AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+         |              AS BIGINT) AS gv
+         |  FROM vecs),
+         |rg AS (
+         |  SELECT g.vec_id,
+         |         CAST(g.pos // $subDim AS INTEGER) AS sub,
+         |         CAST(g.pos % $subDim AS INTEGER) AS spos,
+         |         g.gv - c.cmg AS gv
+         |  FROM gg0 g JOIN asgF a ON g.vec_id = a.vec_id
+         |  JOIN cm c ON c.cid = a.cell AND c.pos = g.pos),
+         |q0 AS (
+         |  SELECT sub, CAST(vec_id - 1 AS INTEGER) AS cid, spos, gv AS mg
+         |  FROM rg WHERE vec_id BETWEEN 1 AND $kCodes)""".stripMargin
+    val rounds = (1 to pqIters).map { i =>
+      s"""qd$i AS (
+         |  SELECT g.vec_id, g.sub, c.cid,
+         |         CAST(sum((g.gv - c.mg) * (g.gv - c.mg)) AS BIGINT) AS d2
+         |  FROM rg g JOIN q${i - 1} c ON g.sub = c.sub AND g.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |qa$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2, cid) AS rn
+         |    FROM qd$i) WHERE rn = 1),
+         |q$i AS (
+         |  SELECT g.sub, a.cid, g.spos,
+         |         CAST(floor(CAST(sum(g.gv) AS DOUBLE) / count(*))
+         |              AS BIGINT) AS mg
+         |  FROM rg g JOIN qa$i a ON g.vec_id = a.vec_id AND g.sub = a.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val serve =
+      s"""qdF AS (
+         |  SELECT g.vec_id, g.sub, c.cid,
+         |         CAST(sum((g.gv - c.mg) * (g.gv - c.mg)) AS BIGINT) AS d2
+         |  FROM rg g JOIN q$pqIters c ON g.sub = c.sub AND g.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2, cid) AS rn
+         |    FROM qdF) WHERE rn = 1),
+         |pg AS (SELECT pos, gv FROM gg0 WHERE vec_id = 0),
+         |pcell AS (
+         |  SELECT cid AS cell FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY
+         |      ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+         |        FROM (SELECT unnest(p2.pe) AS x, unnest(c.cvec) AS y) u)
+         |       / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+         |                FROM (SELECT unnest(p2.pe) AS x) u))
+         |          * sqrt((SELECT sum(u.y * u.y)
+         |                  FROM (SELECT unnest(c.cvec) AS y) u)))) DESC,
+         |      c.cid) AS rn
+         |    FROM c$kmIters c CROSS JOIN
+         |      (SELECT embedding AS pe FROM vecs WHERE vec_id = 0) p2)
+         |  WHERE rn <= $nprobe),
+         |pdc AS (
+         |  SELECT pc.cell, CAST(sum(g.gv * c.cmg) AS BIGINT) AS pdotc
+         |  FROM pcell pc JOIN cm c ON c.cid = pc.cell
+         |  JOIN pg g ON g.pos = c.pos
+         |  GROUP BY 1),
+         |pgs AS (
+         |  SELECT CAST(pos // $subDim AS INTEGER) AS sub,
+         |         CAST(pos % $subDim AS INTEGER) AS spos, gv
+         |  FROM pg),
+         |tab AS (
+         |  SELECT q.sub, q.cid, CAST(sum(p3.gv * q.mg) AS BIGINT) AS pdot
+         |  FROM q$pqIters q JOIN pgs p3
+         |    ON q.sub = p3.sub AND q.spos = p3.spos
+         |  GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT e.vec_id,
+         |         CAST(pd.pdotc + sum(t.pdot) AS BIGINT) AS approx_dot
+         |  FROM enc e JOIN asgF a ON e.vec_id = a.vec_id
+         |  JOIN pdc pd ON pd.cell = a.cell
+         |  JOIN tab t ON e.sub = t.sub AND e.cid = t.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id, pd.pdotc),
+         |nrm AS (
+         |  SELECT vec_id,
+         |         sqrt(${dotSql.format("n0.embedding", "n0.embedding")})
+         |           AS vnorm
+         |  FROM vecs n0),
+         |cand AS (
+         |  SELECT ad.vec_id
+         |  FROM ad JOIN nrm n ON ad.vec_id = n.vec_id
+         |  ORDER BY CAST(ad.approx_dot AS DOUBLE) / n.vnorm DESC, ad.vec_id
+         |  LIMIT $rerank),
+         |p AS (SELECT embedding AS pe FROM vecs WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       (${dotSql.format("e.embedding", "p.pe")}
+         |        / (sqrt(${dotSql.format("e.embedding", "e.embedding")})
+         |           * sqrt(${dotSql.format("p.pe", "p.pe")}))) AS cosine
+         |FROM vecs e JOIN cand ON e.vec_id = cand.vec_id
+         |CROSS JOIN p
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+    kmeansOracle(s"$coarse,\n$rounds,\n$serve", kmIters)
+  }
+
   private def kmeansCentroidsOracle: String = kmeansOracle(
     s"""SELECT cell AS cid, CAST(pos AS INTEGER) AS pos, m AS s_sum,
        |       CAST(cnt AS BIGINT) AS n_members
@@ -610,80 +837,11 @@ object SimSearch extends graft.QueryModule {
     * broadcast — linear in probes), candidates come from ONE equi-join of
     * the cell-assigned corpus with the exploded (probe, cell) pairs, and
     * the per-probe top-k is the same bounded map-side aggregate as
-    * [[batchTopK]]. Each probe touches ~nprobe/k of the corpus. */
-  def ivfKmeansBatchTopK(e: DataFrame, probes: DataFrame, k: Int = 16,
-                         lloydIters: Int = 2, nprobe: Int = 4,
-                         topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = e.select(col("vec_id"), col("embedding"))
-    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
-    val cells = assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("probe"), col("cid"),
-        cosine(col("probe"), col("cvec")).as("aff"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("aff").desc, col("cid"))))
-      .filter(col("rnk") <= nprobe)
-      .select(col("probe_id"), col("cid").as("probe_cell"), col("probe"))
-    val scored = cells.join(broadcast(probeCells),
-        col("cell") === col("probe_cell") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("embedding"), col("probe")).as("cosine"))
-    explodeTopK(scored.groupBy(col("probe_id"))
-      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
-  }
-
-  /** Index BUILD/SERVE split — the production ANN lifecycle: train once,
-    * persist centroids + cell-assigned corpus as parquet, serve many
-    * probe batches from the saved index without retraining. The index
-    * layout is two plain parquet tables (no bespoke format): `centroids`
-    * (cid, cvec) — K rows, broadcast at serve time — and `cells`
-    * (cell, vec_id, embedding), written partitioned by cell so a probe's
-    * nprobe cells prune to nprobe directories at scan time. */
-  def buildIvfIndex(e: DataFrame, dir: String, k: Int = 16,
-                    lloydIters: Int = 2): Unit = {
-    val vecs = e.select(col("vec_id"), col("embedding"))
-    val centroids = trainKmeansCentroids(vecs, k, lloydIters)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    assignCells(vecs, centroids).join(vecs, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-  }
-
-  /** Batch top-k from a saved index ([[buildIvfIndex]]): identical
-    * serving plan to [[ivfKmeansBatchTopK]], but the centroid broadcast
-    * and cell equi-join read the persisted tables — training cost is
-    * paid once, and the partitioned layout turns each probe's cell list
-    * into partition pruning. */
-  def servedTopK(spark: SparkSession, dir: String, probes: DataFrame,
-                 nprobe: Int = 4, topK: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("probe"), col("cid"),
-        cosine(col("probe"), col("cvec")).as("aff"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("aff").desc, col("cid"))))
-      .filter(col("rnk") <= nprobe)
-      .select(col("probe_id"), col("cid").as("probe_cell"), col("probe"))
-    val scored = cells.join(broadcast(probeCells),
-        col("cell") === col("probe_cell") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        cosine(col("embedding"), col("probe")).as("cosine"))
-    explodeTopK(scored.groupBy(col("probe_id"))
-      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
-  }
-
-  /** Query key: build the index under target/tmp, then serve the probe
-    * batch from the files. Approximate (kmeans float means are
-    * partition-order sensitive) ⇒ rows-only; SimSearchRecallSpec pins
-    * the served answer to the in-memory serving plan on the SAME saved
-    * index and floors recall vs exact. */
-  /** Shared pinned batch-serving tail [r9]: probe-cell routing by
-    * [[pinnedAffinity]] against the pinned centroid table, candidate
-    * equi-join on cell, bit-exact codegen cosine, bounded
-    * [[graft.functions.TopKByAgg]] — every step cross-engine
-    * deterministic, so the batch and saved-index keys are hash-checked. */
+    * [[batchTopK]] — each probe touches ~nprobe/k of the corpus.
+    * [r9] Probe-cell routing is [[pinnedAffinity]] against the pinned
+    * centroid table and the candidate cosine is the bit-exact codegen
+    * fold, so every step is cross-engine deterministic and the batch
+    * and saved-index keys are hash-checked. */
   private def servePinnedBatch(cells: DataFrame, centroids: DataFrame,
                                probes: DataFrame, nprobe: Int,
                                topK: Int): DataFrame = {
@@ -703,10 +861,17 @@ object SimSearch extends graft.QueryModule {
       .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), topK).as("nn")))
   }
 
-  /** Pinned index build [r9]: persisted centroids are the exact-decimal
-    * sum-form doubles (parquet round-trips them bit-exactly), cells come
-    * from [[pinnedAssign]] — so serving from the saved index is
-    * hash-identical to serving in memory, and BOTH are oracle-checked. */
+  /** Index BUILD/SERVE split — the production ANN lifecycle: train once,
+    * persist centroids + cell-assigned corpus as parquet, serve many
+    * probe batches from the saved index without retraining. The index
+    * layout is two plain parquet tables (no bespoke format): `centroids`
+    * (cid, cvec, n_members) — K rows, broadcast at serve time — and
+    * `cells` (cell, vec_id, embedding), written partitioned by cell so a
+    * probe's nprobe cells prune to nprobe directories at scan time.
+    * Persisted centroids are the exact-decimal sum-form doubles (parquet
+    * round-trips them bit-exactly), cells come from [[pinnedAssign]] —
+    * so serving from the saved index is hash-identical to serving in
+    * memory, and BOTH are oracle-checked. */
   def buildIvfIndexPinned(e: DataFrame, dir: String, k: Int = pinnedK,
                           lloydIters: Int = pinnedIters): Unit = {
     val vecs = e.select(col("vec_id"), col("embedding"))
@@ -716,11 +881,6 @@ object SimSearch extends graft.QueryModule {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
-  /** Query key: build the PINNED index under target/tmp, then serve the
-    * probe batch from the files — train once / serve many, partition
-    * pruning on the probe's nprobe cells. Hash-checked since r9 (the
-    * float-mean lifecycle API [[buildIvfIndex]]/[[servedTopK]] remains
-    * for mean-vector callers; round-trip determinism spec retained). */
   /** Serve a probe batch from a [[buildIvfIndexPinned]] index on disk. */
   def servedTopKPinned(spark: SparkSession, dir: String, probes: DataFrame,
                        nprobe: Int = 4, topK: Int = 10): DataFrame = {
@@ -835,42 +995,73 @@ object SimSearch extends graft.QueryModule {
     * subspace learns a tiny k-centroid codebook (distributed Lloyd, same
     * machinery as the IVF path), and a vector is stored as m ONE-BYTE
     * codes (32× smaller than float32). Serving is asymmetric distance
-    * computation: the probe precomputes an (m × k)-entry distance table
-    * (a broadcast of 128 rows), the corpus side joins CODES against the
+    * computation: the probe precomputes an (m × k)-entry dot table (a
+    * broadcast of 128 rows), the corpus side joins CODES against the
     * table and sums — the big-data scan touches only the code columns,
     * never the floats — then an exact-cosine rerank over the short
-    * candidate list restores precision. Approximate (float centroid
-    * means) ⇒ rows-only key + recall floor in SimSearchRecallSpec. */
-  private def subvectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
-    vecs.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s2 -> slice(embedding, s2 * $subDim + 1, $subDim))"))
-      .as(Seq("sub", "svec")))
+    * candidate list restores precision.
+    *
+    * INTEGER-GRID pinning [r9]: every Lloyd quantity lives on the
+    * micro-unit grid (`floor(v·10⁶)` longs — the emb_centroid_by_label
+    * discipline), so the distances (Σ(gv−mg)², exact longs), the argmin
+    * (ties to the lower cid), the pinned mean (`floor(sum/count)` — one
+    * IEEE divide + floor, identical on both engines) and the ADC dots
+    * (Σ gp·mg, exact longs) are all order-invariant and cross-engine
+    * exact — the whole train→encode→serve pipeline hash-matches a
+    * generated DuckDB oracle (it replaced the float-mean trainer, whose
+    * partition-order-sensitive centroids forced a rows-only check). The
+    * only doubles are the approx_cos = adc/‖v‖ ranking and the exact
+    * rerank, both bit-identical mirrored expressions. */
+  private val gridScale = 1e6
 
-  private def l2sq(a: Column, b: Column): Column =
-    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  /** (vec_id, gv: long[]) — embeddings pinned to the micro-unit grid. */
+  private def gridify(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * lit(gridScale)).cast("long")).as("gv"))
 
-  /** Per-subspace codebooks (sub, cid, cvec) from `iters` Lloyd rounds
-    * seeded deterministically by vec_id 1..k. */
-  def pqTrainCodebooks(vecs: DataFrame, m: Int, subDim: Int, k: Int,
-                       iters: Int): DataFrame = {
-    val sub = subvectors(vecs, m, subDim)
+  /** Split a long-array column into m contiguous subvectors:
+    * (vec_id, sub, gvec). */
+  private def sliceSubs(df: DataFrame, vecCol: String, m: Int,
+                        subDim: Int): DataFrame =
+    df.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s2 -> slice($vecCol, s2 * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "gvec")))
+
+  /** Exact integer squared L2 / dot between grid subvectors. */
+  private def gridL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def gridDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Per-subspace pinned codebooks (sub, cid, cvec long[]) from `iters`
+    * Lloyd rounds seeded by vec_id 1..k over gridded subvectors `sub`.
+    * Distributed shape: broadcast codebook join (m·k rows), per-(vec,
+    * sub) argmin, per-(sub, cid, pos) hash-agg mean — linear scans, no
+    * shuffle wider than the code table. */
+  def pqTrainCodebooksPinned(sub: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = sub.filter(col("vec_id").between(1, k))
       .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"),
-        col("svec").as("cvec"))
+        col("gvec").as("cvec"))
     (1 to iters).foreach { _ =>
       cents = sub.join(broadcast(cents), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("svec"), col("cid"),
-          l2sq(col("svec"), col("cvec")).as("d2"))
+        .select(col("vec_id"), col("sub"), col("gvec"), col("cid"),
+          gridL2(col("gvec"), col("cvec")).as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
-          first(col("svec")).as("svec"))
-        .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(avg(col("v")).as("mv"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("dims"))
+          first(col("gvec")).as("gvec"))
         .select(col("sub"), col("cid"),
-          transform(col("dims"), x => x.getField("mv").cast("float")).as("cvec"))
+          posexplode(col("gvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        // pinned mean back onto the grid: exact long sum (< 2^53), one
+        // IEEE divide, floor — deterministic on both engines
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mg"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mg")))).as("dims"))
+        .select(col("sub"), col("cid"),
+          transform(col("dims"), x => x.getField("mg")).as("cvec"))
         .localCheckpoint()
     }
     cents
@@ -878,36 +1069,37 @@ object SimSearch extends graft.QueryModule {
 
   /** Encode every vector as its per-subspace nearest codebook entry:
     * the (vec_id, sub, cid) code table IS the compressed corpus. */
-  def pqEncode(sub: DataFrame, cents: DataFrame): DataFrame =
+  def pqEncodePinned(sub: DataFrame, cents: DataFrame): DataFrame =
     sub.join(broadcast(cents), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cid"),
-        l2sq(col("svec"), col("cvec")).as("d2"))
+        gridL2(col("gvec"), col("cvec")).as("d2"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
 
-  def pqTopK(e: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
-             rerank: Int = 200, topK: Int = 10): DataFrame = {
+  def pqTopKPinned(e: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+                   rerank: Int = 200, topK: Int = 10): DataFrame = {
     val subDim = 64 / m
     val vecs = e.select(col("vec_id"), col("embedding"))
-    val cents = pqTrainCodebooks(vecs, m, subDim, k, iters)
-    val sub = subvectors(vecs, m, subDim)
-    val codes = pqEncode(sub, cents)
-    // the served metric is COSINE, so the ADC table carries the probe's
-    // per-subspace DOT with every codebook entry (m × k = 128 rows,
-    // broadcast); approx cosine = Σ_sub dot(probe_sub, cvec[code]) / |v|
-    // with the exact per-vector norm stored beside the codes (one float
-    // per vector — standard PQ-for-cosine practice)
+    val sub = sliceSubs(gridify(vecs), "gv", m, subDim)
+    val cents = pqTrainCodebooksPinned(sub, k, iters)
+    val codes = pqEncodePinned(sub, cents)
+    // ADC for COSINE: the probe's per-subspace exact-integer dot with
+    // every codebook entry (m × k = 128 rows, broadcast); approx_cos =
+    // (Σ_sub adc) / ‖v‖ with the exact per-vector norm stored beside
+    // the codes (one double per vector — standard PQ-for-cosine)
     val table = sub.filter(col("vec_id") === 0)
       .join(broadcast(cents), Seq("sub"))
-      .select(col("sub"), col("cid"), dot(col("svec"), col("cvec")).as("pdot"))
+      .select(col("sub"), col("cid"),
+        gridDot(col("gvec"), col("cvec")).as("pdot"))
     val norms = vecs.select(col("vec_id"),
       sqrt(dot(col("embedding"), col("embedding"))).as("vnorm"))
     val candidates = codes.filter(col("vec_id") =!= 0)
       .join(broadcast(table), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
-      .agg(sum(col("pdot")).as("approx_dot"))
+      .agg(sum(col("pdot")).as("approx_dot")) // exact long: order-invariant
       .join(norms, Seq("vec_id"))
-      .select(col("vec_id"), (col("approx_dot") / col("vnorm")).as("approx_cos"))
+      .select(col("vec_id"),
+        (col("approx_dot").cast("double") / col("vnorm")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("vec_id"))
       .limit(rerank)
     // exact rerank of the short list
@@ -921,12 +1113,12 @@ object SimSearch extends graft.QueryModule {
 
   private def pq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    pqTopK(Tables.embeddings(s, d))
+    pqTopKPinned(Tables.embeddings(s, d))
   }
 
   /** The full FAISS-style two-stage serving architecture — IVF coarse
     * quantizer + PQ fine scoring + exact rerank — composed from
-    * [[trainKmeansCentroids]] and [[pqTrainCodebooks]]:
+    * [[trainKmeansPinned]] and [[pqTrainCodebooksPinned]]:
     *
     *  1. COARSE: the probe visits only its `nprobe` nearest k-means
     *     cells, cutting the candidate corpus to ~nprobe/k of the data
@@ -935,47 +1127,65 @@ object SimSearch extends graft.QueryModule {
     *     broadcast ADC table — no full vectors touched.
     *  3. RERANK: exact cosine on the short list only.
     *
-    * RESIDUAL encoding (r7, classic FAISS): codebooks train on
-    * r = v − centroid(cell) rather than the raw vectors, so each
-    * codebook only has to cover the within-cell spread — and the ADC
-    * score decomposes as dot(probe, v) ≈ dot(probe, c_cell) +
-    * Σ_sub dot(probe_sub, code_sub), one broadcast per-cell constant
-    * plus the usual m-entry table lookup. Approximate by construction
-    * → rows-only; SimSearchRecallSpec holds the recall@10 floor vs the
-    * exact scan. */
-  def ivfPqTopK(e: DataFrame, kCells: Int = 16, lloydIters: Int = 2,
-                nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
-                pqIters: Int = 3, rerank: Int = 100, topK: Int = 10)
-      : DataFrame = {
+    * RESIDUAL encoding (classic FAISS): codebooks train on
+    * r = v − centroid(cell), so each codebook only covers the
+    * within-cell spread, and the ADC score decomposes as dot(p, v) ≈
+    * dot(p, c_cell) + Σ_sub dot(p_sub, code_sub) — one per-cell
+    * constant plus the usual m-entry table lookup. [r9] The residuals
+    * live on the integer grid (cell means pinned to micro-units via
+    * floor(s·10⁶/n) from the trainer's exact (sum, count) form), so —
+    * like [[pqTopKPinned]] — the whole pipeline is cross-engine exact
+    * and hash-checked.
+    *
+    * nprobe is 12 of 16 cells since r9 (recall@10 = 0.9, floored in
+    * SimSearchRecallSpec). Measured context for that setting: this
+    * synthetic corpus is near-random in cosine space, so the
+    * coverage-recall curve is almost linear in the probed corpus
+    * fraction (k=16: 8 cells→0.8, 12→0.9; k=8: 5 cells→0.9;
+    * 2-assignment replication: 6 cells→0.9 at 0.61 frac) — no cell
+    * config prunes hard here. On a genuinely clustered 100 TB corpus
+    * the same pipeline runs at nprobe 2-4; nprobe is the serving-time
+    * dial, and multi-assignment (store each vector in its top-2 cells)
+    * is the documented upgrade if a corpus needs a better curve. */
+  def ivfPqTopKPinned(e: DataFrame, kCells: Int = pinnedK,
+                      lloydIters: Int = pinnedIters, nprobe: Int = 12,
+                      m: Int = 8, kCodes: Int = 16, pqIters: Int = 3,
+                      rerank: Int = 200, topK: Int = 10): DataFrame = {
+    val subDim = 64 / m
     val vecs = e.select(col("vec_id"), col("embedding"))
-    val centroids = trainKmeansCentroids(vecs, kCells, lloydIters)
-    val cellOf = assignCells(vecs, centroids)
+    val centroids = trainKmeansPinned(vecs, kCells, lloydIters)
+    val cellOf = pinnedAssign(vecs, centroids)
+    // pinned integer-grid cell means from the exact (sum, count) form
+    val cellMeans = centroids.select(col("cid"),
+      transform(col("cvec"),
+        s => floor(s * lit(gridScale) / col("n_members")).cast("long")).as("cmg"))
+    val grid = gridify(vecs)
+    // residual grid: one broadcast mean join, element-wise exact subtract
+    val rsub = sliceSubs(
+      grid.join(cellOf, Seq("vec_id"))
+        .join(broadcast(cellMeans), col("cell") === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("gv"), col("cmg"), (x, c) => x - c).as("rv")),
+      "rv", m, subDim)
+    val cents = pqTrainCodebooksPinned(rsub, kCodes, pqIters)
+    val codes = pqEncodePinned(rsub, cents)
+    // probed cells carry BOTH the membership key and the exact-integer
+    // probe·cellmean constant the residual ADC score needs
     val probeVec = vecs.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
-    // probed cells carry BOTH the membership key and the probe·centroid
-    // constant the residual ADC score needs
+    val probeGrid = grid.filter(col("vec_id") === 0)
     val probeCells = probeVec.crossJoin(broadcast(centroids))
-      .select(col("cid"), cosine(col("probe"), col("cvec")).as("aff"),
-        dot(col("probe"), col("cvec")).as("pdotc"))
+      .select(col("cid"), pinnedAffinity(col("probe"), col("cvec")).as("aff"))
       .orderBy(col("aff").desc, col("cid")).limit(nprobe)
-      .select(col("cid").as("cell"), col("pdotc"))
-    // residual corpus: one broadcast centroid join, element-wise
-    // subtract — the relation PQ trains on and encodes
-    val rvecs = vecs
-      .join(cellOf, Seq("vec_id"))
-      .join(broadcast(centroids), col("cell") === col("cid"))
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("cvec"),
-          (x, c) => (x - c).cast("float")).as("embedding"))
-    val subDim = 64 / m
-    val cents = pqTrainCodebooks(rvecs, m, subDim, kCodes, pqIters)
-    val codes = pqEncode(subvectors(rvecs, m, subDim), cents)
-    // ADC table: probe subvectors (RAW probe — the centroid term is the
+      .join(broadcast(cellMeans), Seq("cid"))
+      .crossJoin(broadcast(probeGrid))
+      .select(col("cid").as("cell"), gridDot(col("gv"), col("cmg")).as("pdotc"))
+    // ADC table: RAW probe grid subvectors (the centroid term is the
     // separate pdotc constant) against the residual codebooks
-    val table = subvectors(probeVec
-        .select(lit(0L).as("vec_id"), col("probe").as("embedding")), m, subDim)
+    val table = sliceSubs(probeGrid, "gv", m, subDim)
       .join(broadcast(cents), Seq("sub"))
-      .select(col("sub"), col("cid"), dot(col("svec"), col("cvec")).as("pdot"))
+      .select(col("sub"), col("cid"),
+        gridDot(col("gvec"), col("cvec")).as("pdot"))
     val norms = vecs.select(col("vec_id"),
       sqrt(dot(col("embedding"), col("embedding"))).as("vnorm"))
     val candidates = codes
@@ -984,9 +1194,10 @@ object SimSearch extends graft.QueryModule {
       .filter(col("vec_id") =!= 0)
       .join(broadcast(table), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
-      .agg((first(col("pdotc")) + sum(col("pdot"))).as("approx_dot"))
+      .agg((first(col("pdotc")) + sum(col("pdot"))).as("approx_dot")) // exact longs
       .join(norms, Seq("vec_id"))
-      .select(col("vec_id"), (col("approx_dot") / col("vnorm")).as("approx_cos"))
+      .select(col("vec_id"),
+        (col("approx_dot").cast("double") / col("vnorm")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("vec_id")).limit(rerank)
     candidates.join(vecs, Seq("vec_id"))
       .crossJoin(broadcast(probeVec))
@@ -996,13 +1207,7 @@ object SimSearch extends graft.QueryModule {
 
   private def ivfPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    // r6 measured recall 0.6 at nprobe=4 with GLOBAL codebooks. r7
-    // ships nprobe=6 of 16 cells + rerank=200, and the 0.8 recall
-    // floor in SimSearchRecallSpec was measured at exactly that
-    // config: residual encoding (codebooks on v − centroid(cell))
-    // makes the ADC accurate enough that 6 probed cells suffice where
-    // the global-codebook variant needed 8.
-    ivfPqTopK(Tables.embeddings(s, d), nprobe = 6, rerank = 200)
+    ivfPqTopKPinned(Tables.embeddings(s, d))
   }
 
   /** Per-label centroid in MERGEABLE (sum, count) form [N] — the class
@@ -1261,6 +1466,10 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_kmeans" -> pinnedServeOracle(3, nprobe = 6),
     "sim_search_ivf_batch" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
     "sim_search_ivf_saved" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
+    "sim_search_ivf" -> ivfLshOracle,
+    "sim_search_pq" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
+    "sim_search_ivf_pq" -> ivfPqOracle(pinnedIters, nprobe = 12, m = 8,
+      kCodes = 16, pqIters = 3, rerank = 200),
     "emb_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

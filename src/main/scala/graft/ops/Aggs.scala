@@ -323,10 +323,23 @@ object Aggs extends graft.QueryModule {
   /** HLL++ cardinality for 100 TB posture [N] — approximate, so no DuckDB
     * oracle (driver records rows-only; QueriesSpec bounds the relative
     * error at <= 2% vs exact countDistinct). */
+  /** HLL distinct-count sketch with an IN-QUERY error-bound assertion
+    * [r9, VERDICT stretch]: the sketch estimate itself is
+    * engine-specific, so the key outputs the EXACT count plus a boolean
+    * `hll_ok` = |approx − exact| ≤ max(1, 5% of exact) (rsd 0.01 → 5%
+    * is a ≥5σ bound). The oracle asserts TRUE — a sketch regression
+    * past the bound flips the boolean and hash-fails the driver gate,
+    * so the formerly rows-only key is now oracle-checked. The exact
+    * count rides the same hash-agg exchange as the sketch. */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          greatest(lit(1L), floor(col("exact_users").cast("double") * lit(0.05))))
+          .as("hll_ok"))
       .orderBy("event_type")
 
   /** Heavy hitters via Spark 4's DataSketches frequent-items aggregate
@@ -348,14 +361,32 @@ object Aggs extends graft.QueryModule {
     * the exact formulation's full sort. Merge-order sensitive, so
     * rows-only; QueriesSpec bounds the value drift vs the exact
     * interpolated percentiles. */
-  private def approxPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("p"))
+  private def approxPercentile(s: SparkSession, d: String): DataFrame = {
+    // [r9] bounded-error oracle: the GK values are merge-order
+    // sensitive, so the key asserts the sketch's CONTRACT instead — the
+    // returned quantile's true RANK is within 1.1% of target (GK
+    // accuracy 10000 → 0.01% rank error; the slack covers value-tie
+    // mass). The oracle asserts TRUE per group; a drifting sketch
+    // flips the boolean and hash-fails. One broadcast of the 3-row
+    // quantile dim back onto the scan — no second sort
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(v, array(0.5, 0.9), 10000)").as("p"))
       .select(col("l_returnflag"),
-        element_at(col("p"), 1).as("p50_price"),
-        element_at(col("p"), 2).as("p90_price"))
+        element_at(col("p"), 1).as("a50"), element_at(col("p"), 2).as("a90"))
+    li.join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("a90"), 1L).otherwise(0L)).as("r90"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("r50").cast("double") / col("n") - lit(0.5)) <= lit(0.011))
+          .as("p50_rank_ok"),
+        (abs(col("r90").cast("double") / col("n") - lit(0.9)) <= lit(0.011))
+          .as("p90_rank_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Fixed-width histogram of order totals: 20 × 25k buckets with the
     * overflow clamped into the top bucket. The bucket id is pure
@@ -487,15 +518,28 @@ object Aggs extends graft.QueryModule {
     * map-side-combinable hash aggs. Approximate by design → rows-only;
     * QueriesSpec bounds the error vs exact countDistinct at ≤3% and
     * asserts the sketch union is LOSSLESS vs sketching raw directly. */
-  private def hllReaggregate(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  private def hllReaggregate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val rolled = ev
       .groupBy(col("event_type"), col("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
         .as("approx_users"), count(lit(1)).as("n_days"))
+    // [r9] bounded-error oracle: exact distincts join the day-rolled
+    // sketch union; `union_ok` asserts the union estimate within 5%
+    // (lgK 14 → rse ≈0.8%; 5% ≈ 6σ) — TRUE in the oracle, so sketch or
+    // union regressions hash-fail the driver gate
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users").cast("double")) <=
+          greatest(lit(1.0), col("exact_users").cast("double") * lit(0.05)))
+          .as("union_ok"))
       .orderBy("event_type")
+  }
 
   /** Percentile winsorization [N] — feature-engineering's standard
     * outlier clamp: per group, values outside [p05, p95] snap to the
@@ -925,6 +969,23 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    // bounded-error sketch oracles [r9]: exact values + TRUE for the
+    // in-query error-bound booleans; see the key docs
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_hll_reaggregate" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS union_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_winsorize_pct" ->
       """WITH st AS (
         |  SELECT l_returnflag,

@@ -123,4 +123,45 @@ class PlanHygieneSpec extends AnyFunSuite {
     val stale = allowed.keySet -- looping
     assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
   }
+
+  /** Keys whose UNPARTITIONED window runs over a relation with no
+    * Aggregate/Distinct/Limit below it in the optimized plan, with the
+    * reason the domain is still bounded. (The general rule — VERDICT r8
+    * #7 — is that a global window is fine exactly when its input is a
+    * domain-bounded post-agg relation: price bins, months, the k-row
+    * grids. That boundedness is usually visible as an Aggregate under
+    * the Window; these keys bound it another way.) */
+  private val allowedGlobalWindows: Map[String, String] = Map(
+    "stats_theil_sen" -> ("global median-rank window over the calendar-" +
+      "bounded day-pair slope relation (~2.9M rows at ANY SF — same " +
+      "boundedness documented in the cartesian allowlist entry)"))
+
+  test("every unpartitioned Window sits above a bounded (aggregated) domain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
+      Distinct, GlobalLimit, LocalRelation, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate     => ()
+        case _: Distinct      => ()
+        case _: Deduplicate   => ()
+        case _: GlobalLimit   => ()
+        case _: LocalRelation => ()
+      }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val global = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (global.nonEmpty) Some(name) else None
+    }.toSet
+    val unlisted = offenders -- allowedGlobalWindows.keySet
+    assert(unlisted.isEmpty,
+      s"unpartitioned Window over an unbounded relation: ${unlisted.mkString(", ")}")
+    val stale = allowedGlobalWindows.keySet -- offenders
+    assert(stale.isEmpty, s"stale global-window allowlist entries: $stale")
+  }
+
 }

@@ -63,10 +63,12 @@ class SimSearchRecallSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & twoStage).size.toDouble / exact.size
     info(s"IVF+PQ recall@10 = $recall")
-    // r7: measured at the shipped config — nprobe 6, rerank 200
-    // (SimSearch.ivfPq). The rerank list must widen with the candidate
-    // pool or the noisy ADC score crowds true neighbors out.
-    assert(recall >= 0.8, s"IVF+PQ recall@10 regressed: $recall")
+    // r9: measured at the shipped config — nprobe 12 of 16, rerank 200
+    // (SimSearch.ivfPqTopKPinned). This corpus is near-random in cosine
+    // space, so recall tracks the probed corpus fraction almost
+    // linearly; 12 cells is where it crosses 0.9 (sweep documented at
+    // the ivfPqTopKPinned Scaladoc).
+    assert(recall >= 0.9, s"IVF+PQ recall@10 regressed: $recall")
   }
 
   test("single-probe batch slice equals the single-probe exact answer") {
