@@ -355,8 +355,28 @@ object Corpus extends graft.QueryModule {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** Deterministic global training-order shuffle [N] [r9] — the
+    * reproducible alternative to `ORDER BY rand()`: the permutation key
+    * is `md5('shuf:' || doc_id)`, so the training order is identical
+    * across retries, partition counts and engines (the property
+    * `rand()` cannot give a resumable 100 TB training job), and the
+    * round-robin shard assignment is just `(pos − 1) % 64`. Position
+    * comes from [[graft.ops.GlobalRank]] — range partitions + offsets,
+    * NO single-partition window — and the uniform md5 keys make the
+    * range exchange near-perfectly balanced by construction. */
+  private def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    graft.ops.GlobalRank.withRank(keyed, Seq(col("k"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        pmod(col("pos") - 1, lit(64)).cast("int").as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean_pipeline" -> cleanPipeline,
+    "text_global_shuffle" -> globalShuffle,
     "text_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "text_split_assign" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id").orderBy("doc_id")),
@@ -398,6 +418,15 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "text_global_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (
+        |           ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, CAST((pos - 1) % 64 AS INTEGER) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_sample_weighted" -> sampleWeightedOracle,
     "corpus_clean_pipeline" ->
       s"""WITH RECURSIVE docs AS (

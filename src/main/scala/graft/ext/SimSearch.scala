@@ -900,6 +900,147 @@ object SimSearch extends graft.QueryModule {
     servedTopKPinned(s, dir, probeTable(e))
   }
 
+  /** Multi-assignment IVF-Flat [N] (Jégou et al.'s multiple-assignment
+    * variant) [r9] — the documented coverage upgrade for corpora whose
+    * neighbors straddle cell boundaries: each corpus vector is STORED
+    * in its top-`assign` cells (storage ×assign), the probe still
+    * visits only `nprobe` cells, and a vector is a candidate if ANY of
+    * its replica cells is probed. On this near-random corpus the
+    * 2-assignment curve reaches recall 0.9 at 6 probed cells vs 12 for
+    * single assignment (same candidate fraction ~0.6) — the better
+    * coverage-per-probed-cell curve is the whole point. Same pinned
+    * machinery as the rest of the family → hash-checked. */
+  private def ivfMulti(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val assign = 2
+    val nprobe = 6
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = trainKmeansPinned(vecs, pinnedK, pinnedIters)
+    val replicas = vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        col("cid"), pinnedAffinity(col("embedding"), col("cvec")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("aff").desc, col("cid"))))
+      .filter(col("rnk") <= assign)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probeVec = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val probeCells = probeVec.crossJoin(broadcast(centroids))
+      .select(col("cid"), pinnedAffinity(col("probe"), col("cvec")).as("aff"))
+      .orderBy(col("aff").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("probe_cell"))
+    // a vector reached through BOTH its replicas must score once
+    val cand = replicas
+      .join(broadcast(probeCells), col("cell") === col("probe_cell"))
+      .select("vec_id").distinct()
+    cand.join(vecs, Seq("vec_id"))
+      .crossJoin(broadcast(probeVec))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosine(col("embedding"), col("probe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def ivfMultiOracle: String = kmeansOracle(
+    s""", affA AS (
+       |  SELECT v.vec_id, c.cid,
+       |         ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+       |           FROM (SELECT unnest(v.embedding) AS x,
+       |                        unnest(c.cvec) AS y) u)
+       |          / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                   FROM (SELECT unnest(v.embedding) AS x) u))
+       |             * sqrt((SELECT sum(u.y * u.y)
+       |                     FROM (SELECT unnest(c.cvec) AS y) u)))) AS aff
+       |  FROM vecs v CROSS JOIN c$pinnedIters c),
+       |asgM AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY aff DESC, cid) AS rn
+       |    FROM affA) WHERE rn <= 2),
+       |p AS (SELECT embedding AS pe FROM vecs WHERE vec_id = 0),
+       |pc AS (
+       |  SELECT cid AS probe_cell FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
+       |        FROM (SELECT unnest(p.pe) AS x, unnest(c.cvec) AS y) u)
+       |       / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |                FROM (SELECT unnest(p.pe) AS x) u))
+       |          * sqrt((SELECT sum(u.y * u.y)
+       |                  FROM (SELECT unnest(c.cvec) AS y) u)))) DESC,
+       |      c.cid) AS rn
+       |    FROM c$pinnedIters c CROSS JOIN p) WHERE rn <= 6),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asgM a JOIN pc ON a.cell = pc.probe_cell
+       |  WHERE a.vec_id <> 0)
+       |SELECT v.vec_id,
+       |       (${dotSql.format("v.embedding", "p.pe")}
+       |        / (sqrt(${dotSql.format("v.embedding", "v.embedding")})
+       |           * sqrt(${dotSql.format("p.pe", "p.pe")}))) AS cosine
+       |FROM vecs v JOIN cand ON v.vec_id = cand.vec_id
+       |CROSS JOIN p
+       |ORDER BY cosine DESC, v.vec_id LIMIT 10""".stripMargin)
+
+  /** k-NN majority-vote classification [N] — the label-propagation /
+    * weak-labeling primitive (classify unlabeled or held-out items by
+    * their nearest labeled neighbors): 10-NN by bit-exact cosine over
+    * the labeled corpus, vote = neighbor-label count, tie to the lower
+    * label. Scale shape = [[batchTopK]]: broadcast probes, one corpus
+    * scan, bounded `graft_topk_by` partials on the wire; the vote is a
+    * (probes × 10)-row hash agg. Fully exact → hash-checked. */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val nn = corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+      .groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("cosine"), col("vec_id"), 10).as("nn"))
+    nn.select(col("probe_id"), explode(col("nn")).as("e"))
+      .select(col("probe_id"), col("e.id").as("vec_id"))
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("probe_id"))
+      .agg(max_by(struct(col("label").as("l"), col("votes").as("v")),
+        struct(col("votes"), -col("label"))).as("w"))
+      .select(col("probe_id"), col("w.l").as("pred_label"),
+        col("w.v").as("votes"))
+      .orderBy("probe_id")
+  }
+
+  private def knnClassifyOracle: String =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, embedding, label
+       |      FROM embeddings WHERE vec_id >= 20),
+       |s AS (
+       |  SELECT p.probe_id, c.vec_id, c.label,
+       |         (${dotSql.format("c.embedding", "p.pe")}
+       |          / (sqrt(${dotSql.format("c.embedding", "c.embedding")})
+       |             * sqrt(${dotSql.format("p.pe", "p.pe")}))) AS cosine
+       |  FROM c CROSS JOIN p),
+       |r AS (
+       |  SELECT probe_id, vec_id, label,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM s),
+       |v AS (
+       |  SELECT probe_id, label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM r WHERE rn <= 10 GROUP BY 1, 2),
+       |w AS (
+       |  SELECT probe_id, label, votes,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY votes DESC, label) AS rn
+       |  FROM v)
+       |SELECT probe_id, CAST(label AS INTEGER) AS pred_label, votes
+       |FROM w WHERE rn = 1 ORDER BY probe_id""".stripMargin
+
   private def probeTable(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
@@ -1411,6 +1552,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_truncated" -> truncatedTopK,
     "emb_hard_negatives" -> hardNegatives,
     "sim_search_ivf" -> ivfTopK,
+    "sim_search_ivf_multi" -> ivfMulti,
+    "emb_knn_classify" -> knnClassify,
     "sim_search_ivf_kmeans" -> ivfKmeans,
     "sim_search_kmeans_assign" -> kmeansAssign,
     "sim_search_kmeans_centroids" -> kmeansCentroids,
@@ -1467,6 +1610,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_batch" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
     "sim_search_ivf_saved" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
     "sim_search_ivf" -> ivfLshOracle,
+    "sim_search_ivf_multi" -> ivfMultiOracle,
+    "emb_knn_classify" -> knnClassifyOracle,
     "sim_search_pq" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
     "sim_search_ivf_pq" -> ivfPqOracle(pinnedIters, nprobe = 12, m = 8,
       kCodes = 16, pqIters = 3, rerank = 200),

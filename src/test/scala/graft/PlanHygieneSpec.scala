@@ -31,6 +31,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "agg_q11_value" -> "1-row scalar-threshold broadcast (Q11's HAVING total)",
     "sim_search_kmeans_assign" -> "k-row pinned-centroid broadcast per Lloyd round",
     "sim_search_ivf_pinned" -> "k-row centroid + single-probe broadcasts",
+    "sim_search_ivf_multi" -> ("k-row centroid + single-probe broadcasts " +
+      "(2-assignment replica variant)"),
+    "emb_knn_classify" -> "bounded 20-probe broadcast (batchTopK twin)",
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin",

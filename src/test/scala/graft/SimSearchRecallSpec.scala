@@ -71,6 +71,26 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF+PQ recall@10 regressed: $recall")
   }
 
+  test("multi-assignment IVF recall vs exact top-10 on sf0.01") {
+    // 2-assignment / 6-probed-cells: the better coverage-per-cell curve
+    // (single assignment needs 12 cells for the same recall here)
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val multi = SparkEntry.queries("sim_search_ivf_multi")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & multi).size.toDouble / exact.size
+    info(s"multi-assignment IVF recall@10 = $recall")
+    assert(recall >= 0.8, s"multi-assign recall regressed: $recall")
+  }
+
+  test("emb_knn_classify: every probe classified, votes bounded by k") {
+    val rows = SparkEntry.queries("emb_knn_classify")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 20L).toSet)
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 10L))
+  }
+
   test("single-probe batch slice equals the single-probe exact answer") {
     // sim_search_batch is oracle-checked; additionally pin its probe_id=0
     // slice to the independently-built sim_search_cosine plan (different
