@@ -432,7 +432,8 @@ object SimSearch extends graft.QueryModule {
     * ordered sum; the argmax tiebreak is `ROW_NUMBER() ... ORDER BY aff
     * DESC, cid`; the mean pins mirror bround↔round_even verbatim. */
   private def kmeansOracle(finalSelect: String,
-                           iters: Int = pinnedIters): String = {
+                           iters: Int = pinnedIters,
+                           trainWhere: String = ""): String = {
     def affinity(e: String, c: String): String =
       s"""((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
          |  FROM (SELECT unnest($e) AS x, unnest($c) AS y) u)
@@ -442,16 +443,17 @@ object SimSearch extends graft.QueryModule {
          |            FROM (SELECT unnest($c) AS y) u))))""".stripMargin
     val base =
       s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+         |tvecs AS (SELECT vec_id, embedding FROM vecs $trainWhere),
          |c0 AS (
          |  SELECT vec_id AS cid,
          |         list_transform(embedding,
          |           x -> round_even(CAST(x AS DOUBLE), 8)) AS cvec
-         |  FROM vecs WHERE vec_id BETWEEN 1 AND $pinnedK)""".stripMargin
+         |  FROM tvecs WHERE vec_id BETWEEN 1 AND $pinnedK)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""aff$i AS (
          |  SELECT v.vec_id, v.embedding, c.cid,
          |         ${affinity("v.embedding", "c.cvec")} AS aff
-         |  FROM vecs v CROSS JOIN c${i - 1} c),
+         |  FROM tvecs v CROSS JOIN c${i - 1} c),
          |asg$i AS (
          |  SELECT vec_id, embedding, cid AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -541,7 +543,8 @@ object SimSearch extends graft.QueryModule {
     * the bit-identical cosine. Also the `sim_search_ivf_saved` oracle:
     * the saved index round-trips doubles exactly, so serving from files
     * must equal serving in memory — that equality IS the check. */
-  private def pinnedBatchOracle(iters: Int, nprobe: Int): String = kmeansOracle(
+  private def pinnedBatchOracle(iters: Int, nprobe: Int,
+                                trainWhere: String = ""): String = kmeansOracle(
     s""", affF AS (
        |  SELECT v.vec_id, c.cid,
        |         ((SELECT sum(CAST(u.x AS DOUBLE) * u.y)
@@ -590,7 +593,7 @@ object SimSearch extends graft.QueryModule {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |                               ORDER BY cosine DESC, vec_id) AS rn
        |  FROM cand) WHERE rn <= 10
-       |ORDER BY probe_id, rnk""".stripMargin, iters)
+       |ORDER BY probe_id, rnk""".stripMargin, iters, trainWhere)
 
   /** Generated DuckDB mirror of the integer-grid PQ pipeline [r9]: the
     * micro-unit grid, per-subspace Lloyd rounds (exact-integer L2
@@ -1040,6 +1043,90 @@ object SimSearch extends graft.QueryModule {
        |  FROM v)
        |SELECT probe_id, CAST(label AS INTEGER) AS pred_label, votes
        |FROM w WHERE rn = 1 ORDER BY probe_id""".stripMargin
+
+  /** Index APPEND without retraining [N] [r9] — the daily-refresh
+    * lifecycle move: yesterday's index (trained on the even-id slice)
+    * absorbs today's delta (the odd ids) by assigning the new vectors
+    * against the SAVED centroids and appending their cell partitions —
+    * no Lloyd rounds re-run, untouched cell directories keep their
+    * files. Because assignment is pinned and deterministic,
+    * cells(evens) ∪ cells(odds) ≡ assign(all) against the same
+    * centroids, so the post-append serve is hash-checked by the same
+    * generated mirror with training restricted to the even slice.
+    * (The even-id seed slice yields 8 of the 16 requested seeds —
+    * the mirror applies the identical filter.) */
+  private def ivfAppend(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val dir = "target/tmp/ivf_index_append"
+    buildIvfIndexPinned(e.filter(col("vec_id") % 2 === 0), dir)
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val delta = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    pinnedAssign(delta, centroids).join(delta, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    servedTopKPinned(s, dir, probeTable(e))
+  }
+
+  /** Embedding drift between two corpus slices [N] [r9] — the ML-ops
+    * monitoring primitive (did the embedding distribution move between
+    * snapshots?): cosine between each label's even- and odd-slice
+    * centroids, kept in the mergeable exact-integer sum form
+    * (micro-unit grid, the emb_centroid_by_label discipline — cosine's
+    * scale invariance makes sum-form ≡ mean-form). Cross products ride
+    * DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) exact arithmetic; the
+    * single double division at the end is the same correctly-rounded
+    * IEEE op on both engines. One posexplode + two hash aggs — no
+    * shuffle wider than (label × dim). */
+  private def embDrift(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.embeddings(s, d)
+      .select(col("label"), (pmod(col("vec_id"), lit(2)) === 0).as("in_a"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vd", floor(col("v").cast("double") * lit(1e6)).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("in_a"), col("vd"))).as("sa"),
+        sum(when(!col("in_a"), col("vd"))).as("sb"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    val d19 = "decimal(19,0)"
+    parts.groupBy(col("label"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        sum(col("sa").cast(d19) * col("sb").cast(d19)).as("dab"),
+        sum(col("sa").cast(d19) * col("sa").cast(d19)).as("daa"),
+        sum(col("sb").cast(d19) * col("sb").cast(d19)).as("dbb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dab").cast("double") /
+          (sqrt(col("daa").cast("double")) * sqrt(col("dbb").cast("double"))))
+          .as("drift_cosine"))
+      .orderBy("label")
+  }
+
+  private def embDriftOracle: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 = 0 AS in_a,
+      |         generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+      |              AS BIGINT) AS vd
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT label, pos,
+      |         CAST(sum(CASE WHEN in_a THEN vd END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN NOT in_a THEN vd END) AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM x GROUP BY 1, 2),
+      |a AS (
+      |  SELECT label, CAST(min(na) AS BIGINT) AS n_a,
+      |         CAST(min(nb) AS BIGINT) AS n_b,
+      |         sum(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS dab,
+      |         sum(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))) AS daa,
+      |         sum(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS dbb
+      |  FROM g GROUP BY 1)
+      |SELECT label, n_a, n_b,
+      |       CAST(dab AS DOUBLE)
+      |         / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))
+      |         AS drift_cosine
+      |FROM a ORDER BY label""".stripMargin
 
   private def probeTable(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 20)
@@ -1553,7 +1640,9 @@ object SimSearch extends graft.QueryModule {
     "emb_hard_negatives" -> hardNegatives,
     "sim_search_ivf" -> ivfTopK,
     "sim_search_ivf_multi" -> ivfMulti,
+    "sim_search_ivf_append" -> ivfAppend,
     "emb_knn_classify" -> knnClassify,
+    "emb_drift" -> embDrift,
     "sim_search_ivf_kmeans" -> ivfKmeans,
     "sim_search_kmeans_assign" -> kmeansAssign,
     "sim_search_kmeans_centroids" -> kmeansCentroids,
@@ -1611,7 +1700,10 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_saved" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
     "sim_search_ivf" -> ivfLshOracle,
     "sim_search_ivf_multi" -> ivfMultiOracle,
+    "sim_search_ivf_append" ->
+      pinnedBatchOracle(pinnedIters, nprobe = 4, "WHERE vec_id % 2 = 0"),
     "emb_knn_classify" -> knnClassifyOracle,
+    "emb_drift" -> embDriftOracle,
     "sim_search_pq" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
     "sim_search_ivf_pq" -> ivfPqOracle(pinnedIters, nprobe = 12, m = 8,
       kCodes = 16, pqIters = 3, rerank = 200),

@@ -34,6 +34,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_ivf_multi" -> ("k-row centroid + single-probe broadcasts " +
       "(2-assignment replica variant)"),
     "emb_knn_classify" -> "bounded 20-probe broadcast (batchTopK twin)",
+    "sim_search_ivf_append" -> ("k-row saved-centroid broadcasts (build, " +
+      "delta assign, and serve phases)"),
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin",
