@@ -17,6 +17,7 @@ class Round9Spec extends AnyFunSuite {
       "sim_search_ivf_multi", "sim_search_ivf_batch",
       "sim_search_ivf_kmeans", "sim_search_ivf_saved",
       "emb_knn_classify", "text_global_shuffle",
+      "sim_search_ivf_append", "emb_drift",
       "agg_approx_distinct", "agg_approx_percentile",
       "agg_hll_reaggregate")
     val ns = spark.newSession()
