@@ -432,6 +432,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN serving from a SAVED pinned IVF index
+    * ([[graft.ext.SimSearch.buildIvfIndexPinned]]) — the last leg of
+    * the index lifecycle (train once → persist → append deltas →
+    * serve a PROBE STREAM): each probe micro-batch is routed through
+    * [[graft.ext.SimSearch.servedTopKPinned]] inside foreachBatch, so
+    * every batch pays only the K-row centroid broadcast plus the
+    * nprobe-pruned cell scan, never a retrain. Deterministic serving
+    * (the pinned discipline) makes replays idempotent row-for-row;
+    * StreamingSpec pins the streamed answers to the batch serve. */
+  def serveProbes(probes: DataFrame, indexDir: String, checkpointDir: String)
+                 (sink: DataFrame => Unit): StreamingQuery =
+    probes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ext.SimSearch.servedTopKPinned(
+          batch.sparkSession, indexDir, batch))
+      }
+      .start()
+
   def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     eventStream(spark, srcDir).writeStream

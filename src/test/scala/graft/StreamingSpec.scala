@@ -528,6 +528,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sortBy(x => (x._1, x._2)) == expected.sortBy(x => (x._1, x._2)).toBuffer)
   }
 
+  test("serveProbes: streamed ANN answers equal the batch serve, replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = TestSpark.sf0001
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = "target/tmp/ivf_index_stream"
+    graft.ext.SimSearch.buildIvfIndexPinned(e, dir)
+    val probes = e.filter("vec_id < 6")
+      .selectExpr("vec_id AS probe_id", "embedding AS probe")
+    val probeRows = probes.as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    // two micro-batches: the index must serve both without retraining
+    ms.addData(probeRows.take(3))
+    ms.addData(probeRows.drop(3))
+    val ckp = Files.createTempDirectory("graft_serve_ckp").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = Streams.serveProbes(
+      ms.toDF().toDF("probe_id", "probe"), dir, ckp) { served =>
+      got ++= served.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }
+    q.awaitTermination()
+    val expected = graft.ext.SimSearch.servedTopKPinned(spark, dir, probes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.sorted == expected.sorted.toBuffer,
+      "streamed serve must equal the batch serve on the same index")
+  }
+
   test("maintainIncrementalState: one state version per micro-batch, exact fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_inc_state").toString
