@@ -398,10 +398,9 @@ object SimSearch extends graft.QueryModule {
     * structure hash-exact, and the final candidate ranking is plain
     * cosine between stored floats (bit-identical ordered folds) — so
     * the entire ANN query (train → assign → probe nprobe cells → exact
-    * cosine top-k) matches a DuckDB oracle bit for bit. The float-mean
-    * twin `sim_search_ivf_kmeans` stays rows-only; this key proves the
-    * ARCHITECTURE exact under the pinned trainer. Same plan shape:
-    * K-row centroid broadcasts, nprobe-cell equi-join, bounded top-k. */
+    * cosine top-k) matches a DuckDB oracle bit for bit — the discipline
+    * that, since r9, carries the whole ANN family. Plan shape: K-row
+    * centroid broadcasts, nprobe-cell equi-join, bounded top-k. */
   private def ivfPinnedServe(s: SparkSession, d: String): DataFrame =
     pinnedServe(s, d, iters = pinnedIters, nprobe = 4)
 
@@ -1160,8 +1159,7 @@ object SimSearch extends graft.QueryModule {
   }
 
   /** Query key [r9]: batch IVF serving on the PINNED trainer —
-    * hash-checked (the float-mean batch API [[ivfKmeansBatchTopK]]
-    * remains for mean-vector callers). */
+    * hash-checked. */
   private def ivfBatch(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
