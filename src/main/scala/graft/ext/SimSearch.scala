@@ -1137,6 +1137,63 @@ object SimSearch extends graft.QueryModule {
     batchTopK(e, probeTable(e))
   }
 
+  /** `sim_search_mips` [r9]: batch exact MAX-INNER-PRODUCT search — the
+    * recommender-serving retrieval primitive (user·item affinity is a
+    * raw dot product; un-normalized, so high-norm items win even when
+    * their angle is worse — different answers than cosine by design).
+    * Same scale shape as [[batchTopK]]: broadcast probe batch, one
+    * corpus scan, bounded [[graft.functions.TopKByAgg]] partials on the
+    * wire. The dot fold is the bit-identical sequential double
+    * accumulation, so the key hash-matches the oracle. */
+  private def mipsBatch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val scored = e.join(broadcast(probeTable(e)),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dot(col("embedding"), col("probe")).as("dp"))
+    scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("dp"), col("vec_id"), 10).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("vec_id"), col("e.ord").as("dot"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** `sim_search_mips_augmented` [r9]: the MIPS→cosine NORM-AUGMENTATION
+    * reduction (Bachrach et al., RecSys'14 "Speeding Up the Xbox
+    * Recommender"): append `sqrt(M² − ‖x‖²)` to every item vector
+    * (M = max item norm) and `0` to the probe — every augmented item
+    * then has norm exactly M, so cosine in the augmented space is
+    * `dot(x,q) / (M·‖q‖)`, MONOTONE in the raw inner product. That is
+    * the identity that lets MIPS ride the entire cosine-ANN stack
+    * (LSH buckets, IVF cells, PQ codes) unchanged — the 100 TB path
+    * for un-normalized retrieval. This key serves the reduction
+    * exactly: the score IS `d/(M·‖q‖)` computed in that shape (max is
+    * exact over doubles, sqrt/division correctly rounded), so it
+    * hash-matches the oracle, and its per-probe ranking provably
+    * equals `sim_search_mips`'s (asserted in Round9Spec). */
+  private def mipsAugmented(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq"))
+    val maxn = e.agg(max(col("nsq")).as("maxnsq"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"),
+        col("nsq").as("pnsq"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .crossJoin(broadcast(maxn))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("embedding"), col("probe")) /
+          (sqrt(col("maxnsq")) * sqrt(col("pnsq")))).as("ac"))
+    scored.groupBy(col("probe_id"))
+      .agg(VectorFunctions.topk_by(col("ac"), col("vec_id"), 10).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("vec_id"), col("e.ord").as("aug_cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Hard-negative mining for contrastive training [N]: for each probe,
     * the top-10 most-similar corpus vectors with a DIFFERENT label —
     * the near-misses an embedding model most needs to push apart
@@ -1646,6 +1703,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_kmeans_centroids" -> kmeansCentroids,
     "sim_search_ivf_pinned" -> ivfPinnedServe,
     "sim_search_batch" -> batch,
+    "sim_search_mips" -> mipsBatch,
+    "sim_search_mips_augmented" -> mipsAugmented,
     "sim_search_ivf_batch" -> ivfBatch,
     "sim_search_ivf_saved" -> ivfSaved)
 
@@ -1855,5 +1914,42 @@ object SimSearch extends graft.QueryModule {
          |           ORDER BY d / (sqrt(na) * sqrt(np)) DESC, vec_id) AS rn
          |  FROM s)
          |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, cosine
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // MIPS: raw dot-product ranking — no normalization anywhere
+    "sim_search_mips" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |s AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")} AS d
+         |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, d,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY d DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, d AS dot
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin,
+    // norm-augmentation reduction: score = d / (sqrt(max ‖x‖²)·‖q‖),
+    // the exact cosine of the augmented vectors — same shape both engines
+    "sim_search_mips_augmented" ->
+      s"""WITH mx AS (
+         |  SELECT max(${dotSql.format("e.embedding", "e.embedding")}) AS maxnsq
+         |  FROM embeddings e),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe,
+         |             ${dotSql.format("embedding", "embedding")} AS pnsq
+         |      FROM embeddings WHERE vec_id < 20),
+         |s AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")}
+         |           / (sqrt(mx.maxnsq) * sqrt(p.pnsq)) AS ac
+         |  FROM embeddings e, p, mx WHERE e.vec_id <> p.probe_id),
+         |r AS (
+         |  SELECT probe_id, vec_id, ac,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY ac DESC, vec_id) AS rn
+         |  FROM s)
+         |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id,
+         |       ac AS aug_cosine
          |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin)
 }

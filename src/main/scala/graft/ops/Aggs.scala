@@ -926,7 +926,50 @@ object Aggs extends graft.QueryModule {
         max(col("o_orderdate")).cast("date").as("date_max"),
         countDistinct(col("o_orderpriority")).as("priority_ndv"))
 
+  /** Count-Min sketch [N] (Cormode-Muthukrishnan 2005): d=4 × w=64
+    * counter grid over `events.event_type`; estimate = min over the d
+    * rows of the hashed cell, an OVERESTIMATE by construction. Unlike
+    * the HLL/theta keys (rows-only: engine-internal hash state), the
+    * hash functions here are the house md5 coin
+    * (`hex8(md5(key:cmj)) % 64`), so the whole sketch — cells,
+    * estimates, and the per-key overcount — is pure integer arithmetic
+    * both engines replay exactly: the first FULLY hash-checked sketch
+    * key. Scale shape: the update explode is map-side (4 cells/row
+    * partial-agg into a 256-cell grid — the shuffle carries the GRID,
+    * not the stream), and the estimate join probes the bounded
+    * key-domain against the broadcast grid. Mergeability is the point
+    * at 100 TB: cell-wise sums across partitions/days ARE the combined
+    * sketch (same property the bitmap/theta keys pin). */
+  private def countMin(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 64
+    val ev = Tables.events(s, d)
+    val cells = ev.select(explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), j -> struct(j AS j,
+           |  CAST(conv(substring(md5(concat(event_type, ':cm',
+           |    CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $width
+           |  AS b))""".stripMargin)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val keys = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .select(col("event_type"), col("true_cnt"), explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), j -> struct(j AS j,
+           |  CAST(conv(substring(md5(concat(event_type, ':cm',
+           |    CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $width
+           |  AS b))""".stripMargin)).as("k"))
+      .select(col("event_type"), col("true_cnt"),
+        col("k.j").as("j"), col("k.b").as("b"))
+    keys.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("event_type"))
+      .agg(max(col("true_cnt")).as("true_cnt"),
+        min(col("cnt")).as("cm_est"))
+      .withColumn("overcount", col("cm_est") - col("true_cnt"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_countmin" -> countMin,
     "agg_string_agg" -> stringAgg,
     "agg_chisq" -> chiSquare,
     "stats_cramers_v" -> cramersV,
@@ -969,6 +1012,34 @@ object Aggs extends graft.QueryModule {
     "agg_approx_percentile" -> approxPercentile)
 
   val oracles: Map[String, String] = Map(
+    // count-min: the md5-coin hash makes the WHOLE sketch replayable —
+    // hex8 via the strpos polynomial (DuckDB has no conv)
+    "agg_countmin" -> {
+      val hex8 = (0 until 8).map { i =>
+        val f = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $f"
+      }.mkString("(", "\n        + ", ")")
+      s"""WITH hashed AS (
+        |  SELECT event_type, j, $hex8 % 64 AS b
+        |  FROM (SELECT event_type, j,
+        |               md5(event_type || ':cm' || CAST(j AS VARCHAR)) AS h
+        |        FROM events, (SELECT unnest(generate_series(0, 3)) AS j))),
+        |cells AS (
+        |  SELECT j, b, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT event_type, count(*) AS true_cnt
+        |  FROM events GROUP BY 1),
+        |probes AS (
+        |  SELECT k.event_type, k.true_cnt, j, $hex8 % 64 AS b
+        |  FROM (SELECT event_type, true_cnt, j,
+        |               md5(event_type || ':cm' || CAST(j AS VARCHAR)) AS h
+        |        FROM keys, (SELECT unnest(generate_series(0, 3)) AS j)) k)
+        |SELECT p.event_type, max(p.true_cnt) AS true_cnt,
+        |       min(c.cnt) AS cm_est,
+        |       min(c.cnt) - max(p.true_cnt) AS overcount
+        |FROM probes p JOIN cells c USING (j, b)
+        |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
+    },
     // bounded-error sketch oracles [r9]: exact values + TRUE for the
     // in-query error-bound booleans; see the key docs
     "agg_approx_distinct" ->

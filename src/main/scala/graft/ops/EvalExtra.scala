@@ -239,6 +239,40 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("t")
   }
 
+  /** Nelson-Aalen cumulative-hazard estimator [N] — the counting-
+    * process companion to `stats_kaplan_meier` over the SAME
+    * fulfillment relation: H(t) = Σ_{u≤t} d_u/n_u (Aalen 1978), the
+    * estimator survival analysis prefers when the hazard itself (not
+    * the survival curve) is the quantity of interest. Each increment
+    * pins at 12dp and accumulates as DECIMAL(16,12) — an EXACT
+    * order-invariant window sum (the `stats_sprt` LLR discipline),
+    * unlike a raw double cumsum whose value would depend on frame
+    * evaluation order; one cast to double + 8dp at the boundary.
+    * Same scale shape as KM: one equi-join + hash agg into the
+    * calendar-bounded day domain. */
+  private def nelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val days = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).as("t"),
+        (col("l_linestatus") === "F").as("death"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("death"), 1L).otherwise(0L)).as("dt"),
+        count(lit(1)).as("et"))
+    val total = days.agg(sum(col("et")).as("n"))
+    days.crossJoin(broadcast(total))
+      .withColumn("n_t", col("n") - coalesce(sum(col("et")).over(wRisk), lit(0L)))
+      .withColumn("h", bround(dd(col("dt")) / dd(col("n_t")), 12)
+        .cast("decimal(16,12)"))
+      .select(col("t"), col("n_t"), col("dt"),
+        bround(sum(col("h")).over(wCum).cast("double"), 8).as("cum_hazard"))
+      .orderBy("t")
+  }
+
   /** BM25 ranking [N] (Robertson/Lucene form, k1=1.2, b=0.75) for a
     * fixed 3-term query over the documents corpus — the standard
     * full-text relevance scorer the inverted-index family serves.
@@ -444,7 +478,114 @@ object EvalExtra extends graft.QueryModule {
       |FROM per CROSS JOIN tot CROSS JOIN best
       |ORDER BY seg""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram LM [N] (Kneser-Ney 1995; Chen-
+    * Goodman 1998 interpolated form) — the LM-quality scorer a CCNet-
+    * style filter actually ships (absolute discounting + continuation
+    * probability), one level up from `text_bigram_lm`'s add-one:
+    * p(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *          + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··), D = 0.75.
+    * Every count is an exact integer (bigram counts, per-context
+    * continuation fan-out N1+(w1·), left-context type count N1+(·w2),
+    * total bigram types); D = 3/4 is exact in binary, so the single
+    * IEEE expression per bigram is the same shape both engines and
+    * the per-term 6dp / per-doc 4dp pinning is the `text_logprob`
+    * acceptance. Scale shape: one explode into adjacent pairs, then
+    * VOCABULARY-scale hash aggs; the per-doc scoring join is an
+    * equi-join on the bigram. */
+  private def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+      )).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = pairs.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"), countDistinct(col("w2")).as("n1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val types = big.agg(count(lit(1)).as("nt"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp", bround(log(
+        (dd(col("cb")) - 0.75) / dd(col("cu"))
+          + (lit(0.75) * dd(col("n1")) / dd(col("cu")))
+            * (dd(col("nc")) / dd(col("nt")))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        bround(sum(col("lp")) / count(lit(1)), 4).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus BLEU-2 [N] (Papineni et al. 2002) — the canonical
+    * generation-eval metric, here as the corpus-level pipeline shape:
+    * candidates (odd doc_id) scored against references (the preceding
+    * even doc_id), grouped by the candidate's source. Modified n-gram
+    * precision = Σ clipped matches / Σ candidate n-grams (clip =
+    * min(cand count, ref count) per n-gram type per pair — all exact
+    * integers via one explode + per-pair hash aggs and a left join);
+    * brevity penalty and the geometric mean are the only IEEE ops,
+    * same shape both engines. Scale: everything is equi-join +
+    * hash-agg on (pair × n-gram type); no quadratic stage. */
+  private def bleu(s: SparkSession, d: String): DataFrame = {
+    def grams(side: DataFrame, cnt: String): DataFrame = side
+      .select(col("pid"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("pid"), col("source"), explode(expr(
+        """concat(
+          |  transform(sequence(1, size(ws)), i -> struct(1 AS n, ws[i - 1] AS g)),
+          |  CASE WHEN size(ws) >= 2 THEN
+          |    transform(sequence(1, size(ws) - 1),
+          |              i -> struct(2 AS n, concat(ws[i - 1], ' ', ws[i]) AS g))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END)"""
+        .stripMargin)).as("t"))
+      .groupBy(col("pid"), col("source"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as(cnt))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id div 2").as("pid"), col("text"), col("source"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pid"), col("text"), col("source"))
+    // pairs must exist on both sides: clip ref counts into cand grams
+    val cg = grams(cand.join(ref.select(col("pid")), Seq("pid")), "cc")
+    val rg = grams(ref.join(cand.select(col("pid")), Seq("pid")), "rc")
+      .drop("source")
+    val per = cg.join(rg, Seq("pid", "n", "g"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(col("cc")).as("t"))
+    val prec = per.groupBy(col("source"))
+      .agg(max(when(col("n") === 1, col("m"))).as("m1"),
+        max(when(col("n") === 1, col("t"))).as("t1"),
+        max(when(col("n") === 2, col("m"))).as("m2"),
+        max(when(col("n") === 2, col("t"))).as("t2"))
+    val lens = cg.filter(col("n") === 1)
+      .groupBy(col("source")).agg(sum(col("cc")).as("clen"))
+      .join(rg.join(cg.select(col("pid"), col("source")).distinct(), Seq("pid"))
+          .filter(col("n") === 1)
+          .groupBy(col("source")).agg(sum(col("rc")).as("rlen")),
+        Seq("source"))
+    prec.join(lens, Seq("source"))
+      .select(col("source"),
+        bround(dd(col("m1")) / dd(col("t1")), 8).as("p1"),
+        bround(dd(col("m2")) / dd(col("t2")), 8).as("p2"),
+        bround(when(col("clen") > col("rlen"), lit(1.0))
+          .otherwise(exp(lit(1.0) - dd(col("rlen")) / dd(col("clen")))), 8)
+          .as("bp"),
+        bround(
+          when(col("clen") > col("rlen"), lit(1.0))
+            .otherwise(exp(lit(1.0) - dd(col("rlen")) / dd(col("clen"))))
+            * exp(lit(0.5) * (log(dd(col("m1")) / dd(col("t1")))
+              + log(dd(col("m2")) / dd(col("t2"))))), 8).as("bleu"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kneser_ney" -> kneserNey,
+    "eval_bleu" -> bleu,
     "eval_demographic_parity" -> demographicParity,
     "eval_pr_curve" -> prCurve,
     "stats_bh_fdr" -> benjaminiHochberg,
@@ -454,6 +595,7 @@ object EvalExtra extends graft.QueryModule {
     "quality_l_diversity" -> lDiversity,
     "quality_t_closeness" -> tCloseness,
     "stats_kaplan_meier" -> kaplanMeier,
+    "stats_nelson_aalen" -> nelsonAalen,
     "text_bm25" -> bm25,
     "stats_sprt" -> sprt)
 
@@ -600,5 +742,107 @@ object EvalExtra extends graft.QueryModule {
         |       CASE WHEN llr >= CAST(2.944438979 AS DECIMAL(12,9)) THEN 'accept_h1'
         |            WHEN llr <= -CAST(2.944438979 AS DECIMAL(12,9)) THEN 'accept_h0'
         |            ELSE 'continue' END AS decision
-        |FROM l ORDER BY day""".stripMargin)
+        |FROM l ORDER BY day""".stripMargin,
+    "stats_nelson_aalen" ->
+      """WITH days AS (
+        |  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS t,
+        |         sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS dt,
+        |         count(*) AS et
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(et) AS BIGINT) AS n FROM days),
+        |r AS (
+        |  SELECT t, CAST(dt AS BIGINT) AS dt,
+        |         CAST(n - coalesce(sum(et) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_t
+        |  FROM days, tot),
+        |h AS (
+        |  SELECT t, n_t, dt,
+        |         CAST(round_even(CAST(dt AS DOUBLE) / CAST(n_t AS DOUBLE), 12)
+        |              AS DECIMAL(16,12)) AS h
+        |  FROM r)
+        |SELECT t, n_t, dt,
+        |       round_even(CAST(sum(h) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 8)
+        |         AS cum_hazard
+        |FROM h ORDER BY t""".stripMargin,
+    "text_kneser_ney" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS cu, count(DISTINCT w2) AS n1
+        |        FROM pairs GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nc FROM big GROUP BY 1),
+        |types AS (SELECT count(*) AS nt FROM big)
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |       round_even(sum(round_even(ln(
+        |         (CAST(b.cb AS DOUBLE) - 0.75) / CAST(u.cu AS DOUBLE)
+        |         + (0.75 * CAST(u.n1 AS DOUBLE) / CAST(u.cu AS DOUBLE))
+        |         * (CAST(c.nc AS DOUBLE) / CAST(t.nt AS DOUBLE))), 6))
+        |         / count(*), 4) AS mean_lp
+        |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+        |     JOIN cont c USING (w2), types t
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "eval_bleu" ->
+      """WITH cand AS (
+        |  SELECT doc_id // 2 AS pid, text, source FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |ref AS (
+        |  SELECT doc_id // 2 AS pid, text FROM documents WHERE doc_id % 2 = 0),
+        |pairs AS (
+        |  SELECT c.pid, c.source, c.text AS ct, r.text AS rt
+        |  FROM cand c JOIN ref r USING (pid)),
+        |cg AS (
+        |  SELECT pid, source, n, g, count(*) AS cc FROM (
+        |    SELECT pid, source, 1 AS n, ws[i] AS g
+        |    FROM (SELECT pid, source, string_split(ct, ' ') AS ws FROM pairs),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+        |    UNION ALL
+        |    SELECT pid, source, 2 AS n, ws[i] || ' ' || ws[i + 1] AS g
+        |    FROM (SELECT pid, source, string_split(ct, ' ') AS ws FROM pairs),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+        |  GROUP BY 1, 2, 3, 4),
+        |rg AS (
+        |  SELECT pid, n, g, count(*) AS rc FROM (
+        |    SELECT pid, 1 AS n, ws[i] AS g
+        |    FROM (SELECT pid, string_split(rt, ' ') AS ws FROM pairs),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+        |    UNION ALL
+        |    SELECT pid, 2 AS n, ws[i] || ' ' || ws[i + 1] AS g
+        |    FROM (SELECT pid, string_split(rt, ' ') AS ws FROM pairs),
+        |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT source, n, sum(least(cc, coalesce(rc, 0))) AS m,
+        |         sum(cc) AS t
+        |  FROM cg LEFT JOIN rg USING (pid, n, g)
+        |  GROUP BY 1, 2),
+        |prec AS (
+        |  SELECT source,
+        |         max(CASE WHEN n = 1 THEN m END) AS m1,
+        |         max(CASE WHEN n = 1 THEN t END) AS t1,
+        |         max(CASE WHEN n = 2 THEN m END) AS m2,
+        |         max(CASE WHEN n = 2 THEN t END) AS t2
+        |  FROM per GROUP BY 1),
+        |lens AS (
+        |  SELECT source, sum(clen) AS clen, sum(rlen) AS rlen FROM (
+        |    SELECT pid, source, len(string_split(ct, ' ')) AS clen,
+        |           len(string_split(rt, ' ')) AS rlen
+        |    FROM pairs) GROUP BY 1)
+        |SELECT p.source,
+        |       round_even(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE), 8) AS p1,
+        |       round_even(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE), 8) AS p2,
+        |       round_even(CASE WHEN clen > rlen THEN 1.0
+        |         ELSE exp(1.0 - CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE))
+        |         END, 8) AS bp,
+        |       round_even(CASE WHEN clen > rlen THEN 1.0
+        |         ELSE exp(1.0 - CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE))
+        |         END
+        |         * exp(0.5 * (ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+        |           + ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)))), 8) AS bleu
+        |FROM prec p JOIN lens USING (source)
+        |ORDER BY source""".stripMargin)
 }

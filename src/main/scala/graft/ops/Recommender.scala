@@ -141,11 +141,70 @@ object Recommender extends graft.QueryModule {
        |FROM items ORDER BY v DESC, item LIMIT 50""".stripMargin
   }
 
+  /** Weighted Slope One [N] (Lemire & Maclachlan, SDM 2005) — the
+    * deliberately-simple rating predictor that beats memory-based CF
+    * at a fraction of the cost: dev(j,i) = mean over co-raters of
+    * (r(u,j) − r(u,i)), and the weighted prediction folds to
+    * P(u,j) = Σ_i (diff_sum(j,i) + r(u,i)·n(j,i)) / Σ_i n(j,i)
+    * — EXACT integers (implicit count ratings) into one IEEE
+    * division, so the key hash-matches with no pinning. Scale shape:
+    * ratings are one (user, item) hash agg; the pair self-join is
+    * per-user over the ITEM-TYPE domain (domain² per user, never
+    * data²); the deviation matrix is domain²-bounded and broadcasts
+    * against the sampled probe users. */
+  private def slopeOne(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.events(s, d)
+      .groupBy(col("user_id").as("u"), col("event_type").as("i"))
+      .agg(count(lit(1)).as("r"))
+      .localCheckpoint() // reused 3x: two pair sides + the probe
+    val dev = r.as("x").join(r.as("y"),
+        col("x.u") === col("y.u") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("j"), col("y.i").as("i2"))
+      .agg(sum(col("x.r") - col("y.r")).as("diff_sum"),
+        count(lit(1)).as("n"))
+    val pred = r.as("p").filter(col("u") < 10)
+      .join(broadcast(dev), col("p.i") === col("i2"))
+      .groupBy(col("p.u").as("user_id"), col("j").as("item"))
+      .agg(sum(col("diff_sum") + col("p.r") * col("n")).as("num"),
+        sum(col("n")).as("den"))
+      .select(col("user_id"), col("item"),
+        bround(col("num").cast("double") / col("den").cast("double"), 8)
+          .as("pred"))
+    pred.join(r,
+        col("user_id") === col("u") && col("item") === col("i"), "left")
+      .select(col("user_id"), col("item"), col("pred"),
+        col("r").as("actual"))
+      .orderBy("user_id", "item")
+  }
+
+  private def slopeOneOracle: String =
+    """WITH r AS (
+      |  SELECT user_id AS u, event_type AS i, count(*) AS r
+      |  FROM events GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT x.i AS j, y.i AS i2, sum(x.r - y.r) AS diff_sum,
+      |         count(*) AS n
+      |  FROM r x JOIN r y ON x.u = y.u AND x.i <> y.i
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT p.u AS user_id, d.j AS item,
+      |         round_even(CAST(sum(d.diff_sum + p.r * d.n) AS DOUBLE)
+      |           / CAST(sum(d.n) AS DOUBLE), 8) AS pred
+      |  FROM r p JOIN dev d ON p.i = d.i2
+      |  WHERE p.u < 10
+      |  GROUP BY 1, 2)
+      |SELECT pred.user_id, pred.item, pred.pred, rr.r AS actual
+      |FROM pred LEFT JOIN r rr
+      |  ON pred.user_id = rr.u AND pred.item = rr.i
+      |ORDER BY user_id, item""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_item_cosine" -> itemCosine,
-    "rec_als_rank1" -> alsRank1)
+    "rec_als_rank1" -> alsRank1,
+    "rec_slope_one" -> slopeOne)
 
   val oracles: Map[String, String] = Map(
     "rec_item_cosine" -> itemCosineOracle,
-    "rec_als_rank1" -> alsRank1Oracle)
+    "rec_als_rank1" -> alsRank1Oracle,
+    "rec_slope_one" -> slopeOneOracle)
 }

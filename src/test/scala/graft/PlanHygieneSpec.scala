@@ -24,6 +24,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_pq" -> "m*k-row ADC table broadcast",
     "sim_search_quantized" -> "single-row probe crossJoin",
     "sim_search_batch" -> "bounded 20-probe broadcast",
+    "sim_search_mips" -> "bounded 20-probe broadcast (batchTopK twin)",
+    "sim_search_mips_augmented" -> ("bounded 20-probe + 1-row max-norm " +
+      "broadcasts (norm-augmentation reduction)"),
     "dedup_jarowinkler" -> "bounded 50-probe broadcast",
     "join_scd2_pit" -> "4-row probe-grid crossJoin",
     "text_mix_temperature" -> "1-row cmax crossJoin",
@@ -38,6 +41,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "delta assign, and serve phases)"),
     "graph_triangles" -> "three 1-row count crossJoins at the root",
     "text_tfidf" -> "1-row corpus-doc-count crossJoin",
+    "text_kneser_ney" -> "1-row bigram-type-count crossJoin",
     "text_logprob" -> "1-row corpus-total crossJoin",
     "agg_chisq" -> "1-row grand-total crossJoin over the r*c cell table",
     "basket_rules" -> "1-row basket-total crossJoin",
@@ -56,6 +60,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_psi" -> "1-row bin/population-totals crossJoin",
     "text_bigram_lm" -> "1-row vocabulary-size crossJoin",
     "stats_kaplan_meier" -> "1-row subject-total crossJoin over the day domain",
+    "stats_nelson_aalen" -> "1-row subject-total crossJoin over the day domain",
     "stats_bh_fdr" -> "1-row kmax crossJoin over the 100-hypothesis domain",
     "eval_brier" -> "1-row base-rate crossJoin over the 10-bin domain",
     "ts_changepoint" -> "1-row grand-total crossJoin over the day domain",

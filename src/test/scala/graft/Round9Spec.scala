@@ -66,4 +66,18 @@ class Round9Spec extends AnyFunSuite {
     // round-robin by construction: shard sizes differ by at most 1
     assert(byShard.values.max - byShard.values.min <= 1)
   }
+
+  test("norm-augmentation reduction preserves the exact MIPS ranking") {
+    // the identity sim_search_mips_augmented serves: augmented cosine
+    // = dot/(M·‖q‖) is MONOTONE in the raw dot, so per-probe (rnk →
+    // vec_id) must agree with sim_search_mips exactly — on both SFs
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val mips = SparkEntry.queries("sim_search_mips")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val aug = SparkEntry.queries("sim_search_mips_augmented")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(mips.nonEmpty, "mips returned no rows")
+      assert(mips == aug, s"rankings diverge at $sf")
+    }
+  }
 }
