@@ -374,7 +374,104 @@ object Corpus extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + dedup [N] — the first stage of every web-
+    * crawl pipeline (CommonCrawl-style): normalize each document's URL
+    * and collapse the crawl to one representative per canonical URL.
+    * The corpus carries no URLs, so the raw URL is SYNTHESIZED
+    * deterministically per doc (mixed-case scheme/host, www. prefix,
+    * trailing slash, utm_* tracking params, fragment — the five noise
+    * classes a canonicalizer must erase), then normalized with engine-
+    * portable string ops only:
+    *   1. lowercase scheme + host, strip the `www.` prefix,
+    *   2. drop the fragment,
+    *   3. strip the trailing slash from the path,
+    *   4. drop `utm_*` tracking params, keep the rest in order.
+    * Dedup keeps min(doc_id) per canonical URL (the `dedup_exact`
+    * keep-rule). Scale shape: pure per-row string work (zero joins)
+    * into one hash agg on the canonical key — the cheapest possible
+    * dedup plan; at 100 TB the agg map-side combines because
+    * duplicates share partitions only after the shuffle-on-key, which
+    * is the operator's one unavoidable shuffle. */
+  private def urlNormalize(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".COM")))
+        .otherwise(concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".com"))),
+      lit("/"), col("source"), lit("/page"),
+      expr("cast(doc_id div 4 as string)"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&ref="), (col("doc_id") % 2).cast("string"),
+      lit("&utm_campaign=x"),
+      when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("url"))
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)))
+      .withColumn("host",
+        regexp_replace(
+          lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+          "^www\\.", ""))
+      .withColumn("path",
+        regexp_replace(
+          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+          "/$", ""))
+      .withColumn("qs",
+        array_join(
+          expr("filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&')," +
+            " p -> NOT startswith(p, 'utm_'))"), "&"))
+      .select(col("doc_id"),
+        concat(col("scheme"), lit("://"), col("host"), col("path"),
+          when(col("qs") =!= "", concat(lit("?"), col("qs")))
+            .otherwise(lit(""))).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
+      .orderBy("canonical_url")
+  }
+
+  private val urlNormalizeOracle =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+      |         || '://'
+      |         || (CASE WHEN doc_id % 2 = 0
+      |             THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      |             ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' END)
+      |         || '/' || source || '/page' || CAST(doc_id // 4 AS VARCHAR)
+      |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      |         || '?utm_source=feed&ref=' || CAST(doc_id % 2 AS VARCHAR)
+      |         || '&utm_campaign=x'
+      |         || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+      |           AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |         lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+      |         regexp_replace(
+      |           lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      |           '^www\.', '') AS host,
+      |         regexp_replace(
+      |           regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+      |           '/$', '') AS path,
+      |         array_to_string(
+      |           list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1),
+      |                                    '&'),
+      |                       p -> NOT starts_with(p, 'utm_')), '&') AS qs
+      |  FROM raw),
+      |canon AS (
+      |  SELECT doc_id,
+      |         scheme || '://' || host || path
+      |         || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+      |           AS canonical_url
+      |  FROM parts)
+      |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_doc
+      |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_normalize" -> urlNormalize,
     "corpus_clean_pipeline" -> cleanPipeline,
     "text_global_shuffle" -> globalShuffle,
     "text_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -418,6 +515,7 @@ object Corpus extends graft.QueryModule {
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "text_url_normalize" -> urlNormalizeOracle,
     "text_global_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -233,6 +233,186 @@ object Graph extends graft.QueryModule {
        |FROM r$prIters ORDER BY node""".stripMargin
   }
 
+  private val pprIters = 5
+
+  /** Personalized PageRank [N] (the topic-sensitive variant, Haveliwala
+    * 2002): random-walk-with-restart where ALL teleport mass returns to
+    * a seed set (here parts with key ≡ 0 mod 10 — a deterministic 10%
+    * "catalog section") instead of spreading uniformly — the
+    * recommendation / related-items primitive global PageRank cannot
+    * express (global PR ranks hubs; PPR ranks proximity TO THE SEEDS).
+    * Same cross-engine-deterministic iteration as [[pageRank]]: each
+    * per-edge contribution pins at 12dp so the neighbor sum is an exact
+    * decimal, the damped rank re-pins at 12dp, `localCheckpoint` cuts
+    * lineage per round. Non-seed restart mass is exactly 0.0, so seed
+    * proximity decays visibly with distance (Round9bSpec asserts the
+    * seed mass dominates). Plan shape per iteration: one equi-join rank×
+    * edges + one hash agg — broadcast and shuffle layouts both
+    * hash-exact, exactly like [[pageRank]]. */
+  private def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val bcast = vertexBroadcast(s)
+    val e = coPurchaseEdges(s, d)
+    val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val dir =
+      if (bcast) dirRaw.localCheckpoint()
+      else dirRaw.repartition(col("src")).localCheckpoint()
+    val deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nS = deg.filter(col("node") % 10 === 0).count().toDouble
+    var r = deg.select(col("node"), col("deg"),
+      when(col("node") % 10 === 0, bround(lit(1.0) / nS, 12))
+        .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to pprIters) {
+      val ranked =
+        if (bcast) broadcast(r).join(dir, col("node") === col("src"))
+        else r.join(dir, col("node") === col("src"))
+      val sums = ranked
+        .select(col("dst"),
+          bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      r = deg.join(if (bcast) broadcast(sums) else sums,
+          col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          bround(
+            when(col("node") % 10 === 0, lit(0.15) / nS).otherwise(lit(0.0)) +
+              lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), (col("node") % 10 === 0).as("is_seed"),
+      bround(col("rank"), 8).as("rank")).orderBy("node")
+  }
+
+  /** Unrolled-CTE oracle, generated like [[pageRankOracle]] — every
+    * pin, cast, and float op mirrored token-for-token. */
+  private def pprOracle: String = {
+    val base =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+        |                     FROM dir GROUP BY src),
+        |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns
+        |                    FROM deg WHERE node % 10 = 0),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, deg,
+        |         CASE WHEN node % 10 = 0 THEN round_even(1.0 / ns.ns, 12)
+        |              ELSE 0.0 END AS rank
+        |  FROM deg, ns)""".stripMargin
+    val iters = (1 to pprIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, d.deg,
+         |         round_even(CASE WHEN d.node % 10 = 0 THEN 0.15 / ns.ns
+         |                         ELSE 0.0 END
+         |           + 0.85 * CAST(coalesce(s.sc, 0) AS DOUBLE), 12) AS rank
+         |  FROM deg d CROSS JOIN ns LEFT JOIN (
+         |    SELECT dir.dst,
+         |           sum(CAST(round_even(p.rank / p.deg, 12)
+         |                    AS DECIMAL(24,12))) AS sc
+         |    FROM r${i - 1} p JOIN dir ON p.node = dir.src
+         |    GROUP BY dir.dst) s
+         |  ON d.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, node % 10 = 0 AS is_seed, round_even(rank, 8) AS rank
+       |FROM r$pprIters ORDER BY node""".stripMargin
+  }
+
+  private val walkLen = 4
+
+  /** Deterministic random-walk corpus [N] — the node2vec/DeepWalk
+    * sampling primitive (Grover & Leskovec 2016): one length-4 uniform
+    * walk from every seed vertex (part keys ≡ 0 mod 10, the same
+    * catalog section [[personalizedPageRank]] restarts at), emitted as
+    * (seed, step, node) rows — the training sequences a graph-embedding
+    * job consumes. "Random" is an md5 coin over (seed, current node,
+    * step): hex8(md5) mod degree indexes into the dst-sorted ranked
+    * adjacency — deterministic under retries, repartitioning, AND
+    * engines (the `stats_bootstrap` draw discipline on a graph), which
+    * is what makes a 100 TB walk corpus reproducible. Every vertex of
+    * the undirected graph has degree ≥ 1, so walks never die.
+    *
+    * Plan shape: ranked adjacency = one window over edges partitioned
+    * by src (hub-bounded fan-in); then per step ONE hash join frontier×
+    * degree + ONE hash join on (node, rank) into the adjacency —
+    * frontier stays seed-set-sized, the |E|-row side is checkpointed
+    * once. No per-walk driver work, no quadratic stage. */
+  private def randomWalks(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = dir.select(col("src").as("a_src"), col("dst").as("a_dst"),
+        (row_number().over(wAdj) - 1).cast("long").as("a_rn"))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("a_src").as("d_src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var frontier = deg.filter(col("d_src") % 10 === 0)
+      .select(col("d_src").as("seed"), lit(0).as("step"),
+        col("d_src").as("node"))
+    var walks = frontier
+    for (t <- 1 to walkLen) {
+      val coin = expr("cast(conv(substring(md5(concat(" +
+        s"cast(seed as string), '_', cast(node as string), '_$t:walk'))," +
+        " 1, 8), 16, 10) as bigint)")
+      frontier = frontier
+        .join(deg, col("node") === col("d_src"))
+        .withColumn("pick", pmod(coin, col("deg")))
+        .join(adj, col("node") === col("a_src") && col("a_rn") === col("pick"))
+        .select(col("seed"), lit(t).as("step"), col("a_dst").as("node"))
+        .localCheckpoint()
+      walks = walks.unionAll(frontier)
+    }
+    walks.orderBy("seed", "step")
+  }
+
+  /** Unrolled-CTE oracle: the strpos hex8 polynomial regenerates the
+    * md5 coin (DuckDB has no conv), everything else is integer joins. */
+  private def randomWalksOracle: String = {
+    def duckHex8(key: String): String =
+      (0 until 8).map { i =>
+        val f = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
+      }.mkString("(", "\n        + ", ")")
+    val base =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |adj AS MATERIALIZED (
+        |  SELECT src, dst,
+        |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn
+        |  FROM dir),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg
+        |                     FROM dir GROUP BY src),
+        |w0 AS (SELECT src AS seed, 0 AS step, src AS node
+        |       FROM deg WHERE src % 10 = 0)""".stripMargin
+    val steps = (1 to walkLen).map { t =>
+      val key = s"CAST(f.seed AS VARCHAR) || '_' || " +
+        s"CAST(f.node AS VARCHAR) || '_$t:walk'"
+      s"""w$t AS (
+         |  SELECT f.seed, $t AS step, a.dst AS node
+         |  FROM w${t - 1} f
+         |  JOIN deg d ON f.node = d.src
+         |  JOIN adj a ON a.src = f.node
+         |   AND a.rn = ${duckHex8(key)} % d.deg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to walkLen).map(t => s"SELECT * FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |$steps
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   private val lpIters = 3
 
   /** Label-propagation community detection [N] (Raghavan et al. 2007),
@@ -1065,6 +1245,8 @@ object Graph extends graft.QueryModule {
     "graph_sssp" -> sssp,
     "graph_triangles" -> triangleCount,
     "graph_pagerank" -> pageRank,
+    "graph_ppr" -> personalizedPageRank,
+    "graph_random_walks" -> randomWalks,
     "graph_bfs" -> bfs,
     "graph_closeness" -> closeness,
     "graph_degree_dist" -> degreeDistribution)
@@ -1095,6 +1277,8 @@ object Graph extends graft.QueryModule {
         |          CAST(CAST(n AS HUGEINT) * sjj - sj * sj AS DOUBLE) AS r
         |FROM s""".stripMargin,
     "graph_pagerank" -> pageRankOracle,
+    "graph_ppr" -> pprOracle,
+    "graph_random_walks" -> randomWalksOracle,
     "graph_bfs" -> bfsOracle,
     "graph_sssp" -> ssspOracle,
     // textbook formulation of the same hub-filtered graph: the wedge

@@ -583,9 +583,109 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("source")
   }
 
+  /** ROUGE-1/ROUGE-2 [N] (Lin 2004) per source over the same odd/even
+    * candidate↔reference pairing as [[bleu]] — the recall-oriented
+    * counterpart BLEU's precision misses: clipped n-gram overlap
+    * m = Σ_g min(count_cand, count_ref) over BOTH totals,
+    * precision = m/Σcand, recall = m/Σref, F1 = 2PR/(P+R).
+    * Counts are exact longs; each ratio is one mirrored double
+    * division, F1 one mirrored double expression (0 when m = 0, so no
+    * 0/0). Scale shape identical to BLEU: two corpus-scale explodes
+    * into per-pair gram counts, one equi-join on (pid, n, gram), one
+    * hash agg into the bounded source domain. */
+  private def rouge(s: SparkSession, d: String): DataFrame = {
+    def grams(side: DataFrame, cnt: String): DataFrame = side
+      .select(col("pid"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("pid"), col("source"), explode(expr(
+        """concat(
+          |  transform(sequence(1, size(ws)), i -> struct(1 AS n, ws[i - 1] AS g)),
+          |  CASE WHEN size(ws) >= 2 THEN
+          |    transform(sequence(1, size(ws) - 1),
+          |              i -> struct(2 AS n, concat(ws[i - 1], ' ', ws[i]) AS g))
+          |  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END)"""
+        .stripMargin)).as("t"))
+      .groupBy(col("pid"), col("source"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as(cnt))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id div 2").as("pid"), col("text"), col("source"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pid"), col("text"), col("source"))
+    val cg = grams(cand.join(ref.select(col("pid")), Seq("pid")), "cc")
+    // group ref grams under the CANDIDATE's source (the metric is
+    // reported per candidate segment, exactly like eval_bleu)
+    val rg = grams(ref.drop("source")
+      .join(cand.select(col("pid"), col("source")), Seq("pid")), "rc")
+    // full outer on the gram key: precision needs every cand gram,
+    // recall every ref gram — a one-sided join would drop the
+    // unmatched side's mass from its own total
+    val per = cg.join(rg, Seq("pid", "source", "n", "g"), "full_outer")
+      .groupBy(col("source"), col("n"))
+      .agg(sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(coalesce(col("cc"), lit(0L))).as("tc"),
+        sum(coalesce(col("rc"), lit(0L))).as("tr"))
+    per
+      .select(col("source"), col("n"), col("m"), col("tc"), col("tr"),
+        (dd(col("m")) / dd(col("tc"))).as("p"),
+        (dd(col("m")) / dd(col("tr"))).as("r"))
+      .withColumn("f1",
+        when(col("m") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+      .orderBy("source", "n")
+  }
+
+  private val rougeOracle =
+    """WITH cand AS (
+      |  SELECT doc_id // 2 AS pid, text, source FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |ref AS (
+      |  SELECT doc_id // 2 AS pid, text FROM documents WHERE doc_id % 2 = 0),
+      |pairs AS (
+      |  SELECT c.pid, c.source, c.text AS ct, r.text AS rt
+      |  FROM cand c JOIN ref r USING (pid)),
+      |cg AS (
+      |  SELECT pid, source, n, g, count(*) AS cc FROM (
+      |    SELECT pid, source, 1 AS n, ws[i] AS g
+      |    FROM (SELECT pid, source, string_split(ct, ' ') AS ws FROM pairs),
+      |         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+      |    UNION ALL
+      |    SELECT pid, source, 2 AS n, ws[i] || ' ' || ws[i + 1] AS g
+      |    FROM (SELECT pid, source, string_split(ct, ' ') AS ws FROM pairs),
+      |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+      |  GROUP BY 1, 2, 3, 4),
+      |rg AS (
+      |  SELECT pid, source, n, g, count(*) AS rc FROM (
+      |    SELECT pid, source, 1 AS n, ws[i] AS g
+      |    FROM (SELECT pid, source, string_split(rt, ' ') AS ws FROM pairs),
+      |         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+      |    UNION ALL
+      |    SELECT pid, source, 2 AS n, ws[i] || ' ' || ws[i + 1] AS g
+      |    FROM (SELECT pid, source, string_split(rt, ' ') AS ws FROM pairs),
+      |         LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i))
+      |  GROUP BY 1, 2, 3, 4),
+      |per AS (
+      |  SELECT source, n,
+      |         sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS m,
+      |         sum(coalesce(cc, 0)) AS tc, sum(coalesce(rc, 0)) AS tr
+      |  FROM cg FULL OUTER JOIN rg USING (pid, source, n, g)
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT source, n, m, tc, tr,
+      |         CAST(m AS DOUBLE) / CAST(tc AS DOUBLE) AS p,
+      |         CAST(m AS DOUBLE) / CAST(tr AS DOUBLE) AS r
+      |  FROM per)
+      |SELECT source, n, CAST(m AS BIGINT) AS m, CAST(tc AS BIGINT) AS tc,
+      |       CAST(tr AS BIGINT) AS tr, p, r,
+      |       CASE WHEN m = 0 THEN 0.0
+      |            ELSE 2.0 * p * r / (p + r) END AS f1
+      |FROM pr ORDER BY source, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_kneser_ney" -> kneserNey,
     "eval_bleu" -> bleu,
+    "eval_rouge" -> rouge,
     "eval_demographic_parity" -> demographicParity,
     "eval_pr_curve" -> prCurve,
     "stats_bh_fdr" -> benjaminiHochberg,
@@ -786,6 +886,7 @@ object EvalExtra extends graft.QueryModule {
         |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1)
         |     JOIN cont c USING (w2), types t
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "eval_rouge" -> rougeOracle,
     "eval_bleu" ->
       """WITH cand AS (
         |  SELECT doc_id // 2 AS pid, text, source FROM documents

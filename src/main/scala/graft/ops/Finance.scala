@@ -548,6 +548,57 @@ object Finance extends graft.QueryModule {
       .orderBy("g")
   }
 
+  /** Omega ratio [N] (Keating & Shadwick 2002) at threshold θ = 0 on
+    * the same daily revenue-change series as [[sharpe]]: Ω =
+    * Σ max(ret, 0) / Σ max(−ret, 0) — the full-distribution
+    * gain/loss ratio that doesn't assume normality (the critique of
+    * Sharpe it was built to answer). Gains/losses are exact integer
+    * sums on the grid; Ω is ONE double division; the win rate is a
+    * second. One fact-scan hash agg + per-group window diff — the
+    * sharpe plan, different tail statistic. */
+  private def omega(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val rets = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100" +
+        " as bigint)) div 100000")).as("r"))
+      .withColumn("ret", col("r") - lag(col("r"), 1).over(w))
+      .filter(col("ret").isNotNull)
+    rets.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ret") > 0, col("ret")).otherwise(0L)).as("gains"),
+        sum(when(col("ret") < 0, -col("ret")).otherwise(0L)).as("losses"),
+        sum(when(col("ret") > 0, 1L).otherwise(0L)).as("n_up"))
+      .select(col("g"), col("n"), col("gains"), col("losses"),
+        (col("gains").cast("double") / col("losses").cast("double"))
+          .as("omega"),
+        (col("n_up").cast("double") / col("n").cast("double"))
+          .as("win_rate"))
+      .orderBy("g")
+  }
+
+  private val omegaOracle =
+    """WITH days AS (
+      |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             // 100000) AS r
+      |  FROM orders GROUP BY 1, 2),
+      |rets AS (
+      |  SELECT g, r - lag(r) OVER (PARTITION BY g ORDER BY day) AS ret
+      |  FROM days),
+      |a AS (
+      |  SELECT g, count(*) AS n,
+      |         sum(CASE WHEN ret > 0 THEN ret ELSE 0 END) AS gains,
+      |         sum(CASE WHEN ret < 0 THEN -ret ELSE 0 END) AS losses,
+      |         sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS n_up
+      |  FROM rets WHERE ret IS NOT NULL GROUP BY g)
+      |SELECT g, CAST(n AS BIGINT) AS n, CAST(gains AS BIGINT) AS gains,
+      |       CAST(losses AS BIGINT) AS losses,
+      |       CAST(gains AS DOUBLE) / CAST(losses AS DOUBLE) AS omega,
+      |       CAST(n_up AS DOUBLE) / CAST(n AS DOUBLE) AS win_rate
+      |FROM a ORDER BY g""".stripMargin
+
   private val sharpeOracle =
     """WITH days AS (
       |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
@@ -783,6 +834,7 @@ object Finance extends graft.QueryModule {
     "ts_backtest_mae" -> backtestMae,
     "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
+    "fin_omega" -> omega,
     "fin_beta" -> beta,
     "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
@@ -803,6 +855,7 @@ object Finance extends graft.QueryModule {
     "ts_holt_linear" -> holtLinearOracle,
     "ts_backtest_mae" -> backtestMaeOracle,
     "fin_sharpe" -> sharpeOracle,
+    "fin_omega" -> omegaOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->
       """WITH v AS (

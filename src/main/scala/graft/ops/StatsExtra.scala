@@ -473,6 +473,276 @@ object StatsExtra extends graft.QueryModule {
       |                 + 1.0 / CAST(n2 AS DOUBLE))) AS z
       |FROM agg""".stripMargin
 
+  /** Jarque–Bera normality test [N] (Jarque & Bera 1980) per order
+    * priority — the moment-based normality screen a reporting layer
+    * runs before trusting z-intervals: JB = n/6·(S² + K²/4) from the
+    * sample skewness S and EXCESS kurtosis K, vs χ²₂ at 5% (5.991).
+    * Reuses `agg_skewkurt`'s exact-power-sum discipline verbatim: the
+    * value lands on the integer grid (totalprice in $1000 units,
+    * centered at 250), all four power sums are exact decimals, and the
+    * moment assembly is one mirrored double expression per column.
+    * Scale shape: ONE hash agg over the fact scan into the 5-row
+    * priority domain; everything after is constant work. */
+  private def jarqueBera(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val agg = Tables.orders(s, d)
+      .select(col("o_orderpriority"), cents.as("cents"))
+      .select(col("o_orderpriority"),
+        (expr("cents div 100000") - lit(250L)).as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("s1"),
+        sum((col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s2"),
+        sum((col("y") * col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s3"),
+        sum((col("y") * col("y") * col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("s4"))
+    agg
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2",
+        col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("skew",
+        (col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n")) +
+          lit(2.0) * col("mean") * col("mean") * col("mean")) /
+          (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt",
+        (col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n")) +
+          lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean")) /
+          (col("m2") * col("m2")) - lit(3.0))
+      .withColumn("jb",
+        col("n") / lit(6.0) *
+          (col("skew") * col("skew") + col("kurt") * col("kurt") / lit(4.0)))
+      .select(col("o_orderpriority"), col("n").cast("bigint").as("n"),
+        col("skew"), col("kurt"), col("jb"),
+        (col("jb") > lit(5.991)).as("reject_normal"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def jarqueBeraOracle: String =
+    """WITH y AS (
+      |  SELECT o_orderpriority,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 100000 - 250 AS y
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderpriority,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2,
+      |         CAST(sum(CAST(y AS HUGEINT) * y * y) AS DOUBLE) AS s3,
+      |         CAST(sum(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS s4
+      |  FROM y GROUP BY 1),
+      |m AS (
+      |  SELECT o_orderpriority, n, s1 / n AS mean, s2, s3, s4,
+      |         s2 / n - (s1 / n) * (s1 / n) AS m2
+      |  FROM a),
+      |sk AS (
+      |  SELECT o_orderpriority, n, m2,
+      |         (s3 / n - 3.0 * mean * (s2 / n)
+      |            + 2.0 * mean * mean * mean) / (m2 * sqrt(m2)) AS skew,
+      |         (s4 / n - 4.0 * mean * (s3 / n)
+      |            + 6.0 * mean * mean * (s2 / n)
+      |            - 3.0 * mean * mean * mean * mean) / (m2 * m2) - 3.0 AS kurt
+      |  FROM m),
+      |j AS (
+      |  SELECT o_orderpriority, n, skew, kurt,
+      |         n / 6.0 * (skew * skew + kurt * kurt / 4.0) AS jb
+      |  FROM sk)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, skew, kurt, jb,
+      |       jb > 5.991 AS reject_normal
+      |FROM j ORDER BY o_orderpriority""".stripMargin
+
+  /** CUPED variance reduction [N] (Deng, Xu, Kohavi & Walker 2013) —
+    * the standard experimentation trick: adjust the experiment-period
+    * metric Y by the PRE-period covariate X, Ŷ = Y − θ(X − X̄), with
+    * θ = cov(X,Y)/var(X) fit on the POOLED population (both variants,
+    * the unbiasedness requirement). Events before Jan 16 are the
+    * pre-period, after are the experiment; variant = user_id % 2 (the
+    * deterministic split `text_split_assign` also uses). Everything
+    * reduces to exact per-user cent sums, then exact per-variant power
+    * sums; θ and the adjusted means/variances assemble in mirrored
+    * doubles — var(Ŷ) = (Σy² − 2θΣxy + θ²Σx² − n(ȳ − θx̄)²)/(n−1)
+    * needs NO second data pass (the `fin_cointegration` SSE expansion).
+    *
+    * Scale shape: one fact-scan hash agg per user (the experiment-unit
+    * domain), one hash agg per variant (2 rows), a 1-row pooled-θ
+    * broadcast crossJoin. At 100 TB the per-user agg is the only
+    * data-scale stage and it map-side combines. */
+  private def cuped(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cents = expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+    val perUser = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), cents.as("v"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+    val perVariant = perUser
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec38(col("x")) * dec38(col("y"))).as("sxy"),
+        sum(dec38(col("x")) * dec38(col("x"))).as("sxx"),
+        sum(dec38(col("y")) * dec38(col("y"))).as("syy"))
+      .localCheckpoint()
+    val pooled = perVariant.agg(
+      sum(col("n")).as("np"), sum(col("sx")).as("sxp"),
+      sum(col("sy")).as("syp"), sum(col("sxy")).as("sxyp"),
+      sum(col("sxx")).as("sxxp"))
+      .select(
+        ((dd(col("np")) * dd(col("sxyp")) - dd(col("sxp")) * dd(col("syp"))) /
+          (dd(col("np")) * dd(col("sxxp")) - dd(col("sxp")) * dd(col("sxp"))))
+          .as("theta"),
+        (dd(col("sxp")) / dd(col("np"))).as("xbar"))
+    perVariant.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"), col("theta"),
+        (dd(col("sy")) / dd(col("n"))).as("mean_y"),
+        (dd(col("sy")) / dd(col("n")) -
+          col("theta") * (dd(col("sx")) / dd(col("n")) - col("xbar")))
+          .as("mean_y_cuped"),
+        ((dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / dd(col("n"))) /
+          dd(col("n") - 1)).as("var_y"),
+        ((dd(col("syy")) - lit(2.0) * col("theta") * dd(col("sxy")) +
+          col("theta") * col("theta") * dd(col("sxx")) -
+          dd(col("n")) *
+            (dd(col("sy")) / dd(col("n")) -
+              col("theta") * dd(col("sx")) / dd(col("n"))) *
+            (dd(col("sy")) / dd(col("n")) -
+              col("theta") * dd(col("sx")) / dd(col("n")))) /
+          dd(col("n") - 1)).as("var_y_cuped"))
+      .withColumn("var_reduction",
+        lit(1.0) - col("var_y_cuped") / col("var_y"))
+      .orderBy("variant")
+  }
+
+  private def cupedOracle: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             ELSE 0 END) AS x,
+      |         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE
+      |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             END) AS y
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |pv AS (
+      |  SELECT user_id % 2 AS variant, count(*) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pu GROUP BY 1),
+      |pool AS (
+      |  SELECT (CAST(sum(n) AS DOUBLE) * CAST(sum(sxy) AS DOUBLE)
+      |            - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)) /
+      |         (CAST(sum(n) AS DOUBLE) * CAST(sum(sxx) AS DOUBLE)
+      |            - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE))
+      |           AS theta,
+      |         CAST(sum(sx) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS xbar
+      |  FROM pv),
+      |adj AS (
+      |  SELECT variant, CAST(n AS BIGINT) AS n, theta,
+      |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+      |         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar)
+      |           AS mean_y_cuped,
+      |         (CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |              / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_y,
+      |         (CAST(syy AS DOUBLE) - 2.0 * theta * CAST(sxy AS DOUBLE)
+      |            + theta * theta * CAST(sxx AS DOUBLE)
+      |            - CAST(n AS DOUBLE) *
+      |              (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |                 - theta * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |              (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |                 - theta * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |           / CAST(n - 1 AS DOUBLE) AS var_y_cuped
+      |  FROM pv CROSS JOIN pool)
+      |SELECT variant, n, theta, mean_y, mean_y_cuped, var_y, var_y_cuped,
+      |       1.0 - var_y_cuped / var_y AS var_reduction
+      |FROM adj ORDER BY variant""".stripMargin
+
+  /** Cohen's d / Hedges' g effect size [N] — the companion every
+    * `stats_welch_ttest` report needs (significance without magnitude
+    * is the classic A/B mistake): d = (m̄₁ − m̄₂)/s_pooled with the
+    * pooled SD from exact per-group power sums, and the small-sample
+    * bias correction g = d·(1 − 3/(4(n₁+n₂) − 9)). Groups are the
+    * deterministic user_id % 2 split over event values on the cent
+    * grid. One hash agg over the fact scan, a 2-row pivot, constant
+    * assembly — the `stats_prop_ztest` shape. */
+  private def cohensD(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cents = expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select((col("user_id") % 2).as("g"), cents.as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("qv"))
+      .agg(
+        sum(when(col("g") === 0, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 0, col("sv")).otherwise(0L)).as("s1"),
+        sum(when(col("g") === 0, col("qv"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(col("g") === 1, col("n")).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 1, col("sv")).otherwise(0L)).as("s2"),
+        sum(when(col("g") === 1, col("qv"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
+      .select(col("n1"), col("n2"),
+        (dd(col("s1")) / dd(col("n1"))).as("mean1"),
+        (dd(col("s2")) / dd(col("n2"))).as("mean2"),
+        (((dd(col("q1")) - dd(col("s1")) * dd(col("s1")) / dd(col("n1"))) +
+          (dd(col("q2")) - dd(col("s2")) * dd(col("s2")) / dd(col("n2")))) /
+          dd(col("n1") + col("n2") - 2)).as("sp2"))
+      .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+        ((col("mean1") - col("mean2")) / sqrt(col("sp2"))).as("cohens_d"))
+      .withColumn("hedges_g",
+        col("cohens_d") *
+          (lit(1.0) - lit(3.0) / (lit(4.0) * dd(col("n1") + col("n2")) - lit(9.0))))
+  }
+
+  private def cohensDOracle: String =
+    """WITH v AS (
+      |  SELECT user_id % 2 AS g,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |per AS (
+      |  SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv,
+      |         sum(CAST(v AS HUGEINT) * v) AS qv
+      |  FROM v GROUP BY g),
+      |piv AS (
+      |  SELECT sum(CASE WHEN g = 0 THEN n ELSE 0 END) AS n1,
+      |         sum(CASE WHEN g = 0 THEN sv ELSE 0 END) AS s1,
+      |         sum(CASE WHEN g = 0 THEN qv ELSE 0 END) AS q1,
+      |         sum(CASE WHEN g = 1 THEN n ELSE 0 END) AS n2,
+      |         sum(CASE WHEN g = 1 THEN sv ELSE 0 END) AS s2,
+      |         sum(CASE WHEN g = 1 THEN qv ELSE 0 END) AS q2
+      |  FROM per),
+      |m AS (
+      |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+      |         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+      |         ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |             / CAST(n1 AS DOUBLE))
+      |          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |             / CAST(n2 AS DOUBLE)))
+      |         / CAST(n1 + n2 - 2 AS DOUBLE) AS sp2
+      |  FROM piv),
+      |eff AS (
+      |  SELECT n1, n2, mean1, mean2,
+      |         (mean1 - mean2) / sqrt(sp2) AS cohens_d
+      |  FROM m)
+      |SELECT n1, n2, mean1, mean2, cohens_d,
+      |       cohens_d * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+      |         AS hedges_g
+      |FROM eff""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_prop_ztest" -> (propZtest _),
@@ -481,7 +751,10 @@ object StatsExtra extends graft.QueryModule {
     "stats_hoeffding_ci" -> (hoeffdingCi _),
     "stats_runs_test" -> (runsTest _),
     "agg_abc_pareto" -> (abcAnalysis _),
-    "stats_mutual_info" -> (mutualInfo _))
+    "stats_mutual_info" -> (mutualInfo _),
+    "stats_jarque_bera" -> (jarqueBera _),
+    "stats_cuped" -> (cuped _),
+    "stats_cohens_d" -> (cohensD _))
 
   val oracles: Map[String, String] = Map(
     "stats_capture_recapture" -> captureRecaptureOracle,
@@ -491,5 +764,8 @@ object StatsExtra extends graft.QueryModule {
     "stats_hoeffding_ci" -> hoeffdingOracle,
     "stats_runs_test" -> runsTestOracle,
     "agg_abc_pareto" -> abcOracle,
-    "stats_mutual_info" -> mutualInfoOracle)
+    "stats_mutual_info" -> mutualInfoOracle,
+    "stats_jarque_bera" -> jarqueBeraOracle,
+    "stats_cuped" -> cupedOracle,
+    "stats_cohens_d" -> cohensDOracle)
 }

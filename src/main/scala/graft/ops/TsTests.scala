@@ -297,11 +297,100 @@ object TsTests extends graft.QueryModule {
        |FROM q""".stripMargin
   }
 
+  /** Yule–Walker AR(2) fit [N] (the moment-matching autoregression
+    * estimator, Box–Jenkins ch. 3) per order priority, on the monthly
+    * revenue series: solve the 2×2 Yule–Walker system for (φ₁, φ₂)
+    * from the lag-1/lag-2 sample autocorrelations —
+    *
+    *   φ₁ = r₁(1 − r₂)/(1 − r₁²),  φ₂ = (r₂ − r₁²)/(1 − r₁²),
+    *   σ²/c₀ = 1 − φ₁r₁ − φ₂r₂  (the innovation-variance ratio).
+    *
+    * EXACT end to end (the `ts_ljung_box` centering trick): monthly
+    * cent sums are exact decimals, the series centers by multiplying
+    * through with the per-group count (c_t = m·y_t − S — no float mean
+    * anywhere), and each ACF numerator/denominator is a decimal(38,0)
+    * sum of integer products; r₁, r₂ are single IEEE divisions and the
+    * φ assembly is one mirrored double expression per column.
+    *
+    * Scale shape: one fact-scan hash agg into the (priority × month)
+    * domain, a 5-row stats equi-join (hash, not a crossJoin — the
+    * group key makes it a plain dimension join), per-group window lags
+    * over ≤84 rows, one final hash agg. The month domain is calendar-
+    * bounded, so the post-scan work is constant at any SF. */
+  private def yuleWalker(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(12,2))) * 100" +
+        " as decimal(38,0))").as("cents"))
+    val st = monthly.groupBy(col("g"))
+      .agg(count(lit(1)).as("m"), sum(col("cents")).as("sd"))
+    val w = Window.partitionBy(col("g")).orderBy(col("month"))
+    val cser = monthly.join(st, Seq("g"))
+      .select(col("g"), col("month"), col("m"),
+        (col("m") * col("cents") - col("sd")).cast("decimal(38,0)").as("c"))
+      .withColumn("c1", lag(col("c"), 1).over(w))
+      .withColumn("c2", lag(col("c"), 2).over(w))
+    val sums = cser.groupBy(col("g"), col("m"))
+      .agg(sum(col("c") * col("c")).as("den"),
+        sum(col("c") * col("c1")).as("n1"),
+        sum(col("c") * col("c2")).as("n2"))
+    sums
+      .select(col("g"), col("m").as("n_months"),
+        (dd(col("n1")) / dd(col("den"))).as("r1"),
+        (dd(col("n2")) / dd(col("den"))).as("r2"))
+      .select(col("g"), col("n_months"), col("r1"), col("r2"),
+        (col("r1") * (lit(1.0) - col("r2")) /
+          (lit(1.0) - col("r1") * col("r1"))).as("phi1"),
+        ((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1"))).as("phi2"))
+      .withColumn("noise_ratio",
+        lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2"))
+      .orderBy("g")
+  }
+
+  private def yuleWalkerOracle: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS g, date_trunc('month', o_orderdate) AS month,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+      |           AS HUGEINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |st AS (SELECT g, count(*) AS m, sum(cents) AS sd
+      |       FROM monthly GROUP BY g),
+      |cser AS (
+      |  SELECT monthly.g, month, m,
+      |         CAST(m AS HUGEINT) * cents - sd AS c
+      |  FROM monthly JOIN st ON monthly.g = st.g),
+      |lagged AS (
+      |  SELECT g, m, c,
+      |         lag(c, 1) OVER (PARTITION BY g ORDER BY month) AS c1,
+      |         lag(c, 2) OVER (PARTITION BY g ORDER BY month) AS c2
+      |  FROM cser),
+      |sums AS (
+      |  SELECT g, m, sum(c * c) AS den,
+      |         sum(c * c1) AS n1, sum(c * c2) AS n2
+      |  FROM lagged GROUP BY g, m),
+      |rho AS (
+      |  SELECT g, m AS n_months,
+      |         CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+      |         CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2
+      |  FROM sums),
+      |phi AS (
+      |  SELECT g, n_months, r1, r2,
+      |         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+      |         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      |  FROM rho)
+      |SELECT g, n_months, r1, r2, phi1, phi2,
+      |       1.0 - phi1 * r1 - phi2 * r2 AS noise_ratio
+      |FROM phi ORDER BY g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_cointegration" -> cointegration,
-    "ts_ljung_box" -> ljungBox)
+    "ts_ljung_box" -> ljungBox,
+    "ts_yule_walker" -> yuleWalker)
 
   def oracles: Map[String, String] = Map(
     "fin_cointegration" -> cointegrationOracle,
-    "ts_ljung_box" -> ljungBoxOracle)
+    "ts_ljung_box" -> ljungBoxOracle,
+    "ts_yule_walker" -> yuleWalkerOracle)
 }

@@ -103,7 +103,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "month domain (Engle-Granger second stage)"),
     "ts_ljung_box" -> "1-row diff-stats crossJoin over the bounded month domain",
     "eval_conformal" -> ("1-row margin/total crossJoins (calibration " +
-      "quantile + coverage totals, same class as stats_kruskal_wallis)"))
+      "quantile + coverage totals, same class as stats_kruskal_wallis)"),
+    "stats_cuped" -> ("1-row pooled-theta broadcast crossJoin over the " +
+      "2-row variant relation"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

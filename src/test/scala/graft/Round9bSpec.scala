@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 second batch: semantic sanity for the new evaluation /
+  * experimentation / time-series / graph / crawl keys. The cross-engine
+  * hash gate lives in the driver's DuckDB compare; these assertions pin
+  * the properties a hash can't see (bounds, mass conservation, the
+  * CUPED contract) plus partition-count invariance for the keys whose
+  * determinism claim is load-bearing at 1000 executors. */
+class Round9bSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ts_yule_walker: autocorrelations bounded, noise ratio in (0, 1]") {
+    val rows = SparkEntry.queries("ts_yule_walker")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      val (r1, r2) = (r.getAs[Double]("r1"), r.getAs[Double]("r2"))
+      assert(math.abs(r1) <= 1.0 && math.abs(r2) <= 1.0,
+        s"sample ACF out of [-1,1]: $r")
+      val nr = r.getAs[Double]("noise_ratio")
+      assert(nr > 0.0 && nr <= 1.0 + 1e-12,
+        s"innovation-variance ratio outside (0,1]: $r")
+    }
+  }
+
+  test("eval_rouge: P/R/F1 in [0,1], F1 between min and max of P,R") {
+    val rows = SparkEntry.queries("eval_rouge")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, rc, f1) = (r.getAs[Double]("p"), r.getAs[Double]("r"),
+        r.getAs[Double]("f1"))
+      assert(p >= 0 && p <= 1 && rc >= 0 && rc <= 1 && f1 >= 0 && f1 <= 1,
+        s"metric out of [0,1]: $r")
+      if (r.getAs[Long]("m") > 0)
+        assert(f1 >= math.min(p, rc) - 1e-12 && f1 <= math.max(p, rc) + 1e-12,
+          s"F1 not between P and R: $r")
+    }
+    // unigram overlap can never be smaller than bigram overlap on the
+    // same pair set (a matched bigram implies two matched unigrams)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 2, s"$src: expected n=1 and n=2 rows")
+      val m1 = rs.find(_.getAs[Int]("n") == 1).get.getAs[Long]("m")
+      val m2 = rs.find(_.getAs[Int]("n") == 2).get.getAs[Long]("m")
+      assert(m1 >= m2, s"$src: unigram matches $m1 < bigram matches $m2")
+    }
+  }
+
+  test("stats_jarque_bera: JB nonnegative, decision consistent") {
+    val rows = SparkEntry.queries("stats_jarque_bera")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val jb = r.getAs[Double]("jb")
+      assert(jb >= 0.0, s"JB statistic negative: $r")
+      assert(r.getAs[Boolean]("reject_normal") == (jb > 5.991),
+        s"decision inconsistent with statistic: $r")
+    }
+  }
+
+  test("stats_cuped: adjusted means shift by theta, variances positive") {
+    val rows = SparkEntry.queries("stats_cuped")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 2, "one row per variant")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_y") > 0 && r.getAs[Double]("var_y_cuped") > 0,
+        s"non-positive variance: $r")
+      assert(!r.getAs[Double]("theta").isNaN, s"theta NaN: $r")
+      assert(math.abs(r.getAs[Double]("var_reduction")) < 1.0,
+        s"implausible variance reduction: $r")
+    }
+    // the pooled-theta adjustment preserves the overall mean up to the
+    // between-variant X imbalance: the two shifts are opposite in sign
+    val shifts = rows.map(r =>
+      r.getAs[Double]("mean_y_cuped") - r.getAs[Double]("mean_y"))
+    assert(shifts.product <= 1e-12,
+      s"CUPED shifts should oppose (X̄_v straddles X̄): ${shifts.toSeq}")
+  }
+
+  test("stats_cohens_d: both arms populated, g shrinks d") {
+    val rows = SparkEntry.queries("stats_cohens_d")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    val d = r.getAs[Double]("cohens_d")
+    val g = r.getAs[Double]("hedges_g")
+    assert(!d.isNaN && math.abs(g) <= math.abs(d),
+      s"Hedges' g must shrink toward 0: $r")
+  }
+
+  test("graph_ppr: mass conserved, seeds rank above non-seeds") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 0.05,
+      s"PPR mass not conserved: $mass (undirected graph, no dangling)")
+    val (seeds, rest) = rows.partition(_.getAs[Boolean]("is_seed"))
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    val seedAvg = seeds.map(_.getAs[Double]("rank")).sum / seeds.length
+    val restAvg = rest.map(_.getAs[Double]("rank")).sum / rest.length
+    assert(seedAvg > restAvg,
+      s"seed proximity must dominate: seed avg $seedAvg vs rest $restAvg")
+  }
+
+  test("text_url_normalize: canonical form is clean, doc mass conserved") {
+    val df = SparkEntry.queries("text_url_normalize")(spark, TestSpark.sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains("www."),
+        s"noise survived canonicalization: $u")
+      assert(u == u.toLowerCase, s"uppercase survived: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+      assert(u.startsWith("https://site"), s"unexpected shape: $u")
+      assert(r.getAs[Long]("n_dups") >= 1)
+    }
+    val total = rows.map(_.getAs[Long]("n_dups")).sum
+    val docs = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(total == docs, s"dedup mass $total != corpus size $docs")
+  }
+
+  test("graph_random_walks: every step follows an edge, walks never die") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = SparkEntry.queries("graph_random_walks")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySeed = rows.groupBy(_.getAs[Long]("seed"))
+    bySeed.foreach { case (seed, ws) =>
+      assert(ws.map(_.getAs[Int]("step")).sorted.toSeq == (0 to 4),
+        s"walk from $seed missing steps")
+      assert(ws.find(_.getAs[Int]("step") == 0).get.getAs[Long]("node") == seed)
+    }
+    // every consecutive (node, next) pair must be a real edge
+    val edges = Tables.lineitem(spark, TestSpark.sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val ps = g.map(_._2).toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSet
+    bySeed.foreach { case (seed, ws) =>
+      val path = ws.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("node"))
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(edges.contains((u, v)), s"walk from $seed hops $u->$v off-graph")
+      }
+    }
+  }
+
+  test("fin_omega: omega positive, consistent with win rate bounds") {
+    val rows = SparkEntry.queries("fin_omega")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("omega") > 0, s"omega not positive: $r")
+      val wr = r.getAs[Double]("win_rate")
+      assert(wr > 0 && wr < 1, s"degenerate win rate: $r")
+      assert(r.getAs[Long]("gains") >= 0 && r.getAs[Long]("losses") >= 0)
+    }
+  }
+
+  test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
+    val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
+      "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega")
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "13")
+    keys.foreach { k =>
+      val base = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      val other = SparkEntry.queries(k)(ns, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      assert(base.nonEmpty, s"$k returned no rows")
+      assert(base == other, s"$k differs across partition counts")
+    }
+  }
+}
