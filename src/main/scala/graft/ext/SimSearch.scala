@@ -1137,6 +1137,32 @@ object SimSearch extends graft.QueryModule {
     batchTopK(e, probeTable(e))
   }
 
+  /** Cosine threshold for [[radiusSearch]] — ~2.8σ of the null cosine
+    * distribution at dim 64 (σ ≈ 1/√64), so matches are genuine
+    * structure, not noise, and the result stays output-bounded. */
+  private val radiusTau = 0.35
+
+  /** `sim_search_radius` [r9]: RANGE (radius) search — the other
+    * fundamental similarity-query type next to top-k: ALL corpus
+    * vectors within cosine ≥ τ of each probe, however many or few that
+    * is. Top-k answers "the best k even if they're bad"; radius answers
+    * "everything actually similar" — the semantics dedup candidate
+    * generation and recall-oriented retrieval want. Same scale shape as
+    * [[batchTopK]] minus the top-k state: broadcast probe batch, ONE
+    * corpus scan, a codegen cosine per pair, and a map-side filter — no
+    * aggregate at all, so it's the cheapest of the serving family. The
+    * τ boundary is a comparison of bit-identical doubles, so the key
+    * hash-matches the oracle exactly. */
+  private def radiusSearch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    e.join(broadcast(probeTable(e)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+      .filter(col("cosine") >= lit(radiusTau))
+      .orderBy("probe_id", "vec_id")
+  }
+
   /** `sim_search_mips` [r9]: batch exact MAX-INNER-PRODUCT search — the
     * recommender-serving retrieval primitive (user·item affinity is a
     * raw dot product; un-normalized, so high-norm items win even when
@@ -1703,6 +1729,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_kmeans_centroids" -> kmeansCentroids,
     "sim_search_ivf_pinned" -> ivfPinnedServe,
     "sim_search_batch" -> batch,
+    "sim_search_radius" -> radiusSearch,
     "sim_search_mips" -> mipsBatch,
     "sim_search_mips_augmented" -> mipsAugmented,
     "sim_search_ivf_batch" -> ivfBatch,
@@ -1899,6 +1926,18 @@ object SimSearch extends graft.QueryModule {
          |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, cosine
          |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin,
     // batch form: same bit-identical cosine, per-probe row_number top-10
+    "sim_search_radius" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |s AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |         ${dotSql.format("e.embedding", "p.pe")} AS d,
+         |         ${dotSql.format("e.embedding", "e.embedding")} AS na,
+         |         ${dotSql.format("p.pe", "p.pe")} AS np
+         |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id, d / (sqrt(na) * sqrt(np)) AS cosine
+         |FROM s WHERE d / (sqrt(na) * sqrt(np)) >= 0.35
+         |ORDER BY probe_id, vec_id""".stripMargin,
     "sim_search_batch" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
          |           FROM embeddings WHERE vec_id < 20),

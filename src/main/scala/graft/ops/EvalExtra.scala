@@ -375,6 +375,72 @@ object EvalExtra extends graft.QueryModule {
       .orderBy("k")
   }
 
+  /** Benjamini–Yekutieli FDR control [N] (Benjamini & Yekutieli 2001) —
+    * the arbitrary-dependence-safe sibling of [[benjaminiHochberg]] on
+    * the SAME 100-hypothesis battery: the step-up threshold shrinks by
+    * the harmonic factor c(m) = Σ_{i≤m} 1/i, valid under ANY p-value
+    * correlation (BH assumes independence/PRDS). c(100) is pinned as
+    * the exact rational 5187378/10⁶ (⌈c·10⁶⌉ — rounding UP keeps the
+    * procedure conservative, never anti-conservative), so the step-up
+    * comparison stays pure int64: num·2000·5187378 ≤ k·den·10⁶. Both
+    * decisions ship side by side — BY rejections ⊆ BH rejections by
+    * construction (asserted in Round9bSpec). */
+  private def benjaminiYekutieli(s: SparkSession, d: String): DataFrame = {
+    val m = 100
+    val hyp = Tables.customer(s, d)
+      .select(pmod(col("c_custkey"), lit(m)).as("hid")).distinct()
+      .withColumn("planted", col("hid") < 20)
+      .withColumn("num", Synth.hexCoin(col("hid"), "p", 4) + 1)
+      .withColumn("den",
+        when(col("planted"), lit(65536000L)).otherwise(lit(65536L)))
+    val wRank = Window.orderBy(col("okey"), col("hid"))
+    val ranked = hyp
+      .withColumn("okey", col("num") * expr("65536000 div den"))
+      .withColumn("k", row_number().over(wRank))
+      .withColumn("cond_bh",
+        col("num") * lit(m.toLong * 20) <= col("k") * col("den"))
+      .withColumn("cond_by",
+        col("num") * lit(m.toLong * 20) * lit(5187378L) <=
+          col("k") * col("den") * lit(1000000L))
+    val kmax = ranked.agg(
+      coalesce(max(when(col("cond_bh"), col("k"))), lit(0)).as("kmax_bh"),
+      coalesce(max(when(col("cond_by"), col("k"))), lit(0)).as("kmax_by"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("hid"), col("planted"),
+        (dd(col("num")) / dd(col("den"))).as("pval"), col("k"),
+        (col("k") <= col("kmax_bh")).as("rejected_bh"),
+        (col("k") <= col("kmax_by")).as("rejected_by"))
+      .orderBy("k")
+  }
+
+  private val benjaminiYekutieliOracle =
+    """WITH hyp AS (
+      |  SELECT hid, hid < 20 AS planted,
+      |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+      |         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+      |         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1 AS num,
+      |         CASE WHEN hid < 20 THEN 65536000 ELSE 65536 END AS den
+      |  FROM (SELECT hid, substr(md5(CAST(hid AS VARCHAR) || ':p'), 1, 4) AS h
+      |        FROM (SELECT DISTINCT c_custkey % 100 AS hid FROM customer))),
+      |ranked AS (
+      |  SELECT hid, planted, num, den,
+      |         CAST(row_number() OVER (ORDER BY num * (65536000 // den), hid)
+      |              AS INTEGER) AS k
+      |  FROM hyp),
+      |c AS (SELECT *,
+      |        num * 2000 <= k * den AS cond_bh,
+      |        CAST(num AS BIGINT) * 2000 * 5187378
+      |          <= CAST(k AS BIGINT) * den * 1000000 AS cond_by
+      |      FROM ranked),
+      |km AS (SELECT coalesce(max(CASE WHEN cond_bh THEN k END), 0) AS kmax_bh,
+      |              coalesce(max(CASE WHEN cond_by THEN k END), 0) AS kmax_by
+      |       FROM c)
+      |SELECT hid, planted,
+      |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS pval,
+      |       k, k <= km.kmax_bh AS rejected_bh, k <= km.kmax_by AS rejected_by
+      |FROM c, km ORDER BY k""".stripMargin
+
   /** The full precision/recall operating curve per segment [N] — one
     * row per distinct score threshold (descending $1000 bin), with the
     * exact confusion counts at "predict positive iff score ≥ t". The
@@ -689,6 +755,7 @@ object EvalExtra extends graft.QueryModule {
     "eval_demographic_parity" -> demographicParity,
     "eval_pr_curve" -> prCurve,
     "stats_bh_fdr" -> benjaminiHochberg,
+    "stats_by_fdr" -> benjaminiYekutieli,
     "eval_avg_precision" -> averagePrecision,
     "join_null_aware_anti" -> nullAwareAnti,
     "text_bigram_lm" -> bigramLm,
@@ -702,6 +769,7 @@ object EvalExtra extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "eval_demographic_parity" -> demographicParityOracle,
     "eval_pr_curve" -> prCurveOracle,
+    "stats_by_fdr" -> benjaminiYekutieliOracle,
     "stats_bh_fdr" ->
       """WITH hyp AS (
         |  SELECT hid, hid < 20 AS planted,

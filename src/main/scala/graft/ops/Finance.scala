@@ -548,6 +548,52 @@ object Finance extends graft.QueryModule {
       .orderBy("g")
   }
 
+  /** Parkinson range volatility [N] (Parkinson 1980) per user — the
+    * high-low estimator every OHLC consumer wants next to close-to-
+    * close [[volatility]]: σ²_P = Σ ln(H/L)² / (4·n·ln2), ~5× more
+    * efficient per observation because the intraday range sees the
+    * path, not just the endpoints. H/L come from ONE hash agg over the
+    * tick scan (the [[ohlc]] shape, no window); each ln² term pins at
+    * 14dp into decimal(30,14) (the [[volatility]] discipline) so the
+    * per-user sum is exact and order-invariant; 4·ln2 is the shared
+    * literal 2.772588722239781. Days with H = L contribute exactly 0. */
+  private def parkinson(s: SparkSession, d: String): DataFrame = {
+    val t = log(col("h").cast("double") / col("l").cast("double"))
+    Tables.events(s, d)
+      .filter(col("value") > 0)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"), dec("value").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("v")).as("h"), min(col("v")).as("l"))
+      .select(col("user_id"),
+        bround(t * t, 14).cast("decimal(30,14)").as("t2"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        bround(sqrt(sum(col("t2")).cast("double") /
+          (count(lit(1)).cast("double") * lit(2.772588722239781))), 6)
+          .as("parkinson_vol"))
+      .orderBy("user_id")
+  }
+
+  private val parkinsonOracle =
+    """WITH days AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         max(CAST(value AS DECIMAL(12,2))) AS h,
+      |         min(CAST(value AS DECIMAL(12,2))) AS l
+      |  FROM events WHERE value > 0 GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT user_id,
+      |         CAST(round_even(
+      |           ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+      |             * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)), 14)
+      |           AS DECIMAL(30,14)) AS t2
+      |  FROM days)
+      |SELECT user_id, count(*) AS n_days,
+      |       round_even(sqrt(CAST(sum(t2) AS DOUBLE) /
+      |         (CAST(count(*) AS DOUBLE) * 2.772588722239781)), 6)
+      |         AS parkinson_vol
+      |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Omega ratio [N] (Keating & Shadwick 2002) at threshold θ = 0 on
     * the same daily revenue-change series as [[sharpe]]: Ω =
     * Σ max(ret, 0) / Σ max(−ret, 0) — the full-distribution
@@ -835,6 +881,7 @@ object Finance extends graft.QueryModule {
     "ts_anomaly" -> tsAnomaly,
     "fin_sharpe" -> sharpe,
     "fin_omega" -> omega,
+    "fin_parkinson" -> parkinson,
     "fin_beta" -> beta,
     "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
@@ -856,6 +903,7 @@ object Finance extends graft.QueryModule {
     "ts_backtest_mae" -> backtestMaeOracle,
     "fin_sharpe" -> sharpeOracle,
     "fin_omega" -> omegaOracle,
+    "fin_parkinson" -> parkinsonOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->
       """WITH v AS (

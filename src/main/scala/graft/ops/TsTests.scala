@@ -384,13 +384,114 @@ object TsTests extends graft.QueryModule {
       |       1.0 - phi1 * r1 - phi2 * r2 AS noise_ratio
       |FROM phi ORDER BY g""".stripMargin
 
+  /** EWMA control chart [N] (Roberts 1959, the SPC drift detector ISO
+    * 7870-6 standardizes) per priority on the monthly revenue series:
+    * z_t = λy_t + (1−λ)z_{t−1}, z_0 = μ, flagged when |z_t − μ|
+    * exceeds 3σ·√(λ/(2−λ))·√(1−(1−λ)^{2t}) — the time-varying limits
+    * of the exact-variance form. Cross-engine float discipline:
+    *
+    *  - λ = 1/2 (DYADIC — every smoothing step is exact in IEEE, the
+    *    `fin_ewma` trick applied to a recursion over the full prefix),
+    *    and the recursion is ONE left fold over the prefix list with
+    *    z_0 = μ prepended — Spark `aggregate(arr, μ, ...)` ≡ DuckDB
+    *    `list_reduce(list_prepend(μ, arr), ...)`, same op sequence,
+    *    bit-identical.
+    *  - (1−λ)^{2t} = 4^{−t} comes from an INTEGER shift (1L << 2t),
+    *    never libm pow (pow is the one non-mirrorable primitive —
+    *    engines' libm may differ in the last ulp); past t = 31 the
+    *    factor underflows double's view of 1−x and the limit is exactly
+    *    the asymptote.
+    *  - μ and σ assemble from exact cent power sums, one IEEE op each.
+    *
+    * Scale shape: one fact-scan hash agg into the (priority × month)
+    * domain, a 5-row stats equi-join, prefix lists over ≤84 rows. */
+  private def ewmaControl(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(12,2))) * 100" +
+        " as decimal(38,0))").as("cents"))
+      .select(col("g"), col("month"), expr("cast(cents div 100000 as bigint)").as("y"))
+    val st = monthly.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(dec38(col("y")) * dec38(col("y"))).as("qy"))
+      .select(col("g"),
+        (dd(col("sy")) / dd(col("n"))).as("mu"),
+        sqrt((dd(col("qy")) - dd(col("sy")) * dd(col("sy")) / dd(col("n"))) /
+          dd(col("n") - 1)).as("sigma"))
+    val w = Window.partitionBy(col("g")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.join(st, Seq("g"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("month"))))
+      .withColumn("arr", collect_list(dd(col("y"))).over(w))
+      .withColumn("z",
+        expr("aggregate(arr, mu, (acc, x) -> acc * 0.5D + x * 0.5D)"))
+      .withColumn("wfac",
+        when(col("t") <= 31,
+          lit(1.0) - lit(1.0) / expr("cast(shiftleft(1L, t * 2) as double)"))
+          .otherwise(lit(1.0)))
+      .withColumn("band",
+        lit(3.0) * col("sigma") * sqrt(col("wfac") / lit(3.0)))
+      .select(col("g"), col("month"), col("t"), col("y"), col("z"),
+        (col("mu") + col("band")).as("ucl"),
+        (col("mu") - col("band")).as("lcl"),
+        (abs(col("z") - col("mu")) > col("band")).as("breach"))
+      .orderBy("g", "month")
+  }
+
+  private def ewmaControlOracle: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+      |           AS HUGEINT) // 100000 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |st AS (
+      |  SELECT g,
+      |         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE) AS mu,
+      |         sqrt((CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+      |             - CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE)
+      |               * CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE)
+      |               / CAST(count(*) AS DOUBLE))
+      |           / CAST(count(*) - 1 AS DOUBLE)) AS sigma
+      |  FROM monthly GROUP BY g),
+      |pre AS (
+      |  SELECT m.g, m.month, m.y, st.mu, st.sigma,
+      |         CAST(row_number() OVER (PARTITION BY m.g ORDER BY m.month)
+      |              AS INTEGER) AS t,
+      |         list(CAST(m.y AS DOUBLE)) OVER (PARTITION BY m.g
+      |           ORDER BY m.month
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+      |  FROM monthly m JOIN st ON m.g = st.g),
+      |zc AS (
+      |  SELECT g, month, t, y, mu, sigma,
+      |         list_reduce(list_prepend(mu, arr),
+      |                     (acc, x) -> acc * 0.5 + x * 0.5) AS z,
+      |         CASE WHEN t <= 31
+      |              THEN 1.0 - 1.0 / CAST(1::BIGINT << (t * 2) AS DOUBLE)
+      |              ELSE 1.0 END AS wfac
+      |  FROM pre),
+      |b AS (
+      |  SELECT g, month, t, y, mu, z,
+      |         3.0 * sigma * sqrt(wfac / 3.0) AS band
+      |  FROM zc)
+      |SELECT g, month, t, y, z,
+      |       mu + band AS ucl, mu - band AS lcl,
+      |       abs(z - mu) > band AS breach
+      |FROM b ORDER BY g, month""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_cointegration" -> cointegration,
     "ts_ljung_box" -> ljungBox,
-    "ts_yule_walker" -> yuleWalker)
+    "ts_yule_walker" -> yuleWalker,
+    "ts_ewma_control" -> ewmaControl)
 
   def oracles: Map[String, String] = Map(
     "fin_cointegration" -> cointegrationOracle,
     "ts_ljung_box" -> ljungBoxOracle,
-    "ts_yule_walker" -> yuleWalkerOracle)
+    "ts_yule_walker" -> yuleWalkerOracle,
+    "ts_ewma_control" -> ewmaControlOracle)
 }

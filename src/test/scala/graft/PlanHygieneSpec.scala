@@ -105,7 +105,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "eval_conformal" -> ("1-row margin/total crossJoins (calibration " +
       "quantile + coverage totals, same class as stats_kruskal_wallis)"),
     "stats_cuped" -> ("1-row pooled-theta broadcast crossJoin over the " +
-      "2-row variant relation"))
+      "2-row variant relation"),
+    "sim_search_radius" -> ("bounded 20-probe broadcast with a " +
+      "disequality condition (batchTopK twin minus the top-k state)"),
+    "stats_by_fdr" -> ("1-row kmax crossJoin over the 100-hypothesis " +
+      "domain (stats_bh_fdr twin)"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

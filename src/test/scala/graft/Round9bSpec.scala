@@ -165,9 +165,59 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_by_fdr: BY rejections are a subset of BH rejections") {
+    val rows = SparkEntry.queries("stats_by_fdr")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("rejected_by"))
+        assert(r.getAs[Boolean]("rejected_bh"),
+          s"BY rejected where BH did not (impossible — BY is stricter): $r")
+    }
+    // the planted block (p ~ 1/1000 of null scale) must survive BY
+    assert(rows.count(_.getAs[Boolean]("rejected_by")) > 0,
+      "BY rejected nothing — planted signal lost")
+  }
+
+  test("sim_search_radius: all matches clear tau, none are the probe") {
+    val rows = SparkEntry.queries("sim_search_radius")(spark, TestSpark.sf001)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.35, s"below threshold: $r")
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id"))
+    }
+  }
+
+  test("ts_ewma_control: z stays between raw extremes, limits widen to asymptote") {
+    val rows = SparkEntry.queries("ts_ewma_control")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val byG = rows.groupBy(_.getAs[String]("g"))
+    byG.foreach { case (g, rs) =>
+      val bands = rs.sortBy(_.getAs[Int]("t"))
+        .map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+      // time-varying limits are monotone non-decreasing toward the
+      // asymptote (1 - 4^-t is increasing in t)
+      bands.sliding(2).foreach { case Array(a, b) =>
+        assert(b >= a - 1e-9, s"$g: control band narrowed: $a -> $b")
+      }
+    }
+  }
+
+  test("fin_parkinson: nonnegative, zero iff flat range") {
+    val rows = SparkEntry.queries("fin_parkinson")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("parkinson_vol") >= 0.0)
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
   test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
-      "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega")
+      "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
+      "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
