@@ -548,6 +548,133 @@ object Finance extends graft.QueryModule {
       .orderBy("g")
   }
 
+  /** Hurst exponent by rescaled-range analysis [N] (Hurst 1951;
+    * Mandelbrot & Wallis 1969) per priority on the daily revenue-change
+    * series: for block sizes w ∈ {8,16,32}, each complete w-day block
+    * yields R/S = (max cumdev − min cumdev)/σ_block; H is the log-log
+    * slope of the mean R/S across the three sizes — with equally
+    * log-spaced sizes the OLS slope collapses to the closed form
+    * H = ln(m₃₂/m₈)/(2·ln 2). H ≈ 0.5 is a random walk, > 0.5
+    * persistent trending, < 0.5 mean-reverting — the memory diagnostic
+    * behind `fin_cointegration`'s pairs question.
+    *
+    * Exactness: returns live on the integer grid; within a block the
+    * mean multiplies through (c_i = w·r_i − S_blk, the `ts_ljung_box`
+    * centering), so cumulative deviations, their range, and the
+    * variance numerator w·Q − S² are ALL exact integers; each block's
+    * R/S is two IEEE ops, pinned at 12dp into an exact decimal mean.
+    * Scale shape: one fact-scan hash agg into the day domain, then
+    * window work over (priority × block) partitions of the calendar-
+    * bounded series — constant post-scan cost at any SF. */
+  private def hurst(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val wDay = Window.partitionBy(col("g")).orderBy(col("day"))
+    val rets = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("(cast(cast(o_totalprice as decimal(12,2)) * 100" +
+        " as bigint)) div 100000")).as("v"))
+      .withColumn("r", col("v") - lag(col("v"), 1).over(wDay))
+      .filter(col("r").isNotNull)
+      .withColumn("t", row_number().over(wDay))
+    val perW = Seq(8, 16, 32).map { w =>
+      val blocks = rets
+        .withColumn("blk", expr(s"(t - 1) div $w"))
+        .groupBy(col("g"), col("blk"))
+        .agg(count(lit(1)).as("bn"), sum(col("r")).as("bs"),
+          sum(dec38(col("r")) * dec38(col("r"))).as("bq"))
+        .filter(col("bn") === w)
+      val wCum = Window.partitionBy(col("g"), col("blk"))
+        .orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rs = rets
+        .withColumn("blk", expr(s"(t - 1) div $w"))
+        .join(blocks, Seq("g", "blk"))
+        .withColumn("c", sum(dec38(col("r")) * lit(w) - col("bs")).over(wCum))
+        .groupBy(col("g"), col("blk"), col("bs"), col("bq"))
+        .agg((fmax(col("c")) - fmin(col("c"))).as("range"))
+        // R = range/w (the ×w grid divides out); S = sqrt((wQ − S²)/w²·…)
+        // assembled as one mirrored expression; w is a literal
+        .select(col("g"),
+          bround(
+            (col("range").cast("double") / lit(w.toDouble)) /
+              sqrt((lit(w.toDouble) * col("bq").cast("double") -
+                col("bs").cast("double") * col("bs").cast("double")) /
+                (lit(w.toDouble) * lit(w.toDouble)) / lit((w - 1).toDouble)),
+            12).cast("decimal(24,12)").as("rs"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as(s"nb$w"),
+          // 6dp, not 12: the decimal sum's unscaled value nears 2^53 at
+          // 12dp (the stats_ipf_rake ULP lesson) — the mean must land on
+          // a grid coarser than ULP at its magnitude
+          bround(sum(col("rs")).cast("double") / count(lit(1)).cast("double"),
+            6).as(s"m$w"))
+      rs
+    }
+    perW.reduce((a, b) => a.join(b, Seq("g")))
+      .select(col("g"), col("nb8"), col("nb16"), col("nb32"),
+        col("m8"), col("m16"), col("m32"),
+        // ln is libm territory — the engines disagreed by 1 ulp at
+        // sf0.01 — so the exponent pins at 12dp like every fixpoint
+        bround(log(col("m32") / col("m8")) / lit(2.0 * math.log(2.0)), 12)
+          .as("hurst"))
+      .orderBy("g")
+  }
+
+  private def hurstOracle: String = {
+    def wBlock(w: Int): String =
+      s"""bl$w AS (
+         |  SELECT g, (t - 1) // $w AS blk, count(*) AS bn,
+         |         sum(CAST(r AS HUGEINT)) AS bs,
+         |         sum(CAST(r AS HUGEINT) * r) AS bq
+         |  FROM rets GROUP BY 1, 2),
+         |cum$w AS (
+         |  SELECT r.g, b.blk, b.bs, b.bq,
+         |         sum(CAST(r.r AS HUGEINT) * $w - b.bs)
+         |           OVER (PARTITION BY r.g, b.blk ORDER BY r.t
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS c
+         |  FROM rets r JOIN bl$w b
+         |    ON r.g = b.g AND (r.t - 1) // $w = b.blk
+         |  WHERE b.bn = $w),
+         |rs$w AS (
+         |  SELECT g, round_even(
+         |           (CAST(rng AS DOUBLE) / $w.0) /
+         |             sqrt(($w.0 * CAST(bq AS DOUBLE)
+         |                 - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE))
+         |               / ($w.0 * $w.0) / ${w - 1}.0), 12) AS rs
+         |  FROM (
+         |    SELECT g, blk, bs, bq, max(c) - min(c) AS rng
+         |    FROM cum$w GROUP BY 1, 2, 3, 4) x),
+         |m$w AS (
+         |  SELECT g, count(*) AS nb$w,
+         |         round_even(CAST(sum(CAST(rs AS DECIMAL(24,12))) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE), 6) AS m$w
+         |  FROM rs$w GROUP BY g)""".stripMargin
+    s"""WITH days AS (
+       |  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+       |         sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |             // 100000) AS v
+       |  FROM orders GROUP BY 1, 2),
+       |rets0 AS (
+       |  SELECT g, day, v - lag(v) OVER (PARTITION BY g ORDER BY day) AS r
+       |  FROM days),
+       |rets AS (
+       |  SELECT g, r,
+       |         CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+       |              AS INTEGER) AS t
+       |  FROM rets0 WHERE r IS NOT NULL),
+       |${wBlock(8)},
+       |${wBlock(16)},
+       |${wBlock(32)}
+       |SELECT m8.g, nb8, nb16, nb32, m8.m8, m16.m16, m32.m32,
+       |       round_even(ln(m32.m32 / m8.m8) / ${2.0 * math.log(2.0)}, 12)
+       |         AS hurst
+       |FROM m8 JOIN m16 ON m8.g = m16.g JOIN m32 ON m8.g = m32.g
+       |ORDER BY m8.g""".stripMargin
+  }
+
   /** Parkinson range volatility [N] (Parkinson 1980) per user — the
     * high-low estimator every OHLC consumer wants next to close-to-
     * close [[volatility]]: σ²_P = Σ ln(H/L)² / (4·n·ln2), ~5× more
@@ -882,6 +1009,7 @@ object Finance extends graft.QueryModule {
     "fin_sharpe" -> sharpe,
     "fin_omega" -> omega,
     "fin_parkinson" -> parkinson,
+    "fin_hurst" -> hurst,
     "fin_beta" -> beta,
     "fin_rsi" -> rsi,
     "ts_seasonal_decompose" -> seasonalDecompose,
@@ -904,6 +1032,7 @@ object Finance extends graft.QueryModule {
     "fin_sharpe" -> sharpeOracle,
     "fin_omega" -> omegaOracle,
     "fin_parkinson" -> parkinsonOracle,
+    "fin_hurst" -> hurstOracle,
     "fin_beta" -> betaOracle,
     "fin_rsi" ->
       """WITH v AS (

@@ -743,7 +743,102 @@ object StatsExtra extends graft.QueryModule {
       |         AS hedges_g
       |FROM eff""".stripMargin
 
+  /** Cochran–Mantel–Haenszel test [N] (Cochran 1954; Mantel & Haenszel
+    * 1959) — the STRATIFIED 2×2 association test: "does the treatment
+    * (deterministic custkey-parity arm) move the outcome (order status
+    * F) after controlling for the stratum (order priority)?" — the
+    * confounder-adjusted question a naive pooled `stats_prop_ztest`
+    * gets wrong (Simpson's paradox). CMH χ²₁ = (Σ(a_k − E_k))²/ΣV_k
+    * with E_k = r1·c1/n and V_k = r1·r2·c1·c2/(n²(n−1)) per stratum.
+    * Each stratum's counts are exact longs; E_k and V_k are single
+    * IEEE expressions pinned at 6dp into decimal(28,6) sums (count-
+    * scale magnitudes — the `stats_ipf_rake` ULP lesson), so the
+    * over-strata totals are order-invariant; the final statistic is
+    * one mirrored double expression, plus the Mantel–Haenszel common
+    * odds-ratio estimate Σ(a·d/n)/Σ(b·c/n) under the same pinning.
+    * Scale shape: ONE fact-scan hash agg into the (stratum × arm ×
+    * outcome) cell table (≤20 cells), constant work after. */
+  private def cmh(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cells = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("k"),
+        pmod(col("o_custkey"), lit(2)).as("arm"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L)).as("dd"))
+    val per = cells.select(col("k"), col("a"),
+        (col("a") + col("b")).as("r1"), (col("c") + col("dd")).as("r2"),
+        (col("a") + col("c")).as("c1"), (col("b") + col("dd")).as("c2"),
+        (col("a") + col("b") + col("c") + col("dd")).as("n"),
+        col("b"), col("c"), col("dd"))
+      .select(
+        bround(dd(col("a")) - dd(col("r1")) * dd(col("c1")) / dd(col("n")), 6)
+          .cast("decimal(28,6)").as("dev"),
+        bround(dd(col("r1")) * dd(col("r2")) * dd(col("c1")) * dd(col("c2")) /
+          (dd(col("n")) * dd(col("n")) * dd(col("n") - 1)), 6)
+          .cast("decimal(28,6)").as("v"),
+        bround(dd(col("a")) * dd(col("dd")) / dd(col("n")), 6)
+          .cast("decimal(28,6)").as("adn"),
+        bround(dd(col("b")) * dd(col("c")) / dd(col("n")), 6)
+          .cast("decimal(28,6)").as("bcn"))
+    per.agg(count(lit(1)).as("n_strata"),
+        sum(col("dev")).as("sdev"), sum(col("v")).as("sv"),
+        sum(col("adn")).as("sadn"), sum(col("bcn")).as("sbcn"))
+      .select(col("n_strata"),
+        (dd(col("sdev")) * dd(col("sdev")) / dd(col("sv"))).as("cmh_chi2"),
+        (dd(col("sadn")) / dd(col("sbcn"))).as("mh_odds_ratio"))
+      .withColumn("reject_5pct", col("cmh_chi2") > lit(3.841))
+  }
+
+  private def cmhOracle: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS k,
+      |         sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+      |                  THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+      |                  THEN 1 ELSE 0 END) AS b,
+      |         sum(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F'
+      |                  THEN 1 ELSE 0 END) AS c,
+      |         sum(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus <> 'F'
+      |                  THEN 1 ELSE 0 END) AS dd
+      |  FROM orders GROUP BY 1),
+      |marg AS (
+      |  SELECT k, a, b, c, dd,
+      |         a + b AS r1, c + dd AS r2, a + c AS c1, b + dd AS c2,
+      |         a + b + c + dd AS n
+      |  FROM cells),
+      |per AS (
+      |  SELECT
+      |    CAST(round_even(CAST(a AS DOUBLE)
+      |        - CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE),
+      |        6) AS DECIMAL(28,6)) AS dev,
+      |    CAST(round_even(CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)
+      |        * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |           * CAST(n - 1 AS DOUBLE)), 6) AS DECIMAL(28,6)) AS v,
+      |    CAST(round_even(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+      |        / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)) AS adn,
+      |    CAST(round_even(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |        / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)) AS bcn
+      |  FROM marg),
+      |agg AS (
+      |  SELECT count(*) AS n_strata, sum(dev) AS sdev, sum(v) AS sv,
+      |         sum(adn) AS sadn, sum(bcn) AS sbcn
+      |  FROM per)
+      |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+      |       CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+      |         / CAST(sv AS DOUBLE) AS cmh_chi2,
+      |       CAST(sadn AS DOUBLE) / CAST(sbcn AS DOUBLE) AS mh_odds_ratio,
+      |       CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+      |         / CAST(sv AS DOUBLE) > 3.841 AS reject_5pct
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cmh" -> (cmh _),
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_prop_ztest" -> (propZtest _),
     "stats_ipf_rake" -> (ipf _),
@@ -757,6 +852,7 @@ object StatsExtra extends graft.QueryModule {
     "stats_cohens_d" -> (cohensD _))
 
   val oracles: Map[String, String] = Map(
+    "stats_cmh" -> cmhOracle,
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_prop_ztest" -> propZtestOracle,
     "stats_ipf_rake" -> ipfOracle,

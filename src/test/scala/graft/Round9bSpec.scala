@@ -214,10 +214,40 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("fin_hurst: H in (0,1), R/S means grow with block size") {
+    val rows = SparkEntry.queries("fin_hurst")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hurst")
+      assert(h > 0.0 && h < 1.0, s"Hurst exponent out of (0,1): $r")
+      // E[R/S] ~ c*w^H with H > 0: the mean rescaled range must grow
+      assert(r.getAs[Double]("m32") > r.getAs[Double]("m8"),
+        s"R/S failed to grow with block size: $r")
+    }
+  }
+
+  test("stats_cmh: chi2 nonnegative, decision consistent, OR positive") {
+    val rows = SparkEntry.queries("stats_cmh")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val chi2 = r.getAs[Double]("cmh_chi2")
+    assert(chi2 >= 0.0)
+    assert(r.getAs[Boolean]("reject_5pct") == (chi2 > 3.841))
+    assert(r.getAs[Double]("mh_odds_ratio") > 0.0)
+    // custkey parity is independent of order status by construction:
+    // the stratified test must NOT reject (a rejection = a false
+    // positive on a known-null treatment)
+    assert(!r.getAs[Boolean]("reject_5pct"),
+      s"CMH rejected a known-null association: $r")
+  }
+
   test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
       "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
-      "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control")
+      "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control",
+      "fin_hurst", "stats_cmh")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
