@@ -413,6 +413,152 @@ object Graph extends graft.QueryModule {
        |ORDER BY seed, step""".stripMargin
   }
 
+  /** node2vec parameters: integer edge weights 2/4/2 encode the
+    * return (1/p), distance-1 (1), and outward (1/q) biases at
+    * p = q = 2 scaled ×4 — integers so the cumulative-weight pick is
+    * exact on both engines. */
+  private val n2vBack = 2L
+  private val n2vCommon = 4L
+  private val n2vOut = 2L
+
+  /** Second-order biased random walks [N] — the ACTUAL node2vec
+    * sampler (Grover & Leskovec 2016 §3.2), one level up from
+    * [[randomWalks]]'s uniform first-order hops: the next hop's weight
+    * depends on the PREVIOUS node — 1/p to return, 1 to a common
+    * neighbor of prev (BFS-ish), 1/q to move outward (DFS-ish). With
+    * p = q = 2 the weights are the integers {2, 4, 2}, so the biased
+    * choice is an md5 coin against an EXACT cumulative-weight ladder
+    * over the nxt-sorted candidate list — deterministic across
+    * retries, partitionings, and engines, like every draw in this
+    * repo. Step 1 has no prev and falls back to the uniform pick.
+    *
+    * Plan shape per step: frontier×edges equi-join (candidates), a
+    * LEFT equi-join against the edge set classifying (prev, nxt) as
+    * common-neighbor, one frontier-partitioned window cumsum, one
+    * filter — frontier stays seed-set-sized, the |E| side is the
+    * shared checkpointed relation. No quadratic stage, no driver-side
+    * walk state. */
+  private def node2vecWalks(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = dir.groupBy(col("src").as("d_src"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edgeFlag = dir.select(col("src").as("e_src"), col("dst").as("e_dst"),
+      lit(1).as("is_e"))
+    // step 0: the seeds; step 1: uniform (no prev yet)
+    val w0 = deg.filter(col("d_src") % 10 === 0)
+      .select(col("d_src").as("seed"), lit(0).as("step"),
+        lit(-1L).as("prev"), col("d_src").as("node"))
+    val coin1 = expr("cast(conv(substring(md5(concat(" +
+      "cast(seed as string), '_', cast(node as string), '_1:n2v'))," +
+      " 1, 8), 16, 10) as bigint)")
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = dir.select(col("src").as("a_src"), col("dst").as("a_dst"),
+      (row_number().over(wAdj) - 1).cast("long").as("a_rn"))
+    val w1 = w0.join(deg, col("node") === col("d_src"))
+      .withColumn("pick", pmod(coin1, col("deg")))
+      .join(adj, col("node") === col("a_src") && col("a_rn") === col("pick"))
+      .select(col("seed"), lit(1).as("step"), col("node").as("prev"),
+        col("a_dst").as("node"))
+      .localCheckpoint()
+    var frontier = w1
+    var walks = w0.unionAll(w1)
+    for (t <- 2 to walkLen) {
+      val coin = expr("cast(conv(substring(md5(concat(" +
+        "cast(seed as string), '_', cast(prev as string), '_', " +
+        s"cast(node as string), '_$t:n2v')), 1, 8), 16, 10) as bigint)")
+      val wCum = Window.partitionBy(col("seed")).orderBy(col("nxt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("seed"))
+      frontier = frontier
+        .join(dir, col("node") === col("src"))
+        .select(col("seed"), col("prev"), col("node"), col("dst").as("nxt"))
+        .join(edgeFlag,
+          col("prev") === col("e_src") && col("nxt") === col("e_dst"), "left")
+        .withColumn("w",
+          when(col("nxt") === col("prev"), lit(n2vBack))
+            .when(col("is_e").isNotNull, lit(n2vCommon))
+            .otherwise(lit(n2vOut)))
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .withColumn("coin", pmod(coin, col("tot")))
+        .filter(col("coin") >= col("cum") - col("w") && col("coin") < col("cum"))
+        .select(col("seed"), lit(t).as("step"), col("node").as("prev"),
+          col("nxt").as("node"))
+        .localCheckpoint()
+      walks = walks.unionAll(frontier)
+    }
+    walks.select(col("seed"), col("step"), col("node"))
+      .orderBy("seed", "step")
+  }
+
+  /** Unrolled-CTE oracle for the biased walks: the strpos hex8
+    * polynomial regenerates each coin; weights, cumulative ladder, and
+    * the pick filter are pure integers. */
+  private def node2vecOracle: String = {
+    def duckHex8(key: String): String =
+      (0 until 8).map { i =>
+        val f = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
+      }.mkString("(", "\n        + ", ")")
+    val key1 = "CAST(f.seed AS VARCHAR) || '_' || " +
+      "CAST(f.node AS VARCHAR) || '_1:n2v'"
+    val base =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn
+         |  FROM dir),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg
+         |                     FROM dir GROUP BY src),
+         |w0 AS (SELECT src AS seed, 0 AS step, CAST(-1 AS BIGINT) AS prev,
+         |              src AS node
+         |       FROM deg WHERE src % 10 = 0),
+         |w1 AS (
+         |  SELECT f.seed, 1 AS step, f.node AS prev, a.dst AS node
+         |  FROM w0 f
+         |  JOIN deg d ON f.node = d.src
+         |  JOIN adj a ON a.src = f.node
+         |   AND a.rn = ${duckHex8(key1)} % d.deg)""".stripMargin
+    val steps = (2 to walkLen).map { t =>
+      val key = s"CAST(seed AS VARCHAR) || '_' || CAST(prev AS VARCHAR)" +
+        s" || '_' || CAST(node AS VARCHAR) || '_$t:n2v'"
+      s"""c$t AS (
+         |  SELECT f.seed, f.prev, f.node, dir.dst AS nxt,
+         |         CASE WHEN dir.dst = f.prev THEN $n2vBack
+         |              WHEN e.src IS NOT NULL THEN $n2vCommon
+         |              ELSE $n2vOut END AS w
+         |  FROM w${t - 1} f
+         |  JOIN dir ON f.node = dir.src
+         |  LEFT JOIN dir e ON f.prev = e.src AND dir.dst = e.dst),
+         |l$t AS (
+         |  SELECT seed, prev, node, nxt, w,
+         |         sum(w) OVER (PARTITION BY seed ORDER BY nxt
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(w) OVER (PARTITION BY seed) AS tot,
+         |         ${duckHex8(key)} AS coin0
+         |  FROM c$t),
+         |w$t AS (
+         |  SELECT seed, $t AS step, node AS prev, nxt AS node
+         |  FROM l$t
+         |  WHERE coin0 % tot >= cum - w AND coin0 % tot < cum)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to walkLen).map(t => s"SELECT seed, step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+       |$steps
+       |SELECT seed, step, node FROM (
+       |  $union)
+       |ORDER BY seed, step""".stripMargin
+  }
+
   private val lpIters = 3
 
   /** Label-propagation community detection [N] (Raghavan et al. 2007),
@@ -1247,6 +1393,7 @@ object Graph extends graft.QueryModule {
     "graph_pagerank" -> pageRank,
     "graph_ppr" -> personalizedPageRank,
     "graph_random_walks" -> randomWalks,
+    "graph_node2vec" -> node2vecWalks,
     "graph_bfs" -> bfs,
     "graph_closeness" -> closeness,
     "graph_degree_dist" -> degreeDistribution)
@@ -1279,6 +1426,7 @@ object Graph extends graft.QueryModule {
     "graph_pagerank" -> pageRankOracle,
     "graph_ppr" -> pprOracle,
     "graph_random_walks" -> randomWalksOracle,
+    "graph_node2vec" -> node2vecOracle,
     "graph_bfs" -> bfsOracle,
     "graph_sssp" -> ssspOracle,
     // textbook formulation of the same hub-filtered graph: the wedge

