@@ -605,7 +605,102 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Skip-gram pairs WITH deterministic negative sampling [N] — the
+    * word2vec/SGNS training-data generator (Mikolov et al. 2013), one
+    * level up from [[cooccurrence]]'s raw window counts: symmetric
+    * ±2-window (center, context) positives, plus K = 2 negatives per
+    * pair TYPE drawn from the vocabulary by md5 coin over the
+    * lexicographic word ranking — the draw is a pure function of
+    * (center, context, k), so the training set is bit-reproducible
+    * across retries, partitionings, and engines (the property that
+    * makes embedding runs comparable at 100 TB). Output: (center,
+    * sample, label, n) — label 1 rows carry the window count, label 0
+    * rows the same count per negative slot (SGNS pairs each positive
+    * occurrence with K negatives).
+    *
+    * Scale shape: one linear window explode + hash agg for positives
+    * (vocabulary-scale output); the vocabulary ranking is a bounded
+    * window over distinct words; the negative join probes the
+    * broadcast-sized rank table. No corpus-quadratic stage. */
+  private def skipgramNegSample(s: SparkSession, d: String): DataFrame = {
+    val ws = col("__ws")
+    val n = size(ws)
+    def shifted(off: Int) = when(n >= off + 1,
+      transform(sequence(lit(1), n - off),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + off).as("w2"))))
+      .otherwise(array())
+    val fwd = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(explode(concat(shifted(1), shifted(2))).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
+    // symmetric window: every forward pair also counts reversed
+    val pos = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("center"), col("b").as("context"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("w"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("rank", (row_number().over(wRank) - 1).cast("long"))
+      .localCheckpoint()
+    val vTot = vocab.count()
+    val negs = pos.select(col("center"), col("context"), col("n"),
+        explode(expr("sequence(0, 1)")).as("k"))
+      .withColumn("rank", pmod(
+        expr("cast(conv(substring(md5(concat(center, '_', context, '_'," +
+          " cast(k as string), ':neg')), 1, 8), 16, 10) as bigint)"),
+        lit(vTot)))
+      .join(broadcast(vocab), Seq("rank"))
+      .groupBy(col("center"), col("w").as("sample"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("center"), col("sample"), lit(0).as("label"), col("n"))
+    pos.select(col("center"), col("context").as("sample"),
+        lit(1).as("label"), col("n"))
+      .unionAll(negs)
+      .orderBy("center", "sample", "label")
+  }
+
+  private def skipgramOracle: String = {
+    val hex8 = (0 until 8).map { i =>
+      val f = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5(center || '_' || context" +
+        s" || '_' || CAST(k AS VARCHAR) || ':neg'), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH fwd AS (
+       |  SELECT ws[i] AS a, ws[i + 1] AS b
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+       |  UNION ALL
+       |  SELECT ws[i] AS a, ws[i + 2] AS b
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)),
+       |pos AS (
+       |  SELECT a AS center, b AS context, count(*) AS n FROM (
+       |    SELECT a, b FROM fwd UNION ALL SELECT b, a FROM fwd)
+       |  GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT w, row_number() OVER (ORDER BY w) - 1 AS rank FROM (
+       |    SELECT DISTINCT ws[i] AS w
+       |    FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i))),
+       |vt AS (SELECT count(*) AS v FROM vocab),
+       |negs AS (
+       |  SELECT center, v.w AS sample, 0 AS label,
+       |         CAST(sum(n) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT center, context, n, k,
+       |           $hex8 % vt.v AS rank
+       |    FROM pos, (SELECT unnest([0, 1]) AS k), vt) p
+       |  JOIN vocab v ON p.rank = v.rank
+       |  GROUP BY 1, 2, 3)
+       |SELECT center, context AS sample, 1 AS label, CAST(n AS BIGINT) AS n
+       |FROM pos
+       |UNION ALL
+       |SELECT center, sample, label, n FROM negs
+       |ORDER BY center, sample, label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_skipgram_negsample" -> skipgramNegSample,
     "text_crossdoc_ngrams" -> crossdocNgrams,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
@@ -682,6 +777,7 @@ object TextAnalysis extends graft.QueryModule {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_skipgram_negsample" -> skipgramOracle,
     "text_crossdoc_ngrams" ->
       """WITH grams AS MATERIALIZED (
         |  SELECT DISTINCT doc_id,

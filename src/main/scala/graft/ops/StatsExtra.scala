@@ -837,7 +837,128 @@ object StatsExtra extends graft.QueryModule {
       |         / CAST(sv AS DOUBLE) > 3.841 AS reject_5pct
       |FROM agg""".stripMargin
 
+  /** Tukey–Kramer HSD post-hoc [N] (Tukey 1949; Kramer 1956) — the
+    * pairwise follow-up `stats_anova` needs: WHICH priorities differ,
+    * with the studentized-range correction that keeps the familywise
+    * error at α across all 10 comparisons (10 naive t-tests at 5%
+    * inflate to ~40% familywise). q = |m̄ᵢ − m̄ⱼ| / √(MSE/2·(1/nᵢ+1/nⱼ))
+    * vs the pinned critical q(k=5, df=∞) = 3.858. All power sums are
+    * exact; MSE rides a 1-row broadcast crossJoin onto the 10-pair
+    * self-join of the 5-row group relation — constant work after ONE
+    * fact-scan hash agg. */
+  private def tukeyHsd(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val y = expr("(cast(cast(o_totalprice as decimal(12,2)) * 100" +
+      " as bigint)) div 100000")
+    val per = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), y.as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("qy"))
+      .localCheckpoint()
+    val mse = per.agg(
+      sum(col("n")).as("nt"), count(lit(1)).as("k"),
+      sum(dd(col("qy")) - dd(col("sy")) * dd(col("sy")) / dd(col("n")))
+        .as("ssw"))
+      .select((col("ssw") / dd(col("nt") - col("k"))).as("mse"))
+    val a = per.select(col("g").as("g1"), col("n").as("n1"), col("sy").as("s1"))
+    val b = per.select(col("g").as("g2"), col("n").as("n2"), col("sy").as("s2"))
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(mse))
+      .select(col("g1"), col("g2"),
+        (dd(col("s1")) / dd(col("n1"))).as("mean1"),
+        (dd(col("s2")) / dd(col("n2"))).as("mean2"),
+        (abs(dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2"))) /
+          sqrt(col("mse") / lit(2.0) *
+            (lit(1.0) / dd(col("n1")) + lit(1.0) / dd(col("n2")))))
+          .as("q"))
+      .withColumn("significant", col("q") > lit(3.858))
+      .orderBy("g1", "g2")
+  }
+
+  private def tukeyHsdOracle: String =
+    """WITH y AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           // 100000 AS y
+      |  FROM orders),
+      |per AS (
+      |  SELECT g, count(*) AS n, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(y AS HUGEINT) * y) AS qy
+      |  FROM y GROUP BY g),
+      |m AS (
+      |  SELECT sum(CAST(qy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |               / CAST(n AS DOUBLE))
+      |           / CAST(sum(n) - count(*) AS DOUBLE) AS mse
+      |  FROM per),
+      |pairs AS (
+      |  SELECT a.g AS g1, b.g AS g2,
+      |         CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean1,
+      |         CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean2,
+      |         abs(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |             - CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |           / sqrt(m.mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+      |                                 + 1.0 / CAST(b.n AS DOUBLE))) AS q
+      |  FROM per a JOIN per b ON a.g < b.g CROSS JOIN m)
+      |SELECT g1, g2, mean1, mean2, q, q > 3.858 AS significant
+      |FROM pairs ORDER BY g1, g2""".stripMargin
+
+  /** Wilson score interval [N] (Wilson 1927) per priority on the
+    * fulfilled-rate proportion — the dashboard-standard rate CI: unlike
+    * the Wald interval it never leaves [0,1] and behaves at extreme
+    * rates; unlike `stats_hoeffding_ci` it uses the binomial shape, so
+    * it's ~3× tighter at these n. Closed form at z = 1.96:
+    * center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n). k and n are exact longs from
+    * one conditional hash agg; the interval is one mirrored double
+    * expression per bound. */
+  private def wilsonCi(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val z2 = 1.96 * 1.96
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("k"))
+      .select(col("g"), col("n"), col("k"),
+        (dd(col("k")) / dd(col("n"))).as("p_hat"),
+        dd(col("n")).as("nd"))
+      .select(col("g"), col("n"), col("k"), col("p_hat"),
+        ((col("p_hat") + lit(z2) / (lit(2.0) * col("nd")) -
+          lit(1.96) * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / col("nd") +
+            lit(z2) / (lit(4.0) * col("nd") * col("nd")))) /
+          (lit(1.0) + lit(z2) / col("nd"))).as("lo"),
+        ((col("p_hat") + lit(z2) / (lit(2.0) * col("nd")) +
+          lit(1.96) * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / col("nd") +
+            lit(z2) / (lit(4.0) * col("nd") * col("nd")))) /
+          (lit(1.0) + lit(z2) / col("nd"))).as("hi"))
+      .orderBy("g")
+  }
+
+  private def wilsonCiOracle: String =
+    """WITH a AS (
+      |  SELECT o_orderpriority AS g, count(*) AS n,
+      |         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT g, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+      |         CAST(n AS DOUBLE) AS nd
+      |  FROM a)
+      |SELECT g, n, k, p_hat,
+      |       (p_hat + (1.96 * 1.96) / (2.0 * nd)
+      |          - 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd
+      |                        + (1.96 * 1.96) / (4.0 * nd * nd)))
+      |         / (1.0 + (1.96 * 1.96) / nd) AS lo,
+      |       (p_hat + (1.96 * 1.96) / (2.0 * nd)
+      |          + 1.96 * sqrt(p_hat * (1.0 - p_hat) / nd
+      |                        + (1.96 * 1.96) / (4.0 * nd * nd)))
+      |         / (1.0 + (1.96 * 1.96) / nd) AS hi
+      |FROM p ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_wilson_ci" -> (wilsonCi _),
+    "stats_tukey_hsd" -> (tukeyHsd _),
     "stats_cmh" -> (cmh _),
     "stats_capture_recapture" -> (captureRecapture _),
     "stats_prop_ztest" -> (propZtest _),
@@ -852,6 +973,8 @@ object StatsExtra extends graft.QueryModule {
     "stats_cohens_d" -> (cohensD _))
 
   val oracles: Map[String, String] = Map(
+    "stats_wilson_ci" -> wilsonCiOracle,
+    "stats_tukey_hsd" -> tukeyHsdOracle,
     "stats_cmh" -> cmhOracle,
     "stats_capture_recapture" -> captureRecaptureOracle,
     "stats_prop_ztest" -> propZtestOracle,

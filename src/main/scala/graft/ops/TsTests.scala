@@ -483,15 +483,105 @@ object TsTests extends graft.QueryModule {
       |       abs(z - mu) > band AS breach
       |FROM b ORDER BY g, month""".stripMargin
 
+  /** Augmented Dickey–Fuller unit-root test [N] (Dickey & Fuller 1979;
+    * lag order 0 with constant — the DF regression `fin_cointegration`
+    * runs on residuals, here standalone on the monthly revenue LEVEL
+    * series): Δy_t = α + γ·y_{t−1} + ε; reject the unit root (series is
+    * stationary) when t(γ) < −2.86 (5%, constant, large n). Everything
+    * reduces to ONE agg over the lagged month relation: x = y_{t−1} and
+    * Δ are exact grid integers, the five regression sums are exact
+    * decimal(38,0), and γ, α, SSE (via the centered expansion
+    * Syy − γ·Sxy), se(γ), t assemble in mirrored doubles. */
+  private def adf(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val monthly = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(12,2))) * 100" +
+        " as decimal(38,0))").as("cents"))
+      .select(col("month"), expr("cast(cents div 100000 as bigint)").as("y"))
+    val w = Window.orderBy(col("month"))
+    val lagged = monthly
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("x"), (col("y") - col("x")).as("dy"))
+    val sums = lagged.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("dy")).as("sd"),
+      sum(dec38(col("x")) * dec38(col("x"))).as("sxx"),
+      sum(dec38(col("x")) * dec38(col("dy"))).as("sxd"),
+      sum(dec38(col("dy")) * dec38(col("dy"))).as("sdd"))
+    sums
+      .select(col("m"),
+        ((dd(col("m")) * dd(col("sxd")) - dd(col("sx")) * dd(col("sd"))) /
+          (dd(col("m")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))))
+          .as("gamma"),
+        dd(col("sx")).as("sxd2"), dd(col("sd")).as("sdd2"),
+        dd(col("m")).as("md"),
+        (dd(col("sxx")) - dd(col("sx")) * dd(col("sx")) / dd(col("m")))
+          .as("sxx_c"),
+        (dd(col("sxd")) - dd(col("sx")) * dd(col("sd")) / dd(col("m")))
+          .as("sxd_c"),
+        (dd(col("sdd")) - dd(col("sd")) * dd(col("sd")) / dd(col("m")))
+          .as("sdd_c"))
+      .select(col("m").as("n_diffs"), col("gamma"),
+        ((col("sdd2") - col("gamma") * col("sxd2")) / col("md")).as("alpha"),
+        (col("gamma") /
+          sqrt(((col("sdd_c") - col("gamma") * col("sxd_c")) /
+            (col("md") - lit(2.0))) / col("sxx_c"))).as("adf_t"))
+      .withColumn("stationary", col("adf_t") < lit(-2.86))
+  }
+
+  private def adfOracle: String =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS month,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+      |           AS HUGEINT) // 100000 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT x, y - x AS dy FROM (
+      |    SELECT y, lag(y) OVER (ORDER BY month) AS x FROM monthly)
+      |  WHERE x IS NOT NULL),
+      |sums AS (
+      |  SELECT count(*) AS m,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sd,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(x AS HUGEINT) * dy) AS sxd,
+      |         sum(CAST(dy AS HUGEINT) * dy) AS sdd
+      |  FROM lagged),
+      |g AS (
+      |  SELECT m,
+      |         (CAST(m AS DOUBLE) * CAST(sxd AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)) /
+      |         (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS gamma,
+      |         CAST(sx AS DOUBLE) AS sxd2, CAST(sd AS DOUBLE) AS sdd2,
+      |         CAST(m AS DOUBLE) AS md,
+      |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |           / CAST(m AS DOUBLE) AS sxx_c,
+      |         CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE)
+      |           / CAST(m AS DOUBLE) AS sxd_c,
+      |         CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      |           / CAST(m AS DOUBLE) AS sdd_c
+      |  FROM sums),
+      |t AS (
+      |  SELECT m AS n_diffs, gamma,
+      |         (sdd2 - gamma * sxd2) / md AS alpha,
+      |         gamma / sqrt(((sdd_c - gamma * sxd_c) / (md - 2.0)) / sxx_c)
+      |           AS adf_t
+      |  FROM g)
+      |SELECT n_diffs, gamma, alpha, adf_t, adf_t < -2.86 AS stationary
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fin_cointegration" -> cointegration,
     "ts_ljung_box" -> ljungBox,
     "ts_yule_walker" -> yuleWalker,
-    "ts_ewma_control" -> ewmaControl)
+    "ts_ewma_control" -> ewmaControl,
+    "ts_adf" -> adf)
 
   def oracles: Map[String, String] = Map(
     "fin_cointegration" -> cointegrationOracle,
     "ts_ljung_box" -> ljungBoxOracle,
     "ts_yule_walker" -> yuleWalkerOracle,
-    "ts_ewma_control" -> ewmaControlOracle)
+    "ts_ewma_control" -> ewmaControlOracle,
+    "ts_adf" -> adfOracle)
 }

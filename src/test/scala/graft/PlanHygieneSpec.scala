@@ -109,7 +109,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_radius" -> ("bounded 20-probe broadcast with a " +
       "disequality condition (batchTopK twin minus the top-k state)"),
     "stats_by_fdr" -> ("1-row kmax crossJoin over the 100-hypothesis " +
-      "domain (stats_bh_fdr twin)"))
+      "domain (stats_bh_fdr twin)"),
+    "stats_tukey_hsd" -> ("5-row group self-join (g1 < g2, 10 pairs) " +
+      "+ 1-row MSE broadcast crossJoin"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

@@ -262,11 +262,66 @@ class Round9bSpec extends AnyFunSuite {
       s"CMH rejected a known-null association: $r")
   }
 
+  test("stats_tukey_hsd: all 10 pairs, q nonnegative, symmetric means") {
+    val rows = SparkEntry.queries("stats_tukey_hsd")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 10, "C(5,2) priority pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q") >= 0.0)
+      assert(r.getAs[Boolean]("significant") == (r.getAs[Double]("q") > 3.858))
+    }
+  }
+
+  test("ts_adf: gamma negative on a mean-reverting diff, decision consistent") {
+    val rows = SparkEntry.queries("ts_adf")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // revenue LEVELS fluctuate around a stable mean in the synthetic
+    // data, so the AR coefficient on the level must pull back (gamma<0)
+    assert(r.getAs[Double]("gamma") < 0.0, s"no mean reversion: $r")
+    assert(r.getAs[Boolean]("stationary") == (r.getAs[Double]("adf_t") < -2.86))
+  }
+
+  test("stats_wilson_ci: interval inside [0,1] and contains p_hat") {
+    val rows = SparkEntry.queries("stats_wilson_ci")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo >= 0.0 && hi <= 1.0, s"Wilson left [0,1]: $r")
+      assert(lo <= p && p <= hi, s"interval excludes p_hat: $r")
+    }
+  }
+
+  test("text_skipgram_negsample: labels well-formed, positives symmetric") {
+    val rows = SparkEntry.queries("text_skipgram_negsample")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val pos = rows.filter(_.getAs[Int]("label") == 1)
+    val neg = rows.filter(_.getAs[Int]("label") == 0)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // the symmetric window makes the positive pair-count relation
+    // symmetric: (a, b, n) present iff (b, a, n) present
+    val posMap = pos.map(r => (r.getAs[String]("center"),
+      r.getAs[String]("sample")) -> r.getAs[Long]("n")).toMap
+    posMap.foreach { case ((a, b), n) =>
+      assert(posMap.get((b, a)).contains(n),
+        s"positive skipgrams not symmetric at ($a, $b)")
+    }
+    // SGNS negative mass: K=2 slots per positive pair type, so total
+    // negative n is exactly twice the positive total
+    assert(neg.map(_.getAs[Long]("n")).sum == 2 * pos.map(_.getAs[Long]("n")).sum,
+      "negative mass != 2x positive mass")
+  }
+
   test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
       "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
       "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control",
-      "fin_hurst", "stats_cmh", "graph_node2vec")
+      "fin_hurst", "stats_cmh", "graph_node2vec", "stats_tukey_hsd",
+      "ts_adf", "text_skipgram_negsample", "stats_wilson_ci")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
