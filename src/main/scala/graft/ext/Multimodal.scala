@@ -282,6 +282,112 @@ object Multimodal extends graft.QueryModule {
       (b.doc_id, bits.toString)
     }
 
+  /** Demux variant for [[mmSceneCuts]]: the same even-frame sampling as
+    * [[demuxFrames]], but emitting each kept frame's aHash instead of
+    * its checksum — the (doc, frame, perceptual-hash) relation a
+    * scene-cut detector consumes. */
+  def demuxFrameAhashes(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, String)] =
+    blobs.flatMap { b =>
+      val in = new DataInputStream(new ByteArrayInputStream(b.data))
+      val nFrames = in.readInt()
+      val lengths = (0 until nFrames).map(_ => in.readInt())
+      lengths.zipWithIndex.flatMap { case (len, idx) =>
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        if (idx % 2 != 0) None
+        else {
+          val img = ImageIO.read(new ByteArrayInputStream(frame))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Int](64)
+          var sum = 0L
+          var q = 0
+          while (q < 64) {
+            val rgb = img.getRGB((q % 8) * w / 8, (q / 8) * h / 8)
+            gray(q) = (((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 4
+            sum += gray(q)
+            q += 1
+          }
+          val bits = new StringBuilder(64)
+          q = 0
+          while (q < 64) {
+            bits.append(if (gray(q) * 64L >= sum) '1' else '0')
+            q += 1
+          }
+          Some((b.doc_id, idx, bits.toString))
+        }
+      }
+    }
+
+  /** Scene-cut detection [N] — the video-pipeline segmentation staple:
+    * per-frame perceptual hashes (the [[mmAhash]] aHash applied to
+    * every sampled frame of the container), then a cut is flagged
+    * where the Hamming distance between consecutive kept frames
+    * exceeds 16 of 64 bits. The codec work is the same two
+    * partition-wise stages as `mm_frames` (encode container → demux +
+    * per-frame aHash); the detection itself is ONE doc-partitioned
+    * window lag plus a codegen HOF fold for the bit distance — no
+    * shuffle beyond the per-doc window. The frame pixels are a pure
+    * function of the doc bytes, so the oracle reproduces every frame
+    * hash AND every distance exactly. */
+  private def mmSceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeContainers)
+      .mapPartitions(demuxFrameAhashes)
+      .toDF("doc_id", "frame_idx", "ahash")
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hamming",
+        expr("aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "CASE WHEN substring(ahash, i, 1) = substring(prev, i, 1) " +
+          "THEN 0 ELSE 1 END)"))
+      .select(col("doc_id"), col("frame_idx"), col("hamming"),
+        (col("hamming") > 16).as("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mmSceneCutsOracle =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |frames AS (
+      |  SELECT doc_id, text, len, f,
+      |         (len + f) % 8 + 1 AS w, (len + f) % 6 + 1 AS h
+      |  FROM d, unnest(range(0, len % 5 + 1, 2)) t(f)),
+      |g AS (
+      |  SELECT doc_id, f,
+      |         list_transform(
+      |           list_transform(range(0, 64), q ->
+      |             3 * ((q // 8) * h // 8 * w + (q % 8) * w // 8)),
+      |           bp -> CASE WHEN len = 0 THEN 0 ELSE
+      |             (ord(substr(text, ((bp + f) % len) + 1, 1))
+      |              + 2 * ord(substr(text, ((bp + 1 + f) % len) + 1, 1))
+      |              + ord(substr(text, ((bp + 2 + f) % len) + 1, 1))) // 4
+      |           END) AS gs
+      |  FROM frames),
+      |hx AS (
+      |  SELECT doc_id, f AS frame_idx,
+      |         array_to_string(list_transform(gs, x ->
+      |           CASE WHEN x * 64 >= list_sum(gs) THEN '1'
+      |                ELSE '0' END), '') AS ahash
+      |  FROM g),
+      |lagged AS (
+      |  SELECT doc_id, frame_idx, ahash,
+      |         lag(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+      |           AS prev
+      |  FROM hx),
+      |dist AS (
+      |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           CASE WHEN substr(ahash, i, 1) = substr(prev, i, 1)
+      |                THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+      |  FROM lagged WHERE prev IS NOT NULL)
+      |SELECT doc_id, frame_idx, hamming, hamming > 16 AS is_cut
+      |FROM dist ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Image near-dup fingerprinting [N] — the dedup family extended to
     * the multimodal column: every document's synthesized image gets an
     * aHash, and `n_same` counts the corpus images sharing it (the
@@ -351,7 +457,8 @@ object Multimodal extends graft.QueryModule {
     "mm_decode" -> mmDecode,
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAhash,
-    "mm_frames" -> mmFrames)
+    "mm_frames" -> mmFrames,
+    "mm_scene_cuts" -> mmSceneCuts)
 
   private val decodeOracle: String =
     """WITH d AS (SELECT doc_id, text, length(text) AS len,
@@ -420,6 +527,7 @@ object Multimodal extends graft.QueryModule {
     // 8×8 nearest-neighbor sample → integer gray (r+2g+b) div 4 →
     // threshold by the exact mean via g*64 >= sum (no division);
     // empty payloads gray to all-zero and hash to all-ones
+    "mm_scene_cuts" -> mmSceneCutsOracle,
     "mm_ahash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 16 + 1 AS w,

@@ -316,12 +316,27 @@ class Round9bSpec extends AnyFunSuite {
       "negative mass != 2x positive mass")
   }
 
+  test("mm_scene_cuts: hamming in [0,64], decision consistent") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 64, s"bit distance out of range: $r")
+      assert(r.getAs[Boolean]("is_cut") == (h > 16))
+    }
+    // near-random frame hashes differ in ~32 bits, so cuts must fire
+    assert(rows.exists(_.getAs[Boolean]("is_cut")),
+      "no scene cut detected on maximally-dissimilar synthetic frames")
+  }
+
   test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
       "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
       "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control",
       "fin_hurst", "stats_cmh", "graph_node2vec", "stats_tukey_hsd",
-      "ts_adf", "text_skipgram_negsample", "stats_wilson_ci")
+      "ts_adf", "text_skipgram_negsample", "stats_wilson_ci",
+      "mm_scene_cuts")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
