@@ -966,7 +966,74 @@ object Dedup extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
+  /** Content-defined chunking dedup [N] — the FastCDC/LBFS primitive
+    * (Muthitacharoen et al., SOSP'01) that backup systems and
+    * byte-level corpus dedup use where fixed windows fail: a chunk
+    * BOUNDARY falls wherever the hash of the trailing 8-char window
+    * ≡ 0 mod 16 (avg chunk ~16 chars), so an insertion early in a
+    * document shifts ONE chunk instead of every fixed-offset window —
+    * the property `text_substring_dedup`'s fixed n-grams lack. The
+    * window hash is hex8(md5) (the repo's shared engine-replayable
+    * hash), the chunk table aggregates by chunk md5 with doc counts
+    * and a dup flag.
+    *
+    * Scale shape: per-row HOF work (boundary filter + chunk slicing
+    * inside codegen) → one explode linear in corpus chars/16 → one
+    * hash agg on the chunk hash. Same plan class as `dedup_exact`,
+    * finer granularity. */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val bounds = expr(
+      """concat(array(0),
+        |  CASE WHEN length(text) >= 8 THEN
+        |    filter(sequence(8, length(text)), i ->
+        |      cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 8),
+        |                16, 10) as bigint) % 16 = 0)
+        |  ELSE CAST(array() AS ARRAY<INT>) END,
+        |  array(length(text)))""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), bounds.as("b"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(b) - 1),
+          |  k -> substring(text, b[k - 1] + 1, b[k] - b[k - 1])),
+          |  c -> length(c) > 0)""".stripMargin)).as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(max(length(col("chunk"))).as("chunk_len"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .withColumn("is_dup", col("n_occ") > 1)
+      .orderBy("chunk_hash")
+  }
+
+  private val cdcChunksOracle: String = {
+    val hex8 = (0 until 8).map { i =>
+      val f = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5(substr(text, i - 7, 8))," +
+        s" ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |         [0::BIGINT] || CASE WHEN length(text) >= 8 THEN
+       |           list_filter(range(8, length(text) + 1), i ->
+       |             $hex8 % 16 = 0)
+       |         ELSE []::BIGINT[] END || [length(text)::BIGINT] AS bounds
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, c AS chunk FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(bounds)), k ->
+       |             substr(text, bounds[k] + 1,
+       |                    bounds[k + 1] - bounds[k]))) AS c
+       |    FROM b)
+       |  WHERE length(c) > 0)
+       |SELECT md5(chunk) AS chunk_hash,
+       |       CAST(max(length(chunk)) AS INTEGER) AS chunk_len,
+       |       count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |       count(*) > 1 AS is_dup
+       |FROM chunks GROUP BY 1 ORDER BY chunk_hash""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> cdcChunks,
     "dedup_editdist" -> editDistPairs,
     "dedup_jarowinkler" -> jaroWinklerBest,
     "dedup_jw_blocked" -> jwBlocked,
@@ -983,6 +1050,7 @@ object Dedup extends graft.QueryModule {
     "dedup_simhash_md5" -> simhashMd5)
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunksOracle,
     "dedup_containment" ->
       """WITH words AS (
         |  SELECT DISTINCT doc_id,

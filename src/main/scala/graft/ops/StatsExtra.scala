@@ -956,7 +956,65 @@ object StatsExtra extends graft.QueryModule {
       |         / (1.0 + (1.96 * 1.96) / nd) AS hi
       |FROM p ORDER BY g""".stripMargin
 
+  /** G-test of independence [N] (the likelihood-ratio χ² — Sokal &
+    * Rohlf's preferred form; Pearson's `agg_chisq` is its second-order
+    * Taylor approximation): G = 2·Σ O·ln(O/E) over the same
+    * (priority × status) table, E = row·col/N. Better calibrated when
+    * cells are small or effects large, and G is ADDITIVE across table
+    * partitions (the property that lets stratified analyses decompose
+    * exactly — χ² can't). Each cell's O·ln term pins at 6dp into a
+    * decimal(28,6) sum (ln is libm; count-scale magnitudes per the ipf
+    * ULP lesson), so the 15-cell reduction is order-invariant; G is
+    * one doubling at the end. Same plan as `agg_chisq`: one fact-scan
+    * hash agg + margin broadcasts + a 1-row total crossJoin. */
+  private def gTest(s: SparkSession, d: String): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("r"), col("o_orderstatus").as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("r").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("c").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("n"))
+    cells
+      .join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(n))
+      .select(col("r"), col("c"),
+        bround(dd(col("obs")) *
+          log(dd(col("obs")) * dd(col("n")) / (dd(col("rt")) * dd(col("ct")))),
+          6).cast("decimal(28,6)").as("t"))
+      .agg((lit(2.0) * sum(col("t")).cast("double")).as("g_stat"),
+        ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1))
+          .cast("int").as("dof"),
+        count(lit(1)).cast("int").as("cells"))
+      .withColumn("reject_5pct", col("g_stat") > lit(15.507))
+  }
+
+  private def gTestOracle: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT r, sum(obs) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT c, sum(obs) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT sum(obs) AS n FROM cells),
+      |t AS (
+      |  SELECT r, c,
+      |         CAST(round_even(CAST(obs AS DOUBLE)
+      |             * ln(CAST(obs AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |                  / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))),
+      |             6) AS DECIMAL(28,6)) AS t
+      |  FROM cells JOIN rt USING (r) JOIN ct USING (c), n),
+      |g AS (
+      |  SELECT 2.0 * CAST(sum(t) AS DOUBLE) AS g_stat,
+      |         CAST(((SELECT count(DISTINCT r) FROM cells) - 1)
+      |              * ((SELECT count(DISTINCT c) FROM cells) - 1)
+      |              AS INTEGER) AS dof,
+      |         CAST(count(*) AS INTEGER) AS cells
+      |  FROM t)
+      |SELECT g_stat, dof, cells, g_stat > 15.507 AS reject_5pct
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_g_test" -> (gTest _),
     "stats_wilson_ci" -> (wilsonCi _),
     "stats_tukey_hsd" -> (tukeyHsd _),
     "stats_cmh" -> (cmh _),
@@ -973,6 +1031,7 @@ object StatsExtra extends graft.QueryModule {
     "stats_cohens_d" -> (cohensD _))
 
   val oracles: Map[String, String] = Map(
+    "stats_g_test" -> gTestOracle,
     "stats_wilson_ci" -> wilsonCiOracle,
     "stats_tukey_hsd" -> tukeyHsdOracle,
     "stats_cmh" -> cmhOracle,

@@ -111,7 +111,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_by_fdr" -> ("1-row kmax crossJoin over the 100-hypothesis " +
       "domain (stats_bh_fdr twin)"),
     "stats_tukey_hsd" -> ("5-row group self-join (g1 < g2, 10 pairs) " +
-      "+ 1-row MSE broadcast crossJoin"))
+      "+ 1-row MSE broadcast crossJoin"),
+    "stats_g_test" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)")
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

@@ -330,13 +330,50 @@ class Round9bSpec extends AnyFunSuite {
       "no scene cut detected on maximally-dissimilar synthetic frames")
   }
 
+  test("dedup_cdc_chunks: chunk mass conserved, duplicates detected") {
+    val rows = SparkEntry.queries("dedup_cdc_chunks")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Long]("n_occ") > 1))
+      assert(r.getAs[Int]("chunk_len") > 0)
+    }
+    // total chunk characters must reassemble the corpus exactly
+    val chunkChars = rows.map(r =>
+      r.getAs[Int]("chunk_len") * r.getAs[Long]("n_occ")).sum
+    val corpusChars = Tables.documents(spark, TestSpark.sf0001)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+      .collect().head.getLong(0)
+    assert(chunkChars == corpusChars,
+      s"chunking lost bytes: $chunkChars != $corpusChars")
+    assert(rows.exists(_.getAs[Boolean]("is_dup")),
+      "no duplicate chunks in a corpus with repeated vocabulary")
+  }
+
+  test("stats_g_test: G close to Pearson chi2 on the same table") {
+    val g = SparkEntry.queries("stats_g_test")(spark, TestSpark.sf001)
+      .collect().head
+    assert(g.getAs[Int]("dof") == 8)
+    assert(g.getAs[Boolean]("reject_5pct") == (g.getAs[Double]("g_stat") > 15.507))
+    val chi = SparkEntry.queries("agg_chisq")(spark, TestSpark.sf001)
+      .collect().head.getAs[Double]("chi2")
+    // G and Pearson are asymptotically equal under H0; on a null-ish
+    // table they agree to first order
+    assert(math.abs(g.getAs[Double]("g_stat") - chi) <
+      0.2 * math.max(1.0, chi),
+      s"G ${g.getAs[Double]("g_stat")} far from chi2 $chi")
+  }
+
   test("r9b deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("ts_yule_walker", "stats_cuped", "graph_ppr",
       "eval_rouge", "text_url_normalize", "graph_random_walks", "fin_omega",
       "sim_search_radius", "fin_parkinson", "stats_by_fdr", "ts_ewma_control",
       "fin_hurst", "stats_cmh", "graph_node2vec", "stats_tukey_hsd",
       "ts_adf", "text_skipgram_negsample", "stats_wilson_ci",
-      "mm_scene_cuts")
+      "mm_scene_cuts", "dedup_cdc_chunks", "stats_g_test")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
