@@ -287,16 +287,58 @@ object Dedup extends graft.QueryModule {
       .orderBy(keyCol)
   }
 
-  /** MinHash+LSH near-dup query key: [[minhashClusters]] over the full
-    * documents table — no probe bound; LSH banding is the candidate
-    * control and the output is one `(doc_id, cluster_id)` row per doc.
-    * Rows-only check (xxhash64 has no DuckDB mirror); the md5-signature
-    * twin `dedup_minhash_md5` keeps the banded PAIR pipeline fully
-    * oracle-checked, and cluster correctness is asserted against the
-    * exact ngram ground truth in DedupSpec. */
+  /** md5 of the sorted distinct-word list: docs with identical word SETS
+    * share it. Set-Jaccard is defined over exactly this set, so two docs
+    * sharing the key are J=1 duplicates by definition — the key is the
+    * deterministic recall anchor the promoted dedup gates below build on,
+    * and (unlike xxhash64) DuckDB computes it bit-identically. */
+  private def wordSetKey: Column =
+    md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " ")))))
+
+  /** MinHash+LSH near-dup CLUSTER gate — the xxhash64 [[minhashClusters]]
+    * pipeline promoted to a DRIVER-VISIBLE oracle row (r10, VERDICT #1;
+    * previously rows-only). The full cluster assignment runs unchanged
+    * (library surface: [[minhashClusters]]; behavior specs: DedupSpec
+    * refinement + recall floors), and the registered output is the
+    * invariant view the oracle can pin TRUE per doc:
+    *
+    *  - `label_ok`: cluster_id ≤ doc_id — the min-label contract (the
+    *    component label is the minimum member id, so no doc may carry a
+    *    label above itself);
+    *  - `setdup_ok`: all docs sharing this doc's exact distinct-word SET
+    *    share its cluster — deterministically true by construction (the
+    *    pipeline collapses identical word sets to one fingerprint before
+    *    any hashing), and exactly computable by DuckDB;
+    *  - `band_ok` (global): the xxhash cluster count is within 15% (abs
+    *    floor 2) of the INDEPENDENT md5-twin pipeline's count
+    *    ([[md5ClusterAssign]], itself fully hash-checked as
+    *    `dedup_clusters_md5`) — the cross-pipeline recall gate. Measured
+    *    divergence from banding randomness near the J=0.8 threshold:
+    *    163/172 (sf0.001), 178/179 (sf0.01), 1554/1689 (sf0.1) — 0.6–8%,
+    *    so 15% holds at every SF with margin while still failing hard on
+    *    a broken candidate or verify stage.
+    *
+    * A regression anywhere in the xx pipeline now flips a boolean and
+    * hash-fails the driver gate instead of hiding behind `no_oracle`. */
   private def minhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
-    minhashClusters(docs(s, d), "doc_id", "text")
+    val docsDf = docs(s, d)
+    val xx = minhashClusters(docsDf, "doc_id", "text")
+    val wkW = Window.partitionBy(col("wk"))
+    val perDoc = xx.join(docsDf.select(col("doc_id"), wordSetKey.as("wk")), Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("cluster_id") <= col("doc_id")).as("label_ok"),
+        (min(col("cluster_id")).over(wkW) === max(col("cluster_id")).over(wkW))
+          .as("setdup_ok"))
+    val band = xx.agg(countDistinct(col("cluster_id")).as("n_xx"))
+      .crossJoin(md5ClusterAssign(docsDf)
+        .agg(countDistinct(col("cluster_id")).as("n_md5")))
+      .select((abs(col("n_xx") - col("n_md5")) * 100 <=
+        greatest(lit(200L), col("n_md5") * 15)).as("band_ok"))
+    perDoc.crossJoin(broadcast(band))
+      .select(col("doc_id"), col("label_ok"), col("setdup_ok"), col("band_ok"))
+      .orderBy("doc_id")
   }
 
   /** [[minhashPairs]]'s fully oracle-checkable twin: identical LSH shape
@@ -309,43 +351,237 @@ object Dedup extends graft.QueryModule {
     * evaluations per word vs one xxhash64 + splitmix64 mixing) — it
     * exists so the near-dup PAIR SET itself gets a hash_match row, not
     * just a rows-only count. */
-  private def minhashMd5(s: SparkSession, d: String): DataFrame = {
+  private def minhashMd5(s: SparkSession, d: String): DataFrame =
+    minhashMd5Pairs(docs(s, d))
+
+  /** md5 MinHash band rows `(doc_id, band, h)` over an arbitrary
+    * `(doc_id, text)` relation — the per-doc half of the md5 LSH
+    * pipeline, factored out (r10) because it is CORPUS-INDEPENDENT: a
+    * doc's signature and band keys never depend on what else is in the
+    * corpus, which is exactly what makes the incremental variant below
+    * sound (banding a delta against a SAVED band store sees the same
+    * keys a full rebuild would). */
+  def md5BandRows(docsDf: DataFrame): DataFrame = {
     val k = NumHashes; val b = NumBands; val r = k / b
-    val docsDf = docs(s, d)
-    val w = wordRows(docsDf)
     val sigCols = (0 until k).map(i =>
       min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
-    val sig = w.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = wordRows(docsDf).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until b).map { bi =>
       val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
       struct(lit(bi).as("band"), md5(concat_ws("|", slots: _*)).as("h"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
+  }
+
+  /** Exact word-set Jaccard verification of candidate `(i, j)` pairs
+    * against `docsDf`, at threshold `minJ` → `(i, j, jaccard)`. The
+    * word-count gate is a pure necessary condition for J >= minJ, so a
+    * gateless oracle still matches exactly. Public: the streaming
+    * incremental-dedup twin verifies each delta batch with it. */
+  def verifyExactJaccard(cand: DataFrame, docsDf: DataFrame,
+                         minJ: Double): DataFrame = {
     val wordArrs = docsDf.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     // same candidate economics as minhashPairs: gate on word counts
-    // (8-byte join) before shipping string arrays — a pure necessary
-    // condition for J >= 0.8, so the oracle (which has no gate) still
-    // matches exactly
+    // (8-byte join) before shipping string arrays
     val sizes = wordArrs.select(col("doc_id"), size(col("ws")).as("n"))
     val gated = cand
       .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
       .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
-      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= 0.8)
+      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= minJ)
     val inter = size(array_intersect(col("wa"), col("wb")))
     gated
       .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
       .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
       .select(col("i"), col("j"),
         (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("i", "j")
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** Components over the plain bucket-pair md5 LSH pipeline — the
+    * full-recompute comparator for the incremental and streaming dedup
+    * variants (their correctness contract is "identical to this"). */
+  def md5PairClusters(docsDf: DataFrame): DataFrame = {
+    val pairs = minhashMd5Pairs(docsDf).select(col("i"), col("j"))
+    connectedComponents(docsDf.select(col("doc_id")), pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The md5 pair pipeline over an arbitrary `(doc_id, text)` relation —
+    * parameterized (r10) so the promoted `dedup_minhash_mllib` gate can
+    * run it on the same bounded input it compares against. */
+  def minhashMd5Pairs(docsDf: DataFrame): DataFrame = {
+    val bands = md5BandRows(docsDf)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    verifyExactJaccard(cand, docsDf, 0.8).orderBy("i", "j")
+  }
+
+  /** INCREMENTAL near-dup dedup [N] (r10, VERDICT #3) — the lifecycle
+    * leg the family lacked (the dedup analogue of
+    * `sim_search_ivf_append`): dedup a daily DELTA against a SAVED
+    * signature/band store without rescanning the historical corpus.
+    *
+    * Phase 1 (historical build, runs once): the base corpus' band rows
+    * and its VERIFIED pair set persist as two plain parquet tables —
+    * at 100 TB this is yesterday's state, partitioned by band hash.
+    * Phase 2 (the delta batch): band ONLY the delta docs, bucket-join
+    * them against (saved ∪ delta) bands — so candidate work is
+    * O(delta × collision rate), never O(corpus) — verify exact Jaccard
+    * on the delta-involving candidates, and run components over
+    * (saved pairs ∪ fresh pairs).
+    *
+    * Soundness: a doc's band keys are corpus-independent
+    * ([[md5BandRows]]), so bucket-join candidates over the union
+    * decompose exactly into base×base (all in the saved pair store's
+    * candidate set) ∪ delta-involving (computed fresh) — the
+    * incremental result is IDENTICAL to a full rebuild, which is
+    * precisely what the oracle checks: the DuckDB mirror is the full
+    * union recompute, so the hash gate proves delta-computed ≡ full.
+    * (This is why the pipeline uses plain bucket-pair candidates, not
+    * the star/chain form of [[md5ClusterAssign]]: chain adjacency
+    * WITHIN a bucket changes when new docs enter it, so the star/chain
+    * candidate set does not decompose incrementally.)
+    *
+    * Split: base = first 80% of the doc-id space, delta = the rest —
+    * derived from max(doc_id), so the same key is meaningful at every
+    * SF. Store under target/tmp (same fixture caveat as
+    * sim_search_ivf_saved, documented in FIXTURES.md). */
+  private def minhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docsDf = docs(s, d)
+    val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    val base = docsDf.filter(col("doc_id") < split)
+    val delta = docsDf.filter(col("doc_id") >= split)
+    val dir = "target/tmp/dedup_incr_index"
+    // phase 1 — persist yesterday's state (band store + verified pairs)
+    md5BandRows(base).write.mode("overwrite").parquet(s"$dir/bands")
+    val baseBandsSaved = s.read.parquet(s"$dir/bands")
+    val baseCand = baseBandsSaved.as("x").join(baseBandsSaved.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    verifyExactJaccard(baseCand, base, 0.8).select(col("i"), col("j"))
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    // phase 2 — the delta batch: band only the delta, join against the
+    // SAVED store ∪ the delta's own bands, verify, and merge components
+    val savedBands = s.read.parquet(s"$dir/bands")
+    val deltaBands = md5BandRows(delta)
+    val cand = deltaBands.as("x")
+      .join(savedBands.union(deltaBands).as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("j"))
+      .distinct()
+    val fresh = verifyExactJaccard(cand, docsDf, 0.8).select(col("i"), col("j"))
+    val edges = s.read.parquet(s"$dir/pairs").union(fresh)
+    connectedComponents(docsDf.select(col("doc_id")), edges, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** One STREAMING micro-batch of incremental near-dup dedup — the
+    * per-epoch core [[graft.streaming.Streams.dedupDeltas]] runs inside
+    * `foreachBatch` (r10, VERDICT #3's streaming twin). Same soundness
+    * argument as [[minhashIncremental]] (corpus-independent band keys →
+    * delta-bands × (saved ∪ delta-bands) candidates decompose exactly),
+    * with the store made REPLAY-IDEMPOTENT: every table the epoch
+    * produces (its docs, its band rows, its verified delta-involving
+    * pairs) lands in an `epoch=N` partition via dynamic partition
+    * overwrite, so a re-delivered micro-batch (the foreachBatch
+    * at-least-once contract) REWRITES its own partition with the
+    * deterministically identical rows instead of duplicating them —
+    * exactly-once state without a transaction log. Returns the full
+    * cluster assignment over the store as of this epoch (components
+    * over all saved pairs), which the sink publishes. */
+  def dedupDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("doc_id"), col("text")).localCheckpoint()
+    def readOrEmpty(sub: String, schema: String): DataFrame =
+      if (new java.io.File(s"$storeDir/$sub").exists)
+        s.read.parquet(s"$storeDir/$sub")
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val savedDocs = readOrEmpty("docs", "doc_id BIGINT, text STRING, epoch BIGINT")
+    val savedBands = readOrEmpty("bands", "doc_id BIGINT, band INT, h STRING, epoch BIGINT")
+    val deltaBands = md5BandRows(batch).localCheckpoint()
+    val cand = deltaBands.as("x")
+      .join(savedBands.select("doc_id", "band", "h").union(deltaBands).as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("j"))
+      .distinct()
+    // dropDuplicates: on a REPLAYED epoch the saved store already holds
+    // this batch's docs — text is identical, so any copy verifies alike
+    val allDocs = savedDocs.select("doc_id", "text").union(batch)
+      .dropDuplicates("doc_id")
+    // materialize BEFORE any store write: on a replayed epoch the saved
+    // side still references this epoch's previous files, which the
+    // overwrite below deletes — cut the lineage first
+    val fresh = verifyExactJaccard(cand, allDocs, 0.8)
+      .select(col("i"), col("j")).localCheckpoint()
+    // write straight into the epoch's own partition directory: a replay
+    // overwrites exactly these files and nothing else (no reliance on
+    // dynamic-partition-overwrite conf scoping)
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(batch, "docs")
+    writeEpoch(deltaBands, "bands")
+    writeEpoch(fresh, "pairs")
+    val docsAll = s.read.parquet(s"$storeDir/docs").select("doc_id")
+    val pairsAll = s.read.parquet(s"$storeDir/pairs").select("i", "j")
+    connectedComponents(docsAll, pairsAll, "doc_id").orderBy("doc_id")
+  }
+
+  /** Oracle for [[minhashIncremental]]: the FULL-UNION recompute (16
+    * min-md5 slots, 4 band keys, plain bucket-pair candidates, exact
+    * Jaccard >= 0.8, recursive-CTE components) — hash equality proves
+    * the delta-computed clusters are identical to a full rebuild. */
+  private def minhashIncrementalOracle: String = {
+    val k = NumHashes; val b = NumBands; val r = k / b
+    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val bandRows = (0 until b).map { bi =>
+      val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
+      s"SELECT doc_id, $bi AS band, md5($key) AS h FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $slots
+       |  FROM w GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS c
+       |  FROM cand c
+       |  JOIN w a ON a.doc_id = c.i
+       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j FROM inter
+       |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
+       |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs
+       |          UNION ALL SELECT j, i FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle SQL for [[minhashMd5]], generated to mirror the banding
@@ -722,10 +958,10 @@ object Dedup extends graft.QueryModule {
   /** The same near-dup problem through MLlib's `MinHashLSH` (HashingTF
     * term vectors → seeded hash tables → approxSimilarityJoin), as the
     * library-integration alternative to the hand-rolled signature
-    * pipeline above. Deterministic via setSeed; rows-only check. */
-  private def minhashMllib(s: SparkSession, d: String): DataFrame = {
+    * pipeline above. Deterministic via setSeed. */
+  def minhashMllibPairs(boundedDocs: DataFrame): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-    val bounded = docs(s, d).filter(col("doc_id") < 500)
+    val bounded = boundedDocs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
     val featurized = new HashingTF()
       .setInputCol("words").setOutputCol("features").setNumFeatures(1 << 16)
@@ -741,15 +977,49 @@ object Dedup extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
+  /** MLlib MinHashLSH cross-check promoted to a DRIVER-VISIBLE oracle
+    * row (r10, VERDICT #1; previously rows-only — MLlib's seeded hashes
+    * have no DuckDB mirror). The registered output is the invariant view
+    * over the deterministic recall anchors: one row per identical-word-SET
+    * doc pair (exactly computable by DuckDB), each carrying
+    *
+    *  - `found_ok`: the pair is in [[minhashMllibPairs]]'s output —
+    *    deterministically true (identical distinct-word sets hash to the
+    *    same HashingTF indices, so the vectors are bucket-identical in
+    *    every hash table and their exact Jaccard distance is 0 ≤ 0.2);
+    *  - `sim1_ok`: its emitted similarity is exactly 1.0;
+    *  - `band_ok` (global): the MLlib pair count is within [0.85, 1.25]×
+    *    of the INDEPENDENT [[minhashMd5Pairs]] count on the same bounded
+    *    input (both verify exact J ≥ 0.8; the spaces differ only by
+    *    HashingTF index collisions and LSH candidate recall — measured
+    *    ratio 1.048–1.067 across sf0.001/0.01/0.1). */
+  private def minhashMllib(s: SparkSession, d: String): DataFrame = {
+    val bounded = docs(s, d).filter(col("doc_id") < 500)
+    val pairs = minhashMllibPairs(bounded)
+    val keyed = bounded.select(col("doc_id"), wordSetKey.as("wk"))
+    val anchors = keyed.as("a").join(keyed.as("b"),
+        col("a.wk") === col("b.wk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val band = pairs.agg(count(lit(1)).as("n_m"))
+      .crossJoin(minhashMd5Pairs(bounded).agg(count(lit(1)).as("n_md5")))
+      .select((col("n_m") * 100 >= col("n_md5") * 85 &&
+        col("n_m") * 100 <= col("n_md5") * 125).as("band_ok"))
+    anchors.join(pairs, Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        col("similarity").isNotNull.as("found_ok"),
+        coalesce(col("similarity") === 1.0, lit(false)).as("sim1_ok"))
+      .crossJoin(broadcast(band))
+      .orderBy("i", "j")
+  }
+
   /** 64-bit SimHash per doc (sign-of-weighted-bit-sums over word hashes).
     * One xxhash64 per word, folded by the single-pass custom Catalyst
     * aggregate [[graft.functions.SimHashAgg]] (one 64-int buffer update
     * per word, map-side partials — replaces 64 separate bit-test
     * aggregate slots), banded into 4×16-bit buckets with a length
-    * block; near-dup pairs at hamming <= 8. Rows-only check. */
-  private def simhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val wh = docs(s, d)
+    * block; near-dup pairs at hamming <= 8. */
+  def simhashPairs64(docsDf: DataFrame): DataFrame = {
+    val wh = docsDf
       .select(col("doc_id"), col("n_chars"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -774,16 +1044,60 @@ object Dedup extends graft.QueryModule {
       .orderBy("i", "j")
   }
 
-  /** [[simhash]]'s fully oracle-checkable twin: a 60-bit SimHash whose
-    * per-word hash is the first 15 hex chars of md5 (60 bits — fits
+  /** 64-bit SimHash near-dup gate — [[simhashPairs64]] promoted to a
+    * DRIVER-VISIBLE oracle row (r10, VERDICT #1; previously rows-only).
+    * The registered output is one row per deterministic recall anchor —
+    * an identical-word-SET doc pair in the SAME n_chars/50 length block
+    * (both conditions exactly computable by DuckDB) — carrying
+    *
+    *  - `found_ok`: the pair is in the xx pair set — deterministically
+    *    true (identical distinct-word sets give identical per-word
+    *    xxhash64 streams, hence identical signatures, hence equality in
+    *    every band bucket; the length block matches by construction);
+    *  - `ham0_ok`: its emitted hamming distance is exactly 0;
+    *  - `band_ok` (global): the xx pair count (64-bit bands, ≤8/64
+    *    threshold) is within [0.25, 1.0]× of the INDEPENDENT
+    *    [[simhashMd5Pairs]] count (60-bit, ≤8/60 — strictly more
+    *    permissive, so md5 bounds xx from above; measured ratio
+    *    0.46–0.54 across sf0.001/0.01/0.1). */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docsDf = docs(s, d)
+    val xx = simhashPairs64(docsDf)
+    val keyed = docsDf.select(col("doc_id"), wordSetKey.as("wk"),
+      (col("n_chars") / 50).cast("int").as("lenb"))
+    val anchors = keyed.as("a").join(keyed.as("b"),
+        col("a.wk") === col("b.wk") && col("a.lenb") === col("b.lenb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val band = xx.agg(count(lit(1)).as("n_xx"))
+      .crossJoin(simhashMd5Pairs(docsDf).agg(count(lit(1)).as("n_md5")))
+      .select((col("n_xx") * 4 >= col("n_md5") &&
+        col("n_xx") <= col("n_md5")).as("band_ok"))
+    anchors.join(xx, Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        col("hamming").isNotNull.as("found_ok"),
+        coalesce(col("hamming") === 0, lit(false)).as("ham0_ok"))
+      .crossJoin(broadcast(band))
+      .orderBy("i", "j")
+  }
+
+  /** [[simhashPairs64]]'s fully oracle-checkable twin: a 60-bit SimHash
+    * whose per-word hash is the first 15 hex chars of md5 (60 bits — fits
     * signed BIGINT in both engines; Spark parses with `conv`, the oracle
     * with an explicit hex-digit polynomial since DuckDB lacks conv).
     * Same banding as the 64-bit variant: 4×15-bit bands + n_chars/50
     * length block, pairs at hamming <= 8. Exists so the near-dup pair
     * set gets a hash_match row; the xxhash64 variant stays the perf path. */
-  private def simhashMd5(s: SparkSession, d: String): DataFrame = {
+  private def simhashMd5(s: SparkSession, d: String): DataFrame =
+    simhashMd5Pairs(docs(s, d))
+
+  /** The 60-bit md5 SimHash pair pipeline over an arbitrary
+    * `(doc_id, n_chars, text)` relation — parameterized (r10) so the
+    * promoted `dedup_simhash` gate can compare against it in-query. */
+  def simhashMd5Pairs(docsDf: DataFrame): DataFrame = {
     val Bits = 60
-    val wh = docs(s, d)
+    val wh = docsDf
       .select(col("doc_id"), col("n_chars"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
@@ -1044,6 +1358,7 @@ object Dedup extends graft.QueryModule {
     "dedup_clusters" -> clusters,
     "dedup_cluster_best" -> clusterBest,
     "dedup_minhash_md5" -> minhashMd5,
+    "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_clusters_md5" -> clustersMd5,
     "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash,
@@ -1126,8 +1441,37 @@ object Dedup extends graft.QueryModule {
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
         |ORDER BY i, j""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_minhash_incremental" -> minhashIncrementalOracle,
     "dedup_clusters_md5" -> clustersMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
+    // the three promoted gates (r10): every registered output row is an
+    // invariant the xx/MLlib pipelines satisfy BY CONSTRUCTION, so the
+    // oracle emits the row set (exactly computable: doc ids /
+    // identical-word-set pairs) with every boolean pinned TRUE — any
+    // regression in the non-mirrorable pipelines flips a boolean or
+    // drops an anchor row and hash-fails the driver gate
+    "dedup_minhash" ->
+      """SELECT doc_id, TRUE AS label_ok, TRUE AS setdup_ok, TRUE AS band_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(string_split(text, ' '))) AS ws,
+        |         CAST(floor(n_chars / 50.0) AS INTEGER) AS lenb
+        |  FROM documents)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |       TRUE AS found_ok, TRUE AS ham0_ok, TRUE AS band_ok
+        |FROM k a JOIN k b
+        |  ON a.ws = b.ws AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+        |ORDER BY i, j""".stripMargin,
+    "dedup_minhash_mllib" ->
+      """WITH k AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |       TRUE AS found_ok, TRUE AS sim1_ok, TRUE AS band_ok
+        |FROM k a JOIN k b ON a.ws = b.ws AND a.doc_id < b.doc_id
+        |ORDER BY i, j""".stripMargin,
     // transitive closure by recursive CTE (seed every node with itself,
     // propagate over symmetric edges), then min reachable id per node =
     // the component label; aggregate to (cluster, size, member list)

@@ -452,6 +452,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming INCREMENTAL near-dup dedup (r10) — the dedup analogue of
+    * [[serveProbes]]'s index lifecycle, over a DOCUMENT DELTA STREAM:
+    * each micro-batch of `(doc_id, text)` rows is banded with the
+    * corpus-independent md5 signature keys, bucket-joined against the
+    * SAVED band store (never rescanning the historical corpus),
+    * exact-verified, and folded into the epoch-partitioned store by
+    * [[graft.ext.Dedup.dedupDelta]]; the sink receives the full updated
+    * cluster assignment after each batch. Replays are idempotent: a
+    * re-delivered epoch rewrites its own `epoch=N` store partitions with
+    * deterministically identical rows (StreamingSpec pins both the
+    * full-recompute equivalence and the replay). */
+  def dedupDeltas(deltaDocs: DataFrame, storeDir: String, checkpointDir: String)
+                 (sink: DataFrame => Unit): StreamingQuery =
+    deltaDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.Dedup.dedupDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     eventStream(spark, srcDir).writeStream

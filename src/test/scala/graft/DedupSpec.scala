@@ -54,7 +54,9 @@ class DedupSpec extends AnyFunSuite {
     val exactLabels = Dedup.connectedComponents(
         docsDf.select("doc_id"), exactPairs, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val got = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf0001)
+    // r10: the registered key is the promoted invariant view; the cluster
+    // assignment itself is the library surface
+    val got = Dedup.minhashClusters(docsDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == exactLabels.keySet, "every doc must be labeled")
     val byCluster = got.groupBy(_._2).values
@@ -71,7 +73,8 @@ class DedupSpec extends AnyFunSuite {
     // merge beyond LSH pair recall (0.98 measured), never below it.
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val labels = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf001)
+    val labels = graft.ext.Dedup.minhashClusters(
+        graft.Tables.documents(spark, TestSpark.sf001), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact.nonEmpty)
     val found = exact.count { case (i, j) => labels(i) == labels(j) }
@@ -269,9 +272,28 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash pairs are symmetric-free and above-threshold") {
-    val rows = SparkEntry.queries("dedup_simhash")(spark, TestSpark.sf0001).collect()
+    val rows = graft.ext.Dedup.simhashPairs64(
+      graft.Tables.documents(spark, TestSpark.sf0001)).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getInt(2) <= 8))
+  }
+
+  test("promoted dedup gates: every invariant boolean is TRUE (sf0.001)") {
+    // the r10 driver-visible form: any false here means the oracle hash
+    // gate would fail too — this is the same check run locally
+    for (key <- Seq("dedup_minhash", "dedup_simhash", "dedup_minhash_mllib")) {
+      val df = SparkEntry.queries(key)(spark, TestSpark.sf0001)
+      val boolCols = df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.BooleanType).map(_.name)
+      assert(boolCols.nonEmpty, s"$key lost its invariant booleans")
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$key emitted no anchor rows")
+      for (c <- boolCols) {
+        val idx = df.columns.indexOf(c)
+        assert(rows.forall(r => !r.isNullAt(idx) && r.getBoolean(idx)),
+          s"$key invariant $c is not uniformly TRUE")
+      }
+    }
   }
 }

@@ -112,7 +112,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "domain (stats_bh_fdr twin)"),
     "stats_tukey_hsd" -> ("5-row group self-join (g1 < g2, 10 pairs) " +
       "+ 1-row MSE broadcast crossJoin"),
-    "stats_g_test" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)")
+    "stats_g_test" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)",
+    "dedup_minhash" -> ("1-row cluster-count band_ok crossJoin (r10 " +
+      "promoted driver gate)"),
+    "dedup_simhash" -> "1-row pair-count band_ok crossJoin (r10 promoted driver gate)",
+    "dedup_minhash_mllib" -> ("1-row pair-count band_ok crossJoin (r10 " +
+      "promoted driver gate)"))
   // pref_bradley_terry normalizes via a 1-row broadcast crossJoin per MM
   // round, but each round ends in a localCheckpoint, so the declared plan
   // the sweep sees is checkpoint-cut and clean — no allowlist entry needed.

@@ -100,11 +100,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup_minhash output is linear: exactly one labeled row per document") {
     // the r4 contract: cluster assignment, never the pair set (which is
-    // quadratic inside near-dup cliques)
-    val n = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    // quadratic inside near-dup cliques). r10: the library surface keeps
+    // the (doc_id, cluster_id) shape; the registered key is the promoted
+    // per-doc invariant view — BOTH must stay one-row-per-doc.
+    val docsDf = graft.Tables.documents(spark, TestSpark.sf0001)
+    val n = docsDf.count()
+    val lib = graft.ext.Dedup.minhashClusters(docsDf, "doc_id", "text")
+    assert(lib.count() == n)
+    assert(lib.columns.toSeq == Seq("doc_id", "cluster_id"))
     val out = SparkEntry.queries("dedup_minhash")(spark, TestSpark.sf0001)
     assert(out.count() == n)
-    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "label_ok", "setdup_ok", "band_ok"))
   }
 
   test("join_scd2_pit: equi-join on the key with the interval residual inside") {

@@ -556,6 +556,52 @@ class StreamingSpec extends AnyFunSuite {
       "streamed serve must equal the batch serve on the same index")
   }
 
+  test("dedupDeltas: streamed incremental clusters == full recompute, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val docRows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (first, second) = docRows.splitAt(docRows.size / 2)
+    val store = Files.createTempDirectory("graft_dedup_store").toString
+    val ckp = Files.createTempDirectory("graft_dedup_ckp").toString
+    val ms = MemoryStream[(Long, String)]
+    // two SEPARATE AvailableNow drains over one checkpoint — the cron
+    // shape (day 1 backfill, day 2 delta), which guarantees the second
+    // batch really does band against a SAVED store (a single AvailableNow
+    // run may coalesce MemoryStream blocks into one micro-batch)
+    var last: Seq[(Long, Long)] = Nil
+    val sink = (assigned: org.apache.spark.sql.DataFrame) =>
+      last = assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ms.addData(first)
+    Streams.dedupDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    ms.addData(second)
+    Streams.dedupDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    // contract: delta-computed clusters ≡ the full plain-bucket-pair
+    // recompute over everything streamed so far (same comparator as the
+    // batch dedup_minhash_incremental oracle)
+    val full = graft.ext.Dedup.md5PairClusters(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(last.nonEmpty && last == full,
+      "streamed incremental assignment diverged from the full recompute")
+    // replay idempotence: re-deliver the FINAL epoch's exact content
+    // (foreachBatch's at-least-once contract re-sends the same rows for
+    // the same epoch id) — the store partitions are rewritten with
+    // identical rows and the assignment must not change. The epoch's
+    // true content comes from the store itself, since AvailableNow is
+    // free to coalesce MemoryStream blocks into fewer micro-batches.
+    val lastEpoch = spark.read.parquet(s"$store/pairs")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastBatch = spark.read.parquet(s"$store/docs/epoch=$lastEpoch")
+      .select("doc_id", "text").localCheckpoint()
+    val replayed = graft.ext.Dedup.dedupDelta(lastBatch, store, lastEpoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == full, "a replayed epoch changed the assignment")
+  }
+
   test("maintainIncrementalState: one state version per micro-batch, exact fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_inc_state").toString
