@@ -60,8 +60,9 @@ object Bench {
     "eval_auc",             // rank-statistic ROC AUC (r8)
     "pref_bradley_terry",   // pinned MM preference fit (r8)
     "dedup_clusters",       // iterative min-label connected components
-    "dedup_minhash",        // LSH band join
-    "dedup_simhash",
+    "dedup_minhash",        // LSH cluster pipeline + promoted md5-twin gate
+                            // (dedup_simhash moved out r10 for the calibMax
+                            // line budget — dedup keeps 4 heavier reps)
     "dedup_jarowinkler",    // native codegen JW probe scan
     "dedup_semantic",       // knn edges -> CC clusters (SemDeDup, r8)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
@@ -154,13 +155,35 @@ object Bench {
       spark.range(500000000L).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibStart = calibOnce()
-    val results = keys.map { name =>
+    // r10 hardening (VERDICT #2): (a) a probe every ~15 keys, not just at
+    // the sweep ends — r9's single start/end pair proved the box was
+    // loaded but could not LOCALIZE a mid-sweep contention window (the
+    // driver read sink_zorder_scan at 25.78 s vs 1.84 s steady; both
+    // timed runs sat inside one spike the end probes never saw).
+    // "calibMax" is the worst probe — a calm sweep reads ~0.3 across,
+    // so calibMax >> calib[start/end] says "a mid-sweep spike distorted
+    // SOME keys" without spending line budget on the whole probe series.
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibs += calibOnce()
+    val results = keys.zipWithIndex.map { case (name, idx) =>
+      if (idx > 0 && idx % 15 == 0) calibs += calibOnce()
       val t1 = timeOnce(name)
       val t2 = timeOnce(name)
-      name -> math.min(t1, t2)
+      // (b) adaptive third run: a >2x disagreement between the two timed
+      // runs means at least one landed in a contention window — min-of-2
+      // then reports whichever spike was SMALLER. One more run gives an
+      // independent third sample for the min; on a calm box the branch
+      // never fires, so the sweep stays two runs per key.
+      val best =
+        if (!failed(name) && math.max(t1, t2) > 2 * math.min(t1, t2))
+          math.min(math.min(t1, t2), timeOnce(name))
+        else math.min(t1, t2)
+      name -> best
     }
-    val calibEnd = calibOnce()
+    calibs += calibOnce()
+    val calibStart = calibs.head
+    val calibEnd = calibs.last
+    val calibMax = calibs.max
     // 2 dp: 10 ms resolution is ample for multi-second keys, and the
     // driver's ~2 KB stdout-tail capture must fit the whole line — at 66
     // keys the line is ~1.8 KB, so every char per key matters
@@ -172,7 +195,7 @@ object Bench {
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val errs = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"queries":$qs$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)},"queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

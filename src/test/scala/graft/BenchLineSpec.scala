@@ -20,7 +20,7 @@ class BenchLineSpec extends AnyFunSuite {
       .mkString("{", ",", "}")
     val sf = "/root/testdata/sf0.1"
     val line =
-      s"""{"metric":"headline_total","value":99999.99,"unit":"sec","n":${Bench.headline.size},"calib":[999.99,999.99],"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"headline_total","value":99999.99,"unit":"sec","n":${Bench.headline.size},"calib":[999.99,999.99],"calibMax":999.99,"queries":$qs,"sf":"$sf"}"""
     info(s"worst-case line: ${line.length} bytes for ${Bench.headline.size} keys")
     assert(line.length <= 1600,
       s"bench line budget exceeded: ${line.length} > 1600 bytes — " +
