@@ -856,11 +856,16 @@ object StatsExtra extends graft.QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum((col("y") * col("y")).cast("decimal(38,0)")).as("qy"))
       .localCheckpoint()
+    // per-group within-SS term pinned at 6dp into decimal(28,6) BEFORE
+    // the sum (ADVICE r9): a raw double sum's addition order is
+    // partition-dependent, and a last-ulp MSE drift could flip the
+    // q > 3.858 boundary under a different partitioning. Same pin as the
+    // CMH / G-test reductions; the oracle mirrors it with round_even.
     val mse = per.agg(
       sum(col("n")).as("nt"), count(lit(1)).as("k"),
-      sum(dd(col("qy")) - dd(col("sy")) * dd(col("sy")) / dd(col("n")))
-        .as("ssw"))
-      .select((col("ssw") / dd(col("nt") - col("k"))).as("mse"))
+      sum(bround(dd(col("qy")) - dd(col("sy")) * dd(col("sy")) / dd(col("n")), 6)
+        .cast("decimal(28,6)")).as("ssw"))
+      .select((dd(col("ssw")) / dd(col("nt") - col("k"))).as("mse"))
     val a = per.select(col("g").as("g1"), col("n").as("n1"), col("sy").as("s1"))
     val b = per.select(col("g").as("g2"), col("n").as("n2"), col("sy").as("s2"))
     a.join(b, col("g1") < col("g2"))
@@ -887,9 +892,10 @@ object StatsExtra extends graft.QueryModule {
       |         sum(CAST(y AS HUGEINT) * y) AS qy
       |  FROM y GROUP BY g),
       |m AS (
-      |  SELECT sum(CAST(qy AS DOUBLE)
-      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-      |               / CAST(n AS DOUBLE))
+      |  SELECT CAST(sum(CAST(round_even(
+      |               CAST(qy AS DOUBLE)
+      |               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |                 / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
       |           / CAST(sum(n) - count(*) AS DOUBLE) AS mse
       |  FROM per),
       |pairs AS (
