@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 2 task attempts, so RetryDeterminismSpec can inject a
+    // once-failing task and watch the retry produce bit-identical output.
+    // Tests that EXPECT a task failure (ANSI throw assertions) still see
+    // it — the task just retries once before the job aborts.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
