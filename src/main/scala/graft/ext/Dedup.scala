@@ -99,6 +99,37 @@ object Dedup extends graft.QueryModule {
   // verify stage rejects them after the size-ratio gate.
   private val NumBands = 4
 
+  /** The md5 pipelines' 16 minhash slots, derived from TWO md5
+    * evaluations per word instead of sixteen (r10): md5('a:'||w) and
+    * md5('b:'||w) are each split into eight 4-hex-char chunks — sixteen
+    * independent 16-bit hash functions for an 8× cut of the signature
+    * stage, which dominated the md5 family's runtime. A 16-bit slot
+    * space adds hash-collision probability ~n/65536 per slot to the
+    * minhash match estimate (n ≈ doc word count) — negligible against
+    * the J >= 0.8 banding threshold, and the exact-Jaccard verify keeps
+    * precision exact regardless. Both halves of every oracle mirror the
+    * same substr chunks, so cross-engine hashes stay bit-identical.
+    * [[md5WordSlotsSql]] / the `h1`/`h2` projection below are the two
+    * sides of one formula — change them TOGETHER. */
+  private def md5SlotAgg(i: Int): Column = {
+    val src = if (i < 8) col("h1") else col("h2")
+    min(substring(src, 1 + 4 * (i % 8), 4)).as(s"m$i")
+  }
+  private def md5WordHashCols(w: DataFrame): DataFrame =
+    w.withColumn("h1", md5(concat_ws(":", lit("a"), col("w"))))
+      .withColumn("h2", md5(concat_ws(":", lit("b"), col("w"))))
+  /** SQL twin of [[md5SlotAgg]] over a `w`-relation already carrying
+    * h1/h2 (see [[md5WordHashesSql]]). */
+  private def md5SlotSql(i: Int): String = {
+    val src = if (i < 8) "h1" else "h2"
+    s"min(substr($src, ${1 + 4 * (i % 8)}, 4)) AS m$i"
+  }
+  /** SQL fragment: annotate the `w` word relation with the two per-word
+    * md5 hashes the slots chunk (one line — spliced into stripMargin
+    * oracle templates). */
+  private def md5WordHashesSql: String =
+    "SELECT doc_id, w, md5('a:' || w) AS h1, md5('b:' || w) AS h2 FROM w"
+
   /** MinHash signature: ONE xxhash64 per word + the single-pass custom
     * aggregate [[graft.functions.MinHashAgg]] (numHashes derived
     * permutations via splitmix64 mixing, one buffer update per word —
@@ -309,14 +340,18 @@ object Dedup extends graft.QueryModule {
     *    share its cluster — deterministically true by construction (the
     *    pipeline collapses identical word sets to one fingerprint before
     *    any hashing), and exactly computable by DuckDB;
-    *  - `band_ok` (global): the xxhash cluster count is within 15% (abs
-    *    floor 2) of the INDEPENDENT md5-twin pipeline's count
-    *    ([[md5ClusterAssign]], itself fully hash-checked as
-    *    `dedup_clusters_md5`) — the cross-pipeline recall gate. Measured
+    *  - `band_ok` (global): the count of docs in a non-singleton xx
+    *    cluster is within 10% (abs floor 2) of the count of docs touched
+    *    by the INDEPENDENT md5 twin's verified edge set
+    *    ([[md5StarChainPairs]] — the same star/chain discipline that is
+    *    fully hash-checked as `dedup_clusters_md5`). Both quantities are
+    *    "docs with at least one verified near-dup", so the twin never
+    *    pays its component fixpoint in-query (cluster-count banding did:
+    *    ~8.5 s of CC rounds at sf0.1 for a 1-row comparison). Measured
     *    divergence from banding randomness near the J=0.8 threshold:
-    *    163/172 (sf0.001), 178/179 (sf0.01), 1554/1689 (sf0.1) — 0.6–8%,
-    *    so 15% holds at every SF with margin while still failing hard on
-    *    a broken candidate or verify stage.
+    *    346/344 (sf0.001), 332/339 (sf0.01), 3546/3452 (sf0.1) —
+    *    0.6–2.7%, so 10% holds at every SF with margin while still
+    *    failing hard on a broken candidate or verify stage.
     *
     * A regression anywhere in the xx pipeline now flips a boolean and
     * hash-fails the driver gate instead of hiding behind `no_oracle`. */
@@ -331,11 +366,14 @@ object Dedup extends graft.QueryModule {
         (col("cluster_id") <= col("doc_id")).as("label_ok"),
         (min(col("cluster_id")).over(wkW) === max(col("cluster_id")).over(wkW))
           .as("setdup_ok"))
-    val band = xx.agg(countDistinct(col("cluster_id")).as("n_xx"))
-      .crossJoin(md5ClusterAssign(docsDf)
-        .agg(countDistinct(col("cluster_id")).as("n_md5")))
+    val band = xx.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .agg(coalesce(sum(col("sz")), lit(0L)).as("n_xx"))
+      .crossJoin(md5StarChainPairs(docsDf)
+        .select(explode(array(col("i"), col("j"))).as("dd"))
+        .agg(countDistinct(col("dd")).as("n_md5")))
       .select((abs(col("n_xx") - col("n_md5")) * 100 <=
-        greatest(lit(200L), col("n_md5") * 15)).as("band_ok"))
+        greatest(lit(200L), col("n_md5") * 10)).as("band_ok"))
     perDoc.crossJoin(broadcast(band))
       .select(col("doc_id"), col("label_ok"), col("setdup_ok"), col("band_ok"))
       .orderBy("doc_id")
@@ -345,12 +383,13 @@ object Dedup extends graft.QueryModule {
     * (16 signature slots, b=4/r=4 banding, bucket equi-join, exact-Jaccard
     * verify) but every hash is md5 — the one hash function Spark and
     * DuckDB share bit-for-bit. Signature slot i is the lexicographic MIN
-    * of `md5("i:" || word)` (a uniform random min over the 128-bit space,
-    * i.e. a true MinHash permutation); band keys are md5 over the
-    * concatenated slot strings. Slower than the xxhash64 path (16 md5
-    * evaluations per word vs one xxhash64 + splitmix64 mixing) — it
-    * exists so the near-dup PAIR SET itself gets a hash_match row, not
-    * just a rows-only count. */
+    * of a 4-hex-char chunk of md5('a:'||w) / md5('b:'||w) (sixteen
+    * independent 16-bit hash functions from two md5 evaluations — see
+    * [[md5SlotAgg]]); band keys are md5 over the concatenated slot
+    * strings. Slower than the xxhash64 path (two md5 evaluations per
+    * word vs one xxhash64 + splitmix64 mixing) — it exists so the
+    * near-dup PAIR SET itself gets a hash_match row, not just a
+    * rows-only count. */
   private def minhashMd5(s: SparkSession, d: String): DataFrame =
     minhashMd5Pairs(docs(s, d))
 
@@ -363,9 +402,9 @@ object Dedup extends graft.QueryModule {
     * keys a full rebuild would). */
   def md5BandRows(docsDf: DataFrame): DataFrame = {
     val k = NumHashes; val b = NumBands; val r = k / b
-    val sigCols = (0 until k).map(i =>
-      min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
-    val sig = wordRows(docsDf).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigCols = (0 until k).map(md5SlotAgg)
+    val sig = md5WordHashCols(wordRows(docsDf))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until b).map { bi =>
       val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
       struct(lit(bi).as("band"), md5(concat_ws("|", slots: _*)).as("h"))
@@ -544,7 +583,7 @@ object Dedup extends graft.QueryModule {
     * the delta-computed clusters are identical to a full rebuild. */
   private def minhashIncrementalOracle: String = {
     val k = NumHashes; val b = NumBands; val r = k / b
-    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val slots = (0 until k).map(md5SlotSql).mkString(",\n         ")
     val bandRows = (0 until b).map { bi =>
       val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
       s"SELECT doc_id, $bi AS band, md5($key) AS h FROM sig"
@@ -552,10 +591,12 @@ object Dedup extends graft.QueryModule {
     s"""WITH RECURSIVE w AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
+       |wh AS (
+       |  $md5WordHashesSql),
        |sig AS (
        |  SELECT doc_id,
        |         $slots
-       |  FROM w GROUP BY doc_id),
+       |  FROM wh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (
@@ -585,10 +626,10 @@ object Dedup extends graft.QueryModule {
   }
 
   /** Oracle SQL for [[minhashMd5]], generated to mirror the banding
-    * structure exactly (16 min-md5 slots, 4 band keys). */
+    * structure exactly (16 chunked min-md5 slots, 4 band keys). */
   private def minhashMd5Oracle: String = {
     val k = NumHashes; val b = NumBands; val r = k / b
-    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val slots = (0 until k).map(md5SlotSql).mkString(",\n         ")
     val bandRows = (0 until b).map { bi =>
       val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
       s"SELECT doc_id, $bi AS band, md5($key) AS h FROM sig"
@@ -596,10 +637,12 @@ object Dedup extends graft.QueryModule {
     s"""WITH w AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
+       |wh AS (
+       |  $md5WordHashesSql),
        |sig AS (
        |  SELECT doc_id,
        |         $slots
-       |  FROM w GROUP BY doc_id),
+       |  FROM wh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (
@@ -637,13 +680,21 @@ object Dedup extends graft.QueryModule {
     * relation — extracted so other chains (the corpus cleaning
     * pipeline's near-dup stage) can splice it in; the SQL mirror is
     * [[md5ClusterChainSql]] with the same input parameterization. */
-  def md5ClusterAssign(docsDf: DataFrame): DataFrame = {
+  def md5ClusterAssign(docsDf: DataFrame): DataFrame =
+    connectedComponents(docsDf.select(col("doc_id")),
+      md5StarChainPairs(docsDf), "doc_id")
+
+  /** The twin pipeline up to (and including) the exact-Jaccard verify —
+    * the star/chain candidate discipline's VERIFIED EDGE SET, without
+    * the component fixpoint. Factored out (r10) so the promoted
+    * `dedup_minhash` gate can band on edge-touched docs without paying
+    * the twin's CC rounds. */
+  def md5StarChainPairs(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = NumHashes; val b = NumBands; val r = k / b
-    val w = wordRows(docsDf)
-    val sigCols = (0 until k).map(i =>
-      min(md5(concat_ws(":", lit(i), col("w")))).as(s"m$i"))
-    val sig = w.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigCols = (0 until k).map(md5SlotAgg)
+    val sig = md5WordHashCols(wordRows(docsDf))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val slotCols = (0 until k).map(i => col(s"m$i"))
     val bandStructs = (0 until b).map { bi =>
       val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
@@ -676,16 +727,15 @@ object Dedup extends graft.QueryModule {
       .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
       .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= 0.8)
     val inter = size(array_intersect(col("wa"), col("wb")))
-    val verified = gated
+    gated
       .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
       .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
       .filter((inter / (col("ni") + col("nj") - inter)) >= 0.8)
       .select(col("i"), col("j"))
       .localCheckpoint()
-    connectedComponents(docsDf.select(col("doc_id")), verified, "doc_id")
   }
 
-  /** Generated oracle for [[clustersMd5]]: the same 16 min-md5 slots and
+  /** Generated oracle for [[clustersMd5]]: the same 16 chunked min-md5 slots and
     * 4 band keys as [[minhashMd5Oracle]], the bucket star/chain/skip-2
     * candidates via SQL windows (lag over the full-signature order,
     * min-over for the star center), the exact-Jaccard verify, and the
@@ -699,7 +749,7 @@ object Dedup extends graft.QueryModule {
     * [[md5ClusterAssign]] statement for statement. */
   def md5ClusterChainSql(inputRel: String, textCol: String): String = {
     val k = NumHashes; val b = NumBands; val r = k / b
-    val slots = (0 until k).map(i => s"min(md5('$i:' || w)) AS m$i").mkString(",\n         ")
+    val slots = (0 until k).map(md5SlotSql).mkString(",\n         ")
     val slotList = (0 until k).map(i => s"m$i").mkString(", ")
     val bandRows = (0 until b).map { bi =>
       val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
@@ -708,10 +758,12 @@ object Dedup extends graft.QueryModule {
     s"""w AS (
        |  SELECT doc_id, unnest(list_distinct(string_split($textCol, ' '))) AS w
        |  FROM $inputRel),
+       |wh AS (
+       |  $md5WordHashesSql),
        |sig AS (
        |  SELECT doc_id,
        |         $slots
-       |  FROM w GROUP BY doc_id),
+       |  FROM wh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |ann AS (

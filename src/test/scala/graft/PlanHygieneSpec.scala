@@ -113,8 +113,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stats_tukey_hsd" -> ("5-row group self-join (g1 < g2, 10 pairs) " +
       "+ 1-row MSE broadcast crossJoin"),
     "stats_g_test" -> "1-row grand-total crossJoin over the r*c cell table (chisq twin)",
-    "dedup_minhash" -> ("1-row cluster-count band_ok crossJoin (r10 " +
-      "promoted driver gate)"),
+    "dedup_minhash" -> ("1-row edge-touched-doc-count band_ok crossJoin " +
+      "(r10 promoted driver gate)"),
     "dedup_simhash" -> "1-row pair-count band_ok crossJoin (r10 promoted driver gate)",
     "dedup_minhash_mllib" -> ("1-row pair-count band_ok crossJoin (r10 " +
       "promoted driver gate)"))
