@@ -126,6 +126,49 @@ object Audio extends graft.QueryModule {
       }
     }
 
+  private val SpecWindow = 8
+  private val SpecBins = 4
+  private val CoefScale = 1000000L
+
+  /** DFT coefficient tables for the spectrogram, pinned to a 1e-6
+    * integer grid: C(k)(n) = round(cos(2π·k·n/8)·1e6), S likewise for
+    * sin. ONE table feeds BOTH sides — the Spark kernel uses the arrays
+    * and the generated oracle embeds the same values as list literals —
+    * so the per-window bin sums are exact BIGINT arithmetic in both
+    * engines (the standard trick this repo uses wherever a transform
+    * needs irrational constants: share the rounded grid, never recompute
+    * libm on each side). */
+  private[ext] val SpecCos: Array[Array[Long]] =
+    Array.tabulate(SpecBins, SpecWindow)((k, n) =>
+      math.round(math.cos(2.0 * math.Pi * k * n / SpecWindow) * CoefScale))
+  private[ext] val SpecSin: Array[Array[Long]] =
+    Array.tabulate(SpecBins, SpecWindow)((k, n) =>
+      math.round(math.sin(2.0 * math.Pi * k * n / SpecWindow) * CoefScale))
+
+  /** SPECTROGRAM stage: per non-overlapping 8-sample window, the DFT
+    * power at 4 frequency bins (k = 0 is the DC/energy bin). The bin
+    * sums re = Σ x[n]·C(k)(n), im = −Σ x[n]·S(k)(n) are exact 64-bit
+    * integers (|x| ≤ 32768, coef ≤ 1e6, 8 terms → ≤ 2.7e11); power is
+    * derived row-locally as (re/1e6)² + (im/1e6)², an identical IEEE
+    * op sequence in both engines. The integer-exact stand-in for the
+    * FFT feature extraction a native DSP kernel would run at this seam
+    * — same honesty standard as [[windowAudio]]. */
+  def spectrogram(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, Int, Long, Long)] =
+    blobs.flatMap { b =>
+      val (_, samples) = readWav(b.data)
+      samples.grouped(SpecWindow).zipWithIndex.flatMap { case (w, idx) =>
+        (0 until SpecBins).iterator.map { k =>
+          var re = 0L; var im = 0L; var n = 0
+          while (n < w.length) {
+            re += w(n).toLong * SpecCos(k)(n)
+            im -= w(n).toLong * SpecSin(k)(n)
+            n += 1
+          }
+          (b.doc_id, idx, k, re, im)
+        }
+      }
+    }
+
   /** RESAMPLE stage (decimate by 2): keep every 2nd sample and re-encode
     * a REAL WAV — pure integer selection (no interpolation filter, whose
     * kernel would be renderer-dependent), so the resampled stream is
@@ -194,15 +237,64 @@ object Audio extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Windowed DFT power over binary payloads [N] (r10): real WAV
+    * round-trip, one row per (8-sample window × 4 frequency bins),
+    * integer-exact bin sums + row-local IEEE power — oracle-checked per
+    * bin. Narrow until the output sort, like every key in this module. */
+  private def mmAudioSpectrogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeAudio)
+      .mapPartitions(spectrogram)
+      .toDF("doc_id", "window_idx", "bin", "re_scaled", "im_scaled")
+      .withColumn("power",
+        (col("re_scaled") / lit(1000000.0)) * (col("re_scaled") / lit(1000000.0)) +
+          (col("im_scaled") / lit(1000000.0)) * (col("im_scaled") / lit(1000000.0)))
+      .orderBy("doc_id", "window_idx", "bin")
+  }
+
+  /** Oracle for [[mmAudioSpectrogram]], generated so the coefficient
+    * grid literals can never drift from [[SpecCos]]/[[SpecSin]]. */
+  private def spectrogramOracle: String = {
+    def lit2d(t: Array[Array[Long]]): String =
+      t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
+       |                  length(text) % 50 + 8 AS n
+       |           FROM documents),
+       |s AS (SELECT doc_id, i // $SpecWindow AS window_idx,
+       |             i % $SpecWindow AS pos,
+       |             CASE WHEN len = 0 THEN 0
+       |                  ELSE (ord(substr(text, (i % len) + 1, 1)) - 128)
+       |                       * 256 END AS v
+       |      FROM d, unnest(range(0, n)) t(i)),
+       |b AS (SELECT doc_id, window_idx, k,
+       |             CAST(sum(CAST(v AS BIGINT) *
+       |               (${lit2d(SpecCos)})[k + 1][pos + 1]) AS BIGINT) AS re,
+       |             CAST(-sum(CAST(v AS BIGINT) *
+       |               (${lit2d(SpecSin)})[k + 1][pos + 1]) AS BIGINT) AS im
+       |      FROM s, unnest(range(0, $SpecBins)) t2(k)
+       |      GROUP BY doc_id, window_idx, k)
+       |SELECT doc_id, CAST(window_idx AS INTEGER) AS window_idx,
+       |       CAST(k AS INTEGER) AS bin, re AS re_scaled, im AS im_scaled,
+       |       (CAST(re AS DOUBLE) / 1000000.0) * (CAST(re AS DOUBLE) / 1000000.0)
+       |         + (CAST(im AS DOUBLE) / 1000000.0) * (CAST(im AS DOUBLE) / 1000000.0)
+       |         AS power
+       |FROM b ORDER BY doc_id, window_idx, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_window" -> mmAudioWindow,
-    "mm_audio_resample" -> mmAudioResample)
+    "mm_audio_resample" -> mmAudioResample,
+    "mm_audio_spectrogram" -> mmAudioSpectrogram)
 
   // Same ASCII precondition as mm_decode (ord(char) == byte; holds for
   // the driver's documents generator). Sample i = (ord(byte i mod len)
   // - 128) * 256; n_samples = len % 50 + 8; empty payloads are silence.
   val oracles: Map[String, String] = Map(
+    "mm_audio_spectrogram" -> spectrogramOracle,
     "mm_audio_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 50 + 8 AS n

@@ -282,6 +282,59 @@ object Multimodal extends graft.QueryModule {
       (b.doc_id, bits.toString)
     }
 
+  /** DCT-II coefficient table for the pHash, pinned to a 1e-6 integer
+    * grid: C(u)(x) = round(cos(π·(2x+1)·u/16)·1e6) — shared verbatim
+    * between the JVM kernel and the generated oracle (the same
+    * rounded-grid discipline as the audio spectrogram's DFT tables), so
+    * every DCT cell is exact BIGINT arithmetic in both engines
+    * (|gray| ≤ 255, coef² ≤ 1e12, 64 terms → ≤ 1.7e16). */
+  private[ext] val PhashCos: Array[Array[Long]] =
+    Array.tabulate(4, 8)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1000000L))
+
+  /** DCT PERCEPTUAL HASH stage (r10): decode, the same 8×8 integer
+    * grayscale as [[ahashImages]], then the 2D DCT-II's low-frequency
+    * 4×4 block on the pinned coefficient grid. The 15 AC cells are
+    * thresholded against their exact median (8th of the 15 sorted exact
+    * integers — no averaging, no floats) into a 15-bit hash; the scaled
+    * DC cell rides along. The standard pHash construction (as in the
+    * pHash library / imagehash's phash), end-to-end integer-exact —
+    * robust to the uniform-brightness shifts that flip aHash bits,
+    * because the comparison is within the doc's own frequency domain. */
+  def phashImages(blobs: Iterator[MediaBlob]): Iterator[(Long, String, Long)] =
+    blobs.map { b =>
+      val img = ImageIO.read(new ByteArrayInputStream(b.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray = new Array[Long](64)
+      var q = 0
+      while (q < 64) {
+        val rgb = img.getRGB((q % 8) * w / 8, (q / 8) * h / 8)
+        gray(q) = (((rgb >> 16) & 0xff) + 2 * ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 4
+        q += 1
+      }
+      val cells = new Array[Long](16)
+      var u = 0
+      while (u < 4) {
+        var v = 0
+        while (v < 4) {
+          var s = 0L
+          q = 0
+          while (q < 64) {
+            s += gray(q) * PhashCos(u)(q % 8) * PhashCos(v)(q / 8)
+            q += 1
+          }
+          cells(u * 4 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val acs = cells.drop(1)
+      val m = acs.sorted.apply(7)
+      val bits = acs.map(x => if (x > m) '1' else '0').mkString
+      (b.doc_id, bits, cells(0))
+    }
+
   /** Demux variant for [[mmSceneCuts]]: the same even-frame sampling as
     * [[demuxFrames]], but emitting each kept frame's aHash instead of
     * its checksum — the (doc, frame, perceptual-hash) relation a
@@ -450,6 +503,63 @@ object Multimodal extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** DCT perceptual hash over binary payloads [N] (r10): real PNG
+    * round-trip, one 15-bit frequency-domain hash + scaled DC per doc,
+    * oracle-checked bit-for-bit. Narrow until the output sort. */
+  private def mmPhashDct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .mapPartitions(phashImages)
+      .toDF("doc_id", "phash", "dc_scaled")
+      .orderBy("doc_id")
+  }
+
+  /** Generated oracle for [[mmPhashDct]] — the grayscale construction of
+    * `mm_ahash`'s oracle, then the 4×4 DCT block on [[PhashCos]]'s grid
+    * literals (generated, so they cannot drift), the exact 8th-of-15
+    * median, and the bit string in (u, v) order. */
+  private def phashDctOracle: String = {
+    val ctab = PhashCos.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
+       |                  length(text) % 16 + 1 AS w,
+       |                  length(text) % 12 + 1 AS h
+       |           FROM documents),
+       |b AS (SELECT doc_id, text, len,
+       |             list_transform(range(0, 64), q ->
+       |               3 * ((q // 8) * h // 8 * w + (q % 8) * w // 8))
+       |               AS base
+       |      FROM d),
+       |g AS (SELECT doc_id,
+       |             list_transform(base, bp ->
+       |               CASE WHEN len = 0 THEN 0 ELSE
+       |                 (ord(substr(text, (bp % len) + 1, 1))
+       |                  + 2 * ord(substr(text, ((bp + 1) % len) + 1, 1))
+       |                  + ord(substr(text, ((bp + 2) % len) + 1, 1))) // 4
+       |               END) AS gs
+       |      FROM b),
+       |cells AS (SELECT doc_id, q, gs[q + 1] AS gv
+       |          FROM g, unnest(range(0, 64)) t(q)),
+       |dct AS (SELECT doc_id, u, v,
+       |               CAST(sum(CAST(gv AS BIGINT)
+       |                 * ($ctab)[u + 1][(q % 8) + 1]
+       |                 * ($ctab)[v + 1][(q // 8) + 1]) AS BIGINT) AS c
+       |        FROM cells, unnest(range(0, 4)) tu(u), unnest(range(0, 4)) tv(v)
+       |        GROUP BY doc_id, u, v),
+       |agg AS (SELECT doc_id, list(c ORDER BY u * 4 + v) AS cs
+       |        FROM dct GROUP BY doc_id),
+       |med AS (SELECT doc_id, cs[1] AS dc, cs[2:16] AS acs,
+       |               list_sort(cs[2:16])[8] AS m
+       |        FROM agg)
+       |SELECT doc_id,
+       |       array_to_string(list_transform(acs, x ->
+       |         CASE WHEN x > m THEN '1' ELSE '0' END), '') AS phash,
+       |       dc AS dc_scaled
+       |FROM med ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_binary_files" -> srcBinaryFiles,
     "multimodal_cols" -> mmMeta,
@@ -457,6 +567,7 @@ object Multimodal extends graft.QueryModule {
     "mm_decode" -> mmDecode,
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAhash,
+    "mm_phash_dct" -> mmPhashDct,
     "mm_frames" -> mmFrames,
     "mm_scene_cuts" -> mmSceneCuts)
 
@@ -528,6 +639,7 @@ object Multimodal extends graft.QueryModule {
     // threshold by the exact mean via g*64 >= sum (no division);
     // empty payloads gray to all-zero and hash to all-ones
     "mm_scene_cuts" -> mmSceneCutsOracle,
+    "mm_phash_dct" -> phashDctOracle,
     "mm_ahash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 16 + 1 AS w,

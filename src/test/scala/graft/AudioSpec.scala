@@ -74,4 +74,30 @@ class AudioSpec extends AnyFunSuite {
       Audio.encodeAudio(Iterator(MediaBlob(0L, Array.empty[Byte])))).next()
     assert(meta.n_samples == 8 && meta.abs_sum == 0L && meta.peak == 0)
   }
+
+  test("spectrogram bin 0 is the scaled window sum; power bounded by energy") {
+    // DC coefficient row is all 1e6, so re(0) must equal 1e6 * Σ samples
+    // and im(0) must be 0 — a closed-form cross-check of the pinned
+    // coefficient grid; every bin's power respects |X(k)|² ≤ (Σ|x|)²
+    val data = "spectral fixture with deterministic samples".getBytes("UTF-8")
+    val ref = refSamples(data)
+    val rows = Audio.spectrogram(
+      Audio.encodeAudio(Iterator(MediaBlob(7L, data)))).toList
+    assert(rows.size == ((ref.size + 7) / 8) * 4)
+    val byWindow = rows.groupBy(_._2)
+    for ((idx, bins) <- byWindow) {
+      val w = ref.slice(idx * 8, idx * 8 + 8)
+      val dc = bins.find(_._3 == 0).get
+      assert(dc._4 == w.map(_.toLong).sum * 1000000L, "DC bin != scaled sum")
+      assert(dc._5 == 0L, "DC bin has nonzero imaginary part")
+      val bound = {
+        val a = w.map(s => math.abs(s).toLong).sum.toDouble
+        a * a + 1.0
+      }
+      for ((_, _, _, re, im) <- bins) {
+        val p = (re / 1e6) * (re / 1e6) + (im / 1e6) * (im / 1e6)
+        assert(p <= bound, s"bin power $p exceeds (sum |x|)^2 = $bound")
+      }
+    }
+  }
 }

@@ -57,4 +57,43 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.encodeImages(Iterator(MediaBlob(0L, Array.empty[Byte])))).next()
     assert(meta.width == 1 && meta.height == 1 && meta.checksum == 0L)
   }
+
+  test("pHash: 15 bits, at most 7 above the exact median, DC > 0 on real pixels") {
+    // median = 8th of 15 sorted AC cells with a STRICT > threshold, so
+    // at most 7 bits can be set — a structural invariant of the pHash
+    // construction (and the reason two near-identical images agree on
+    // most bits: both hashes are balanced around their own median)
+    val data = "phash fixture bytes with plenty of variety 0123456789"
+      .getBytes("UTF-8")
+    val (id, bits, dc) = Multimodal.phashImages(
+      Multimodal.encodeImages(Iterator(MediaBlob(9L, data)))).next()
+    assert(id == 9L)
+    assert(bits.length == 15)
+    assert(bits.count(_ == '1') <= 7)
+    assert(dc > 0L, "DC of a nonzero-brightness image must be positive")
+  }
+
+  test("pHash is invariant to uniform brightness shift (aHash's blind spot)") {
+    // add a constant to every grayscale cell: only the DC cell moves
+    // (all-ones coefficient row); every AC cell — and hence the hash —
+    // is unchanged. Verified through the public kernel by hashing two
+    // synthetic rasters that differ by a constant channel offset.
+    def hash(blob: Array[Byte]): (String, Long) = {
+      val out = Multimodal.phashImages(
+        Multimodal.encodeImages(Iterator(MediaBlob(1L, blob)))).next()
+      (out._2, out._3)
+    }
+    // a VARIED 16×8 base raster (79 bytes, non-monotonic), then every
+    // channel +40: each 8×8 grayscale cell shifts by exactly
+    // (40+80+40)/4 = 40, and the rounded DCT rows u >= 1 sum to exactly
+    // 0, so every AC cell — and the hash — is bit-identical while DC
+    // moves
+    val base = Array.tabulate(79)(i => ((i * 37) % 83 + 10).toByte)
+    val shifted = base.map(b => (b + 40).toByte)
+    val (h1, dc1) = hash(base)
+    val (h2, dc2) = hash(shifted)
+    assert(h1.count(_ == '1') > 0, "fixture degenerated to an all-zero hash")
+    assert(h1 == h2, "pHash changed under uniform brightness shift")
+    assert(dc1 != dc2, "DC should track overall brightness")
+  }
 }
