@@ -126,34 +126,47 @@ object SimSearch extends graft.QueryModule {
   private val GraphAnnBeam = 10
   private val GraphAnnSteps = 6
 
-  /** The walk itself, over any `(vec_id, label, embedding)` corpus and
-    * 1-row `(embedding)` probe — public so the recall spec can drive
-    * the IDENTICAL code path over structured (clustered) vectors. */
-  def graphBeamSearch(corpusIn: DataFrame, probeIn: DataFrame,
-                      degree: Int, beamW: Int, steps: Int, k: Int): DataFrame = {
+  private def withNsq(corpusIn: DataFrame): DataFrame =
+    corpusIn.select(col("vec_id"), col("label"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq"))
+
+  /** Directed within-label k-NN edges `(i, j, cosine)` — the raw edge
+    * lists before symmetrization. The scorer relation `rhs` is
+    * parameterized so the APPEND variant can rank delta nodes against
+    * base ∪ delta while base nodes keep their saved base-only lists. */
+  private def knnEdges(lhs: DataFrame, rhs: DataFrame, degree: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = corpusIn.select(col("vec_id"), col("label"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("nsq")).localCheckpoint()
-    val probe = probeIn.select(col("embedding").as("probe"),
-      dot(col("embedding"), col("embedding")).as("pnsq"))
     val cosPair = dot(col("a.embedding"), col("b.embedding")) /
       (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))
     val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
-    val knn = corpus.as("a").join(corpus.as("b"),
+    lhs.as("a").join(rhs.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cosPair.as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= degree)
       .select(col("i"), col("j"), col("cosine"))
-    // symmetrize (mutual edges collapse — cosine is symmetric), then
-    // re-cap out-degree at 2×degree so frontier work stays bounded
-    val graph = knn
+  }
+
+  /** Symmetrize (mutual edges collapse — cosine is symmetric), then
+    * re-cap out-degree at 2×degree so frontier work stays bounded. */
+  private def symCap(knn: DataFrame, degree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+    knn
       .union(knn.select(col("j").as("i"), col("i").as("j"), col("cosine")))
       .distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 2 * degree)
       .select(col("i"), col("j"))
-      .localCheckpoint() // built once; the beam rounds iterate over it
+  }
+
+  /** The beam walk over a PREBUILT undirected edge set. */
+  private def beamWalk(corpus: DataFrame, graphEdges: DataFrame,
+                       probeIn: DataFrame, beamW: Int, steps: Int,
+                       k: Int): DataFrame = {
+    val probe = probeIn.select(col("embedding").as("probe"),
+      dot(col("embedding"), col("embedding")).as("pnsq"))
+    val graph = graphEdges.localCheckpoint() // built once; rounds iterate
     def scored(ids: DataFrame): DataFrame =
       ids.join(corpus, Seq("vec_id"))
         .crossJoin(broadcast(probe))
@@ -173,6 +186,16 @@ object SimSearch extends graft.QueryModule {
     visited.orderBy(col("cosine").desc, col("vec_id")).limit(k)
   }
 
+  /** The walk itself, over any `(vec_id, label, embedding)` corpus and
+    * 1-row `(embedding)` probe — public so the recall spec can drive
+    * the IDENTICAL code path over structured (clustered) vectors. */
+  def graphBeamSearch(corpusIn: DataFrame, probeIn: DataFrame,
+                      degree: Int, beamW: Int, steps: Int, k: Int): DataFrame = {
+    val corpus = withNsq(corpusIn).localCheckpoint()
+    beamWalk(corpus, symCap(knnEdges(corpus, corpus, degree), degree),
+      probeIn, beamW, steps, k)
+  }
+
   private def knnGraphSearch(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
@@ -188,6 +211,29 @@ object SimSearch extends graft.QueryModule {
     * beam/frontier/visited as its own CTE chain, every tie broken by
     * (cosine DESC, vec_id). */
   private def knnGraphSearchOracle: String = {
+    // directed degree-capped lists over the full corpus: one score CTE
+    val prefix =
+      s"""s AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
+         |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
+         |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id <> 0 AND b.vec_id <> 0),
+         |gk AS (
+         |  SELECT i, j, c FROM (
+         |    SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS c,
+         |           row_number() OVER (PARTITION BY i
+         |      ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, j) AS rnk
+         |    FROM s) WHERE rnk <= $GraphAnnDegree)""".stripMargin
+    beamSearchOracle(prefix)
+  }
+
+  /** The walk tail shared by the graph-ANN oracles: symmetrize + cap a
+    * `gk (i, j, c)` CTE the caller provides, then the per-label entry
+    * points and [[GraphAnnSteps]] unrolled beam rounds. */
+  private def beamSearchOracle(gkPrefix: String): String = {
     val cos = (rel: String) =>
       s"""${dotSql.format(s"$rel.embedding", "p.pe")}
          |        / (sqrt(${dotSql.format(s"$rel.embedding", s"$rel.embedding")})
@@ -210,20 +256,7 @@ object SimSearch extends graft.QueryModule {
          |  SELECT c.vec_id, ${cos("c")} AS cosine
          |  FROM embeddings c JOIN f$t ON c.vec_id = f$t.vec_id, p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH s AS (
-       |  SELECT a.vec_id AS i, b.vec_id AS j,
-       |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
-       |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
-       |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id <> 0 AND b.vec_id <> 0),
-       |gk AS (
-       |  SELECT i, j, c FROM (
-       |    SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS c,
-       |           row_number() OVER (PARTITION BY i
-       |      ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, j) AS rnk
-       |    FROM s) WHERE rnk <= $GraphAnnDegree),
+    s"""WITH $gkPrefix,
        |gu AS (
        |  SELECT DISTINCT i, j, c FROM (
        |    SELECT i, j, c FROM gk UNION ALL SELECT j AS i, i AS j, c FROM gk)),
@@ -245,6 +278,67 @@ object SimSearch extends graft.QueryModule {
        |$rounds
        |SELECT vec_id, cosine FROM v$GraphAnnSteps
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Graph-ANN index APPEND [N] (r10) — the graph analogue of
+    * `sim_search_ivf_append`, completing the graph leg of the index
+    * lifecycle (build → search → APPEND → serve): the even-id half of
+    * the corpus is the SAVED graph (its directed k-NN edge lists persist
+    * as parquet and are read back, never recomputed), and the odd-id
+    * delta inserts by ranking each new node against base ∪ delta — the
+    * HNSW insertion rule in batch form. Symmetrization then gives saved
+    * nodes their back-edges from the delta (how HNSW wires reverse
+    * links) and the shared 2×degree cap re-applies. Append cost is
+    * O(delta × per-label candidates) — the historical corpus is scanned
+    * only as the ranking side of the delta's equi-join, never re-banded.
+    * NOTE: append ≠ rebuild (saved base-base lists never re-rank against
+    * delta nodes — the price of not rebuilding), so the oracle mirrors
+    * the DECOMPOSED construction, not a full rebuild. */
+  private def knnGraphAppend(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = withNsq(Tables.embeddings(s, d).filter(col("vec_id") =!= 0))
+      .localCheckpoint()
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val dir = "target/tmp/knn_graph_index"
+    knnEdges(base, base, GraphAnnDegree)
+      .write.mode("overwrite").parquet(dir)
+    val saved = s.read.parquet(dir)
+    val merged = symCap(saved.union(knnEdges(delta, e, GraphAnnDegree)),
+      GraphAnnDegree)
+    beamWalk(e, merged,
+      Tables.embeddings(s, d).filter(col("vec_id") === 0).select(col("embedding")),
+      GraphAnnBeam, GraphAnnSteps, k = 10)
+  }
+
+  /** Oracle for [[knnGraphAppend]]: the decomposed edge construction
+    * (base×base lists ∪ delta×all lists) feeding the same symmetrize /
+    * cap / walk tail as `sim_search_knn_graph`. */
+  private def knnGraphAppendOracle: String = {
+    def scoreCte(name: String, lhsPred: String, rhsPred: String): String =
+      s"""$name AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${dotSql.format("a.embedding", "b.embedding")} AS d,
+         |         ${dotSql.format("a.embedding", "a.embedding")} AS na,
+         |         ${dotSql.format("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id <> 0 AND b.vec_id <> 0
+         |    AND $lhsPred AND $rhsPred)""".stripMargin
+    def rankCte(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT i, j, c FROM (
+         |    SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS c,
+         |           row_number() OVER (PARTITION BY i
+         |      ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, j) AS rnk
+         |    FROM $src) WHERE rnk <= $GraphAnnDegree)""".stripMargin
+    val prefix =
+      s"""${scoreCte("sb", "a.vec_id % 2 = 0", "b.vec_id % 2 = 0")},
+         |${rankCte("gb", "sb")},
+         |${scoreCte("sd", "a.vec_id % 2 = 1", "TRUE")},
+         |${rankCte("gd", "sd")},
+         |gk AS (SELECT i, j, c FROM gb UNION ALL SELECT i, j, c FROM gd)""".stripMargin
+    beamSearchOracle(prefix)
   }
 
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
@@ -1897,7 +1991,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_mips_augmented" -> mipsAugmented,
     "sim_search_ivf_batch" -> ivfBatch,
     "sim_search_ivf_saved" -> ivfSaved,
-    "sim_search_knn_graph" -> knnGraphSearch)
+    "sim_search_knn_graph" -> knnGraphSearch,
+    "sim_search_knn_graph_append" -> knnGraphAppend)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
@@ -1948,6 +2043,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_saved" -> pinnedBatchOracle(pinnedIters, nprobe = 4),
     "sim_search_ivf" -> ivfLshOracle,
     "sim_search_knn_graph" -> knnGraphSearchOracle,
+    "sim_search_knn_graph_append" -> knnGraphAppendOracle,
     "sim_search_ivf_multi" -> ivfMultiOracle,
     "sim_search_ivf_append" ->
       pinnedBatchOracle(pinnedIters, nprobe = 4, "WHERE vec_id % 2 = 0"),
