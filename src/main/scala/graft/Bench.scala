@@ -59,15 +59,19 @@ object Bench {
     "text_bigram_lm",       // bigram-LM quality scoring (r8)
     "eval_auc",             // rank-statistic ROC AUC (r8)
     "pref_bradley_terry",   // pinned MM preference fit (r8)
-    "dedup_clusters",       // iterative min-label connected components
     "dedup_minhash",        // LSH cluster pipeline + promoted md5-twin gate
                             // (dedup_simhash moved out r10 for the calibMax
                             // line budget — dedup keeps 4 heavier reps)
     "dedup_jarowinkler",    // native codegen JW probe scan
     "dedup_semantic",       // knn edges -> CC clusters (SemDeDup, r8)
+    "dedup_minhash_incremental", // delta vs SAVED band store (r10 lifecycle
+                            // rep; replaces dedup_clusters — its CC fixpoint
+                            // runs inside this key's merge stage anyway)
+    "sim_search_knn_graph", // beam walk over symmetrized k-NN graph (r10;
+                            // replaces sim_search_kmeans_assign — the Lloyd
+                            // path stays repped by sim_search_pq/ivf)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
     "sim_search_pq",        // product-quantization ANN
-    "sim_search_kmeans_assign", // pinned deterministic k-means (r7)
     "mm_decode",            // real javax.imageio PNG decode (r7)
     "attr_markov_removal",  // Markov removal-effect attribution (r9;
                             // mm_audio_decode moved out - mm_decode stays
