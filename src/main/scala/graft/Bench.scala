@@ -64,9 +64,14 @@ object Bench {
                             // line budget — dedup keeps 4 heavier reps)
     "dedup_jarowinkler",    // native codegen JW probe scan
     "dedup_semantic",       // knn edges -> CC clusters (SemDeDup, r8)
-    "dedup_minhash_incremental", // delta vs SAVED band store (r10 lifecycle
-                            // rep; replaces dedup_clusters — its CC fixpoint
-                            // runs inside this key's merge stage anyway)
+    "dedup_clusters",       // iterative min-label connected components
+                            // (dedup_minhash_incremental was measured for
+                            // this slot and declined: its decomposable
+                            // plain-pair form materializes the quadratic
+                            // in-clique pair set — 2.8M verified pairs /
+                            // ~22 s at sf0.1 — an inherent cost of the
+                            // "hash equality proves incremental ≡ full
+                            // rebuild" contract, not a plan defect)
     "sim_search_knn_graph", // beam walk over symmetrized k-NN graph (r10;
                             // replaces sim_search_kmeans_assign — the Lloyd
                             // path stays repped by sim_search_pq/ivf)

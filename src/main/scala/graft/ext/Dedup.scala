@@ -413,28 +413,65 @@ object Dedup extends graft.QueryModule {
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }
 
+  /** The md5 family's word identity for the VERIFY stage: the first 15
+    * hex chars of md5(word) as a 60-bit long (fits signed BIGINT in both
+    * engines — the same trick as the simhash twin). Long-typed so the
+    * per-candidate intersection runs the allocation-free codegen
+    * two-pointer [[graft.functions.SortedIntersectCount]] on 8-byte
+    * elements instead of `array_intersect` on strings — the measure that
+    * took the xxhash verify from 66 to 18 s, now applied to the md5
+    * (oracle-mirrorable) side. Jaccard is over the DISTINCT-ID sets,
+    * computed identically by both engines, so even a 60-bit collision
+    * (P ≈ n²/2⁶¹ per doc) cannot cause a cross-engine mismatch — both
+    * sides would merge the same pair of words. */
+  private def wordIdArr: Column =
+    array_sort(array_distinct(transform(
+      array_distinct(split(col("text"), " ")),
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))))
+
+  /** DuckDB mirror of [[wordIdArr]]'s per-word id, over a column named
+    * `w` (hex-digit polynomial — DuckDB lacks conv). */
+  private[ext] def wordIdPolySql: String =
+    (0 until 15).map { i =>
+      val p = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(strpos('0123456789abcdef', substr(md5(w), ${i + 1}, 1)) - 1) * CAST($p AS BIGINT)"
+    }.mkString("\n           + ")
+
+  /** Shared oracle CTE fragment: the distinct 60-bit word ids per doc
+    * (follows a `w (doc_id, w)` CTE). */
+  private def wordIdsCteSql: String =
+    s"""ids AS (
+       |  SELECT DISTINCT doc_id,
+       |         $wordIdPolySql AS id
+       |  FROM w)""".stripMargin
+
   /** Exact word-set Jaccard verification of candidate `(i, j)` pairs
     * against `docsDf`, at threshold `minJ` → `(i, j, jaccard)`. The
-    * word-count gate is a pure necessary condition for J >= minJ, so a
+    * id-count gate is a pure necessary condition for J >= minJ, so a
     * gateless oracle still matches exactly. Public: the streaming
     * incremental-dedup twin verifies each delta batch with it. */
   def verifyExactJaccard(cand: DataFrame, docsDf: DataFrame,
                          minJ: Double): DataFrame = {
-    val wordArrs = docsDf.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ws"))
-    // same candidate economics as minhashPairs: gate on word counts
-    // (8-byte join) before shipping string arrays
-    val sizes = wordArrs.select(col("doc_id"), size(col("ws")).as("n"))
+    // the codegen intersect resolves through the session function
+    // registry — idempotent, so register here rather than relying on
+    // every calling key having done it
+    graft.functions.VectorFunctions.register(docsDf.sparkSession)
+    val idArrs = docsDf.select(col("doc_id"), wordIdArr.as("ids"))
+    // same candidate economics as minhashPairs: gate on id counts
+    // (8-byte join) before shipping arrays, then the codegen two-pointer
+    // intersect over the pre-sorted 8-byte ids
+    val sizes = idArrs.select(col("doc_id"), size(col("ids")).as("n"))
     val gated = cand
       .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
       .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
       .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= minJ)
-    val inter = size(array_intersect(col("wa"), col("wb")))
+    val inter = graft.functions.VectorFunctions.intersect_count(
+      col("ha"), col("hb"))
     gated
-      .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
-      .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
+      .join(idArrs.select(col("doc_id").as("i"), col("ids").as("ha")), Seq("i"))
+      .join(idArrs.select(col("doc_id").as("j"), col("ids").as("hb")), Seq("j"))
       .select(col("i"), col("j"),
-        (inter / (size(col("wa")) + size(col("wb")) - inter)).as("jaccard"))
+        (inter / (size(col("ha")) + size(col("hb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= minJ)
   }
 
@@ -603,12 +640,13 @@ object Dedup extends graft.QueryModule {
        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |$wordIdsCteSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
        |inter AS (
        |  SELECT c.i, c.j, count(*) AS c
        |  FROM cand c
-       |  JOIN w a ON a.doc_id = c.i
-       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  JOIN ids a ON a.doc_id = c.i
+       |  JOIN ids b ON b.doc_id = c.j AND a.id = b.id
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT i, j FROM inter
@@ -649,12 +687,13 @@ object Dedup extends graft.QueryModule {
        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |$wordIdsCteSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
        |inter AS (
        |  SELECT c.i, c.j, count(*) AS c
        |  FROM cand c
-       |  JOIN w a ON a.doc_id = c.i
-       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  JOIN ids a ON a.doc_id = c.i
+       |  JOIN ids b ON b.doc_id = c.j AND a.id = b.id
        |  GROUP BY 1, 2)
        |SELECT i, j, c * 1.0 / (na.n + nb.n - c) AS jaccard
        |FROM inter JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
@@ -717,20 +756,10 @@ object Dedup extends graft.QueryModule {
         .select(least(a, col("doc_id")).as("i"), greatest(a, col("doc_id")).as("j"))
     val cand = stars.union(undirected(col("prev"))).union(undirected(col("prev2")))
       .filter(col("i") =!= col("j")).distinct()
-    val wordArrs = docsDf.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ws"))
-    val sizes = wordArrs.select(col("doc_id"), size(col("ws")).as("n"))
-    // count gate: pure necessary condition for J >= 0.8, so the gateless
-    // oracle still matches exactly (same argument as dedup_minhash_md5)
-    val gated = cand
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
-      .filter(least(col("ni"), col("nj")) / greatest(col("ni"), col("nj")) >= 0.8)
-    val inter = size(array_intersect(col("wa"), col("wb")))
-    gated
-      .join(wordArrs.select(col("doc_id").as("i"), col("ws").as("wa")), Seq("i"))
-      .join(wordArrs.select(col("doc_id").as("j"), col("ws").as("wb")), Seq("j"))
-      .filter((inter / (col("ni") + col("nj") - inter)) >= 0.8)
+    // shared verify: id-count gate (pure necessary condition for
+    // J >= 0.8, so the gateless oracle still matches exactly) + the
+    // codegen two-pointer intersect over sorted 60-bit word ids
+    verifyExactJaccard(cand, docsDf, 0.8)
       .select(col("i"), col("j"))
       .localCheckpoint()
   }
@@ -783,12 +812,13 @@ object Dedup extends graft.QueryModule {
        |    SELECT least(prev2, doc_id), greatest(prev2, doc_id) FROM ann
        |    WHERE prev2 IS NOT NULL AND prev2 <> doc_id)
        |  WHERE i <> j),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       |$wordIdsCteSql,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
        |inter AS (
        |  SELECT c.i, c.j, count(*) AS c
        |  FROM cand c
-       |  JOIN w a ON a.doc_id = c.i
-       |  JOIN w b ON b.doc_id = c.j AND a.w = b.w
+       |  JOIN ids a ON a.doc_id = c.i
+       |  JOIN ids b ON b.doc_id = c.j AND a.id = b.id
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT i, j FROM inter
