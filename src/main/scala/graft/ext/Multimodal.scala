@@ -521,9 +521,20 @@ object Multimodal extends graft.QueryModule {
     * `mm_ahash`'s oracle, then the 4×4 DCT block on [[PhashCos]]'s grid
     * literals (generated, so they cannot drift), the exact 8th-of-15
     * median, and the bit string in (u, v) order. */
-  private def phashDctOracle: String = {
+  private def phashDctOracle: String =
+    s"""WITH $phashCtesSql
+       |SELECT doc_id,
+       |       array_to_string(list_transform(acs, x ->
+       |         CASE WHEN x > m THEN '1' ELSE '0' END), '') AS phash,
+       |       dc AS dc_scaled
+       |FROM med ORDER BY doc_id""".stripMargin
+
+  /** The pHash CTE chain (→ `med (doc_id, dc, acs, m)`) as a reusable
+    * fragment — [[phashDctOracle]] selects the hash string from it; the
+    * banded-pairs oracle builds its candidate join on top. */
+  private def phashCtesSql: String = {
     val ctab = PhashCos.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
+    s"""d AS (SELECT doc_id, text, length(text) AS len,
        |                  length(text) % 16 + 1 AS w,
        |                  length(text) % 12 + 1 AS h
        |           FROM documents),
@@ -552,13 +563,72 @@ object Multimodal extends graft.QueryModule {
        |        FROM dct GROUP BY doc_id),
        |med AS (SELECT doc_id, cs[1] AS dc, cs[2:16] AS acs,
        |               list_sort(cs[2:16])[8] AS m
-       |        FROM agg)
-       |SELECT doc_id,
-       |       array_to_string(list_transform(acs, x ->
-       |         CASE WHEN x > m THEN '1' ELSE '0' END), '') AS phash,
-       |       dc AS dc_scaled
-       |FROM med ORDER BY doc_id""".stripMargin
+       |        FROM agg)""".stripMargin
   }
+
+  /** Perceptual near-dup image PAIRS [N] (r10): band each 15-bit pHash
+    * into three 5-bit chunks and bucket-join — by pigeonhole, any pair
+    * within Hamming distance 2 of each other agrees EXACTLY on at least
+    * one of the three bands, so banding is recall-LOSSLESS at the ≤ 2
+    * threshold (spec-pinned vs brute force) while candidates stay
+    * O(bucket collisions), never O(n²) — the image-modality analogue of
+    * the minhash/simhash band joins. Exact Hamming re-check on
+    * candidates. */
+  private def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .mapPartitions(phashImages)
+      .toDF("doc_id", "phash", "dc")
+      .select(col("doc_id"), col("phash"))
+      .localCheckpoint()
+    val bands = hashed.select(col("doc_id"), col("phash"),
+      explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("phash"), 1 + 5 * b, 5).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("phash"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    val ham = expr(
+      "aggregate(sequence(1, 15), 0, (acc, i) -> acc + " +
+        "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .select(col("i"), col("j"), ham.as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("i", "j")
+  }
+
+  /** Oracle for [[mmPhashPairs]]: the shared pHash CTE chain, the same
+    * three 5-char bands, bucket-pair candidates, exact Hamming. */
+  private def phashPairsOracle: String =
+    s"""WITH $phashCtesSql,
+       |ph AS (SELECT doc_id,
+       |              array_to_string(list_transform(acs, x ->
+       |                CASE WHEN x > m THEN '1' ELSE '0' END), '') AS phash
+       |       FROM med),
+       |bands AS (
+       |  SELECT doc_id, phash, b AS band, substr(phash, 1 + 5 * b, 5) AS h
+       |  FROM ph, unnest(range(0, 3)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+       |         x.phash AS pa, y.phash AS pb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT i, j,
+       |       CAST(list_sum(list_transform(range(1, 16), p ->
+       |         CASE WHEN substr(pa, p, 1) = substr(pb, p, 1)
+       |              THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE list_sum(list_transform(range(1, 16), p ->
+       |        CASE WHEN substr(pa, p, 1) = substr(pb, p, 1)
+       |             THEN 0 ELSE 1 END)) <= 2
+       |ORDER BY i, j""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_binary_files" -> srcBinaryFiles,
@@ -568,6 +638,7 @@ object Multimodal extends graft.QueryModule {
     "mm_resize" -> mmResize,
     "mm_ahash" -> mmAhash,
     "mm_phash_dct" -> mmPhashDct,
+    "mm_phash_pairs" -> mmPhashPairs,
     "mm_frames" -> mmFrames,
     "mm_scene_cuts" -> mmSceneCuts)
 
@@ -640,6 +711,7 @@ object Multimodal extends graft.QueryModule {
     // empty payloads gray to all-zero and hash to all-ones
     "mm_scene_cuts" -> mmSceneCutsOracle,
     "mm_phash_dct" -> phashDctOracle,
+    "mm_phash_pairs" -> phashPairsOracle,
     "mm_ahash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 16 + 1 AS w,

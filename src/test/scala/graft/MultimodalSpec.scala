@@ -9,6 +9,7 @@ import graft.ext.{MediaBlob, Multimodal}
   * the container format, the PNG magic, and the exact pixel arithmetic
   * the DuckDB oracles mirror. */
 class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
 
   private val pngMagic =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -71,6 +72,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bits.length == 15)
     assert(bits.count(_ == '1') <= 7)
     assert(dc > 0L, "DC of a nonzero-brightness image must be positive")
+  }
+
+  test("pHash band join is recall-lossless at Hamming <= 2 (pigeonhole)") {
+    // 15 bits in 3 bands of 5: <= 2 differing bits can touch at most 2
+    // bands, so one band always matches exactly — the banded key must
+    // emit EXACTLY the brute-force pair set, not an approximation
+    val hashes = Multimodal.phashImages(Multimodal.encodeImages(
+        graft.Tables.documents(spark, TestSpark.sf0001)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text").cast("binary").as("data"))
+          .collect().iterator.map(r => MediaBlob(r.getLong(0), r.getAs[Array[Byte]](1)))))
+      .map(t => (t._1, t._2)).toSeq
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      ham = hi.zip(hj).count { case (a, b) => a != b } if ham <= 2
+    } yield (i, j, ham)).toSet
+    val got = SparkEntry.queries("mm_phash_pairs")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture produced no near-dup image pairs")
+    assert(got == brute, "banded pair set differs from brute force")
   }
 
   test("pHash is invariant to uniform brightness shift (aHash's blind spot)") {

@@ -55,7 +55,8 @@ class Round10Spec extends AnyFunSuite {
   test("r10 deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("dedup_minhash", "dedup_simhash", "dedup_minhash_mllib",
       "dedup_minhash_incremental", "sim_search_knn_graph",
-      "sim_search_knn_graph_append", "mm_audio_spectrogram", "mm_phash_dct")
+      "sim_search_knn_graph_append", "mm_audio_spectrogram", "mm_phash_dct",
+      "mm_phash_pairs")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
