@@ -353,6 +353,17 @@ object Dedup extends graft.QueryModule {
     *    0.6–2.7%, so 10% holds at every SF with margin while still
     *    failing hard on a broken candidate or verify stage.
     *
+    * RECALIBRATION (r11, ADVICE): every `band_ok` tolerance in this file
+    * (this 10%/abs-2 band, `dedup_minhash_mllib`'s [0.85, 1.25]×,
+    * `dedup_simhash`'s [0.25, 1.25]×) compares two INDEPENDENT hash
+    * pipelines, so the ratio is a distribution-dependent statistic
+    * calibrated on the driver generator at sf0.001/0.01/0.1 — a new
+    * scale factor, generator tweak, or corpus swap can flip the boolean
+    * WITHOUT a pipeline regression. If the driver gate hash-fails on one
+    * of these keys after a data change, re-measure the two counts at the
+    * new SF first (SPARK_GRAFT_ONLY + a .show on the band relation) and
+    * re-widen before suspecting the pipelines.
+    *
     * A regression anywhere in the xx pipeline now flips a boolean and
     * hash-fails the driver gate instead of hiding behind `no_oracle`. */
   private def minhash(s: SparkSession, d: String): DataFrame = {
@@ -532,7 +543,10 @@ object Dedup extends graft.QueryModule {
     val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
     val base = docsDf.filter(col("doc_id") < split)
     val delta = docsDf.filter(col("doc_id") >= split)
-    val dir = "target/tmp/dedup_incr_index"
+    // per-run temp dir (r11, VERDICT cosmetic): a fixed path let two
+    // concurrent sessions overwrite each other's band store mid-query;
+    // the UUID only names scratch space — results are path-independent
+    val dir = s"target/tmp/dedup_incr_index-${java.util.UUID.randomUUID()}"
     // phase 1 — persist yesterday's state (band store + verified pairs)
     md5BandRows(base).write.mode("overwrite").parquet(s"$dir/bands")
     val baseBandsSaved = s.read.parquet(s"$dir/bands")
@@ -577,8 +591,17 @@ object Dedup extends graft.QueryModule {
   def dedupDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("doc_id"), col("text")).localCheckpoint()
+    // existence through Hadoop's FileSystem, not java.io.File: storeDir is
+    // public streaming-lifecycle API and may be an HDFS/S3 URI at 100 TB —
+    // a local-FS check would read "absent" there and silently band every
+    // batch against an EMPTY history (cross-epoch near-dup pairs dropped
+    // with no error). Resolved per path scheme (r11, ADVICE).
+    def hExists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
     def readOrEmpty(sub: String, schema: String): DataFrame =
-      if (new java.io.File(s"$storeDir/$sub").exists)
+      if (hExists(s"$storeDir/$sub"))
         s.read.parquet(s"$storeDir/$sub")
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -1138,10 +1161,16 @@ object Dedup extends graft.QueryModule {
     *    every band bucket; the length block matches by construction);
     *  - `ham0_ok`: its emitted hamming distance is exactly 0;
     *  - `band_ok` (global): the xx pair count (64-bit bands, ≤8/64
-    *    threshold) is within [0.25, 1.0]× of the INDEPENDENT
-    *    [[simhashMd5Pairs]] count (60-bit, ≤8/60 — strictly more
-    *    permissive, so md5 bounds xx from above; measured ratio
-    *    0.46–0.54 across sf0.001/0.01/0.1). */
+    *    threshold) is within [0.25, 1.25]× of the INDEPENDENT
+    *    [[simhashMd5Pairs]] count (60-bit, ≤8/60). BOTH bounds are
+    *    statistical, not structural — the two pipelines hash with
+    *    independent functions, so ≤8/64 under xxhash64 neither implies
+    *    nor is implied by ≤8/60 under md5 for the same pair (the 60-bit
+    *    threshold being fractionally looser only shifts the EXPECTED
+    *    ratio below 1, measured 0.46–0.54 across sf0.001/0.01/0.1); the
+    *    upper bound sits at 1.25× so a distribution shift cannot
+    *    spuriously fail the gate (recalibration note at the
+    *    `dedup_minhash` band). */
   private def simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val docsDf = docs(s, d)
@@ -1155,7 +1184,7 @@ object Dedup extends graft.QueryModule {
     val band = xx.agg(count(lit(1)).as("n_xx"))
       .crossJoin(simhashMd5Pairs(docsDf).agg(count(lit(1)).as("n_md5")))
       .select((col("n_xx") * 4 >= col("n_md5") &&
-        col("n_xx") <= col("n_md5")).as("band_ok"))
+        col("n_xx") * 4 <= col("n_md5") * 5).as("band_ok"))
     anchors.join(xx, Seq("i", "j"), "left")
       .select(col("i"), col("j"),
         col("hamming").isNotNull.as("found_ok"),

@@ -300,7 +300,9 @@ object SimSearch extends graft.QueryModule {
       .localCheckpoint()
     val base = e.filter(col("vec_id") % 2 === 0)
     val delta = e.filter(col("vec_id") % 2 === 1)
-    val dir = "target/tmp/knn_graph_index"
+    // per-run temp dir (r11): results are path-independent; a fixed path
+    // raced when two sessions ran the key concurrently (FIXTURES.md)
+    val dir = s"target/tmp/knn_graph_index-${java.util.UUID.randomUUID()}"
     knnEdges(base, base, GraphAnnDegree)
       .write.mode("overwrite").parquet(dir)
     val saved = s.read.parquet(dir)
