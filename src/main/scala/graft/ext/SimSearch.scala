@@ -160,8 +160,18 @@ object SimSearch extends graft.QueryModule {
       .select(col("i"), col("j"))
   }
 
-  /** The beam walk over a PREBUILT undirected edge set. */
+  /** One entry point per label block: min vec_id per label (the r10
+    * entry rule for the label-blocked graph legs). */
+  private def labelEntries(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+
+  /** The beam walk over a PREBUILT undirected edge set, from an
+    * explicit `entries (vec_id)` relation — parameterized (r11) so the
+    * label-free bucketed build can enter from per-LSH-bucket minima
+    * while the label-blocked legs keep [[labelEntries]]. */
   private def beamWalk(corpus: DataFrame, graphEdges: DataFrame,
+                       entries: DataFrame,
                        probeIn: DataFrame, beamW: Int, steps: Int,
                        k: Int): DataFrame = {
     val probe = probeIn.select(col("embedding").as("probe"),
@@ -173,8 +183,6 @@ object SimSearch extends graft.QueryModule {
         .select(col("vec_id"),
           (dot(col("embedding"), col("probe")) /
             (sqrt(col("nsq")) * sqrt(col("pnsq")))).as("cosine"))
-    val entries = corpus.groupBy(col("label")).agg(min(col("vec_id")).as("vec_id"))
-      .select("vec_id")
     var visited = scored(entries).localCheckpoint()
     for (_ <- 1 to steps) {
       val beam = visited.orderBy(col("cosine").desc, col("vec_id")).limit(beamW)
@@ -193,7 +201,7 @@ object SimSearch extends graft.QueryModule {
                       degree: Int, beamW: Int, steps: Int, k: Int): DataFrame = {
     val corpus = withNsq(corpusIn).localCheckpoint()
     beamWalk(corpus, symCap(knnEdges(corpus, corpus, degree), degree),
-      probeIn, beamW, steps, k)
+      labelEntries(corpus), probeIn, beamW, steps, k)
   }
 
   private def knnGraphSearch(s: SparkSession, d: String): DataFrame = {
@@ -231,9 +239,13 @@ object SimSearch extends graft.QueryModule {
   }
 
   /** The walk tail shared by the graph-ANN oracles: symmetrize + cap a
-    * `gk (i, j, c)` CTE the caller provides, then the per-label entry
-    * points and [[GraphAnnSteps]] unrolled beam rounds. */
-  private def beamSearchOracle(gkPrefix: String): String = {
+    * `gk (i, j, c)` CTE the caller provides, then the entry points
+    * (`entSql`, default = the per-label minima of the label-blocked
+    * legs) and [[GraphAnnSteps]] unrolled beam rounds. */
+  private def beamSearchOracle(gkPrefix: String,
+      entSql: String =
+        """SELECT min(vec_id) AS vec_id FROM embeddings
+          |  WHERE vec_id <> 0 GROUP BY label""".stripMargin): String = {
     val cos = (rel: String) =>
       s"""${dotSql.format(s"$rel.embedding", "p.pe")}
          |        / (sqrt(${dotSql.format(s"$rel.embedding", s"$rel.embedding")})
@@ -270,8 +282,7 @@ object SimSearch extends graft.QueryModule {
        |         ${dotSql.format("embedding", "embedding")} AS np
        |  FROM embeddings WHERE vec_id = 0),
        |ent AS (
-       |  SELECT min(vec_id) AS vec_id FROM embeddings
-       |  WHERE vec_id <> 0 GROUP BY label),
+       |  $entSql),
        |v0 AS (
        |  SELECT c.vec_id, ${cos("c")} AS cosine
        |  FROM embeddings c JOIN ent ON c.vec_id = ent.vec_id, p),
@@ -308,7 +319,7 @@ object SimSearch extends graft.QueryModule {
     val saved = s.read.parquet(dir)
     val merged = symCap(saved.union(knnEdges(delta, e, GraphAnnDegree)),
       GraphAnnDegree)
-    beamWalk(e, merged,
+    beamWalk(e, merged, labelEntries(e),
       Tables.embeddings(s, d).filter(col("vec_id") === 0).select(col("embedding")),
       GraphAnnBeam, GraphAnnSteps, k = 10)
   }
@@ -341,6 +352,203 @@ object SimSearch extends graft.QueryModule {
          |${rankCte("gd", "sd")},
          |gk AS (SELECT i, j, c FROM gb UNION ALL SELECT i, j, c FROM gd)""".stripMargin
     beamSearchOracle(prefix)
+  }
+
+  /** Label-FREE bucketed k-NN graph CONSTRUCTION [N] (r11, VERDICT #1) —
+    * removes the last fixture crutch from the graph-ANN leg: the r10
+    * build ([[knnEdges]]) bounded its quadratic with the corpus's LABEL
+    * column, which an unlabeled 100 TB corpus doesn't have. This build
+    * gets the same bound from STRUCTURE the engine already owns:
+    *
+    *  1. SEED — TWO independent md5-coin LSH tables (`sim_search_ivf`'s
+    *     hyperplane machinery under salts :lsh13 and :lsh17,
+    *     [[withLshProjs]]): candidate pairs are the UNION of the two
+    *     within-bucket equi-joins, ranked per node to the top-`degree`
+    *     by exact cosine. Two tables, not one, is LOAD-BEARING: a
+    *     single table's seed components live entirely inside buckets,
+    *     and neighbor-of-neighbor refinement can never cross a
+    *     component boundary (measured: rounds changed nothing) — with
+    *     independent tables a neighbor split by table 1 is usually
+    *     co-bucketed by table 2, so components span buckets and rounds
+    *     have edges to propagate over. Plane count is the scale knob —
+    *     2^P buckets per table, per-bucket block ≈ n/2^P, so P grows
+    *     with the corpus and no stage is ever all-pairs.
+    *  2. REFINE — NN-Descent rounds (Dong-Moses-Li, WWW'11): round t's
+    *     candidates are the NEIGHBOR-OF-NEIGHBOR pairs of the current
+    *     graph (one equi-join of the symmetrized edge list with
+    *     itself), scored exactly and merged with the current edges,
+    *     then re-ranked to top-`degree`. Per-node work is bounded by
+    *     (2·degree)² candidates per round — corpus-size-INDEPENDENT —
+    *     and deterministic by construction (no sampling: the full
+    *     bounded candidate set is scored, ties broken (cosine DESC, j)),
+    *     so the whole build replays bit-identically and mirrors in SQL.
+    *
+    * Edge recall vs the exact graph improves monotonically with rounds
+    * on structured data (SimSearchRecallSpec pins seed < refined) —
+    * NN-Descent's convergence argument: a true neighbor missed by the
+    * hash seed is usually a neighbor-of-a-neighbor once SOME true edges
+    * exist. Returns directed `(i, j, cosine)`, degree-capped. */
+  private val NnDescentRounds = 2
+
+  def knnGraphBucketed(corpusIn: DataFrame, degree: Int,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withLshProjs(
+        withLshProjs(corpusIn.select(col("vec_id"), col("embedding"))),
+        "lsh17", "bucket2")
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nsq"),
+        col("bucket"), col("bucket2"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+    def rank(pairs: DataFrame): DataFrame = pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= degree)
+      .select(col("i"), col("j"), col("cosine"))
+    def tablePairs(bucketCol: String): DataFrame =
+      corpus.as("a").join(corpus.as("b"),
+          col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+    val seedPairs = tablePairs("bucket").union(tablePairs("bucket2")).distinct()
+    var g = rank(seedPairs
+        .join(corpus.select(col("vec_id").as("i"), col("embedding").as("ea"),
+          col("nsq").as("na")), Seq("i"))
+        .join(corpus.select(col("vec_id").as("j"), col("embedding").as("eb"),
+          col("nsq").as("nb")), Seq("j"))
+        .select(col("i"), col("j"),
+          (dot(col("ea"), col("eb")) /
+            (sqrt(col("na")) * sqrt(col("nb")))).as("cosine")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val und = g.select(col("i"), col("j"))
+        .union(g.select(col("j").as("i"), col("i").as("j")))
+        .distinct()
+      val nn = und.as("x").join(und.as("y"),
+          col("x.j") === col("y.i") && col("x.i") =!= col("y.j"))
+        .select(col("x.i").as("i"), col("y.j").as("j"))
+        .distinct()
+      val scoredNn = nn
+        .join(corpus.select(col("vec_id").as("i"), col("embedding").as("ea"),
+          col("nsq").as("na")), Seq("i"))
+        .join(corpus.select(col("vec_id").as("j"), col("embedding").as("eb"),
+          col("nsq").as("nb")), Seq("j"))
+        .select(col("i"), col("j"),
+          (dot(col("ea"), col("eb")) /
+            (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
+      // a candidate already in g carries the bit-identical cosine (same
+      // IEEE sequence on the same inputs), so distinct() collapses it
+      g = rank(scoredNn.union(g).distinct()).localCheckpoint()
+    }
+    g
+  }
+
+  /** One entry point per non-empty LSH bucket (≤ 2^planes, label-free). */
+  private def bucketEntries(corpusIn: DataFrame): DataFrame =
+    withLshProjs(corpusIn).groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("vec_id")).select("vec_id")
+
+  /** The label-free twin of [[graphBeamSearch]]: bucketed NN-Descent
+    * build, per-bucket entries, same beam walk — public so the recall
+    * spec can drive the identical code path over clustered fixtures. */
+  def graphBeamSearchBucketed(corpusIn: DataFrame, probeIn: DataFrame,
+                              degree: Int, rounds: Int, beamW: Int,
+                              steps: Int, k: Int): DataFrame = {
+    val raw = corpusIn.select(col("vec_id"), col("embedding"))
+    val corpus = raw.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).localCheckpoint()
+    beamWalk(corpus, symCap(knnGraphBucketed(raw, degree, rounds), degree),
+      bucketEntries(raw), probeIn, beamW, steps, k)
+  }
+
+  private def knnGraphBucketedSearch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    graphBeamSearchBucketed(
+      e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0).select(col("embedding")),
+      GraphAnnDegree, NnDescentRounds, GraphAnnBeam, GraphAnnSteps, k = 10)
+  }
+
+  /** Generated oracle for [[knnGraphBucketedSearch]]: the md5-coin LSH
+    * bucket CTEs (sim_search_ivf's weight-matrix regeneration), the
+    * bucket-seeded degree ranking, [[NnDescentRounds]] unrolled
+    * NN-Descent rounds, per-bucket entry points, and the shared
+    * symmetrize/cap/beam-walk tail. Every multiply-referenced CTE is
+    * MATERIALIZED (the beamSearchOracle lesson: inlining re-evaluates
+    * the whole chain exponentially). */
+  private def knnGraphBucketedOracle: String = {
+    def duckHex8(key: String): String =
+      (0 until 8).map { i =>
+        val f = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
+      }.mkString("(", "\n        + ", ")")
+    def wkey(salt: String) =
+      s"CAST(pp.p AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR) || ':$salt'"
+    def rankSql(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT i, j, c FROM (
+         |    SELECT i, j, c, row_number() OVER (PARTITION BY i
+         |      ORDER BY c DESC, j) AS rnk
+         |    FROM $src) WHERE rnk <= $GraphAnnDegree)""".stripMargin
+    val cosPair =
+      s"""${dotSql.format("a.embedding", "b.embedding")}
+         |           / (sqrt(${dotSql.format("a.embedding", "a.embedding")})
+         |              * sqrt(${dotSql.format("b.embedding", "b.embedding")}))""".stripMargin
+    val rounds = (1 to NnDescentRounds).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT DISTINCT i, j FROM (
+         |    SELECT i, j FROM g${t - 1}
+         |    UNION ALL SELECT j AS i, i AS j FROM g${t - 1})),
+         |nn$t AS MATERIALIZED (
+         |  SELECT DISTINCT x.i, y.j
+         |  FROM u$t x JOIN u$t y ON x.j = y.i WHERE x.i <> y.j),
+         |sc$t AS MATERIALIZED (
+         |  SELECT nn.i, nn.j, $cosPair AS c
+         |  FROM nn$t nn JOIN embeddings a ON a.vec_id = nn.i
+         |       JOIN embeddings b ON b.vec_id = nn.j),
+         |${rankSql(s"g$t",
+        s"(SELECT DISTINCT i, j, c FROM (SELECT i, j, c FROM sc$t UNION ALL SELECT i, j, c FROM g${t - 1}))")}""".stripMargin
+    }.mkString(",\n")
+    def tableCtes(n: Int, salt: String): String =
+      s"""w$n AS (
+         |  SELECT pp.p, ii.i,
+         |         ${duckHex8(wkey(salt))} % 2001 - 1000 AS w
+         |  FROM (SELECT unnest(range(0, $ivfPlanes)) AS p) pp,
+         |       (SELECT unnest(range(0, 64)) AS i) ii),
+         |pr$n AS (
+         |  SELECT gvv.vec_id, w$n.p, CAST(sum(gvv.gv * w$n.w) AS BIGINT) AS proj
+         |  FROM gvv JOIN w$n ON gvv.i = w$n.i GROUP BY 1, 2),
+         |bk$n AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)
+         |              AS BIGINT) AS bucket
+         |  FROM pr$n GROUP BY 1)""".stripMargin
+    val prefix =
+      s"""gvv AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+         |              AS BIGINT) AS gv
+         |  FROM embeddings WHERE vec_id <> 0),
+         |${tableCtes(1, "lsh13")},
+         |${tableCtes(2, "lsh17")},
+         |cand0 AS MATERIALIZED (
+         |  SELECT ba.vec_id AS i, bb.vec_id AS j
+         |  FROM bk1 ba JOIN bk1 bb
+         |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+         |  UNION
+         |  SELECT ba.vec_id AS i, bb.vec_id AS j
+         |  FROM bk2 ba JOIN bk2 bb
+         |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id),
+         |s0 AS MATERIALIZED (
+         |  SELECT c0.i, c0.j, $cosPair AS c
+         |  FROM cand0 c0 JOIN embeddings a ON a.vec_id = c0.i
+         |       JOIN embeddings b ON b.vec_id = c0.j),
+         |${rankSql("g0", "s0")},
+         |$rounds,
+         |gk AS (SELECT i, j, c FROM g$NnDescentRounds)""".stripMargin
+    beamSearchOracle(prefix,
+      "SELECT min(vec_id) AS vec_id FROM bk1 GROUP BY bucket")
   }
 
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
@@ -416,33 +624,45 @@ object SimSearch extends graft.QueryModule {
     * vector for values that never change. The DuckDB oracle regenerates
     * the same matrix from md5 directly, proving the two derivations
     * agree. */
-  private lazy val lshWeights: Array[Array[Long]] =
+  private def lshWeightsFor(salt: String): Array[Array[Long]] =
     Array.tabulate(ivfPlanes, 64) { (p, i) =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${p}_$i:lsh13".getBytes("UTF-8"))
+      val hex = md.digest(s"${p}_$i:$salt".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2001L - 1000L
     }
+  private lazy val lshWeights: Array[Array[Long]] = lshWeightsFor("lsh13")
+
+  /** Adds `projs` (per-plane exact-integer projections of the 1e6-grid
+    * vector against the literal [[lshWeights]] matrix — codegen folds it
+    * into constants) and `bucket` (sign bits) to any relation with an
+    * `embedding` column. `coalesce(x, 0L)` makes zip_with's padding
+    * nulls contribute 0 for vectors shorter than 64 dims (same exact
+    * integers for the 64-dim corpus), so the helper serves any
+    * dimension — the bucketed graph build runs it over test fixtures. */
+  private def withLshProjs(e: DataFrame, salt: String = "lsh13",
+                           bucketCol: String = "bucket"): DataFrame = {
+    val pMax = ivfPlanes - 1
+    val gvSql = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    val wLit = lshWeightsFor(salt).map(_.mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+    val projExpr = expr(
+      s"""transform(sequence(0, $pMax), p ->
+         |  aggregate(zip_with($gvSql, element_at($wLit, p + 1),
+         |                     (x, w) -> coalesce(x, 0L) * w),
+         |            0L, (acc, v) -> acc + v))""".stripMargin)
+    e.withColumn("projs", projExpr)
+      .withColumn(bucketCol, expr(
+        s"""aggregate(sequence(0, $pMax), 0L, (acc, p) ->
+           |  acc + IF(element_at(projs, p + 1) > 0, shiftleft(1L, p), 0L))""".stripMargin))
+  }
 
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val pMax = ivfPlanes - 1
     val bMax = (1 << ivfPlanes) - 1
-    val gvSql = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
-    val wLit = lshWeights.map(_.mkString("array(", "L,", "L)"))
-      .mkString("array(", ",", ")")
-    // per-plane exact-integer projections of the gridded vector against
-    // the literal weight matrix (codegen folds it into constants)
-    val projExpr = expr(
-      s"""transform(sequence(0, $pMax), p ->
-         |  aggregate(zip_with($gvSql, element_at($wLit, p + 1),
-         |                     (x, w) -> x * w),
-         |            0L, (acc, v) -> acc + v))""".stripMargin)
-    val withProj = e.withColumn("projs", projExpr)
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, $pMax), 0L, (acc, p) ->
-           |  acc + IF(element_at(projs, p + 1) > 0, shiftleft(1L, p), 0L))""".stripMargin))
+    val withProj = withLshProjs(e)
     // scored multiprobe: rank all 2^P buckets by exact-integer flip cost
     val probe = withProj.filter(col("vec_id") === 0)
       .select(explode(expr(
@@ -1994,7 +2214,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_batch" -> ivfBatch,
     "sim_search_ivf_saved" -> ivfSaved,
     "sim_search_knn_graph" -> knnGraphSearch,
-    "sim_search_knn_graph_append" -> knnGraphAppend)
+    "sim_search_knn_graph_append" -> knnGraphAppend,
+    "sim_search_knn_graph_bucketed" -> knnGraphBucketedSearch)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
@@ -2046,6 +2267,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf" -> ivfLshOracle,
     "sim_search_knn_graph" -> knnGraphSearchOracle,
     "sim_search_knn_graph_append" -> knnGraphAppendOracle,
+    "sim_search_knn_graph_bucketed" -> knnGraphBucketedOracle,
     "sim_search_ivf_multi" -> ivfMultiOracle,
     "sim_search_ivf_append" ->
       pinnedBatchOracle(pinnedIters, nprobe = 4, "WHERE vec_id % 2 = 0"),

@@ -140,6 +140,106 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall == 1.0, s"beam failed to navigate clustered data: $recall")
   }
 
+  test("bucketed (label-free) graph-ANN recall vs exact top-10 on sf0.01") {
+    // r11: LSH-seeded NN-Descent build — no label column anywhere in
+    // build, entries, or walk. Same isotropic-corpus ceiling story as
+    // the label-blocked walk above; the floor is the measured value on
+    // this fixed corpus, and the clustered test below proves the same
+    // path navigates to 1.0 when structure exists.
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val beam = SparkEntry.queries("sim_search_knn_graph_bucketed")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(beam.size == 10)
+    val recall = (exact & beam).size.toDouble / exact.size
+    info(s"bucketed graph-ANN recall@10 = $recall")
+    // measured 0.7 — ABOVE the label-blocked walk's 0.4 ceiling on the
+    // same corpus: the two-table seed + NN-Descent edges cross label
+    // boundaries the blocked build structurally cannot
+    assert(recall >= 0.6, s"bucketed graph-ANN recall@10 regressed: $recall")
+  }
+
+  private def clusteredFixture: (Seq[(Long, Int, Array[Float])], Array[Float]) = {
+    val dim = 16
+    val rows = for (g <- 0 until 10; m <- 0 until 20) yield {
+      val id = (g * 20 + m + 1).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == g) 10.0f else 0.0f
+        center + ((id * 31 + d * 17) % 7 - 3).toFloat / 10.0f
+      }
+      (id, g, v)
+    }
+    val probeVec = Array.tabulate(dim)(d => if (d == 3) 10.0f else 0.05f)
+    (rows, probeVec)
+  }
+
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("bucketed graph-ANN navigates clustered vectors with no labels") {
+    // the label-free twin of the clustered-navigability test: the same
+    // 10-cluster fixture, but the corpus handed to the build carries
+    // ONLY (vec_id, embedding) — the bucketed path must still walk from
+    // a per-LSH-bucket entry to the full exact top-10
+    graft.functions.VectorFunctions.register(spark)
+    val (rows, probeVec) = clusteredFixture
+    val corpus = spark.createDataFrame(rows.map { case (id, _, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+    val probe = spark.createDataFrame(Seq(Tuple1(probeVec))).toDF("embedding")
+    val exact = rows.map { case (id, _, v) => (id, cosD(v, probeVec)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = graft.ext.SimSearch.graphBeamSearchBucketed(
+        corpus, probe, degree = 6, rounds = 2, beamW = 10, steps = 6, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"bucketed clustered graph-ANN recall@10 = $recall")
+    assert(recall == 1.0, s"label-free beam failed to navigate: $recall")
+  }
+
+  test("NN-Descent rounds improve edge recall over the raw LSH seed") {
+    // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
+    // hard case for a hash seed: edge recall = fraction of each node's
+    // exact top-6 neighbors present in its built edge list, averaged
+    // over nodes. The two-table LSH seed misses neighbors split across
+    // both tables' buckets; neighbor-of-neighbor refinement must
+    // recover a meaningful share of them (the NN-Descent convergence
+    // argument) — strictly monotone non-decreasing in rounds, with a
+    // floor only the refined graph clears.
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.Tables.embeddings(spark, sf)
+      .filter("vec_id <> 0").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exactTop: Map[Long, Set[Long]] = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id)
+        .map { case (jd, u) => (jd, cosD(v, u)) }
+        .sortBy { case (jd, c) => (-c, jd) }.take(6).map(_._1).toSet
+    }.toMap
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .filter("vec_id <> 0").select("vec_id", "embedding")
+    def edgeRecall(rounds: Int): Double = {
+      val built = graft.ext.SimSearch.knnGraphBucketed(corpus, 6, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).toSet }
+      val recalls = exactTop.map { case (i, ex) =>
+        (ex & built.getOrElse(i, Set.empty)).size.toDouble / ex.size }
+      recalls.sum / recalls.size
+    }
+    val seed = edgeRecall(0)
+    val refined = edgeRecall(2)
+    info(s"edge recall: seed = $seed, after 2 NN-Descent rounds = $refined")
+    // measured on this corpus: 0.228 seed -> 0.403 refined (+77%) —
+    // isotropic vectors are NN-Descent's slowest case (no
+    // neighbor-of-neighbor correlation to exploit), so convergence per
+    // round is modest; on clustered data the seed already saturates
+    assert(refined > seed, "refinement must improve edge recall")
+    assert(refined >= 0.35, s"refined edge recall regressed: $refined")
+  }
+
   test("emb_knn_classify: every probe classified, votes bounded by k") {
     val rows = SparkEntry.queries("emb_knn_classify")(spark, "/root/testdata/sf0.01")
       .collect()
