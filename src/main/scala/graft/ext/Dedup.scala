@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** SURVEY.md §2.K — deduplication operators for LLM training-data
@@ -265,7 +266,7 @@ object Dedup extends graft.QueryModule {
     val reps = withFp.groupBy(col("fp"))
       .agg(min(col("id")).as("rid"), min_by(col("hs"), col("id")).as("hs"))
       .withColumn("n", size(col("hs")))
-      .localCheckpoint()
+      .cut()
     val sig = reps.select(col("rid"),
       graft.functions.VectorFunctions.minhash_array(col("hs"), numHashes).as("sig"))
     val rowsPerBand = numHashes / numBands
@@ -306,7 +307,7 @@ object Dedup extends graft.QueryModule {
         graft.functions.VectorFunctions.intersect_count(col("ha"), col("hb")))
       .filter(col("inter") / (col("ni") + col("nj") - col("inter")) >= minJaccard)
       .select(col("i"), col("j"))
-      .localCheckpoint()
+      .cut()
     val labels = connectedComponents(
       reps.select(col("rid")), verified, "rid", maxIter = maxIter)
     // rid = min doc key of its fp group and the component label = min rid,
@@ -590,7 +591,7 @@ object Dedup extends graft.QueryModule {
     * over all saved pairs), which the sink publishes. */
   def dedupDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
     val s = batchIn.sparkSession
-    val batch = batchIn.select(col("doc_id"), col("text")).localCheckpoint()
+    val batch = batchIn.select(col("doc_id"), col("text")).cut()
     // existence through Hadoop's FileSystem, not java.io.File: storeDir is
     // public streaming-lifecycle API and may be an HDFS/S3 URI at 100 TB —
     // a local-FS check would read "absent" there and silently band every
@@ -607,7 +608,7 @@ object Dedup extends graft.QueryModule {
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     val savedDocs = readOrEmpty("docs", "doc_id BIGINT, text STRING, epoch BIGINT")
     val savedBands = readOrEmpty("bands", "doc_id BIGINT, band INT, h STRING, epoch BIGINT")
-    val deltaBands = md5BandRows(batch).localCheckpoint()
+    val deltaBands = md5BandRows(batch).cut()
     val cand = deltaBands.as("x")
       .join(savedBands.select("doc_id", "band", "h").union(deltaBands).as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
@@ -623,7 +624,7 @@ object Dedup extends graft.QueryModule {
     // side still references this epoch's previous files, which the
     // overwrite below deletes — cut the lineage first
     val fresh = verifyExactJaccard(cand, allDocs, 0.8)
-      .select(col("i"), col("j")).localCheckpoint()
+      .select(col("i"), col("j")).cut()
     // write straight into the epoch's own partition directory: a replay
     // overwrites exactly these files and nothing else (no reliance on
     // dynamic-partition-overwrite conf scoping)
@@ -784,7 +785,7 @@ object Dedup extends graft.QueryModule {
     // codegen two-pointer intersect over sorted 60-bit word ids
     verifyExactJaccard(cand, docsDf, 0.8)
       .select(col("i"), col("j"))
-      .localCheckpoint()
+      .cut()
   }
 
   /** Generated oracle for [[clustersMd5]]: the same 16 chunked min-md5 slots and
@@ -872,10 +873,11 @@ object Dedup extends graft.QueryModule {
     * Algorithm: min-label propagation — iterate
     * `label := min(label, min(neighbor labels))` to fixpoint. Each round
     * is one join + one hash-agg on the symmetric edge list;
-    * `localCheckpoint` cuts the growing lineage so round N doesn't replan
+    * [[graft.Ckpt.cut]] cuts the growing lineage so round N doesn't replan
     * rounds 1..N-1. Near-dup graphs converge in a few rounds (components
-    * are dense, diameter ~2-3). At 100 TB the same loop holds with a
-    * reliable `checkpoint` dir instead of localCheckpoint; for
+    * are dense, diameter ~2-3). At 100 TB set `graft.checkpoint.dir` and
+    * the same loop cuts through reliable checkpoints instead
+    * (CheckpointModeSpec: bit-identical); for
     * adversarially long path graphs, [[connectedComponentsStar]]
     * implements the alternating large-star/small-star formulation
     * (O(log n) rounds regardless of diameter) — near-dup graphs are
@@ -924,7 +926,7 @@ object Dedup extends graft.QueryModule {
           (col("nl") =!= col("label")).cast("long").as("chg"))
         .observe(obs, sum(col("chg")).as("changed"))
         .select(col("id"), col("label"))
-        .localCheckpoint()
+        .cut()
       // localCheckpoint is a Dataset action (Dataset.withAction), so the
       // CollectMetrics result is posted when it completes — but delivery
       // rides the async listener bus. 5 s rides out normal bus lag without
@@ -981,7 +983,7 @@ object Dedup extends graft.QueryModule {
     def canon(df: DataFrame, a: String, b: String): DataFrame =
       df.select(least(col(a), col(b)).as("s"), greatest(col(a), col(b)).as("t"))
         .filter(col("s") =!= col("t")).distinct()
-    var e = canon(edges, iCol, jCol).localCheckpoint()
+    var e = canon(edges, iCol, jCol).cut()
     var rounds = 0
     var done = e.isEmpty
     while (!done && rounds < maxIter) {
@@ -994,7 +996,7 @@ object Dedup extends graft.QueryModule {
       val large = canon(
         sym.filter(col("v") > col("u")).join(mins, Seq("u"))
           .select(col("m").as("i"), col("v").as("j")), "i", "j")
-        .localCheckpoint()
+        .cut()
       // small-star: orient every edge big->small, link each node's
       // smaller neighbors (and itself) to its min smaller neighbor
       val oriented = large.select(col("t").as("u"), col("s").as("v"))
@@ -1004,7 +1006,7 @@ object Dedup extends graft.QueryModule {
           .union(oriented.join(minsS, Seq("u"))
             .filter(col("v") =!= col("m"))
             .select(col("v").as("i"), col("m").as("j"))), "i", "j")
-        .localCheckpoint()
+        .cut()
       // fixpoint: the (large+small) pair left the edge set unchanged
       done = small.count() == e.count() && small.except(e).isEmpty
       e = small

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** [N] Distributed PCA over `embeddings.embedding` (array<float>, 64-dim)
@@ -122,9 +123,9 @@ object EmbPca extends graft.QueryModule {
       .agg(sum(col("p")).cast("decimal(14,10)").as("gv"))
     val gf = g.unionAll(g.filter(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gv")))
-      .localCheckpoint()
+      .cut()
     val v0 = mu.select(col("d").as("j"),
-      lit(1).cast("decimal(13,12)").as("v")).localCheckpoint()
+      lit(1).cast("decimal(13,12)").as("v")).cut()
     (gf, iterate(gf, v0, PcaRounds))
   }
 
@@ -148,7 +149,7 @@ object EmbPca extends graft.QueryModule {
         .select(col("i").as("j"),
           bround(col("w").cast("double") / col("mw").cast("double"), 12)
             .cast("decimal(13,12)").as("v"))
-        .localCheckpoint()
+        .cut()
       vs += v
     }
     vs.result()
@@ -217,9 +218,9 @@ object EmbPca extends graft.QueryModule {
           round(round(col("lam") * col("vi"), 10).cast("decimal(18,10)")
             * col("vj"), 10).cast("decimal(18,10)"))
           .cast("decimal(16,10)").as("gv"))
-      .localCheckpoint()
+      .cut()
     val v0 = v1.select(col("j"), lit(1).cast("decimal(13,12)").as("v"))
-      .localCheckpoint()
+      .cut()
     val v2 = iterate(g2, v0, DeflateRounds).last
     v1.select(col("j").as("dim"), col("v").as("l1"))
       .join(v2.select(col("j").as("dim"), col("v").as("l2")), "dim")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 
 /** Distributed graph profiling over the co-purchase graph (parts that
@@ -74,7 +75,7 @@ object Graph extends graft.QueryModule {
             |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
-        .localCheckpoint())
+        .cut())
   }
 
   /** Triangle count + edge/vertex tallies in one row. */
@@ -171,10 +172,10 @@ object Graph extends graft.QueryModule {
     //    preserves the hash partitioning — and each round shuffles only
     //    the rank table to meet it; the |E|-row side never moves again.
     val dir =
-      if (bcast) dirRaw.localCheckpoint()
-      else dirRaw.repartition(col("src")).localCheckpoint()
+      if (bcast) dirRaw.cut()
+      else dirRaw.repartition(col("src")).cut()
     val deg = dir.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).cut()
     val nD = deg.count().toDouble
     var r = deg.select(col("node"), col("deg"),
       bround(lit(1.0) / nD, 12).as("rank"))
@@ -192,7 +193,7 @@ object Graph extends graft.QueryModule {
           bround(lit(0.15) / nD +
             lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
             .as("rank"))
-        .localCheckpoint()
+        .cut()
     }
     r.select(col("node"), bround(col("rank"), 8).as("rank")).orderBy("node")
   }
@@ -255,10 +256,10 @@ object Graph extends graft.QueryModule {
     val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val dir =
-      if (bcast) dirRaw.localCheckpoint()
-      else dirRaw.repartition(col("src")).localCheckpoint()
+      if (bcast) dirRaw.cut()
+      else dirRaw.repartition(col("src")).cut()
     val deg = dir.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).cut()
     val nS = deg.filter(col("node") % 10 === 0).count().toDouble
     var r = deg.select(col("node"), col("deg"),
       when(col("node") % 10 === 0, bround(lit(1.0) / nS, 12))
@@ -278,7 +279,7 @@ object Graph extends graft.QueryModule {
             when(col("node") % 10 === 0, lit(0.15) / nS).otherwise(lit(0.0)) +
               lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
             .as("rank"))
-        .localCheckpoint()
+        .cut()
     }
     r.select(col("node"), (col("node") % 10 === 0).as("is_seed"),
       bround(col("rank"), 8).as("rank")).orderBy("node")
@@ -349,9 +350,9 @@ object Graph extends graft.QueryModule {
     val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = dir.select(col("src").as("a_src"), col("dst").as("a_dst"),
         (row_number().over(wAdj) - 1).cast("long").as("a_rn"))
-      .localCheckpoint()
+      .cut()
     val deg = adj.groupBy(col("a_src").as("d_src"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).cut()
     var frontier = deg.filter(col("d_src") % 10 === 0)
       .select(col("d_src").as("seed"), lit(0).as("step"),
         col("d_src").as("node"))
@@ -365,7 +366,7 @@ object Graph extends graft.QueryModule {
         .withColumn("pick", pmod(coin, col("deg")))
         .join(adj, col("node") === col("a_src") && col("a_rn") === col("pick"))
         .select(col("seed"), lit(t).as("step"), col("a_dst").as("node"))
-        .localCheckpoint()
+        .cut()
       walks = walks.unionAll(frontier)
     }
     walks.orderBy("seed", "step")
@@ -442,9 +443,9 @@ object Graph extends graft.QueryModule {
     val e = coPurchaseEdges(s, d)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .cut()
     val deg = dir.groupBy(col("src").as("d_src"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).cut()
     val edgeFlag = dir.select(col("src").as("e_src"), col("dst").as("e_dst"),
       lit(1).as("is_e"))
     // step 0: the seeds; step 1: uniform (no prev yet)
@@ -462,7 +463,7 @@ object Graph extends graft.QueryModule {
       .join(adj, col("node") === col("a_src") && col("a_rn") === col("pick"))
       .select(col("seed"), lit(1).as("step"), col("node").as("prev"),
         col("a_dst").as("node"))
-      .localCheckpoint()
+      .cut()
     var frontier = w1
     var walks = w0.unionAll(w1)
     for (t <- 2 to walkLen) {
@@ -487,7 +488,7 @@ object Graph extends graft.QueryModule {
         .filter(col("coin") >= col("cum") - col("w") && col("coin") < col("cum"))
         .select(col("seed"), lit(t).as("step"), col("node").as("prev"),
           col("nxt").as("node"))
-        .localCheckpoint()
+        .cut()
       walks = walks.unionAll(frontier)
     }
     walks.select(col("seed"), col("step"), col("node"))
@@ -600,10 +601,10 @@ object Graph extends graft.QueryModule {
     val undRaw = e.select(col("a").as("v"), col("b").as("u"))
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
     val und =
-      if (bcast) undRaw.localCheckpoint()
-      else undRaw.repartition(col("u")).localCheckpoint()
+      if (bcast) undRaw.cut()
+      else undRaw.repartition(col("u")).cut()
     var lab = und.select(col("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+      .select(col("v"), col("v").as("lbl")).cut()
     for (_ <- 1 to lpIters) {
       val nbr = (if (bcast) broadcast(lab) else lab)
         .withColumnRenamed("v", "u")
@@ -616,7 +617,7 @@ object Graph extends graft.QueryModule {
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("v"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint()
+        .cut()
     }
     (e, lab)
   }
@@ -646,7 +647,7 @@ object Graph extends graft.QueryModule {
     * crossJoin at the root (allowlisted). */
   private def modularity(s: SparkSession, d: String): DataFrame = {
     val (eRaw, lab) = labelPropState(s, d)
-    val e = eRaw.localCheckpoint()
+    val e = eRaw.cut()
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("decimal(19,0)")
     val labFor = (k: String) => maybeBroadcast(s,
@@ -771,8 +772,8 @@ object Graph extends graft.QueryModule {
     val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val dir =
-      if (bcast) dirRaw.localCheckpoint()
-      else dirRaw.repartition(col("src")).localCheckpoint()
+      if (bcast) dirRaw.cut()
+      else dirRaw.repartition(col("src")).cut()
     var reach = dir.select(col("src").as("s0")).distinct()
       .filter(pmod(col("s0"), lit(101)) === 0)
       .select(col("s0"), col("s0").as("node"), lit(0).as("dist"))
@@ -782,7 +783,7 @@ object Graph extends graft.QueryModule {
         .select(col("s0"), col("dst").as("node"), (col("dist") + 1).as("dist"))
       reach = reach.unionAll(next)
         .groupBy(col("s0"), col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .cut()
     }
     reach.groupBy(col("s0").as("source"))
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("total_dist"))
@@ -820,8 +821,8 @@ object Graph extends graft.QueryModule {
     val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val dir =
-      if (bcast) dirRaw.localCheckpoint()
-      else dirRaw.repartition(col("src")).localCheckpoint()
+      if (bcast) dirRaw.cut()
+      else dirRaw.repartition(col("src")).cut()
     var reach = dir.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(101)) === 0)
       .withColumn("dist", lit(0))
@@ -831,7 +832,7 @@ object Graph extends graft.QueryModule {
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       reach = reach.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .cut()
     }
     reach.orderBy("node")
   }
@@ -875,8 +876,8 @@ object Graph extends graft.QueryModule {
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .withColumn("w", pmod(col("src") + col("dst"), lit(7)) + 1)
     val dir =
-      if (bcast) dirRaw.localCheckpoint()
-      else dirRaw.repartition(col("src")).localCheckpoint()
+      if (bcast) dirRaw.cut()
+      else dirRaw.repartition(col("src")).cut()
     var reach = dir.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(101)) === 0)
       .withColumn("dist", lit(0L))
@@ -886,7 +887,7 @@ object Graph extends graft.QueryModule {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       reach = reach.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .cut()
     }
     reach.orderBy("node")
   }
@@ -1036,7 +1037,7 @@ object Graph extends graft.QueryModule {
           "left_semi")
         .join(maybeBroadcast(s, keep.withColumnRenamed("v", "b")), Seq("b"),
           "left_semi")
-        .localCheckpoint()
+        .cut()
     }
     edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1095,12 +1096,12 @@ object Graph extends graft.QueryModule {
     val bcast = vertexBroadcast(s)
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
     val esrc =
-      (if (bcast) e else e.repartition(col("src"))).localCheckpoint()
+      (if (bcast) e else e.repartition(col("src"))).cut()
     val edst =
-      (if (bcast) esrc else e.repartition(col("dst"))).localCheckpoint()
+      (if (bcast) esrc else e.repartition(col("dst"))).cut()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().cut()
     var h = nodes.select(col("node"), lit(1).cast("decimal(13,12)").as("hs"))
     var a: DataFrame = null
     for (_ <- 1 to HitsRounds) {
@@ -1112,7 +1113,7 @@ object Graph extends graft.QueryModule {
           if (bcast) broadcast(h) else h, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(round(sum(col("hs")), 8).cast("decimal(18,8)").as("ar"))
-        .localCheckpoint()
+        .cut()
       val amax = araw.agg(max(col("ar")).as("amax"))
       val anorm = araw.crossJoin(broadcast(amax))
         .select(col("dst"),
@@ -1129,7 +1130,7 @@ object Graph extends graft.QueryModule {
           if (bcast) broadcast(a) else a, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(round(sum(col("as_")), 8).cast("decimal(18,8)").as("hr"))
-        .localCheckpoint()
+        .cut()
       val hmax = hraw.agg(max(col("hr")).as("hmax"))
       val hnorm = hraw.crossJoin(broadcast(hmax))
         .select(col("src"),
@@ -1266,12 +1267,12 @@ object Graph extends graft.QueryModule {
     val e = coPurchaseEdges(s, d)
     val dirRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val dir = if (bcast) dirRaw.localCheckpoint()
-              else dirRaw.repartition(col("src")).localCheckpoint()
+    val dir = if (bcast) dirRaw.cut()
+              else dirRaw.repartition(col("src")).cut()
     val lev0 = dir.select(col("src").as("s0")).distinct()
       .filter(pmod(col("s0"), lit(101)) === 0)
       .select(col("s0"), col("s0").as("node"), lit(1).cast("decimal(38,0)").as("sigma"))
-      .localCheckpoint()
+      .cut()
     // forward: byDist(l) = nodes first reached at hop l, with exact σ
     val byDist = scala.collection.mutable.ArrayBuffer(lev0)
     var settled = lev0.select(col("s0"), col("node"))
@@ -1283,10 +1284,10 @@ object Graph extends graft.QueryModule {
         .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
         .withColumnRenamed("dst", "node")
       val levL = cand.join(settled, Seq("s0", "node"), "left_anti")
-        .localCheckpoint()
+        .cut()
       byDist += levL
       settled = settled.unionAll(levL.select(col("s0"), col("node")))
-        .localCheckpoint()
+        .cut()
     }
     // backward: δ on the ×10^12 grid, deepest level seeds δ = 0
     val zero = lit(0).cast("decimal(38,0)")
@@ -1311,7 +1312,7 @@ object Graph extends graft.QueryModule {
         .withColumnRenamed("v", "node")
       deeper = vs.join(contrib, Seq("s0", "node"), "left")
         .withColumn("delta12", coalesce(col("delta12"), zero))
-        .localCheckpoint()
+        .cut()
       acc += deeper.select(col("node"), col("delta12"))
     }
     acc.reduce(_ unionAll _)

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.Tables
 import graft.functions.VectorFunctions
 
@@ -176,20 +177,20 @@ object SimSearch extends graft.QueryModule {
                        k: Int): DataFrame = {
     val probe = probeIn.select(col("embedding").as("probe"),
       dot(col("embedding"), col("embedding")).as("pnsq"))
-    val graph = graphEdges.localCheckpoint() // built once; rounds iterate
+    val graph = graphEdges.cut() // built once; rounds iterate
     def scored(ids: DataFrame): DataFrame =
       ids.join(corpus, Seq("vec_id"))
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),
           (dot(col("embedding"), col("probe")) /
             (sqrt(col("nsq")) * sqrt(col("pnsq")))).as("cosine"))
-    var visited = scored(entries).localCheckpoint()
+    var visited = scored(entries).cut()
     for (_ <- 1 to steps) {
       val beam = visited.orderBy(col("cosine").desc, col("vec_id")).limit(beamW)
       val frontier = beam.select(col("vec_id").as("i"))
         .join(graph, Seq("i")).select(col("j").as("vec_id"))
         .except(visited.select(col("vec_id")))
-      visited = visited.union(scored(frontier)).localCheckpoint()
+      visited = visited.union(scored(frontier)).cut()
     }
     visited.orderBy(col("cosine").desc, col("vec_id")).limit(k)
   }
@@ -199,7 +200,7 @@ object SimSearch extends graft.QueryModule {
     * the IDENTICAL code path over structured (clustered) vectors. */
   def graphBeamSearch(corpusIn: DataFrame, probeIn: DataFrame,
                       degree: Int, beamW: Int, steps: Int, k: Int): DataFrame = {
-    val corpus = withNsq(corpusIn).localCheckpoint()
+    val corpus = withNsq(corpusIn).cut()
     beamWalk(corpus, symCap(knnEdges(corpus, corpus, degree), degree),
       labelEntries(corpus), probeIn, beamW, steps, k)
   }
@@ -308,7 +309,7 @@ object SimSearch extends graft.QueryModule {
   private def knnGraphAppend(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = withNsq(Tables.embeddings(s, d).filter(col("vec_id") =!= 0))
-      .localCheckpoint()
+      .cut()
     val base = e.filter(col("vec_id") % 2 === 0)
     val delta = e.filter(col("vec_id") % 2 === 1)
     // per-run temp dir (r11): results are path-independent; a fixed path
@@ -399,7 +400,7 @@ object SimSearch extends graft.QueryModule {
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nsq"),
         col("bucket"), col("bucket2"))
-      .localCheckpoint()
+      .cut()
     val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
     def rank(pairs: DataFrame): DataFrame = pairs
       .withColumn("rnk", row_number().over(w))
@@ -419,7 +420,7 @@ object SimSearch extends graft.QueryModule {
         .select(col("i"), col("j"),
           (dot(col("ea"), col("eb")) /
             (sqrt(col("na")) * sqrt(col("nb")))).as("cosine")))
-      .localCheckpoint()
+      .cut()
     for (_ <- 1 to rounds) {
       val und = g.select(col("i"), col("j"))
         .union(g.select(col("j").as("i"), col("i").as("j")))
@@ -438,7 +439,7 @@ object SimSearch extends graft.QueryModule {
             (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
       // a candidate already in g carries the bit-identical cosine (same
       // IEEE sequence on the same inputs), so distinct() collapses it
-      g = rank(scoredNn.union(g).distinct()).localCheckpoint()
+      g = rank(scoredNn.union(g).distinct()).cut()
     }
     g
   }
@@ -456,7 +457,7 @@ object SimSearch extends graft.QueryModule {
                               steps: Int, k: Int): DataFrame = {
     val raw = corpusIn.select(col("vec_id"), col("embedding"))
     val corpus = raw.select(col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("nsq")).localCheckpoint()
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
     beamWalk(corpus, symCap(knnGraphBucketed(raw, degree, rounds), degree),
       bucketEntries(raw), probeIn, beamW, steps, k)
   }
@@ -840,7 +841,7 @@ object SimSearch extends graft.QueryModule {
         .select(col("cell").as("cid"),
           transform(col("dims"), x => x.getField("m")).as("cvec"),
           col("n_members"))
-        .localCheckpoint() // cut lineage: next round replans from here
+        .cut() // cut lineage: next round replans from here
     }
     centroids
   }
@@ -1850,7 +1851,7 @@ object SimSearch extends graft.QueryModule {
         .agg(sort_array(collect_list(struct(col("pos"), col("mg")))).as("dims"))
         .select(col("sub"), col("cid"),
           transform(col("dims"), x => x.getField("mg")).as("cvec"))
-        .localCheckpoint()
+        .cut()
     }
     cents
   }
@@ -2090,11 +2091,11 @@ object SimSearch extends graft.QueryModule {
       .select(col("vec_id"), col("embedding"),
         pairAffinity(col("embedding"), col("p")).as("qaff"))
       .orderBy(col("qaff").desc, col("vec_id")).limit(mmrPool)
-      .localCheckpoint()
+      .cut()
     var selected = cand.orderBy(col("qaff").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), col("embedding"), col("qaff"),
         lit(1).as("rank"), col("qaff").as("score"))
-      .localCheckpoint()
+      .cut()
     for (r <- 2 to mmrK) {
       val sel = selected.select(col("vec_id").as("sid"),
         col("embedding").as("semb"))
@@ -2110,7 +2111,7 @@ object SimSearch extends graft.QueryModule {
         .orderBy(col("score").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("embedding"), col("qaff"),
           lit(r).as("rank"), col("score"))
-      selected = selected.unionAll(pick).localCheckpoint()
+      selected = selected.unionAll(pick).cut()
     }
     selected.select(col("rank"), col("vec_id"), col("qaff"), col("score"))
       .orderBy("rank")
@@ -2174,7 +2175,7 @@ object SimSearch extends graft.QueryModule {
       .select(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"))
       .distinct()
-      .localCheckpoint()
+      .cut()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     Dedup.connectedComponents(nodes, edges)
       .groupBy(col("cluster_id"))
