@@ -104,6 +104,26 @@ object Bench {
                             // agg_bitmap_distinct's thin rollup moved out)
     "corpus_clean_pipeline") // 6-stage cleaning pipeline incl near-dup (r7)
 
+  /** Self-healing sweep selection (r11, VERDICT #2) — PURE so the line
+    * spec can pin it: given the sweep-ordered `(key, bestTime)` list
+    * (None = the key failed) and the calib probe series ([start, before
+    * key 15, before key 30, ..., end]), return the keys worth re-timing
+    * at sweep end: those whose enclosing probes read > 1.5× the calmest
+    * probe (the key's whole timing sat in a contention window min-of-N
+    * can't see out of), worst recorded time first, capped at 8 so a
+    * fully-loaded sweep doesn't double itself. */
+  def rerunCandidates(keyTimes: Seq[(String, Option[Double])],
+                      calibs: Seq[Double]): Seq[String] = {
+    val calm = calibs.min
+    keyTimes.zipWithIndex.collect {
+      case ((k, Some(t)), idx)
+        if math.max(
+             calibs(math.min(idx / 15, calibs.size - 1)),
+             calibs(math.min(idx / 15 + 1, calibs.size - 1))) > 1.5 * calm =>
+        (k, t)
+    }.sortBy(-_._2).take(8).map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,18 +213,39 @@ object Bench {
     val calibStart = calibs.head
     val calibEnd = calibs.last
     val calibMax = calibs.max
+    // r11 self-healing (VERDICT #2): a key whose ENCLOSING calib probes
+    // spiked was likely timed entirely inside a contention window —
+    // min-of-N cannot escape a spike that outlasts all N runs (r10: the
+    // driver recorded win_skyline at 16.27 s vs 0.92 steady; every run
+    // sat in one window). Re-time the worst such offenders ONCE at sweep
+    // end, when the box is presumably calmer, and keep the min. A calm
+    // sweep (no probe above 1.5x the calmest) re-runs nothing.
+    val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
+    val rerunKeys = rerunCandidates(
+      keys.map(k => k -> (if (failed(k)) None else Some(resultMap(k)))),
+      calibs.toSeq)
+    rerunKeys.foreach { k =>
+      val t = timeOnce(k)
+      if (!failed(k) && t < resultMap(k)) {
+        System.err.println(f"bench: rerun $k%s ${resultMap(k)}%.2f -> $t%.2f s")
+        resultMap(k) = t
+      }
+    }
     // 2 dp: 10 ms resolution is ample for multi-second keys, and the
     // driver's ~2 KB stdout-tail capture must fit the whole line — at 66
     // keys the line is ~1.8 KB, so every char per key matters
     def r3(v: Double): String = f"$v%.2f"
     // a failed query must not masquerade as a latency number
-    val qs = results.map { case (k, v) =>
+    val qs = resultMap.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed(k)) "null" else r3(v))
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val total = resultMap.collect { case (k, v) if !failed(k) => v }.sum
     val errs = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${results.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)},"queries":$qs$errs,"sf":"$sfDir"}""")
+    // count only (the names are on stderr): the rerun marker must not
+    // blow the ~1600-byte line budget BenchLineSpec pins
+    val rr = if (rerunKeys.isEmpty) "" else s""","rerun":${rerunKeys.size}"""
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${resultMap.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)}$rr,"queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
