@@ -355,6 +355,75 @@ object SimSearch extends graft.QueryModule {
     beamSearchOracle(prefix)
   }
 
+  /** Seed the PERSISTENT graph-ANN store (r11, VERDICT #4 — the graph
+    * twin of the saved-IVF lifecycle): vectors and their base×base
+    * directed k-NN edge lists land under `epoch=-1` partitions, the
+    * "day-0 backfill" the streaming deltas then append to. */
+  def knnGraphStoreSeed(vecsIn: DataFrame, storeDir: String): Unit = {
+    val vecs = vecsIn.select(col("vec_id"), col("label"), col("embedding"))
+    vecs.write.mode("overwrite").parquet(s"$storeDir/vecs/epoch=-1")
+    val e = withNsq(vecs).cut()
+    knnEdges(e, e, GraphAnnDegree)
+      .write.mode("overwrite").parquet(s"$storeDir/edges/epoch=-1")
+  }
+
+  /** One STREAMING micro-batch of graph-ANN index append — the per-epoch
+    * core [[graft.streaming.Streams.knnGraphDeltas]] runs inside
+    * `foreachBatch` (r11, VERDICT #4). Mirrors the batch
+    * `sim_search_knn_graph_append` legs exactly: the delta's nodes rank
+    * against saved ∪ delta (the HNSW insertion rule), saved nodes' lists
+    * are never re-ranked, and symmetrization + the degree cap happen at
+    * SERVE time over the union of all epochs' edges. Replay-idempotent
+    * the same way [[graft.ext.Dedup.dedupDelta]] is: the epoch's vectors
+    * and edges land in their own `epoch=N` partitions via direct
+    * partition-path overwrite, so a re-delivered micro-batch rewrites
+    * identical rows instead of duplicating them (dropDuplicates on
+    * vec_id makes the ranking side replay-safe — on a replay the saved
+    * store already holds this epoch's vectors). Returns the merged
+    * servable edge list (symmetrized, capped) as of this epoch. */
+  def knnGraphDelta(batchIn: DataFrame, storeDir: String,
+                    epoch: Long): DataFrame = {
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("vec_id"), col("label"), col("embedding"))
+      .cut()
+    def hExists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val savedVecs =
+      if (hExists(s"$storeDir/vecs")) s.read.parquet(s"$storeDir/vecs")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      else batch.limit(0)
+    val allVecs = savedVecs.union(batch).dropDuplicates("vec_id")
+    // materialize BEFORE the store writes: on a replayed epoch the
+    // saved side still references this epoch's previous files, which
+    // the overwrite below deletes — cut the lineage first
+    val fresh = knnEdges(withNsq(batch), withNsq(allVecs).cut(),
+      GraphAnnDegree).cut()
+    batch.write.mode("overwrite").parquet(s"$storeDir/vecs/epoch=$epoch")
+    fresh.write.mode("overwrite").parquet(s"$storeDir/edges/epoch=$epoch")
+    symCap(s.read.parquet(s"$storeDir/edges")
+        .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+      .orderBy("i", "j")
+  }
+
+  /** Serve a probe from the persisted graph store — the same beam walk
+    * as the registered graph keys, over the union of every epoch's
+    * edges (StreamingSpec pins this equal to the one-shot batch
+    * `sim_search_knn_graph_append` when the stream delivered the same
+    * delta). */
+  def serveFromGraphStore(s: SparkSession, storeDir: String,
+                          probeIn: DataFrame): DataFrame = {
+    val corpus = withNsq(s.read.parquet(s"$storeDir/vecs")
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .dropDuplicates("vec_id"))
+      .cut()
+    val edges = s.read.parquet(s"$storeDir/edges")
+      .select(col("i"), col("j"), col("cosine"))
+    beamWalk(corpus, symCap(edges, GraphAnnDegree), labelEntries(corpus),
+      probeIn, GraphAnnBeam, GraphAnnSteps, k = 10)
+  }
+
   /** Label-FREE bucketed k-NN graph CONSTRUCTION [N] (r11, VERDICT #1) —
     * removes the last fixture crutch from the graph-ANN leg: the r10
     * build ([[knnEdges]]) bounded its quadratic with the corpus's LABEL

@@ -473,6 +473,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming graph-ANN index APPEND (r11, VERDICT #4) — the graph twin
+    * of [[dedupDeltas]]'s incremental lifecycle, over an EMBEDDING DELTA
+    * STREAM: each micro-batch of `(vec_id, label, embedding)` rows ranks
+    * against the SAVED vector store ∪ the batch (the HNSW insertion rule
+    * in batch form — saved nodes' lists never re-rank) and folds its
+    * edges into the epoch-partitioned store via
+    * [[graft.ext.SimSearch.knnGraphDelta]]; the sink receives the merged
+    * servable (symmetrized, degree-capped) edge list after each batch.
+    * Seed the store first with [[graft.ext.SimSearch.knnGraphStoreSeed]].
+    * Replays are idempotent: a re-delivered epoch rewrites its own
+    * `epoch=N` partitions with deterministically identical rows
+    * (StreamingSpec pins streamed ≡ batch `sim_search_knn_graph_append`
+    * and the replay). */
+  def knnGraphDeltas(deltaVecs: DataFrame, storeDir: String,
+                     checkpointDir: String)
+                    (sink: DataFrame => Unit): StreamingQuery =
+    deltaVecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SimSearch.knnGraphDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     eventStream(spark, srcDir).writeStream

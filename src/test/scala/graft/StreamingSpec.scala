@@ -602,6 +602,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == full, "a replayed epoch changed the assignment")
   }
 
+  test("knnGraphDeltas: streamed graph append == batch append, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val sf = TestSpark.sf0001
+    val e = graft.Tables.embeddings(spark, sf)
+    val store = Files.createTempDirectory("graft_gann_store").toString
+    val ckp = Files.createTempDirectory("graft_gann_ckp").toString
+    // day-0 backfill: the even-id half is the saved base — exactly the
+    // batch key's split, so the streamed result must match it
+    graft.ext.SimSearch.knnGraphStoreSeed(
+      e.filter("vec_id <> 0 AND vec_id % 2 = 0"), store)
+    val odd = e.filter("vec_id <> 0 AND vec_id % 2 = 1")
+      .select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSeq
+    val ms = MemoryStream[(Long, Int, Seq[Float])]
+    var merged: Seq[(Long, Long)] = Nil
+    val sink = (g: org.apache.spark.sql.DataFrame) =>
+      merged = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ms.addData(odd)
+    Streams.knnGraphDeltas(ms.toDF().toDF("vec_id", "label", "embedding"),
+      store, ckp)(sink).awaitTermination()
+    assert(merged.nonEmpty, "the sink never received a merged edge list")
+    val probe = e.filter("vec_id = 0").select("embedding")
+    val served = graft.ext.SimSearch.serveFromGraphStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchKey = SparkEntry.queries("sim_search_knn_graph_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == batchKey,
+      "streamed-append serve diverged from the batch sim_search_knn_graph_append")
+    // replay idempotence: re-deliver the final epoch's exact content —
+    // the store partitions are rewritten with identical rows and neither
+    // the merged edge list nor the served answer may change
+    val lastEpoch = spark.read.parquet(s"$store/edges")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastBatch = spark.read.parquet(s"$store/vecs/epoch=$lastEpoch")
+      .select("vec_id", "label", "embedding").localCheckpoint()
+    val replayed = graft.ext.SimSearch.knnGraphDelta(lastBatch, store, lastEpoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == merged, "a replayed epoch changed the merged graph")
+    val servedAgain = graft.ext.SimSearch
+      .serveFromGraphStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAgain == served, "a replayed epoch changed the served answer")
+  }
+
   test("maintainIncrementalState: one state version per micro-batch, exact fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_inc_state").toString
