@@ -404,8 +404,11 @@ object Multimodal extends graft.QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
-  private val mmSceneCutsOracle =
-    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+  /** The per-frame aHash CTE chain (→ `hx (doc_id, frame_idx, ahash)`
+    * and `lagged (+ prev)`) shared by the scene-cut oracle and the
+    * scene-dedup composition oracle. */
+  private val sceneHashCtesSql =
+    """d AS (SELECT doc_id, text, length(text) AS len FROM documents),
       |frames AS (
       |  SELECT doc_id, text, len, f,
       |         (len + f) % 8 + 1 AS w, (len + f) % 6 + 1 AS h
@@ -431,7 +434,10 @@ object Multimodal extends graft.QueryModule {
       |  SELECT doc_id, frame_idx, ahash,
       |         lag(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx)
       |           AS prev
-      |  FROM hx),
+      |  FROM hx)""".stripMargin
+
+  private val mmSceneCutsOracle =
+    s"""WITH $sceneHashCtesSql,
       |dist AS (
       |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
       |         CAST(list_sum(list_transform(range(1, 65), i ->
@@ -630,8 +636,112 @@ object Multimodal extends graft.QueryModule {
        |             THEN 0 ELSE 1 END)) <= 2
        |ORDER BY i, j""".stripMargin
 
+  /** Scene-level video DEDUP [N] (r11, VERDICT #5) — the multimodal
+    * family composing like the text family does (`corpus_clean_pipeline`
+    * for videos), in ONE declarative plan: [[mmSceneCuts]]'s frame-hash
+    * + cut detection chain → scene segmentation (scene id = running cut
+    * count per video) → one representative frame per scene (its first
+    * frame — deterministic, no decode re-run) → cross-video near-dup
+    * scene PAIRS by banding each representative's 64-bit aHash into
+    * 4×16-bit bands, bucket-joining, and exact-Hamming re-checking at
+    * ≤ 8/64 (the `dedup_simhash` banding discipline on the image
+    * modality; recall here is statistical like simhash's, not the
+    * pigeonhole-lossless `mm_phash_pairs` case — 8 differing bits can
+    * touch all 4 bands). Codec work stays in the two partition-wise
+    * demux stages; everything after is windows + one band equi-join —
+    * no quadratic stage, scales like the text near-dup pipelines. */
+  private def mmSceneDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val ham64 = (a: String, b: String) => expr(
+      s"aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+        s"CASE WHEN substring($a, i, 1) = substring($b, i, 1) THEN 0 ELSE 1 END)")
+    val scenes = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeContainers)
+      .mapPartitions(demuxFrameAhashes)
+      .toDF("doc_id", "frame_idx", "ahash")
+      .withColumn("prev", lag(col("ahash"), 1).over(wOrd))
+      .withColumn("iscut",
+        when(col("prev").isNull, 0)
+          .otherwise(when(ham64("ahash", "prev") > 16, 1).otherwise(0)))
+      .withColumn("scene", sum(col("iscut")).over(wOrd))
+    val wScene = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("scene")).orderBy(col("frame_idx"))
+    val reps = scenes
+      .withColumn("rn", row_number().over(wScene))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("scene"), col("ahash"))
+      .localCheckpoint() // the band self-join reads it twice
+    val bands = reps.select(col("doc_id"), col("scene"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("ahash"), 1 + 16 * b, 16).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("scene"), col("ahash"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("x.scene").as("scene_i"),
+        col("y.doc_id").as("j"), col("y.scene").as("scene_j"),
+        col("x.ahash").as("pa"), col("y.ahash").as("pb"))
+      .distinct()
+      .select(col("i"), col("scene_i"), col("j"), col("scene_j"),
+        ham64("pa", "pb").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy("i", "scene_i", "j", "scene_j")
+  }
+
+  /** Oracle for [[mmSceneDedup]]: the shared frame-hash chain, the same
+    * running-cut-count segmentation, first-frame representatives, 4×16
+    * bands, exact Hamming. */
+  private def sceneDedupOracle: String = {
+    val ham =
+      """list_sum(list_transform(range(1, 65), p ->
+        |         CASE WHEN substr(pa, p, 1) = substr(pb, p, 1)
+        |              THEN 0 ELSE 1 END))""".stripMargin
+    s"""WITH $sceneHashCtesSql,
+       |cutf AS (
+       |  SELECT doc_id, frame_idx, ahash,
+       |         CASE WHEN prev IS NULL THEN 0
+       |              WHEN list_sum(list_transform(range(1, 65), i ->
+       |                CASE WHEN substr(ahash, i, 1) = substr(prev, i, 1)
+       |                     THEN 0 ELSE 1 END)) > 16 THEN 1
+       |              ELSE 0 END AS iscut
+       |  FROM lagged),
+       |scn AS (
+       |  SELECT doc_id, frame_idx, ahash,
+       |         CAST(sum(iscut) OVER (PARTITION BY doc_id
+       |           ORDER BY frame_idx) AS BIGINT) AS scene
+       |  FROM cutf),
+       |reps AS (
+       |  SELECT doc_id, scene, ahash FROM (
+       |    SELECT doc_id, scene, ahash,
+       |           row_number() OVER (PARTITION BY doc_id, scene
+       |             ORDER BY frame_idx) AS rn
+       |    FROM scn) WHERE rn = 1),
+       |bands AS (
+       |  SELECT doc_id, scene, ahash, b AS band,
+       |         substr(ahash, 1 + 16 * b, 16) AS h
+       |  FROM reps, unnest(range(0, 4)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, x.scene AS scene_i,
+       |         y.doc_id AS j, y.scene AS scene_j,
+       |         x.ahash AS pa, y.ahash AS pb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT i, scene_i, j, scene_j,
+       |       CAST($ham AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE $ham <= 8
+       |ORDER BY i, scene_i, j, scene_j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_binary_files" -> srcBinaryFiles,
+    "mm_scene_dedup" -> mmSceneDedup,
     "multimodal_cols" -> mmMeta,
     "mm_binary" -> mmBinary,
     "mm_decode" -> mmDecode,
@@ -710,6 +820,7 @@ object Multimodal extends graft.QueryModule {
     // threshold by the exact mean via g*64 >= sum (no division);
     // empty payloads gray to all-zero and hash to all-ones
     "mm_scene_cuts" -> mmSceneCutsOracle,
+    "mm_scene_dedup" -> sceneDedupOracle,
     "mm_phash_dct" -> phashDctOracle,
     "mm_phash_pairs" -> phashPairsOracle,
     "mm_ahash" ->

@@ -117,4 +117,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h1 == h2, "pHash changed under uniform brightness shift")
     assert(dc1 != dc2, "DC should track overall brightness")
   }
+
+  test("scene dedup: cross-video pairs only, exact-dup videos pair at 0") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("mm_scene_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(pairs.nonEmpty, "no scene-level near-dups found at all")
+    assert(pairs.forall { case (i, _, j, _, h) => i < j && h <= 8 },
+      "pair contract violated: need i < j and hamming <= 8")
+    // two docs with IDENTICAL text synthesize identical containers, so
+    // their first scenes must pair at hamming 0
+    val dupPair = graft.Tables.documents(spark, sf)
+      .groupBy("text")
+      .agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
+      .filter("size(ids) >= 2")
+      .selectExpr("array_min(ids) AS a", "array_max(ids) AS b")
+      .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+    dupPair match {
+      case Some((a, b)) =>
+        assert(pairs.contains((a, 0L, b, 0L, 0)),
+          s"exact-dup videos $a/$b missing their hamming-0 first-scene pair")
+      case None => info("no exact-dup texts at this SF; skipped the plant check")
+    }
+  }
 }
