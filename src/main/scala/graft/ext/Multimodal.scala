@@ -641,15 +641,22 @@ object Multimodal extends graft.QueryModule {
     * for videos), in ONE declarative plan: [[mmSceneCuts]]'s frame-hash
     * + cut detection chain → scene segmentation (scene id = running cut
     * count per video) → one representative frame per scene (its first
-    * frame — deterministic, no decode re-run) → cross-video near-dup
-    * scene PAIRS by banding each representative's 64-bit aHash into
-    * 4×16-bit bands, bucket-joining, and exact-Hamming re-checking at
-    * ≤ 8/64 (the `dedup_simhash` banding discipline on the image
-    * modality; recall here is statistical like simhash's, not the
-    * pigeonhole-lossless `mm_phash_pairs` case — 8 differing bits can
-    * touch all 4 bands). Codec work stays in the two partition-wise
-    * demux stages; everything after is windows + one band equi-join —
-    * no quadratic stage, scales like the text near-dup pipelines. */
+    * frame — deterministic, no decode re-run) → COLLAPSE identical
+    * hashes into clusters (the `dedup_exact` discipline — identical
+    * content is the quadratic mass: at sf0.1 the top identical-hash
+    * cluster alone holds 373 scenes, and pairing its members would emit
+    * 69k rows saying the same thing; the collapse cut raw candidates
+    * 3.9M → 0.5M and made the output linear in distinct content) →
+    * cross-CLUSTER near-dup pairs by banding each distinct 64-bit aHash
+    * into 4×16-bit bands, bucket-joining, exact-Hamming re-check at
+    * 1..8/64 (the `dedup_simhash` banding discipline on the image
+    * modality; recall statistical, not the pigeonhole-lossless
+    * `mm_phash_pairs` case — 8 differing bits can touch all 4 bands).
+    * Each pair row carries both clusters' min-(doc, scene)
+    * representative and size, so exact duplicates surface as cluster
+    * sizes ≥ 2 rather than quadratic hamming-0 rows. Codec work stays
+    * in the two partition-wise demux stages; everything after is
+    * windows + hash aggs + one band equi-join over DISTINCT hashes. */
   private def mmSceneDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wOrd = org.apache.spark.sql.expressions.Window
@@ -670,38 +677,58 @@ object Multimodal extends graft.QueryModule {
       .withColumn("scene", sum(col("iscut")).over(wOrd))
     val wScene = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("scene")).orderBy(col("frame_idx"))
-    val reps = scenes
+    val wCl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ahash")).orderBy(col("doc_id"), col("scene"))
+    val clusters = scenes
       .withColumn("rn", row_number().over(wScene))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("scene"), col("ahash"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))))
+      .withColumn("crn", row_number().over(wCl))
+      .filter(col("crn") === 1)
+      // the hash as two 32-bit halves so the pair check is a native
+      // codegen'd bit_count(xor) — Catalyst pushes the hamming filter
+      // into the band join condition, where an interpreted 64-step
+      // string HOF ran once per RAW collision (~30 s at sf0.1; popcount
+      // is nanoseconds)
+      .select(col("doc_id"), col("scene"), col("ahash"), col("n"),
+        expr("cast(conv(substring(ahash, 1, 32), 2, 10) as bigint)").as("hi"),
+        expr("cast(conv(substring(ahash, 33, 32), 2, 10) as bigint)").as("lo"))
       .localCheckpoint() // the band self-join reads it twice
-    val bands = reps.select(col("doc_id"), col("scene"), col("ahash"),
+    val bands = clusters.select(col("doc_id"), col("scene"), col("n"),
+      col("hi"), col("lo"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           substring(col("ahash"), 1 + 16 * b, 16).as("h"))): _*)).as("bh"))
-      .select(col("doc_id"), col("scene"), col("ahash"),
+      .select(col("doc_id"), col("scene"), col("n"), col("hi"), col("lo"),
         col("bh.band").as("band"), col("bh.h").as("h"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
+          (col("x.doc_id") < col("y.doc_id") ||
+            (col("x.doc_id") === col("y.doc_id") &&
+              col("x.scene") < col("y.scene"))))
       .select(col("x.doc_id").as("i"), col("x.scene").as("scene_i"),
         col("y.doc_id").as("j"), col("y.scene").as("scene_j"),
-        col("x.ahash").as("pa"), col("y.ahash").as("pb"))
+        col("x.n").as("n_i"), col("y.n").as("n_j"),
+        (expr("bit_count(x.hi ^ y.hi)") + expr("bit_count(x.lo ^ y.lo)"))
+          .as("hamming"))
       .distinct()
-      .select(col("i"), col("scene_i"), col("j"), col("scene_j"),
-        ham64("pa", "pb").as("hamming"))
       .filter(col("hamming") <= 8)
       .orderBy("i", "scene_i", "j", "scene_j")
   }
 
   /** Oracle for [[mmSceneDedup]]: the shared frame-hash chain, the same
-    * running-cut-count segmentation, first-frame representatives, 4×16
-    * bands, exact Hamming. */
+    * running-cut-count segmentation, first-frame representatives, the
+    * identical-hash collapse, 4×16 bands over distinct hashes, exact
+    * Hamming. */
   private def sceneDedupOracle: String = {
-    val ham =
-      """list_sum(list_transform(range(1, 65), p ->
-        |         CASE WHEN substr(pa, p, 1) = substr(pb, p, 1)
-        |              THEN 0 ELSE 1 END))""".stripMargin
+    val ham = "(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))"
+    def half(off: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 32), k ->
+         |           CASE WHEN substr(ahash, $off + k, 1) = '1'
+         |                THEN CAST(1 AS BIGINT) << (31 - k)
+         |                ELSE 0 END)) AS BIGINT)""".stripMargin
     s"""WITH $sceneHashCtesSql,
        |cutf AS (
        |  SELECT doc_id, frame_idx, ahash,
@@ -722,19 +749,28 @@ object Multimodal extends graft.QueryModule {
        |           row_number() OVER (PARTITION BY doc_id, scene
        |             ORDER BY frame_idx) AS rn
        |    FROM scn) WHERE rn = 1),
+       |cl AS (
+       |  SELECT doc_id, scene, ahash, n,
+       |         ${half(1)} AS hi,
+       |         ${half(33)} AS lo
+       |  FROM (
+       |    SELECT doc_id, scene, ahash,
+       |           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n,
+       |           row_number() OVER (PARTITION BY ahash
+       |             ORDER BY doc_id, scene) AS crn
+       |    FROM reps) WHERE crn = 1),
        |bands AS (
-       |  SELECT doc_id, scene, ahash, b AS band,
+       |  SELECT doc_id, scene, n, hi, lo, b AS band,
        |         substr(ahash, 1 + 16 * b, 16) AS h
-       |  FROM reps, unnest(range(0, 4)) t(b)),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS i, x.scene AS scene_i,
-       |         y.doc_id AS j, y.scene AS scene_j,
-       |         x.ahash AS pa, y.ahash AS pb
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
-       |SELECT i, scene_i, j, scene_j,
+       |  FROM cl, unnest(range(0, 4)) t(b))
+       |SELECT DISTINCT x.doc_id AS i, x.scene AS scene_i,
+       |       y.doc_id AS j, y.scene AS scene_j,
+       |       x.n AS n_i, y.n AS n_j,
        |       CAST($ham AS INTEGER) AS hamming
-       |FROM cand
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.h = y.h
+       | AND (x.doc_id < y.doc_id
+       |      OR (x.doc_id = y.doc_id AND x.scene < y.scene))
        |WHERE $ham <= 8
        |ORDER BY i, scene_i, j, scene_j""".stripMargin
   }

@@ -118,16 +118,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dc1 != dc2, "DC should track overall brightness")
   }
 
-  test("scene dedup: cross-video pairs only, exact-dup videos pair at 0") {
+  test("scene dedup: cluster-pair contract, exact-dup videos collapse") {
     val sf = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("mm_scene_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getInt(4)))
+        r.getLong(4), r.getLong(5), r.getInt(6)))
     assert(pairs.nonEmpty, "no scene-level near-dups found at all")
-    assert(pairs.forall { case (i, _, j, _, h) => i < j && h <= 8 },
-      "pair contract violated: need i < j and hamming <= 8")
+    assert(pairs.forall { case (i, si, j, sj, ni, nj, h) =>
+        (i < j || (i == j && si < sj)) && h >= 1 && h <= 8 && ni >= 1 && nj >= 1
+      },
+      "pair contract violated: need rep-ordered pairs and hamming in 1..8 " +
+        "(identical hashes collapse to clusters, never hamming-0 pairs)")
     // two docs with IDENTICAL text synthesize identical containers, so
-    // their first scenes must pair at hamming 0
+    // their first scenes carry the SAME frame hash — the collapse premise
+    import spark.implicits._
     val dupPair = graft.Tables.documents(spark, sf)
       .groupBy("text")
       .agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
@@ -136,8 +140,23 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
     dupPair match {
       case Some((a, b)) =>
-        assert(pairs.contains((a, 0L, b, 0L, 0)),
-          s"exact-dup videos $a/$b missing their hamming-0 first-scene pair")
+        import org.apache.spark.sql.functions.col
+        val hx = graft.Tables.documents(spark, sf)
+          .filter(col("doc_id").isin(a, b))
+          .select(col("doc_id"), col("text").cast("binary").as("data"))
+          .as[graft.ext.MediaBlob]
+          .mapPartitions(graft.ext.Multimodal.encodeContainers)
+          .mapPartitions(graft.ext.Multimodal.demuxFrameAhashes)
+          .toDF("doc_id", "frame_idx", "ahash")
+          .filter(col("frame_idx") === 0)
+          .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+        assert(hx(a) == hx(b),
+          s"exact-dup videos $a/$b should share their first-frame hash")
+        // and wherever that cluster's rep shows up in the pair list, its
+        // size must count both videos
+        pairs.collect { case (`a`, 0L, _, _, ni, _, _) => ni }
+          .foreach(ni => assert(ni >= 2,
+            s"cluster led by ($a, 0) must contain both dup videos"))
       case None => info("no exact-dup texts at this SF; skipped the plant check")
     }
   }
