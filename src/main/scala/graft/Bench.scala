@@ -72,9 +72,10 @@ object Bench {
                             // ~22 s at sf0.1 — an inherent cost of the
                             // "hash equality proves incremental ≡ full
                             // rebuild" contract, not a plan defect)
-    "sim_search_knn_graph", // beam walk over symmetrized k-NN graph (r10;
-                            // replaces sim_search_kmeans_assign — the Lloyd
-                            // path stays repped by sim_search_pq/ivf)
+    "sim_search_hnsw",      // 2-layer hierarchical descent: two bucketed
+                            // NN-Descent builds + coarse/fine beam walks
+                            // (r11; subsumes sim_search_knn_graph's walk —
+                            // the heaviest graph-ANN rep, label-free)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
     "sim_search_pq",        // product-quantization ANN
     "mm_decode",            // real javax.imageio PNG decode (r7)

@@ -169,6 +169,183 @@ object Audio extends graft.QueryModule {
       }
     }
 
+  // --- audio fingerprinting (the Shazam/Wang'03 landmark shape) --------
+
+  private val FpMaxSamples = 128
+  private val FpQuantum = 1024L
+  private val FpMaxDt = 3
+  private val FpMinVotes = 3
+
+  /** Encode a PCM16LE sample array as one real RIFF/WAVE stream. */
+  private def pcmToWav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      samples.length)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** ENCODE stage for the fingerprint keys: a real WAV over the first
+    * min(len, 128) bytes (sample i = byte i, recentred — no wraparound,
+    * so a shared document PREFIX yields a shared audio prefix and the
+    * landmark pairs of near-dup documents align). */
+  private[graft] def synthesizeWavFp(data: Array[Byte]): Array[Byte] = {
+    val n = math.min(data.length, FpMaxSamples)
+    pcmToWav(Array.tabulate(n)(i => ((data(i) & 0xff) - 128) * 256))
+  }
+
+  /** Spectral LANDMARK extraction at the decode seam — the fingerprint
+    * keys' DSP stage: real WAV round-trip, non-overlapping 8-sample
+    * windows, DFT magnitude on the shared integer grid over the 3 non-DC
+    * bins; the landmark is the argmax bin (ties → lower bin) with its
+    * squared magnitude quantized to a 1024 grid. All integer: the bin
+    * sums are exact BIGINT, |re|,|im| are floor-divided by the 1e6
+    * coefficient scale before squaring (trunc == floor on the abs), so
+    * the oracle restates every landmark bit-for-bit. */
+  def fingerprintLandmarks(blobs: Iterator[MediaBlob]): Iterator[(Long, Int, Int, Long)] =
+    blobs.flatMap { b =>
+      val (_, samples) = readWav(b.data)
+      samples.grouped(SpecWindow).zipWithIndex.map { case (w, idx) =>
+        var bestBin = 0
+        var bestM = -1L
+        var k = 1
+        while (k < SpecBins) {
+          var re = 0L; var im = 0L; var n = 0
+          while (n < w.length) {
+            re += w(n).toLong * SpecCos(k)(n)
+            im -= w(n).toLong * SpecSin(k)(n)
+            n += 1
+          }
+          val rk = math.abs(re) / CoefScale
+          val ik = math.abs(im) / CoefScale
+          val m = rk * rk + ik * ik
+          if (m > bestM) { bestM = m; bestBin = k }
+          k += 1
+        }
+        (b.doc_id, idx, bestBin, bestM / FpQuantum)
+      }
+    }
+
+  /** Landmark-PAIR fingerprints over a `(doc_id, text)` relation: each
+    * anchor landmark paired with the landmarks [[FpMaxDt]] windows ahead
+    * (the Wang'03 target zone), hashed as the readable string
+    * `binA_qA_binB_qB_dt`. The quantized magnitudes make the alphabet
+    * effectively unbounded — candidate buckets stay small (max 26 at
+    * sf0.1) without any banding step. Public so the spec can drive
+    * constructed payloads through the identical path. */
+  def audioFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.Ckpt.CutOps
+    val lm = docs
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(bs => bs.map(b => MediaBlob(b.doc_id, synthesizeWavFp(b.data))))
+      .mapPartitions(fingerprintLandmarks)
+      .toDF("doc_id", "w", "bin", "q")
+      .cut() // the anchor-target pair join reads the landmarks twice
+    lm.as("a").join(lm.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.w") - col("a.w") >= 1 && col("b.w") - col("a.w") <= FpMaxDt)
+      .select(col("a.doc_id").as("doc_id"), col("a.w").as("anchor"),
+        concat_ws("_",
+          col("a.bin").cast("string"), col("a.q").cast("string"),
+          col("b.bin").cast("string"), col("b.q").cast("string"),
+          (col("b.w") - col("a.w")).cast("string")).as("fp"))
+  }
+
+  /** Offset-consistent VOTE matching over a fingerprint relation: pairs
+    * of documents sharing ≥ [[FpMinVotes]] fingerprints at the SAME
+    * anchor alignment (the Shazam scatterplot-diagonal test, as one
+    * equi-join + hash agg — no alignment search). */
+  def audioMatches(fps: DataFrame): DataFrame =
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        (col("x.anchor") - col("y.anchor")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= FpMinVotes)
+
+  /** One micro-batch of incremental audio content-ID — the per-epoch
+    * core [[graft.streaming.Streams.audioFpDeltas]] runs inside
+    * `foreachBatch` (the audio twin of `Dedup.dedupDelta` /
+    * `SimSearch.knnGraphDelta`, completing the streaming index lifecycle
+    * for the fingerprint family): the batch's documents are
+    * fingerprinted with the corpus-independent landmark hashes, matched
+    * against the SAVED fingerprint store ∪ the batch (the historical
+    * corpus is never re-fingerprinted), and every epoch table lands in
+    * its own `epoch=N` partition so a re-delivered micro-batch rewrites
+    * identical rows (replay-idempotent, the house at-least-once
+    * contract). Votes decompose exactly: a pair's matches are all
+    * emitted in the epoch its LATER document arrives in (both docs'
+    * complete fingerprint sets exist then; earlier epochs can't see the
+    * pair, later epochs have neither side in the delta), so the union
+    * of per-epoch match rows ≡ the batch [[audioMatches]] over
+    * everything streamed. Returns the full match store as of this
+    * epoch. */
+  def audioFpDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    import graft.Ckpt.CutOps
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("doc_id"), col("text")).cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    // the epoch's fingerprints land FIRST; the match join then reads the
+    // delta back from its own partition and the full store as two
+    // independent scans (a self-join of one in-memory plan here tripped
+    // Catalyst's Union constraint rewrite over the checkpointed
+    // fingerprint plan's stale origin constraints). On a replay the
+    // overwrite lays down identical rows, so the store is unchanged.
+    writeEpoch(audioFingerprints(batch), "fps")
+    val deltaFps = s.read.parquet(s"$storeDir/fps/epoch=$epoch")
+    val allFps = s.read.parquet(s"$storeDir/fps")
+      .select("doc_id", "anchor", "fp")
+    // match identity (i, j, t_offset, ai, fp) — aj = ai − t_offset, so
+    // the distinct() collapses the doubled within-delta orientation
+    // without losing genuine vote multiplicity
+    val matches = deltaFps.as("x")
+      .join(allFps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("j"),
+        when(col("x.doc_id") < col("y.doc_id"),
+          col("x.anchor") - col("y.anchor"))
+          .otherwise(col("y.anchor") - col("x.anchor")).as("t_offset"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.anchor"))
+          .otherwise(col("y.anchor")).as("ai"),
+        col("x.fp").as("fp"))
+      .distinct()
+      .groupBy(col("i"), col("j"), col("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= FpMinVotes)
+      .cut() // materialize before the matches overwrite below
+    writeEpoch(matches, "matches")
+    s.read.parquet(s"$storeDir/matches")
+      .select("i", "j", "t_offset", "votes")
+      .orderBy("i", "j", "t_offset")
+  }
+
+  /** Audio fingerprint table [N]: one row per (anchor, target) landmark
+    * pair — the index an audio-dedup / content-ID pipeline persists. */
+  private def mmAudioFingerprint(s: SparkSession, d: String): DataFrame =
+    audioFingerprints(Tables.documents(s, d))
+      .orderBy("doc_id", "anchor", "fp")
+
+  /** Audio near-dup detection [N]: fingerprint self-join + offset vote.
+    * Candidates are one equi-join on the fingerprint string; the vote
+    * threshold kills coincidental single-landmark collisions. */
+  private def mmAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.Ckpt.CutOps
+    audioMatches(audioFingerprints(Tables.documents(s, d)).cut())
+      .orderBy("i", "j", "t_offset")
+  }
+
   /** RESAMPLE stage (decimate by 2): keep every 2nd sample and re-encode
     * a REAL WAV — pure integer selection (no interpolation filter, whose
     * kernel would be renderer-dependent), so the resampled stream is
@@ -255,11 +432,12 @@ object Audio extends graft.QueryModule {
       .orderBy("doc_id", "window_idx", "bin")
   }
 
+  private def lit2d(t: Array[Array[Long]]): String =
+    t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** Oracle for [[mmAudioSpectrogram]], generated so the coefficient
     * grid literals can never drift from [[SpecCos]]/[[SpecSin]]. */
   private def spectrogramOracle: String = {
-    def lit2d(t: Array[Array[Long]]): String =
-      t.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
        |                  length(text) % 50 + 8 AS n
        |           FROM documents),
@@ -284,17 +462,65 @@ object Audio extends graft.QueryModule {
        |FROM b ORDER BY doc_id, window_idx, bin""".stripMargin
   }
 
+  /** Shared CTE chain for the fingerprint oracles, generated from the
+    * same [[SpecCos]]/[[SpecSin]] grids the JVM kernel uses: samples →
+    * per-window non-DC bin sums → floor-scaled squared magnitudes →
+    * argmax landmarks → anchor-target pair fingerprints. */
+  private def fpCtesSql: String =
+    s"""d AS (SELECT doc_id, text, least(length(text), $FpMaxSamples) AS n
+       |      FROM documents WHERE length(text) > 0),
+       |s AS (SELECT doc_id, i // $SpecWindow AS w, i % $SpecWindow AS pos,
+       |             (ord(substr(text, i + 1, 1)) - 128) * 256 AS v
+       |      FROM d, unnest(range(0, n)) t(i)),
+       |bb AS (SELECT doc_id, w, k,
+       |              CAST(sum(CAST(v AS BIGINT) *
+       |                (${lit2d(SpecCos)})[k + 1][pos + 1]) AS BIGINT) AS re,
+       |              CAST(-sum(CAST(v AS BIGINT) *
+       |                (${lit2d(SpecSin)})[k + 1][pos + 1]) AS BIGINT) AS im
+       |       FROM s, unnest(range(1, $SpecBins)) t2(k)
+       |       GROUP BY doc_id, w, k),
+       |mm AS (SELECT doc_id, w, k,
+       |              (abs(re) // $CoefScale) * (abs(re) // $CoefScale)
+       |            + (abs(im) // $CoefScale) * (abs(im) // $CoefScale) AS m
+       |       FROM bb),
+       |lm AS (SELECT doc_id, w, k AS bin, m // $FpQuantum AS q FROM (
+       |         SELECT doc_id, w, k, m,
+       |                row_number() OVER (PARTITION BY doc_id, w
+       |                                   ORDER BY m DESC, k) AS rnk
+       |         FROM mm) WHERE rnk = 1),
+       |fp AS (SELECT a.doc_id, CAST(a.w AS INTEGER) AS anchor,
+       |              concat(a.bin, '_', a.q, '_', b.bin, '_', b.q, '_',
+       |                     b.w - a.w) AS fp
+       |       FROM lm a JOIN lm b ON a.doc_id = b.doc_id
+       |        AND b.w - a.w BETWEEN 1 AND $FpMaxDt)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_decode" -> mmAudioDecode,
     "mm_audio_window" -> mmAudioWindow,
     "mm_audio_resample" -> mmAudioResample,
-    "mm_audio_spectrogram" -> mmAudioSpectrogram)
+    "mm_audio_spectrogram" -> mmAudioSpectrogram,
+    "mm_audio_fingerprint" -> mmAudioFingerprint,
+    "mm_audio_dedup" -> mmAudioDedup)
 
   // Same ASCII precondition as mm_decode (ord(char) == byte; holds for
   // the driver's documents generator). Sample i = (ord(byte i mod len)
   // - 128) * 256; n_samples = len % 50 + 8; empty payloads are silence.
   val oracles: Map[String, String] = Map(
     "mm_audio_spectrogram" -> spectrogramOracle,
+    "mm_audio_fingerprint" ->
+      s"""WITH $fpCtesSql
+         |SELECT doc_id, anchor, fp FROM fp
+         |ORDER BY doc_id, anchor, fp""".stripMargin,
+    "mm_audio_dedup" ->
+      s"""WITH $fpCtesSql,
+         |mt AS (SELECT x.doc_id AS i, y.doc_id AS j,
+         |              x.anchor - y.anchor AS t_offset, count(*) AS votes
+         |       FROM fp x JOIN fp y
+         |         ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2, 3)
+         |SELECT i, j, t_offset, votes FROM mt
+         |WHERE votes >= $FpMinVotes
+         |ORDER BY i, j, t_offset""".stripMargin,
     "mm_audio_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 50 + 8 AS n

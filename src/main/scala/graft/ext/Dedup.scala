@@ -539,6 +539,11 @@ object Dedup extends graft.QueryModule {
     * derived from max(doc_id), so the same key is meaningful at every
     * SF. Store under target/tmp (same fixture caveat as
     * sim_search_ivf_saved, documented in FIXTURES.md). */
+  /** Scratch dir of the most recent [[minhashIncremental]] run — the
+    * per-run UUID made the path unknowable from outside, and the pair
+    * store it names is exactly what Round10Spec audits. */
+  @volatile private[graft] var lastIncrScratchDir: String = _
+
   private def minhashIncremental(s: SparkSession, d: String): DataFrame = {
     val docsDf = docs(s, d)
     val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
@@ -548,6 +553,7 @@ object Dedup extends graft.QueryModule {
     // concurrent sessions overwrite each other's band store mid-query;
     // the UUID only names scratch space — results are path-independent
     val dir = s"target/tmp/dedup_incr_index-${java.util.UUID.randomUUID()}"
+    lastIncrScratchDir = dir
     // phase 1 — persist yesterday's state (band store + verified pairs)
     md5BandRows(base).write.mode("overwrite").parquet(s"$dir/bands")
     val baseBandsSaved = s.read.parquet(s"$dir/bands")

@@ -239,14 +239,15 @@ object SimSearch extends graft.QueryModule {
     beamSearchOracle(prefix)
   }
 
-  /** The walk tail shared by the graph-ANN oracles: symmetrize + cap a
-    * `gk (i, j, c)` CTE the caller provides, then the entry points
-    * (`entSql`, default = the per-label minima of the label-blocked
-    * legs) and [[GraphAnnSteps]] unrolled beam rounds. */
-  private def beamSearchOracle(gkPrefix: String,
-      entSql: String =
-        """SELECT min(vec_id) AS vec_id FROM embeddings
-          |  WHERE vec_id <> 0 GROUP BY label""".stripMargin): String = {
+  /** The unrolled beam-walk CTE chain, name-suffixed so one statement
+    * can hold several walks (the HNSW descent): symmetrize + cap a
+    * `$gkName (i, j, c)` CTE the caller provides, entry points from
+    * `entSql`, then `steps` beam rounds over `corpusRel`. The shared
+    * probe CTE `p` is emitted only when `emitProbe` (exactly once per
+    * statement). */
+  private def walkCtes(sfx: String, corpusRel: String, gkName: String,
+                       entSql: String, steps: Int,
+                       emitProbe: Boolean): String = {
     val cos = (rel: String) =>
       s"""${dotSql.format(s"$rel.embedding", "p.pe")}
          |        / (sqrt(${dotSql.format(s"$rel.embedding", s"$rel.embedding")})
@@ -255,42 +256,55 @@ object SimSearch extends graft.QueryModule {
     // v_{t-1} three times (beam, NOT-IN, carry-forward), so an inlining
     // planner re-evaluates the whole chain ~3^steps times — at 6 rounds
     // that turned a sub-second walk into a 30+ GB runaway before the hint
-    val rounds = (1 to GraphAnnSteps).map { t =>
-      s"""b${t - 1} AS MATERIALIZED (
-         |  SELECT vec_id FROM v${t - 1}
+    val rounds = (1 to steps).map { t =>
+      s"""b${t - 1}$sfx AS MATERIALIZED (
+         |  SELECT vec_id FROM v${t - 1}$sfx
          |  ORDER BY cosine DESC, vec_id LIMIT $GraphAnnBeam),
-         |f$t AS MATERIALIZED (
-         |  SELECT DISTINCT g.j AS vec_id
-         |  FROM b${t - 1} JOIN g ON g.i = b${t - 1}.vec_id
-         |  WHERE g.j NOT IN (SELECT vec_id FROM v${t - 1})),
-         |v$t AS MATERIALIZED (
-         |  SELECT * FROM v${t - 1}
+         |f$t$sfx AS MATERIALIZED (
+         |  SELECT DISTINCT g$sfx.j AS vec_id
+         |  FROM b${t - 1}$sfx JOIN g$sfx ON g$sfx.i = b${t - 1}$sfx.vec_id
+         |  WHERE g$sfx.j NOT IN (SELECT vec_id FROM v${t - 1}$sfx)),
+         |v$t$sfx AS MATERIALIZED (
+         |  SELECT * FROM v${t - 1}$sfx
          |  UNION ALL
          |  SELECT c.vec_id, ${cos("c")} AS cosine
-         |  FROM embeddings c JOIN f$t ON c.vec_id = f$t.vec_id, p)""".stripMargin
+         |  FROM $corpusRel c JOIN f$t$sfx ON c.vec_id = f$t$sfx.vec_id, p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $gkPrefix,
-       |gu AS (
+    val probeCte = if (!emitProbe) "" else
+      s"""p AS (
+         |  SELECT embedding AS pe,
+         |         ${dotSql.format("embedding", "embedding")} AS np
+         |  FROM embeddings WHERE vec_id = 0),
+         |""".stripMargin
+    s"""gu$sfx AS (
        |  SELECT DISTINCT i, j, c FROM (
-       |    SELECT i, j, c FROM gk UNION ALL SELECT j AS i, i AS j, c FROM gk)),
-       |g AS (
+       |    SELECT i, j, c FROM $gkName
+       |    UNION ALL SELECT j AS i, i AS j, c FROM $gkName)),
+       |g$sfx AS (
        |  SELECT i, j FROM (
        |    SELECT i, j, row_number() OVER (PARTITION BY i
        |      ORDER BY c DESC, j) AS rnk
-       |    FROM gu) WHERE rnk <= ${2 * GraphAnnDegree}),
-       |p AS (
-       |  SELECT embedding AS pe,
-       |         ${dotSql.format("embedding", "embedding")} AS np
-       |  FROM embeddings WHERE vec_id = 0),
-       |ent AS (
+       |    FROM gu$sfx) WHERE rnk <= ${2 * GraphAnnDegree}),
+       |${probeCte}ent$sfx AS (
        |  $entSql),
-       |v0 AS (
+       |v0$sfx AS (
        |  SELECT c.vec_id, ${cos("c")} AS cosine
-       |  FROM embeddings c JOIN ent ON c.vec_id = ent.vec_id, p),
-       |$rounds
+       |  FROM $corpusRel c JOIN ent$sfx ON c.vec_id = ent$sfx.vec_id, p),
+       |$rounds""".stripMargin
+  }
+
+  /** The walk tail shared by the single-walk graph-ANN oracles: a
+    * `gk (i, j, c)` CTE the caller provides, the entry points
+    * (`entSql`, default = the per-label minima of the label-blocked
+    * legs), [[GraphAnnSteps]] unrolled beam rounds, exact top-10. */
+  private def beamSearchOracle(gkPrefix: String,
+      entSql: String =
+        """SELECT min(vec_id) AS vec_id FROM embeddings
+          |  WHERE vec_id <> 0 GROUP BY label""".stripMargin): String =
+    s"""WITH $gkPrefix,
+       |${walkCtes("", "embeddings", "gk", entSql, GraphAnnSteps, emitProbe = true)}
        |SELECT vec_id, cosine FROM v$GraphAnnSteps
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-  }
 
   /** Graph-ANN index APPEND [N] (r10) — the graph analogue of
     * `sim_search_ivf_append`, completing the graph leg of the index
@@ -547,14 +561,33 @@ object SimSearch extends graft.QueryModule {
     * symmetrize/cap/beam-walk tail. Every multiply-referenced CTE is
     * MATERIALIZED (the beamSearchOracle lesson: inlining re-evaluates
     * the whole chain exponentially). */
-  private def knnGraphBucketedOracle: String = {
-    def duckHex8(key: String): String =
-      (0 until 8).map { i =>
-        val f = 1L << (4 * (7 - i))
-        s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
-      }.mkString("(", "\n        + ", ")")
+  private def duckHex8(key: String): String =
+    (0 until 8).map { i =>
+      val f = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5($key), ${i + 1}, 1)) - 1) * $f"
+    }.mkString("(", "\n        + ", ")")
+
+  /** The two md5-coin LSH weight-matrix CTEs (`w1`/`w2`) — corpus- and
+    * build-independent, so one statement holding several bucketed
+    * builds (the HNSW descent) emits them exactly once. */
+  private def lshWeightCtes: String = {
     def wkey(salt: String) =
       s"CAST(pp.p AS VARCHAR) || '_' || CAST(ii.i AS VARCHAR) || ':$salt'"
+    Seq(1 -> "lsh13", 2 -> "lsh17").map { case (n, salt) =>
+      s"""w$n AS (
+         |  SELECT pp.p, ii.i,
+         |         ${duckHex8(wkey(salt))} % 2001 - 1000 AS w
+         |  FROM (SELECT unnest(range(0, $ivfPlanes)) AS p) pp,
+         |       (SELECT unnest(range(0, 64)) AS i) ii)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** The bucketed NN-Descent build as a name-suffixed CTE chain over
+    * `srcRel` (must expose vec_id + embedding): LSH buckets under both
+    * weight tables, seed pairs, [[NnDescentRounds]] unrolled refinement
+    * rounds, ending in `gk$sfx (i, j, c)`. Requires [[lshWeightCtes]]
+    * emitted earlier in the statement. */
+  private def bucketedBuildCtes(sfx: String, srcRel: String): String = {
     def rankSql(name: String, src: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT i, j, c FROM (
@@ -566,59 +599,144 @@ object SimSearch extends graft.QueryModule {
          |           / (sqrt(${dotSql.format("a.embedding", "a.embedding")})
          |              * sqrt(${dotSql.format("b.embedding", "b.embedding")}))""".stripMargin
     val rounds = (1 to NnDescentRounds).map { t =>
-      s"""u$t AS MATERIALIZED (
+      s"""u$t$sfx AS MATERIALIZED (
          |  SELECT DISTINCT i, j FROM (
-         |    SELECT i, j FROM g${t - 1}
-         |    UNION ALL SELECT j AS i, i AS j FROM g${t - 1})),
-         |nn$t AS MATERIALIZED (
+         |    SELECT i, j FROM g${t - 1}$sfx
+         |    UNION ALL SELECT j AS i, i AS j FROM g${t - 1}$sfx)),
+         |nn$t$sfx AS MATERIALIZED (
          |  SELECT DISTINCT x.i, y.j
-         |  FROM u$t x JOIN u$t y ON x.j = y.i WHERE x.i <> y.j),
-         |sc$t AS MATERIALIZED (
+         |  FROM u$t$sfx x JOIN u$t$sfx y ON x.j = y.i WHERE x.i <> y.j),
+         |sc$t$sfx AS MATERIALIZED (
          |  SELECT nn.i, nn.j, $cosPair AS c
-         |  FROM nn$t nn JOIN embeddings a ON a.vec_id = nn.i
+         |  FROM nn$t$sfx nn JOIN embeddings a ON a.vec_id = nn.i
          |       JOIN embeddings b ON b.vec_id = nn.j),
-         |${rankSql(s"g$t",
-        s"(SELECT DISTINCT i, j, c FROM (SELECT i, j, c FROM sc$t UNION ALL SELECT i, j, c FROM g${t - 1}))")}""".stripMargin
+         |${rankSql(s"g$t$sfx",
+        s"(SELECT DISTINCT i, j, c FROM (SELECT i, j, c FROM sc$t$sfx UNION ALL SELECT i, j, c FROM g${t - 1}$sfx))")}""".stripMargin
     }.mkString(",\n")
-    def tableCtes(n: Int, salt: String): String =
-      s"""w$n AS (
-         |  SELECT pp.p, ii.i,
-         |         ${duckHex8(wkey(salt))} % 2001 - 1000 AS w
-         |  FROM (SELECT unnest(range(0, $ivfPlanes)) AS p) pp,
-         |       (SELECT unnest(range(0, 64)) AS i) ii),
-         |pr$n AS (
-         |  SELECT gvv.vec_id, w$n.p, CAST(sum(gvv.gv * w$n.w) AS BIGINT) AS proj
-         |  FROM gvv JOIN w$n ON gvv.i = w$n.i GROUP BY 1, 2),
-         |bk$n AS MATERIALIZED (
+    val tables = Seq(1, 2).map { n =>
+      s"""pr$n$sfx AS (
+         |  SELECT gvv$sfx.vec_id, w$n.p,
+         |         CAST(sum(gvv$sfx.gv * w$n.w) AS BIGINT) AS proj
+         |  FROM gvv$sfx JOIN w$n ON gvv$sfx.i = w$n.i GROUP BY 1, 2),
+         |bk$n$sfx AS MATERIALIZED (
          |  SELECT vec_id,
          |         CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)
          |              AS BIGINT) AS bucket
-         |  FROM pr$n GROUP BY 1)""".stripMargin
+         |  FROM pr$n$sfx GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""gvv$sfx AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |              AS BIGINT) AS gv
+       |  FROM $srcRel),
+       |$tables,
+       |cand0$sfx AS MATERIALIZED (
+       |  SELECT ba.vec_id AS i, bb.vec_id AS j
+       |  FROM bk1$sfx ba JOIN bk1$sfx bb
+       |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+       |  UNION
+       |  SELECT ba.vec_id AS i, bb.vec_id AS j
+       |  FROM bk2$sfx ba JOIN bk2$sfx bb
+       |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id),
+       |s0$sfx AS MATERIALIZED (
+       |  SELECT c0.i, c0.j, $cosPair AS c
+       |  FROM cand0$sfx c0 JOIN embeddings a ON a.vec_id = c0.i
+       |       JOIN embeddings b ON b.vec_id = c0.j),
+       |${rankSql(s"g0$sfx", s"s0$sfx")},
+       |$rounds,
+       |gk$sfx AS (SELECT i, j, c FROM g$NnDescentRounds$sfx)""".stripMargin
+  }
+
+  private def knnGraphBucketedOracle: String = {
     val prefix =
-      s"""gvv AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-         |              AS BIGINT) AS gv
-         |  FROM embeddings WHERE vec_id <> 0),
-         |${tableCtes(1, "lsh13")},
-         |${tableCtes(2, "lsh17")},
-         |cand0 AS MATERIALIZED (
-         |  SELECT ba.vec_id AS i, bb.vec_id AS j
-         |  FROM bk1 ba JOIN bk1 bb
-         |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
-         |  UNION
-         |  SELECT ba.vec_id AS i, bb.vec_id AS j
-         |  FROM bk2 ba JOIN bk2 bb
-         |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id),
-         |s0 AS MATERIALIZED (
-         |  SELECT c0.i, c0.j, $cosPair AS c
-         |  FROM cand0 c0 JOIN embeddings a ON a.vec_id = c0.i
-         |       JOIN embeddings b ON b.vec_id = c0.j),
-         |${rankSql("g0", "s0")},
-         |$rounds,
-         |gk AS (SELECT i, j, c FROM g$NnDescentRounds)""".stripMargin
+      s"""$lshWeightCtes,
+         |${bucketedBuildCtes("", "embeddings WHERE vec_id <> 0")}""".stripMargin
     beamSearchOracle(prefix,
       "SELECT min(vec_id) AS vec_id FROM bk1 GROUP BY bucket")
+  }
+
+  /** Generated oracle for [[hnswServe]]: the md5-coin layer sample, TWO
+    * bucketed builds (upper subset + full corpus) sharing the weight
+    * CTEs, the upper walk ([[HnswUpperSteps]] rounds from the upper
+    * layer's per-bucket minima), its top-1 as the layer-0 entry, and
+    * the usual [[GraphAnnSteps]]-round layer-0 walk. */
+  private def hnswOracle: String = {
+    val upCoin = duckHex8("CAST(vec_id AS VARCHAR) || ':hnswlvl'")
+    s"""WITH up AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id <> 0 AND $upCoin % $HnswLevelMod = 0),
+       |$lshWeightCtes,
+       |${bucketedBuildCtes("u", "up")},
+       |${bucketedBuildCtes("z", "embeddings WHERE vec_id <> 0")},
+       |${walkCtes("u", "up", "gku",
+      "SELECT min(vec_id) AS vec_id FROM bk1u GROUP BY bucket",
+      HnswUpperSteps, emitProbe = true)},
+       |${walkCtes("z", "embeddings", "gkz",
+      s"SELECT vec_id FROM v${HnswUpperSteps}u ORDER BY cosine DESC, vec_id LIMIT 1",
+      GraphAnnSteps, emitProbe = false)}
+       |SELECT vec_id, cosine FROM v${GraphAnnSteps}z
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Hierarchical graph-ANN serving [N] (r11) — the 2-layer HNSW shape
+    * (Malkov-Yashunin 2016) on the label-free machinery: the flat
+    * bucketed walk enters from EVERY non-empty LSH bucket (≤ 2^planes
+    * entry scorings per probe — cheap here, but the entry fan-out is
+    * corpus-structure-bound, not a chosen knob), while HNSW replaces
+    * the fan-out with a COARSE UPPER LAYER walked first:
+    *
+    *  - LAYER assignment: node is upper iff
+    *    `hex8(md5(vec_id || ':hnswlvl')) % 4 == 0` — the md5-coin
+    *    geometric level rule (p = 1/4), so the upper layer is an
+    *    unbiased ~25% sample with no data-dependent state;
+    *  - LAYER-1 graph: the SAME bucketed NN-Descent build
+    *    ([[knnGraphBucketed]]) over the upper subset; walked
+    *    [[HnswUpperSteps]] beam rounds from the upper layer's
+    *    per-bucket minima;
+    *  - LAYER-0 graph: the bucketed build over the full corpus, walked
+    *    the usual [[GraphAnnSteps]] rounds — entered from the single
+    *    best upper-layer hit (the HNSW ef=1 descent).
+    *
+    * At 100 TB the upper layer generalizes to a geometric level stack
+    * (1/4 per level): each descent starts from one node, walk work per
+    * layer is steps × beam × 2·degree, and only the top layer pays an
+    * entry scan — of n/4^L nodes instead of the flat walk's bucket
+    * count. Both builds, both walks, and the layer coin are the
+    * engine's existing pinned primitives, so the whole descent unrolls
+    * into one DuckDB statement. */
+  private val HnswLevelMod = 4
+  private val HnswUpperSteps = 3
+
+  /** Upper-layer membership coin: hex8(md5(vec_id:hnswlvl)) % mod == 0. */
+  private def hnswCoin: Column = expr(
+    "cast(conv(substring(md5(concat(cast(vec_id as string), ':hnswlvl')), " +
+      s"1, 8), 16, 10) as bigint) % $HnswLevelMod")
+
+  /** The 2-layer descent — public so the recall spec can drive clustered
+    * fixtures through the identical path. */
+  def hnswSearch(corpusIn: DataFrame, probeIn: DataFrame, degree: Int,
+                 rounds: Int, beamW: Int, steps: Int, k: Int): DataFrame = {
+    val raw = corpusIn.select(col("vec_id"), col("embedding"))
+    val upperRaw = raw.filter(hnswCoin === 0)
+    val full = raw.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
+    val upper = full.filter(hnswCoin === 0).cut()
+    val entry0 = beamWalk(upper,
+        symCap(knnGraphBucketed(upperRaw, degree, rounds), degree),
+        bucketEntries(upperRaw), probeIn, beamW, HnswUpperSteps, k = 1)
+      .select("vec_id")
+    beamWalk(full,
+      symCap(knnGraphBucketed(raw, degree, rounds), degree),
+      entry0, probeIn, beamW, steps, k)
+  }
+
+  private def hnswServe(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    hnswSearch(
+      e.filter(col("vec_id") =!= 0),
+      e.filter(col("vec_id") === 0).select(col("embedding")),
+      GraphAnnDegree, NnDescentRounds, GraphAnnBeam, GraphAnnSteps, k = 10)
   }
 
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
@@ -2285,7 +2403,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_saved" -> ivfSaved,
     "sim_search_knn_graph" -> knnGraphSearch,
     "sim_search_knn_graph_append" -> knnGraphAppend,
-    "sim_search_knn_graph_bucketed" -> knnGraphBucketedSearch)
+    "sim_search_knn_graph_bucketed" -> knnGraphBucketedSearch,
+    "sim_search_hnsw" -> hnswServe)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
@@ -2338,6 +2457,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_knn_graph" -> knnGraphSearchOracle,
     "sim_search_knn_graph_append" -> knnGraphAppendOracle,
     "sim_search_knn_graph_bucketed" -> knnGraphBucketedOracle,
+    "sim_search_hnsw" -> hnswOracle,
     "sim_search_ivf_multi" -> ivfMultiOracle,
     "sim_search_ivf_append" ->
       pinnedBatchOracle(pinnedIters, nprobe = 4, "WHERE vec_id % 2 = 0"),

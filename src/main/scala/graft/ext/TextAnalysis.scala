@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -539,6 +539,73 @@ object TextAnalysis extends graft.QueryModule {
       .orderBy("lang")
   }
 
+  /** DoReMi-style domain reweighting [N] (Xie et al. 2023) — the
+    * data-MIXING optimizer next to the temperature (`text_mix_temperature`)
+    * and importance-resampling (`text_dsir_weights`) stages: domains
+    * (`source`) get mixture weights by exponentiated-gradient updates on
+    * their EXCESS LOSS, here the domain's mean token surprisal under the
+    * corpus unigram LM minus the corpus-wide mean (DoReMi's
+    * proxy-minus-reference gap collapsed to the engine's pinned LM; the
+    * EG machinery — multiplicative update, per-round normalization,
+    * round-averaging, uniform smoothing — is the published algorithm).
+    *
+    * Cross-engine exactness: per-token ln pinned 6dp per WORD TYPE
+    * (the `text_logprob` discipline) then scaled to exact BIGINT, so
+    * domain/corpus sums are integer-exact; each EG round's unnormalized
+    * mass is re-scaled to BIGINT (`bround(α·e6, 0)`) so normalizers are
+    * exact integer sums and every α is ONE double division — no
+    * float-sum order anywhere. Scale: one explode + two hash aggs over
+    * the corpus; the EG rounds run on the D-row domain frame (D =
+    * distinct sources), broadcast throughout. */
+  private def mixDoremi(s: SparkSession, d: String): DataFrame = {
+    import graft.Ckpt.CutOps
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    val lp6 = toks.join(broadcast(freq), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp6", bround(bround(
+        log(col("cnt").cast("double") / col("tot")), 6) * 1e6, 0).cast("long"))
+    val dom = lp6.groupBy(col("source"))
+      .agg(sum(col("lp6")).as("s6"), count(lit(1)).as("n_tokens"))
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+        Seq("source"))
+    val corpus = dom.agg(sum(col("s6")).as("cs6"),
+      sum(col("n_tokens")).as("ctok"),
+      count(lit(1)).cast("double").as("nd"))
+    val base = dom.crossJoin(broadcast(corpus))
+      .withColumn("nll",
+        (-col("s6")).cast("double") / (lit(1e6) * col("n_tokens").cast("double")))
+      .withColumn("cnll",
+        (-col("cs6")).cast("double") / (lit(1e6) * col("ctok").cast("double")))
+      .withColumn("excess", col("nll") - col("cnll"))
+      .withColumn("e6", bround(bround(
+        exp(lit(0.5) * col("excess")), 6) * 1e6, 0).cast("long"))
+      .cut()
+    def normalize(df: DataFrame, massCol: Column, a: String): DataFrame =
+      df.withColumn("v", massCol)
+        .crossJoin(broadcast(df.withColumn("v", massCol)
+          .agg(sum(col("v")).as("vs"))))
+        .withColumn(a, col("v").cast("double") / col("vs").cast("double"))
+        .drop("v", "vs")
+    val r1 = normalize(base, col("e6"), "a1").cut()
+    val r2 = normalize(r1,
+      bround(col("a1") * col("e6").cast("double"), 0).cast("long"), "a2").cut()
+    val r3 = normalize(r2,
+      bround(col("a2") * col("e6").cast("double"), 0).cast("long"), "a3").cut()
+    r3.select(col("source"), col("n_docs"), col("n_tokens"),
+        bround(col("nll"), 6).as("nll"),
+        bround(col("excess"), 6).as("excess_loss"),
+        bround(col("a1"), 9).as("w_round1"),
+        bround(col("a2"), 9).as("w_round2"),
+        bround(col("a3"), 9).as("w_round3"),
+        bround(lit(0.75) * ((col("a1") + col("a2") + col("a3")) / lit(3.0))
+          + lit(0.25) / col("nd"), 9).as("weight"))
+      .orderBy("source")
+  }
+
   /** Corpus-global line-level dedup (the CCNet/RefinedWeb pass that
     * strips boilerplate repeated ACROSS documents): the corpus splits
     * into 10-word lines, every distinct line keeps only its first
@@ -892,6 +959,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_line_dedup" -> lineDedup,
     "text_chunk" -> chunk,
     "text_mix_temperature" -> mixTemperature,
+    "text_mix_doremi" -> mixDoremi,
     "text_redact" -> redact,
     "text_logprob" -> logprob,
     "text_tokens" -> tokens,
@@ -1071,6 +1139,60 @@ object TextAnalysis extends graft.QueryModule {
         |SELECT doc_id, CAST(sum(term) AS DOUBLE) AS entropy,
         |       CAST(max(t) AS BIGINT) AS n_tokens
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_mix_doremi" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM toks),
+        |lp AS (
+        |  SELECT t.source,
+        |         CAST(round_even(round_even(
+        |           ln(CAST(f.cnt AS DOUBLE) / tot.tot), 6) * 1000000.0, 0)
+        |           AS BIGINT) AS lp6
+        |  FROM toks t JOIN freq f ON t.w = f.w, tot),
+        |dom AS (
+        |  SELECT l.source, CAST(sum(l.lp6) AS BIGINT) AS s6,
+        |         count(*) AS n_tokens
+        |  FROM lp l GROUP BY l.source),
+        |docc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |corpus AS (
+        |  SELECT CAST(sum(s6) AS BIGINT) AS cs6,
+        |         CAST(sum(n_tokens) AS BIGINT) AS ctok,
+        |         CAST(count(*) AS DOUBLE) AS nd
+        |  FROM dom),
+        |b1 AS (
+        |  SELECT d.source, docc.n_docs, d.n_tokens, c.nd,
+        |         CAST(-d.s6 AS DOUBLE)
+        |           / (1000000.0 * CAST(d.n_tokens AS DOUBLE)) AS nll,
+        |         CAST(-c.cs6 AS DOUBLE)
+        |           / (1000000.0 * CAST(c.ctok AS DOUBLE)) AS cnll
+        |  FROM dom d JOIN docc ON d.source = docc.source, corpus c),
+        |b2 AS (SELECT *, nll - cnll AS excess FROM b1),
+        |b3 AS (SELECT *, CAST(round_even(round_even(
+        |         exp(0.5 * excess), 6) * 1000000.0, 0) AS BIGINT) AS e6
+        |       FROM b2),
+        |s1 AS (SELECT CAST(sum(e6) AS BIGINT) AS vs FROM b3),
+        |r1 AS (SELECT b3.*, CAST(e6 AS DOUBLE) / CAST(s1.vs AS DOUBLE) AS a1
+        |       FROM b3, s1),
+        |m2 AS (SELECT r1.*, CAST(round_even(a1 * CAST(e6 AS DOUBLE), 0)
+        |         AS BIGINT) AS v2 FROM r1),
+        |s2 AS (SELECT CAST(sum(v2) AS BIGINT) AS vs FROM m2),
+        |r2 AS (SELECT m2.*, CAST(v2 AS DOUBLE) / CAST(s2.vs AS DOUBLE) AS a2
+        |       FROM m2, s2),
+        |m3 AS (SELECT r2.*, CAST(round_even(a2 * CAST(e6 AS DOUBLE), 0)
+        |         AS BIGINT) AS v3 FROM r2),
+        |s3 AS (SELECT CAST(sum(v3) AS BIGINT) AS vs FROM m3),
+        |r3 AS (SELECT m3.*, CAST(v3 AS DOUBLE) / CAST(s3.vs AS DOUBLE) AS a3
+        |       FROM m3, s3)
+        |SELECT source, n_docs, n_tokens,
+        |       round_even(nll, 6) AS nll,
+        |       round_even(excess, 6) AS excess_loss,
+        |       round_even(a1, 9) AS w_round1,
+        |       round_even(a2, 9) AS w_round2,
+        |       round_even(a3, 9) AS w_round3,
+        |       round_even(0.75 * ((a1 + a2 + a3) / 3.0) + 0.25 / nd, 9)
+        |         AS weight
+        |FROM r3 ORDER BY source""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

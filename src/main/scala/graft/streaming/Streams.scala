@@ -497,6 +497,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming audio CONTENT-ID (r11) — the fingerprint-index twin of
+    * [[dedupDeltas]]/[[knnGraphDeltas]], over a DOCUMENT DELTA STREAM:
+    * each micro-batch of `(doc_id, text)` rows is landmark-fingerprinted
+    * (`mm_audio_fingerprint`'s kernel), matched against the SAVED
+    * fingerprint store ∪ the batch with the offset-consistent vote rule,
+    * and folded into the epoch-partitioned store by
+    * [[graft.ext.Audio.audioFpDelta]]; the sink receives the full match
+    * table after each batch. Replays are idempotent (a re-delivered
+    * epoch rewrites its own partitions; StreamingSpec pins streamed ≡
+    * batch `mm_audio_dedup` and the replay). */
+  def audioFpDeltas(deltaDocs: DataFrame, storeDir: String,
+                    checkpointDir: String)
+                   (sink: DataFrame => Unit): StreamingQuery =
+    deltaDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.Audio.audioFpDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   def scheduledRefresh(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String): StreamingQuery =
     eventStream(spark, srcDir).writeStream

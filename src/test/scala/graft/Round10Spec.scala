@@ -42,7 +42,8 @@ class Round10Spec extends AnyFunSuite {
       .collect()
     val docsDf = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
-    val stored = spark.read.parquet("target/tmp/dedup_incr_index/pairs")
+    val stored = spark.read
+      .parquet(s"${graft.ext.Dedup.lastIncrScratchDir}/pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored.nonEmpty, "pair store is empty")
     val exactAll = graft.ext.Dedup.verifyExactJaccard(

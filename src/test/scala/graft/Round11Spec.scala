@@ -28,6 +28,27 @@ class Round11Spec extends AnyFunSuite {
     assert(auc >= 0.8, s"classifier ranking regressed: AUC $auc")
   }
 
+  test("doremi weights live on the simplex and order by excess loss") {
+    // properties the oracle hash can't certify: the smoothed weights sum
+    // to ~1 (each EG round is normalized; averaging + 25% uniform
+    // smoothing preserves the simplex up to the integer re-scaling), and
+    // the EG update is monotone — the domain with the LARGEST excess
+    // loss carries the largest weight, the smallest the smallest
+    val rows = SparkEntry.queries("text_mix_doremi")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getDouble(8)))
+    assert(rows.length >= 2, "needs at least two domains")
+    val wsum = rows.map(_._3).sum
+    info(s"domains = ${rows.length}, Σweight = $wsum")
+    assert(math.abs(wsum - 1.0) < 1e-5, s"weights off the simplex: $wsum")
+    assert(rows.forall(_._3 > 0), "smoothing must keep every weight > 0")
+    val byExcess = rows.sortBy(_._2)
+    assert(byExcess.last._3 == rows.map(_._3).max,
+      "max-excess domain must carry the max weight")
+    assert(byExcess.head._3 == rows.map(_._3).min,
+      "min-excess domain must carry the min weight")
+  }
+
   test("quality classifier training moved the weights off zero") {
     // an all-zero weight vector scores every doc 0 — the GD rounds must
     // actually learn: scores are nonzero and vary with the features

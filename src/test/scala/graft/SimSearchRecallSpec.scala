@@ -200,6 +200,26 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall == 1.0, s"label-free beam failed to navigate: $recall")
   }
 
+  test("HNSW 2-layer descent navigates clustered vectors") {
+    // the hierarchical twin of the bucketed-navigability test: the
+    // upper layer is the md5-coin ~25% sample, its walk's top-1 is the
+    // ONLY layer-0 entry — recall 1.0 here proves the coarse walk lands
+    // the descent in the right cluster before the layer-0 walk refines
+    graft.functions.VectorFunctions.register(spark)
+    val (rows, probeVec) = clusteredFixture
+    val corpus = spark.createDataFrame(rows.map { case (id, _, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+    val probe = spark.createDataFrame(Seq(Tuple1(probeVec))).toDF("embedding")
+    val exact = rows.map { case (id, _, v) => (id, cosD(v, probeVec)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = graft.ext.SimSearch.hnswSearch(
+        corpus, probe, degree = 6, rounds = 2, beamW = 10, steps = 6, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"HNSW clustered recall@10 = $recall")
+    assert(recall == 1.0, s"2-layer descent failed to navigate: $recall")
+  }
+
   test("NN-Descent rounds improve edge recall over the raw LSH seed") {
     // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
     // hard case for a hash seed: edge recall = fraction of each node's

@@ -602,6 +602,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == full, "a replayed epoch changed the assignment")
   }
 
+  test("audioFpDeltas: streamed content-ID matches == batch audio dedup, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val docRows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (first, second) = docRows.splitAt(docRows.size / 2)
+    val store = Files.createTempDirectory("graft_audiofp_store").toString
+    val ckp = Files.createTempDirectory("graft_audiofp_ckp").toString
+    val ms = MemoryStream[(Long, String)]
+    var last: Seq[(Long, Long, Int, Long)] = Nil
+    val sink = (m: org.apache.spark.sql.DataFrame) =>
+      last = m.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    // two SEPARATE AvailableNow drains over one checkpoint (the cron
+    // shape) so the second batch really matches against a SAVED store
+    ms.addData(first)
+    Streams.audioFpDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    ms.addData(second)
+    Streams.audioFpDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    // contract: the union of per-epoch delta-involving match rows ≡ the
+    // batch mm_audio_dedup over everything streamed so far
+    val full = SparkEntry.queries("mm_audio_dedup")(spark, TestSpark.sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(full.nonEmpty, "batch audio dedup found no pairs — fixture degenerate")
+    assert(last == full,
+      "streamed content-ID matches diverged from the batch audio dedup")
+    // replay idempotence: re-deliver the final epoch's exact content
+    val lastEpoch = spark.read.parquet(s"$store/fps")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastDocIds = spark.read.parquet(s"$store/fps/epoch=$lastEpoch")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val lastBatch = docsDf
+      .filter(col("doc_id").isin(lastDocIds.toSeq: _*)).localCheckpoint()
+    val replayed = graft.ext.Audio.audioFpDelta(lastBatch, store, lastEpoch)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(replayed == full, "a replayed epoch changed the match table")
+  }
+
   test("knnGraphDeltas: streamed graph append == batch append, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
