@@ -739,6 +739,119 @@ object SimSearch extends graft.QueryModule {
       GraphAnnDegree, NnDescentRounds, GraphAnnBeam, GraphAnnSteps, k = 10)
   }
 
+  /** BATCH graph-ANN serving [N] (r11) — the graph leg's multi-probe
+    * shape, completing the batch-serving story next to
+    * `sim_search_batch` (exact) and `sim_search_ivf_batch` (IVF): ONE
+    * label-free bucketed build amortized across a probe TABLE, every
+    * walk frame keyed by `probe_id` so all probes descend in the same
+    * plan — per-probe beams are `row_number() OVER (PARTITION BY
+    * probe_id)` instead of the single-probe walk's global LIMIT, the
+    * novisit rule is one left-anti join on (probe_id, vec_id), and the
+    * probe batch broadcasts into every scoring stage. Per-probe work
+    * keeps the single walk's bound (entries + steps × beam × 2·degree),
+    * so the whole batch is linear in probes — the serving economics
+    * graph ANN exists for (the graph is built or loaded ONCE; at 100 TB
+    * probes arrive in batches of thousands and the walk frames stay
+    * probes × bounded-visited rows). */
+  def graphBatchSearch(corpusIn: DataFrame, probesIn: DataFrame,
+                       degree: Int, rounds: Int, beamW: Int, steps: Int,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = corpusIn.select(col("vec_id"), col("embedding"))
+    val corpus = raw.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
+    val probes = probesIn.select(col("probe_id"), col("probe"),
+      dot(col("probe"), col("probe")).as("pnsq")).cut()
+    val graph = symCap(knnGraphBucketed(raw, degree, rounds), degree).cut()
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(corpus, Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (dot(col("embedding"), col("probe")) /
+            (sqrt(col("nsq")) * sqrt(col("pnsq")))).as("cosine"))
+    val wBeam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    var visited = scored(probes.select(col("probe_id"))
+      .crossJoin(bucketEntries(raw))).cut()
+    for (_ <- 1 to steps) {
+      val beam = visited.withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= beamW).select(col("probe_id"), col("vec_id"))
+      val frontier = beam.withColumnRenamed("vec_id", "i")
+        .join(graph, Seq("i"))
+        .select(col("probe_id"), col("j").as("vec_id"))
+        .distinct()
+        .join(visited.select(col("probe_id"), col("vec_id")),
+          Seq("probe_id", "vec_id"), "left_anti")
+      visited = visited.union(scored(frontier)).cut()
+    }
+    visited.withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  private def graphBatch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    graphBatchSearch(
+      e.filter(col("vec_id") >= 20),
+      probeTable(e),
+      GraphAnnDegree, NnDescentRounds, GraphAnnBeam, GraphAnnSteps, k = 10)
+  }
+
+  /** Generated oracle for [[graphBatch]]: the bucketed build over the
+    * probe-free corpus, then [[GraphAnnSteps]] unrolled batch rounds —
+    * per-probe beams by row_number, the novisit rule as NOT EXISTS. */
+  private def graphBatchOracle: String = {
+    val cos =
+      s"""${dotSql.format("c.embedding", "pb.pe")}
+         |        / (sqrt(${dotSql.format("c.embedding", "c.embedding")})
+         |           * sqrt(pb.np))""".stripMargin
+    val rounds = (1 to GraphAnnSteps).map { t =>
+      s"""b${t - 1} AS MATERIALIZED (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM v${t - 1}) WHERE rnk <= $GraphAnnBeam),
+         |f$t AS MATERIALIZED (
+         |  SELECT DISTINCT b.probe_id, g.j AS vec_id
+         |  FROM b${t - 1} b JOIN g ON g.i = b.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${t - 1} v
+         |    WHERE v.probe_id = b.probe_id AND v.vec_id = g.j)),
+         |v$t AS MATERIALIZED (
+         |  SELECT * FROM v${t - 1}
+         |  UNION ALL
+         |  SELECT f.probe_id, c.vec_id, $cos AS cosine
+         |  FROM embeddings c JOIN f$t f ON c.vec_id = f.vec_id
+         |       JOIN pb ON pb.probe_id = f.probe_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshWeightCtes,
+       |${bucketedBuildCtes("", "embeddings WHERE vec_id >= 20")},
+       |gu AS (
+       |  SELECT DISTINCT i, j, c FROM (
+       |    SELECT i, j, c FROM gk UNION ALL SELECT j AS i, i AS j, c FROM gk)),
+       |g AS (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, row_number() OVER (PARTITION BY i
+       |      ORDER BY c DESC, j) AS rnk
+       |    FROM gu) WHERE rnk <= ${2 * GraphAnnDegree}),
+       |pb AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe,
+       |         ${dotSql.format("embedding", "embedding")} AS np
+       |  FROM embeddings WHERE vec_id < 20),
+       |ent AS (
+       |  SELECT min(vec_id) AS vec_id FROM bk1 GROUP BY bucket),
+       |v0 AS (
+       |  SELECT pb.probe_id, c.vec_id, $cos AS cosine
+       |  FROM embeddings c JOIN ent ON c.vec_id = ent.vec_id, pb),
+       |$rounds
+       |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine FROM (
+       |  SELECT probe_id, vec_id, cosine, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM v$GraphAnnSteps) WHERE rnk <= 10
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** Brute-force top-k cosine neighbors of a probe vector (vec_id = 0):
     * broadcast single-row probe, TakeOrderedAndProject for the top-k. */
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -2404,7 +2517,8 @@ object SimSearch extends graft.QueryModule {
     "sim_search_knn_graph" -> knnGraphSearch,
     "sim_search_knn_graph_append" -> knnGraphAppend,
     "sim_search_knn_graph_bucketed" -> knnGraphBucketedSearch,
-    "sim_search_hnsw" -> hnswServe)
+    "sim_search_hnsw" -> hnswServe,
+    "sim_search_graph_batch" -> graphBatch)
 
   private val dotSql =
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
@@ -2458,6 +2572,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_knn_graph_append" -> knnGraphAppendOracle,
     "sim_search_knn_graph_bucketed" -> knnGraphBucketedOracle,
     "sim_search_hnsw" -> hnswOracle,
+    "sim_search_graph_batch" -> graphBatchOracle,
     "sim_search_ivf_multi" -> ivfMultiOracle,
     "sim_search_ivf_append" ->
       pinnedBatchOracle(pinnedIters, nprobe = 4, "WHERE vec_id % 2 = 0"),

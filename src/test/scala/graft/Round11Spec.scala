@@ -49,6 +49,22 @@ class Round11Spec extends AnyFunSuite {
       "min-excess domain must carry the min weight")
   }
 
+  test("r11 deterministic keys are partition-count invariant (4 vs 13)") {
+    val keys = Seq("sim_search_knn_graph_bucketed", "sim_search_hnsw",
+      "sim_search_graph_batch", "mm_scene_dedup", "text_quality_classifier",
+      "text_mix_doremi", "mm_audio_fingerprint", "mm_audio_dedup")
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "13")
+    keys.foreach { k =>
+      val base = SparkEntry.queries(k)(spark, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      val other = SparkEntry.queries(k)(ns, TestSpark.sf0001)
+        .collect().map(_.toString).toSeq
+      assert(base.nonEmpty, s"$k returned no rows")
+      assert(base == other, s"$k differs across partition counts")
+    }
+  }
+
   test("quality classifier training moved the weights off zero") {
     // an all-zero weight vector scores every doc 0 — the GD rounds must
     // actually learn: scores are nonzero and vary with the features

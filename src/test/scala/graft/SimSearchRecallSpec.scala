@@ -220,6 +220,27 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall == 1.0, s"2-layer descent failed to navigate: $recall")
   }
 
+  test("batch graph walk with one probe equals the single-probe bucketed walk") {
+    // the batch machinery (partitioned row_number beams, left-anti
+    // novisit, broadcast probe batch) must be a pure generalization of
+    // the single walk's (LIMIT beams, except novisit, 1-row crossJoin)
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter("vec_id >= 20").select("vec_id", "embedding")
+    val single = graft.ext.SimSearch.graphBeamSearchBucketed(
+        corpus, e.filter("vec_id = 0").select("embedding"),
+        degree = 6, rounds = 2, beamW = 10, steps = 6, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.ext.SimSearch.graphBatchSearch(
+        corpus, e.filter("vec_id = 0")
+          .selectExpr("vec_id AS probe_id", "embedding AS probe"),
+        degree = 6, rounds = 2, beamW = 10, steps = 6, k = 10)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(single.nonEmpty && batch == single,
+      "1-probe batch walk diverged from the single-probe walk")
+  }
+
   test("NN-Descent rounds improve edge recall over the raw LSH seed") {
     // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
     // hard case for a hash seed: edge recall = fraction of each node's
