@@ -739,6 +739,103 @@ object SimSearch extends graft.QueryModule {
       GraphAnnDegree, NnDescentRounds, GraphAnnBeam, GraphAnnSteps, k = 10)
   }
 
+  // --- persisted HNSW lifecycle (seed → serve → append → stream) -------
+
+  /** Seed the persistent HIERARCHICAL store: vectors plus BOTH layers'
+    * bucketed edge lists land under `epoch=-1` partitions — the day-0
+    * backfill the deltas append to. Layer membership is the stateless
+    * md5 coin, so the split never needs rebalancing as epochs accrue. */
+  def hnswStoreSeed(vecsIn: DataFrame, storeDir: String,
+                    degree: Int = GraphAnnDegree,
+                    rounds: Int = NnDescentRounds): Unit = {
+    val raw = vecsIn.select(col("vec_id"), col("embedding"))
+    raw.write.mode("overwrite").parquet(s"$storeDir/vecs/epoch=-1")
+    knnGraphBucketed(raw, degree, rounds)
+      .write.mode("overwrite").parquet(s"$storeDir/l0/epoch=-1")
+    knnGraphBucketed(raw.filter(hnswCoin === 0), degree, rounds)
+      .write.mode("overwrite").parquet(s"$storeDir/l1/epoch=-1")
+  }
+
+  /** Serve a probe from the persisted hierarchical store — the same
+    * two-walk descent as `sim_search_hnsw`, over the union of every
+    * epoch's edges (spec-pinned EQUAL to the in-query key when the
+    * store was seeded with the same corpus). */
+  def serveHnswFromStore(s: SparkSession, storeDir: String,
+                         probe: DataFrame, k: Int = 10): DataFrame = {
+    val vecs = s.read.parquet(s"$storeDir/vecs").select("vec_id", "embedding")
+    val full = vecs.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
+    val upperRaw = vecs.filter(hnswCoin === 0)
+    val g1 = symCap(s.read.parquet(s"$storeDir/l1")
+      .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+    val g0 = symCap(s.read.parquet(s"$storeDir/l0")
+      .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+    val entry0 = beamWalk(full.filter(hnswCoin === 0).cut(), g1,
+        bucketEntries(upperRaw), probe, GraphAnnBeam, HnswUpperSteps, k = 1)
+      .select("vec_id")
+    beamWalk(full, g0, entry0, probe, GraphAnnBeam, GraphAnnSteps, k)
+  }
+
+  /** Label-free delta ranking — the bucketed twin of [[knnEdges]]'s
+    * append leg: the delta's nodes rank against saved ∪ delta restricted
+    * to shared LSH buckets (union of both tables' equi-joins, the build's
+    * candidate rule), top-`degree` by exact cosine. No label anywhere,
+    * matching the HNSW family's label-free contract. */
+  private def bucketedDeltaEdges(batch: DataFrame, allVecs: DataFrame,
+                                 degree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def proj2(df: DataFrame): DataFrame =
+      withLshProjs(withLshProjs(df.select(col("vec_id"), col("embedding"))),
+          "lsh17", "bucket2")
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nsq"),
+          col("bucket"), col("bucket2"))
+    val lhs = proj2(batch).cut()
+    val rhs = proj2(allVecs).cut()
+    val cosPair = dot(col("a.embedding"), col("b.embedding")) /
+      (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))
+    def pairs(bucketCol: String): DataFrame =
+      lhs.as("a").join(rhs.as("b"),
+          col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cosPair.as("cosine"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j"))
+    pairs("bucket").union(pairs("bucket2")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= degree)
+      .select(col("i"), col("j"), col("cosine"))
+  }
+
+  /** One STREAMING micro-batch of hierarchical index append — the HNSW
+    * twin of [[knnGraphDelta]]: the delta ranks label-free against
+    * saved ∪ delta on BOTH layers (upper membership is the same md5
+    * coin, so the batch's upper slice is known statelessly), every
+    * epoch table lands in its own `epoch=N` partition
+    * (replay-idempotent: dropDuplicates on vec_id makes the ranking
+    * side replay-safe). Returns the merged servable layer-0 edge list
+    * as of this epoch. */
+  def hnswDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("vec_id"), col("embedding")).cut()
+    val savedVecs = s.read.parquet(s"$storeDir/vecs")
+      .select(col("vec_id"), col("embedding"))
+    val allVecs = savedVecs.union(batch).dropDuplicates("vec_id")
+    // materialize BEFORE the store writes (a replayed epoch's saved side
+    // still references the files the overwrite below replaces)
+    val fresh0 = bucketedDeltaEdges(batch, allVecs, GraphAnnDegree).cut()
+    val fresh1 = bucketedDeltaEdges(batch.filter(hnswCoin === 0),
+      allVecs.filter(hnswCoin === 0), GraphAnnDegree).cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(batch, "vecs")
+    writeEpoch(fresh0, "l0")
+    writeEpoch(fresh1, "l1")
+    symCap(s.read.parquet(s"$storeDir/l0")
+        .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+      .orderBy("i", "j")
+  }
+
   /** BATCH graph-ANN serving [N] (r11) — the graph leg's multi-probe
     * shape, completing the batch-serving story next to
     * `sim_search_batch` (exact) and `sim_search_ivf_batch` (IVF): ONE

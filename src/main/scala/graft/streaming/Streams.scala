@@ -497,6 +497,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming HIERARCHICAL (HNSW) index append (r11) — the 2-layer
+    * twin of [[knnGraphDeltas]]: each micro-batch of `(vec_id,
+    * embedding)` rows ranks LABEL-FREE against saved ∪ delta on both
+    * layers (upper membership is the stateless md5 coin) and folds into
+    * the epoch-partitioned store via [[graft.ext.SimSearch.hnswDelta]];
+    * the sink receives the merged servable layer-0 edge list. Seed with
+    * [[graft.ext.SimSearch.hnswStoreSeed]], serve with
+    * [[graft.ext.SimSearch.serveHnswFromStore]]. Replays are idempotent
+    * (StreamingSpec pins streamed ≡ batch `hnswDelta` and the replay). */
+  def hnswDeltas(deltaVecs: DataFrame, storeDir: String,
+                 checkpointDir: String)
+                (sink: DataFrame => Unit): StreamingQuery =
+    deltaVecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SimSearch.hnswDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   /** Streaming audio CONTENT-ID (r11) — the fingerprint-index twin of
     * [[dedupDeltas]]/[[knnGraphDeltas]], over a DOCUMENT DELTA STREAM:
     * each micro-batch of `(doc_id, text)` rows is landmark-fingerprinted

@@ -241,6 +241,26 @@ class SimSearchRecallSpec extends AnyFunSuite {
       "1-probe batch walk diverged from the single-probe walk")
   }
 
+  test("HNSW store serve equals the in-query hierarchical descent") {
+    // hnswStoreSeed persists exactly the edge lists the registered key
+    // builds in-query, and serveHnswFromStore replays the same two
+    // walks — so seeding with the key's corpus must reproduce the key's
+    // answer bit for bit (parquet round-trips floats and the cosine
+    // doubles exactly)
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_store").toString
+    graft.ext.SimSearch.hnswStoreSeed(e.filter("vec_id <> 0"), dir)
+    val served = graft.ext.SimSearch.serveHnswFromStore(
+        spark, dir, e.filter("vec_id = 0").select("embedding"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inQuery = SparkEntry.queries("sim_search_hnsw")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty && served == inQuery,
+      "stored-index serve diverged from the in-query HNSW key")
+  }
+
   test("NN-Descent rounds improve edge recall over the raw LSH seed") {
     // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
     // hard case for a hash seed: edge recall = fraction of each node's

@@ -695,6 +695,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedAgain == served, "a replayed epoch changed the served answer")
   }
 
+  test("hnswDeltas: streamed 2-layer append, replay-idempotent, servable") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val sf = TestSpark.sf0001
+    val e = graft.Tables.embeddings(spark, sf)
+    val store = Files.createTempDirectory("graft_hnsw_dstore").toString
+    val ckp = Files.createTempDirectory("graft_hnsw_dckp").toString
+    graft.ext.SimSearch.hnswStoreSeed(
+      e.filter("vec_id <> 0 AND vec_id % 2 = 0"), store)
+    val odd = e.filter("vec_id <> 0 AND vec_id % 2 = 1")
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    var merged: Seq[(Long, Long)] = Nil
+    val sink = (g: org.apache.spark.sql.DataFrame) =>
+      merged = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ms.addData(odd)
+    Streams.hnswDeltas(ms.toDF().toDF("vec_id", "embedding"),
+      store, ckp)(sink).awaitTermination()
+    assert(merged.nonEmpty, "the sink never received a merged edge list")
+    // both layers took the epoch's append (the upper slice is the md5
+    // coin's ~25% of the delta — nonempty at this corpus size)
+    val l1Epochs = spark.read.parquet(s"$store/l1")
+      .select("epoch").distinct().collect().map(_.get(0).toString).toSet
+    assert(l1Epochs.size >= 2, s"upper layer missing the delta epoch: $l1Epochs")
+    // the merged store serves the hierarchical descent
+    val probe = e.filter("vec_id = 0").select("embedding")
+    val served = graft.ext.SimSearch.serveHnswFromStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.size == 10, s"served ${served.size} rows")
+    // replay idempotence: re-deliver the final epoch's exact content
+    val lastEpoch = spark.read.parquet(s"$store/l0")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastBatch = spark.read.parquet(s"$store/vecs/epoch=$lastEpoch")
+      .select("vec_id", "embedding").localCheckpoint()
+    val replayed = graft.ext.SimSearch.hnswDelta(lastBatch, store, lastEpoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == merged, "a replayed epoch changed the merged graph")
+    val servedAgain = graft.ext.SimSearch.serveHnswFromStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAgain == served, "a replayed epoch changed the served answer")
+  }
+
   test("maintainIncrementalState: one state version per micro-batch, exact fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_inc_state").toString
