@@ -631,13 +631,18 @@ object SimSearch extends graft.QueryModule {
        |  FROM $srcRel),
        |$tables,
        |cand0$sfx AS MATERIALIZED (
-       |  SELECT ba.vec_id AS i, bb.vec_id AS j
-       |  FROM bk1$sfx ba JOIN bk1$sfx bb
-       |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
-       |  UNION
-       |  SELECT ba.vec_id AS i, bb.vec_id AS j
-       |  FROM bk2$sfx ba JOIN bk2$sfx bb
-       |    ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id),
+       |  -- DISTINCT over UNION ALL, never bare UNION: inside a WITH
+       |  -- RECURSIVE statement (the CC oracles) DuckDB parses a CTE-body
+       |  -- UNION as the recursive base/step form and SKIPS the dedup, so
+       |  -- doubly-co-bucketed pairs ate two rank slots
+       |  SELECT DISTINCT i, j FROM (
+       |    SELECT ba.vec_id AS i, bb.vec_id AS j
+       |    FROM bk1$sfx ba JOIN bk1$sfx bb
+       |      ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+       |    UNION ALL
+       |    SELECT ba.vec_id AS i, bb.vec_id AS j
+       |    FROM bk2$sfx ba JOIN bk2$sfx bb
+       |      ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id)),
        |s0$sfx AS MATERIALIZED (
        |  SELECT c0.i, c0.j, $cosPair AS c
        |  FROM cand0$sfx c0 JOIN embeddings a ON a.vec_id = c0.i
@@ -2582,8 +2587,53 @@ object SimSearch extends graft.QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** SemDeDup with the LABEL-FREE build [N] (r11) — `dedup_semantic`'s
+    * k-NN-graph stage swapped for [[knnGraphBucketed]], closing the
+    * label crutch in the one downstream consumer of the blocked build:
+    * at 100 TB SemDeDup runs on an unlabeled corpus, so its candidate
+    * graph must come from the LSH-seeded NN-Descent machinery, not a
+    * fixture label. Same CC + cluster rollup as the labeled key. */
+  private def semanticClustersBucketed(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    import graft.Ckpt.CutOps
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val edges = knnGraphBucketed(e, GraphAnnDegree, NnDescentRounds)
+      .filter(col("cosine") >= 0.35)
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct()
+      .cut()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    Dedup.connectedComponents(nodes, edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .filter(col("cluster_size") >= 2)
+      .orderBy("cluster_id")
+  }
+
+  private def semanticBucketedOracle: String =
+    s"""WITH RECURSIVE $lshWeightCtes,
+       |${bucketedBuildCtes("", "embeddings")},
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(i, j) AS i, greatest(i, j) AS j
+       |  FROM gk WHERE c >= 0.35),
+       |edges AS MATERIALIZED (SELECT i AS src, j AS dst FROM e0
+       |         UNION ALL SELECT j, i FROM e0),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |reach(id, rr) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.rr FROM edges e JOIN reach ON e.src = reach.id),
+       |lab AS (SELECT id, min(rr) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM lab GROUP BY cluster_id HAVING count(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> semanticClusters,
+    "dedup_semantic_bucketed" -> semanticClustersBucketed,
     "sim_search_mmr" -> mmrTopK,
     "emb_centroid_by_label" -> centroidByLabel,
     "emb_random_projection" -> randomProjection,
@@ -2707,6 +2757,7 @@ object SimSearch extends graft.QueryModule {
          |SELECT i, j, d / (sqrt(na) * sqrt(nb)) AS cosine
          |FROM s WHERE d / (sqrt(na) * sqrt(nb)) >= 0.45
          |ORDER BY i, j""".stripMargin,
+    "dedup_semantic_bucketed" -> semanticBucketedOracle,
     "dedup_semantic" ->
       s"""WITH RECURSIVE s AS MATERIALIZED (
          |  SELECT a.vec_id AS i, b.vec_id AS j,
