@@ -305,7 +305,40 @@ object Evaluation extends graft.QueryModule {
       .crossJoin(broadcast(p))
   }
 
+  /** Unbiased pass@k [N] (Chen et al. 2021, the HumanEval estimator) —
+    * the LLM-eval staple for "n samples per task, c correct, what's the
+    * chance k draws contain a success": pass@k = 1 − C(n−c,k)/C(n,k),
+    * computed in the numerically-stable product form
+    * 1 − Π_{i<k} (n−c−i)/(n−i) (never raw binomials, which overflow).
+    * Tasks are synthesized from orders (task = customer, sample =
+    * order, correct = status 'F' — the established synthesis
+    * discipline); tasks with n ≥ 5 report pass@1 and pass@5.
+    *
+    * Float discipline: each product factor is ONE division of exact
+    * BIGINTs; the k-term fold is a LEFT fold in both engines (Spark
+    * `aggregate` HOF from 1.0 — the leading 1.0·r₀ is exact — and
+    * DuckDB `list_reduce` seeded with r₀), so the IEEE sequence mirrors
+    * token for token. The n−c < k degenerate case pins to 1.0 before
+    * any division can go negative. Scale shape: one hash agg into the
+    * task domain; the fold is per-row, k-bounded, codegen'd. */
+  private def passAtK(s: SparkSession, d: String): DataFrame = {
+    def passK(k: Int) = expr(
+      s"""CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE) ELSE
+         |  1.0D - aggregate(sequence(0, ${k - 1}), CAST(1.0 AS DOUBLE),
+         |    (acc, i) -> acc * (CAST(n - c - i AS DOUBLE)
+         |                       / CAST(n - i AS DOUBLE))) END""".stripMargin)
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= 5)
+      .select(col("task_id"), col("n"), col("c"),
+        passK(1).as("pass_at_1"), passK(5).as("pass_at_5"))
+      .orderBy("task_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pass_at_k" -> passAtK,
     "eval_scorecard" -> scorecard,
     "eval_auc" -> aucRank,
     "eval_confusion" -> confusion,
@@ -319,6 +352,22 @@ object Evaluation extends graft.QueryModule {
   /** Component oracles; the scorecard oracle below NESTS four of these
     * texts verbatim, so a component-oracle fix propagates. */
   private lazy val baseOracles: Map[String, String] = Map(
+    "eval_pass_at_k" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS task_id, count(*) AS n,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 5)
+        |SELECT task_id, n, c,
+        |       CASE WHEN n - c < 1 THEN CAST(1.0 AS DOUBLE) ELSE
+        |         1.0 - list_reduce(list_transform(range(0, 1), i ->
+        |           CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |           (acc, x) -> acc * x) END AS pass_at_1,
+        |       CASE WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE) ELSE
+        |         1.0 - list_reduce(list_transform(range(0, 5), i ->
+        |           CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |           (acc, x) -> acc * x) END AS pass_at_5
+        |FROM t ORDER BY task_id""".stripMargin,
     "eval_auc" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS g,

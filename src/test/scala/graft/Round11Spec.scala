@@ -65,6 +65,22 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("pass@k: bounds, monotonicity in k, and the closed-form edges") {
+    val rows = SparkEntry.queries("eval_pass_at_k")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c, p1, p5) =>
+      assert(p1 >= 0 && p1 <= 1 && p5 >= 0 && p5 <= 1, s"out of [0,1]: $p1 $p5")
+      assert(p5 >= p1 - 1e-12, "more draws cannot lower the success chance")
+      if (c == 0L) assert(p1 == 0.0 && p5 == 0.0, "no correct samples -> 0")
+      if (n - c < 5) assert(p5 == 1.0, "n-c < k must pin pass@k = 1")
+      // pass@1 is the plain success rate (n-c)/n complemented
+      assert(math.abs(p1 - c.toDouble / n) < 1e-12, s"pass@1 != c/n: $p1")
+    }
+  }
+
   test("quality classifier training moved the weights off zero") {
     // an all-zero weight vector scores every doc 0 — the GD rounds must
     // actually learn: scores are nonzero and vary with the features
