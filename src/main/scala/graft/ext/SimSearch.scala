@@ -2592,7 +2592,12 @@ object SimSearch extends graft.QueryModule {
     * label crutch in the one downstream consumer of the blocked build:
     * at 100 TB SemDeDup runs on an unlabeled corpus, so its candidate
     * graph must come from the LSH-seeded NN-Descent machinery, not a
-    * fixture label. Same CC + cluster rollup as the labeled key. */
+    * fixture label. CC is the alternating-STAR formulation, not
+    * min-label rounds: unblocked threshold graphs over isotropic
+    * embeddings grow long thin chains (measured at sf0.1: one
+    * component's diameter exceeds 25 min-label rounds, splitting a
+    * cluster), and large-star/small-star converges in O(log n) rounds
+    * regardless of diameter — exactly the SCALE.md guidance. */
   private def semanticClustersBucketed(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     import graft.Ckpt.CutOps
@@ -2604,7 +2609,7 @@ object SimSearch extends graft.QueryModule {
       .distinct()
       .cut()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
-    Dedup.connectedComponents(nodes, edges)
+    Dedup.connectedComponentsStar(nodes, edges)._1
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         concat_ws(",", sort_array(collect_list(col("id")))).as("members"))

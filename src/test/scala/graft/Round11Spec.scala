@@ -52,7 +52,8 @@ class Round11Spec extends AnyFunSuite {
   test("r11 deterministic keys are partition-count invariant (4 vs 13)") {
     val keys = Seq("sim_search_knn_graph_bucketed", "sim_search_hnsw",
       "sim_search_graph_batch", "mm_scene_dedup", "text_quality_classifier",
-      "text_mix_doremi", "mm_audio_fingerprint", "mm_audio_dedup")
+      "text_mix_doremi", "mm_audio_fingerprint", "mm_audio_dedup",
+      "dedup_semantic_bucketed", "eval_pass_at_k")
     val ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "13")
     keys.foreach { k =>
