@@ -252,24 +252,32 @@ object StatsLearn extends graft.QueryModule {
     val tot = base.groupBy(col("flag"))
       .agg(sum(col("r")).as("sr"), sum(col("q")).as("sq"),
         count(lit(1)).as("n"))
+    // jk lives on a scaled-BIGINT 1e-9 grid, never a wide decimal: the
+    // DuckDB (19,9)×(13,9) decimal multiply rounds each product through
+    // a double (measured at sf0.1: Σjk² off by 3e-5, amplified ~1e4× by
+    // the variance cancellation), while BIGINT²→HUGEINT/decimal sums are
+    // exact integers whose ONE double conversion is bit-identical in
+    // both engines.
     base.join(broadcast(tot), "flag")
       .select(col("flag"), col("n"),
         col("sr"), col("sq"),
         bround((col("sr") - col("r")).cast("double") /
-          (col("sq") - col("q")).cast("double") / lit(100.0), 9)
-          .cast("decimal(13,9)").as("jk"))
+          (col("sq") - col("q")).cast("double") / lit(100.0) * lit(1e9), 0)
+          .cast("long").as("jk9"))
       .groupBy(col("flag"))
       .agg(max(col("n")).as("n"),
         max(col("sr")).as("sr"), max(col("sq")).as("sq"),
-        sum(col("jk").cast("decimal(38,12)")).as("sjk"),
-        sum(col("jk") * col("jk")).as("sjk2"))
+        sum(col("jk9")).as("sjk9"),
+        sum(col("jk9").cast("decimal(14,0)") *
+          col("jk9").cast("decimal(14,0)")).as("sjk2i"))
       .selectExpr("flag", "cast(n as bigint) as n",
         "cast(sr as double) / cast(sq as double) / 100.0 as theta",
-        "cast(sjk as double) / cast(n as double) as jk_mean",
-        "cast(n as double) as nd", "cast(sjk as double) as sjkd",
-        "cast(sjk2 as double) as sjk2d")
-      .selectExpr("flag", "n", "theta", "jk_mean",
-        "sqrt((nd - 1.0) / nd * (sjk2d - sjkd * sjkd / nd)) as jk_se")
+        "cast(n as double) as nd", "cast(sjk9 as double) as sjkd",
+        "cast(sjk2i as double) as sjk2d")
+      .selectExpr("flag", "n", "theta",
+        "sjkd / 1000000000.0 / nd as jk_mean",
+        "sqrt((nd - 1.0) / nd * (sjk2d / 1e18 - " +
+          "(sjkd / 1000000000.0) * (sjkd / 1000000000.0) / nd)) as jk_se")
       .orderBy("flag")
   }
 
@@ -286,24 +294,25 @@ object StatsLearn extends graft.QueryModule {
       |jk AS (
       |  SELECT b.flag, t.n, t.sr, t.sq,
       |         CAST(round_even(CAST(t.sr - b.r AS DOUBLE)
-      |              / CAST(t.sq - b.q AS DOUBLE) / 100.0, 9)
-      |              AS DECIMAL(13,9)) AS jk
+      |              / CAST(t.sq - b.q AS DOUBLE) / 100.0 * 1e9, 0)
+      |              AS BIGINT) AS jk9
       |  FROM base b JOIN tot t USING (flag)),
       |a AS (
       |  SELECT flag, CAST(max(n) AS BIGINT) AS n,
       |         max(sr) AS sr, max(sq) AS sq,
-      |         sum(CAST(jk AS DECIMAL(38,12))) AS sjk,
-      |         sum(CAST(jk AS DECIMAL(19,9)) * jk) AS sjk2
+      |         CAST(sum(jk9) AS HUGEINT) AS sjk9,
+      |         sum(CAST(jk9 AS HUGEINT) * jk9) AS sjk2i
       |  FROM jk GROUP BY flag),
       |v AS (
       |  SELECT flag, n,
       |         CAST(sr AS DOUBLE) / CAST(sq AS DOUBLE) / 100.0 AS theta,
-      |         CAST(sjk AS DOUBLE) / CAST(n AS DOUBLE) AS jk_mean,
-      |         CAST(n AS DOUBLE) AS nd, CAST(sjk AS DOUBLE) AS sjkd,
-      |         CAST(sjk2 AS DOUBLE) AS sjk2d
+      |         CAST(n AS DOUBLE) AS nd, CAST(sjk9 AS DOUBLE) AS sjkd,
+      |         CAST(sjk2i AS DOUBLE) AS sjk2d
       |  FROM a)
-      |SELECT flag, n, theta, jk_mean,
-      |       sqrt((nd - 1.0) / nd * (sjk2d - sjkd * sjkd / nd)) AS jk_se
+      |SELECT flag, n, theta,
+      |       sjkd / 1000000000.0 / nd AS jk_mean,
+      |       sqrt((nd - 1.0) / nd * (sjk2d / 1e18
+      |            - (sjkd / 1000000000.0) * (sjkd / 1000000000.0) / nd)) AS jk_se
       |FROM v ORDER BY flag""".stripMargin
 
   // ---- Theil–Sen robust line -----------------------------------------
