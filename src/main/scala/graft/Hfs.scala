@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem probes for the persisted-lifecycle surfaces (dedup/ANN
+  * stores, streaming state dirs, snapshot versions), resolved through
+  * Hadoop's `FileSystem` so they hold for ANY scheme the path names —
+  * `java.io.File` answers "absent" for every `hdfs://`/`s3a://` URI,
+  * which silently degrades commit-if-changed into re-append-everything
+  * and "band against history" into "band against nothing" (VERDICT r11
+  * #4; the `dedupDelta` fix this generalizes is ext/Dedup.scala's
+  * r11-ADVICE hExists). Local relative paths (`target/tmp/...`) resolve
+  * through the default (local) filesystem exactly as before.
+  */
+object Hfs {
+
+  /** The active session's Hadoop conf when one exists (it carries any
+    * object-store credentials/settings the user configured), else a
+    * vanilla Configuration — enough for file:/hdfs: URIs, and the only
+    * option for the path-only surfaces ([[graft.pipeline.Snapshots]]'
+    * `latestVersion`/`vacuum`) that take no session. */
+  private def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(conf), path)
+  }
+
+  def exists(p: String): Boolean = {
+    val (fs, path) = fsFor(p); fs.exists(path)
+  }
+
+  def isDirectory(p: String): Boolean = {
+    val (fs, path) = fsFor(p)
+    fs.exists(path) && fs.getFileStatus(path).isDirectory
+  }
+
+  /** Child names (last path segment) of directory `p`; empty when the
+    * directory is absent — the `Option(listFiles()).getOrElse(empty)`
+    * idiom the java.io.File call sites used. */
+  def childNames(p: String): Seq[String] = {
+    val (fs, path) = fsFor(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+  }
+
+  /** Child DIRECTORY names of `p`; empty when absent. */
+  def childDirNames(p: String): Seq[String] = {
+    val (fs, path) = fsFor(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Rename `src` onto `dst` — atomic on HDFS and local filesystems (the
+    * snapshot-commit publish step); object stores supply the equivalent
+    * contract through their committers. Fails loudly: a false return
+    * (dst exists, src missing) must not read as a successful publish. */
+  def rename(src: String, dst: String): Unit = {
+    val (fs, s) = fsFor(src)
+    if (!fs.rename(s, new Path(dst)))
+      sys.error(s"rename $src -> $dst failed (destination exists?)")
+  }
+
+  /** Recursive delete; true if anything was deleted. */
+  def deleteRecursive(p: String): Boolean = {
+    val (fs, path) = fsFor(p)
+    fs.delete(path, true)
+  }
+}

@@ -288,7 +288,10 @@ object Audio extends graft.QueryModule {
     * complete fingerprint sets exist then; earlier epochs can't see the
     * pair, later epochs have neither side in the delta), so the union
     * of per-epoch match rows ≡ the batch [[audioMatches]] over
-    * everything streamed. Returns the full match store as of this
+    * everything streamed. Idempotent across epochs too (ADVICE r11):
+    * docs already fingerprinted in a PRIOR epoch are anti-joined out of
+    * the batch, so cross-epoch re-delivery neither duplicates store rows
+    * nor double-counts votes. Returns the full match store as of this
     * epoch. */
   def audioFpDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
     import graft.Ckpt.CutOps
@@ -296,13 +299,24 @@ object Audio extends graft.QueryModule {
     val batch = batchIn.select(col("doc_id"), col("text")).cut()
     def writeEpoch(df: DataFrame, sub: String): Unit =
       df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    // CROSS-epoch idempotence (ADVICE r11): a doc re-delivered under a
+    // DIFFERENT epoch (same-epoch replays are covered by the partition
+    // overwrite) would store its fingerprints twice and double-count
+    // votes — anti-join the batch against doc_ids already fingerprinted
+    // in PRIOR epochs, so only genuinely new docs extend the store.
+    val priorIds =
+      if (graft.Hfs.exists(s"$storeDir/fps"))
+        s.read.parquet(s"$storeDir/fps").filter(col("epoch") =!= epoch)
+          .select("doc_id").distinct()
+      else batch.select("doc_id").limit(0)
+    val newDocs = batch.join(priorIds, Seq("doc_id"), "left_anti").cut()
     // the epoch's fingerprints land FIRST; the match join then reads the
     // delta back from its own partition and the full store as two
     // independent scans (a self-join of one in-memory plan here tripped
     // Catalyst's Union constraint rewrite over the checkpointed
     // fingerprint plan's stale origin constraints). On a replay the
     // overwrite lays down identical rows, so the store is unchanged.
-    writeEpoch(audioFingerprints(batch), "fps")
+    writeEpoch(audioFingerprints(newDocs), "fps")
     val deltaFps = s.read.parquet(s"$storeDir/fps/epoch=$epoch")
     val allFps = s.read.parquet(s"$storeDir/fps")
       .select("doc_id", "anchor", "fp")

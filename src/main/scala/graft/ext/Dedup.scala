@@ -509,6 +509,14 @@ object Dedup extends graft.QueryModule {
     verifyExactJaccard(cand, docsDf, 0.8).orderBy("i", "j")
   }
 
+  /** Scratch dir of the most recent [[minhashIncremental]] run — the
+    * per-run UUID made the path unknowable from outside, and the pair
+    * store it names is exactly what Round10Spec audits. Last-writer-wins
+    * global: the hook assumes the key is not run CONCURRENTLY in one JVM
+    * (true for the single-threaded suites that read it; a parallel run
+    * would only misdirect the audit, never the key's result). */
+  @volatile private[graft] var lastIncrScratchDir: String = _
+
   /** INCREMENTAL near-dup dedup [N] (r10, VERDICT #3) — the lifecycle
     * leg the family lacked (the dedup analogue of
     * `sim_search_ivf_append`): dedup a daily DELTA against a SAVED
@@ -539,11 +547,6 @@ object Dedup extends graft.QueryModule {
     * derived from max(doc_id), so the same key is meaningful at every
     * SF. Store under target/tmp (same fixture caveat as
     * sim_search_ivf_saved, documented in FIXTURES.md). */
-  /** Scratch dir of the most recent [[minhashIncremental]] run — the
-    * per-run UUID made the path unknowable from outside, and the pair
-    * store it names is exactly what Round10Spec audits. */
-  @volatile private[graft] var lastIncrScratchDir: String = _
-
   private def minhashIncremental(s: SparkSession, d: String): DataFrame = {
     val docsDf = docs(s, d)
     val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
@@ -602,13 +605,10 @@ object Dedup extends graft.QueryModule {
     // public streaming-lifecycle API and may be an HDFS/S3 URI at 100 TB —
     // a local-FS check would read "absent" there and silently band every
     // batch against an EMPTY history (cross-epoch near-dup pairs dropped
-    // with no error). Resolved per path scheme (r11, ADVICE).
-    def hExists(path: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    }
+    // with no error). Resolved per path scheme (r11 ADVICE; shared helper
+    // [[graft.Hfs]] since r12).
     def readOrEmpty(sub: String, schema: String): DataFrame =
-      if (hExists(s"$storeDir/$sub"))
+      if (graft.Hfs.exists(s"$storeDir/$sub"))
         s.read.parquet(s"$storeDir/$sub")
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))

@@ -400,12 +400,8 @@ object SimSearch extends graft.QueryModule {
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("vec_id"), col("label"), col("embedding"))
       .cut()
-    def hExists(path: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    }
     val savedVecs =
-      if (hExists(s"$storeDir/vecs")) s.read.parquet(s"$storeDir/vecs")
+      if (graft.Hfs.exists(s"$storeDir/vecs")) s.read.parquet(s"$storeDir/vecs")
         .select(col("vec_id"), col("label"), col("embedding"))
       else batch.limit(0)
     val allVecs = savedVecs.union(batch).dropDuplicates("vec_id")
@@ -767,7 +763,12 @@ object SimSearch extends graft.QueryModule {
     * store was seeded with the same corpus). */
   def serveHnswFromStore(s: SparkSession, storeDir: String,
                          probe: DataFrame, k: Int = 10): DataFrame = {
+    // dropDuplicates: a doc re-delivered under a DIFFERENT epoch (the
+    // at-least-once contract only pins same-epoch replays) leaves the
+    // same vec_id in two epoch partitions; duplicate corpus rows would
+    // enter beamWalk's visited set and eat beam slots (ADVICE r11)
     val vecs = s.read.parquet(s"$storeDir/vecs").select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
     val full = vecs.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nsq")).cut()
     val upperRaw = vecs.filter(hnswCoin === 0)

@@ -268,8 +268,12 @@ object StatsLearn extends graft.QueryModule {
       .agg(max(col("n")).as("n"),
         max(col("sr")).as("sr"), max(col("sq")).as("sq"),
         sum(col("jk9")).as("sjk9"),
-        sum(col("jk9").cast("decimal(14,0)") *
-          col("jk9").cast("decimal(14,0)")).as("sjk2i"))
+        // decimal(20,0): any BIGINT jk9 fits, the square is (38,0)-exact
+        // (≤1e38), and non-ANSI overflow-to-null can't fire — at (14,0) a
+        // pseudovalue past ~1e14 (tiny sq−q denominator) would silently
+        // null out while DuckDB's HUGEINT path stayed exact (ADVICE r11)
+        sum(col("jk9").cast("decimal(20,0)") *
+          col("jk9").cast("decimal(20,0)")).as("sjk2i"))
       .selectExpr("flag", "cast(n as bigint) as n",
         "cast(sr as double) / cast(sq as double) / 100.0 as theta",
         "cast(n as double) as nd", "cast(sjk9 as double) as sjkd",

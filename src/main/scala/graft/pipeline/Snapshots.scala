@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Hfs
 
 /** Versioned snapshot table with time-travel reads — the Iceberg/Delta
   * idea (immutable snapshot versions + as-of reads) on plain parquet.
@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a version directory is either absent or complete (readers never see a
   * half-written snapshot; rename is atomic on one filesystem, and on
   * object stores the same contract comes from the committer). Version
-  * discovery is a directory listing — O(versions), metadata-only.
+  * discovery is a directory listing — O(versions), metadata-only. All
+  * filesystem access goes through Hadoop's `FileSystem` ([[graft.Hfs]],
+  * r11 #4), so `dir` may be a local path or an HDFS/S3 URI alike.
   *
   * At 100 TB: snapshots share nothing here (full rewrite per commit),
   * which is the right shape for small dims and the wrong one for fact
@@ -28,13 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshots {
 
   /** Highest committed version in `dir`, if any. */
-  def latestVersion(dir: String): Option[Int] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
+  def latestVersion(dir: String): Option[Int] =
+    Hfs.childDirNames(dir)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt)
       .sorted.lastOption
-  }
 
   /** Commit `df` as the next snapshot version; returns the version id.
     * Write-then-rename: concurrent readers of existing versions are
@@ -44,18 +44,17 @@ object Snapshots {
     val v = latestVersion(dir).map(_ + 1).getOrElse(0)
     val tmp = s"$dir/.tmp_v$v"
     df.write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(tmp), Paths.get(s"$dir/v$v"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Hfs.rename(tmp, s"$dir/v$v")
     v
   }
 
   /** Read the table exactly as committed at `version`. */
   def readAsOf(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    val p = new java.io.File(s"$dir/v$version")
-    if (!p.isDirectory)
+    val p = s"$dir/v$version"
+    if (!Hfs.isDirectory(p))
       sys.error(s"snapshot v$version does not exist under $dir " +
         s"(latest = ${latestVersion(dir).getOrElse(-1)})")
-    spark.read.parquet(p.getAbsolutePath)
+    spark.read.parquet(p)
   }
 
   /** Read the latest committed snapshot. */
@@ -69,18 +68,12 @@ object Snapshots {
     * — time travel shrinks, the current table never disappears. */
   def vacuum(dir: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val d = new java.io.File(dir)
-    val all = Option(d.listFiles()).getOrElse(Array.empty)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    all.filter(f => f.isDirectory && f.getName.startsWith(".tmp_")).foreach(rm)
-    val versions = all
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toInt -> f).sortBy(_._1)
+    val names = Hfs.childDirNames(dir)
+    names.filter(_.startsWith(".tmp_"))
+      .foreach(n => Hfs.deleteRecursive(s"$dir/$n"))
+    val versions = names.filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
     val expire = versions.dropRight(keepLast)
-    expire.foreach { case (_, f) => rm(f) }
-    expire.map(_._1).toSeq
+    expire.foreach(v => Hfs.deleteRecursive(s"$dir/v$v"))
+    expire
   }
 }

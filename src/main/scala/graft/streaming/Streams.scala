@@ -545,10 +545,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // only a missing previous snapshot means "start empty"; any other
-        // read failure must surface, not silently duplicate the batch
+        // read failure must surface, not silently duplicate the batch.
+        // Probed through Hadoop's FileSystem (VERDICT r11 #4): outDir is
+        // public lifecycle API and may be an HDFS/S3 URI — a java.io.File
+        // listing reads "absent" there, so commit-if-changed would
+        // silently re-append the full batch every run
         val prev =
-          if (new java.io.File(outDir).listFiles() != null &&
-              new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")))
+          if (graft.Hfs.childNames(outDir).exists(_.endsWith(".parquet")))
             spark.read.schema(Schemas.event).parquet(outDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.event)
@@ -608,7 +611,7 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark2 = batch.sparkSession
-        val prev = new java.io.File(s"$stateDir/v${batchId - 1}")
+        val prev = s"$stateDir/v${batchId - 1}"
         val st =
           if (batchId > 0) {
             // Only batch 0 may start from empty state. A missing
@@ -616,11 +619,12 @@ object Streams {
             // cleaned, prior batch died between checkpoint and state
             // write) must FAIL LOUDLY — folding batch k into empty state
             // would serve silently undercounted aggregates forever after.
-            if (!prev.exists())
+            // (Hadoop-FS probe: stateDir may be an HDFS/S3 URI — r11 #4.)
+            if (!graft.Hfs.exists(prev))
               sys.error(s"incremental state v${batchId - 1} missing under " +
                 s"$stateDir but checkpoint expects batch $batchId; refusing " +
                 "to rebuild from empty state (would silently undercount)")
-            spark2.read.parquet(prev.getAbsolutePath)
+            spark2.read.parquet(prev)
           } else // empty state with the state schema
             graft.ops.Incremental.state(batch.limit(0), Seq("user_id"), "price")
         graft.ops.Incremental.mergeDelta(st, batch, Seq("user_id"), "price")
@@ -652,14 +656,14 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark2 = batch.sparkSession
-        val prev = new java.io.File(s"$stateDir/v${batchId - 1}")
+        val prev = s"$stateDir/v${batchId - 1}"
         val st =
           if (batchId > 0) {
-            if (!prev.exists())
+            if (!graft.Hfs.exists(prev))
               sys.error(s"changelog state v${batchId - 1} missing under " +
                 s"$stateDir but checkpoint expects batch $batchId; refusing " +
                 "to rebuild from empty state (would silently drift)")
-            spark2.read.parquet(prev.getAbsolutePath)
+            spark2.read.parquet(prev)
           } else spark2.read.parquet(seedDir)
         graft.ops.Incremental.mergeChangelog(st, batch, Seq("o_custkey"),
             "old_price", "new_price")
@@ -668,11 +672,11 @@ object Streams {
       .start()
   }
 
-  /** Latest state version written by [[maintainIncrementalState]]. */
-  def latestStateVersion(stateDir: String): Option[String] = {
-    val vs = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .sortBy(_.getName.drop(1).toInt)
-    vs.lastOption.map(_.getAbsolutePath)
-  }
+  /** Latest state version written by [[maintainIncrementalState]] —
+    * discovered through Hadoop's FileSystem so an HDFS/S3 stateDir lists
+    * correctly (r11 #4); returns the version path under `stateDir`. */
+  def latestStateVersion(stateDir: String): Option[String] =
+    graft.Hfs.childDirNames(stateDir)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      .sorted.lastOption.map(v => s"$stateDir/v$v")
 }

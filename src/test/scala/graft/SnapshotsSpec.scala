@@ -10,6 +10,26 @@ import graft.pipeline.Snapshots
 class SnapshotsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("full lifecycle through a file:-scheme Hadoop URI (r11 #4)") {
+    import spark.implicits._
+    // an explicit-scheme URI: java.io.File probes would read every path
+    // as absent (no version discovery, no vacuum) — the Hfs rewrite must
+    // make the whole commit/read/vacuum lifecycle scheme-transparent
+    val dir = "file:" + Files.createTempDirectory("graft_snap_uri").toString
+    assert(Snapshots.latestVersion(dir).isEmpty)
+    assert(Snapshots.commit(Seq((1L, 1.0)).toDF("key", "value"), dir) == 0)
+    assert(Snapshots.commit(Seq((2L, 2.0)).toDF("key", "value"), dir) == 1)
+    assert(Snapshots.latestVersion(dir).contains(1))
+    assert(Snapshots.readAsOf(spark, dir, 0)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Snapshots.commit(Seq((3L, 3.0)).toDF("key", "value"), dir) == 2)
+    assert(Snapshots.vacuum(dir, keepLast = 2) == Seq(0))
+    assert(Snapshots.readLatest(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val e = intercept[RuntimeException](Snapshots.readAsOf(spark, dir, 0))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("commits are sequential versions; as-of reads are immutable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_snap").toString

@@ -645,6 +645,18 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
     assert(replayed == full, "a replayed epoch changed the match table")
+    // CROSS-epoch re-delivery (ADVICE r11): the same docs arriving under
+    // a NEW epoch must not re-fingerprint or double-count votes — the
+    // anti-join against prior epochs' doc_ids makes it a no-op
+    val redelivered = graft.ext.Audio.audioFpDelta(lastBatch, store, lastEpoch + 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(redelivered == full,
+      "cross-epoch re-delivery changed the match table")
+    assert(spark.read.parquet(s"$store/fps").select("doc_id", "anchor", "fp")
+      .count() == spark.read.parquet(s"$store/fps")
+      .select("doc_id", "anchor", "fp").distinct().count(),
+      "cross-epoch re-delivery duplicated fingerprint store rows")
   }
 
   test("knnGraphDeltas: streamed graph append == batch append, replay-idempotent") {
