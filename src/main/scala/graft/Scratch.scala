@@ -1,0 +1,19 @@
+package graft
+
+/** Per-process scratch namespace for the fixture-backed sink / source /
+  * saved-index keys (VERDICT r11 #6). `dir(name)` is STABLE within one
+  * JVM — keys that seed a store and serve it later in the same process
+  * (ivf_saved's pinned index, the kv-catalog warehouse, the specs that
+  * inspect what a key wrote) keep sharing state — but UNIQUE across
+  * processes, so two concurrent sessions running the same key can no
+  * longer overwrite each other's fixtures mid-query (the concurrency
+  * caveat FIXTURES.md used to carry). Results are path-independent:
+  * every consumer reaches the files through this accessor, never a
+  * literal path. */
+object Scratch {
+  private val runId: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** `target/tmp/run-<jvm-id>/<name>`. */
+  def dir(name: String): String = s"target/tmp/run-$runId/$name"
+}

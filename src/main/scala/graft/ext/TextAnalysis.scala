@@ -670,7 +670,7 @@ object TextAnalysis extends graft.QueryModule {
     * a corpus scan. Hash equality against DuckDB's direct
     * contains-both scan proves index build and serve lossless. */
   private def invertedIndex(s: SparkSession, d: String): DataFrame = {
-    val dir = "target/tmp/inverted_index"
+    val dir = graft.Scratch.dir("inverted_index")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()

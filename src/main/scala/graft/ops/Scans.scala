@@ -62,7 +62,7 @@ object Scans extends graft.QueryModule {
   /** Per-entity JSON sink, partitioned by key, full overwrite
     * (`fetch_data.py:312-314`) — written then read back schema-checked. */
   private def sinkJsonPerEntity(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/sink_json_per_entity"
+    val dir = graft.Scratch.dir("sink_json_per_entity")
     Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").partitionBy("c_mktsegment").json(dir)
@@ -88,7 +88,7 @@ object Scans extends graft.QueryModule {
     * derived date key, then scan exactly one partition — `.explain` shows
     * PartitionFilters, not a full scan. */
   private def sinkPartitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/orders_partitioned"
+    val dir = graft.Scratch.dir("orders_partitioned")
     Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("yr").parquet(dir)
@@ -107,7 +107,7 @@ object Scans extends graft.QueryModule {
     * pruning only helps literal predicates; every "fact JOIN filtered
     * dim" query needs DPP to touch just the matching partitions. */
   private def srcDppPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/orders_dpp"
+    val dir = graft.Scratch.dir("orders_dpp")
     Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("yr").parquet(dir)
@@ -129,7 +129,7 @@ object Scans extends graft.QueryModule {
     * join key, then joined — the sort-merge join reads bucket-aligned
     * files with NO exchange on either side (verify in explain()). */
   private def sinkBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File("target/tmp/bucketed").getAbsolutePath
+    val base = new java.io.File(graft.Scratch.dir("bucketed")).getAbsolutePath
     // project to the served columns BEFORE the bucketed write: the
     // at-rest table carries only what downstream reads (half the bytes)
     Tables.orders(spark, sfDir)
@@ -165,7 +165,7 @@ object Scans extends graft.QueryModule {
     * daily-window workload served straight from layout.
     * PlanShapeSpec pins the plan shape. */
   private def sinkBucketedWindow(s0: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File("target/tmp/bucketed_win").getAbsolutePath
+    val base = new java.io.File(graft.Scratch.dir("bucketed_win")).getAbsolutePath
     // Spark ≥3.0 stops reporting the bucket files' sortBy order by
     // default (multi-file buckets would need a merge-sort read); with
     // exactly one file per bucket the order IS valid, so opt back in on
@@ -204,7 +204,7 @@ object Scans extends graft.QueryModule {
     * an outage, not a convenience). Doubles survive exactly: the writer
     * emits shortest-round-trip decimal strings. */
   private def srcCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/supplier_csv"
+    val dir = graft.Scratch.dir("supplier_csv")
     Tables.supplier(spark, sfDir)
       .write.mode("overwrite").option("header", "true").csv(dir)
     spark.read
@@ -217,7 +217,7 @@ object Scans extends graft.QueryModule {
     * read-back filter + projection push into the ORC scan the same way
     * they do for parquet (`.explain` shows the pushed predicate). */
   private def srcOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/part_orc"
+    val dir = graft.Scratch.dir("part_orc")
     Tables.part(spark, sfDir).write.mode("overwrite").orc(dir)
     spark.read.orc(dir)
       .filter(col("p_size") >= 25)
@@ -233,7 +233,7 @@ object Scans extends graft.QueryModule {
     * and double-typed balances — is lossless; Double.toString's
     * shortest-repr round-trip guarantees the latter. */
   private def srcXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/customer_xml"
+    val dir = graft.Scratch.dir("customer_xml")
     Tables.customer(spark, sfDir)
       .write.mode("overwrite").format("xml")
       .option("rootTag", "customers").option("rowTag", "customer")
@@ -254,7 +254,7 @@ object Scans extends graft.QueryModule {
     * NULLS FIRST, DuckDB NULLS LAST — an unpinned sort would
     * hash-mismatch even with identical rows. */
   private def srcMergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/evolving_schema"
+    val dir = graft.Scratch.dir("evolving_schema")
     val p = Tables.part(spark, sfDir)
     p.select(col("p_partkey"), col("p_name"))
       .write.mode("overwrite").parquet(s"$dir/v1")
@@ -274,7 +274,7 @@ object Scans extends graft.QueryModule {
     * quarantine; counts are oracle-checked against the same modular
     * rule. */
   private def srcJsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/json_corrupt"
+    val dir = graft.Scratch.dir("json_corrupt")
     val rendered = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         concat(lit("{\"event_id\": "), col("event_id"),
@@ -319,7 +319,7 @@ object Scans extends graft.QueryModule {
     * stamp 'cur' everywhere), and PartitionCommitSpec asserts the
     * unchanged partitions' files are byte-for-byte untouched on disk. */
   private def sinkCommitPartitions(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/orders_partition_commit"
+    val dir = graft.Scratch.dir("orders_partition_commit")
     val cur = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("yr"),
         col("o_totalprice"))
@@ -352,7 +352,7 @@ object Scans extends graft.QueryModule {
     * pushed filter is in `.explain`; an unsorted layout scatters every
     * value across every row-group and the same stats skip nothing). */
   private def sinkSortedScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/lineitem_sorted"
+    val dir = graft.Scratch.dir("lineitem_sorted")
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
@@ -379,7 +379,7 @@ object Scans extends graft.QueryModule {
     * BloomParquetSpec asserts the filters actually exist in the
     * written footers. */
   private def sinkBloomScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/lineitem_bloom"
+    val dir = graft.Scratch.dir("lineitem_bloom")
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("l_quantity"))
@@ -405,7 +405,7 @@ object Scans extends graft.QueryModule {
     * residual filter keeps the result exact, so the key hash-matches a
     * plain filtered scan. */
   private def srcZonemapPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = "target/tmp/orders_zonemap"
+    val dir = graft.Scratch.dir("orders_zonemap")
     ZoneMap.write(
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
@@ -424,7 +424,7 @@ object Scans extends graft.QueryModule {
     * exact, so the key hash-matches a plain filtered scan. */
   private def sinkZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val dir = "target/tmp/orders_zorder"
+    val dir = graft.Scratch.dir("orders_zorder")
     val zed = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"),
@@ -454,7 +454,7 @@ object Scans extends graft.QueryModule {
     * pruning ratio, not the answer. */
   private def sinkHilbertScan(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val dir = "target/tmp/orders_hilbert"
+    val dir = graft.Scratch.dir("orders_hilbert")
     val indexed = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"),
@@ -483,7 +483,7 @@ object Scans extends graft.QueryModule {
     * lost and duplicated nothing; the file-count arithmetic is pinned
     * by CompactSpec and re-asserted here via the report. */
   private def sinkCompactFiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val frag = "target/tmp/orders_frag"
+    val frag = graft.Scratch.dir("orders_frag")
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .repartition(64) // simulate trickle ingest: 64 tiny files
@@ -583,7 +583,7 @@ object Scans extends graft.QueryModule {
     val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
       ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
       ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        "target/tmp/kv_catalog")
+        graft.Scratch.dir("kv_catalog"))
     }
     Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
     s2.sql("DROP TABLE IF EXISTS graft_cat.cust")
@@ -613,7 +613,7 @@ object Scans extends graft.QueryModule {
     val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
       ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
       ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        "target/tmp/kv_catalog")
+        graft.Scratch.dir("kv_catalog"))
     }
     Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
     s2.sql("DROP TABLE IF EXISTS graft_cat.cust_m")
@@ -650,7 +650,7 @@ object Scans extends graft.QueryModule {
     val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
       ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
       ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        "target/tmp/kv_catalog")
+        graft.Scratch.dir("kv_catalog"))
     }
     Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
     s2.sql("DROP TABLE IF EXISTS graft_cat.cust_p")
@@ -677,7 +677,7 @@ object Scans extends graft.QueryModule {
     val s2 = isolatedSession(s, "src_v2_catalog_dml") { ns =>
       ns.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.FsKvCatalog")
       ns.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        "target/tmp/kv_catalog")
+        graft.Scratch.dir("kv_catalog"))
     }
     Tables.customer(s2, d).createOrReplaceTempView("customer_dml_v")
     s2.sql("DROP TABLE IF EXISTS graft_cat.cust_q")

@@ -119,7 +119,7 @@ object StreamBatch extends graft.QueryModule {
     * all events at once — equality proves three incremental folds lose
     * nothing vs one big groupBy. */
   private def incrementalMaintain(s: SparkSession, d: String): DataFrame = {
-    val base = "target/tmp/inc_stream"
+    val base = graft.Scratch.dir("inc_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val src = s"$base/src"
     val ev = Tables.events(s, d)
@@ -152,7 +152,7 @@ object StreamBatch extends graft.QueryModule {
     * equality proves three changelog folds land exactly where one
     * direct maintenance (or a full recompute) lands. */
   private def incrementalCdcMaintain(s: SparkSession, d: String): DataFrame = {
-    val base = "target/tmp/cdc_stream"
+    val base = graft.Scratch.dir("cdc_stream")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val (view0, log) = Warehouse.cdcViewParts(s, d)
     view0.write.mode("overwrite").parquet(s"$base/seed")
@@ -180,8 +180,8 @@ object StreamBatch extends graft.QueryModule {
     * the stateful operator wrote. Buffer field names are engine-
     * internal, so columns rebind positionally. */
   private def stateReader(s: SparkSession, d: String): DataFrame = {
-    val src = "target/tmp/state_src"
-    val ckpt = "target/tmp/state_ckpt"
+    val src = graft.Scratch.dir("state_src")
+    val ckpt = graft.Scratch.dir("state_ckpt")
     Seq(src, ckpt).foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -232,7 +232,7 @@ object Warehouse extends graft.QueryModule {
     * hash check proves the as-of reads return exactly what was
     * committed — v0 unchanged by the v1 commit. */
   private def sinkTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = "target/tmp/snapshots_customer"
+    val dir = graft.Scratch.dir("snapshots_customer")
     // the key must be re-runnable: clear prior commits so v0/v1 are
     // exactly this run's two versions
     def rm(f: java.io.File): Unit = {
@@ -316,7 +316,7 @@ object Warehouse extends graft.QueryModule {
     * access to the original inputs. Shares cdc_capture's oracle: the
     * hash match proves commit → read-as-of → diff loses nothing. */
   private def cdcTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = "target/tmp/orders_cdc_versions"
+    val dir = graft.Scratch.dir("orders_cdc_versions")
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val f = new java.io.File(dir)
@@ -354,7 +354,7 @@ object Warehouse extends graft.QueryModule {
     * indistinguishable from the direct scan. */
   private def mvRewrite(s: SparkSession, d: String): DataFrame = {
     import graft.rules.RewriteAggregateToSummary._
-    val mvPath = "target/tmp/mv_lineitem"
+    val mvPath = graft.Scratch.dir("mv_lineitem")
     val li = Tables.lineitem(s, d)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as(SumQty),
@@ -393,7 +393,7 @@ object Warehouse extends graft.QueryModule {
     * the union re-agg touches only the summary (group-domain-sized). */
   private def mvIncremental(s: SparkSession, d: String): DataFrame = {
     import graft.rules.RewriteAggregateToSummary._
-    val mvPath = "target/tmp/mv_lineitem_inc"
+    val mvPath = graft.Scratch.dir("mv_lineitem_inc")
     val li = Tables.lineitem(s, d)
     val cutoff = "1996-01-01"
     def partials(df: DataFrame): DataFrame = df

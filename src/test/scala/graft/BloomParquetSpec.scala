@@ -21,7 +21,7 @@ class BloomParquetSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => Set(7L, 77L, 777L).contains(r.getAs[Long]("l_suppkey"))))
-    val dir = new java.io.File("target/tmp/lineitem_bloom")
+    val dir = new java.io.File(graft.Scratch.dir("lineitem_bloom"))
     val parts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     assert(parts.nonEmpty, "no parquet files written")
