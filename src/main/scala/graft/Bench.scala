@@ -72,10 +72,13 @@ object Bench {
                             // ~22 s at sf0.1 — an inherent cost of the
                             // "hash equality proves incremental ≡ full
                             // rebuild" contract, not a plan defect)
-    "sim_search_hnsw",      // 2-layer hierarchical descent: two bucketed
-                            // NN-Descent builds + coarse/fine beam walks
-                            // (r11; subsumes sim_search_knn_graph's walk —
-                            // the heaviest graph-ANN rep, label-free)
+    "sim_search_hnsw_served", // 2-layer hierarchical descent SERVED from
+                            // the persisted store (r12, VERDICT #2): the
+                            // first run seeds (build), min-of-N then reads
+                            // steady-state serving — the property the
+                            // index exists for. The build-inclusive
+                            // sim_search_hnsw key stays registered
+                            // off-headline (its cost is the seed run)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
     "sim_search_pq",        // product-quantization ANN
     "mm_decode",            // real javax.imageio PNG decode (r7)

@@ -200,6 +200,54 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall == 1.0, s"label-free beam failed to navigate: $recall")
   }
 
+  test("duplicate-heavy corpus: collapse keeps the bucketed build linear (r12)") {
+    // VERDICT r11 #1: identical embeddings share every LSH bucket, so a
+    // duplicate-heavy corpus used to make the seed self-join group² in
+    // the hot bucket (40 copies -> 40·39 = 1560 within-group pairs
+    // before this fix). The collapse must (a) reduce the group to ONE
+    // representative, (b) bound the finished graph linearly, (c) keep
+    // the duplicate members reachable through their chain edges.
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 16
+    val degree = 6
+    val dupVec = Array.tabulate(dim)(d => if (d == 2) 10.0f else 0.1f)
+    val dups = (1L to 40L).map(id => (id, dupVec.clone()))
+    val uniq = (41L to 100L).map { id =>
+      (id, Array.tabulate(dim)(d =>
+        // d == 0 carries the id so every non-dup vector is unique (a
+        // pure mod-13 residue pattern collided 60 ids onto 13 grids)
+        if (d == 0) id.toFloat / 10.0f
+        else ((id * 31 + d * 17) % 13 - 6).toFloat / 3.0f))
+    }
+    val corpus = spark.createDataFrame(dups ++ uniq)
+      .toDF("vec_id", "embedding")
+    val mem = graft.ext.SimSearch.collapseGroups(corpus)
+    assert(mem.filter("vec_id = rep").count() == 61,
+      "40 identical vectors must collapse to one representative")
+    val g = graft.ext.SimSearch.knnGraphBucketed(corpus, degree, rounds = 2)
+    val edges = g.count()
+    // rep edges are degree-ranked (≤ 61·degree); members add exactly
+    // 2·(n − groups) = 2·39 directed chain edges — LINEAR, never group²
+    assert(edges <= 61L * degree + 2L * 39L,
+      s"bucketed build emitted $edges edges — hot-bucket quadratic is back?")
+    assert(g.filter("i <= 40 OR j <= 40").count() >= 2L * 39L,
+      "duplicate members lost their chain edges")
+    // the walk reaches duplicates THROUGH the chain: probing with the
+    // duplicated vector must surface several of its copies (cosine 1)
+    val probe = spark.createDataFrame(Seq(Tuple1(dupVec))).toDF("embedding")
+    val got = graft.ext.SimSearch.graphBeamSearchBucketed(
+        corpus, probe, degree, rounds = 2, beamW = 10, steps = 6, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & (1L to 40L).toSet).size >= 5,
+      s"dup members unreachable through the chain: $got")
+    // df-cap escape hatch (SCALE.md): capping seed buckets still builds
+    spark.conf.set("spark.graft.ann.bucketDfCap", "8")
+    try {
+      assert(graft.ext.SimSearch.knnGraphBucketed(corpus, degree, 2).count() > 0,
+        "df-capped build produced no edges")
+    } finally spark.conf.unset("spark.graft.ann.bucketDfCap")
+  }
+
   test("HNSW 2-layer descent navigates clustered vectors") {
     // the hierarchical twin of the bucketed-navigability test: the
     // upper layer is the md5-coin ~25% sample, its walk's top-1 is the
@@ -218,6 +266,28 @@ class SimSearchRecallSpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     info(s"HNSW clustered recall@10 = $recall")
     assert(recall == 1.0, s"2-layer descent failed to navigate: $recall")
+  }
+
+  test("HNSW geometric level stack (3 layers) navigates clustered vectors") {
+    // VERDICT r12 #5: the multi-layer descent must be at least as good
+    // as the 2-layer key on the clustered fixture (whose 2-layer floor
+    // is recall 1.0) — the top layer is ~n/64 here, so this also proves
+    // an ef=1 descent through TWO intermediate layers lands the final
+    // walk in the right cluster
+    graft.functions.VectorFunctions.register(spark)
+    val (rows, probeVec) = clusteredFixture
+    val corpus = spark.createDataFrame(rows.map { case (id, _, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+    val probe = spark.createDataFrame(Seq(Tuple1(probeVec))).toDF("embedding")
+    val exact = rows.map { case (id, _, v) => (id, cosD(v, probeVec)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = graft.ext.SimSearch.hnswMultiSearch(
+        corpus, probe, levels = 3, degree = 6, rounds = 2, beamW = 10,
+        steps = 6, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"HNSW 3-layer clustered recall@10 = $recall")
+    assert(recall == 1.0, s"level-stack descent regressed vs 2-layer: $recall")
   }
 
   test("batch graph walk with one probe equals the single-probe bucketed walk") {
@@ -336,7 +406,7 @@ class SimSearchRecallSpec extends AnyFunSuite {
     // and the index round-trips: serving the persisted tables again is
     // deterministic (parquet floats are exact)
     val again = perProbe(
-      graft.ext.SimSearch.servedTopKPinned(spark, "target/tmp/ivf_index_pinned",
+      graft.ext.SimSearch.servedTopKPinned(spark, graft.Scratch.dir("ivf_index_pinned"),
         graft.Tables.embeddings(spark, sf).filter("vec_id < 20")
           .selectExpr("vec_id AS probe_id", "embedding AS probe")).collect())
     assert(again == served)
