@@ -545,8 +545,7 @@ object Dedup extends graft.QueryModule {
     *
     * Split: base = first 80% of the doc-id space, delta = the rest —
     * derived from max(doc_id), so the same key is meaningful at every
-    * SF. Store under target/tmp (same fixture caveat as
-    * sim_search_ivf_saved, documented in FIXTURES.md). */
+    * SF. Store under a per-run UUID dir (FIXTURES.md "Scratch paths"). */
   private def minhashIncremental(s: SparkSession, d: String): DataFrame = {
     val docsDf = docs(s, d)
     val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
@@ -644,10 +643,69 @@ object Dedup extends graft.QueryModule {
     connectedComponents(docsAll, pairsAll, "doc_id").orderBy("doc_id")
   }
 
+  /** Connected components as UNROLLED alternating large-star/small-star
+    * contraction rounds — the SQL twin of [[connectedComponentsStar]]
+    * (r12, VERDICT #3). Assumes CTEs `pairs (i, j)` and `nodes (id)`
+    * are in scope; emits `e0..e$rounds` plus `lab (id, cluster_id)`
+    * labeling every node with its component minimum. Replaces the
+    * recursive-CTE transitive closure that ran >2 h on sf0.1's
+    * 2.72 M-pair mega-clique graph (PERF.md r11): each round is two
+    * groupBy-min + join passes over a SHRINKING edge list, O(log n)
+    * rounds suffice on any graph shape, and rounds past the fixpoint
+    * are idempotent (the edge set is already a union of stars rooted at
+    * component minima), so a generous FIXED budget is safe where SQL
+    * cannot loop-until-converged. `pairsRel (i, j)` / `nodesRel (id)`
+    * name the inputs; `sfx` suffixes every internal CTE (ending in
+    * `lab$sfx`) so one statement can hold several closures. */
+  private[ext] def starCcSql(rounds: Int, pairsRel: String = "pairs",
+                             nodesRel: String = "nodes",
+                             sfx: String = ""): String = {
+    val rs = (1 to rounds).map { t =>
+      s"""sym$t$sfx AS (SELECT s AS u, t AS v FROM e${t - 1}$sfx
+         |          UNION ALL SELECT t, s FROM e${t - 1}$sfx),
+         |mn$t$sfx AS MATERIALIZED (
+         |  SELECT u, least(u, min(v)) AS m FROM sym$t$sfx GROUP BY u),
+         |lg$t$sfx AS MATERIALIZED (
+         |  SELECT DISTINCT mm.m AS s, sy.v AS t
+         |  FROM sym$t$sfx sy JOIN mn$t$sfx mm ON sy.u = mm.u
+         |  WHERE sy.v > sy.u AND mm.m <> sy.v),
+         |ori$t$sfx AS (SELECT t AS u, s AS v FROM lg$t$sfx),
+         |ms$t$sfx AS MATERIALIZED (
+         |  SELECT u, min(v) AS m FROM ori$t$sfx GROUP BY u),
+         |e$t$sfx AS MATERIALIZED (
+         |  SELECT DISTINCT least(i, j) AS s, greatest(i, j) AS t FROM (
+         |    SELECT u AS i, m AS j FROM ms$t$sfx
+         |    UNION ALL
+         |    SELECT o.v AS i, ms$t$sfx.m AS j FROM ori$t$sfx o
+         |      JOIN ms$t$sfx ON o.u = ms$t$sfx.u WHERE o.v <> ms$t$sfx.m)
+         |  WHERE i <> j)""".stripMargin
+    }.mkString(",\n")
+    s"""e0$sfx AS MATERIALIZED (
+       |  SELECT DISTINCT least(i, j) AS s, greatest(i, j) AS t
+       |  FROM $pairsRel WHERE i <> j),
+       |$rs,
+       |nbmin$sfx AS MATERIALIZED (
+       |  SELECT n, min(nb) AS mn FROM (
+       |    SELECT s AS n, t AS nb FROM e$rounds$sfx
+       |    UNION ALL SELECT t, s FROM e$rounds$sfx) GROUP BY n),
+       |lab$sfx AS (
+       |  SELECT $nodesRel.id,
+       |         least($nodesRel.id, coalesce(nbmin$sfx.mn, $nodesRel.id))
+       |           AS cluster_id
+       |  FROM $nodesRel LEFT JOIN nbmin$sfx ON $nodesRel.id = nbmin$sfx.n)""".stripMargin
+  }
+
+  /** Star-round budget for [[starCcSql]]: near-dup graphs at the pinned
+    * SFs converge in a handful of rounds (cliques in ~2, the measured
+    * worst chains well under 2^12 hops); extra rounds are idempotent
+    * no-ops over an already-star edge list. */
+  private[ext] val StarCcRounds = 12
+
   /** Oracle for [[minhashIncremental]]: the FULL-UNION recompute (16
     * min-md5 slots, 4 band keys, plain bucket-pair candidates, exact
-    * Jaccard >= 0.8, recursive-CTE components) — hash equality proves
-    * the delta-computed clusters are identical to a full rebuild. */
+    * Jaccard >= 0.8, unrolled star-contraction components) — hash
+    * equality proves the delta-computed clusters are identical to a
+    * full rebuild. */
   private def minhashIncrementalOracle: String = {
     val k = NumHashes; val b = NumBands; val r = k / b
     val slots = (0 until k).map(md5SlotSql).mkString(",\n         ")
@@ -655,7 +713,7 @@ object Dedup extends graft.QueryModule {
       val key = (0 until r).map(ri => s"m${bi * r + ri}").mkString(" || '|' || ")
       s"SELECT doc_id, $bi AS band, md5($key) AS h FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE w AS (
+    s"""WITH w AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
        |wh AS (
@@ -678,19 +736,14 @@ object Dedup extends graft.QueryModule {
        |  JOIN ids a ON a.doc_id = c.i
        |  JOIN ids b ON b.doc_id = c.j AND a.id = b.id
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT i, j FROM inter
        |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
-       |edges AS (SELECT i AS src, j AS dst FROM pairs
-       |          UNION ALL SELECT j, i FROM pairs),
        |nodes AS (SELECT doc_id AS id FROM documents),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)
-       |SELECT id AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${starCcSql(StarCcRounds)}
+       |SELECT id AS doc_id, cluster_id
+       |FROM lab ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle SQL for [[minhashMd5]], generated to mirror the banding
