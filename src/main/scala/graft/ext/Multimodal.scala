@@ -479,7 +479,7 @@ object Multimodal extends graft.QueryModule {
     * through the source loses nothing. */
   private def srcBinaryFiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = "target/tmp/png_files"
+    val dir = graft.Scratch.dir("png_files")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // no stale files across SF runs
@@ -538,12 +538,16 @@ object Multimodal extends graft.QueryModule {
   /** The pHash CTE chain (→ `med (doc_id, dc, acs, m)`) as a reusable
     * fragment — [[phashDctOracle]] selects the hash string from it; the
     * banded-pairs oracle builds its candidate join on top. */
-  private def phashCtesSql: String = {
+  private def phashCtesSql: String = phashCtesSqlOver("documents")
+
+  /** [[phashCtesSql]] over an arbitrary `(doc_id, text)` relation — the
+    * cross-modality pipeline hashes only the text-gated docs. */
+  private def phashCtesSqlOver(rel: String): String = {
     val ctab = PhashCos.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""d AS (SELECT doc_id, text, length(text) AS len,
        |                  length(text) % 16 + 1 AS w,
        |                  length(text) % 12 + 1 AS h
-       |           FROM documents),
+       |           FROM $rel),
        |b AS (SELECT doc_id, text, len,
        |             list_transform(range(0, 64), q ->
        |               3 * ((q // 8) * h // 8 * w + (q % 8) * w // 8))
@@ -775,7 +779,127 @@ object Multimodal extends graft.QueryModule {
        |ORDER BY i, scene_i, j, scene_j""".stripMargin
   }
 
+  /** CROSS-modality training-set assembly [N] (r12, VERDICT #7 stretch)
+    * — `corpus_clean_pipeline` proved the TEXT stages compose in one
+    * declarative plan; this proves the families compose ACROSS
+    * modalities, the shape a multimodal LLM pipeline runs over paired
+    * (doc, image) rows:
+    *
+    *  1. TEXT gate — the gopher-style quality rules (length floor, word
+    *     floor, language allowlist);
+    *  2. TEXT near-dup collapse — the linear md5-minhash cluster
+    *     pipeline ([[graft.ext.Dedup.md5ClusterAssign]]), min-id rep
+    *     per cluster survives;
+    *  3. IMAGE near-dup collapse over the SAME gated docs — the paired
+    *     image (the real PNG round-trip of `mm_phash_dct`) hashes to a
+    *     15-bit DCT pHash, pairs band-join at Hamming ≤ 2 (pigeonhole-
+    *     lossless, `mm_phash_pairs`' machinery), components via the
+    *     alternating-star CC, min-id rep per IMAGE cluster survives;
+    *  4. SURVIVORS = docs that pass the gate AND rep BOTH their text
+    *     and image clusters — a reworded copy dies on leg 2, a re-
+    *     encoded/near-identical image dies on leg 3.
+    *
+    * Codec work stays in the two partition-wise seams (encode + pHash);
+    * everything else is band equi-joins, hash aggs, and the two CC
+    * fixpoints. Gating text-FIRST means the codec only touches docs
+    * that can still survive — stage order is a pushdown decision. (The
+    * learned `text_quality_classifier` gate composes the same way but
+    * would nest its unrolled-GD oracle here; the rule gate keeps the
+    * mirror tractable — recorded in PERF.md r12.) Note the fixture's
+    * 15-bit pHash space makes image components COARSE at small SF
+    * (Hamming ≤ 2 chains percolate, few minima survive) — with a
+    * production 64-bit hash the clusters are the sparse near-dup sets
+    * of `mm_scene_dedup`; the composition shape is what's under test. */
+  private def corpusCleanMultimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gated = Tables.documents(s, d)
+      .filter(col("n_chars") >= 100 &&
+        size(split(col("text"), " ")) >= 20 &&
+        col("lang").isin("en", "fr", "de"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val textReps = Dedup.md5ClusterAssign(
+        gated.select(col("doc_id"), col("text")))
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val hashed = gated
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .as[MediaBlob]
+      .mapPartitions(encodeImages)
+      .mapPartitions(phashImages)
+      .toDF("doc_id", "phash", "dc")
+      .select(col("doc_id"), col("phash"))
+      .localCheckpoint() // the band join + CC read it repeatedly
+    val bands = hashed.select(col("doc_id"), col("phash"),
+      explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("phash"), 1 + 5 * b, 5).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("phash"),
+        col("bh.band").as("band"), col("bh.h").as("h"))
+    val ham = expr(
+      "aggregate(sequence(1, 15), 0, (acc, i) -> acc + " +
+        "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .filter(ham <= 2)
+      .select(col("i"), col("j"))
+    val imgReps = Dedup.connectedComponentsStar(
+        hashed.select(col("doc_id").as("id")), pairs)._1
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    gated.join(textReps, Seq("doc_id"), "left_semi")
+      .join(imgReps, Seq("doc_id"), "left_semi")
+      .join(hashed, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("phash"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[corpusCleanMultimodal]]: the gated-doc CTE, the text
+    * leg's [[graft.ext.Dedup.md5ClusterChainSql]] chain, the image
+    * leg's pHash CTEs over the gated docs + p-prefixed band/candidate
+    * CTEs + the unrolled star-CC closure, and the 3-way survivor join. */
+  private def corpusCleanMultimodalOracle: String = {
+    val hamSql = (pa: String, pb: String) =>
+      s"""list_sum(list_transform(range(1, 16), p ->
+         |  CASE WHEN substr($pa, p, 1) = substr($pb, p, 1)
+         |       THEN 0 ELSE 1 END))""".stripMargin
+    s"""WITH RECURSIVE gated AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars, text FROM documents
+       |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+       |    AND lang IN ('en', 'fr', 'de')),
+       |${Dedup.md5ClusterChainSql("gated", "text")},
+       |trep AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+       |${phashCtesSqlOver("gated")},
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(acs, x ->
+       |           CASE WHEN x > m THEN '1' ELSE '0' END), '') AS phash
+       |  FROM med),
+       |pbands AS (
+       |  SELECT doc_id, phash, b AS band, substr(phash, 1 + 5 * b, 5) AS h
+       |  FROM ph, unnest(range(0, 3)) t(b)),
+       |pcand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+       |         x.phash AS pa, y.phash AS pb
+       |  FROM pbands x JOIN pbands y
+       |    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+       |ppairs AS MATERIALIZED (
+       |  SELECT i, j FROM pcand WHERE ${hamSql("pa", "pb")} <= 2),
+       |pnodes AS (SELECT doc_id AS id FROM ph),
+       |${Dedup.starCcSql(Dedup.StarCcRounds, "ppairs", "pnodes", "p")},
+       |irep AS (SELECT id AS doc_id FROM labp WHERE id = cluster_id)
+       |SELECT g.doc_id, g.lang, g.n_chars, ph.phash
+       |FROM gated g
+       |JOIN trep ON g.doc_id = trep.doc_id
+       |JOIN irep ON g.doc_id = irep.doc_id
+       |JOIN ph ON g.doc_id = ph.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean_multimodal" -> corpusCleanMultimodal,
     "src_binary_files" -> srcBinaryFiles,
     "mm_scene_dedup" -> mmSceneDedup,
     "multimodal_cols" -> mmMeta,
@@ -859,6 +983,7 @@ object Multimodal extends graft.QueryModule {
     "mm_scene_dedup" -> sceneDedupOracle,
     "mm_phash_dct" -> phashDctOracle,
     "mm_phash_pairs" -> phashPairsOracle,
+    "corpus_clean_multimodal" -> corpusCleanMultimodalOracle,
     "mm_ahash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |                  length(text) % 16 + 1 AS w,
