@@ -881,31 +881,79 @@ object SimSearch extends graft.QueryModule {
       "cast(conv(substring(md5(concat(cast(vec_id as string), " +
         s"':hnswlvl$l')), 1, 8), 16, 10) as bigint) % $HnswLevelMod")
 
+  /** The layer-ℓ slice of a corpus: coins 1..ℓ all zero (ℓ = 0 is the
+    * full corpus). Stateless — every epoch, store, and serving path
+    * derives the same nested samples from vec_id alone. */
+  private def hnswLayerSlice(raw: DataFrame, l: Int): DataFrame =
+    (1 to l).foldLeft(raw)((df, i) => df.filter(hnswCoinL(i) === 0))
+
+  private def withNsqCut(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
+
+  /** The L-layer descent over per-layer edge providers — shared by the
+    * in-query key (builds on the fly) and the persisted-store serving
+    * path (reads each layer's saved edges). */
+  private def hnswMultiDescend(raw: DataFrame, probeIn: DataFrame,
+                               levels: Int, degree: Int, beamW: Int,
+                               steps: Int, k: Int,
+                               layerEdges: Int => DataFrame): DataFrame = {
+    val top = hnswLayerSlice(raw, levels)
+    var entry = beamWalk(withNsqCut(top),
+        symCap(layerEdges(levels), degree),
+        bucketEntries(top), probeIn, beamW, HnswUpperSteps, k = 1)
+      .select("vec_id")
+    for (l <- (levels - 1) to 1 by -1) {
+      entry = beamWalk(withNsqCut(hnswLayerSlice(raw, l)),
+          symCap(layerEdges(l), degree),
+          entry, probeIn, beamW, HnswUpperSteps, k = 1)
+        .select("vec_id")
+    }
+    beamWalk(withNsqCut(raw), symCap(layerEdges(0), degree),
+      entry, probeIn, beamW, steps, k)
+  }
+
   /** The L-layer descent — public for the recall spec. */
   def hnswMultiSearch(corpusIn: DataFrame, probeIn: DataFrame, levels: Int,
                       degree: Int, rounds: Int, beamW: Int, steps: Int,
                       k: Int): DataFrame = {
     val raw = corpusIn.select(col("vec_id"), col("embedding"))
-    def layerRaw(l: Int): DataFrame =
-      (1 to l).foldLeft(raw)((df, i) => df.filter(hnswCoinL(i) === 0))
-    def nsqOf(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nsq")).cut()
-    val top = layerRaw(levels)
-    var entry = beamWalk(nsqOf(top),
-        symCap(knnGraphBucketed(top, degree, rounds), degree),
-        bucketEntries(top), probeIn, beamW, HnswUpperSteps, k = 1)
-      .select("vec_id")
-    for (l <- (levels - 1) to 1 by -1) {
-      val lr = layerRaw(l)
-      entry = beamWalk(nsqOf(lr),
-          symCap(knnGraphBucketed(lr, degree, rounds), degree),
-          entry, probeIn, beamW, HnswUpperSteps, k = 1)
-        .select("vec_id")
+    hnswMultiDescend(raw, probeIn, levels, degree, beamW, steps, k,
+      l => knnGraphBucketed(hnswLayerSlice(raw, l), degree, rounds))
+  }
+
+  /** Seed the persistent LEVEL-STACK store (r12): vectors plus every
+    * layer's bucketed edge list land under `epoch=-1` — the L-layer
+    * generalization of [[hnswStoreSeed]]. Layer membership stays the
+    * stateless md5 coin stack, so appends never rebalance any layer
+    * (the 2-layer [[hnswDelta]] rule generalizes per layer: a delta
+    * node joins every layer its coins admit). */
+  def hnswMultiStoreSeed(vecsIn: DataFrame, storeDir: String,
+                         levels: Int = HnswMultiLevels,
+                         degree: Int = GraphAnnDegree,
+                         rounds: Int = NnDescentRounds): Unit = {
+    val raw = vecsIn.select(col("vec_id"), col("embedding"))
+    raw.write.mode("overwrite").parquet(s"$storeDir/vecs/epoch=-1")
+    (0 to levels).foreach { l =>
+      knnGraphBucketed(hnswLayerSlice(raw, l), degree, rounds)
+        .write.mode("overwrite").parquet(s"$storeDir/l$l/epoch=-1")
     }
-    beamWalk(nsqOf(raw),
-      symCap(knnGraphBucketed(raw, degree, rounds), degree),
-      entry, probeIn, beamW, steps, k)
+  }
+
+  /** Serve a probe from the persisted level stack — the same descent as
+    * `sim_search_hnsw_multi` over the union of every epoch's edges
+    * (spec-pinned EQUAL to the in-query key when the store was seeded
+    * with the same corpus). */
+  def serveHnswMultiFromStore(s: SparkSession, storeDir: String,
+                              probe: DataFrame,
+                              levels: Int = HnswMultiLevels,
+                              k: Int = 10): DataFrame = {
+    val raw = s.read.parquet(s"$storeDir/vecs").select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
+    hnswMultiDescend(raw, probe, levels, GraphAnnDegree, GraphAnnBeam,
+      GraphAnnSteps, k,
+      l => s.read.parquet(s"$storeDir/l$l")
+        .select(col("i"), col("j"), col("cosine")))
   }
 
   private def hnswMultiServe(s: SparkSession, d: String): DataFrame = {
@@ -1082,6 +1130,34 @@ object SimSearch extends graft.QueryModule {
     writeEpoch(batch, "vecs")
     writeEpoch(fresh0, "l0")
     writeEpoch(fresh1, "l1")
+    symCap(s.read.parquet(s"$storeDir/l0")
+        .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+      .orderBy("i", "j")
+  }
+
+  /** One micro-batch of LEVEL-STACK index append (r12) — [[hnswDelta]]
+    * generalized to the [[hnswMultiStoreSeed]] store: the delta ranks
+    * label-free against saved ∪ delta on EVERY layer its coins admit
+    * (layer ℓ slice = coins 1..ℓ zero — stateless, so the batch's
+    * per-layer membership needs no store lookup), each layer's epoch
+    * table lands in `l$ℓ/epoch=N` (replay-idempotent like the 2-layer
+    * twin). Returns the merged servable layer-0 edge list. */
+  def hnswMultiDelta(batchIn: DataFrame, storeDir: String, epoch: Long,
+                     levels: Int = HnswMultiLevels): DataFrame = {
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("vec_id"), col("embedding")).cut()
+    val savedVecs = s.read.parquet(s"$storeDir/vecs")
+      .select(col("vec_id"), col("embedding"))
+    val allVecs = savedVecs.union(batch).dropDuplicates("vec_id")
+    // materialize every layer BEFORE the store writes (replay safety)
+    val fresh = (0 to levels).map { l =>
+      l -> bucketedDeltaEdges(hnswLayerSlice(batch, l),
+        hnswLayerSlice(allVecs, l), GraphAnnDegree).cut()
+    }
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(batch, "vecs")
+    fresh.foreach { case (l, df) => writeEpoch(df, s"l$l") }
     symCap(s.read.parquet(s"$storeDir/l0")
         .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
       .orderBy("i", "j")

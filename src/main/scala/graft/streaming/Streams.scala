@@ -517,6 +517,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming LEVEL-STACK (multi-layer HNSW) index append (r12) — the
+    * L-layer twin of [[hnswDeltas]]: each micro-batch ranks label-free
+    * on EVERY layer its md5 coins admit and folds into the
+    * [[graft.ext.SimSearch.hnswMultiStoreSeed]] store via
+    * [[graft.ext.SimSearch.hnswMultiDelta]]; the sink receives the
+    * merged servable layer-0 edge list. Serve with
+    * [[graft.ext.SimSearch.serveHnswMultiFromStore]]. Replays are
+    * idempotent (per-epoch partition rewrites, as the 2-layer twin). */
+  def hnswMultiDeltas(deltaVecs: DataFrame, storeDir: String,
+                      checkpointDir: String)
+                     (sink: DataFrame => Unit): StreamingQuery =
+    deltaVecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SimSearch.hnswMultiDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   /** Streaming audio CONTENT-ID (r11) — the fingerprint-index twin of
     * [[dedupDeltas]]/[[knnGraphDeltas]], over a DOCUMENT DELTA STREAM:
     * each micro-batch of `(doc_id, text)` rows is landmark-fingerprinted

@@ -331,6 +331,24 @@ class SimSearchRecallSpec extends AnyFunSuite {
       "stored-index serve diverged from the in-query HNSW key")
   }
 
+  test("level-stack store serve equals the in-query multi-layer descent") {
+    // the L-layer twin of the 2-layer store test: hnswMultiStoreSeed
+    // persists every layer's edge list, serveHnswMultiFromStore replays
+    // the same descent — bit-for-bit equal to the registered key
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnswm_store").toString
+    graft.ext.SimSearch.hnswMultiStoreSeed(e.filter("vec_id <> 0"), dir)
+    val served = graft.ext.SimSearch.serveHnswMultiFromStore(
+        spark, dir, e.filter("vec_id = 0").select("embedding"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inQuery = SparkEntry.queries("sim_search_hnsw_multi")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty && served == inQuery,
+      "level-stack store serve diverged from the in-query multi key")
+  }
+
   test("NN-Descent rounds improve edge recall over the raw LSH seed") {
     // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
     // hard case for a hash seed: edge recall = fraction of each node's

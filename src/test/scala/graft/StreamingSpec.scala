@@ -752,6 +752,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedAgain == served, "a replayed epoch changed the served answer")
   }
 
+  test("hnswMultiDeltas: streamed level-stack append, replay-idempotent, servable") {
+    // the L-layer twin of the hnswDeltas test: every admitted layer
+    // takes the epoch's append, the store serves the multi descent, and
+    // a replayed epoch changes nothing
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.VectorFunctions.register(spark)
+    val sf = TestSpark.sf0001
+    val e = graft.Tables.embeddings(spark, sf)
+    val store = Files.createTempDirectory("graft_hnswm_dstore").toString
+    val ckp = Files.createTempDirectory("graft_hnswm_dckp").toString
+    graft.ext.SimSearch.hnswMultiStoreSeed(
+      e.filter("vec_id <> 0 AND vec_id % 2 = 0"), store)
+    val odd = e.filter("vec_id <> 0 AND vec_id % 2 = 1")
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    var merged: Seq[(Long, Long)] = Nil
+    val sink = (g: org.apache.spark.sql.DataFrame) =>
+      merged = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    ms.addData(odd)
+    Streams.hnswMultiDeltas(ms.toDF().toDF("vec_id", "embedding"),
+      store, ckp)(sink).awaitTermination()
+    assert(merged.nonEmpty, "the sink never received a merged edge list")
+    // layer 1 took the epoch's append (deeper layers thin geometrically
+    // — at 250 seed vectors layer 3 may legitimately receive no delta)
+    val l1Epochs = spark.read.parquet(s"$store/l1")
+      .select("epoch").distinct().collect().map(_.get(0).toString).toSet
+    assert(l1Epochs.size >= 2, s"layer 1 missing the delta epoch: $l1Epochs")
+    val probe = e.filter("vec_id = 0").select("embedding")
+    val served = graft.ext.SimSearch.serveHnswMultiFromStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.size == 10, s"served ${served.size} rows")
+    val lastEpoch = spark.read.parquet(s"$store/l0")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastBatch = spark.read.parquet(s"$store/vecs/epoch=$lastEpoch")
+      .select("vec_id", "embedding").localCheckpoint()
+    val replayed = graft.ext.SimSearch.hnswMultiDelta(lastBatch, store, lastEpoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == merged, "a replayed epoch changed the merged graph")
+    val servedAgain = graft.ext.SimSearch.serveHnswMultiFromStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAgain == served, "a replayed epoch changed the served answer")
+  }
+
   test("maintainIncrementalState: one state version per micro-batch, exact fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_inc_state").toString
