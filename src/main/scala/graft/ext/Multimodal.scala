@@ -812,6 +812,7 @@ object Multimodal extends graft.QueryModule {
     * of `mm_scene_dedup`; the composition shape is what's under test. */
   private def corpusCleanMultimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.Ckpt.CutOps
     val gated = Tables.documents(s, d)
       .filter(col("n_chars") >= 100 &&
         size(split(col("text"), " ")) >= 20 &&
@@ -827,7 +828,7 @@ object Multimodal extends graft.QueryModule {
       .mapPartitions(phashImages)
       .toDF("doc_id", "phash", "dc")
       .select(col("doc_id"), col("phash"))
-      .localCheckpoint() // the band join + CC read it repeatedly
+      .cut() // the band join + CC read it repeatedly (conf-gated Ckpt)
     val bands = hashed.select(col("doc_id"), col("phash"),
       explode(array((0 until 3).map(b =>
         struct(lit(b).as("band"),
