@@ -14,6 +14,23 @@ object Scratch {
   private val runId: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  private lazy val root: String = {
+    val r = s"target/tmp/run-$runId"
+    // unique-per-process dirs would otherwise accumulate on a long-lived
+    // box (the fixed paths they replaced overwrote in place) — sweep the
+    // whole namespace when the process exits. Scratch state is by
+    // definition not needed after the run; a killed JVM leaves the dir,
+    // which the next `sbt clean` (target/) removes.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(r))
+    }))
+    r
+  }
+
   /** `target/tmp/run-<jvm-id>/<name>`. */
-  def dir(name: String): String = s"target/tmp/run-$runId/$name"
+  def dir(name: String): String = s"$root/$name"
 }

@@ -554,7 +554,7 @@ object Dedup extends graft.QueryModule {
     // per-run temp dir (r11, VERDICT cosmetic): a fixed path let two
     // concurrent sessions overwrite each other's band store mid-query;
     // the UUID only names scratch space — results are path-independent
-    val dir = s"target/tmp/dedup_incr_index-${java.util.UUID.randomUUID()}"
+    val dir = graft.Scratch.dir(s"dedup_incr_index-${java.util.UUID.randomUUID()}")
     lastIncrScratchDir = dir
     // phase 1 — persist yesterday's state (band store + verified pairs)
     md5BandRows(base).write.mode("overwrite").parquet(s"$dir/bands")

@@ -328,7 +328,7 @@ object SimSearch extends graft.QueryModule {
     val delta = e.filter(col("vec_id") % 2 === 1)
     // per-run temp dir (r11): results are path-independent; a fixed path
     // raced when two sessions ran the key concurrently (FIXTURES.md)
-    val dir = s"target/tmp/knn_graph_index-${java.util.UUID.randomUUID()}"
+    val dir = graft.Scratch.dir(s"knn_graph_index-${java.util.UUID.randomUUID()}")
     knnEdges(base, base, GraphAnnDegree)
       .write.mode("overwrite").parquet(dir)
     val saved = s.read.parquet(dir)
