@@ -268,6 +268,25 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(recall == 1.0, s"2-layer descent failed to navigate: $recall")
   }
 
+  test("level-stack descent matches the 2-layer key on the isotropic corpus") {
+    // the hard case (no cluster structure): deepening the stack from 1
+    // upper layer to 3 must not cost recall — measured 0.5 == 0.5 on
+    // the fixed sf0.01 corpus (both keys deterministic, so the
+    // comparison is exact, not statistical); floor pinned below at 0.4
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val multi = SparkEntry.queries("sim_search_hnsw_multi")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val two = SparkEntry.queries("sim_search_hnsw")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rm = (exact & multi).size.toDouble / exact.size
+    val r2 = (exact & two).size.toDouble / exact.size
+    info(s"level-stack recall@10 = $rm, 2-layer = $r2")
+    assert(rm >= 0.4, s"level-stack isotropic recall regressed: $rm")
+    assert(rm >= r2, s"deepening the stack lost recall: $rm < $r2")
+  }
+
   test("HNSW geometric level stack (3 layers) navigates clustered vectors") {
     // VERDICT r12 #5: the multi-layer descent must be at least as good
     // as the 2-layer key on the clustered fixture (whose 2-layer floor
