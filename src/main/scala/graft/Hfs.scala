@@ -59,11 +59,20 @@ object Hfs {
   /** Rename `src` onto `dst` — atomic on HDFS and local filesystems (the
     * snapshot-commit publish step); object stores supply the equivalent
     * contract through their committers. Fails loudly: a false return
-    * (dst exists, src missing) must not read as a successful publish. */
+    * (dst exists, src missing) must not read as a successful publish.
+    * The existence probe matters because HDFS's boolean rename moves
+    * `src` INTO an existing `dst` directory and returns true — a racing
+    * double-commit at the same version would silently nest the loser
+    * inside the winner instead of erroring (ADVICE r12). Probe-then-
+    * rename is still racy in principle, but the losing committer now
+    * fails loudly in practice instead of corrupting the layout. */
   def rename(src: String, dst: String): Unit = {
     val (fs, s) = fsFor(src)
-    if (!fs.rename(s, new Path(dst)))
-      sys.error(s"rename $src -> $dst failed (destination exists?)")
+    val d = new Path(dst)
+    if (fs.exists(d))
+      sys.error(s"rename $src -> $dst failed: destination already exists")
+    if (!fs.rename(s, d))
+      sys.error(s"rename $src -> $dst failed (source missing?)")
   }
 
   /** Recursive delete; true if anything was deleted. */

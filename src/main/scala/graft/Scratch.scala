@@ -9,7 +9,17 @@ package graft
   * longer overwrite each other's fixtures mid-query (the concurrency
   * caveat FIXTURES.md used to carry). Results are path-independent:
   * every consumer reaches the files through this accessor, never a
-  * literal path. */
+  * literal path.
+  *
+  * LOCAL-BY-CONTRACT: scratch is per-process FIXTURE state (the keys
+  * that need durable, scheme-agnostic stores ride [[Hfs]] paths the
+  * caller supplies — dedup band stores, HNSW epochs, snapshots).
+  * Consumers deliberately use `java.io.File` on these paths (the exit
+  * sweep below, spec listings, bucketed-table absolute paths) — do NOT
+  * "fix" them onto Hadoop FS: with a non-local `fs.defaultFS` the right
+  * behavior is to keep scratch on the LOCAL disk, not to follow the
+  * default scheme onto an object store and pay remote round-trips for
+  * per-process temp files. */
 object Scratch {
   private val runId: String =
     java.util.UUID.randomUUID().toString.take(8)

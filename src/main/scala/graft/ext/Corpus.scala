@@ -527,7 +527,7 @@ object Corpus extends graft.QueryModule {
         |FROM r ORDER BY doc_id""".stripMargin,
     "text_sample_weighted" -> sampleWeightedOracle,
     "corpus_clean_pipeline" ->
-      s"""WITH RECURSIVE docs AS (
+      s"""WITH docs AS (
          |  SELECT doc_id, lang, text FROM documents
          |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
          |    AND lang IN ('en', 'fr', 'de')),

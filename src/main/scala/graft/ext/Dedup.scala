@@ -684,6 +684,17 @@ object Dedup extends graft.QueryModule {
        |  SELECT DISTINCT least(i, j) AS s, greatest(i, j) AS t
        |  FROM $pairsRel WHERE i <> j),
        |$rs,
+       |conv$sfx AS (
+       |  SELECT CASE WHEN (
+       |      SELECT count(*) FROM (
+       |        (SELECT s, t FROM e$rounds$sfx
+       |         EXCEPT SELECT s, t FROM e${rounds - 1}$sfx)
+       |        UNION ALL
+       |        (SELECT s, t FROM e${rounds - 1}$sfx
+       |         EXCEPT SELECT s, t FROM e$rounds$sfx)) d) = 0
+       |    THEN 1
+       |    ELSE CAST(error('starCc$sfx did not converge in $rounds rounds')
+       |              AS INT) END AS ok),
        |nbmin$sfx AS MATERIALIZED (
        |  SELECT n, min(nb) AS mn FROM (
        |    SELECT s AS n, t AS nb FROM e$rounds$sfx
@@ -692,13 +703,20 @@ object Dedup extends graft.QueryModule {
        |  SELECT $nodesRel.id,
        |         least($nodesRel.id, coalesce(nbmin$sfx.mn, $nodesRel.id))
        |           AS cluster_id
-       |  FROM $nodesRel LEFT JOIN nbmin$sfx ON $nodesRel.id = nbmin$sfx.n)""".stripMargin
+       |  FROM $nodesRel LEFT JOIN nbmin$sfx ON $nodesRel.id = nbmin$sfx.n
+       |  WHERE (SELECT ok FROM conv$sfx) = 1)""".stripMargin
   }
 
   /** Star-round budget for [[starCcSql]]: near-dup graphs at the pinned
     * SFs converge in a handful of rounds (cliques in ~2, the measured
     * worst chains well under 2^12 hops); extra rounds are idempotent
-    * no-ops over an already-star edge list. */
+    * no-ops over an already-star edge list. Convergence within the
+    * budget is ASSERTED, not assumed (ADVICE r12): the emitted `conv`
+    * CTE raises DuckDB `error()` if the last two rounds' edge sets
+    * differ — a graph needing more rounds fails LOUDLY instead of
+    * silently labeling components wrongly (so the effective contraction
+    * budget is rounds-1, with the final round doubling as the fixpoint
+    * witness). */
   private[ext] val StarCcRounds = 12
 
   /** Oracle for [[minhashIncremental]]: the FULL-UNION recompute (16
@@ -851,14 +869,19 @@ object Dedup extends graft.QueryModule {
     * 4 band keys as [[minhashMd5Oracle]], the bucket star/chain/skip-2
     * candidates via SQL windows (lag over the full-signature order,
     * min-over for the star center), the exact-Jaccard verify, and the
-    * transitive closure as a recursive CTE with min reachable id per
-    * node. Generated, not hand-written, so the banding and window order
-    * cannot drift from the Spark side. */
+    * components via the unrolled star contraction. Generated, not
+    * hand-written, so the banding and window order cannot drift from
+    * the Spark side. */
   /** The md5 cluster chain as a reusable CTE-list FRAGMENT over an
     * arbitrary `(doc_id, <textCol>)` relation — ends with a `clusters`
-    * CTE of (doc_id, cluster_id). Callers prepend `WITH RECURSIVE` and
-    * their own CTEs, and select from `clusters`. Mirrors
-    * [[md5ClusterAssign]] statement for statement. */
+    * CTE of (doc_id, cluster_id). Callers prepend `WITH` and their own
+    * CTEs, and select from `clusters`. Mirrors [[md5ClusterAssign]]
+    * statement for statement. The component step rides [[starCcSql]]
+    * (ADVICE r12: the recursive-CTE reach this replaced is the
+    * construct that ran >2 h on sf0.1's mega-clique pair graph in the
+    * plain-minhash twin — the star/chain candidates here keep the pair
+    * set linear, but the closure should not carry the same latent wall
+    * at larger SFs). */
   def md5ClusterChainSql(inputRel: String, textCol: String): String = {
     val k = NumHashes; val b = NumBands; val r = k / b
     val slots = (0 until k).map(md5SlotSql).mkString(",\n         ")
@@ -903,24 +926,18 @@ object Dedup extends graft.QueryModule {
        |  JOIN ids a ON a.doc_id = c.i
        |  JOIN ids b ON b.doc_id = c.j AND a.id = b.id
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT i, j FROM inter
        |  JOIN cnt na ON i = na.doc_id JOIN cnt nb ON j = nb.doc_id
        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
-       |edges AS (SELECT i AS src, j AS dst FROM pairs
-       |          UNION ALL SELECT j, i FROM pairs),
        |nodes AS (SELECT doc_id AS id FROM $inputRel),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+       |${starCcSql(StarCcRounds)},
        |clusters AS (
-       |  SELECT id AS doc_id, min(r) AS cluster_id
-       |  FROM reach GROUP BY id)""".stripMargin
+       |  SELECT id AS doc_id, cluster_id FROM lab)""".stripMargin
   }
 
   private def clustersMd5Oracle: String =
-    s"""WITH RECURSIVE ${md5ClusterChainSql("documents", "text")}
+    s"""WITH ${md5ClusterChainSql("documents", "text")}
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   /** Connected components over a near-dup pair graph — the step BETWEEN

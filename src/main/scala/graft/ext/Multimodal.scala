@@ -866,7 +866,7 @@ object Multimodal extends graft.QueryModule {
       s"""list_sum(list_transform(range(1, 16), p ->
          |  CASE WHEN substr($pa, p, 1) = substr($pb, p, 1)
          |       THEN 0 ELSE 1 END))""".stripMargin
-    s"""WITH RECURSIVE gated AS MATERIALIZED (
+    s"""WITH gated AS MATERIALIZED (
        |  SELECT doc_id, lang, n_chars, text FROM documents
        |  WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20
        |    AND lang IN ('en', 'fr', 'de')),

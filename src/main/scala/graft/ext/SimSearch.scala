@@ -1014,7 +1014,10 @@ object SimSearch extends graft.QueryModule {
     val e = Tables.embeddings(s, d)
     val dir = graft.Scratch.dir(
       "hnsw_store_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (!graft.Hfs.exists(s"$dir/vecs"))
+    // gate on the LAST artifact hnswStoreSeed writes (vecs → l0 → l1):
+    // a seed run that died mid-way must read as "not seeded" and reseed,
+    // not as seeded-and-missing-l0/l1 (ADVICE r12)
+    if (!graft.Hfs.exists(s"$dir/l1"))
       hnswStoreSeed(e.filter(col("vec_id") =!= 0), dir)
     serveHnswFromStore(s, dir,
       e.filter(col("vec_id") === 0).select(col("embedding")))
