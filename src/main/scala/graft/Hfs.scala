@@ -80,4 +80,58 @@ object Hfs {
     val (fs, path) = fsFor(p)
     fs.delete(path, true)
   }
+
+  def mkdirs(p: String): Unit = {
+    val (fs, path) = fsFor(p)
+    fs.mkdirs(path): Unit
+  }
+
+  /** Create-or-overwrite `p` and return its output stream (driver-side;
+    * task-side writers use the explicit-conf overload). */
+  def create(p: String): java.io.OutputStream = create(p, conf)
+
+  /** Task-side create: executors have no active session, so V2 writer
+    * factories thread the driver's Hadoop conf through
+    * `SerializableConfiguration` and resolve with it explicitly. */
+  def create(p: String, c: Configuration): java.io.OutputStream = {
+    val path = new Path(p)
+    path.getFileSystem(c).create(path, true)
+  }
+
+  def open(p: String): java.io.InputStream = open(p, conf)
+
+  def open(p: String, c: Configuration): java.io.InputStream = {
+    val path = new Path(p)
+    path.getFileSystem(c).open(path)
+  }
+
+  /** Create `p` as an empty file (the marker-file idiom). */
+  def touch(p: String): Unit = create(p).close()
+
+  def readUtf8(p: String): String = {
+    val in = open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeUtf8(p: String, content: String): Unit = {
+    val out = create(p)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Child FILE (name, byte-length) pairs of `p`; empty when absent. */
+  def childFileSizes(p: String): Seq[(String, Long)] = {
+    val (fs, path) = fsFor(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isFile)
+      .map(st => (st.getPath.getName, st.getLen))
+  }
+
+  /** The driver's Hadoop conf wrapped for TASK-side use: executors have
+    * no active session, so V2 reader/writer factories capture this at
+    * planning time (on the driver, where object-store credentials are
+    * in scope) and resolve paths with the explicit-conf overloads. */
+  def taskConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

