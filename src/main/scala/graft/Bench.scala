@@ -115,17 +115,74 @@ object Bench {
     * at sweep end: those whose enclosing probes read > 1.5× the calmest
     * probe (the key's whole timing sat in a contention window min-of-N
     * can't see out of), worst recorded time first, capped at 8 so a
-    * fully-loaded sweep doesn't double itself. */
+    * fully-loaded sweep doesn't double itself.
+    *
+    * r13 (VERDICT #2): `prior` — the PREVIOUS round's per-key record —
+    * is a second, window-blind detector: a key reading > 1.5× its
+    * prior-round time is suspect even when no probe saw the spike
+    * (BENCH_r12 published graph_pagerank at 8.12 s vs 4.80 real through
+    * a contention window that outlasted the whole probe series), and
+    * the 8-cap LIFTS when any probe read > 3× the calmest — a sweep
+    * that provably sat in heavy contention is worth re-timing
+    * wholesale rather than publishing poisoned numbers. */
   def rerunCandidates(keyTimes: Seq[(String, Option[Double])],
-                      calibs: Seq[Double]): Seq[String] = {
+                      calibs: Seq[Double],
+                      prior: Map[String, Double] = Map.empty): Seq[String] = {
     val calm = calibs.min
-    keyTimes.zipWithIndex.collect {
+    val windowSuspects = keyTimes.zipWithIndex.collect {
       case ((k, Some(t)), idx)
         if math.max(
              calibs(math.min(idx / 15, calibs.size - 1)),
              calibs(math.min(idx / 15 + 1, calibs.size - 1))) > 1.5 * calm =>
         (k, t)
-    }.sortBy(-_._2).take(8).map(_._1)
+    }
+    val priorSuspects = keyTimes.collect {
+      case (k, Some(t)) if prior.get(k).exists(p => t > 1.5 * p) => (k, t)
+    }
+    val cap = if (calibs.max > 3 * calm) keyTimes.size else 8
+    (windowSuspects ++ priorSuspects).distinct
+      .sortBy(-_._2).take(cap).map(_._1)
+  }
+
+  /** Previous round's per-key record, parsed out of the newest
+    * `BENCH_r<n>.json` the driver left in the working dir (the file is
+    * driver-side repo state, so plain local IO is correct here).
+    * `SPARK_GRAFT_PRIOR=<path>` overrides; `SPARK_GRAFT_PRIOR=` (empty)
+    * disables. Failed keys render as `null` in the record and simply
+    * don't match the numeric pattern — no prior, never suspect. */
+  def loadPrior(): Map[String, Double] = {
+    val path = sys.env.get("SPARK_GRAFT_PRIOR") match {
+      case Some("") => None
+      case Some(p) => Some(p)
+      case None =>
+        val rs = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(_.matches("BENCH_r\\d+\\.json"))
+        if (rs.isEmpty) None
+        else Some(rs.maxBy(_.stripPrefix("BENCH_r").stripSuffix(".json").toInt))
+    }
+    path.flatMap { p =>
+      try Some(parsePrior(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8")))
+      catch { case _: Throwable => None }
+    }.getOrElse(Map.empty)
+  }
+
+  /** Extract the per-key record from a driver `BENCH_r<n>.json` — PURE
+    * for the line spec. The driver file embeds the raw stdout tail as
+    * an ESCAPED string (`\"queries\"`), so the first UNESCAPED
+    * occurrence is the parsed record's object; failed keys render as
+    * `null` and fall out of the numeric pattern (no prior). */
+  def parsePrior(txt: String): Map[String, Double] = {
+    val at = txt.indexOf("\"queries\":{")
+    if (at < 0) Map.empty
+    else {
+      val body = txt.substring(at + 11, txt.indexOf("}", at))
+      "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,15 +282,23 @@ object Bench {
     // end, when the box is presumably calmer, and keep the min. A calm
     // sweep (no probe above 1.5x the calmest) re-runs nothing.
     val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
+    val prior = loadPrior()
     val rerunKeys = rerunCandidates(
       keys.map(k => k -> (if (failed(k)) None else Some(resultMap(k)))),
-      calibs.toSeq)
+      calibs.toSeq, prior)
     rerunKeys.foreach { k =>
       val t = timeOnce(k)
       if (!failed(k) && t < resultMap(k)) {
         System.err.println(f"bench: rerun $k%s ${resultMap(k)}%.2f -> $t%.2f s")
         resultMap(k) = t
       }
+    }
+    // keys STILL over 1.5x their prior-round record after the rerun
+    // pass: surface the count so the published record self-diagnoses
+    // ("suspect":N says N numbers may carry residual contention — or a
+    // real regression worth a targeted re-measure)
+    val suspects = resultMap.count { case (k, v) =>
+      !failed(k) && prior.get(k).exists(p => v > 1.5 * p)
     }
     // 2 dp: 10 ms resolution is ample for multi-second keys, and the
     // driver's ~2 KB stdout-tail capture must fit the whole line — at 66
@@ -249,7 +314,8 @@ object Bench {
     // count only (the names are on stderr): the rerun marker must not
     // blow the ~1600-byte line budget BenchLineSpec pins
     val rr = if (rerunKeys.isEmpty) "" else s""","rerun":${rerunKeys.size}"""
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${resultMap.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)}$rr,"queries":$qs$errs,"sf":"$sfDir"}""")
+    val sus = if (suspects == 0) "" else s""","suspect":$suspects"""
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${resultMap.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)}$rr$sus,"queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

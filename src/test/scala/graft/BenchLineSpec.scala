@@ -13,17 +13,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline references unknown keys: $missing")
   }
 
-  test("worst-case bench line stays within 1600 bytes (~20% tail headroom)") {
+  test("worst-case bench line stays within 1650 bytes (~19% tail headroom)") {
     // mirror Bench's line format exactly, with every value at its widest
     // plausible rendering ("999.99" — a 2dp sweep value under 1000 s)
     val qs = Bench.headline.map(k => "\"" + k + "\":999.99")
       .mkString("{", ",", "}")
     val sf = "/root/testdata/sf0.1"
     val line =
-      s"""{"metric":"headline_total","value":99999.99,"unit":"sec","n":${Bench.headline.size},"calib":[999.99,999.99],"calibMax":999.99,"rerun":8,"queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"headline_total","value":99999.99,"unit":"sec","n":${Bench.headline.size},"calib":[999.99,999.99],"calibMax":999.99,"rerun":${Bench.headline.size},"suspect":${Bench.headline.size},"queries":$qs,"sf":"$sf"}"""
     info(s"worst-case line: ${line.length} bytes for ${Bench.headline.size} keys")
-    assert(line.length <= 1600,
-      s"bench line budget exceeded: ${line.length} > 1600 bytes — " +
+    // 1650 (was 1600 through r12): the r13 "suspect":N field plus the
+    // lifted-rerun count cost ~14 bytes at their widest; ~19% of the
+    // driver's ~2 KB tail remains as headroom
+    assert(line.length <= 1650,
+      s"bench line budget exceeded: ${line.length} > 1650 bytes — " +
         "drop a thin family duplicate from Bench.headline")
   }
 
@@ -38,16 +41,59 @@ class BenchLineSpec extends AnyFunSuite {
     val times = keys.zipWithIndex.map { case (k, i) =>
       k -> (if (i == 16) None else Some(i.toDouble)) // one failed key
     }
-    val calibs = Seq(0.3, 0.9, 0.31, 0.8)
+    // mild (sub-3x) spikes: the 8-cap holds
+    val calibs = Seq(0.3, 0.8, 0.31, 0.7)
     val got = Bench.rerunCandidates(times, calibs)
-    // eligible: keys 15-39 (both enclosing-probe windows spiked) minus
-    // the failed k16 = 24 keys; capped at 8, worst recorded time first
+    // every window's enclosing probes spiked > 1.5x calm; the failed
+    // k16 drops out; capped at 8, worst recorded time first
     assert(got == Seq("k39", "k38", "k37", "k36", "k35", "k34", "k33", "k32"))
     // calm sweep: nothing re-runs
     assert(Bench.rerunCandidates(times, Seq(0.3, 0.31, 0.29, 0.3)).isEmpty)
     // spike localized to window 0 only: keys 0-14 eligible (k14 worst)
-    val got0 = Bench.rerunCandidates(times, Seq(0.9, 0.3, 0.31, 0.3))
+    val got0 = Bench.rerunCandidates(times, Seq(0.8, 0.3, 0.31, 0.3))
     assert(got0.head == "k14" && got0.size == 8 &&
       got0.forall(_.drop(1).toInt <= 14))
+  }
+
+  test("rerun candidates: prior-round record flags keys no probe saw (r13)") {
+    val keys = (0 until 40).map(i => f"k$i%02d")
+    val times = keys.zipWithIndex.map { case (k, i) =>
+      k -> Some(i.toDouble + 1)
+    }
+    val calmProbes = Seq(0.3, 0.31, 0.29, 0.3)
+    // a sweep-long contention tail the probes never localized: k05 and
+    // k20 read 2x their prior record — both must re-time even though
+    // every probe looks calm (the BENCH_r12 graph_pagerank shape)
+    val prior = Map("k05" -> 3.0, "k20" -> 10.0, "k30" -> 31.0)
+    val got = Bench.rerunCandidates(times, calmProbes, prior)
+    assert(got == Seq("k20", "k05"), s"got $got")
+    // k30 read 31 vs prior 31: within 1.5x, not suspect
+    // no prior at all: calm sweep re-runs nothing (back-compat)
+    assert(Bench.rerunCandidates(times, calmProbes).isEmpty)
+  }
+
+  test("rerun candidates: the 8-cap lifts when a probe read >3x calm (r13)") {
+    val keys = (0 until 40).map(i => f"k$i%02d")
+    val times = keys.zipWithIndex.map { case (k, i) => k -> Some(i.toDouble + 1) }
+    // windows 1+2 probes spiked >4x: 25 eligible keys (15..39), and the
+    // sweep provably sat in heavy contention -> no cap
+    val got = Bench.rerunCandidates(times, Seq(0.3, 0.3, 1.3, 1.3))
+    assert(got.size == 25, s"cap must lift under calibMax > 3x calm: ${got.size}")
+    // same windows at a mild 2x spike: cap holds at 8
+    val capped = Bench.rerunCandidates(times, Seq(0.3, 0.3, 0.65, 0.65))
+    assert(capped.size == 8)
+  }
+
+  test("parsePrior reads the parsed record, not the escaped stdout tail") {
+    // the driver file embeds the raw stdout tail as an ESCAPED string;
+    // only the parsed record's unescaped queries object must be read,
+    // and null-valued (failed) keys must drop out
+    val rec =
+      """{"n":12,"tail":"noise \"queries\":{\"bogus\":1.00} more",
+        |"parsed":{"metric":"headline_total","value":9.99,
+        |"queries":{"q_fast":1.25,"q_failed":null,"q_slow":8.12},
+        |"sf":"/x"}}""".stripMargin
+    assert(Bench.parsePrior(rec) == Map("q_fast" -> 1.25, "q_slow" -> 8.12))
+    assert(Bench.parsePrior("{}").isEmpty)
   }
 }
