@@ -80,7 +80,12 @@ object Bench {
                             // sim_search_hnsw key stays registered
                             // off-headline (its cost is the seed run)
     "sim_search_ivf",       // scored multiprobe LSH ANN (r7 rework)
-    "sim_search_pq",        // product-quantization ANN
+    "sim_search_pq_served", // PQ ANN served from the persisted index
+                            // (r13, VERDICT #4): ADC + rerank only —
+                            // the first run seeds (trains codebooks),
+                            // min-of-N then reads steady serving. The
+                            // train-inclusive sim_search_pq key stays
+                            // registered off-headline (the hnsw rule)
     "mm_decode",            // real javax.imageio PNG decode (r7)
     "attr_markov_removal",  // Markov removal-effect attribution (r9;
                             // mm_audio_decode moved out - mm_decode stays

@@ -2599,11 +2599,25 @@ object SimSearch extends graft.QueryModule {
     val sub = sliceSubs(gridify(vecs), "gv", m, subDim)
     val cents = pqTrainCodebooksPinned(sub, k, iters)
     val codes = pqEncodePinned(sub, cents)
-    // ADC for COSINE: the probe's per-subspace exact-integer dot with
-    // every codebook entry (m × k = 128 rows, broadcast); approx_cos =
-    // (Σ_sub adc) / ‖v‖ with the exact per-vector norm stored beside
-    // the codes (one double per vector — standard PQ-for-cosine)
-    val table = sub.filter(col("vec_id") === 0)
+    pqAdcServe(vecs, cents, codes, m, rerank, topK)
+  }
+
+  /** ADC + exact rerank from TRAINED artifacts — the serving half of
+    * the PQ pipeline, factored out (r13, VERDICT #4) so the in-query
+    * key (trains codebooks in the same plan) and the persisted-store
+    * path ([[servePqFromStore]]) share it operation for operation:
+    * store serving is spec-pinned bit-equal to the one-shot key.
+    *
+    * ADC for COSINE: the probe's per-subspace exact-integer dot with
+    * every codebook entry (m × k = 128 rows, broadcast); approx_cos =
+    * (Σ_sub adc) / ‖v‖ with the exact per-vector norm computed beside
+    * the codes (one double per vector — standard PQ-for-cosine), then
+    * an exact-cosine rerank of the short list. */
+  private def pqAdcServe(vecs: DataFrame, cents: DataFrame, codes: DataFrame,
+                         m: Int, rerank: Int, topK: Int): DataFrame = {
+    val subDim = 64 / m
+    val table = sliceSubs(gridify(vecs.filter(col("vec_id") === 0)),
+        "gv", m, subDim)
       .join(broadcast(cents), Seq("sub"))
       .select(col("sub"), col("cid"),
         gridDot(col("gvec"), col("cvec")).as("pdot"))
@@ -2627,9 +2641,54 @@ object SimSearch extends graft.QueryModule {
       .limit(topK)
   }
 
+  /** Persist the trained PQ index: codebooks, 8-byte codes, and the
+    * raw vectors (the exact-rerank side + probe source). Deployment
+    * trains ONCE and serves codes — the artifact split this store
+    * realizes; `codes` is written LAST so its existence implies a
+    * complete seed (the hnsw-store completeness rule). */
+  def pqStoreSeed(e: DataFrame, storeDir: String, m: Int = 8, k: Int = 16,
+                  iters: Int = 3): Unit = {
+    val subDim = 64 / m
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val sub = sliceSubs(gridify(vecs), "gv", m, subDim)
+    val cents = pqTrainCodebooksPinned(sub, k, iters)
+    vecs.write.mode("overwrite").parquet(s"$storeDir/vecs")
+    cents.write.mode("overwrite").parquet(s"$storeDir/cents")
+    pqEncodePinned(sub, cents)
+      .write.mode("overwrite").parquet(s"$storeDir/codes")
+  }
+
+  /** Serve from the persisted PQ index: ADC over the stored codes +
+    * exact rerank — no Lloyd round anywhere in the plan. Grid pinning
+    * makes the stored artifacts exact longs, so store serving is
+    * bit-equal to the in-query key (spec-pinned). */
+  def servePqFromStore(s: SparkSession, storeDir: String, m: Int = 8,
+                       rerank: Int = 200, topK: Int = 10): DataFrame =
+    pqAdcServe(
+      s.read.parquet(s"$storeDir/vecs"),
+      s.read.parquet(s"$storeDir/cents"),
+      s.read.parquet(s"$storeDir/codes"),
+      m, rerank, topK)
+
   private def pq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     pqTopKPinned(Tables.embeddings(s, d))
+  }
+
+  /** `sim_search_pq_served` [N] (r13, VERDICT #4) — the serving-cost
+    * headline discipline applied to PQ, exactly the r12 HNSW swap's
+    * argument: the in-query `sim_search_pq` pays 3 Lloyd rounds of
+    * codebook training EVERY run, while deployment trains once and
+    * serves 8-byte codes. First run per process seeds the store
+    * (build); steady state is ADC lookup + rerank only. Same oracle as
+    * the in-query key — store serving is bit-equal by construction. */
+  private def pqServed(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val dir = graft.Scratch.dir(
+      "pq_store_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!graft.Hfs.exists(s"$dir/codes"))
+      pqStoreSeed(Tables.embeddings(s, d), dir)
+    servePqFromStore(s, dir)
   }
 
   /** The full FAISS-style two-stage serving architecture — IVF coarse
@@ -2969,6 +3028,7 @@ object SimSearch extends graft.QueryModule {
     "emb_random_projection" -> randomProjection,
     "sim_search_ivf_pq" -> ivfPq,
     "sim_search_pq" -> pq,
+    "sim_search_pq_served" -> pqServed,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,
@@ -3062,6 +3122,9 @@ object SimSearch extends graft.QueryModule {
     "emb_knn_classify" -> knnClassifyOracle,
     "emb_drift" -> embDriftOracle,
     "sim_search_pq" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
+    // store serving is pinned bit-equal to the in-query train+serve, so
+    // the served key shares the one-shot oracle verbatim (the hnsw rule)
+    "sim_search_pq_served" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
     "sim_search_ivf_pq" -> ivfPqOracle(pinnedIters, nprobe = 12, m = 8,
       kCodes = 16, pqIters = 3, rerank = 200),
     "emb_quantize_int8" ->

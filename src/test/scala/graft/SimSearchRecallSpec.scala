@@ -368,6 +368,24 @@ class SimSearchRecallSpec extends AnyFunSuite {
       "level-stack store serve diverged from the in-query multi key")
   }
 
+  test("PQ store serve equals the in-query train+serve key") {
+    // pqStoreSeed persists the exact-long codebooks/codes/vectors the
+    // registered key computes in-query, and servePqFromStore replays
+    // the same ADC + rerank — integer-grid pinning means the parquet
+    // round trip is lossless and the answers match bit for bit
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_store").toString
+    graft.ext.SimSearch.pqStoreSeed(e, dir)
+    val served = graft.ext.SimSearch.servePqFromStore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inQuery = SparkEntry.queries("sim_search_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty && served == inQuery,
+      "stored-index PQ serve diverged from the in-query key")
+  }
+
   test("NN-Descent rounds improve edge recall over the raw LSH seed") {
     // build-quality gate on the REAL (isotropic) sf0.01 corpus — the
     // hard case for a hash seed: edge recall = fraction of each node's
