@@ -127,6 +127,23 @@ object SimSearch extends graft.QueryModule {
   private val GraphAnnBeam = 10
   private val GraphAnnSteps = 6
 
+  /** Serving-time quality knobs (r13, VERDICT #3) — ef-style beam width
+    * and walk depth, THE standard graph-ANN recall/latency dial (HNSW
+    * '16 calls it efSearch): a production user rejects a fixed
+    * recall point, and widening the query-time beam trades latency for
+    * recall without touching the persisted index. Read by the SERVED
+    * keys only (the in-query build keys stay at the pinned defaults so
+    * every oracle — which unrolls exactly [[GraphAnnBeam]] /
+    * [[GraphAnnSteps]] rounds — stays hash-exact). Measured curve in
+    * PERF.md r13; SimSearchRecallSpec pins recall monotone
+    * non-decreasing in the beam. */
+  private val BeamWidthConf = "spark.graft.ann.beamWidth"
+  private val StepsConf = "spark.graft.ann.steps"
+  private def servingBeam(s: SparkSession): Int =
+    s.conf.getOption(BeamWidthConf).map(_.toInt).getOrElse(GraphAnnBeam)
+  private def servingSteps(s: SparkSession): Int =
+    s.conf.getOption(StepsConf).map(_.toInt).getOrElse(GraphAnnSteps)
+
   private def withNsq(corpusIn: DataFrame): DataFrame =
     corpusIn.select(col("vec_id"), col("label"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nsq"))
@@ -947,11 +964,13 @@ object SimSearch extends graft.QueryModule {
   def serveHnswMultiFromStore(s: SparkSession, storeDir: String,
                               probe: DataFrame,
                               levels: Int = HnswMultiLevels,
-                              k: Int = 10): DataFrame = {
+                              k: Int = 10,
+                              beamW: Int = GraphAnnBeam,
+                              steps: Int = GraphAnnSteps): DataFrame = {
     val raw = s.read.parquet(s"$storeDir/vecs").select("vec_id", "embedding")
       .dropDuplicates("vec_id")
-    hnswMultiDescend(raw, probe, levels, GraphAnnDegree, GraphAnnBeam,
-      GraphAnnSteps, k,
+    hnswMultiDescend(raw, probe, levels, GraphAnnDegree, beamW,
+      steps, k,
       l => s.read.parquet(s"$storeDir/l$l")
         .select(col("i"), col("j"), col("cosine")))
   }
@@ -1019,8 +1038,11 @@ object SimSearch extends graft.QueryModule {
     // not as seeded-and-missing-l0/l1 (ADVICE r12)
     if (!graft.Hfs.exists(s"$dir/l1"))
       hnswStoreSeed(e.filter(col("vec_id") =!= 0), dir)
+    // serving-time quality knobs (r13): defaults match the oracle's
+    // unrolled rounds; a user widens the beam per session for recall
     serveHnswFromStore(s, dir,
-      e.filter(col("vec_id") === 0).select(col("embedding")))
+      e.filter(col("vec_id") === 0).select(col("embedding")),
+      k = 10, beamW = servingBeam(s), steps = servingSteps(s))
   }
 
   // --- persisted HNSW lifecycle (seed → serve → append → stream) -------
@@ -1045,7 +1067,9 @@ object SimSearch extends graft.QueryModule {
     * epoch's edges (spec-pinned EQUAL to the in-query key when the
     * store was seeded with the same corpus). */
   def serveHnswFromStore(s: SparkSession, storeDir: String,
-                         probe: DataFrame, k: Int = 10): DataFrame = {
+                         probe: DataFrame, k: Int = 10,
+                         beamW: Int = GraphAnnBeam,
+                         steps: Int = GraphAnnSteps): DataFrame = {
     // dropDuplicates: a doc re-delivered under a DIFFERENT epoch (the
     // at-least-once contract only pins same-epoch replays) leaves the
     // same vec_id in two epoch partitions; duplicate corpus rows would
@@ -1060,9 +1084,9 @@ object SimSearch extends graft.QueryModule {
     val g0 = symCap(s.read.parquet(s"$storeDir/l0")
       .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
     val entry0 = beamWalk(full.filter(hnswCoin === 0).cut(), g1,
-        bucketEntries(upperRaw), probe, GraphAnnBeam, HnswUpperSteps, k = 1)
+        bucketEntries(upperRaw), probe, beamW, HnswUpperSteps, k = 1)
       .select("vec_id")
-    beamWalk(full, g0, entry0, probe, GraphAnnBeam, GraphAnnSteps, k)
+    beamWalk(full, g0, entry0, probe, beamW, steps, k)
   }
 
   /** Label-free delta ranking — the bucketed twin of [[knnEdges]]'s

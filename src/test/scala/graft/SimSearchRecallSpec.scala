@@ -368,6 +368,43 @@ class SimSearchRecallSpec extends AnyFunSuite {
       "level-stack store serve diverged from the in-query multi key")
   }
 
+  test("serving beam width is a monotone recall dial on the served key (r13)") {
+    // ef-style query-time knob (HNSW '16): widening the beam must buy
+    // recall on the SAME persisted index without touching it. Measured
+    // curve on the isotropic sf0.01 corpus (deterministic build + walk,
+    // so these are fixed values, not flaky statistics): beam 10 -> 0.5,
+    // 20 -> 0.6, 40 -> 1.0 — pinned monotone non-decreasing with the
+    // documented 0.4 isotropic floor at the default beam.
+    graft.functions.VectorFunctions.register(spark)
+    val sf = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, sf)
+    val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_beam_dial").toString
+    graft.ext.SimSearch.hnswStoreSeed(e.filter("vec_id <> 0"), dir)
+    val probe = e.filter("vec_id = 0").select("embedding")
+    def recallAt(beam: Int): Double =
+      graft.ext.SimSearch.serveHnswFromStore(spark, dir, probe,
+          k = 10, beamW = beam)
+        .collect().map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    val r10 = recallAt(10); val r20 = recallAt(20); val r40 = recallAt(40)
+    info(f"recall@10: beam10=$r10%.2f beam20=$r20%.2f beam40=$r40%.2f")
+    assert(r10 >= 0.4, s"default-beam isotropic floor broke: $r10")
+    assert(r10 <= r20 && r20 <= r40,
+      s"recall must be monotone in beam width: $r10 / $r20 / $r40")
+    assert(r40 >= 0.9, s"wide beam must approach exact on 500 vectors: $r40")
+    // the registered key honors the session conf (same deterministic
+    // build in its own per-process store -> same answer as the direct
+    // wide-beam serve)
+    spark.conf.set("spark.graft.ann.beamWidth", "40")
+    try {
+      val viaKey = SparkEntry.queries("sim_search_hnsw_served")(spark, sf)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaKey.intersect(exact).size / 10.0 == r40,
+        "served key must read spark.graft.ann.beamWidth")
+    } finally spark.conf.unset("spark.graft.ann.beamWidth")
+  }
+
   test("PQ store serve equals the in-query train+serve key") {
     // pqStoreSeed persists the exact-long codebooks/codes/vectors the
     // registered key computes in-query, and servePqFromStore replays
