@@ -867,6 +867,17 @@ object StatsLearn extends graft.QueryModule {
     val bins = Tables.orders(s, d)
       .select(expr(binExprSpark).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      // the width-controlled decimal(14,0)*(18,9)*(4,0) products below
+      // peak at exactly (38,9) ONLY while nb < 10^14 and |b-250| < 10^4
+      // — beyond them Spark's non-ANSI cast silently NULLs and the sum
+      // drifts (the jk9 lesson: assert the bound, don't comment it).
+      // assert_true is NULL when the bound holds, raises otherwise —
+      // the filter keeps every row on the happy path and fails LOUDLY
+      // on a corpus that outgrows the grid. DuckDB's oracle needs no
+      // twin: its decimal cast overflow errors loudly by default.
+      .filter(expr(
+        "assert_true(nb < 100000000000000 AND b - 250 BETWEEN -9999 AND 9999, " +
+          "'gmm grid bound exceeded: decimal(14,0)/(4,0) operands') IS NULL"))
       .withColumn("x", (col("b") - 250).cast("double") / 100.0)
       .localCheckpoint()
     val tot = bins.agg(sum(col("nb")).cast("double").as("nd"))
