@@ -100,6 +100,104 @@ object SubstrDedup extends graft.QueryModule {
     removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Minimum duplicated run length for the CHARACTER-level pass, in
+    * chars — a power of two so the rank at round log2(C) compares
+    * exactly C-char prefixes. Lee et al.'s discipline is ~50 chars on
+    * web crawl; 32 exercises the same machinery with hits on the
+    * synthetic docs. */
+  private val CChars = 32
+
+  /** CHARACTER-granularity ExactSubstr [N] (r12 VERDICT #6) — the
+    * token K-gram pass above misses templated boilerplate whose
+    * duplication does not align to >= K whole tokens (variable
+    * whitespace/punctuation, short shared spans); the reference
+    * discipline (Lee et al. 2022) cuts >= C-char spans regardless of
+    * token boundaries. Suffix RANKING via prefix doubling — the
+    * Karp–Miller–Rosenberg construction — truncated at round log2(C):
+    *
+    *   1. one row per character position (doc_id, p, len);
+    *   2. rank_0 = the character itself; round t in 1..log2(C):
+    *      rank_t[p] = md5(rank_{t-1}[p] || '|' || rank_{t-1}[p+2^{t-1}])
+    *      (sentinel '$' past the doc end) — after round t two positions
+    *      share a rank iff their next 2^t chars agree, the prefix-
+    *      doubling invariant, so NO order/sort is ever needed: the md5
+    *      RENAME preserves exactly the equality classes a dense rank
+    *      would (the distributed win — each round is one `lead` window
+    *      over the per-doc order, zero corpus-wide exchanges);
+    *   3. positions with p + C - 1 <= len and a globally-shared rank_T
+    *      (one hash agg on the rank — the only corpus-scale exchange)
+    *      start a duplicated C-span: sentinel ranks never enter (every
+    *      referenced position exists), so rank equality here IS
+    *      C-char-substring equality;
+    *   4. covered intervals merge per doc (gaps-and-islands, the token
+    *      pass's machinery) and the survivors stitch back char by char.
+    *
+    * At 100 TB the char rows are corpus-byte-scale but each round is a
+    * map-side window pass over ONE doc_id exchange reused across all
+    * rounds, and the dup-class agg keys on a uniform md5 — the same
+    * shapes the token pass scales on; C doubles cost one more round
+    * (log, not linear — the suffix-ranking advantage over C-char
+    * grams). Deterministic end to end; the DuckDB twin mirrors the
+    * rank chain round for round and the output hashes the cleaned
+    * text. */
+  def removeDuplicatedCharSpans(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                c: Int = CChars): DataFrame = {
+    require(c >= 2 && (c & (c - 1)) == 0, s"C must be a power of two: $c")
+    val rounds = java.lang.Integer.numberOfTrailingZeros(c)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    // 1-2. per-char rows + the truncated prefix-doubling rank chain
+    //      (all rounds share one window spec: one exchange, one sort)
+    var pos = base
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "r")))
+      .select(col("doc_id"), col("len"), (col("p0") + 1).as("p"), col("r"))
+    for (t <- 1 to rounds) {
+      pos = pos.withColumn("r",
+        md5(concat_ws("|", col("r"),
+          coalesce(lead(col("r"), 1 << (t - 1)).over(w), lit("$")))))
+    }
+    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions
+    val elig = pos.filter(col("p") <= col("len") - (c - 1))
+      .select(col("doc_id"), col("p"), col("r"))
+    val dupR = elig.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("r"))
+    val ivl = elig.join(dupR, "r")
+      .select(col("doc_id"), col("p").as("st"), (col("p") + (c - 1)).as("en"))
+    // 4. merge overlapping/adjacent intervals per doc (start unique per
+    //    doc -> total window order), then stitch the uncovered chars
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = ivl
+      .withColumn("brk",
+        when(col("st") > coalesce(max(col("en")).over(wPrev), lit(0)) + 1,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("iid", sum(col("brk")).over(wCum))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("cov"))
+    base.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        // x.ch <> '' guards the one split('') artifact: an EMPTY text
+        // yields [""], which must not count as a kept char
+        expr("filter(transform(split(text, ''), (ch, i) -> " +
+          "struct(i + 1 as p, ch as ch)), " +
+          "x -> x.ch <> '' and (cov is null or " +
+          "not exists(cov, cc -> x.p between cc.st and cc.en)))").as("kept"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(expr("array_join(transform(kept, x -> x.ch), '')"))
+          .as("clean_md5"))
+  }
+
+  private def substringDedupChars(s: SparkSession, d: String): DataFrame =
+    removeDuplicatedCharSpans(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   private val substringDedupOracle =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -144,9 +242,69 @@ object SubstrDedup extends graft.QueryModule {
        |GROUP BY t.doc_id, len(t.ws)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Generated oracle for [[substringDedupChars]]: the SAME truncated
+    * prefix-doubling rank chain (rounds unrolled, one `lead` window
+    * each), the eligible-dup classes, interval merge, and the char
+    * stitch — every rank input byte-identical to the Spark side, so
+    * hash_match certifies the exact surviving-character sequence. */
+  private def substringDedupCharsOracle: String = {
+    val c = CChars
+    val rounds = java.lang.Integer.numberOfTrailingZeros(c)
+    val rchain = (1 to rounds).map { t =>
+      s"""r$t AS (
+         |  SELECT doc_id, len, p,
+         |         md5(r || '|' || coalesce(lead(r, ${1 << (t - 1)})
+         |           OVER (PARTITION BY doc_id ORDER BY p), '$$')) AS r
+         |  FROM r${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |r0 AS (
+       |  SELECT doc_id, len, CAST(p AS INTEGER) AS p, substr(text, p, 1) AS r
+       |  FROM d, unnest(range(1, len + 1)) t(p)),
+       |$rchain,
+       |elig AS (SELECT doc_id, p, r FROM r$rounds WHERE p <= len - ${c - 1}),
+       |dupr AS (SELECT r FROM elig GROUP BY r HAVING count(*) >= 2),
+       |ivl AS (SELECT doc_id, p AS st, p + ${c - 1} AS en FROM elig
+       |        WHERE r IN (SELECT r FROM dupr)),
+       |m AS (
+       |  SELECT doc_id, st, en,
+       |         CASE WHEN st > COALESCE(max(en) OVER (
+       |                PARTITION BY doc_id ORDER BY st
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              0) + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM ivl),
+       |isl AS (
+       |  SELECT doc_id, st, en,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+       |                        ROWS UNBOUNDED PRECEDING) AS iid
+       |  FROM m),
+       |merged AS (
+       |  SELECT doc_id, iid, min(st) AS st, max(en) AS en
+       |  FROM isl GROUP BY doc_id, iid),
+       |pos AS (
+       |  SELECT doc_id, CAST(p AS INTEGER) AS p, substr(text, p, 1) AS w
+       |  FROM d, unnest(range(1, len + 1)) t(p)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.w
+       |  FROM pos t
+       |  WHERE NOT EXISTS (SELECT 1 FROM merged m2
+       |                    WHERE m2.doc_id = t.doc_id
+       |                      AND t.p BETWEEN m2.st AND m2.en))
+       |SELECT d.doc_id,
+       |       CAST(d.len AS BIGINT) AS n_chars,
+       |       CAST(d.len - count(k.p) AS BIGINT) AS n_removed,
+       |       md5(COALESCE(string_agg(k.w, '' ORDER BY k.p), ''))
+       |         AS clean_md5
+       |FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |GROUP BY d.doc_id, d.len
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_substring_dedup" -> substringDedup)
+    "text_substring_dedup" -> substringDedup,
+    "text_substring_dedup_chars" -> substringDedupChars)
 
   val oracles: Map[String, String] = Map(
-    "text_substring_dedup" -> substringDedupOracle)
+    "text_substring_dedup" -> substringDedupOracle,
+    "text_substring_dedup_chars" -> substringDedupCharsOracle)
 }
