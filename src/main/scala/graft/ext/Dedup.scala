@@ -830,7 +830,25 @@ object Dedup extends graft.QueryModule {
     * `dedup_minhash` gate can band on edge-touched docs without paying
     * the twin's CC rounds. */
   def md5StarChainPairs(docsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val cand = starChainCandidates(md5SlotBandRows(docsDf))
+      .select(col("i"), col("j")).distinct()
+    // shared verify: id-count gate (pure necessary condition for
+    // J >= 0.8, so the gateless oracle still matches exactly) + the
+    // codegen two-pointer intersect over sorted 60-bit word ids
+    verifyExactJaccard(cand, docsDf, 0.8)
+      .select(col("i"), col("j"))
+      .cut()
+  }
+
+  /** The md5 twin's band rows WITH signature slots
+    * `(doc_id, band, h, m0..m15)` — the slots ride along because
+    * [[starChainCandidates]]' bucket window orders by the FULL
+    * signature (the slot-free [[md5BandRows]] serves the plain-pair
+    * incremental store). Factored out (r13) so the incremental
+    * multimodal pipeline can persist band rows per epoch and re-derive
+    * candidates for touched buckets only. Corpus-independent: a doc's
+    * band rows never change as the corpus grows. */
+  def md5SlotBandRows(docsDf: DataFrame): DataFrame = {
     val k = NumHashes; val b = NumBands; val r = k / b
     val sigCols = (0 until k).map(md5SlotAgg)
     val sig = md5WordHashCols(wordRows(docsDf))
@@ -840,10 +858,21 @@ object Dedup extends graft.QueryModule {
       val slots = (0 until r).map(ri => col(s"m${bi * r + ri}"))
       struct(lit(bi).as("band"), md5(concat_ws("|", slots: _*)).as("h"))
     }
-    val bands = sig.select(
+    sig.select(
         (Seq(col("doc_id")) ++ slotCols :+ explode(array(bandStructs: _*)).as("bh")): _*)
       .select((Seq(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
         ++ slotCols): _*)
+  }
+
+  /** Star + chain + skip-2 candidates WITHIN each `(band, h)` bucket of
+    * the given band rows, bucket key kept: `(band, h, i, j)`. A
+    * bucket's candidate set depends only on its own full membership, so
+    * the incremental form recomputes exactly the buckets an epoch
+    * touches (latest recomputation supersedes — the membership only
+    * grows, so the last touch saw everything). */
+  def starChainCandidates(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slotCols = (0 until NumHashes).map(i => col(s"m$i"))
     val bucket = Window.partitionBy(col("band"), col("h"))
     val ord = bucket.orderBy((slotCols :+ col("doc_id")).map(_.asc): _*)
     val annotated = bands.select(col("doc_id"), col("band"), col("h"),
@@ -851,18 +880,13 @@ object Dedup extends graft.QueryModule {
       lag(col("doc_id"), 2).over(ord).as("prev2"),
       min(col("doc_id")).over(bucket).as("bmin"))
     val stars = annotated.filter(col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("i"), col("doc_id").as("j"))
+      .select(col("band"), col("h"), col("bmin").as("i"), col("doc_id").as("j"))
     def undirected(a: Column) =
       annotated.filter(a.isNotNull && a =!= col("doc_id"))
-        .select(least(a, col("doc_id")).as("i"), greatest(a, col("doc_id")).as("j"))
-    val cand = stars.union(undirected(col("prev"))).union(undirected(col("prev2")))
+        .select(col("band"), col("h"),
+          least(a, col("doc_id")).as("i"), greatest(a, col("doc_id")).as("j"))
+    stars.union(undirected(col("prev"))).union(undirected(col("prev2")))
       .filter(col("i") =!= col("j")).distinct()
-    // shared verify: id-count gate (pure necessary condition for
-    // J >= 0.8, so the gateless oracle still matches exactly) + the
-    // codegen two-pointer intersect over sorted 60-bit word ids
-    verifyExactJaccard(cand, docsDf, 0.8)
-      .select(col("i"), col("j"))
-      .cut()
   }
 
   /** Generated oracle for [[clustersMd5]]: the same 16 chunked min-md5 slots and

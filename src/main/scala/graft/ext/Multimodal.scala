@@ -810,41 +810,59 @@ object Multimodal extends graft.QueryModule {
     * (Hamming ≤ 2 chains percolate, few minima survive) — with a
     * production 64-bit hash the clusters are the sparse near-dup sets
     * of `mm_scene_dedup`; the composition shape is what's under test. */
-  private def corpusCleanMultimodal(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import graft.Ckpt.CutOps
-    val gated = Tables.documents(s, d)
-      .filter(col("n_chars") >= 100 &&
+  /** The multimodal pipeline's text gate — stateless per-doc, shared by
+    * the batch key and the streaming delta form. */
+  private def mmGate(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") >= 100 &&
         size(split(col("text"), " ")) >= 20 &&
         col("lang").isin("en", "fr", "de"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-    val textReps = Dedup.md5ClusterAssign(
-        gated.select(col("doc_id"), col("text")))
-      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
-    val hashed = gated
+
+  /** Paired-image pHash of gated docs — the two codec seams (encode +
+    * DCT pHash), the ONLY non-relational work in the pipeline and the
+    * expensive part the incremental form pays once per doc. */
+  private def mmPhash(gated: DataFrame): DataFrame = {
+    val s = gated.sparkSession
+    import s.implicits._
+    gated
       .select(col("doc_id"), col("text").cast("binary").as("data"))
       .as[MediaBlob]
       .mapPartitions(encodeImages)
       .mapPartitions(phashImages)
       .toDF("doc_id", "phash", "dc")
       .select(col("doc_id"), col("phash"))
-      .cut() // the band join + CC read it repeatedly (conf-gated Ckpt)
-    val bands = hashed.select(col("doc_id"), col("phash"),
+  }
+
+  /** 3-band split of a `(doc_id, phash)` relation (pigeonhole over the
+    * 15-bit hash: Hamming <= 2 pairs share >= 1 intact 5-bit band). */
+  private def mmPhashBands(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("phash"),
       explode(array((0 until 3).map(b =>
         struct(lit(b).as("band"),
           substring(col("phash"), 1 + 5 * b, 5).as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("phash"),
         col("bh.band").as("band"), col("bh.h").as("h"))
-    val ham = expr(
-      "aggregate(sequence(1, 15), 0, (acc, i) -> acc + " +
-        "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)")
+
+  private val mmHam = expr(
+    "aggregate(sequence(1, 15), 0, (acc, i) -> acc + " +
+      "CASE WHEN substring(pa, i, 1) = substring(pb, i, 1) THEN 0 ELSE 1 END)")
+
+  private def corpusCleanMultimodal(s: SparkSession, d: String): DataFrame = {
+    import graft.Ckpt.CutOps
+    val gated = mmGate(Tables.documents(s, d))
+    val textReps = Dedup.md5ClusterAssign(
+        gated.select(col("doc_id"), col("text")))
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val hashed = mmPhash(gated)
+      .cut() // the band join + CC read it repeatedly (conf-gated Ckpt)
+    val bands = mmPhashBands(hashed)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         col("x.phash").as("pa"), col("y.phash").as("pb"))
       .distinct()
-      .filter(ham <= 2)
+      .filter(mmHam <= 2)
       .select(col("i"), col("j"))
     val imgReps = Dedup.connectedComponentsStar(
         hashed.select(col("doc_id").as("id")), pairs)._1
@@ -853,6 +871,116 @@ object Multimodal extends graft.QueryModule {
     gated.join(textReps, Seq("doc_id"), "left_semi")
       .join(imgReps, Seq("doc_id"), "left_semi")
       .join(hashed, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("phash"))
+      .orderBy("doc_id")
+  }
+
+  /** One micro-batch of the INCREMENTAL multimodal cleaning pipeline
+    * [N] (r13, VERDICT r12 #7 stretch) — the training-set assembly
+    * shape run CONTINUOUSLY: per-epoch delta docs flow through gate →
+    * text banding → image pHash against persisted stores, and the sink
+    * receives the full updated survivor set. Every component reuses its
+    * existing delta discipline:
+    *
+    *  - GATE: stateless per-doc — applied to the delta alone;
+    *  - cross-epoch re-delivery: docs already in a PRIOR epoch anti-join
+    *    away (the audio-store rule), so nothing re-hashes or re-bands;
+    *  - TEXT leg: the delta's corpus-independent md5 band rows land in
+    *    `bands/epoch=N`; candidates recompute ONLY for the buckets the
+    *    epoch touched (a bucket's star/chain set depends on just its own
+    *    membership, which only grows — so the LATEST recomputation of a
+    *    bucket is the batch-equal truth, and `bmark/epoch=N` records
+    *    which buckets each epoch owns). Exact-Jaccard verify runs
+    *    against the accumulated doc store; verified pairs land in
+    *    `tpairs/epoch=N` with their bucket key for the latest-wins read;
+    *  - IMAGE leg: the delta alone pays the codec seams (pHash once per
+    *    doc, into `phash/epoch=N`); fresh pairs = delta bands × the
+    *    full phash store at Hamming <= 2 — plain band pairs decompose,
+    *    so the epoch union IS the batch pair set (each pair materializes
+    *    in its later member's epoch), no supersede needed;
+    *  - OUTPUT: star-CC over both accumulated pair graphs; survivors rep
+    *    BOTH their text and image clusters — batch-equivalent by
+    *    construction (StreamingSpec pins union-of-epochs ≡ the batch
+    *    `corpus_clean_multimodal` and replay idempotence).
+    *
+    * Replays are idempotent: a re-delivered epoch rewrites its own
+    * `epoch=N` partitions with deterministically identical rows. */
+  def corpusCleanMultimodalDelta(batchIn: DataFrame, storeDir: String,
+                                 epoch: Long): DataFrame = {
+    import graft.Ckpt.CutOps
+    val s = batchIn.sparkSession
+    val gated = mmGate(batchIn)
+    // cross-epoch re-delivery guard (prior epochs only: a SAME-epoch
+    // replay rewrites its own partitions, which is the idempotence rule)
+    val seen =
+      if (graft.Hfs.exists(s"$storeDir/docs"))
+        s.read.parquet(s"$storeDir/docs")
+          .filter(col("epoch").cast("long") =!= epoch).select("doc_id")
+      else gated.select("doc_id").limit(0)
+    val fresh = gated.join(seen, Seq("doc_id"), "left_anti").cut()
+    val bandRows = Dedup.md5SlotBandRows(fresh.select("doc_id", "text")).cut()
+    val hashedFresh = mmPhash(fresh).cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(fresh, "docs")
+    writeEpoch(bandRows, "bands")
+    writeEpoch(bandRows.select("band", "h").distinct(), "bmark")
+    writeEpoch(hashedFresh, "phash")
+    // TEXT: recompute candidates for the touched buckets over their FULL
+    // accumulated membership, verify, store with the bucket key
+    val touched = bandRows.select("band", "h").distinct()
+    val allBands = s.read.parquet(s"$storeDir/bands")
+      .drop("epoch").dropDuplicates(Seq("doc_id", "band"))
+    val allDocs = s.read.parquet(s"$storeDir/docs")
+      .select("doc_id", "text").dropDuplicates("doc_id")
+    val cand = Dedup.starChainCandidates(
+      allBands.join(touched, Seq("band", "h")))
+    val verified = Dedup.verifyExactJaccard(
+        cand.select("i", "j").distinct(), allDocs, 0.8)
+      .select("i", "j")
+    writeEpoch(cand.join(verified, Seq("i", "j"))
+      .select("band", "h", "i", "j").cut(), "tpairs")
+    // latest-wins per bucket: only the rows of a bucket's most recent
+    // recomputation count (older epochs' pairs for that bucket are
+    // superseded, including buckets whose latest set is empty)
+    val latest = s.read.parquet(s"$storeDir/bmark")
+      .withColumn("ep", col("epoch").cast("long")).drop("epoch")
+      .groupBy(col("band"), col("h")).agg(max(col("ep")).as("ep"))
+    val validT = s.read.parquet(s"$storeDir/tpairs")
+      .withColumn("ep", col("epoch").cast("long")).drop("epoch")
+      .join(latest, Seq("band", "h", "ep"))
+      .select("i", "j").distinct()
+    // IMAGE: delta bands x full store (band equi-join, Hamming verify)
+    val allPh = s.read.parquet(s"$storeDir/phash")
+      .select("doc_id", "phash").dropDuplicates("doc_id")
+    val xd = col("x.doc_id"); val yd = col("y.doc_id")
+    val ipFresh = mmPhashBands(hashedFresh).as("x")
+      .join(mmPhashBands(allPh).as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          xd =!= yd)
+      .select(least(xd, yd).as("i"), greatest(xd, yd).as("j"),
+        when(xd < yd, col("x.phash")).otherwise(col("y.phash")).as("pa"),
+        when(xd < yd, col("y.phash")).otherwise(col("x.phash")).as("pb"))
+      .distinct()
+      .filter(mmHam <= 2)
+      .select("i", "j").cut()
+    writeEpoch(ipFresh, "ipairs")
+    val validI = s.read.parquet(s"$storeDir/ipairs")
+      .select("i", "j").distinct()
+    // OUTPUT: both CC fixpoints over the accumulated graphs + survivors
+    val gatedAll = s.read.parquet(s"$storeDir/docs")
+      .select("doc_id", "lang", "n_chars").dropDuplicates("doc_id")
+    val trep = Dedup.connectedComponentsStar(
+        allDocs.select(col("doc_id").as("id")), validT)._1
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val irep = Dedup.connectedComponentsStar(
+        allPh.select(col("doc_id").as("id")), validI)._1
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    gatedAll.join(trep, Seq("doc_id"), "left_semi")
+      .join(irep, Seq("doc_id"), "left_semi")
+      .join(allPh, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("phash"))
       .orderBy("doc_id")
   }

@@ -752,6 +752,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedAgain == served, "a replayed epoch changed the served answer")
   }
 
+  test("corpusCleanDeltas: streamed multimodal assembly == batch key, replay-idempotent") {
+    // the composed training-set pipeline run incrementally: epoch 0
+    // (even doc_ids) arrives through the stream wrapper, epoch 1 (odd)
+    // through a direct delta call; the union of epochs must equal the
+    // batch corpus_clean_multimodal key, and both a same-epoch replay
+    // and a cross-epoch re-delivery must change nothing
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text")
+    val store = Files.createTempDirectory("graft_mm_dstore").toString
+    val ckp = Files.createTempDirectory("graft_mm_dckp").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    val even = docs.filter("doc_id % 2 = 0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val ms = MemoryStream[(Long, String, Long, String)]
+    var out: Seq[(Long, String, Long, String)] = Nil
+    val sink = (g: org.apache.spark.sql.DataFrame) => out = rows(g)
+    ms.addData(even)
+    Streams.corpusCleanDeltas(
+      ms.toDF().toDF("doc_id", "lang", "n_chars", "text"), store, ckp)(sink)
+      .awaitTermination()
+    assert(out.nonEmpty, "the sink never received a survivor set")
+    val odd = docs.filter("doc_id % 2 = 1").localCheckpoint()
+    val streamed = rows(
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(odd, store, 1L))
+    val batchKey = rows(
+      SparkEntry.queries("corpus_clean_multimodal")(spark, sf))
+    assert(batchKey.nonEmpty && streamed == batchKey,
+      "incremental multimodal assembly diverged from the batch key")
+    // same-epoch replay: partitions rewrite with identical rows
+    val replayed = rows(
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(odd, store, 1L))
+    assert(replayed == batchKey, "a replayed epoch changed the survivor set")
+    // cross-epoch re-delivery: already-seen docs anti-join away
+    val redelivered = rows(
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(odd, store, 2L))
+    assert(redelivered == batchKey,
+      "cross-epoch re-delivery changed the survivor set")
+  }
+
   test("hnswMultiDeltas: streamed level-stack append, replay-idempotent, servable") {
     // the L-layer twin of the hnswDeltas test: every admitted layer
     // takes the epoch's append, the store serves the multi descent, and
