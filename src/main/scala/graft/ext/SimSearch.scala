@@ -144,6 +144,13 @@ object SimSearch extends graft.QueryModule {
   private def servingSteps(s: SparkSession): Int =
     s.conf.getOption(StepsConf).map(_.toInt).getOrElse(GraphAnnSteps)
 
+  /** The IVF leg's serving dial (same r13 rule): probed-cell count at
+    * query time, read by the saved-index serving key. Default 4 keeps
+    * the `sim_search_ivf_saved` oracle (which unrolls 4 cells) green. */
+  private val NprobeConf = "spark.graft.ann.nprobe"
+  private def servingNprobe(s: SparkSession): Int =
+    s.conf.getOption(NprobeConf).map(_.toInt).getOrElse(4)
+
   private def withNsq(corpusIn: DataFrame): DataFrame =
     corpusIn.select(col("vec_id"), col("label"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nsq"))
@@ -2130,7 +2137,9 @@ object SimSearch extends graft.QueryModule {
     val e = Tables.embeddings(s, d)
     val dir = graft.Scratch.dir("ivf_index_pinned")
     buildIvfIndexPinned(e, dir)
-    servedTopKPinned(s, dir, probeTable(e))
+    // nprobe is the IVF family's serving-time recall dial (the beamWidth
+    // rule, r13): default matches the oracle's unrolled 4 cells
+    servedTopKPinned(s, dir, probeTable(e), nprobe = servingNprobe(s))
   }
 
   /** Multi-assignment IVF-Flat [N] (Jégou et al.'s multiple-assignment

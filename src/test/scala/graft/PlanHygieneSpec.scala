@@ -22,6 +22,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "sim_search_ivf_saved" -> "k-row centroid broadcast",
     "sim_search_ivf_pq" -> "k-row centroid + m*k ADC table broadcasts",
     "sim_search_pq" -> "m*k-row ADC table broadcast",
+    "sim_search_pq_served" -> "same ADC/probe broadcasts served from the store",
     "sim_search_quantized" -> "single-row probe crossJoin",
     "sim_search_batch" -> "bounded 20-probe broadcast",
     "sim_search_mips" -> "bounded 20-probe broadcast (batchTopK twin)",

@@ -497,11 +497,25 @@ class SimSearchRecallSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"saved-index recall regressed: $mean")
     // and the index round-trips: serving the persisted tables again is
     // deterministic (parquet floats are exact)
+    val probes = graft.Tables.embeddings(spark, sf).filter("vec_id < 20")
+      .selectExpr("vec_id AS probe_id", "embedding AS probe")
     val again = perProbe(
       graft.ext.SimSearch.servedTopKPinned(spark, graft.Scratch.dir("ivf_index_pinned"),
-        graft.Tables.embeddings(spark, sf).filter("vec_id < 20")
-          .selectExpr("vec_id AS probe_id", "embedding AS probe")).collect())
+        probes).collect())
     assert(again == served)
+    // nprobe is the serving-time dial (r13, the beamWidth rule): more
+    // probed cells on the SAME index -> monotone non-decreasing recall
+    def meanAt(np: Int): Double = {
+      val at = perProbe(graft.ext.SimSearch.servedTopKPinned(spark,
+        graft.Scratch.dir("ivf_index_pinned"), probes, nprobe = np).collect())
+      val rs = exact.map { case (p, ex) => (ex & at(p)).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val m2 = meanAt(2); val m8 = meanAt(8); val m16 = meanAt(16)
+    info(f"nprobe recall@10: 2=$m2%.2f 4=$mean%.2f 8=$m8%.2f 16=$m16%.2f")
+    assert(m2 <= mean && mean <= m8 && m8 <= m16,
+      s"recall must be monotone in nprobe: $m2 / $mean / $m8 / $m16")
+    assert(m16 >= 0.99, s"probing all 16 cells must be exact: $m16")
   }
 
   test("batch k-means IVF mean recall@10 vs exact batch on sf0.01") {
