@@ -102,7 +102,11 @@ object Bench {
     "graph_hits",           // pinned hubs/authorities alternation (r8)
     "emb_pca_power",        // distributed Gram + pinned power iteration (r8)
     "text_bpe_train",       // iterative vocab-bounded BPE merge rounds (r8)
-    "text_substring_dedup", // ExactSubstr duplicated-span removal (r10)
+    "text_substring_dedup_chars", // ExactSubstr at CHARACTER granularity
+                            // via truncated prefix-doubling suffix ranks
+                            // (r13) — the heavier, production-discipline
+                            // family rep; the token-gram key (2.2 s)
+                            // stays registered off-headline
     "stats_kruskal_wallis", // doubled-rank nonparametric family rep (r11;
                             // sql_asof's thin twin moved out - the asof
                             // family keeps join_asof_native)
