@@ -935,8 +935,14 @@ object Multimodal extends graft.QueryModule {
       .select("doc_id", "text").dropDuplicates("doc_id")
     val cand = Dedup.starChainCandidates(
       allBands.join(touched, Seq("band", "h")))
+    // verify builds word-id arrays only for docs a candidate names —
+    // O(touched), never O(corpus): the verify stage must not re-explode
+    // the whole accumulated doc store every epoch
+    val candDocs = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
     val verified = Dedup.verifyExactJaccard(
-        cand.select("i", "j").distinct(), allDocs, 0.8)
+        cand.select("i", "j").distinct(),
+        allDocs.join(candDocs, Seq("doc_id"), "left_semi"), 0.8)
       .select("i", "j")
     writeEpoch(cand.join(verified, Seq("i", "j"))
       .select("band", "h", "i", "j").cut(), "tpairs")

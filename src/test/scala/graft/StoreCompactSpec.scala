@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Epoch-store compaction (r13): folding every `epoch=N` partition into
+  * one baseline must not change what any reader or subsequent delta
+  * computes — serve-before == serve-after, and post-compaction deltas
+  * keep appending (the baseline reads as a prior epoch). */
+class StoreCompactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import java.nio.file.Files
+
+  test("HNSW store: serve unchanged across compaction; deltas continue") {
+    graft.functions.VectorFunctions.register(spark)
+    val sf = TestSpark.sf0001
+    val e = graft.Tables.embeddings(spark, sf)
+    val store = Files.createTempDirectory("graft_compact_hnsw").toString
+    graft.ext.SimSearch.hnswStoreSeed(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 0"), store)
+    graft.ext.SimSearch.hnswDelta(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 1")
+        .select("vec_id", "embedding"), store, 0L).collect()
+    val probe = e.filter("vec_id = 0").select("embedding")
+    def serve() = graft.ext.SimSearch.serveHnswFromStore(spark, store, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = serve()
+    graft.pipeline.StoreCompact.compactHnswStore(spark, store)
+    // every sub-table is now the single epoch=-1 baseline
+    assert(Hfs.childDirNames(s"$store/vecs") == Seq("epoch=-1"))
+    assert(Hfs.childDirNames(s"$store/l0") == Seq("epoch=-1"))
+    assert(serve() == before, "compaction changed the served answer")
+    // a post-compaction delta appends against the baseline
+    graft.ext.SimSearch.hnswDelta(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 2")
+        .select("vec_id", "embedding"), store, 1L).collect()
+    val after = serve()
+    assert(after.size == 10)
+    // the full corpus is now indexed: the post-compaction store serves
+    // the same answer as a store built from all three slices directly
+    val store2 = Files.createTempDirectory("graft_compact_hnsw2").toString
+    graft.ext.SimSearch.hnswStoreSeed(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 0"), store2)
+    graft.ext.SimSearch.hnswDelta(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 1")
+        .select("vec_id", "embedding"), store2, 0L).collect()
+    graft.ext.SimSearch.hnswDelta(
+      e.filter("vec_id <> 0 AND vec_id % 3 = 2")
+        .select("vec_id", "embedding"), store2, 1L).collect()
+    val uncompacted = graft.ext.SimSearch
+      .serveHnswFromStore(spark, store2, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == uncompacted,
+      "mid-lifecycle compaction diverged from the uncompacted lifecycle")
+  }
+
+  test("corpus-clean store: output unchanged across compaction; deltas continue") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text")
+    val store = Files.createTempDirectory("graft_compact_mm").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    def delta(pred: String, epoch: Long) = rows(
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(
+        docs.filter(pred).localCheckpoint(), store, epoch))
+    delta("doc_id % 3 = 0", 0L)
+    val before = delta("doc_id % 3 = 1", 1L)
+    graft.pipeline.StoreCompact.compactCorpusCleanStore(spark, store)
+    assert(Hfs.childDirNames(s"$store/tpairs") == Seq("epoch=-1"))
+    assert(Hfs.childDirNames(s"$store/bmark") == Seq("epoch=-1"))
+    // an EMPTY delta recomputes the survivor set from the stores alone
+    val after = delta("doc_id < 0", 2L)
+    assert(after == before, "compaction changed the survivor set")
+    // a real post-compaction delta completes the corpus: the result must
+    // equal the batch key over all docs
+    val full = delta("doc_id % 3 = 2", 3L)
+    val batchKey = rows(
+      SparkEntry.queries("corpus_clean_multimodal")(spark, sf))
+    assert(full == batchKey,
+      "post-compaction delta diverged from the batch key")
+  }
+}
