@@ -75,6 +75,20 @@ object Hfs {
       sys.error(s"rename $src -> $dst failed (source missing?)")
   }
 
+  /** Rename `src` onto `dst`, REPLACING an existing destination — for
+    * publish steps whose destination identity is content-deterministic
+    * (a replayed V2 epoch re-stages the same task outputs): a commit
+    * that died half-published must converge on replay, not fail loudly
+    * on the files it already moved. Version publishes with racing
+    * writers keep the strict [[rename]]. */
+  def replace(src: String, dst: String): Unit = {
+    val (fs, s) = fsFor(src)
+    val d = new Path(dst)
+    if (fs.exists(d)) fs.delete(d, true)
+    if (!fs.rename(s, d))
+      sys.error(s"replace $src -> $dst failed (source missing?)")
+  }
+
   /** Recursive delete; true if anything was deleted. */
   def deleteRecursive(p: String): Boolean = {
     val (fs, path) = fsFor(p)

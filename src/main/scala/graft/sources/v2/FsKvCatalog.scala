@@ -447,7 +447,9 @@ class FsKvBatchWrite(path: String, schema: StructType, partIdx: Int)
         // Hadoop rename (unlike POSIX renameTo) needs the destination's
         // parent to exist already
         Hfs.mkdirs(s"$path/$partDir")
-        Hfs.rename(s"$staging/${rel.replace('/', '%')}",
+        // replace-semantics publish (see JsonDirSink): a retried commit
+        // re-moves the same deterministic staged names
+        Hfs.replace(s"$staging/${rel.replace('/', '%')}",
           s"$path/$partDir/$fileName")
       }
     }

@@ -95,7 +95,10 @@ class JsonDirStreamingWrite(path: String, schema: StructType)
       return
     }
     messages.foreach { case JsonFileCommitted(name) =>
-      Hfs.rename(s"$stg/$name", s"$path/$name")
+      // replace, not strict rename: a commit that died half-published
+      // re-runs after recovery with the SAME deterministic file names —
+      // already-moved files must converge, not error (Hfs.replace doc)
+      Hfs.replace(s"$stg/$name", s"$path/$name")
     }
     Hfs.deleteRecursive(stg)
     Hfs.touch(marker(epochId))
@@ -127,7 +130,9 @@ class JsonDirBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach { case JsonFileCommitted(name) =>
-      Hfs.rename(s"$staging/$name", s"$path/$name")
+      // replace (see the streaming commit): a driver retry of a commit
+      // that died half-published must converge on the same file names
+      Hfs.replace(s"$staging/$name", s"$path/$name")
     }
     // staging may still hold files from failed/speculative attempts
     // whose commit message never reached the driver — they are garbage

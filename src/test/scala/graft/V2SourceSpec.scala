@@ -246,6 +246,40 @@ class V2SourceSpec extends AnyFunSuite {
     assert(f.list().count(_.startsWith("_staging")) == 0, "staging leaked")
   }
 
+  test("streaming json sink: a commit that died half-published converges on replay") {
+    import graft.sources.v2.{JsonDirStreamingWrite, JsonDirStreamingWriterFactory, JsonFileCommitted}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val dir = "target/tmp/v2_json_half_publish"
+    val f = new java.io.File(dir)
+    def sweep(d: java.io.File): Unit =
+      Option(d.listFiles()).foreach(_.foreach { c =>
+        if (c.isDirectory) sweep(c); c.delete()
+      })
+    sweep(f); f.mkdirs()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val sink = new JsonDirStreamingWrite(dir, schema)
+    def stage(): JsonFileCommitted = {
+      val w = new JsonDirStreamingWriterFactory(dir, schema, graft.Hfs.taskConf())
+        .createWriter(0, 0, 9L)
+      w.write(InternalRow(7L))
+      w.commit().asInstanceOf[JsonFileCommitted]
+    }
+    val msg = stage()
+    // simulate a commit that moved this file then DIED before writing
+    // the epoch marker: the published file exists, the marker does not
+    graft.Hfs.replace(s"$dir/_staging-epoch-9/${msg.fileName}",
+      s"$dir/${msg.fileName}")
+    // recovery re-runs the epoch: tasks re-stage the same deterministic
+    // file name; the commit must CONVERGE (replace-publish), not error
+    // on the file the dead attempt already moved
+    val msg2 = stage()
+    sink.commit(9L, Array(msg2))
+    assert(f.list().count(_.endsWith(".json")) == 1)
+    assert(new java.io.File(dir, "_epoch-9.committed").exists())
+    assert(f.list().count(_.startsWith("_staging")) == 0, "staging leaked")
+  }
+
   test("fskv catalog: partition-grained DELETE drops only the targeted partition") {
     val ns = spark.newSession()
     ns.conf.set("spark.sql.catalog.t_cat", "graft.sources.v2.FsKvCatalog")
