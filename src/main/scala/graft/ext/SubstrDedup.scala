@@ -158,9 +158,14 @@ object SubstrDedup extends graft.QueryModule {
         md5(concat_ws("|", col("r"),
           coalesce(lead(col("r"), 1 << (t - 1)).over(w), lit("$")))))
     }
-    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions
+    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions.
+    //    cut(): both consumers below (the dup-class agg AND the interval
+    //    join) read this subtree — without the lineage cut Spark would
+    //    run the whole 5-round rank chain twice (plan-audited r13)
+    import graft.Ckpt.CutOps
     val elig = pos.filter(col("p") <= col("len") - (c - 1))
       .select(col("doc_id"), col("p"), col("r"))
+      .cut()
     val dupR = elig.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("r"))
     val ivl = elig.join(dupR, "r")
