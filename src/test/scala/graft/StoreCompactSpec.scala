@@ -53,6 +53,59 @@ class StoreCompactSpec extends AnyFunSuite {
       "mid-lifecycle compaction diverged from the uncompacted lifecycle")
   }
 
+  test("dedup band store: compaction preserves clusters; deltas continue") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def run(store: String, compactAfterEpoch1: Boolean) = {
+      graft.ext.Dedup.dedupDelta(
+        docs.filter("doc_id % 3 = 0").localCheckpoint(), store, 0L).collect()
+      val r1 = graft.ext.Dedup.dedupDelta(
+        docs.filter("doc_id % 3 = 1").localCheckpoint(), store, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (compactAfterEpoch1)
+        graft.pipeline.StoreCompact.compactDedupStore(spark, store)
+      val r2 = graft.ext.Dedup.dedupDelta(
+        docs.filter("doc_id % 3 = 2").localCheckpoint(), store, 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (r1, r2)
+    }
+    val sC = Files.createTempDirectory("graft_compact_dedup").toString
+    val sU = Files.createTempDirectory("graft_compact_dedup_u").toString
+    val (c1, c2) = run(sC, compactAfterEpoch1 = true)
+    val (u1, u2) = run(sU, compactAfterEpoch1 = false)
+    assert(c1 == u1)
+    assert(Hfs.childDirNames(s"$sC/pairs").contains("epoch=-1"))
+    assert(c2 == u2,
+      "post-compaction dedup delta diverged from the uncompacted lifecycle")
+  }
+
+  test("audio fingerprint store: compaction preserves matches; deltas continue") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    def run(store: String, compactAfterEpoch1: Boolean) = {
+      graft.ext.Audio.audioFpDelta(
+        docs.filter("doc_id % 3 = 0").localCheckpoint(), store, 0L).collect()
+      val r1 = rows(graft.ext.Audio.audioFpDelta(
+        docs.filter("doc_id % 3 = 1").localCheckpoint(), store, 1L))
+      if (compactAfterEpoch1)
+        graft.pipeline.StoreCompact.compactAudioStore(spark, store)
+      val r2 = rows(graft.ext.Audio.audioFpDelta(
+        docs.filter("doc_id % 3 = 2").localCheckpoint(), store, 2L))
+      (r1, r2)
+    }
+    val sC = Files.createTempDirectory("graft_compact_audio").toString
+    val sU = Files.createTempDirectory("graft_compact_audio_u").toString
+    val (c1, c2) = run(sC, compactAfterEpoch1 = true)
+    val (u1, u2) = run(sU, compactAfterEpoch1 = false)
+    assert(c1 == u1)
+    assert(Hfs.childDirNames(s"$sC/fps").contains("epoch=-1"))
+    assert(c2 == u2,
+      "post-compaction audio delta diverged from the uncompacted lifecycle")
+  }
+
   test("corpus-clean store: output unchanged across compaction; deltas continue") {
     val sf = TestSpark.sf0001
     val docs = graft.Tables.documents(spark, sf)
