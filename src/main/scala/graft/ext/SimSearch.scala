@@ -1837,7 +1837,10 @@ object SimSearch extends graft.QueryModule {
     * argmin, floor-pinned means), encode, exact-integer ADC, and the
     * bit-identical cosine rerank — unrolled as chained CTEs over the
     * exploded (vec, sub, spos) relation. */
-  private def pqOracle(m: Int, k: Int, iters: Int, rerank: Int): String = {
+  /** Shared train+encode CTE chain of the PQ oracles (grid → `iters`
+    * Lloyd rounds → `enc` code table) — the batch oracle appends a
+    * per-probe serve section, the single-probe oracle its original. */
+  private def pqTrainCtes(m: Int, k: Int, iters: Int): String = {
     val subDim = 64 / m
     val base =
       s"""WITH gg AS (
@@ -1870,7 +1873,7 @@ object SimSearch extends graft.QueryModule {
          |  FROM gg g JOIN qa$i a ON g.vec_id = a.vec_id AND g.sub = a.sub
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    val serve =
+    val encode =
       s"""qdF AS (
          |  SELECT g.vec_id, g.sub, c.cid,
          |         CAST(sum((g.gv - c.mg) * (g.gv - c.mg)) AS BIGINT) AS d2
@@ -1880,8 +1883,13 @@ object SimSearch extends graft.QueryModule {
          |  SELECT vec_id, sub, cid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
          |                                 ORDER BY d2, cid) AS rn
-         |    FROM qdF) WHERE rn = 1),
-         |pg AS (SELECT sub, spos, gv FROM gg WHERE vec_id = 0),
+         |    FROM qdF) WHERE rn = 1)""".stripMargin
+    s"$base,\n$rounds,\n$encode"
+  }
+
+  private def pqOracle(m: Int, k: Int, iters: Int, rerank: Int): String = {
+    val serve =
+      s"""pg AS (SELECT sub, spos, gv FROM gg WHERE vec_id = 0),
          |tab AS (
          |  SELECT c.sub, c.cid, CAST(sum(p2.gv * c.mg) AS BIGINT) AS pdot
          |  FROM q$iters c JOIN pg p2 ON c.sub = p2.sub AND c.spos = p2.spos
@@ -1908,7 +1916,55 @@ object SimSearch extends graft.QueryModule {
          |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
          |CROSS JOIN p
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
-    s"$base,\n$rounds,\n$serve"
+    s"${pqTrainCtes(m, k, iters)},\n$serve"
+  }
+
+  /** Generated DuckDB mirror of [[pqBatchTopK]]: the shared train/encode
+    * chain plus a PER-PROBE serve — probe grids, per-probe ADC tables,
+    * per-probe candidate rank, exact rerank — every window partitioned
+    * by probe_id, mirroring the Spark side term for term. */
+  private def pqBatchOracle(m: Int, k: Int, iters: Int,
+                            rerank: Int): String = {
+    val serve =
+      s"""pgB AS (SELECT vec_id AS probe_id, sub, spos, gv
+         |        FROM gg WHERE vec_id < 20),
+         |tabB AS (
+         |  SELECT p2.probe_id, c.sub, c.cid,
+         |         CAST(sum(p2.gv * c.mg) AS BIGINT) AS pdot
+         |  FROM q$iters c JOIN pgB p2 ON c.sub = p2.sub AND c.spos = p2.spos
+         |  GROUP BY 1, 2, 3),
+         |adB AS (
+         |  SELECT t.probe_id, e.vec_id, CAST(sum(t.pdot) AS BIGINT) AS approx_dot
+         |  FROM enc e JOIN tabB t ON e.sub = t.sub AND e.cid = t.cid
+         |  WHERE e.vec_id <> t.probe_id GROUP BY 1, 2),
+         |nrm AS (
+         |  SELECT vec_id,
+         |         sqrt(${dotSql.format("n0.embedding", "n0.embedding")})
+         |           AS vnorm
+         |  FROM embeddings n0),
+         |candB AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT ad.probe_id, ad.vec_id,
+         |           row_number() OVER (PARTITION BY ad.probe_id
+         |             ORDER BY CAST(ad.approx_dot AS DOUBLE) / n.vnorm DESC,
+         |                      ad.vec_id) AS rn
+         |    FROM adB ad JOIN nrm n ON ad.vec_id = n.vec_id)
+         |  WHERE rn <= $rerank),
+         |probesB AS (SELECT vec_id AS probe_id, embedding AS pe
+         |            FROM embeddings WHERE vec_id < 20),
+         |rr AS (
+         |  SELECT c.probe_id, e.vec_id,
+         |         (${dotSql.format("e.embedding", "pr.pe")}
+         |          / (sqrt(${dotSql.format("e.embedding", "e.embedding")})
+         |             * sqrt(${dotSql.format("pr.pe", "pr.pe")}))) AS cosine
+         |  FROM embeddings e JOIN candB c ON e.vec_id = c.vec_id
+         |  JOIN probesB pr ON pr.probe_id = c.probe_id)
+         |SELECT probe_id, CAST(rn AS INTEGER) AS rnk, vec_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                               ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10
+         |ORDER BY probe_id, rnk""".stripMargin
+    s"${pqTrainCtes(m, k, iters)},\n$serve"
   }
 
   /** Generated DuckDB mirror of the residual IVF+PQ pipeline [r9]:
@@ -2708,6 +2764,64 @@ object SimSearch extends graft.QueryModule {
     pqTopKPinned(Tables.embeddings(s, d))
   }
 
+  /** BATCH PQ serving [N] (r13) — the PQ leg of the batch-serving
+    * matrix (`sim_search_batch` exact / `sim_search_ivf_batch` IVF /
+    * `sim_search_graph_batch` graph): one codebook train amortized
+    * across a probe TABLE. Each probe's ADC table is m×k exact-integer
+    * dots; ALL probes' tables broadcast together (probes × 128 rows),
+    * the code scan joins once, and per-probe rerank/top-k are
+    * `row_number() OVER (PARTITION BY probe_id)` — the whole batch is
+    * one pass over the codes, linear in probes, and the corpus side
+    * still reads 8-byte codes, never floats, until the short rerank. */
+  def pqBatchTopK(e: DataFrame, probes: DataFrame, m: Int = 8, k: Int = 16,
+                  iters: Int = 3, rerank: Int = 200,
+                  topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = 64 / m
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val sub = sliceSubs(gridify(vecs), "gv", m, subDim)
+    val cents = pqTrainCodebooksPinned(sub, k, iters)
+    val codes = pqEncodePinned(sub, cents)
+    val psub = sliceSubs(
+        gridify(probes.select(col("probe_id").as("vec_id"),
+          col("probe").as("embedding"))), "gv", m, subDim)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("gvec"))
+    val tables = psub.join(broadcast(cents), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cid"),
+        gridDot(col("gvec"), col("cvec")).as("pdot"))
+    val norms = vecs.select(col("vec_id"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("vnorm"))
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val candidates = codes.join(broadcast(tables), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("approx_dot")) // exact long
+      .join(norms, Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("approx_dot").cast("double") / col("vnorm")).as("approx_cos"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    val wR = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates.join(vecs, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("embedding"), col("probe")).as("cosine"))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= topK)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  private def pqBatch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    pqBatchTopK(e, probeTable(e))
+  }
+
   /** `sim_search_pq_served` [N] (r13, VERDICT #4) — the serving-cost
     * headline discipline applied to PQ, exactly the r12 HNSW swap's
     * argument: the in-query `sim_search_pq` pays 3 Lloyd rounds of
@@ -3062,6 +3176,7 @@ object SimSearch extends graft.QueryModule {
     "sim_search_ivf_pq" -> ivfPq,
     "sim_search_pq" -> pq,
     "sim_search_pq_served" -> pqServed,
+    "sim_search_pq_batch" -> pqBatch,
     "emb_quantize_int8" -> quantizeInt8,
     "sim_search_quantized" -> quantizedTopK,
     "dedup_embedding_cosine" -> embCosinePairs,
@@ -3158,6 +3273,7 @@ object SimSearch extends graft.QueryModule {
     // store serving is pinned bit-equal to the in-query train+serve, so
     // the served key shares the one-shot oracle verbatim (the hnsw rule)
     "sim_search_pq_served" -> pqOracle(m = 8, k = 16, iters = 3, rerank = 200),
+    "sim_search_pq_batch" -> pqBatchOracle(m = 8, k = 16, iters = 3, rerank = 200),
     "sim_search_ivf_pq" -> ivfPqOracle(pinnedIters, nprobe = 12, m = 8,
       kCodes = 16, pqIters = 3, rerank = 200),
     "emb_quantize_int8" ->
