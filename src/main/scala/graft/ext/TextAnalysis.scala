@@ -459,8 +459,11 @@ object TextAnalysis extends graft.QueryModule {
     * frequencies (hash agg), then a broadcast token→logprob join folded
     * per doc. Cross-engine float discipline: each `ln` term is rounded
     * to 6 dp BEFORE summing (identical addends in both engines despite
-    * libm differences), the mean is one sum/count division rounded at
-    * 4 dp (absorbs partial-sum reassociation). */
+    * libm differences) and the SUM runs over exact decimal(12,6) — a
+    * double sum is partition-order-sensitive, and r13's sf0.1 sweep
+    * caught a doc whose mean sat exactly on a 4 dp rounding boundary,
+    * flipping with summation order; the decimal sum is order-invariant,
+    * so the one IEEE divide + 4 dp round is deterministic. */
   private def logprob(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d).select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
@@ -470,7 +473,7 @@ object TextAnalysis extends graft.QueryModule {
       .crossJoin(broadcast(total))
       .withColumn("lp", bround(log(col("cnt").cast("double") / col("tot")), 6))
       .groupBy(col("doc_id"))
-      .agg(bround(sum(col("lp")) / count(lit(1)), 4).as("mean_logprob"))
+      .agg(bround(sum(col("lp").cast("decimal(12,6)")).cast("double") / count(lit(1)), 4).as("mean_logprob"))
       .orderBy("doc_id")
   }
 
@@ -1202,7 +1205,9 @@ object TextAnalysis extends graft.QueryModule {
         |  SELECT t.doc_id,
         |         round_even(ln(CAST(f.cnt AS DOUBLE) / tot.tot), 6) AS lp
         |  FROM toks t JOIN freq f ON t.w = f.w, tot)
-        |SELECT doc_id, round_even(sum(lp) / count(*), 4) AS mean_logprob
+        |SELECT doc_id,
+        |       round_even(CAST(sum(CAST(lp AS DECIMAL(12,6))) AS DOUBLE)
+        |         / count(*), 4) AS mean_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

@@ -95,7 +95,7 @@ object EvalExtra extends graft.QueryModule {
         bround(log(dd(col("cb") + 1) / dd(col("cu") + col("v"))), 6))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        bround(sum(col("lp")) / count(lit(1)), 4).as("mean_lp"))
+        bround(sum(col("lp").cast("decimal(12,6)")).cast("double") / count(lit(1)), 4).as("mean_lp"))
       .orderBy("doc_id")
   }
 
@@ -554,8 +554,9 @@ object EvalExtra extends graft.QueryModule {
     * continuation fan-out N1+(w1·), left-context type count N1+(·w2),
     * total bigram types); D = 3/4 is exact in binary, so the single
     * IEEE expression per bigram is the same shape both engines and
-    * the per-term 6dp / per-doc 4dp pinning is the `text_logprob`
-    * acceptance. Scale shape: one explode into adjacent pairs, then
+    * the per-term 6dp pinning plus the exact
+    * decimal(12,6) sum (order-invariant — the r13 fix after a 4dp
+    * boundary flip at sf0.1) is the `text_logprob` acceptance. Scale shape: one explode into adjacent pairs, then
     * VOCABULARY-scale hash aggs; the per-doc scoring join is an
     * equi-join on the bigram. */
   private def kneserNey(s: SparkSession, d: String): DataFrame = {
@@ -582,7 +583,7 @@ object EvalExtra extends graft.QueryModule {
             * (dd(col("nc")) / dd(col("nt")))), 6))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        bround(sum(col("lp")) / count(lit(1)), 4).as("mean_lp"))
+        bround(sum(col("lp").cast("decimal(12,6)")).cast("double") / count(lit(1)), 4).as("mean_lp"))
       .orderBy("doc_id")
   }
 
@@ -835,8 +836,9 @@ object EvalExtra extends graft.QueryModule {
         |  SELECT count(DISTINCT w) AS v FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents))
         |SELECT p.doc_id, count(*) AS n_bigrams,
-        |       round_even(sum(round_even(ln(CAST(b.cb + 1 AS DOUBLE)
-        |                 / CAST(u.cu + vocab.v AS DOUBLE)), 6)) / count(*), 4) AS mean_lp
+        |       round_even(CAST(sum(CAST(round_even(ln(CAST(b.cb + 1 AS DOUBLE)
+        |                 / CAST(u.cu + vocab.v AS DOUBLE)), 6)
+        |                 AS DECIMAL(12,6))) AS DOUBLE) / count(*), 4) AS mean_lp
         |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1), vocab
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "quality_t_closeness" -> tClosenessOracle,
@@ -946,11 +948,11 @@ object EvalExtra extends graft.QueryModule {
         |cont AS (SELECT w2, count(*) AS nc FROM big GROUP BY 1),
         |types AS (SELECT count(*) AS nt FROM big)
         |SELECT p.doc_id, count(*) AS n_bigrams,
-        |       round_even(sum(round_even(ln(
+        |       round_even(CAST(sum(CAST(round_even(ln(
         |         (CAST(b.cb AS DOUBLE) - 0.75) / CAST(u.cu AS DOUBLE)
         |         + (0.75 * CAST(u.n1 AS DOUBLE) / CAST(u.cu AS DOUBLE))
-        |         * (CAST(c.nc AS DOUBLE) / CAST(t.nt AS DOUBLE))), 6))
-        |         / count(*), 4) AS mean_lp
+        |         * (CAST(c.nc AS DOUBLE) / CAST(t.nt AS DOUBLE))), 6)
+        |         AS DECIMAL(12,6))) AS DOUBLE) / count(*), 4) AS mean_lp
         |FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1)
         |     JOIN cont c USING (w2), types t
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
