@@ -294,6 +294,8 @@ object Audio extends graft.QueryModule {
     * nor double-counts votes. Returns the full match store as of this
     * epoch. */
   def audioFpDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    // fail loudly if a compaction swap is in flight (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     import graft.Ckpt.CutOps
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("doc_id"), col("text")).cut()

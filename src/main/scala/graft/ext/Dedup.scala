@@ -598,6 +598,9 @@ object Dedup extends graft.QueryModule {
     * cluster assignment over the store as of this epoch (components
     * over all saved pairs), which the sink publishes. */
   def dedupDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    // a delta landing during a compaction swap races the listing and
+    // silently loses rows — fail loudly instead (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("doc_id"), col("text")).cut()
     // existence through Hadoop's FileSystem, not java.io.File: storeDir is

@@ -907,6 +907,8 @@ object Multimodal extends graft.QueryModule {
     * `epoch=N` partitions with deterministically identical rows. */
   def corpusCleanMultimodalDelta(batchIn: DataFrame, storeDir: String,
                                  epoch: Long): DataFrame = {
+    // fail loudly if a compaction swap is in flight (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     import graft.Ckpt.CutOps
     val s = batchIn.sparkSession
     val gated = mmGate(batchIn)

@@ -421,6 +421,8 @@ object SimSearch extends graft.QueryModule {
     * servable edge list (symmetrized, capped) as of this epoch. */
   def knnGraphDelta(batchIn: DataFrame, storeDir: String,
                     epoch: Long): DataFrame = {
+    // fail loudly if a compaction swap is in flight (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("vec_id"), col("label"), col("embedding"))
       .cut()
@@ -1149,6 +1151,8 @@ object SimSearch extends graft.QueryModule {
     * side replay-safe). Returns the merged servable layer-0 edge list
     * as of this epoch. */
   def hnswDelta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    // fail loudly if a compaction swap is in flight (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("vec_id"), col("embedding")).cut()
     val savedVecs = s.read.parquet(s"$storeDir/vecs")
@@ -1178,6 +1182,8 @@ object SimSearch extends graft.QueryModule {
     * twin). Returns the merged servable layer-0 edge list. */
   def hnswMultiDelta(batchIn: DataFrame, storeDir: String, epoch: Long,
                      levels: Int = HnswMultiLevels): DataFrame = {
+    // fail loudly if a compaction swap is in flight (r14 lease contract)
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
     val s = batchIn.sparkSession
     val batch = batchIn.select(col("vec_id"), col("embedding")).cut()
     val savedVecs = s.read.parquet(s"$storeDir/vecs")

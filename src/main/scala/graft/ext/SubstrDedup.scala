@@ -133,37 +133,70 @@ object SubstrDedup extends graft.QueryModule {
     *      pass's machinery) and the survivors stitch back char by char.
     *
     * At 100 TB the char rows are corpus-byte-scale but each round is a
-    * map-side window pass over ONE doc_id exchange reused across all
-    * rounds, and the dup-class agg keys on a uniform md5 — the same
-    * shapes the token pass scales on; C doubles cost one more round
-    * (log, not linear — the suffix-ranking advantage over C-char
-    * grams). Deterministic end to end; the DuckDB twin mirrors the
-    * rank chain round for round and the output hashes the cleaned
-    * text. */
+    * map-side window pass over ONE exchange reused across all rounds,
+    * and the dup-class agg keys on a uniform md5 — the same shapes the
+    * token pass scales on; C doubles cost one more round (log, not
+    * linear — the suffix-ranking advantage over C-char grams).
+    *
+    * SEGMENT-LOCAL ranking (r13 VERDICT #1): partitioning the rank
+    * windows by doc_id alone bounds a task by the LARGEST document —
+    * one pathological multi-GB doc would serialize corpus-byte-scale
+    * rows through log2(C) sequential window passes on a single task.
+    * The fix is EXACT, not approximate: rank_t of position p depends
+    * only on the chars at p..p+2^t-1 (the prefix-doubling invariant),
+    * so rank_T = rank over the next C chars. Docs are therefore split
+    * into fixed `segChars`-sized segments and each segment's partition
+    * additionally carries the FIRST C-1 positions of the next segment
+    * as overlap rows; ranking partitions on (doc_id, seg). By induction
+    * (rank_t[q] is exact whenever rows q..q+2^t-1 are present, or the
+    * doc truly ends and the '$' sentinel is the true sentinel), every
+    * position OWNED by a segment gets exactly the rank the unsegmented
+    * chain assigns; overlap rows' own (tail-truncated) ranks are
+    * dropped before the dup agg. Per-task bound: segChars + C - 1 rows
+    * regardless of doc size; interval merge then runs per doc on
+    * interval-scale rows, not char-scale. SubstrDedupSpec pins
+    * segmented == unsegmented (hash-equal clean_md5) on a planted
+    * oversized doc with a duplicate straddling a segment boundary. */
   def removeDuplicatedCharSpans(docs: DataFrame, idCol: String,
                                 textCol: String,
-                                c: Int = CChars): DataFrame = {
+                                c: Int = CChars,
+                                segChars: Int = -1): DataFrame = {
     require(c >= 2 && (c & (c - 1)) == 0, s"C must be a power of two: $c")
+    val segSz =
+      if (segChars > 0) segChars
+      else docs.sparkSession.conf
+        .get("spark.graft.substr.segChars", "65536").toInt
+    require(segSz >= c, s"segChars must be >= C ($c): $segSz")
     val rounds = java.lang.Integer.numberOfTrailingZeros(c)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val w = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("p"))
+    val segOf = expr(s"CAST((p - 1) DIV $segSz AS INT)")
     // 1-2. per-char rows + the truncated prefix-doubling rank chain
-    //      (all rounds share one window spec: one exchange, one sort)
+    //      (all rounds share one window spec: one exchange, one sort).
+    //      The first C-1 positions of segment g+1 are REPLICATED into
+    //      segment g's partition so g's owned tail can see its next C
+    //      chars; each position lands in at most 2 partitions.
     var pos = base
       .select(col("doc_id"), length(col("text")).as("len"),
         posexplode(split(col("text"), "")).as(Seq("p0", "r")))
       .select(col("doc_id"), col("len"), (col("p0") + 1).as("p"), col("r"))
+      .select(col("doc_id"), col("len"), col("p"), col("r"),
+        explode(when(
+          col("p") > segSz && (col("p") - 1) % segSz <= c - 2,
+          array(segOf, segOf - 1)).otherwise(array(segOf))).as("seg"))
     for (t <- 1 to rounds) {
       pos = pos.withColumn("r",
         md5(concat_ws("|", col("r"),
           coalesce(lead(col("r"), 1 << (t - 1)).over(w), lit("$")))))
     }
-    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions.
+    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions —
+    //    owned rows only (overlap copies carry segment-truncated ranks).
     //    cut(): both consumers below (the dup-class agg AND the interval
     //    join) read this subtree — without the lineage cut Spark would
     //    run the whole 5-round rank chain twice (plan-audited r13)
     import graft.Ckpt.CutOps
-    val elig = pos.filter(col("p") <= col("len") - (c - 1))
+    val elig = pos
+      .filter(col("p") <= col("len") - (c - 1) && col("seg") === segOf)
       .select(col("doc_id"), col("p"), col("r"))
       .cut()
     val dupR = elig.groupBy(col("r")).agg(count(lit(1)).as("cnt"))

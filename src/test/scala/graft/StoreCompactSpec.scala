@@ -106,6 +106,66 @@ class StoreCompactSpec extends AnyFunSuite {
       "post-compaction audio delta diverged from the uncompacted lifecycle")
   }
 
+  test("lease: a delta during compaction fails loudly; after, it completes") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val store = Files.createTempDirectory("graft_compact_lease").toString
+    graft.ext.Dedup.dedupDelta(
+      docs.filter("doc_id % 2 = 0").localCheckpoint(), store, 0L).collect()
+    // a compaction in flight (or dead mid-run) = the _compacting lease
+    Hfs.touch(s"$store/_compacting")
+    val e = intercept[RuntimeException] {
+      graft.ext.Dedup.dedupDelta(
+        docs.filter("doc_id % 2 = 1").localCheckpoint(), store, 1L).collect()
+    }
+    assert(e.getMessage.contains("compaction"), e.getMessage)
+    // completed compaction releases the lease; the SAME delta now lands
+    graft.pipeline.StoreCompact.compactDedupStore(spark, store)
+    assert(!Hfs.exists(s"$store/_compacting"))
+    val r = graft.ext.Dedup.dedupDelta(
+      docs.filter("doc_id % 2 = 1").localCheckpoint(), store, 1L).collect()
+    assert(r.nonEmpty)
+  }
+
+  test("crash recovery: stranded states roll forward/back to a whole store") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val store = Files.createTempDirectory("graft_compact_crash").toString
+    graft.ext.Dedup.dedupDelta(
+      docs.filter("doc_id % 2 = 0").localCheckpoint(), store, 0L).collect()
+    graft.ext.Dedup.dedupDelta(
+      docs.filter("doc_id % 2 = 1").localCheckpoint(), store, 1L).collect()
+    val expected = graft.ext.Dedup.dedupDelta(
+      docs.limit(0).localCheckpoint(), store, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // state 1 (ADVICE r13 medium #1): crash between the two renames of
+    // the old protocol — sub MISSING, .old_<sub> stranded, no marker.
+    // recovery must restore the sub, and compaction then completes.
+    Hfs.rename(s"$store/docs", s"$store/.old_docs")
+    Hfs.touch(s"$store/_compacting") // dead run also left its lease
+    graft.pipeline.StoreCompact.compactDedupStore(spark, store)
+    assert(Hfs.childDirNames(s"$store/docs") == Seq("epoch=-1"))
+    def serve() = graft.ext.Dedup.dedupDelta(
+      docs.limit(0).localCheckpoint(), store, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(serve() == expected, "restore-then-compact changed the store")
+    // state 2: crash AFTER the commit marker, mid-publish — docs moved
+    // to staging, marker lists it, sub missing. recovery rolls FORWARD.
+    Hfs.rename(s"$store/docs", s"$store/.compact_docs")
+    Hfs.writeUtf8(s"$store/_compact_commit", "docs")
+    Hfs.touch(s"$store/_compacting")
+    graft.pipeline.StoreCompact.compactDedupStore(spark, store)
+    assert(!Hfs.exists(s"$store/_compact_commit"))
+    assert(!Hfs.exists(s"$store/_compacting"))
+    assert(serve() == expected, "roll-forward changed the store")
+    // state 3: half-staged dir with NO marker (crash mid-staging) is
+    // discarded, not published
+    Hfs.mkdirs(s"$store/.compact_bands/epoch=-1")
+    Hfs.writeUtf8(s"$store/.compact_bands/epoch=-1/garbage", "not parquet")
+    graft.pipeline.StoreCompact.compactDedupStore(spark, store)
+    assert(serve() == expected, "discarded staging changed the store")
+  }
+
   test("corpus-clean store: output unchanged across compaction; deltas continue") {
     val sf = TestSpark.sf0001
     val docs = graft.Tables.documents(spark, sf)

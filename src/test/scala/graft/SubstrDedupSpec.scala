@@ -42,6 +42,34 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(md5s.distinct.size == 2)
   }
 
+  test("segment-local ranking is exact: oversized doc, straddling dup") {
+    import spark.implicits._
+    // one doc far larger than the segment size, whose duplicated
+    // 40-char span is planted to STRADDLE a segment boundary (segChars
+    // = 64 -> boundaries at 64, 128, ...): a segment-local rank that
+    // were merely approximate would miss the straddling occurrence.
+    val span = "THE-DUPLICATED-BOILERPLATE-SPAN-40-CHARS" // 40 chars
+    assert(span.length == 40)
+    val filler = (0 until 120).map(i => f"q$i%03d!").mkString // 600 unique
+    val big = filler.take(50) + span + filler.slice(50, 450) +
+      span + filler.drop(450) // occurrences at 51-90 and 491-530
+    assert(big.length > 3 * 64, s"doc must span >3 segments: ${big.length}")
+    val docs = Seq((1L, big),
+      (2L, "short unique second document with nothing shared at all"))
+      .toDF("doc_id", "text")
+    def run(seg: Int) = graft.ext.SubstrDedup
+      .removeDuplicatedCharSpans(docs, "doc_id", "text", segChars = seg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val unsegmented = run(1 << 20) // one segment: the r13 plan, verbatim
+    val segmented = run(64)        // per-task bound 64 + C - 1 rows
+    assert(segmented == unsegmented,
+      s"segmented must equal unsegmented:\n$segmented\nvs\n$unsegmented")
+    // and the dup was actually found (both occurrences cut >= 2*40 - eps)
+    val removed = segmented.find(_._1 == 1L).get._3
+    assert(removed >= 64L, s"straddling dup must be cut: $removed")
+  }
+
   test("a doc repeating a span internally cuts it everywhere it occurs") {
     import spark.implicits._
     val span = "0123456789abcdefghijklmnopqrstuv" // exactly 32 chars
