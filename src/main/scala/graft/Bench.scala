@@ -158,9 +158,19 @@ object Bench {
     * driver-side repo state, so plain local IO is correct here).
     * `SPARK_GRAFT_PRIOR=<path>` overrides; `SPARK_GRAFT_PRIOR=` (empty)
     * disables. Failed keys render as `null` in the record and simply
-    * don't match the numeric pattern — no prior, never suspect. */
-  def loadPrior(): Map[String, Double] = {
-    val path = sys.env.get("SPARK_GRAFT_PRIOR") match {
+    * don't match the numeric pattern — no prior, never suspect.
+    *
+    * Returns (source label, record) — the label publishes in the line
+    * as `"prior":"BENCH_rN.json"|"none"` (r13 VERDICT #6): the prior is
+    * load-bearing for record integrity, and parsePrior silently returns
+    * empty on any record-shape drift — without the label the mechanism
+    * would disarm with no symptom exactly when the driver format
+    * evolves. A missing, disabled, unreadable, or UNPARSEABLE prior all
+    * surface as "none"; `explicit` lets the spec drive a malformed file
+    * without the env var. */
+  def loadPrior(explicit: Option[String] = None)
+      : (String, Map[String, Double]) = {
+    val path = explicit.orElse(sys.env.get("SPARK_GRAFT_PRIOR") match {
       case Some("") => None
       case Some(p) => Some(p)
       case None =>
@@ -169,28 +179,37 @@ object Bench {
           .filter(_.matches("BENCH_r\\d+\\.json"))
         if (rs.isEmpty) None
         else Some(rs.maxBy(_.stripPrefix("BENCH_r").stripSuffix(".json").toInt))
-    }
+    })
     path.flatMap { p =>
-      try Some(parsePrior(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8")))
-      catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
+      try {
+        val m = parsePrior(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          "UTF-8"))
+        if (m.isEmpty) None
+        else Some(new java.io.File(p).getName -> m)
+      } catch { case _: Throwable => None }
+    }.getOrElse("none" -> Map.empty)
   }
 
   /** Extract the per-key record from a driver `BENCH_r<n>.json` — PURE
     * for the line spec. The driver file embeds the raw stdout tail as
     * an ESCAPED string (`\"queries\"`), so the first UNESCAPED
-    * occurrence is the parsed record's object; failed keys render as
-    * `null` and fall out of the numeric pattern (no prior). */
+    * occurrence is the parsed record's object (the escaped form carries
+    * a backslash before the closing quote and never matches); failed
+    * keys render as `null` and fall out of the numeric pattern (no
+    * prior). Whitespace around `:` is accepted — the driver re-emits
+    * the record through a pretty-printer whose `"queries": {` (space)
+    * silently disarmed the r13 exact-string match, exactly the
+    * drift the `"prior"` line field now makes visible (r13 VERDICT
+    * #6; caught by that field's first run). */
   def parsePrior(txt: String): Map[String, Double] = {
-    val at = txt.indexOf("\"queries\":{")
-    if (at < 0) Map.empty
-    else {
-      val body = txt.substring(at + 11, txt.indexOf("}", at))
-      "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r
-        .findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        val body = txt.substring(m.end, txt.indexOf("}", m.end))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
+          .findAllMatchIn(body)
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
     }
   }
 
@@ -291,7 +310,7 @@ object Bench {
     // end, when the box is presumably calmer, and keep the min. A calm
     // sweep (no probe above 1.5x the calmest) re-runs nothing.
     val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
-    val prior = loadPrior()
+    val (priorSrc, prior) = loadPrior()
     val rerunKeys = rerunCandidates(
       keys.map(k => k -> (if (failed(k)) None else Some(resultMap(k)))),
       calibs.toSeq, prior)
@@ -324,7 +343,7 @@ object Bench {
     // blow the ~1600-byte line budget BenchLineSpec pins
     val rr = if (rerunKeys.isEmpty) "" else s""","rerun":${rerunKeys.size}"""
     val sus = if (suspects == 0) "" else s""","suspect":$suspects"""
-    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${resultMap.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)}$rr$sus,"queries":$qs$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","n":${resultMap.size},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calibMax":${r3(calibMax)}$rr$sus,"prior":"$priorSrc","queries":$qs$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

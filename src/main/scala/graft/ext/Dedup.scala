@@ -722,6 +722,35 @@ object Dedup extends graft.QueryModule {
     * witness). */
   private[ext] val StarCcRounds = 12
 
+  /** Epoch-store compaction under the correctness gate [N] (r13 VERDICT
+    * #5 — the `sink_compact_files` precedent says maintenance
+    * operations earn oracle keys): build the incremental-dedup band
+    * store across TWO delta epochs ([[dedupDelta]], the streaming
+    * micro-batch core), fold it to the `epoch=-1` baseline
+    * ([[graft.pipeline.StoreCompact.compactDedupStore]] — lease,
+    * staged commit, crash recovery), and SERVE components from the
+    * compacted store. Compaction must be invisible to the reader, so
+    * the oracle is the same FULL-UNION recompute that certifies
+    * [[minhashIncremental]]: hash equality proves the
+    * delta-built-then-compacted store serves exactly the from-scratch
+    * clustering — nothing lost, duplicated, or reordered by the swap. */
+  private def sinkStoreCompact(s: SparkSession, d: String): DataFrame = {
+    val docsDf = docs(s, d)
+    val split = (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    // fresh store per run: a retry must rebuild, not re-append onto the
+    // already-compacted baseline (FIXTURES.md "Scratch paths")
+    val dir = graft.Scratch.dir(s"store_compact-${java.util.UUID.randomUUID()}")
+    dedupDelta(docsDf.filter(col("doc_id") < split).localCheckpoint(),
+      dir, 0L): Unit
+    dedupDelta(docsDf.filter(col("doc_id") >= split).localCheckpoint(),
+      dir, 1L): Unit
+    graft.pipeline.StoreCompact.compactDedupStore(s, dir)
+    // the reader's serve, now over single-baseline sub-tables
+    val docsAll = s.read.parquet(s"$dir/docs").select("doc_id")
+    val pairsAll = s.read.parquet(s"$dir/pairs").select("i", "j")
+    connectedComponents(docsAll, pairsAll, "doc_id").orderBy("doc_id")
+  }
+
   /** Oracle for [[minhashIncremental]]: the FULL-UNION recompute (16
     * min-md5 slots, 4 band keys, plain bucket-pair candidates, exact
     * Jaccard >= 0.8, unrolled star-contraction components) — hash
@@ -1575,6 +1604,7 @@ object Dedup extends graft.QueryModule {
     "dedup_cluster_best" -> clusterBest,
     "dedup_minhash_md5" -> minhashMd5,
     "dedup_minhash_incremental" -> minhashIncremental,
+    "sink_store_compact" -> sinkStoreCompact,
     "dedup_clusters_md5" -> clustersMd5,
     "dedup_minhash_mllib" -> minhashMllib,
     "dedup_simhash" -> simhash,
@@ -1658,6 +1688,7 @@ object Dedup extends graft.QueryModule {
         |ORDER BY i, j""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
+    "sink_store_compact" -> minhashIncrementalOracle,
     "dedup_clusters_md5" -> clustersMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     // the three promoted gates (r10): every registered output row is an

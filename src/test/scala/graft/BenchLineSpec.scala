@@ -95,5 +95,34 @@ class BenchLineSpec extends AnyFunSuite {
         |"sf":"/x"}}""".stripMargin
     assert(Bench.parsePrior(rec) == Map("q_fast" -> 1.25, "q_slow" -> 8.12))
     assert(Bench.parsePrior("{}").isEmpty)
+    // the driver re-emits the record through a pretty-printer: spaces
+    // after the colons (the drift that silently disarmed the r13 match)
+    val pretty =
+      """{"parsed": {"metric": "headline_total",
+        |"queries": {"q_fast": 1.25, "q_failed": null, "q_slow": 8.12},
+        |"sf": "/x"}}""".stripMargin
+    assert(Bench.parsePrior(pretty) ==
+      Map("q_fast" -> 1.25, "q_slow" -> 8.12))
+  }
+
+  test("loadPrior labels its source; a malformed prior reads as none (r14)") {
+    // the prior is load-bearing for record integrity — a disarmed prior
+    // (missing file, record-shape drift, unreadable bytes) must be
+    // VISIBLE in the published line, not a silent Map.empty
+    val dir = java.nio.file.Files.createTempDirectory("graft_prior")
+    val good = dir.resolve("BENCH_r13.json")
+    java.nio.file.Files.write(good,
+      """{"queries":{"q_a":1.50,"q_b":null,"q_c":3.25},"sf":"/x"}"""
+        .getBytes("UTF-8"))
+    val (src, m) = Bench.loadPrior(Some(good.toString))
+    assert(src == "BENCH_r13.json" && m == Map("q_a" -> 1.5, "q_c" -> 3.25))
+    // record-shape drift: no queries object anywhere -> none, empty
+    val drifted = dir.resolve("BENCH_r99.json")
+    java.nio.file.Files.write(drifted,
+      """{"per_key":{"q_a":1.50},"sf":"/x"}""".getBytes("UTF-8"))
+    assert(Bench.loadPrior(Some(drifted.toString)) == ("none", Map.empty))
+    // unreadable path -> none, empty (never throws into the sweep)
+    assert(Bench.loadPrior(Some(dir.resolve("absent.json").toString)) ==
+      ("none", Map.empty))
   }
 }
