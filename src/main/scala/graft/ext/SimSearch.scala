@@ -195,10 +195,15 @@ object SimSearch extends graft.QueryModule {
     * explicit `entries (vec_id)` relation — parameterized (r11) so the
     * label-free bucketed build can enter from per-LSH-bucket minima
     * while the label-blocked legs keep [[labelEntries]]. */
-  private def beamWalk(corpus: DataFrame, graphEdges: DataFrame,
-                       entries: DataFrame,
-                       probeIn: DataFrame, beamW: Int, steps: Int,
-                       k: Int): DataFrame = {
+  /** The walk's full VISITED set — every (vec_id, cosine) the walk ever
+    * scored. Split out of [[beamWalk]] so the cost probe
+    * ([[serveHnswScoredCount]]) can COUNT the scored candidates of the
+    * exact serving plan instead of estimating them (r13 VERDICT #4: the
+    * ef trade is two-sided; recall curves need a price axis). */
+  private def beamWalkVisited(corpus: DataFrame, graphEdges: DataFrame,
+                              entries: DataFrame,
+                              probeIn: DataFrame, beamW: Int,
+                              steps: Int): DataFrame = {
     val probe = probeIn.select(col("embedding").as("probe"),
       dot(col("embedding"), col("embedding")).as("pnsq"))
     val graph = graphEdges.cut() // built once; rounds iterate
@@ -216,8 +221,15 @@ object SimSearch extends graft.QueryModule {
         .except(visited.select(col("vec_id")))
       visited = visited.union(scored(frontier)).cut()
     }
-    visited.orderBy(col("cosine").desc, col("vec_id")).limit(k)
+    visited
   }
+
+  private def beamWalk(corpus: DataFrame, graphEdges: DataFrame,
+                       entries: DataFrame,
+                       probeIn: DataFrame, beamW: Int, steps: Int,
+                       k: Int): DataFrame =
+    beamWalkVisited(corpus, graphEdges, entries, probeIn, beamW, steps)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
 
   /** The walk itself, over any `(vec_id, label, embedding)` corpus and
     * 1-row `(embedding)` probe — public so the recall spec can drive
@@ -1042,10 +1054,12 @@ object SimSearch extends graft.QueryModule {
     val e = Tables.embeddings(s, d)
     val dir = graft.Scratch.dir(
       "hnsw_store_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    // gate on the LAST artifact hnswStoreSeed writes (vecs → l0 → l1):
-    // a seed run that died mid-way must read as "not seeded" and reseed,
-    // not as seeded-and-missing-l0/l1 (ADVICE r12)
-    if (!graft.Hfs.exists(s"$dir/l1"))
+    // gate on the LAST artifact hnswStoreSeed writes (vecs → l0 → l1) —
+    // and on its parquet _SUCCESS marker, not the directory: Spark
+    // creates the output dir before the job commits, so a seed crashed
+    // mid-write of l1 leaves a partial dir that would read as fully
+    // seeded and serve incomplete data (ADVICE r12 + r13)
+    if (!graft.Hfs.exists(s"$dir/l1/epoch=-1/_SUCCESS"))
       hnswStoreSeed(e.filter(col("vec_id") =!= 0), dir)
     // serving-time quality knobs (r13): defaults match the oracle's
     // unrolled rounds; a user widens the beam per session for recall
@@ -1096,6 +1110,54 @@ object SimSearch extends graft.QueryModule {
         bucketEntries(upperRaw), probe, beamW, HnswUpperSteps, k = 1)
       .select("vec_id")
     beamWalk(full, g0, entry0, probe, beamW, steps, k)
+  }
+
+  /** COST probe for the served-HNSW dials (r13 VERDICT #4): the number
+    * of candidates the descent actually SCORES at a given (beamW,
+    * steps) — the price axis beside the recall curves, measured on the
+    * identical plan (both layers' visited sets counted, nothing
+    * estimated). Tool-facing ([[graft.tools.AnnBeamCurve]]); the
+    * serving keys never run it. */
+  def serveHnswScoredCount(s: SparkSession, storeDir: String,
+                           probe: DataFrame,
+                           beamW: Int = GraphAnnBeam,
+                           steps: Int = GraphAnnSteps): Long = {
+    val vecs = s.read.parquet(s"$storeDir/vecs").select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
+    val full = vecs.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nsq")).cut()
+    val upperRaw = vecs.filter(hnswCoin === 0)
+    val g1 = symCap(s.read.parquet(s"$storeDir/l1")
+      .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+    val g0 = symCap(s.read.parquet(s"$storeDir/l0")
+      .select(col("i"), col("j"), col("cosine")), GraphAnnDegree)
+    val upperVisited = beamWalkVisited(full.filter(hnswCoin === 0).cut(), g1,
+      bucketEntries(upperRaw), probe, beamW, HnswUpperSteps)
+    val entry0 = upperVisited.orderBy(col("cosine").desc, col("vec_id"))
+      .limit(1).select("vec_id")
+    upperVisited.count() +
+      beamWalkVisited(full, g0, entry0, probe, beamW, steps).count()
+  }
+
+  /** COST probe for the IVF `nprobe` dial: candidate rows the probed
+    * cells contribute to the serve-time scoring join — the same routing
+    * and join as [[servedTopKPinned]], counted instead of top-k'd. */
+  def servedIvfScoredCount(spark: SparkSession, dir: String,
+                           probes: DataFrame, nprobe: Int): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("cid"),
+        pinnedAffinity(col("probe"), col("cvec")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("aff").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("probe_id"), col("cid").as("probe_cell"))
+    cells.join(broadcast(probeCells),
+      col("cell") === col("probe_cell") && col("vec_id") =!= col("probe_id"))
+      .count()
   }
 
   /** Label-free delta ranking — the bucketed twin of [[knnEdges]]'s
@@ -2839,7 +2901,10 @@ object SimSearch extends graft.QueryModule {
     VectorFunctions.register(s)
     val dir = graft.Scratch.dir(
       "pq_store_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-    if (!graft.Hfs.exists(s"$dir/codes"))
+    // _SUCCESS, not the dir: a seed crashed mid-write of codes (the
+    // last artifact) must read as unseeded, not serve a partial index
+    // (ADVICE r13)
+    if (!graft.Hfs.exists(s"$dir/codes/_SUCCESS"))
       pqStoreSeed(Tables.embeddings(s, d), dir)
     servePqFromStore(s, dir)
   }

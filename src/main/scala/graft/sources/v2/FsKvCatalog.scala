@@ -182,6 +182,14 @@ case class FsKvResultScan(schema: StructType, rs: Array[InternalRow])
 }
 
 private[v2] object FsKv {
+  /** Filename-safe per-job token from the write's queryId (a UUID):
+    * first 8 hex chars — enough to keep INSERTs from distinct
+    * applications from ever staging colliding names, short enough for
+    * tidy listings. Deterministic per query, so a driver retry of the
+    * SAME job re-stages the same names and converges under replace. */
+  def jobToken(queryId: String): String =
+    queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
+
   /** TSV escaping for the at-rest lines: tab, newline, CR, backslash. */
   def escape(s: String): String = {
     val sb = new StringBuilder(s.length)
@@ -297,7 +305,8 @@ class FsKvTable(path: String, tableSchema: StructType, partCol: String)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new FsKvBatchWrite(path, info.schema(),
-            info.schema().fieldIndex(partCol))
+            info.schema().fieldIndex(partCol),
+            FsKv.jobToken(info.queryId()))
       }
     }
 
@@ -371,7 +380,8 @@ class FsKvRowLevelOperation(path: String, schema: StructType, partCol: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new FsKvBatchWrite(path, info.schema(),
-            info.schema().fieldIndex(partCol)) {
+            info.schema().fieldIndex(partCol),
+            FsKv.jobToken(info.queryId())) {
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               // swap: drop every scanned group, then publish the staged
               // replacement files (same atomic-rename publish)
@@ -432,13 +442,21 @@ class FsKvReaderFactory(tableSchema: StructType, required: StructType,
 }
 
 /** Staging + atomic publish, per partition value (the [[JsonDirSink]]
-  * commit protocol with a partition-routing writer). */
-class FsKvBatchWrite(path: String, schema: StructType, partIdx: Int)
+  * commit protocol with a partition-routing writer). `jobToken` is the
+  * write's queryId (ADVICE r13): taskId counters restart per
+  * application, so two INSERT jobs from different applications can
+  * stage colliding `part-<pid>-task<tid>.tsv` names — with
+  * replace-semantics publish the later job would silently overwrite
+  * the earlier one's committed file. The per-job token makes names
+  * from distinct jobs disjoint while a driver RETRY of the same job
+  * (same queryId) still re-stages the same names and converges. */
+class FsKvBatchWrite(path: String, schema: StructType, partIdx: Int,
+                     jobToken: String)
     extends BatchWrite {
   private val staging = s"$path/_staging"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new FsKvWriterFactory(staging, schema, partIdx, Hfs.taskConf())
+    new FsKvWriterFactory(staging, schema, partIdx, jobToken, Hfs.taskConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach { case FsKvFilesCommitted(files) =>
@@ -463,6 +481,7 @@ class FsKvBatchWrite(path: String, schema: StructType, partIdx: Int)
 case class FsKvFilesCommitted(files: Seq[String]) extends WriterCommitMessage
 
 class FsKvWriterFactory(staging: String, schema: StructType, partIdx: Int,
+                        jobToken: String,
                         conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -474,7 +493,8 @@ class FsKvWriterFactory(staging: String, schema: StructType, partIdx: Int,
       private def writerFor(partValue: String): java.io.PrintWriter =
         writers.getOrElseUpdate(partValue, {
           val partDir = FsKv.partDirName(schema.fields(partIdx).name, partValue)
-          val rel = f"$partDir/part-$partitionId%05d-task$taskId.tsv"
+          val rel =
+            f"$partDir/part-$partitionId%05d-task$taskId-$jobToken%s.tsv"
           files += rel
           new java.io.PrintWriter(new java.io.OutputStreamWriter(
             Hfs.create(s"$staging/${rel.replace('/', '%')}", conf.value),

@@ -94,10 +94,20 @@ class JsonDirStreamingWrite(path: String, schema: StructType)
       Hfs.deleteRecursive(stg)
       return
     }
+    // staged names embed Spark's global taskId, which is NOT stable
+    // across application restarts (ADVICE r13): a half-published epoch
+    // replayed after recovery (marker absent) would publish the same
+    // rows under NEW task names while the dead commit's old-name files
+    // linger. An unmarked epoch's commit therefore first clears every
+    // published file of THIS epoch, so the publish converges to exactly
+    // the staged set whatever the previous attempt managed to move.
+    val pfx = f"epoch-$epochId%05d-"
+    Hfs.childNames(path).filter(_.startsWith(pfx))
+      .foreach(n => Hfs.deleteRecursive(s"$path/$n"))
     messages.foreach { case JsonFileCommitted(name) =>
       // replace, not strict rename: a commit that died half-published
-      // re-runs after recovery with the SAME deterministic file names —
-      // already-moved files must converge, not error (Hfs.replace doc)
+      // re-runs after recovery with the same staged names must
+      // converge, not error (Hfs.replace doc)
       Hfs.replace(s"$stg/$name", s"$path/$name")
     }
     Hfs.deleteRecursive(stg)
