@@ -1112,6 +1112,41 @@ object SimSearch extends graft.QueryModule {
     beamWalk(full, g0, entry0, probe, beamW, steps, k)
   }
 
+  /** Corpus-size-aware AUTO default for the serving beam (r13 VERDICT
+    * #7 stretch). The fixed beam-10 default degrades as the index
+    * grows on isotropic (worst-case) corpora — measured recall@10 fell
+    * 0.50 → 0.20 from 500 to 2,000 vectors (PERF.md r14) — because a
+    * constant beam explores a constant candidate count while the
+    * target's neighborhood rank grows with n. The verdict sketched a
+    * log-scaled floor; the MEASURED isotropic curve contradicts log
+    * scaling (beam 20 at n=2000 reads 0.30, still under the 0.50
+    * anchor; beam 40 reads 0.70 — on signal-free vectors the candidate
+    * budget for fixed recall grows ~linearly, brute force in the
+    * limit), so the auto default follows the measurement: linear
+    * through the anchors (500, 10) and (2000, 40), i.e. ceil(n/50),
+    * floored at the pinned default and CAPPED at 128 — clusterable
+    * corpora (the workload graph ANN exists for) saturate recall 1.0
+    * far below the cap, and past it (n > 6400) worst-case recall
+    * declines rather than serving cost growing unboundedly; the curve
+    * tool prices an explicit dial there. SimSearchRecallSpec pins the
+    * anchors and the served recall floor at both SFs. */
+  def autoBeam(n: Long): Int =
+    math.max(GraphAnnBeam, math.min(128, math.ceil(n / 50.0).toInt))
+
+  /** Serve with the auto-scaled default: an EXPLICIT
+    * `spark.graft.ann.beamWidth` always wins (the dial contract);
+    * otherwise the beam derives from the persisted index's node count.
+    * A separate entry point so every oracle-checked key keeps serving
+    * at the pinned unrolled defaults — hashes stay exact unchanged. */
+  def serveHnswAuto(s: SparkSession, storeDir: String, probe: DataFrame,
+                    k: Int = 10): DataFrame = {
+    val beam = s.conf.getOption(BeamWidthConf).map(_.toInt).getOrElse(
+      autoBeam(s.read.parquet(s"$storeDir/vecs")
+        .dropDuplicates("vec_id").count()))
+    serveHnswFromStore(s, storeDir, probe, k, beamW = beam,
+      steps = servingSteps(s))
+  }
+
   /** COST probe for the served-HNSW dials (r13 VERDICT #4): the number
     * of candidates the descent actually SCORES at a given (beamW,
     * steps) — the price axis beside the recall curves, measured on the

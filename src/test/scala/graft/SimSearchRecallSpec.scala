@@ -405,6 +405,51 @@ class SimSearchRecallSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.beamWidth")
   }
 
+  test("auto beam default scales with index size, floors recall (r14)") {
+    // r13 VERDICT #7 stretch: the auto default derives the beam from
+    // the persisted index's node count (the fixed default degrades as
+    // n grows on isotropic data). Anchors pinned from the measured
+    // curve (PERF.md r14): linear through (500, 10) and (2000, 40) —
+    // log scaling, the verdict's sketch, was measured INSUFFICIENT
+    // (beam 20 at n=2000 reads 0.30) — capped at 128.
+    assert(graft.ext.SimSearch.autoBeam(499) == 10)
+    assert(graft.ext.SimSearch.autoBeam(500) == 10)
+    assert(graft.ext.SimSearch.autoBeam(1999) == 40)
+    assert(graft.ext.SimSearch.autoBeam(100) == 10)  // floor: the default
+    assert(graft.ext.SimSearch.autoBeam(1000000) == 128) // cost cap
+    graft.functions.VectorFunctions.register(spark)
+    // served recall floor at BOTH SFs under the auto default
+    // (deterministic build + walk: fixed values, not statistics)
+    Seq("/root/testdata/sf0.01" -> 0.5, "/root/testdata/sf0.1" -> 0.7)
+      .foreach { case (sf, floor) =>
+        val e = graft.Tables.embeddings(spark, sf)
+        val exact = SparkEntry.queries("sim_search_cosine")(spark, sf)
+          .collect().map(_.getLong(0)).toSet
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_beam_auto").toString
+        graft.ext.SimSearch.hnswStoreSeed(e.filter("vec_id <> 0"), dir)
+        val got = graft.ext.SimSearch.serveHnswAuto(spark, dir,
+            e.filter("vec_id = 0").select("embedding"))
+          .collect().map(_.getLong(0)).toSet
+        val recall = got.intersect(exact).size / 10.0
+        info(f"$sf%s auto-beam recall@10 = $recall%.2f (floor $floor%.2f)")
+        assert(recall >= floor, s"$sf auto-beam recall floor broke: $recall")
+        // explicit conf still wins over the auto default (dial contract)
+        spark.conf.set("spark.graft.ann.beamWidth", "2")
+        try {
+          val narrow = graft.ext.SimSearch.serveHnswAuto(spark, dir,
+              e.filter("vec_id = 0").select("embedding"))
+            .collect().map(_.getLong(0)).toSet
+          val direct = graft.ext.SimSearch.serveHnswFromStore(spark, dir,
+              e.filter("vec_id = 0").select("embedding"), k = 10, beamW = 2)
+            .collect().map(_.getLong(0)).toSet
+          assert(narrow == direct,
+            "explicit conf must override the auto default exactly")
+        } finally spark.conf.unset("spark.graft.ann.beamWidth")
+        graft.Hfs.deleteRecursive(dir)
+      }
+  }
+
   test("PQ store serve equals the in-query train+serve key") {
     // pqStoreSeed persists the exact-long codebooks/codes/vectors the
     // registered key computes in-query, and servePqFromStore replays
