@@ -166,6 +166,55 @@ class StoreCompactSpec extends AnyFunSuite {
     assert(serve() == expected, "discarded staging changed the store")
   }
 
+  test("corpus-clean pair: crash between tpairs and bmark rolls forward whole") {
+    // ADVICE r13 medium #2: the latest-wins read joins tpairs against
+    // bmark on (band, h, ep) — folding ONE of the pair to epoch=-1
+    // while the other keeps real epochs makes the join match nothing
+    // and the text-pair graph silently reads empty. The staged-commit
+    // protocol publishes both under one marker; simulate the worst
+    // crash point (tpairs published, bmark still staged, marker
+    // present) and prove recovery completes the pair and the serve is
+    // unchanged.
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text")
+    val store = Files.createTempDirectory("graft_compact_mm_pair").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    def serve(epoch: Long) = rows(
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(
+        docs.filter("doc_id < 0").localCheckpoint(), store, epoch))
+    graft.ext.Multimodal.corpusCleanMultimodalDelta(
+      docs.filter("doc_id % 2 = 0").localCheckpoint(), store, 0L).collect()
+    graft.ext.Multimodal.corpusCleanMultimodalDelta(
+      docs.filter("doc_id % 2 = 1").localCheckpoint(), store, 1L).collect()
+    val expected = serve(2L)
+    // run a REAL compaction to obtain correctly-staged content, then
+    // rewind to the mid-publish crash state: tpairs published (folded),
+    // bmark back in staging, commit marker naming both
+    graft.pipeline.StoreCompact.compactCorpusCleanStore(spark, store)
+    val postCompact = serve(3L)
+    assert(postCompact == expected, "clean compaction changed the serve")
+    Hfs.rename(s"$store/bmark", s"$store/.compact_bmark")
+    Hfs.writeUtf8(s"$store/_compact_commit", "tpairs\nbmark")
+    Hfs.touch(s"$store/_compacting")
+    // the crashed state is loud for writers...
+    val e = intercept[RuntimeException] {
+      graft.ext.Multimodal.corpusCleanMultimodalDelta(
+        docs.filter("doc_id < 0").localCheckpoint(), store, 4L).collect()
+    }
+    assert(e.getMessage.contains("compaction"), e.getMessage)
+    // ...and the next compaction run completes the pair before anything
+    graft.pipeline.StoreCompact.compactCorpusCleanStore(spark, store)
+    assert(Hfs.childDirNames(s"$store/bmark") == Seq("epoch=-1"))
+    assert(Hfs.childDirNames(s"$store/tpairs") == Seq("epoch=-1"))
+    assert(!Hfs.exists(s"$store/_compacting"))
+    assert(serve(5L) == expected,
+      "pair roll-forward changed the survivor set")
+  }
+
   test("corpus-clean store: output unchanged across compaction; deltas continue") {
     val sf = TestSpark.sf0001
     val docs = graft.Tables.documents(spark, sf)

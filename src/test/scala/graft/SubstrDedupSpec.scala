@@ -70,6 +70,41 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(removed >= 64L, s"straddling dup must be cut: $removed")
   }
 
+  test("segmented == unsegmented across randomized docs and seg sizes") {
+    import spark.implicits._
+    // fixed-seed randomized corpus: duplicated spans planted at random
+    // offsets (including segment-boundary straddles at every tested seg
+    // size), doc lengths from sub-C to many segments, alphabet small
+    // enough to force incidental C-char repeats too
+    val rnd = new scala.util.Random(20260816L)
+    val spans = Seq(
+      "AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHH",          // exactly C=32
+      "the same forty-character boilerplate x!!")   // 40 chars
+    val docs = (1L to 24L).map { id =>
+      val len = rnd.nextInt(600)
+      val base = (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+      val withSpan =
+        if (id % 3 == 0 && base.length > 10) {
+          val sp = spans((id % 2).toInt)
+          val at = rnd.nextInt(base.length)
+          base.take(at) + sp + base.drop(at)
+        } else base
+      (id, withSpan)
+    }.toDF("doc_id", "text")
+    def run(seg: Int) = graft.ext.SubstrDedup
+      .removeDuplicatedCharSpans(docs, "doc_id", "text", segChars = seg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val reference = run(1 << 20)
+    Seq(32, 50, 64, 100, 333).foreach { seg =>
+      assert(run(seg) == reference,
+        s"segChars=$seg diverged from the unsegmented reference")
+    }
+    // sanity: the 4-letter alphabet corpus actually produced cuts
+    assert(reference.exists(_._3 > 0), "no duplicated span was ever cut")
+  }
+
   test("a doc repeating a span internally cuts it everywhere it occurs") {
     import spark.implicits._
     val span = "0123456789abcdefghijklmnopqrstuv" // exactly 32 chars
