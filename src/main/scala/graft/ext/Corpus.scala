@@ -510,6 +510,26 @@ object Corpus extends graft.QueryModule {
     "text_decontaminate" -> ((s, d) =>
       decontaminate(Tables.documents(s, d), "doc_id", "text", probes)
         .orderBy("doc_id")),
+    // FIXED-BUDGET deterministic reservoir sample [N] (r14): exactly
+    // min(k, |stratum|) docs per language — the fixed-budget
+    // counterpart of text_sample_stratified's rate form (a curated
+    // eval slice or per-language subcorpus wants a COUNT, not a rate).
+    // Reservoir semantics without randomness: rank within each stratum
+    // by the uniform corpus-independent md5 coin and keep the first k,
+    // so membership is retry-stable and independent of arrival order.
+    // One window over the stratum partition; with few strata at 100 TB
+    // the rank runs partial top-k per partition first if salted like
+    // text_pack_shards' shard key — same note as there.
+    "text_sample_fixed_k" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(
+        md5(concat(lit("resv:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 100)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, d) =>
       keepBest(Tables.documents(s, d), "doc_id", "text", "n_chars")
         .orderBy("doc_id")))
@@ -624,6 +644,15 @@ object Corpus extends graft.QueryModule {
         |       CAST(CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS BIGINT) AS rate
         |FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 3 ELSE 1 END) = 0
+        |ORDER BY doc_id""".stripMargin,
+    "text_sample_fixed_k" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('resv:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 100
         |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

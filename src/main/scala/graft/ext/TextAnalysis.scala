@@ -494,6 +494,81 @@ object TextAnalysis extends graft.QueryModule {
         regexp_count(col("props"), lit("[0-9]+")).cast("int").as("n_redactions"))
       .orderBy("event_id")
 
+  /** TYPED multi-category PII redaction [N] (r14) — the production form
+    * of [[redact]]'s single-pattern stand-in: a training-corpus scrub
+    * classifies each hit (email / phone / IPv4), replaces it with a
+    * TYPED placeholder (so downstream filters can treat an
+    * over-redacted doc differently from a digit-heavy one), and counts
+    * per category on the ORIGINAL text so the counts cannot drift from
+    * the replacement pass. The testdata documents carry no PII, so the
+    * scrubbed text derives deterministically from the customer table
+    * (name → synthetic email, key-derived phone and IPv4 with fixed
+    * digit widths), with email/IP present only on key-dependent
+    * subsets so the counts actually vary. Pure projection — stateless
+    * codegen'd regexp, scales with the scan; the patterns are written
+    * in the Java∩RE2 common dialect (character classes + bounded
+    * repeats, no alternation/backrefs) so Spark and DuckDB match
+    * identically, which the hash gate then certifies per row. */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\b\d{2}-\d{3}-\d{3}-\d{4}\b"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  private def piiTyped(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val emailPart = when(k % 3 === 0,
+      concat(lit(" <"), lower(regexp_replace(col("c_name"), "#", "")),
+        lit("@example.com>"))).otherwise(lit(""))
+    val ipPart = when(k % 4 === 0,
+      concat(lit(" ip 10."), (k % 256).cast("string"),
+        lit(".0.1"))).otherwise(lit(""))
+    val phonePart = concat(lit(" phone "),
+      (k % 90 + 10).cast("string"), lit("-"),
+      (k % 900 + 100).cast("string"), lit("-"),
+      (k * 7 % 900 + 100).cast("string"), lit("-"),
+      (k * 13 % 9000 + 1000).cast("string"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(col("c_name"), emailPart, phonePart,
+          ipPart, lit(" "), col("c_mktsegment")).as("text"))
+      .select(col("c_custkey"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+          .as("red_md5"))
+      .orderBy("c_custkey")
+  }
+
+  private val piiTypedOracle =
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |         c_name ||
+       |         CASE WHEN c_custkey % 3 = 0
+       |              THEN ' <' || lower(replace(c_name, '#', '')) ||
+       |                   '@example.com>' ELSE '' END ||
+       |         ' phone ' ||
+       |         CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+       |         CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+       |         CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-' ||
+       |         CAST(c_custkey * 13 % 9000 + 1000 AS VARCHAR) ||
+       |         CASE WHEN c_custkey % 4 = 0
+       |              THEN ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) ||
+       |                   '.0.1' ELSE '' END ||
+       |         ' ' || c_mktsegment AS text
+       |  FROM customer)
+       |SELECT c_custkey,
+       |       CAST(length(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+       |         AS n_email,
+       |       CAST(length(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+       |         AS n_phone,
+       |       CAST(length(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+       |         AS n_ip,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |         '$PhoneRe', '<PHONE>', 'g')) AS red_md5
+       |FROM t ORDER BY c_custkey""".stripMargin
+
   /** Sliding-window chunking — splitting long documents into
     * overlapping fixed-token windows (stride 24, window 32, so 8 tokens
     * of context overlap) is how a pretraining pipeline feeds documents
@@ -964,6 +1039,7 @@ object TextAnalysis extends graft.QueryModule {
     "text_mix_temperature" -> mixTemperature,
     "text_mix_doremi" -> mixDoremi,
     "text_redact" -> redact,
+    "text_pii_typed" -> piiTyped,
     "text_logprob" -> logprob,
     "text_tokens" -> tokens,
     "text_datacard" -> datacard,
@@ -1118,6 +1194,7 @@ object TextAnalysis extends graft.QueryModule {
         |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
         |FROM events ORDER BY event_id""".stripMargin,
+    "text_pii_typed" -> piiTypedOracle,
     "text_inverted_index" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
