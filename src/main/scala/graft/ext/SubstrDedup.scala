@@ -100,6 +100,154 @@ object SubstrDedup extends graft.QueryModule {
     removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Positional K-gram occurrences (doc_id, st, g) — step 1 of the
+    * batch pass, shared with the incremental twin. */
+  private def gramOcc(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> struct(i as st, md5(array_join(slice(ws, i, $k), ' ')) as g))"))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.st").as("st"), col("sg.g").as("g"))
+
+  /** Steps 4-5 of the batch pass (interval merge + stitch), shared with
+    * the incremental twin: `ivl` = covered intervals (doc_id, st, en),
+    * `docs` = (doc_id, text) to stitch — docs absent from `ivl` come
+    * back whole. */
+  private def mergeAndStitch(docs: DataFrame, ivl: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = ivl
+      .withColumn("brk",
+        when(col("st") > coalesce(max(col("en")).over(wPrev), lit(0)) + 1,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("iid", sum(col("brk")).over(wCum))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("cov"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        expr("filter(transform(ws, (w, i) -> struct(i + 1 as p, w as w)), " +
+          "x -> cov is null or " +
+          "not exists(cov, c -> x.p between c.st and c.en))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(expr("array_join(transform(kept, x -> x.w), ' ')"))
+          .as("clean_md5"))
+  }
+
+  /** One micro-batch of INCREMENTAL ExactSubstr [N] (r14) — the
+    * lifecycle leg the family lacked (the dedup-band-store discipline
+    * applied to span dedup): clean a delta of documents against a
+    * persisted gram store WITHOUT re-cleaning the historical corpus,
+    * with the one semantics span dedup adds over near-dup banding —
+    * duplication REACHES BACK: a delta doc repeating a span that until
+    * now occurred once makes the span duplicated, so its single PRIOR
+    * holder must be re-cleaned too.
+    *
+    * Store layout (all epoch=N partitioned, replay-idempotent like
+    * [[graft.ext.Dedup.dedupDelta]]): `docs` (doc_id, text), `occ`
+    * (doc_id, st, g) positional grams, `cnt` (g, n) per-epoch gram
+    * counts, `res` (doc_id, n_tokens, n_removed, clean_md5) cleaned
+    * rows, rewritten only for docs the epoch AFFECTS; the serve is
+    * latest-res-per-doc.
+    *
+    * Per-epoch work: gram the delta (map-side), one scan of the saved
+    * `cnt` table (distinct-gram scale, NOT corpus-token scale) to
+    * split prior counts from totals, the affected set = delta docs ∪
+    * prior docs holding a gram whose count crossed 2 THIS epoch (via
+    * one equi-join of prior `occ` against the crossing grams — output
+    * is affected-scale), and interval/stitch work only for affected
+    * docs. Soundness: the global dup set is {g : total(g) >= 2};
+    * a prior doc's interval set changes iff one of ITS grams entered
+    * that set, which is exactly the crossing-gram join; within an
+    * epoch every affected doc is re-cleaned against the FULL dup set,
+    * so serve-after-epoch ≡ the batch pass over all docs so far — the
+    * oracle (the full-union recompute) certifies it by hash.
+    * Cross-epoch re-delivery is anti-joined out; same-epoch replays
+    * rewrite their own partitions with identical rows. */
+  def substrDedupDelta(batchIn: DataFrame, storeDir: String, epoch: Long,
+                       k: Int = K): DataFrame = {
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
+    import graft.Ckpt.CutOps
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("doc_id"), col("text")).cut()
+    def readOrEmpty(sub: String, schema: String): DataFrame =
+      if (graft.Hfs.exists(s"$storeDir/$sub"))
+        s.read.parquet(s"$storeDir/$sub")
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // cross-epoch re-delivery guard (prior epochs only; same-epoch
+    // replays rewrite their own partitions)
+    val seen = readOrEmpty("docs", "doc_id BIGINT, text STRING, epoch BIGINT")
+      .filter(col("epoch").cast("long") =!= epoch).select("doc_id")
+    val fresh = batch.join(seen, Seq("doc_id"), "left_anti").cut()
+    val freshOcc = gramOcc(fresh, k).cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(fresh, "docs")
+    writeEpoch(freshOcc, "occ")
+    writeEpoch(freshOcc.groupBy(col("g")).agg(count(lit(1)).as("n")), "cnt")
+    // prior vs total counts: one scan of the cnt table (distinct-gram
+    // scale); prior = epochs != E so a same-epoch replay recomputes
+    // identically
+    val cntAll = s.read.parquet(s"$storeDir/cnt")
+      .withColumn("ep", col("epoch").cast("long"))
+    val prevC = cntAll.filter(col("ep") =!= epoch)
+      .groupBy(col("g")).agg(sum(col("n")).as("p"))
+    val totals = cntAll.groupBy(col("g")).agg(sum(col("n")).as("total")).cut()
+    // grams whose count crossed 2 THIS epoch with a single prior
+    // holder — that holder's clean text changes
+    val crossing = totals.join(prevC, Seq("g"))
+      .filter(col("p") === 1 && col("total") >= 2).select(col("g"))
+    val occAll = s.read.parquet(s"$storeDir/occ")
+      .select(col("doc_id"), col("st"), col("g"))
+    val affectedOld = occAll.join(crossing, "g").select(col("doc_id"))
+    val reclean = fresh.select(col("doc_id")).union(affectedOld)
+      .distinct().cut()
+    // full interval set for affected docs against the GLOBAL dup set
+    val dupG = totals.filter(col("total") >= 2).select(col("g"))
+    val ivl = occAll.join(reclean, Seq("doc_id")).join(dupG, "g")
+      .select(col("doc_id"), col("st"), (col("st") + (k - 1)).as("en"))
+    val docsAll = s.read.parquet(s"$storeDir/docs")
+      .select("doc_id", "text").dropDuplicates("doc_id")
+    val resRows = mergeAndStitch(docsAll.join(reclean, Seq("doc_id")), ivl)
+      .cut() // materialize BEFORE the res write replaces this epoch's files
+    writeEpoch(resRows, "res")
+    // serve: latest res row per doc
+    val res = s.read.parquet(s"$storeDir/res")
+      .withColumn("ep", col("epoch").cast("long"))
+    val wLatest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ep").desc)
+    res.withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered lifecycle key: two delta epochs (first 80% of the
+    * doc-id space, then the rest) into a per-run store, served after
+    * the second — the oracle is the batch key's FULL-UNION recompute,
+    * so hash equality proves delta-computed ≡ full re-clean, including
+    * the reach-back re-cleaning of prior docs whose spans became
+    * duplicated in epoch 1. */
+  private def substringDedupIncremental(s: SparkSession, d: String)
+      : DataFrame = {
+    val docsDf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val split =
+      (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    val dir = graft.Scratch.dir(
+      s"substr_incr-${java.util.UUID.randomUUID()}")
+    substrDedupDelta(docsDf.filter(col("doc_id") < split), dir, 0L): Unit
+    substrDedupDelta(docsDf.filter(col("doc_id") >= split), dir, 1L)
+  }
+
   /** Minimum duplicated run length for the CHARACTER-level pass, in
     * chars — a power of two so the rank at round log2(C) compares
     * exactly C-char prefixes. Lee et al.'s discipline is ~50 chars on
@@ -340,9 +488,11 @@ object SubstrDedup extends graft.QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_substring_dedup" -> substringDedup,
+    "text_substring_dedup_incremental" -> substringDedupIncremental,
     "text_substring_dedup_chars" -> substringDedupChars)
 
   val oracles: Map[String, String] = Map(
     "text_substring_dedup" -> substringDedupOracle,
+    "text_substring_dedup_incremental" -> substringDedupOracle,
     "text_substring_dedup_chars" -> substringDedupCharsOracle)
 }

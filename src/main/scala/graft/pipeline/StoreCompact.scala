@@ -179,6 +179,35 @@ object StoreCompact {
       Seq("fps", "matches").flatMap(stageSub(spark, storeDir, _))
     }
 
+  /** The incremental-ExactSubstr store (r14): docs dedup on doc_id (the
+    * serve-time rule), occ/cnt are plain unions, and `res` resolves its
+    * LATEST-PER-DOC read at compaction — only each doc's most recent
+    * cleaned row survives into the baseline (which reads as the oldest
+    * epoch, so later re-cleans still win). */
+  def compactSubstrStore(spark: SparkSession, storeDir: String): Unit =
+    withLease(storeDir) {
+      import org.apache.spark.sql.expressions.Window
+      val simple = Seq(
+        stageSub(spark, storeDir, "docs", _.dropDuplicates("doc_id")),
+        stageSub(spark, storeDir, "occ"),
+        stageSub(spark, storeDir, "cnt")).flatten
+      val res =
+        if (!Hfs.exists(s"$storeDir/res")) None
+        else {
+          assertNoInflightWriter(storeDir, "res")
+          Hfs.deleteRecursive(s"$storeDir/.compact_res")
+          val w = Window.partitionBy(col("doc_id"))
+            .orderBy(col("epoch").cast("long").desc)
+          spark.read.parquet(s"$storeDir/res")
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .drop("rn", "epoch")
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/.compact_res/epoch=-1")
+          Some("res")
+        }
+      simple ++ res
+    }
+
   /** The multimodal corpus-clean store: docs/bands/phash dedup exactly
     * as their readers do, image pairs collapse to the distinct set, and
     * the text-pair store resolves LATEST-WINS-PER-BUCKET at compaction

@@ -473,6 +473,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming INCREMENTAL ExactSubstr (r14) — span dedup's streaming
+    * twin of [[dedupDeltas]]: each micro-batch of documents is grammed
+    * against the persisted positional-gram store
+    * ([[graft.ext.SubstrDedup.substrDedupDelta]]), duplication REACHES
+    * BACK (a batch doc repeating a span that until now occurred once
+    * re-cleans the span's single prior holder), and the sink receives
+    * the full latest-per-doc cleaned rows after each batch. Replays are
+    * idempotent: a re-delivered epoch rewrites its own `epoch=N`
+    * partitions with deterministically identical rows (SubstrDedupSpec
+    * + StreamingSpec pin serve ≡ the batch pass over everything
+    * streamed, and the replay). */
+  def substrDedupDeltas(deltaDocs: DataFrame, storeDir: String,
+                        checkpointDir: String)
+                       (sink: DataFrame => Unit): StreamingQuery =
+    deltaDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SubstrDedup.substrDedupDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   /** Streaming graph-ANN index APPEND (r11, VERDICT #4) — the graph twin
     * of [[dedupDeltas]]'s incremental lifecycle, over an EMBEDDING DELTA
     * STREAM: each micro-batch of `(vec_id, label, embedding)` rows ranks

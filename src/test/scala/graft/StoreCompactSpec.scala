@@ -106,6 +106,42 @@ class StoreCompactSpec extends AnyFunSuite {
       "post-compaction audio delta diverged from the uncompacted lifecycle")
   }
 
+  test("substr store: serve unchanged across compaction; deltas continue") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    def run(store: String, compactAfterEpoch1: Boolean) = {
+      graft.ext.SubstrDedup.substrDedupDelta(
+        docs.filter("doc_id % 3 = 0").localCheckpoint(), store, 0L).collect()
+      val r1 = rows(graft.ext.SubstrDedup.substrDedupDelta(
+        docs.filter("doc_id % 3 = 1").localCheckpoint(), store, 1L))
+      if (compactAfterEpoch1)
+        graft.pipeline.StoreCompact.compactSubstrStore(spark, store)
+      val r2 = rows(graft.ext.SubstrDedup.substrDedupDelta(
+        docs.filter("doc_id % 3 = 2").localCheckpoint(), store, 2L))
+      (r1, r2)
+    }
+    val sC = Files.createTempDirectory("graft_compact_substr").toString
+    val sU = Files.createTempDirectory("graft_compact_substr_u").toString
+    val (c1, c2) = run(sC, compactAfterEpoch1 = true)
+    val (u1, u2) = run(sU, compactAfterEpoch1 = false)
+    assert(c1 == u1)
+    assert(Hfs.childDirNames(s"$sC/res").contains("epoch=-1"))
+    assert(c2 == u2,
+      "post-compaction substr delta diverged from the uncompacted lifecycle")
+    // and the final serve equals the batch pass over everything
+    val batch = graft.ext.SubstrDedup
+      .removeDuplicatedSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(c2.sortBy(_._1) == batch,
+      "compacted lifecycle diverged from the batch pass")
+  }
+
   test("lease: a delta during compaction fails loudly; after, it completes") {
     val sf = TestSpark.sf0001
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")

@@ -602,6 +602,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == full, "a replayed epoch changed the assignment")
   }
 
+  test("substrDedupDeltas: streamed span dedup == batch pass, reach-back included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val docRows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (first, second) = docRows.splitAt(docRows.size / 2)
+    val store = Files.createTempDirectory("graft_substr_store").toString
+    val ckp = Files.createTempDirectory("graft_substr_ckp").toString
+    val ms = MemoryStream[(Long, String)]
+    var last: Seq[(Long, Long, Long, String)] = Nil
+    val sink = (served: org.apache.spark.sql.DataFrame) =>
+      last = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+    // two separate AvailableNow drains over one checkpoint (the cron
+    // shape) so the second batch really grams against a SAVED store
+    ms.addData(first)
+    Streams.substrDedupDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    ms.addData(second)
+    Streams.substrDedupDeltas(ms.toDF().toDF("doc_id", "text"), store, ckp)(sink)
+      .awaitTermination()
+    val full = graft.ext.SubstrDedup
+      .removeDuplicatedSpans(docsDf, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(last.nonEmpty && last.sortBy(_._1) == full,
+      "streamed span dedup diverged from the batch pass")
+    // replay the final epoch's exact content: serve must not change
+    val lastEpoch = spark.read.parquet(s"$store/res")
+      .agg(org.apache.spark.sql.functions.max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val lastBatch = spark.read.parquet(s"$store/docs/epoch=$lastEpoch")
+      .select("doc_id", "text").localCheckpoint()
+    val replayed = graft.ext.SubstrDedup
+      .substrDedupDelta(lastBatch, store, lastEpoch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(replayed == full, "a replayed epoch changed the served rows")
+  }
+
   test("audioFpDeltas: streamed content-ID matches == batch audio dedup, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -42,6 +42,41 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(md5s.distinct.size == 2)
   }
 
+  test("incremental: a later epoch's duplicate reaches back to prior docs") {
+    import spark.implicits._
+    // 9 shared tokens (K=8): unique to doc 1 in epoch 0 (nothing cut),
+    // duplicated by doc 2 in epoch 1 — the epoch-1 delta must re-clean
+    // doc 1, and the served rows must equal the batch pass over both
+    val span = "zero one two three four five six seven eight"
+    assert(span.split(" ").length == 9)
+    val d1 = (1L, s"first document body $span and a unique tail")
+    val d2 = (2L, s"second doc other words $span completely different end")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_substr_incr").toString
+    val serve0 = graft.ext.SubstrDedup.substrDedupDelta(
+      Seq(d1).toDF("doc_id", "text"), store, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(serve0(1L) == 0L, s"epoch 0 must cut nothing: $serve0")
+    val serve1 = graft.ext.SubstrDedup.substrDedupDelta(
+      Seq(d2).toDF("doc_id", "text"), store, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val byId = serve1.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) >= 9 && byId(2L) >= 9,
+      s"the now-duplicated span must be cut from BOTH docs: $serve1")
+    // serve == the batch pass over the union corpus, row for row
+    val batch = graft.ext.SubstrDedup.removeDuplicatedSpans(
+      Seq(d1, d2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(serve1.sortBy(_._1).toSeq == batch,
+      "incremental serve diverged from the batch pass")
+    // same-epoch replay is a no-op on the served rows
+    val replay = graft.ext.SubstrDedup.substrDedupDelta(
+      Seq(d2).toDF("doc_id", "text"), store, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(replay.sortBy(_._1).toSeq == batch, "replay diverged")
+  }
+
   test("segment-local ranking is exact: oversized doc, straddling dup") {
     import spark.implicits._
     // one doc far larger than the segment size, whose duplicated
