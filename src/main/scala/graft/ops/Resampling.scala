@@ -71,7 +71,6 @@ object Resampling extends graft.QueryModule {
   private val bootB = 64
 
   private def bootstrap(s: SparkSession, d: String): DataFrame = {
-    val u = sparkHex8(s"concat(cast(o_orderkey as string), '#', cast(b as string), ':boot')", 1)
     // materialize the 32-bit draw ONCE per (row, replicate): the
     // 7-branch inverse-CDF CASE would otherwise re-evaluate the md5
     // under every branch (measured 9.2 s -> ~2 s at sf0.1)
@@ -79,12 +78,29 @@ object Resampling extends graft.QueryModule {
     // narrow input across the cluster first — without this the whole
     // replicate ensemble inherits the source file's partition count
     // (one small file => one core does 64x the work)
+    // QUADRANT draws (r14): md5 yields 128 bits = FOUR independent
+    // 32-bit words, so one digest feeds replicates 4q..4q+3 (word j =
+    // hex chars 8j+1..8j+8) — the md5 count in the replicate-ensemble
+    // map drops B -> B/4. Honest local A/B: sf0.1 timing is UNCHANGED
+    // (~5.5 s either way; the key is plan/codegen-overhead-bound at
+    // 150k input rows) — the 4x hash-CPU cut pays only where per-row
+    // work dominates, i.e. on a real fact table. The oracle derives
+    // the identical words from the identical digests, so the hash
+    // gate still certifies every draw.
     val base = Tables.orders(s, d)
       .repartition(col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority").as("g"),
         expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"),
-        explode(sequence(lit(0), lit(bootB - 1))).as("b"))
-      .select(col("g"), col("b"), col("v"), expr(u).as("u"))
+        explode(sequence(lit(0), lit(bootB / 4 - 1))).as("q"))
+      .select(col("g"), col("v"), col("q"),
+        expr("md5(concat(cast(o_orderkey as string), '#', " +
+          "cast(q as string), ':boot'))").as("h"))
+      .select(col("g"), col("v"),
+        explode(expr("transform(sequence(0, 3), j -> struct(" +
+          "q * 4 + j as b, " +
+          "cast(conv(substring(h, 1 + j * 8, 8), 16, 10) as bigint) as u))"))
+          .as("e"))
+      .select(col("g"), col("e.b").as("b"), col("v"), col("e.u").as("u"))
       .select(col("g"), col("b"), col("v"),
         expr(s"${poissonCase("u")}").cast("long").as("w"))
     val reps = base.groupBy(col("g"), col("b"))
@@ -115,12 +131,21 @@ object Resampling extends graft.QueryModule {
   }
 
   private def bootstrapOracle: String = {
-    val u = duckHex8("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR) || ':boot'", 1)
-    s"""WITH draws AS (
-       |  SELECT o_orderpriority AS g, t.b,
+    // the quadrant-word polynomial: word j of the materialized digest h
+    val uFromH = (0 until 8).map { i =>
+      val f = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(h, 1 + r.j * 8 + $i, 1)) - 1) * $f"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT o_orderpriority AS g, t.q,
        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
-       |         $u AS u
-       |  FROM orders CROSS JOIN range($bootB) t(b)),
+       |         md5(CAST(o_orderkey AS VARCHAR) || '#' ||
+       |             CAST(t.q AS VARCHAR) || ':boot') AS h
+       |  FROM orders CROSS JOIN range(${bootB / 4}) t(q)),
+       |draws AS (
+       |  SELECT g, q * 4 + r.j AS b, v,
+       |         $uFromH AS u
+       |  FROM qd CROSS JOIN range(4) r(j)),
        |base AS (
        |  SELECT g, b, v, ${poissonCase("u")} AS w FROM draws),
        |reps AS (
