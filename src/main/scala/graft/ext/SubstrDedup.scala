@@ -309,21 +309,42 @@ object SubstrDedup extends graft.QueryModule {
                                 textCol: String,
                                 c: Int = CChars,
                                 segChars: Int = -1): DataFrame = {
+    import graft.Ckpt.CutOps
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // cut(): both consumers below (the dup-class agg AND the interval
+    // join) read the eligible-rank subtree — without the lineage cut
+    // Spark would run the whole 5-round rank chain twice (plan-audited
+    // r13)
+    val elig = charEligRanks(base, c, segChars).cut()
+    val dupR = elig.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("r"))
+    val ivl = elig.join(dupR, "r")
+      .select(col("doc_id"), col("p").as("st"), (col("p") + (c - 1)).as("en"))
+    mergeAndStitchChars(base, ivl)
+  }
+
+  /** Steps 1-3 of the char pass — the per-doc-LOCAL suffix ranks of
+    * every eligible position (doc_id, p, r): the rank chain, the
+    * segment replication, and the owned-eligible filter. Per-doc-local
+    * is the property the incremental twin builds on: a doc's ranks
+    * depend only on its OWN next C chars, so they never change as the
+    * corpus grows — only the global rank-class counts do. */
+  private def charEligRanks(base: DataFrame, c: Int,
+                            segChars: Int): DataFrame = {
     require(c >= 2 && (c & (c - 1)) == 0, s"C must be a power of two: $c")
     val segSz =
       if (segChars > 0) segChars
-      else docs.sparkSession.conf
+      else base.sparkSession.conf
         .get("spark.graft.substr.segChars", "65536").toInt
     require(segSz >= c, s"segChars must be >= C ($c): $segSz")
     val rounds = java.lang.Integer.numberOfTrailingZeros(c)
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val w = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("p"))
     val segOf = expr(s"CAST((p - 1) DIV $segSz AS INT)")
-    // 1-2. per-char rows + the truncated prefix-doubling rank chain
-    //      (all rounds share one window spec: one exchange, one sort).
-    //      The first C-1 positions of segment g+1 are REPLICATED into
-    //      segment g's partition so g's owned tail can see its next C
-    //      chars; each position lands in at most 2 partitions.
+    // per-char rows + the truncated prefix-doubling rank chain (all
+    // rounds share one window spec: one exchange, one sort). The first
+    // C-1 positions of segment g+1 are REPLICATED into segment g's
+    // partition so g's owned tail can see its next C chars; each
+    // position lands in at most 2 partitions.
     var pos = base
       .select(col("doc_id"), length(col("text")).as("len"),
         posexplode(split(col("text"), "")).as(Seq("p0", "r")))
@@ -337,22 +358,16 @@ object SubstrDedup extends graft.QueryModule {
         md5(concat_ws("|", col("r"),
           coalesce(lead(col("r"), 1 << (t - 1)).over(w), lit("$")))))
     }
-    // 3. globally-duplicated C-prefix classes over ELIGIBLE positions —
-    //    owned rows only (overlap copies carry segment-truncated ranks).
-    //    cut(): both consumers below (the dup-class agg AND the interval
-    //    join) read this subtree — without the lineage cut Spark would
-    //    run the whole 5-round rank chain twice (plan-audited r13)
-    import graft.Ckpt.CutOps
-    val elig = pos
-      .filter(col("p") <= col("len") - (c - 1) && col("seg") === segOf)
+    // globally-eligible positions, owned rows only (overlap copies
+    // carry segment-truncated ranks)
+    pos.filter(col("p") <= col("len") - (c - 1) && col("seg") === segOf)
       .select(col("doc_id"), col("p"), col("r"))
-      .cut()
-    val dupR = elig.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select(col("r"))
-    val ivl = elig.join(dupR, "r")
-      .select(col("doc_id"), col("p").as("st"), (col("p") + (c - 1)).as("en"))
-    // 4. merge overlapping/adjacent intervals per doc (start unique per
-    //    doc -> total window order), then stitch the uncovered chars
+  }
+
+  /** Step 4 of the char pass (interval merge + char stitch), shared
+    * with the incremental twin. */
+  private def mergeAndStitchChars(base: DataFrame, ivl: DataFrame)
+      : DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("st"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy(col("doc_id")).orderBy(col("st"))
@@ -378,6 +393,83 @@ object SubstrDedup extends graft.QueryModule {
         (col("n_chars") - size(col("kept"))).cast("long").as("n_removed"),
         md5(expr("array_join(transform(kept, x -> x.ch), '')"))
           .as("clean_md5"))
+  }
+
+  /** One micro-batch of INCREMENTAL char-level ExactSubstr [N] (r14) —
+    * [[substrDedupDelta]]'s discipline at character granularity,
+    * completing the batch/incremental × token/char matrix. It works
+    * because the suffix ranks are per-doc-LOCAL ([[charEligRanks]]):
+    * a delta doc is ranked ONCE, in isolation, and never re-ranked —
+    * only the global rank-class COUNTS evolve, and a class crossing
+    * count 2 this epoch reaches back to re-clean its single prior
+    * holder, exactly the token twin's crossing-gram rule with rank
+    * classes in place of gram hashes. Store: `docs`/`occ` (eligible
+    * ranks)/`cnt`/`res`, epoch-partitioned, replay-idempotent,
+    * latest-res-per-doc serve, [[graft.pipeline.StoreCompact
+    * .compactSubstrStore]]-compatible (same sub-table semantics). */
+  def substrCharsDelta(batchIn: DataFrame, storeDir: String, epoch: Long,
+                       c: Int = CChars, segChars: Int = -1): DataFrame = {
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
+    import graft.Ckpt.CutOps
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("doc_id"), col("text")).cut()
+    def readOrEmpty(sub: String, schema: String): DataFrame =
+      if (graft.Hfs.exists(s"$storeDir/$sub"))
+        s.read.parquet(s"$storeDir/$sub")
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val seen = readOrEmpty("docs", "doc_id BIGINT, text STRING, epoch BIGINT")
+      .filter(col("epoch").cast("long") =!= epoch).select("doc_id")
+    val fresh = batch.join(seen, Seq("doc_id"), "left_anti").cut()
+    val freshOcc = charEligRanks(fresh, c, segChars).cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(fresh, "docs")
+    writeEpoch(freshOcc, "occ")
+    writeEpoch(freshOcc.groupBy(col("r")).agg(count(lit(1)).as("n")), "cnt")
+    val cntAll = s.read.parquet(s"$storeDir/cnt")
+      .withColumn("ep", col("epoch").cast("long"))
+    val prevC = cntAll.filter(col("ep") =!= epoch)
+      .groupBy(col("r")).agg(sum(col("n")).as("pn"))
+    val totals = cntAll.groupBy(col("r")).agg(sum(col("n")).as("total")).cut()
+    val crossing = totals.join(prevC, Seq("r"))
+      .filter(col("pn") === 1 && col("total") >= 2).select(col("r"))
+    val occAll = s.read.parquet(s"$storeDir/occ")
+      .select(col("doc_id"), col("p"), col("r"))
+    val affectedOld = occAll.join(crossing, "r").select(col("doc_id"))
+    val reclean = fresh.select(col("doc_id")).union(affectedOld)
+      .distinct().cut()
+    val dupR = totals.filter(col("total") >= 2).select(col("r"))
+    val ivl = occAll.join(reclean, Seq("doc_id")).join(dupR, "r")
+      .select(col("doc_id"), col("p").as("st"), (col("p") + (c - 1)).as("en"))
+    val docsAll = s.read.parquet(s"$storeDir/docs")
+      .select("doc_id", "text").dropDuplicates("doc_id")
+    val resRows = mergeAndStitchChars(docsAll.join(reclean, Seq("doc_id")), ivl)
+      .cut() // materialize BEFORE the res write replaces this epoch's files
+    writeEpoch(resRows, "res")
+    val res = s.read.parquet(s"$storeDir/res")
+      .withColumn("ep", col("epoch").cast("long"))
+    val wLatest = Window.partitionBy(col("doc_id")).orderBy(col("ep").desc)
+    res.withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_chars"), col("n_removed"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered lifecycle key for the char twin: two delta epochs,
+    * served after the second; oracle = the char batch key's unrolled
+    * rank-chain recompute, so hash equality proves delta ≡ full
+    * re-clean at character granularity. */
+  private def substringDedupCharsIncremental(s: SparkSession, d: String)
+      : DataFrame = {
+    val docsDf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val split =
+      (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    val dir = graft.Scratch.dir(
+      s"substr_chars_incr-${java.util.UUID.randomUUID()}")
+    substrCharsDelta(docsDf.filter(col("doc_id") < split), dir, 0L): Unit
+    substrCharsDelta(docsDf.filter(col("doc_id") >= split), dir, 1L)
   }
 
   private def substringDedupChars(s: SparkSession, d: String): DataFrame =
@@ -489,10 +581,12 @@ object SubstrDedup extends graft.QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_substring_dedup" -> substringDedup,
     "text_substring_dedup_incremental" -> substringDedupIncremental,
-    "text_substring_dedup_chars" -> substringDedupChars)
+    "text_substring_dedup_chars" -> substringDedupChars,
+    "text_substring_dedup_chars_incremental" -> substringDedupCharsIncremental)
 
   val oracles: Map[String, String] = Map(
     "text_substring_dedup" -> substringDedupOracle,
     "text_substring_dedup_incremental" -> substringDedupOracle,
-    "text_substring_dedup_chars" -> substringDedupCharsOracle)
+    "text_substring_dedup_chars" -> substringDedupCharsOracle,
+    "text_substring_dedup_chars_incremental" -> substringDedupCharsOracle)
 }

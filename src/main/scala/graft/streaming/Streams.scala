@@ -495,6 +495,21 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental CHAR-level ExactSubstr (r14) — the character
+    * twin of [[substrDedupDeltas]], same store discipline over suffix
+    * RANK classes (per-doc-local, so delta docs rank once and only the
+    * global class counts evolve; crossing classes reach back). */
+  def substrCharsDeltas(deltaDocs: DataFrame, storeDir: String,
+                        checkpointDir: String)
+                       (sink: DataFrame => Unit): StreamingQuery =
+    deltaDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SubstrDedup.substrCharsDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   /** Streaming graph-ANN index APPEND (r11, VERDICT #4) — the graph twin
     * of [[dedupDeltas]]'s incremental lifecycle, over an EMBEDDING DELTA
     * STREAM: each micro-batch of `(vec_id, label, embedding)` rows ranks

@@ -77,6 +77,34 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(replay.sortBy(_._1).toSeq == batch, "replay diverged")
   }
 
+  test("char incremental: reach-back at character granularity") {
+    import spark.implicits._
+    // the 43-char footer unique to doc 1 in epoch 0; duplicated by the
+    // epoch-1 doc across DIFFERENT token boundaries (the case the token
+    // twin cannot see) — the delta must re-clean doc 1
+    val footer = "all rights reserved by the example registry" // 43 chars
+    val d1 = (1L, s"first unique document body text $footer")
+    val d2 = (2L, s"second-completely-different! $footer")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_substr_chars_incr").toString
+    val serve0 = graft.ext.SubstrDedup.substrCharsDelta(
+      Seq(d1).toDF("doc_id", "text"), store, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(serve0(1L) == 0L, s"epoch 0 must cut nothing: $serve0")
+    val serve1 = graft.ext.SubstrDedup.substrCharsDelta(
+      Seq(d2).toDF("doc_id", "text"), store, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val byId = serve1.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) >= 32 && byId(2L) >= 32,
+      s"the footer must be cut from BOTH docs: $serve1")
+    val batch = graft.ext.SubstrDedup.removeDuplicatedCharSpans(
+      Seq(d1, d2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(serve1.sortBy(_._1).toSeq == batch,
+      "char incremental serve diverged from the batch pass")
+  }
+
   test("segment-local ranking is exact: oversized doc, straddling dup") {
     import spark.implicits._
     // one doc far larger than the segment size, whose duplicated
