@@ -3062,6 +3062,61 @@ object SimSearch extends graft.QueryModule {
           ",").as("sums"))
       .orderBy("label")
 
+  /** One micro-batch of INCREMENTAL centroid maintenance [N] (r14) —
+    * the mergeable-state discipline made a lifecycle: per-label
+    * centroids live as EXACT micro-unit integer partial sums
+    * (label, pos, s, n) per epoch, so maintenance is pure append
+    * (each batch writes its own partials, touched rows only) and the
+    * serve is an exact fold — order-, partition-, and
+    * epoch-composition-invariant, which is precisely why the
+    * sum-form representation was chosen over means everywhere in the
+    * embeddings family. Store: `ids` (re-delivery guard), `parts`
+    * (partial sums), epoch-partitioned, replay-idempotent. Serve
+    * output = the batch `emb_centroid_by_label` shape; the oracle is
+    * its full-corpus recompute, so hash equality proves fold ≡ full. */
+  def centroidDelta(batchIn: DataFrame, storeDir: String,
+                    epoch: Long): DataFrame = {
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("vec_id"), col("label"), col("embedding"))
+      .cut()
+    val seen =
+      if (graft.Hfs.exists(s"$storeDir/ids"))
+        s.read.parquet(s"$storeDir/ids")
+          .filter(col("epoch").cast("long") =!= epoch).select("vec_id")
+      else batch.select("vec_id").limit(0)
+    val fresh = batch.join(seen, Seq("vec_id"), "left_anti").cut()
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(fresh.select("vec_id"), "ids")
+    writeEpoch(fresh
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vd", floor(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vd")).as("s"), count(lit(1)).as("n")), "parts")
+    s.read.parquet(s"$storeDir/parts")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .groupBy(col("label"))
+      .agg(min(col("n")).as("n"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, s))), x -> x.s)"),
+          ",").as("sums"))
+      .orderBy("label")
+  }
+
+  /** Registered lifecycle key: two delta epochs (80/20 vec-id split),
+    * served after the second against the batch key's oracle. */
+  private def centroidIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val split = (e.agg(max(col("vec_id"))).head().getLong(0) + 1L) * 4L / 5L
+    val dir = graft.Scratch.dir(
+      s"centroid_incr-${java.util.UUID.randomUUID()}")
+    centroidDelta(e.filter(col("vec_id") < split), dir, 0L): Unit
+    centroidDelta(e.filter(col("vec_id") >= split), dir, 1L)
+  }
+
   /** Johnson-Lindenstrauss random projection [N] — embedding
     * dimensionality reduction with a SEEDED sign matrix: s(i,j) = ±1
     * from the first hex digit of md5(i ++ '_' ++ j), so both engines
@@ -3278,6 +3333,7 @@ object SimSearch extends graft.QueryModule {
     "dedup_semantic_bucketed" -> semanticClustersBucketed,
     "sim_search_mmr" -> mmrTopK,
     "emb_centroid_by_label" -> centroidByLabel,
+    "emb_centroid_incremental" -> centroidIncremental,
     "emb_random_projection" -> randomProjection,
     "sim_search_ivf_pq" -> ivfPq,
     "sim_search_pq" -> pq,
@@ -3317,10 +3373,7 @@ object SimSearch extends graft.QueryModule {
     """(SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
       | FROM (SELECT unnest(%s) AS x, unnest(%s) AS y) u)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // zipped unnests give (pos, v); micro-unit pinning makes every sum
-    // exact BIGINT on both engines
-    "emb_centroid_by_label" ->
+  private val centroidOracleSql =
       """WITH x AS (
         |  SELECT label,
         |         unnest(range(0, len(embedding))) AS pos,
@@ -3334,7 +3387,13 @@ object SimSearch extends graft.QueryModule {
         |  FROM x GROUP BY 1, 2)
         |SELECT label, CAST(min(n) AS BIGINT) AS n,
         |       array_to_string(list(s ORDER BY pos), ',') AS sums
-        |FROM g GROUP BY label ORDER BY label""".stripMargin,
+        |FROM g GROUP BY label ORDER BY label""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // zipped unnests give (pos, v); micro-unit pinning makes every sum
+    // exact BIGINT on both engines
+    "emb_centroid_by_label" -> centroidOracleSql,
+    "emb_centroid_incremental" -> centroidOracleSql,
     "emb_random_projection" ->
       """WITH x AS (
         |  SELECT vec_id,

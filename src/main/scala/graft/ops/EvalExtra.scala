@@ -282,13 +282,21 @@ object EvalExtra extends graft.QueryModule {
     * Scale shape: one explode → (doc,term) tf hash agg filtered to the
     * 3 probe terms (map-side), df/avgdl/N as 1-row broadcasts. */
   private def bm25(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("stream", "query", "filter")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("toktot"))
-    val tf = toks.filter(col("w").isin(terms: _*))
+    val tf = toks.filter(col("w").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    bm25Score(dl, tf)
+  }
+
+  private val bm25Terms = Seq("stream", "query", "filter")
+
+  /** The BM25(k1=1.2, b=0.75) scorer over prepared (doc_id, dl) and
+    * (doc_id, w, tf) relations — shared by the batch key and the
+    * incremental index's serve, so the two can never drift. */
+  private def bm25Score(dl: DataFrame, tf: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("toktot"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "w")
       .join(dl, "doc_id")
@@ -305,6 +313,63 @@ object EvalExtra extends graft.QueryModule {
       .agg(count(lit(1)).as("n_terms"), dd(sum(col("c"))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** One micro-batch of INCREMENTAL BM25 index maintenance [N] (r14) —
+    * the lexical-retrieval lifecycle leg: tokenization (the expensive
+    * map over raw text) runs ONCE per document at its arrival epoch,
+    * persisting per-epoch doc lengths and full postings; serving
+    * recomputes the global statistics BM25 needs (N, avgdl, per-term
+    * df) from the aggregate sub-tables at query time, so scores are
+    * always consistent with the corpus as of the latest epoch — no
+    * reach-back rewrite is ever needed (the reason search engines
+    * structure their indexes this way: postings are immutable per doc,
+    * collection stats are cheap serve-time folds). Store: `dl`
+    * (doc_id, dl), `tf` (doc_id, w, tf) — epoch-partitioned,
+    * replay-idempotent, cross-epoch re-delivery anti-joined out.
+    * Serve = [[bm25Score]] over the folded store, so incremental ≡
+    * batch by construction and the full-recompute oracle certifies it
+    * by hash. */
+  def bm25Delta(batchIn: DataFrame, storeDir: String, epoch: Long): DataFrame = {
+    graft.pipeline.StoreCompact.assertNotCompacting(storeDir)
+    import graft.Ckpt.CutOps
+    val s = batchIn.sparkSession
+    val batch = batchIn.select(col("doc_id"), col("text")).cut()
+    val seen =
+      if (graft.Hfs.exists(s"$storeDir/dl"))
+        s.read.parquet(s"$storeDir/dl")
+          .filter(col("epoch").cast("long") =!= epoch).select("doc_id")
+      else batch.select("doc_id").limit(0)
+    val fresh = batch.join(seen, Seq("doc_id"), "left_anti").cut()
+    val toks = fresh
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    def writeEpoch(df: DataFrame, sub: String): Unit =
+      df.write.mode("overwrite").parquet(s"$storeDir/$sub/epoch=$epoch")
+    writeEpoch(toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")), "dl")
+    writeEpoch(toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf")), "tf")
+    bm25ServeFromStore(s, storeDir)
+  }
+
+  /** Serve the pinned query terms from a [[bm25Delta]] store. */
+  def bm25ServeFromStore(s: SparkSession, storeDir: String): DataFrame =
+    bm25Score(
+      s.read.parquet(s"$storeDir/dl").select("doc_id", "dl"),
+      s.read.parquet(s"$storeDir/tf").select("doc_id", "w", "tf")
+        .filter(col("w").isin(bm25Terms: _*)))
+
+  /** Registered lifecycle key: two delta epochs (80/20 doc-id split),
+    * served after the second; oracle = the batch `text_bm25` SQL, so
+    * hash equality proves the incremental index serves exactly the
+    * full-corpus scores. */
+  private def bm25Incremental(s: SparkSession, d: String): DataFrame = {
+    val docsDf = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val split =
+      (docsDf.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    val dir = graft.Scratch.dir(
+      s"bm25_incr-${java.util.UUID.randomUUID()}")
+    bm25Delta(docsDf.filter(col("doc_id") < split), dir, 0L): Unit
+    bm25Delta(docsDf.filter(col("doc_id") >= split), dir, 1L)
   }
 
   /** Sequential probability ratio test [N] (Wald's SPRT) — the
@@ -765,7 +830,30 @@ object EvalExtra extends graft.QueryModule {
     "stats_kaplan_meier" -> kaplanMeier,
     "stats_nelson_aalen" -> nelsonAalen,
     "text_bm25" -> bm25,
+    "text_bm25_incremental" -> bm25Incremental,
     "stats_sprt" -> sprt)
+
+  private val bm25OracleSql =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |                 CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |       WHERE w IN ('stream', 'query', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round_even(
+        |           round_even(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |                              / (CAST(df AS DOUBLE) + 0.5)), 6)
+        |           * (CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |              / (CAST(toktot AS DOUBLE) / CAST(nd AS DOUBLE)))), 8)
+        |         AS DECIMAL(18,8)) AS c
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "eval_demographic_parity" -> demographicParityOracle,
@@ -869,27 +957,8 @@ object EvalExtra extends graft.QueryModule {
         |       round_even(product(f) OVER (ORDER BY t
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8) AS survival
         |FROM f ORDER BY t""".stripMargin,
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-        |                 CAST(sum(dl) AS BIGINT) AS toktot FROM dl),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-        |       WHERE w IN ('stream', 'query', 'filter') GROUP BY 1, 2),
-        |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |c AS (
-        |  SELECT tf.doc_id,
-        |         CAST(round_even(
-        |           round_even(ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |                              / (CAST(df AS DOUBLE) + 0.5)), 6)
-        |           * (CAST(tf AS DOUBLE) * 2.2)
-        |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-        |              / (CAST(toktot AS DOUBLE) / CAST(nd AS DOUBLE)))), 8)
-        |         AS DECIMAL(18,8)) AS c
-        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats)
-        |SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS DOUBLE) AS score
-        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+    "text_bm25_incremental" -> bm25OracleSql,
     "stats_sprt" ->
       """WITH days AS (
         |  SELECT o_orderdate AS day,
