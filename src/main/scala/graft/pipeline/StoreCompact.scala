@@ -208,6 +208,22 @@ object StoreCompact {
       simple ++ res
     }
 
+  /** The incremental-BM25 index store (dl/tf): serve folds aggregates
+    * over plain unions → identity compaction. */
+  def compactBm25Store(spark: SparkSession, storeDir: String): Unit =
+    withLease(storeDir) {
+      Seq("dl", "tf").flatMap(stageSub(spark, storeDir, _))
+    }
+
+  /** The incremental-centroid store: `parts` partial sums fold at
+    * serve (plain union), `ids` dedups on vec_id (the re-delivery
+    * guard's read rule). */
+  def compactCentroidStore(spark: SparkSession, storeDir: String): Unit =
+    withLease(storeDir) {
+      (stageSub(spark, storeDir, "ids", _.dropDuplicates("vec_id")) ++
+        stageSub(spark, storeDir, "parts")).toSeq
+    }
+
   /** The multimodal corpus-clean store: docs/bands/phash dedup exactly
     * as their readers do, image pairs collapse to the distinct set, and
     * the text-pair store resolves LATEST-WINS-PER-BUCKET at compaction

@@ -142,6 +142,50 @@ class StoreCompactSpec extends AnyFunSuite {
       "compacted lifecycle diverged from the batch pass")
   }
 
+  test("char-substr, bm25, centroid stores: serve unchanged across compaction") {
+    val sf = TestSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    // char-level substr store rides the SAME compactSubstrStore (same
+    // sub-table names and read rules as the token store)
+    val cs = Files.createTempDirectory("graft_compact_substr_c").toString
+    graft.ext.SubstrDedup.substrCharsDelta(
+      docs.filter("doc_id % 2 = 0").localCheckpoint(), cs, 0L).collect()
+    val cBefore = graft.ext.SubstrDedup.substrCharsDelta(
+      docs.filter("doc_id % 2 = 1").localCheckpoint(), cs, 1L)
+      .collect().map(_.toSeq).toSeq
+    graft.pipeline.StoreCompact.compactSubstrStore(spark, cs)
+    assert(Hfs.childDirNames(s"$cs/res") == Seq("epoch=-1"))
+    val cAfter = graft.ext.SubstrDedup.substrCharsDelta(
+      docs.limit(0).localCheckpoint(), cs, 2L).collect().map(_.toSeq).toSeq
+    assert(cAfter == cBefore, "char-substr compaction changed the serve")
+    // bm25 store
+    val bs = Files.createTempDirectory("graft_compact_bm25").toString
+    graft.ops.EvalExtra.bm25Delta(
+      docs.filter("doc_id % 2 = 0").localCheckpoint(), bs, 0L).collect()
+    val bBefore = graft.ops.EvalExtra.bm25Delta(
+      docs.filter("doc_id % 2 = 1").localCheckpoint(), bs, 1L)
+      .collect().map(_.toSeq).toSeq
+    graft.pipeline.StoreCompact.compactBm25Store(spark, bs)
+    assert(Hfs.childDirNames(s"$bs/tf") == Seq("epoch=-1"))
+    val bAfter = graft.ops.EvalExtra.bm25ServeFromStore(spark, bs)
+      .collect().map(_.toSeq).toSeq
+    assert(bAfter == bBefore, "bm25 compaction changed the serve")
+    // centroid store
+    val e = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+    val es = Files.createTempDirectory("graft_compact_centroid").toString
+    graft.ext.SimSearch.centroidDelta(
+      e.filter("vec_id % 2 = 0").localCheckpoint(), es, 0L).collect()
+    val eBefore = graft.ext.SimSearch.centroidDelta(
+      e.filter("vec_id % 2 = 1").localCheckpoint(), es, 1L)
+      .collect().map(_.toSeq).toSeq
+    graft.pipeline.StoreCompact.compactCentroidStore(spark, es)
+    assert(Hfs.childDirNames(s"$es/parts") == Seq("epoch=-1"))
+    val eAfter = graft.ext.SimSearch.centroidDelta(
+      e.limit(0).localCheckpoint(), es, 2L).collect().map(_.toSeq).toSeq
+    assert(eAfter == eBefore, "centroid compaction changed the serve")
+  }
+
   test("lease: a delta during compaction fails loudly; after, it completes") {
     val sf = TestSpark.sf0001
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
