@@ -71,6 +71,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "eval_scorecard" -> ("1-row metric crossJoins (composes eval_auc/brier/" +
       "mrr/psi, inheriting brier's and psi's allowlisted 1-row joins)"),
     "text_bm25" -> "1-row corpus-stats crossJoin",
+    "text_bm25_incremental" ->
+      "1-row corpus-stats crossJoin (the shared bm25Score scorer)",
     "stats_theil_sen" -> ("calendar-bounded day-domain pair join (t1 < t2," +
       " ~2.9M pairs at ANY SF) + 1-row median-slope crossJoin"),
     "stats_randomization" -> "1-row observed-diff crossJoin over the B-replicate domain",
