@@ -510,6 +510,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental BM25 index maintenance (r14) — the
+    * lexical-retrieval twin of [[dedupDeltas]]: each micro-batch
+    * tokenizes ONCE into per-epoch doc-length and posting tables
+    * ([[graft.ops.EvalExtra.bm25Delta]]); the sink receives the pinned
+    * query's scores over the corpus as of the epoch (collection stats
+    * folded at serve, so no reach-back rewrite exists by
+    * construction). */
+  def bm25Deltas(deltaDocs: DataFrame, storeDir: String,
+                 checkpointDir: String)
+                (sink: DataFrame => Unit): StreamingQuery =
+    deltaDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ops.EvalExtra.bm25Delta(batch, storeDir, epoch))
+      }
+      .start()
+
+  /** Streaming incremental centroid maintenance (r14) — the mergeable
+    * exact-sum lifecycle ([[graft.ext.SimSearch.centroidDelta]]) under
+    * foreachBatch; the sink receives the per-label centroids as of the
+    * epoch. */
+  def centroidDeltas(deltaVecs: DataFrame, storeDir: String,
+                     checkpointDir: String)
+                    (sink: DataFrame => Unit): StreamingQuery =
+    deltaVecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.ext.SimSearch.centroidDelta(batch, storeDir, epoch))
+      }
+      .start()
+
   /** Streaming graph-ANN index APPEND (r11, VERDICT #4) — the graph twin
     * of [[dedupDeltas]]'s incremental lifecycle, over an EMBEDDING DELTA
     * STREAM: each micro-batch of `(vec_id, label, embedding)` rows ranks

@@ -646,6 +646,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == full, "a replayed epoch changed the served rows")
   }
 
+  test("bm25Deltas / centroidDeltas: streamed serve == batch keys") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = TestSpark.sf0001
+    // BM25: stream the corpus in two drains, serve must equal the
+    // batch text_bm25 key over the full corpus
+    val docsDf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val docRows = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (d1, d2) = docRows.splitAt(docRows.size / 2)
+    val bStore = Files.createTempDirectory("graft_bm25_store").toString
+    val bCkp = Files.createTempDirectory("graft_bm25_ckp").toString
+    val bms = MemoryStream[(Long, String)]
+    var bLast: Seq[Seq[Any]] = Nil
+    val bSink = (df: org.apache.spark.sql.DataFrame) =>
+      bLast = df.collect().map(_.toSeq).toSeq
+    bms.addData(d1)
+    Streams.bm25Deltas(bms.toDF().toDF("doc_id", "text"), bStore, bCkp)(bSink)
+      .awaitTermination()
+    bms.addData(d2)
+    Streams.bm25Deltas(bms.toDF().toDF("doc_id", "text"), bStore, bCkp)(bSink)
+      .awaitTermination()
+    val bBatch = SparkEntry.queries("text_bm25")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(bLast.nonEmpty && bLast == bBatch,
+      "streamed BM25 serve diverged from the batch key")
+    // centroids: same shape over the embeddings stream
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val eRows = e.as[(Long, Long, Array[Float])].collect().toSeq
+      .sortBy(_._1)
+    val (e1, e2) = eRows.splitAt(eRows.size / 2)
+    val cStore = Files.createTempDirectory("graft_centroid_store").toString
+    val cCkp = Files.createTempDirectory("graft_centroid_ckp").toString
+    val ems = MemoryStream[(Long, Long, Array[Float])]
+    var cLast: Seq[Seq[Any]] = Nil
+    val cSink = (df: org.apache.spark.sql.DataFrame) =>
+      cLast = df.collect().map(_.toSeq).toSeq
+    ems.addData(e1)
+    Streams.centroidDeltas(
+      ems.toDF().toDF("vec_id", "label", "embedding"), cStore, cCkp)(cSink)
+      .awaitTermination()
+    ems.addData(e2)
+    Streams.centroidDeltas(
+      ems.toDF().toDF("vec_id", "label", "embedding"), cStore, cCkp)(cSink)
+      .awaitTermination()
+    val cBatch = SparkEntry.queries("emb_centroid_by_label")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(cLast.nonEmpty && cLast == cBatch,
+      "streamed centroid serve diverged from the batch key")
+  }
+
   test("audioFpDeltas: streamed content-ID matches == batch audio dedup, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
