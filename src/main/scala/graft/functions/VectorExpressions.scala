@@ -247,6 +247,10 @@ object VectorFunctions {
   def topk_by(ord: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_topk_by", ord, id,
       org.apache.spark.sql.functions.lit(k))
+  def hex_long(s: Column, pos: Int, len: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hex_long", s,
+      org.apache.spark.sql.functions.lit(pos),
+      org.apache.spark.sql.functions.lit(len))
   def zorder(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_zorder", a, b)
   def hilbert(a: Column, b: Column): Column =
@@ -285,6 +289,10 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_topk_by",
       exprs => TopKByAgg(exprs(0), exprs(1),
         constIntArg("graft_topk_by", "k", exprs(2))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_hex_long",
+      exprs => HexToLong(exprs(0),
+        constIntArg("graft_hex_long", "pos", exprs(1)),
+        constIntArg("graft_hex_long", "len", exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_zorder",
       exprs => ZOrderValue(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hilbert",

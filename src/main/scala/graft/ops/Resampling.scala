@@ -45,9 +45,12 @@ object Resampling extends graft.QueryModule {
       .map { case (t, k) => s"WHEN $u < $t THEN ${k + 1}" }
       .mkString("CASE ", " ", " ELSE 8 END")
 
-  /** Spark: uniform 32-bit draw from md5 hex chars [lo, lo+8). */
+  /** Spark: uniform 32-bit draw from md5 hex chars [lo, lo+8).
+    * r14: `graft_hex_long` (codegen byte-window parse, HexToLongSpec
+    * pins equality with the previous conv form) — callers must have
+    * run [[graft.functions.VectorFunctions.register]]. */
   private def sparkHex8(key: String, lo: Int): String =
-    s"cast(conv(substring(md5($key), $lo, 8), 16, 10) as bigint)"
+    s"graft_hex_long(md5($key), $lo, 8)"
 
   /** DuckDB has no conv(hex, 16, 10): decode 8 hex chars with the
     * strpos polynomial (the md5-LSH oracle-twin trick). */
@@ -78,17 +81,33 @@ object Resampling extends graft.QueryModule {
     // narrow input across the cluster first — without this the whole
     // replicate ensemble inherits the source file's partition count
     // (one small file => one core does 64x the work)
+    // FIXED-N repartition (r14, guide §2.5): the keyed no-N form is
+    // REPARTITION_BY_COL, which AQE's partition coalescing is allowed
+    // to shrink — and DOES, because the coalesce decision sees the
+    // PRE-explode bytes (150k narrow rows ≈ 2 MB → 1 partition), so the
+    // whole B-fold ensemble ran on ONE core (probed: the 19.2M-digest
+    // stage 9.7 s -> 0.7 s once pinned). defaultParallelism = total
+    // cluster cores — scale-adaptive, not a local[32] constant; AQE
+    // cannot coalesce REPARTITION_BY_NUM.
     // QUADRANT draws (r14): md5 yields 128 bits = FOUR independent
     // 32-bit words, so one digest feeds replicates 4q..4q+3 (word j =
     // hex chars 8j+1..8j+8) — the md5 count in the replicate-ensemble
-    // map drops B -> B/4. Honest local A/B: sf0.1 timing is UNCHANGED
-    // (~5.5 s either way; the key is plan/codegen-overhead-bound at
-    // 150k input rows) — the 4x hash-CPU cut pays only where per-row
-    // work dominates, i.e. on a real fact table. The oracle derives
-    // the identical words from the identical digests, so the hash
-    // gate still certifies every draw.
+    // map drops B -> B/4. The oracle derives the identical words from
+    // the identical digests, so the hash gate still certifies every
+    // draw.
+    // r14 OPTIMIZATION (guide §4): the quadrant unpack originally rode
+    // `explode(transform(sequence(0,3), j -> struct(..., conv(...))))`
+    // — a higher-order lambda, which is CodegenFallback, evaluating an
+    // INTERPRETED conv 4x per digest row. Replaced by an explode of a
+    // plain codegen array(struct(b, graft_hex_long(h, ...))) with
+    // literal hex windows: CreateArray/CreateNamedStruct stay inside
+    // whole-stage codegen and graft_hex_long is a no-allocation
+    // byte-window parse (HexToLongSpec pins value equality with conv).
+    // Probe A/B at sf0.1: the unpack stage 5.3 s -> ~2 s; same rows,
+    // same draws, hash-identical output.
+    graft.functions.VectorFunctions.register(s)
     val base = Tables.orders(s, d)
-      .repartition(col("o_orderkey"))
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority").as("g"),
         expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"),
         explode(sequence(lit(0), lit(bootB / 4 - 1))).as("q"))
@@ -96,10 +115,10 @@ object Resampling extends graft.QueryModule {
         expr("md5(concat(cast(o_orderkey as string), '#', " +
           "cast(q as string), ':boot'))").as("h"))
       .select(col("g"), col("v"),
-        explode(expr("transform(sequence(0, 3), j -> struct(" +
-          "q * 4 + j as b, " +
-          "cast(conv(substring(h, 1 + j * 8, 8), 16, 10) as bigint) as u))"))
-          .as("e"))
+        explode(array((0 until 4).map(j =>
+          struct((col("q") * 4 + lit(j)).as("b"),
+            graft.functions.VectorFunctions.hex_long(col("h"), 1 + j * 8, 8)
+              .as("u"))): _*)).as("e"))
       .select(col("g"), col("e.b").as("b"), col("v"), col("e.u").as("u"))
       .select(col("g"), col("b"), col("v"),
         expr(s"${poissonCase("u")}").cast("long").as("w"))
@@ -186,6 +205,7 @@ object Resampling extends graft.QueryModule {
   private val randB = 128
 
   private def randomization(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"),
         expr("case when o_orderstatus = 'F' then 1 else 0 end").as("grp"),
@@ -200,7 +220,8 @@ object Resampling extends graft.QueryModule {
         "cast(s1 as double) / cast(n1 as double)" +
           " - cast(s0 as double) / cast(n0 as double) as obs_diff")
     val reps = base
-      .repartition(col("o_orderkey")) // parallelize the B-fold explode
+      // parallelize the B-fold explode; FIXED-N (r14): see bootstrap
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       .select(col("v"), explode(sequence(lit(0), lit(randB - 1))).as("b"),
         col("o_orderkey"))
       .select(col("b"), col("v"), expr(u).as("u"))
@@ -272,6 +293,7 @@ object Resampling extends graft.QueryModule {
     * at the tiny documented cost of the u-mod-3 bias (2^-32) and the
     * magnitude cap at 8 (mass 0.4%). */
   private def dpCounts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val u = sparkHex8("concat(event_type, ':dp')", 1)
     val v = sparkHex8("concat(event_type, ':dp')", 9)
     val g = geomCase("uv")
@@ -319,11 +341,12 @@ object Resampling extends graft.QueryModule {
     * rank cumsum windows run per (replicate × score-bin) — bounded —
     * and the final selection ranks B rows. */
   private def aucCi(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val u = sparkHex8(
       s"concat(cast(o_orderkey as string), '#', cast(b as string), ':auc')",
       1)
     val base = Tables.orders(s, d)
-      .repartition(col("o_orderkey"))
+      .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       .select(col("o_orderkey"),
         expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)" +
           " div 100000").as("v"),
