@@ -28,9 +28,20 @@ object SparkEntry {
     ext.Corpus, ext.Graph, ext.EmbPca, ext.Rake, ext.SubstrDedup,
     ext.Retrieval)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every binding registers the graft SQL functions first (idempotent,
+    * microseconds): the r14 optimization pass moved hot md5-coin sites
+    * onto `graft_hex_long`, and SQL-string call sites (expr("...")) need
+    * the name resolvable on whatever session the driver supplies —
+    * registering here removes the per-module choreography. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    modules.flatMap(_.queries).toMap.map { case (k, f) =>
+      k -> { (s: SparkSession, d: String) =>
+        functions.VectorFunctions.register(s)
+        f(s, d)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -230,8 +230,9 @@ object Corpus extends graft.QueryModule {
   def splitAssign(docs: DataFrame, keyCol: String, salt: String = "graft",
                   trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     val bucket =
-      (conv(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt))), 1, 4),
-        16, 10).cast("int") % 100).as("bucket")
+      (graft.functions.VectorFunctions.hex_long(
+        md5(concat(col(keyCol).cast("string"), lit(":" + salt))), 1, 4)
+        .cast("int") % 100).as("bucket")
     docs.select(col(keyCol), bucket)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -324,8 +325,7 @@ object Corpus extends graft.QueryModule {
     Tables.documents(s, d)
       .filter(col("n_chars") > 0)
       .selectExpr("doc_id", "lang", "n_chars",
-        "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 8)," +
-          " 16, 10) as bigint) as h")
+        "graft_hex_long(md5(concat('ws:', cast(doc_id as string))), 1, 8) as h")
       .selectExpr("doc_id", "lang", "n_chars",
         "-bround(ln((h + 1) / 4294967296.0), 9) / n_chars as priority")
       .withColumn("rk", row_number().over(w))

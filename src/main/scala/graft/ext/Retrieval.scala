@@ -218,8 +218,8 @@ object Retrieval extends graft.QueryModule {
         "transform(sequence(1, size(ws) - 1)," +
           " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))")).as("p"))
       .select(col("doc_id"),
-        (expr("cast(conv(substring(md5(concat(p.w1, ':wm:', p.w2)), 1, 4)," +
-          " 16, 10) as int)") % 2).as("green"))
+        (expr("cast(graft_hex_long(md5(concat(p.w1, ':wm:', p.w2))," +
+          " 1, 4) as int)") % 2).as("green"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         sum(when(col("green") === 0, 1L).otherwise(0L)).as("g"))

@@ -855,9 +855,10 @@ object SimSearch extends graft.QueryModule {
   private val HnswUpperSteps = 3
 
   /** Upper-layer membership coin: hex8(md5(vec_id:hnswlvl)) % mod == 0. */
-  private def hnswCoin: Column = expr(
-    "cast(conv(substring(md5(concat(cast(vec_id as string), ':hnswlvl')), " +
-      s"1, 8), 16, 10) as bigint) % $HnswLevelMod")
+  private def hnswCoin: Column =
+    graft.functions.VectorFunctions.hex_long(
+      md5(concat(col("vec_id").cast("string"), lit(":hnswlvl"))), 1, 8) %
+      HnswLevelMod
 
   /** The 2-layer descent — public so the recall spec can drive clustered
     * fixtures through the identical path. */
@@ -915,9 +916,10 @@ object SimSearch extends graft.QueryModule {
     * key's salt so the stacks agree on the first sample. */
   private def hnswCoinL(l: Int): Column =
     if (l == 1) hnswCoin
-    else expr(
-      "cast(conv(substring(md5(concat(cast(vec_id as string), " +
-        s"':hnswlvl$l')), 1, 8), 16, 10) as bigint) % $HnswLevelMod")
+    else
+      graft.functions.VectorFunctions.hex_long(
+        md5(concat(col("vec_id").cast("string"), lit(s":hnswlvl$l"))), 1, 8) %
+        HnswLevelMod
 
   /** The layer-ℓ slice of a corpus: coins 1..ℓ all zero (ℓ = 0 is the
     * full corpus). Stateless — every epoch, store, and serving path

@@ -130,10 +130,9 @@ object TextAnalysis extends graft.QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .selectExpr("doc_id",
-        "cast(conv(substring(md5(concat(w, ':hash')), 1, 4), 16, 10)" +
-          s" as bigint) % $tqcD as idx",
-        "case when cast(conv(substring(md5(concat(w, ':hash')), 5, 1)," +
-          " 16, 10) as bigint) % 2 = 0 then 1L else -1L end as sign")
+        s"graft_hex_long(md5(concat(w, ':hash')), 1, 4) % $tqcD as idx",
+        "case when graft_hex_long(md5(concat(w, ':hash')), 5, 1)" +
+          " % 2 = 0 then 1L else -1L end as sign")
       .groupBy(col("doc_id"), col("idx"))
       .agg(sum(col("sign")).as("v"))
     val feats = hashed
@@ -973,8 +972,8 @@ object TextAnalysis extends graft.QueryModule {
     val negs = pos.select(col("center"), col("context"), col("n"),
         explode(expr("sequence(0, 1)")).as("k"))
       .withColumn("rank", pmod(
-        expr("cast(conv(substring(md5(concat(center, '_', context, '_'," +
-          " cast(k as string), ':neg')), 1, 8), 16, 10) as bigint)"),
+        expr("graft_hex_long(md5(concat(center, '_', context, '_'," +
+          " cast(k as string), ':neg')), 1, 8)"),
         lit(vTot)))
       .join(broadcast(vocab), Seq("rank"))
       .groupBy(col("center"), col("w").as("sample"))

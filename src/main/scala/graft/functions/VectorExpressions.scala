@@ -247,10 +247,14 @@ object VectorFunctions {
   def topk_by(ord: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_topk_by", ord, id,
       org.apache.spark.sql.functions.lit(k))
+  /** Registry-FREE Column form (r14): built directly over the Catalyst
+    * expression via GraftSqlBridge, so Column-level helpers can use the
+    * codegen hex parse with no session registration choreography. The
+    * SQL name `graft_hex_long` is also registered below for expr()/SQL
+    * call sites. */
   def hex_long(s: Column, pos: Int, len: Int): Column =
-    org.apache.spark.sql.functions.call_function("graft_hex_long", s,
-      org.apache.spark.sql.functions.lit(pos),
-      org.apache.spark.sql.functions.lit(len))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HexToLong(org.apache.spark.sql.GraftSqlBridge.expression(s), pos, len))
   def zorder(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_zorder", a, b)
   def hilbert(a: Column, b: Column): Column =

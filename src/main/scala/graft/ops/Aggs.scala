@@ -946,8 +946,8 @@ object Aggs extends graft.QueryModule {
     val ev = Tables.events(s, d)
     val cells = ev.select(explode(expr(
         s"""transform(sequence(0, ${depth - 1}), j -> struct(j AS j,
-           |  CAST(conv(substring(md5(concat(event_type, ':cm',
-           |    CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $width
+           |  graft_hex_long(md5(concat(event_type, ':cm',
+           |    CAST(j AS STRING))), 1, 8) % $width
            |  AS b))""".stripMargin)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -955,8 +955,8 @@ object Aggs extends graft.QueryModule {
       .agg(count(lit(1)).as("true_cnt"))
       .select(col("event_type"), col("true_cnt"), explode(expr(
         s"""transform(sequence(0, ${depth - 1}), j -> struct(j AS j,
-           |  CAST(conv(substring(md5(concat(event_type, ':cm',
-           |    CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % $width
+           |  graft_hex_long(md5(concat(event_type, ':cm',
+           |    CAST(j AS STRING))), 1, 8) % $width
            |  AS b))""".stripMargin)).as("k"))
       .select(col("event_type"), col("true_cnt"),
         col("k.j").as("j"), col("k.b").as("b"))

@@ -184,8 +184,8 @@ object Exprs extends graft.QueryModule {
   private def surrogateKey(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .selectExpr("c_custkey",
-        "cast(conv(substring(md5(concat('cust:', cast(c_custkey as string)))," +
-          " 1, 15), 16, 10) as bigint) as sk")
+        "graft_hex_long(md5(concat('cust:', cast(c_custkey as string)))," +
+          " 1, 15) as sk")
       .orderBy("c_custkey")
 
   private val surrogateKeyOracle = {

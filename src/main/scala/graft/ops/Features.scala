@@ -150,10 +150,9 @@ object Features extends graft.QueryModule {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .selectExpr("doc_id",
-        "cast(conv(substring(md5(concat(w, ':hash')), 1, 4), 16, 10)" +
-          " as bigint) % 64 as idx",
-        "case when cast(conv(substring(md5(concat(w, ':hash')), 5, 1)," +
-          " 16, 10) as bigint) % 2 = 0 then 1L else -1L end as sign")
+        "graft_hex_long(md5(concat(w, ':hash')), 1, 4) % 64 as idx",
+        "case when graft_hex_long(md5(concat(w, ':hash')), 5, 1)" +
+          " % 2 = 0 then 1L else -1L end as sign")
       .groupBy(col("doc_id"), col("idx"))
       .agg(sum(col("sign")).as("val"))
       .orderBy("doc_id", "idx")
@@ -213,8 +212,8 @@ object Features extends graft.QueryModule {
         when(col("next_date").isNotNull &&
           datediff(col("next_date"), col("o_orderdate")) <= 90, 1)
           .otherwise(0).as("label"),
-        expr("cast(conv(substring(md5(concat(cast(o_custkey as string)," +
-          " ':ts')), 1, 4), 16, 10) as int) % 100").as("bucket"))
+        expr("cast(graft_hex_long(md5(concat(cast(o_custkey as string)," +
+          " ':ts')), 1, 4) as int) % 100").as("bucket"))
       .select(col("o_orderkey"), col("o_custkey"), col("spend_prior"),
         col("orders_prior"), col("recency_days"), col("label"),
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid")

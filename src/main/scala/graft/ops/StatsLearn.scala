@@ -426,7 +426,7 @@ object StatsLearn extends graft.QueryModule {
     * conditional hash agg over one scan. */
   private def fleissKappa(s: SparkSession, d: String): DataFrame = {
     def hex4(r: Int) =
-      s"cast(conv(substring(md5(concat(cast(o_orderkey as string), '#$r', ':fk')), 1, 4), 16, 10) as bigint)"
+      s"graft_hex_long(md5(concat(cast(o_orderkey as string), '#$r', ':fk')), 1, 4)"
     val njs = fleissCore(r => fleissLabel(r, hex4(r), "div"))
     val p6 = njs.map(nj => s"$nj * ($nj - 1)").mkString(" + ")
     Tables.orders(s, d)
@@ -1024,8 +1024,8 @@ object StatsLearn extends graft.QueryModule {
     * exact BIGINTs. ONE data-scale projection + one hash agg. */
   private def krippendorff(s: SparkSession, d: String): DataFrame = {
     def hex4(r: Int) =
-      s"cast(conv(substring(md5(concat(cast(o_orderkey as string), " +
-        s"'#$r', ':ka')), 1, 4), 16, 10) as bigint)"
+      s"graft_hex_long(md5(concat(cast(o_orderkey as string), " +
+        s"'#$r', ':ka')), 1, 4)"
     def lab(r: Int) = {
       val h = hex4(r)
       val base = "CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END"

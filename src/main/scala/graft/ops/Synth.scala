@@ -16,8 +16,8 @@ private[ops] object Synth {
     * (DuckDB mirrors via the strpos hex polynomial — `text_split_assign`
     * precedent). */
   def hexCoin(key: Column, salt: String, chars: Int): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
-      1, chars), 16, 10).cast("long")
+    graft.functions.VectorFunctions.hex_long(
+      md5(concat(key.cast("string"), lit(":" + salt))), 1, chars)
 
   /** o_totalprice as exact BIGINT cents. */
   def orderCents: Column =
@@ -46,8 +46,9 @@ private[ops] object Synth {
       .select(pmod(col("o_custkey"), lit(200)).as("qid"),
         col("o_orderkey").as("doc"),
         orderCents.as("score"),
-        (conv(substring(md5(concat(col("o_orderkey").cast("string"),
-          lit(":rel"))), 1, 1), 16, 10).cast("int") % 4).as("rel"))
+        (graft.functions.VectorFunctions.hex_long(
+          md5(concat(col("o_orderkey").cast("string"), lit(":rel"))), 1, 1)
+          .cast("int") % 4).as("rel"))
 
   /** Shared 10-probability-bin relation for `eval_calibration` and
     * `eval_brier` — p = min(cents, 6e7)/6e7, bins of width 0.1. A

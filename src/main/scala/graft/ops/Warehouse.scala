@@ -24,11 +24,11 @@ object Warehouse extends graft.QueryModule {
     * map-side combinable, zero sorts at any scale. */
   private def tableChecksum(s: SparkSession, d: String): DataFrame = {
     val rowHash = expr(
-      "cast(conv(substring(md5(concat_ws('|', " +
+      "graft_hex_long(md5(concat_ws('|', " +
         "cast(l_orderkey as string), cast(l_linenumber as string), " +
         "cast(cast(l_quantity as bigint) as string), " +
         "cast(cast(l_extendedprice as decimal(12,2)) as string)" +
-        ")), 1, 8), 16, 10) as bigint)")
+        ")), 1, 8)")
     val per = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("grp"), rowHash.as("h"))
       .groupBy(col("grp"))

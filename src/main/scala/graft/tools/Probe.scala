@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** r14 optimization scratch harness: time named sub-plan variants with
   * the noop sink (guide §1.4) to localize where a hot key's seconds go.
   * Variants live in code (edited per investigation); each is timed
-  * twice, min reported. Not part of any query path.
+  * thrice, min reported. Not part of any query path.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -33,60 +33,49 @@ object Probe {
 
     val s = spark
     val d = sfDir
+    val docs = graft.Tables.documents(s, d)
 
-    // ---- stats_randomization decomposition ----
-    def base() = graft.Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        expr("(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)) div 100000").as("v"))
-    def expl() = base()
-      .repartition(col("o_orderkey"))
-      .select(col("v"), explode(sequence(lit(0), lit(127))).as("b"),
-        col("o_orderkey"))
-    time("rand_explode128")(expl())
-    def md5d() = expl()
-      .select(col("b"), col("v"),
-        expr("md5(concat(cast(o_orderkey as string), '#', cast(b as string), ':perm'))").as("h"))
-    time("rand_md5")(md5d())
-    def parsed() = md5d()
-      .select(col("b"), col("v"), expr("graft_hex_long(h, 1, 8)").as("u"))
-    time("rand_hex")(parsed())
-    def aggd() = parsed()
-      .select(col("b"), col("v"),
-        expr(s"case when u < ${1L << 31} then 1 else 0 end").as("pg"))
-      .groupBy(col("b"))
-      .agg(sum(when(col("pg") === 1, col("v"))).as("s1"),
-        sum(when(col("pg") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("pg") === 0, col("v"))).as("s0"),
-        sum(when(col("pg") === 0, 1L).otherwise(0L)).as("n0"))
-    time("rand_agg")(aggd())
-    time("rand_full")(graft.SparkEntry.queries("stats_randomization")(s, d))
+    // ---- dedup_minhash phase decomposition ----
+    // phase A: xx fingerprint projection (interpreted transform lambda?)
+    def withSet() = docs.select(col("doc_id").as("id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")),
+        w => xxhash64(w))).as("hs"))
+    time("mh_withSet_transform")(withSet())
+    // alt: explode + codegen xxhash64 + collect back
+    def withSetExplode() = docs
+      .select(col("doc_id").as("id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+      .groupBy(col("id")).agg(array_sort(collect_list(col("h"))).as("hs"))
+    time("mh_withSet_explode")(withSetExplode())
+    def withFp() = withSet().withColumn("fp", xxhash64(col("hs")))
+    time("mh_withFp")(withFp())
+    def reps() = withFp().groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), min_by(col("hs"), col("id")).as("hs"))
+      .withColumn("n", size(col("hs")))
+    time("mh_reps")(reps())
+    time("mh_clusters_full") {
+      graft.ext.Dedup.minhashClusters(docs, "doc_id", "text")
+    }
+    time("mh_clusters_iter1") {
+      graft.ext.Dedup.minhashClusters(docs, "doc_id", "text", maxIter = 1)
+    }
+    // the md5 star/chain twin (second pipeline in the key)
+    time("mh_md5twin") {
+      graft.ext.Dedup.md5StarChainPairs(docs)
+    }
+    time("mh_key_full")(graft.SparkEntry.queries("dedup_minhash")(s, d))
 
-    // md5 theoretical floor: 19.2M md5s of the same shape, nothing else
-    time("md5_floor_19M")(
-      spark.range(19200000L).select(
-        expr("md5(concat(cast(id as string), '#', cast(id % 128 as string), ':perm'))").as("h"))
-        .select(sum(length(col("h"))).as("s")))
-    // same md5s but rows written to the noop sink (no reduction)
-    time("md5_floor_noop_rows")(
-      spark.range(19200000L).select(
-        expr("md5(concat(cast(id as string), '#', cast(id % 128 as string), ':perm'))").as("h")))
-    // query-shaped source, but reduce instead of emitting rows
-    time("rand_md5_reduced")(md5d().select(sum(length(col("h"))).as("s")))
-    // fixed-N repartition: AQE cannot coalesce REPARTITION_BY_NUM
-    time("rand_md5_fixedN")(
-      base().repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
-        .select(col("v"), explode(sequence(lit(0), lit(127))).as("b"),
-          col("o_orderkey"))
-        .select(col("b"), col("v"),
-          expr("md5(concat(cast(o_orderkey as string), '#', cast(b as string), ':perm'))").as("h"))
-        .select(sum(length(col("h"))).as("s")))
-    // explode from range (no parquet scan, no repartition)
-    time("rand_md5_rangesrc")(
-      spark.range(150000L).select(col("id").as("o_orderkey"), (col("id") % 17).as("v"))
-        .select(col("v"), explode(sequence(lit(0), lit(127))).as("b"), col("o_orderkey"))
-        .select(col("b"), col("v"),
-          expr("md5(concat(cast(o_orderkey as string), '#', cast(b as string), ':perm'))").as("h"))
-        .select(sum(length(col("h"))).as("s")))
+    // CC in isolation: 110k nodes, 25k star edges (the dedup shape)
+    val nodes = spark.range(110000L).select(col("id"))
+    val edges = spark.range(25000L).select(
+      (col("id") * 4).as("i"), (col("id") * 4 + 1 + col("id") % 3).as("j"))
+    def ccOnly() = graft.ext.Dedup.connectedComponents(nodes, edges)
+    val t0 = System.nanoTime()
+    ccOnly().write.format("noop").mode("overwrite").save()
+    println(f"[probe] cc_isolated ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    ccOnly().write.format("noop").mode("overwrite").save()
+    println(f"[probe] cc_isolated2 ${(System.nanoTime() - t1) / 1e9}%.2f s")
 
     spark.stop()
   }

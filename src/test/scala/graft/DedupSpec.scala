@@ -120,9 +120,11 @@ class DedupSpec extends AnyFunSuite {
     // VERDICT r3 #3: the convergence check must ride the round's own
     // materialization action (observe metric on the localCheckpoint), not
     // a second join+count job. Count actions by name via a
-    // QueryExecutionListener: the 1-2-3-4 path needs exactly 4 rounds
-    // (3 propagation + 1 fixpoint confirmation) → 4 localCheckpoint
-    // actions and ZERO count actions.
+    // QueryExecutionListener. r14: each action carries TWO min-label
+    // steps, so the 1-2-3-4 path (3 hops) needs 2 pair-passes to reach
+    // the fixpoint plus 1 confirming pass (pair-level change must read
+    // zero) → 3 localCheckpoint actions and ZERO count actions
+    // (previously 4 single-step rounds).
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -138,14 +140,14 @@ class DedupSpec extends AnyFunSuite {
       Dedup.connectedComponents(nodes, edges).collect()
       // the listener bus is async; wait for the action count to stabilize
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (names.size < 5 && System.nanoTime() < deadline) Thread.sleep(50)
+      while (names.size < 4 && System.nanoTime() < deadline) Thread.sleep(50)
       val counts = names.toArray(Array.empty[String]).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(counts.getOrElse("count", 0) == 0,
         s"per-round count action still present: $counts")
       assert(counts.getOrElse("localCheckpoint", 0) +
-        counts.getOrElse("checkpoint", 0) == 4,
-        s"expected 4 checkpoint actions (one per round): $counts")
+        counts.getOrElse("checkpoint", 0) == 3,
+        s"expected 3 checkpoint actions (one per pair-pass): $counts")
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -154,13 +156,14 @@ class DedupSpec extends AnyFunSuite {
     import graft.ext.Dedup
     val nodes = (1L to 4L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("i", "j")
-    // one round cannot push label 1 three hops down the path
+    // one pair-pass (r14: maxIter counts TWO-step passes) cannot push
+    // label 1 three hops down the path
     val (labels, converged) = Dedup.connectedComponentsWithStatus(
       nodes, edges, maxIter = 1)
     assert(!converged)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // partial but usable: one propagation round happened
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // partial but usable: two propagation steps happened
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
     // and the lenient wrapper returns the same labels without throwing
     val lenient = Dedup.connectedComponents(nodes, edges, maxIter = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
