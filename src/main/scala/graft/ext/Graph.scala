@@ -179,22 +179,33 @@ object Graph extends graft.QueryModule {
     val nD = deg.count().toDouble
     var r = deg.select(col("node"), col("deg"),
       bround(lit(1.0) / nD, 12).as("rank"))
-    for (_ <- 1 to prIters) {
+    // one pinned iteration, lazily — identical arithmetic to the oracle
+    def round(prev: DataFrame): DataFrame = {
       val ranked =
-        if (bcast) broadcast(r).join(dir, col("node") === col("src"))
-        else r.join(dir, col("node") === col("src"))
+        if (bcast) broadcast(prev).join(dir, col("node") === col("src"))
+        else prev.join(dir, col("node") === col("src"))
       val sums = ranked
         .select(col("dst"),
           bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      r = deg.join(if (bcast) broadcast(sums) else sums,
+      deg.join(if (bcast) broadcast(sums) else sums,
           col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           bround(lit(0.15) / nD +
             lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
             .as("rank"))
-        .cut()
     }
+    // r14 (guide §1.2/§2.4): TWO pinned iterations per checkpoint — the
+    // cut is a materialization barrier (a full |V|-row rank-table write
+    // plus an action's scheduling round-trip), and the arithmetic is
+    // identical whether or not the intermediate round materializes. The
+    // |E|-side join still runs exactly once per iteration (the inner
+    // round's rank table is |V|-scale and recomputed from the previous
+    // checkpoint inside the pair's plan). Odd iteration counts take one
+    // single-round pass at the end. GraphSpec pins both layouts
+    // hash-identical, so the batching provably changes nothing.
+    for (_ <- 1 to prIters / 2) r = round(round(r)).cut()
+    if (prIters % 2 == 1) r = round(r).cut()
     r.select(col("node"), bround(col("rank"), 8).as("rank")).orderBy("node")
   }
 
@@ -264,23 +275,25 @@ object Graph extends graft.QueryModule {
     var r = deg.select(col("node"), col("deg"),
       when(col("node") % 10 === 0, bround(lit(1.0) / nS, 12))
         .otherwise(lit(0.0)).as("rank"))
-    for (_ <- 1 to pprIters) {
+    def round(prev: DataFrame): DataFrame = {
       val ranked =
-        if (bcast) broadcast(r).join(dir, col("node") === col("src"))
-        else r.join(dir, col("node") === col("src"))
+        if (bcast) broadcast(prev).join(dir, col("node") === col("src"))
+        else prev.join(dir, col("node") === col("src"))
       val sums = ranked
         .select(col("dst"),
           bround(col("rank") / col("deg"), 12).cast("decimal(24,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      r = deg.join(if (bcast) broadcast(sums) else sums,
+      deg.join(if (bcast) broadcast(sums) else sums,
           col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           bround(
             when(col("node") % 10 === 0, lit(0.15) / nS).otherwise(lit(0.0)) +
               lit(0.85) * coalesce(col("sc").cast("double"), lit(0.0)), 12)
             .as("rank"))
-        .cut()
     }
+    // r14: two pinned iterations per checkpoint (the pageRank pairing)
+    for (_ <- 1 to pprIters / 2) r = round(round(r)).cut()
+    if (pprIters % 2 == 1) r = round(r).cut()
     r.select(col("node"), (col("node") % 10 === 0).as("is_seed"),
       bround(col("rank"), 8).as("rank")).orderBy("node")
   }
@@ -605,20 +618,23 @@ object Graph extends graft.QueryModule {
       else undRaw.repartition(col("u")).cut()
     var lab = und.select(col("v")).distinct()
       .select(col("v"), col("v").as("lbl")).cut()
-    for (_ <- 1 to lpIters) {
-      val nbr = (if (bcast) broadcast(lab) else lab)
+    def lpRound(prev: DataFrame): DataFrame = {
+      val nbr = (if (bcast) broadcast(prev) else prev)
         .withColumnRenamed("v", "u")
         .join(und, "u")
       // mode with smallest-label tie-break as ONE hash agg:
       // max(struct(cnt, -lbl)) = (largest count, then smallest label) —
       // same pick as `row_number over (order by cnt desc, lbl)` without
       // the per-vertex sort a window would add each round
-      lab = nbr.groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      nbr.groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("v"), (-col("m.neg")).as("lbl"))
-        .cut()
     }
+    // r14: two rounds per checkpoint (the pageRank pairing) — identical
+    // label sequence, half the materialization barriers
+    for (_ <- 1 to lpIters / 2) lab = lpRound(lpRound(lab)).cut()
+    if (lpIters % 2 == 1) lab = lpRound(lab).cut()
     (e, lab)
   }
 
@@ -881,14 +897,19 @@ object Graph extends graft.QueryModule {
     var reach = dir.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(101)) === 0)
       .withColumn("dist", lit(0L))
-    for (_ <- 1 to bfsRounds) {
-      val next = (if (bcast) broadcast(reach) else reach)
+    def relax(prev: DataFrame): DataFrame = {
+      val next = (if (bcast) broadcast(prev) else prev)
         .join(dir, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      reach = reach.unionAll(next)
+      prev.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .cut()
     }
+    // r14: TWO relaxations per checkpoint (the pageRank pairing — the
+    // hop semantics are applied sequentially inside one lazy plan, so
+    // the ≤ bfsRounds-hop distance set is unchanged; only the per-round
+    // materialization barrier goes away). GraphSpec pins both layouts.
+    for (_ <- 1 to bfsRounds / 2) reach = relax(relax(reach)).cut()
+    if (bfsRounds % 2 == 1) reach = relax(reach).cut()
     reach.orderBy("node")
   }
 

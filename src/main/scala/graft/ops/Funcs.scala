@@ -29,15 +29,27 @@ object Funcs extends graft.QueryModule {
   /** Math library (`fetch_data.py:182-184,36,108`): abs, sqrt, ln, pow,
     * least/greatest, banker's rounding. */
   private def fnMath(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
-      col("l_orderkey"), col("l_linenumber"),
-      abs(-col("l_quantity")).as("abs_qty"),
-      bround(sqrt(col("l_extendedprice")), 6).as("root"),
-      bround(log(col("l_extendedprice")), 6).as("nat_log"),
-      bround(pow(col("l_discount") + 1, 3), 6).as("cubed"),
-      least(col("l_tax"), col("l_discount")).as("lo"),
-      greatest(col("l_tax"), col("l_discount")).as("hi"))
+    // r14 (guide §2.3 "project before the exchange" — inverted for
+    // DERIVED columns): the math battery used to compute BELOW the
+    // global orderBy, so every sqrt/ln/pow ran twice (once in the range
+    // partitioner's sampling pass, once for real) and the exchange
+    // carried the four derived doubles. Sorting the RAW columns first
+    // and projecting above the sort computes each function once and
+    // shuffles only source columns; output rows and order unchanged
+    // (the sort keys are source columns either way).
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(-col("l_quantity")).as("abs_qty"),
+        bround(sqrt(col("l_extendedprice")), 6).as("root"),
+        bround(log(col("l_extendedprice")), 6).as("nat_log"),
+        bround(pow(col("l_discount") + 1, 3), 6).as("cubed"),
+        least(col("l_tax"), col("l_discount")).as("lo"),
+        greatest(col("l_tax"), col("l_discount")).as("hi"))
 
   /** Date/time (`fetch_data.py:272,319,156`; `update.yml:6`): truncation,
     * field extraction, interval arithmetic, epoch, ISO-8601 formatting. */
