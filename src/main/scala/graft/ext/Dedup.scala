@@ -1053,8 +1053,8 @@ object Dedup extends graft.QueryModule {
     var converged = false
     var iter = 0
     // ONE propagation step: min over the 1-hop neighborhood, keeping any
-    // extra columns of `l` (the pair pass below threads the pre-pair
-    // label through for its change observation)
+    // extra columns of `l` (the pass below threads the pre-pass label
+    // through for its change observation)
     def step(l: DataFrame): DataFrame = {
       val neighborMin = sym
         .join(l.select(col("id").as("nid"), col("label").as("nl")),
@@ -1065,19 +1065,38 @@ object Dedup extends graft.QueryModule {
           least(col("label"), coalesce(col("nlabel"), col("label"))))
         .drop("src", "nlabel")
     }
+    // POINTER-JUMPING shortcut (r14, the MapReduce-CC accelerant —
+    // Rastogi et al., "Finding Connected Components in MapReduce and
+    // Beyond"): label(v) <- label(label(v)). Every label IS a node id of
+    // the same component (invariant: init label=id; neighbor-min only
+    // adopts neighbors' labels; shortcut only follows them), so the
+    // |V|-scale self-join compresses label chains exponentially —
+    // convergence needs O(log diameter) passes instead of O(diameter).
+    // Labels stay monotone non-increasing, and the fixpoint is the same
+    // min-per-component (a converged pass implies its neighbor-min
+    // sub-steps changed nothing, which alone forces all-equal-min).
+    def shortcut(l: DataFrame): DataFrame =
+      l.join(l.select(col("id").as("pid"), col("label").as("plabel")),
+          col("label") === col("pid"), "left")
+        .withColumn("label", coalesce(col("plabel"), col("label")))
+        .drop("pid", "plabel")
     while (!converged && iter < maxIter) {
       val obs = org.apache.spark.sql.Observation()
-      // TWO min-label steps per materialized action (r14 optimization,
-      // guide §2.4/§1.2): the propagation is monotone (labels only
-      // decrease) and confluent (any step schedule reaches min-per-
-      // component), so batching steps changes NOTHING about the fixpoint
-      // — but each action is a full scheduling + checkpoint barrier, and
-      // on the real fixpoints those barriers, not the tiny label joins,
-      // dominate wall time (sf0.1: the dedup_minhash CC went from ~2.7 s
-      // of rounds to ~1.4 s). Convergence: a pair that changes no label
-      // implies both sub-steps changed nothing (monotonicity), so
-      // observing the pair-level delta is exact.
-      val updated = step(step(labels.withColumn("l0", col("label"))))
+      // TWO (neighbor-min, shortcut) step pairs per materialized action
+      // (r14 optimization, guide §2.4/§1.2): the propagation is monotone
+      // (labels only decrease) and confluent (any step schedule reaches
+      // min-per-component), so batching steps changes NOTHING about the
+      // fixpoint — but each action is a full scheduling + checkpoint
+      // barrier, and on the real fixpoints those barriers, not the tiny
+      // label joins, dominate wall time. The corpus pipeline's md5
+      // star/chain pair graph was the motivating case: its signature-
+      // ordered chains give diameters the plain min-label walk needed
+      // 15+ rounds for (sf0.1: >8 steps still unconverged); with the
+      // shortcut it converges in a handful of passes. Convergence: a
+      // pass that changes no label implies every sub-step changed
+      // nothing (monotonicity), so observing the pass delta is exact.
+      val updated = shortcut(step(shortcut(step(
+          labels.withColumn("l0", col("label"))))))
         .select(col("id"), col("label"),
           (col("label") =!= col("l0")).cast("long").as("chg"))
         .observe(obs, sum(col("chg")).as("changed"))

@@ -33,49 +33,72 @@ object Probe {
 
     val s = spark
     val d = sfDir
+
+    // ---- corpus_clean_pipeline phase decomposition ----
     val docs = graft.Tables.documents(s, d)
+      .filter(col("n_chars") >= 100 &&
+        size(split(col("text"), " ")) >= 20 &&
+        col("lang").isin("en", "fr", "de"))
+    def exact() = docs
+      .withColumn("h", md5(col("text")))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.text").as("text"))
+    time("cc_exact")(exact())
+    time("cc_md5assign") {
+      graft.ext.Dedup.md5ClusterAssign(exact().select(col("doc_id"), col("text")))
+    }
+    def nearDeduped() = {
+      val reps = graft.ext.Dedup.md5ClusterAssign(exact().select(col("doc_id"), col("text")))
+        .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      exact().join(reps, Seq("doc_id"), "left_semi")
+    }
+    def lines() = nearDeduped()
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
+          |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+        .as(Seq("line_idx", "line")))
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"), col("lang"))).as("w"))
+    time("cc_lines")(lines())
+    // inside md5ClusterAssign: band rows / candidates / verify / CC
+    def exDocs() = exact().select(col("doc_id"), col("text"))
+    time("mca_bandrows")(graft.ext.Dedup.md5SlotBandRows(exDocs()))
+    time("mca_cand") {
+      graft.ext.Dedup.starChainCandidates(
+        graft.ext.Dedup.md5SlotBandRows(exDocs()))
+        .select(col("i"), col("j")).distinct()
+    }
+    time("mca_verify") {
+      graft.ext.Dedup.verifyExactJaccard(
+        graft.ext.Dedup.starChainCandidates(
+          graft.ext.Dedup.md5SlotBandRows(exDocs()))
+          .select(col("i"), col("j")).distinct(),
+        exDocs(), 0.8)
+    }
+    time("cc_full")(graft.SparkEntry.queries("corpus_clean_pipeline")(s, d))
+    // CC pass census on the corpus pipeline's actual pair graph
+    locally {
+      val pairs = graft.ext.Dedup.md5StarChainPairs(exDocs())
+      val nodes = exDocs().select(col("doc_id"))
+      println("[probe] corpus pair edges = " + pairs.count() +
+        ", nodes = " + nodes.count())
+      for (k <- Seq(1, 2, 3, 4)) {
+        val t0 = System.nanoTime()
+        val (_, conv) = graft.ext.Dedup.connectedComponentsWithStatus(
+          nodes, pairs, "doc_id", maxIter = k)
+        // force labels
+        graft.ext.Dedup.connectedComponents(nodes, pairs, "doc_id", maxIter = k)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] cc_pass k=$k conv=$conv ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
 
-    // ---- dedup_minhash phase decomposition ----
-    // phase A: xx fingerprint projection (interpreted transform lambda?)
-    def withSet() = docs.select(col("doc_id").as("id"),
-      array_sort(transform(array_distinct(split(col("text"), " ")),
-        w => xxhash64(w))).as("hs"))
-    time("mh_withSet_transform")(withSet())
-    // alt: explode + codegen xxhash64 + collect back
-    def withSetExplode() = docs
-      .select(col("doc_id").as("id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-      .groupBy(col("id")).agg(array_sort(collect_list(col("h"))).as("hs"))
-    time("mh_withSet_explode")(withSetExplode())
-    def withFp() = withSet().withColumn("fp", xxhash64(col("hs")))
-    time("mh_withFp")(withFp())
-    def reps() = withFp().groupBy(col("fp"))
-      .agg(min(col("id")).as("rid"), min_by(col("hs"), col("id")).as("hs"))
-      .withColumn("n", size(col("hs")))
-    time("mh_reps")(reps())
-    time("mh_clusters_full") {
-      graft.ext.Dedup.minhashClusters(docs, "doc_id", "text")
-    }
-    time("mh_clusters_iter1") {
-      graft.ext.Dedup.minhashClusters(docs, "doc_id", "text", maxIter = 1)
-    }
-    // the md5 star/chain twin (second pipeline in the key)
-    time("mh_md5twin") {
-      graft.ext.Dedup.md5StarChainPairs(docs)
-    }
-    time("mh_key_full")(graft.SparkEntry.queries("dedup_minhash")(s, d))
-
-    // CC in isolation: 110k nodes, 25k star edges (the dedup shape)
-    val nodes = spark.range(110000L).select(col("id"))
-    val edges = spark.range(25000L).select(
-      (col("id") * 4).as("i"), (col("id") * 4 + 1 + col("id") % 3).as("j"))
-    def ccOnly() = graft.ext.Dedup.connectedComponents(nodes, edges)
-    val t0 = System.nanoTime()
-    ccOnly().write.format("noop").mode("overwrite").save()
-    println(f"[probe] cc_isolated ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    ccOnly().write.format("noop").mode("overwrite").save()
-    println(f"[probe] cc_isolated2 ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    // ---- hnsw served job census ----
+    time("hnsw_served")(graft.SparkEntry.queries("sim_search_hnsw_served")(s, d))
+    time("substr_chars")(graft.SparkEntry.queries("text_substring_dedup_chars")(s, d))
 
     spark.stop()
   }

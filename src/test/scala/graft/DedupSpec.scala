@@ -120,11 +120,12 @@ class DedupSpec extends AnyFunSuite {
     // VERDICT r3 #3: the convergence check must ride the round's own
     // materialization action (observe metric on the localCheckpoint), not
     // a second join+count job. Count actions by name via a
-    // QueryExecutionListener. r14: each action carries TWO min-label
-    // steps, so the 1-2-3-4 path (3 hops) needs 2 pair-passes to reach
-    // the fixpoint plus 1 confirming pass (pair-level change must read
-    // zero) → 3 localCheckpoint actions and ZERO count actions
-    // (previously 4 single-step rounds).
+    // QueryExecutionListener. r14: each action carries two (neighbor-min,
+    // pointer-jump) step pairs, so the 1-2-3-4 path (3 hops) reaches the
+    // fixpoint in ONE pass (step, shortcut, step covers it) plus 1
+    // confirming pass (pass-level change must read zero) → 2
+    // localCheckpoint actions and ZERO count actions (previously 4
+    // single-step rounds).
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -140,14 +141,14 @@ class DedupSpec extends AnyFunSuite {
       Dedup.connectedComponents(nodes, edges).collect()
       // the listener bus is async; wait for the action count to stabilize
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (names.size < 4 && System.nanoTime() < deadline) Thread.sleep(50)
+      while (names.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
       val counts = names.toArray(Array.empty[String]).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(counts.getOrElse("count", 0) == 0,
         s"per-round count action still present: $counts")
       assert(counts.getOrElse("localCheckpoint", 0) +
-        counts.getOrElse("checkpoint", 0) == 3,
-        s"expected 3 checkpoint actions (one per pair-pass): $counts")
+        counts.getOrElse("checkpoint", 0) == 2,
+        s"expected 2 checkpoint actions (one per pass): $counts")
     } finally spark.listenerManager.unregister(listener)
   }
 
@@ -156,14 +157,15 @@ class DedupSpec extends AnyFunSuite {
     import graft.ext.Dedup
     val nodes = (1L to 4L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("i", "j")
-    // one pair-pass (r14: maxIter counts TWO-step passes) cannot push
-    // label 1 three hops down the path
+    // r14: maxIter counts passes of (step, shortcut, step, shortcut) —
+    // one pass fully labels the 3-hop path, but convergence is only
+    // declared by a pass that changes NOTHING, so maxIter = 1 returns
+    // complete labels with converged = false
     val (labels, converged) = Dedup.connectedComponentsWithStatus(
       nodes, edges, maxIter = 1)
     assert(!converged)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // partial but usable: two propagation steps happened
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     // and the lenient wrapper returns the same labels without throwing
     val lenient = Dedup.connectedComponents(nodes, edges, maxIter = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
